@@ -1,0 +1,42 @@
+"""Date scalar functions (F2, F4, F5, F12).
+
+Spark casts behave like the reference's ``errors="coerce"``: an
+unparseable value becomes null, which we then default with coalesce —
+never an exception (SURVEY §4.2.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from etl_extractor_spark.functions.text import ColumnOrName, _col
+
+
+def parse_date(c: ColumnOrName) -> Column:
+    """F2: to_timestamp with invalid → null (= pd.to_datetime coerce)."""
+    return F.to_timestamp(_col(c))
+
+
+def fecha_key(c: ColumnOrName, default: int = -1) -> Column:
+    """F5: date → int YYYYMMDD; unparseable → sentinel (reference
+    main.py:204-206)."""
+    return F.coalesce(
+        F.date_format(parse_date(c), "yyyyMMdd").cast("long"), F.lit(default)
+    )
+
+
+def date_dim_columns(c: ColumnOrName) -> dict[str, Column]:
+    """F4/F12: calendar attribute set for the date dimension (reference
+    transform/clean_data.py:17-29). English month/day names match the
+    DuckDB oracle's monthname()/dayname()."""
+    col = _col(c)
+    return {
+        "fecha_key": F.date_format(col, "yyyyMMdd").cast("long"),
+        "anio": F.year(col).cast("long"),
+        "mes": F.month(col).cast("long"),
+        "dia": F.dayofmonth(col).cast("long"),
+        "trimestre": F.quarter(col).cast("long"),
+        "mes_nombre": F.date_format(col, "MMMM"),
+        "dia_semana": F.date_format(col, "EEEE"),
+    }

@@ -1,0 +1,50 @@
+"""Central query registry — the single source for __spark_entry__.
+
+Each plan module exports ``QUERIES`` (name → fn(spark, sf_dir) →
+DataFrame) and ``ORACLES`` (name → DuckDB SQL, or absent for
+non-SQL-expressible ops which get a rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_MODULES = (
+    "etl_extractor_spark.plans.tpch",
+    "etl_extractor_spark.plans.parity",
+    "etl_extractor_spark.plans.text_analysis",
+    "etl_extractor_spark.plans.dedup",
+    "etl_extractor_spark.plans.similarity",
+    "etl_extractor_spark.plans.events",
+    "etl_extractor_spark.plans.multimodal",
+)
+
+
+def all_queries() -> dict[str, QueryFn]:
+    import importlib
+
+    out: dict[str, QueryFn] = {}
+    for mod_name in _MODULES:
+        try:
+            mod = importlib.import_module(mod_name)
+        except ImportError:
+            continue  # module not built yet
+        out.update(getattr(mod, "QUERIES", {}))
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    import importlib
+
+    out: dict[str, str] = {}
+    for mod_name in _MODULES:
+        try:
+            mod = importlib.import_module(mod_name)
+        except ImportError:
+            continue
+        out.update(getattr(mod, "ORACLES", {}))
+    return out

@@ -1,0 +1,75 @@
+"""Local mirror of the driver's DuckDB-oracle comparison.
+
+Runs a Spark query and its oracle SQL side by side, sorts columns by
+name and rows by value, and compares row counts + values with a
+tolerance for float round-off. Used by tests and by ad-hoc iteration —
+keeping this harness equivalent to the driver's check means green here
+predicts green in CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, atol: float = 1e-6):
+    got = _normalize(spark_df.toPandas())
+    want = _normalize(con.execute(sql).fetchdf())
+    assert list(got.columns) == list(want.columns), (
+        f"columns differ: {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"row count differs: {len(got)} vs {len(want)}"
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+            gf = pd.to_numeric(g, errors="coerce")
+            wf = pd.to_numeric(w, errors="coerce")
+            both_nan = gf.isna() & wf.isna()
+            close = (gf - wf).abs() <= atol + 1e-9 * wf.abs()
+            bad = ~(both_nan | close)
+            assert not bad.any(), (
+                f"column {c}: {int(bad.sum())} mismatches, first at idx "
+                f"{bad.idxmax()}: {gf[bad].head(3).tolist()} vs {wf[bad].head(3).tolist()}"
+            )
+        else:
+            eq = (g == w) | (g.isna() & w.isna())
+            assert eq.all(), (
+                f"column {c}: {int((~eq).sum())} mismatches, e.g. "
+                f"{g[~eq].head(3).tolist()} vs {w[~eq].head(3).tolist()}"
+            )
+    return len(got)
