@@ -1,0 +1,80 @@
+"""Benchmark harness — one JSON line with per-query wall times.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Each query is forced to full execution with
+the noop sink (no driver-side collect, no disk write — measures the
+distributed plan itself).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+# Queries that represent the engine: scan-agg, selective join, star join,
+# filter-scalar-agg, window, conform-union, plus the extension headliners
+# (appended as their modules land in the registry).
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_regional_revenue",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "window_top_orders",
+    "fact_conformed",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "knn_topk_cosine",
+    "events_sessionize",
+]
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from etl_extractor_spark.plans.registry import all_queries
+    from etl_extractor_spark.session import get_spark
+
+    spark = get_spark(app_name="etl-extractor-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        # warm the input file listing cache but not query results
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

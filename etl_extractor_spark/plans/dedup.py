@@ -1,0 +1,88 @@
+"""Deduplication queries over the documents table.
+
+- dedup_exact        : hash-groupBy exact dedup (oracle: md5 groups)
+- dedup_ngram_jaccard: exact char-30-shingle Jaccard pairs ≥ 0.5
+- dedup_minhash_lsh  : MinHash(128)+LSH(32×4) candidates verified with
+                       exact Jaccard — same oracle as the exact variant
+                       (precision 1; recall ≈ 1 at these params, and the
+                       pipeline is fully deterministic, so oracle
+                       equality is a meaningful, stable check)
+- dedup_simhash      : 64-bit SimHash hamming ≤ 3 (rows-only: signature
+                       semantics are hash-function-specific, not
+                       SQL-expressible in DuckDB)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_extractor_spark.operators import dedup as D
+from etl_extractor_spark.sources.parquet import load_table
+
+SHINGLE_K = 30
+THRESHOLD = 0.5
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup_groups(d, "doc_id", "text")
+
+
+DEDUP_EXACT_SQL = r"""
+SELECT md5(lower(regexp_replace(trim(CAST(text AS VARCHAR)), '\s+', ' ', 'g'))) AS content_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+_JACCARD_SQL = rf"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, {SHINGLE_K}) AS s
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(1, len(text) - {SHINGLE_K - 1}))) AS i)
+  WHERE len(text) >= {SHINGLE_K}
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+FROM common
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE c * 1.0 / (sa.n + sb.n - c) >= {THRESHOLD}
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, "doc_id", "text", k=SHINGLE_K, threshold=THRESHOLD)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, "doc_id", "text", k=SHINGLE_K, threshold=THRESHOLD)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": _JACCARD_SQL,
+    "dedup_minhash_lsh": _JACCARD_SQL,
+    # dedup_simhash: rows-only (hash-specific signature, not SQL-expressible)
+}

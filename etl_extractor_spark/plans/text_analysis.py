@@ -1,0 +1,156 @@
+"""Text-analysis queries over the documents table.
+
+Training-data pipeline staples: token statistics, quality scoring,
+language-ID heuristic, content fingerprinting — all pure Catalyst
+expressions with exact DuckDB oracles pinning the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_extractor_spark.functions import textstats as ts
+from etl_extractor_spark.sources.parquet import load_table
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token stats + composite quality score."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ts.token_count("text").alias("n_tokens"),
+        ts.bpe_token_count("text").alias("n_bpe_tokens"),
+        ts.distinct_token_ratio("text").alias("ttr"),
+        ts.avg_token_length("text").alias("avg_tok_len"),
+        ts.stopword_ratio("text").alias("stop_ratio"),
+        ts.quality_score("text").alias("quality"),
+    )
+
+
+TEXT_QUALITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(CAST(text AS VARCHAR)), '\s+', ' ', 'g'), ' ') AS toks,
+         text
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS ttr_raw,
+         round(list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks), 4) AS avg_tok_len,
+         len(list_filter(toks, x -> list_contains(['the','a','and','of'], x))) * 1.0 / len(toks) AS sw_raw,
+         CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END AS len_band
+  FROM t
+)
+SELECT doc_id, n_tokens, n_bpe_tokens,
+       round(ttr_raw, 4) AS ttr, avg_tok_len,
+       round(sw_raw, 4) AS stop_ratio,
+       round(len_band + ttr_raw * 0.5 + least(sw_raw * 5.0, 0.5), 4) AS quality
+FROM s
+"""
+
+
+def lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language heuristic vs the labeled lang column."""
+    d = load_table(spark, sf_dir, "documents")
+    scores = ts.lang_scores("text")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        scores["en"].alias("score_en"),
+        scores["es"].alias("score_es"),
+        scores["de"].alias("score_de"),
+        ts.lang_id("text").alias("lang_pred"),
+    )
+
+
+LANG_DETECT_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         string_split(regexp_replace(trim(CAST(text AS VARCHAR)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of'], x))) AS BIGINT) AS score_en,
+         CAST(len(list_filter(toks, x -> list_contains(['el','la','de','y'], x))) AS BIGINT) AS score_es,
+         CAST(len(list_filter(toks, x -> list_contains(['der','die','und','ist'], x))) AS BIGINT) AS score_de
+  FROM t
+)
+SELECT doc_id, lang AS lang_label, score_en, score_es, score_de,
+       CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en > 0 THEN 'en'
+            WHEN score_es >= score_de AND score_es > 0 THEN 'es'
+            WHEN score_de > 0 THEN 'de'
+            ELSE 'unknown' END AS lang_pred
+FROM s
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint per doc + corpus-level duplicate-signal agg
+    by source: fingerprint, then count docs per (source, fingerprint)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.col("source"),
+            ts.fingerprint("text").alias("fp"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+DOC_FINGERPRINTS_SQL = r"""
+SELECT doc_id, source,
+       md5(lower(regexp_replace(trim(CAST(text AS VARCHAR)), '\s+', ' ', 'g'))) AS fp,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate text stats by language facet (groupBy over derived
+    columns — partial aggregation before the shuffle)."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        ts.token_count("text").alias("n_tokens"),
+        F.col("n_chars").cast("double").alias("n_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+CORPUS_STATS_SQL = r"""
+WITH t AS (
+  SELECT lang,
+         CAST(len(string_split(regexp_replace(trim(CAST(text AS VARCHAR)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens,
+         CAST(n_chars AS DOUBLE) AS n_chars
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(n_tokens), 4) AS avg_tokens,
+       round(avg(n_chars), 4) AS avg_chars,
+       max(n_tokens) AS max_tokens
+FROM t GROUP BY lang
+"""
+
+
+QUERIES = {
+    "text_quality": text_quality,
+    "lang_detect": lang_detect,
+    "doc_fingerprints": doc_fingerprints,
+    "corpus_stats_by_lang": corpus_stats_by_lang,
+}
+
+ORACLES = {
+    "text_quality": TEXT_QUALITY_SQL,
+    "lang_detect": LANG_DETECT_SQL,
+    "doc_fingerprints": DOC_FINGERPRINTS_SQL,
+    "corpus_stats_by_lang": CORPUS_STATS_SQL,
+}
