@@ -14,8 +14,9 @@ from etl_extractor_spark.functions.text import ColumnOrName, _col
 
 
 def parse_date(c: ColumnOrName) -> Column:
-    """F2: to_timestamp with invalid → null (= pd.to_datetime coerce)."""
-    return F.to_timestamp(_col(c))
+    """F2: invalid → null (= pd.to_datetime coerce). try_to_timestamp,
+    because under ANSI mode (Spark 4 default) to_timestamp throws."""
+    return F.try_to_timestamp(_col(c))
 
 
 def fecha_key(c: ColumnOrName, default: int = -1) -> Column:

@@ -1,0 +1,125 @@
+"""Event-stream operators (batch form; streaming twins in streaming/).
+
+Tumbling/sliding windows are Spark's native ``window()`` (codegen,
+partial aggregation before the shuffle). Sessionization comes in two
+equivalent implementations:
+
+- ``session_window()`` — Spark-native, the preferred path;
+- ``sessionize_pandas`` — a grouped-map (applyInPandas) custom stateful
+  operator with identical semantics (gap ≥ 30 min splits). This is the
+  template for stateful logic Spark lacks natively; it shuffles once on
+  user_id and Arrow-batches each group through Python.
+
+Both are pinned by the same gaps-and-islands DuckDB oracle.
+
+Session-merge semantics (shared by all three): windows are half-open,
+so a gap EXACTLY equal to the threshold starts a new session.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def tumbling_agg(df: DataFrame, window: str = "1 hour") -> DataFrame:
+    return (
+        df.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(df: DataFrame, window: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    return (
+        df.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(df: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows per user."""
+    return (
+        df.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.date_format(F.col("w.start"), TS_FMT).alias("session_start"),
+            F.date_format(F.col("w.end"), TS_FMT).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_pandas(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful sessionization as a grouped-map Pandas UDF —
+    the applyInPandas template for operators Spark lacks. Semantics
+    identical to ``sessionize`` (gap ≥ threshold ⇒ split)."""
+    schema = (
+        "user_id long, session_start string, session_end string, "
+        "n_events long, sum_value double"
+    )
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts", kind="mergesort").reset_index(drop=True)
+        diffs = pdf["ts"].diff()
+        new_session = diffs.isna() | (diffs >= gap)
+        sid = new_session.cumsum()
+        out = pdf.groupby(sid).agg(
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("ts", "size"),
+            sum_value=("value", "sum"),
+        )
+        out["user_id"] = pdf["user_id"].iloc[0]
+        out["session_start"] = out["session_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        out["session_end"] = (out["session_end"] + gap).dt.strftime("%Y-%m-%d %H:%M:%S")
+        out["sum_value"] = out["sum_value"].round(4)
+        return out[["user_id", "session_start", "session_end", "n_events", "sum_value"]]
+
+    return (
+        df.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(fn, schema)
+    )
+
+
+def json_props_stats(df: DataFrame) -> DataFrame:
+    """Schema-on-read JSON extraction (S3 analog on a column): pull a
+    typed value out of a JSON string column, aggregate by facet."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        df.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

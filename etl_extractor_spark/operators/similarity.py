@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (array<float>).
+
+Operators:
+- cosine topk, brute force: broadcast the (small) query set against the
+  corpus — a broadcast nested-loop join; each corpus partition scores
+  its rows against every query independently (no shuffle of the corpus),
+  then a per-query top-k via windowed rank over only the scored pairs.
+  At 100 TB this is the exact-scoring baseline you run on a sampled or
+  pre-filtered candidate set.
+- IVF-style blocked search: restrict scoring to a coarse partition (the
+  ``label`` column here stands in for an IVF cluster assignment) —
+  score only same-block pairs; the shuffle is on the block key.
+- random-hyperplane LSH (SimHash for vectors): 16-bit signatures from
+  FIXED literal hyperplanes (seeded numpy, embedded as constants in the
+  plan AND in the DuckDB oracle, so the approximate path still has an
+  exact oracle); bucket-equality join generates candidates.
+
+All dot products are Catalyst ``aggregate``/``zip_with`` expressions on
+double — JVM-side, no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 16
+EMB_DIM = 64
+_rng = np.random.default_rng(42)
+PLANES: list[list[float]] = _rng.standard_normal((N_PLANES, EMB_DIM)).tolist()
+
+
+def as_double(c) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (excluding self)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("_cos", 4).alias("cos_sim"), "rank")
+    )
+
+
+def blocked_pairs_cosine(
+    df: DataFrame,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All within-block pairs with cosine — the IVF-style scale path:
+    the join key is the coarse block, so pair generation never crosses
+    blocks and the shuffle is one hash partition per block."""
+    a = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id_a"),
+        as_double(vec_col).alias("va"),
+    )
+    b = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id_b"),
+        as_double(vec_col).alias("vb"),
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "block",
+            "id_a",
+            "id_b",
+            cosine(F.col("va"), F.col("vb")).alias("cos_raw"),
+        )
+    )
+
+
+def lsh_signature(vec_col: Column) -> Column:
+    """16-bit random-hyperplane signature as an int: bit b = 1 iff
+    dot(v, plane_b) > 0. Planes are module-level literals (seed 42)."""
+    sig = F.lit(0)
+    for b, plane in enumerate(PLANES):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(vec_col, p) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = sig.bitwiseOR(bit)
+    return sig
+
+
+def lsh_buckets(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        lsh_signature(as_double(vec_col)).cast("long").alias("bucket"),
+    )

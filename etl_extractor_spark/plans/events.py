@@ -1,0 +1,104 @@
+"""Event-windowing queries over the events table.
+
+Batch expressions of the streaming operator set (SURVEY §7.4): the
+streaming twins in etl_extractor_spark/streaming run the SAME logical
+expressions through Structured Streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_extractor_spark.operators import events as E
+from etl_extractor_spark.sources.parquet import load_table
+
+_SESSION_SQL = """
+WITH x AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), y AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM y GROUP BY user_id, sid
+"""
+
+
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.tumbling_agg(load_table(spark, sf_dir, "events"))
+
+
+EVENTS_TUMBLING_SQL = """
+SELECT strftime(make_timestamp(CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600000000),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.sliding_agg(load_table(spark, sf_dir, "events"))
+
+
+EVENTS_SLIDING_SQL = """
+SELECT strftime(make_timestamp(CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) * 1800000000
+                               - k * 1800000000),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events, (VALUES (0), (1)) AS offsets(k)
+GROUP BY 1, 2
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.sessionize(load_table(spark, sf_dir, "events"))
+
+
+def events_sessionize_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.sessionize_pandas(load_table(spark, sf_dir, "events"))
+
+
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.json_props_stats(load_table(spark, sf_dir, "events"))
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "events_tumbling": events_tumbling,
+    "events_sliding": events_sliding,
+    "events_sessionize": events_sessionize,
+    "events_sessionize_pandas": events_sessionize_pandas,
+    "events_json_stats": events_json_stats,
+}
+
+ORACLES = {
+    "events_tumbling": EVENTS_TUMBLING_SQL,
+    "events_sliding": EVENTS_SLIDING_SQL,
+    "events_sessionize": _SESSION_SQL,
+    "events_sessionize_pandas": _SESSION_SQL,
+    "events_json_stats": EVENTS_JSON_SQL,
+}

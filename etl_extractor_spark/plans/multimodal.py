@@ -1,0 +1,59 @@
+"""Multimodal-plumbing queries over the documents table.
+
+- multimodal_meta    : binary payload + metadata projection, oracle-
+                       pinned (digests/lengths are engine-independent)
+- multimodal_features: mapInPandas feature extraction with the
+                       deterministic fake decoder (rows-only: sha256-
+                       derived pseudo-dimensions are not SQL-expressible
+                       in DuckDB, which lacks sha256 over blobs in-core)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_extractor_spark.operators import multimodal as M
+from etl_extractor_spark.sources.parquet import load_table
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    blobs = M.to_blob_table(d, "doc_id", "text")
+    # header bytes come from the first 8 characters (ASCII ⇒ = first 8
+    # bytes); DuckDB 1.0 cannot substring a BLOB, so both sides slice
+    # the string then encode.
+    header = F.encode(F.substring(F.decode("blob", "UTF-8"), 1, 8), "UTF-8")
+    return blobs.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.mime").alias("mime"),
+        F.md5("blob").alias("blob_md5"),
+        F.lower(F.hex(header)).alias("header_hex"),
+    )
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       'text/plain' AS mime,
+       md5(text) AS blob_md5,
+       lower(hex(encode(substring(text, 1, 8)))) AS header_hex
+FROM documents
+"""
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return M.extract_features(M.to_blob_table(d, "doc_id", "text"), fake_decode=True)
+
+
+QUERIES = {
+    "multimodal_meta": multimodal_meta,
+    "multimodal_features": multimodal_features,
+}
+
+ORACLES = {
+    "multimodal_meta": MULTIMODAL_META_SQL,
+    # multimodal_features: rows-only (sha256 fake-decode not in DuckDB core)
+}

@@ -1,0 +1,126 @@
+"""Similarity-search queries over the embeddings table.
+
+- knn_topk_cosine   : exact top-5 cosine neighbors for the query subset
+                      (vec_id % 100 == 0) — brute-force baseline
+- sim_histogram     : within-block (IVF-style) pair-similarity histogram
+- embedding_near_dup: within-block near-duplicate pairs (cos ≥ 0.95)
+- ann_lsh_buckets   : 16-bit random-hyperplane signatures — the
+                      approximate bucketing path, oracle-pinned because
+                      the hyperplanes are shared literal constants
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_extractor_spark.operators import similarity as S
+from etl_extractor_spark.sources.parquet import load_table
+
+
+def knn_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return S.topk_cosine(e, queries, k=5)
+
+
+KNN_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(
+           list_transform(q.qv, x -> CAST(x AS DOUBLE)),
+           list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS c
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, c,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(c, 4) AS cos_sim, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = S.blocked_pairs_cosine(e)
+    return (
+        pairs.select(
+            "block", F.floor(F.col("cos_raw") * 10).cast("long").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+SIM_HISTOGRAM_SQL = """
+WITH pairs AS (
+  SELECT CAST(floor(list_cosine_similarity(
+           list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+           list_transform(b.embedding, x -> CAST(x AS DOUBLE))) * 10) AS BIGINT) AS bin
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT bin, count(*) AS n_pairs FROM pairs GROUP BY bin
+"""
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = S.blocked_pairs_cosine(e)
+    return pairs.filter(F.col("cos_raw") >= 0.95).select(
+        "block",
+        "id_a",
+        "id_b",
+        F.round("cos_raw", 4).alias("cos_sim"),
+    )
+
+
+EMBEDDING_NEAR_DUP_SQL = """
+SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(
+         list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+         list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(
+        list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.95
+"""
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_buckets(e)
+
+
+def _plane_sql_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+ANN_LSH_SQL = (
+    "SELECT vec_id, CAST(("
+    + " + ".join(
+        f"CASE WHEN list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), "
+        f"{_plane_sql_literal(plane)}) > 0 THEN {1 << b} ELSE 0 END"
+        for b, plane in enumerate(S.PLANES)
+    )
+    + ") AS BIGINT) AS bucket FROM embeddings"
+)
+
+
+QUERIES = {
+    "knn_topk_cosine": knn_topk_cosine,
+    "sim_histogram": sim_histogram,
+    "embedding_near_dup": embedding_near_dup,
+    "ann_lsh_buckets": ann_lsh_buckets,
+}
+
+ORACLES = {
+    "knn_topk_cosine": KNN_SQL,
+    "sim_histogram": SIM_HISTOGRAM_SQL,
+    "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
+    "ann_lsh_buckets": ANN_LSH_SQL,
+}

@@ -31,7 +31,13 @@ def read_csv(
     if schema is not None:
         reader = reader.schema(schema)
     else:
-        reader = reader.option("inferSchema", True)
+        # strict formats: Spark 4's lenient inference reads strings like
+        # "T1" as partial ISO timestamps; pandas would keep them strings
+        reader = (
+            reader.option("inferSchema", True)
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+            .option("dateFormat", "yyyy-MM-dd")
+        )
     df = reader.csv(path)
     if empty_string_for_null:
         # na_filter=False parity: only string columns; typed columns keep

@@ -43,9 +43,14 @@ def _flatten(record: dict, prefix: str = "") -> dict:
 
 
 def records_to_df(
-    spark: SparkSession, records: Iterable[dict], schema: T.StructType | None = None
+    spark: SparkSession,
+    payload: dict | Iterable[dict],
+    schema: T.StructType | None = None,
 ) -> DataFrame:
-    rows = [_flatten(r) for r in _unwrap_envelope(list(records))]
+    """Accepts a bare record list OR the ``{"data": [...]}`` envelope."""
+    if not isinstance(payload, (dict, list)):
+        payload = list(payload)
+    rows = [_flatten(r) for r in _unwrap_envelope(payload)]
     if not rows:
         return spark.createDataFrame([], schema or T.StructType([]))
     if schema is not None:

@@ -1,0 +1,157 @@
+"""Structured Streaming twins of the batch event operators.
+
+The logical expressions are shared with operators/events.py — the same
+tumbling/session aggregations run incrementally over a file stream with
+watermark-based state cleanup. On a cluster this is the continuous
+ingestion path: the file source is swapped for Kafka/queue sources with
+no change to the aggregation expressions.
+
+Also includes an ``applyInPandasWithState`` custom stateful operator
+(running session accumulation per user) — the template for stateful
+logic that outgrows session_window.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from etl_extractor_spark.operators.events import TS_FMT
+from etl_extractor_spark.sources.parquet import load_table
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (schema from a batch
+    probe read; nanosecond timestamps normalized the same way)."""
+    batch = load_table(spark, sf_dir, "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(f"{sf_dir}/events.[p]arquet")  # glob ⇒ basePath = sf_dir (file source needs a directory basePath)
+    )
+    if isinstance(batch.schema["ts"].dataType, (T.TimestampNTZType, T.TimestampType)):
+        # watermarks require TIMESTAMP (instant) — EVENT_TIME_IS_NOT_ON_
+        # TIMESTAMP_TYPE rejects NTZ. Under a UTC session (our default)
+        # the wall clock matches the batch NTZ path exactly.
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return raw
+
+
+def streaming_tumbling(stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Incremental tumbling aggregation with late-data watermark: state
+    for windows older than the watermark is dropped, which is what
+    bounds memory on an unbounded stream."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_sessionize(stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Native streaming session windows (same expression as batch)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.date_format(F.col("w.start"), TS_FMT).alias("session_start"),
+            F.date_format(F.col("w.end"), TS_FMT).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_STATE_SCHEMA = "start long, last long, n long, total double"
+_OUT_SCHEMA = (
+    "user_id long, session_start string, session_end string, "
+    "n_events long, sum_value double"
+)
+_GAP_US = 30 * 60 * 1_000_000
+
+
+def _fmt_us(us: int) -> str:
+    return pd.Timestamp(us, unit="us").strftime("%Y-%m-%d %H:%M:%S")
+
+
+def _sessionize_with_state(key, pdfs, state: GroupState):
+    """Custom stateful session accumulator: keeps the open session in
+    GroupState, emits sessions as they close (gap exceeded within the
+    batch). Semantics match sessionize(): gap ≥ threshold splits."""
+    (user_id,) = key
+    if state.exists:
+        start, last, n, total = state.get
+    else:
+        start = last = -1
+        n, total = 0, 0.0
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts", kind="mergesort")
+        # normalize to µs regardless of the Arrow-to-pandas unit (ns or µs)
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        for ts, value in zip(ts_us, pdf["value"]):
+            ts = int(ts)
+            if start < 0:
+                start, last, n, total = ts, ts, 1, float(value)
+            elif ts - last >= _GAP_US:
+                out.append((user_id, _fmt_us(start), _fmt_us(last + _GAP_US), n, round(total, 4)))
+                start, last, n, total = ts, ts, 1, float(value)
+            else:
+                last, n, total = ts, n + 1, total + float(value)
+    state.update((start, last, n, total))
+    yield pd.DataFrame(
+        out, columns=["user_id", "session_start", "session_end", "n_events", "sum_value"]
+    )
+
+
+def streaming_sessionize_stateful(stream: DataFrame) -> DataFrame:
+    """applyInPandasWithState sessionization — emits CLOSED sessions;
+    the open session per user stays in state until a later batch (or
+    timeout) closes it."""
+    return (
+        stream.select("user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_with_state,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming query to completion with availableNow and
+    return the materialized result (test/bench harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,109 @@
+"""Unit tests for the pipeline operators — literal-row fixtures for the
+fact/dim semantics the reference pins down (SURVEY §4.2, FIXTURES §3)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from etl_extractor_spark.operators.dims import add_surrogate_key, build_dim_date
+from etl_extractor_spark.operators.facts import (
+    conform_block,
+    enrich_lookup,
+    modulo_fk_fold,
+    scalar_agg,
+    union_blocks,
+)
+from etl_extractor_spark.sources.csv import read_csv
+from etl_extractor_spark.sources.json_api import records_to_df, unwrap_data_envelope
+
+
+def test_modulo_fk_fold_wraps_out_of_range(spark):
+    # reference main.py:368: ((id-1) % max)+1 — surveys have idcliente
+    # up to ~9983 vs 500 clients (FIXTURES §1)
+    df = spark.createDataFrame([(1,), (500,), (501,), (9983,)], ["k"])
+    out = [r[0] for r in df.select(modulo_fk_fold("k", 500)).collect()]
+    assert out == [1, 500, 1, 483]
+    assert all(1 <= v <= 500 for v in out)
+
+
+def test_enrich_lookup_sentinel_on_miss(spark):
+    fact = spark.createDataFrame([(1, "x"), (99, "y")], ["k", "v"])
+    dim = spark.createDataFrame([(1, "uno")], ["dk", "nombre"])
+    out = enrich_lookup(
+        fact, dim, "k", "dk", {"nombre": "nombre"}, {"nombre": F.lit("-1")}
+    )
+    got = {r["k"]: r["nombre"] for r in out.collect()}
+    assert got == {1: "uno", 99: "-1"}  # miss → sentinel (J1, main.py:232-238)
+
+
+def test_conform_union_fills_missing_columns(spark):
+    a = spark.createDataFrame([(1, 5.0)], ["id", "score"])
+    b = spark.createDataFrame([(2,)], ["id"])
+    blocks = [
+        conform_block(a, {"id": F.col("id"), "score": F.col("score")}),
+        conform_block(b, {"id": F.col("id")}, defaults={"score": F.lit(0.0)}),
+    ]
+    rows = sorted(tuple(r) for r in union_blocks(blocks).collect())
+    assert rows == [(1, 5.0), (2, 0.0)]
+
+
+def test_scalar_agg(spark):
+    df = spark.createDataFrame([(3,), (9,), (5,)], ["k"])
+    assert scalar_agg(df, F.max("k")) == 9
+    assert scalar_agg(df, F.min("k")) == 3
+
+
+def test_surrogate_keys_dense_and_ordered(spark):
+    df = spark.createDataFrame([("c",), ("a",), ("b",)], ["nk"])
+    out = {r["nk"]: r["sk"] for r in add_surrogate_key(df, "nk").collect()}
+    assert out == {"a": 1, "b": 2, "c": 3}
+
+
+def test_surrogate_keys_scalable_unique_dense(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], ["nk"]).repartition(8)
+    keys = sorted(r["sk"] for r in add_surrogate_key(df, "nk", scalable=True).collect())
+    assert keys == list(range(1, 101))
+
+
+def test_build_dim_date_distinct_and_attrs(spark):
+    a = spark.createDataFrame([("2025-01-05",), ("2025-01-05",), (None,)], ["d"])
+    b = spark.createDataFrame([("2025-03-10",)], ["d"])
+    out = build_dim_date([a, b]).orderBy("fecha_key").collect()
+    assert [r["fecha_key"] for r in out] == [20250105, 20250310]
+    assert out[0]["trimestre"] == 1 and out[1]["mes"] == 3
+
+
+def test_csv_empty_string_semantics(spark):
+    # SURVEY §4.2.1: na_filter=False parity — empty cells are "", not null
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.csv")
+        with open(p, "w") as f:
+            f.write("id,cliente\nT1,C019\nT2,\n")
+        df = read_csv(spark, p)
+        got = {r["id"]: r["cliente"] for r in df.collect()}
+        assert got == {"T1": "C019", "T2": ""}  # not None
+
+
+def test_json_envelope_unwrap_and_flatten(spark):
+    # reference api_extractor.py:12-28: {"data": [...]} unwrap + normalize
+    df = records_to_df(
+        spark, {"data": [{"a": 1, "b": {"c": 2}}, {"a": 3, "b": {"c": 4}}]}
+    )
+    assert sorted(df.columns) == ["a", "b.c"]
+    assert df.count() == 2
+
+
+def test_json_errors_yield_empty_frame(spark):
+    from etl_extractor_spark.sources.json_api import read_json_records
+
+    df = read_json_records(spark, "http://127.0.0.1:1/nope", timeout=0.5)
+    assert df.count() == 0  # errors → empty frame, never raise
+
+
+def test_unwrap_envelope_spark_native(spark):
+    df = spark.createDataFrame([([(1, "x"), (2, "y")],)], "data: array<struct<id:int,v:string>>")
+    out = unwrap_data_envelope(df)
+    assert sorted(tuple(r) for r in out.collect()) == [(1, "x"), (2, "y")]

@@ -1,0 +1,47 @@
+"""Streaming twins must agree with their batch equivalents."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_extractor_spark.operators import events as BE
+from etl_extractor_spark.sources.parquet import load_table
+from etl_extractor_spark.streaming import events_stream as SE
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir):
+    batch = BE.tumbling_agg(load_table(spark, sf_dir, "events"))
+    stream = SE.streaming_tumbling(SE.events_stream(spark, sf_dir))
+    got = SE.run_to_memory(stream, "t_tumbling", output_mode="complete")
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_streaming_sessionize_matches_batch(spark, sf_dir):
+    batch = BE.sessionize(load_table(spark, sf_dir, "events"))
+    stream = SE.streaming_sessionize(SE.events_stream(spark, sf_dir))
+    got = SE.run_to_memory(stream, "t_session", output_mode="complete")
+    cols = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_stateful_sessionize_emits_closed_sessions(spark, sf_dir):
+    """applyInPandasWithState emits every CLOSED session; the still-open
+    last session per user remains in state. So its output must equal
+    the batch result minus each user's final session."""
+    batch = BE.sessionize(load_table(spark, sf_dir, "events"))
+    stream = SE.streaming_sessionize_stateful(SE.events_stream(spark, sf_dir))
+    got = SE.run_to_memory(stream, "t_stateful", output_mode="append")
+
+    cols = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("session_start"))
+    batch_closed = (
+        batch.withColumn("rn", F.row_number().over(w)).filter("rn > 1").drop("rn")
+    )
+    assert _rows(got, cols) == _rows(batch_closed, cols)
