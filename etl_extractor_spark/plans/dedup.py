@@ -2,7 +2,7 @@
 
 - dedup_exact        : hash-groupBy exact dedup (oracle: md5 groups)
 - dedup_ngram_jaccard: exact char-30-shingle Jaccard pairs ≥ 0.5
-- dedup_minhash_lsh  : MinHash(128)+LSH(32×4) candidates verified with
+- dedup_minhash_lsh  : MinHash(96)+LSH(24×4) candidates verified with
                        exact Jaccard — same oracle as the exact variant
                        (precision 1; recall ≈ 1 at these params, and the
                        pipeline is fully deterministic, so oracle
