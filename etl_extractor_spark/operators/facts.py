@@ -82,7 +82,12 @@ def scalar_agg(df: DataFrame, expr: Column) -> int | float:
 
 def modulo_fk_fold(c, max_key: int) -> Column:
     """J5: fold any business key into [1, max_key] (reference
-    main.py:358-372): ``((k - 1) % max) + 1``. Keeps every fact row
-    joinable — the reference's explicit never-drop-rows policy."""
+    main.py:358-372): ``((k - 1) mod max) + 1``. Keeps every fact row
+    joinable — the reference's explicit never-drop-rows policy.
+
+    pmod, not ``%``: Spark's ``%`` takes the dividend's sign, so a
+    0-based key would fold to 0 (out of range). pmod ≡ ``%`` on the
+    1-based domain, and stays in range for 0/negative keys.
+    """
     col = F.col(c) if isinstance(c, str) else c
-    return ((col.cast("long") - F.lit(1)) % F.lit(int(max_key)) + F.lit(1)).cast("long")
+    return (F.pmod(col.cast("long") - F.lit(1), F.lit(int(max_key))) + F.lit(1)).cast("long")

@@ -264,10 +264,11 @@ def fk_modulo_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FK_MODULO_SQL = """
+WITH m AS (SELECT max(p_partkey) AS mx FROM part)
 SELECT l_orderkey, l_linenumber, CAST(l_partkey AS BIGINT) AS l_partkey,
-       CAST(((CAST(l_partkey AS BIGINT) - 1) % (SELECT max(p_partkey) FROM part)) + 1 AS BIGINT)
+       CAST((((CAST(l_partkey AS BIGINT) - 1) % mx + mx) % mx) + 1 AS BIGINT)
          AS partkey_folded
-FROM lineitem
+FROM lineitem, m
 """
 
 
