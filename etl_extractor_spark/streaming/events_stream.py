@@ -143,6 +143,32 @@ def streaming_sessionize_stateful(stream: DataFrame) -> DataFrame:
     )
 
 
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table."""
+    return (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .parquet(f"{sf_dir}/documents.[p]arquet")
+    )
+
+
+def streaming_dedup_exact(stream: DataFrame) -> DataFrame:
+    """Streaming exact dedup: first-seen row per content hash.
+
+    State is the set of seen hashes; on an unbounded stream you bound it
+    with a watermark on event time + dropDuplicatesWithinWatermark. The
+    documents table has no event time, so this is the global-state form
+    (dropDuplicates), the streaming twin of operators/dedup.exact_dedup_
+    groups — same content-hash normalization."""
+    from etl_extractor_spark.functions.text import normalize_text
+
+    hashed = stream.withColumn(
+        "content_hash", F.md5(F.lower(normalize_text("text")).cast("binary"))
+    )
+    return hashed.dropDuplicates(["content_hash"])
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Drive a streaming query to completion with availableNow and
     return the materialized result (test/bench harness)."""

@@ -29,6 +29,18 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir):
     assert _rows(got, cols) == _rows(batch, cols)
 
 
+def test_streaming_dedup_matches_batch(spark, sf_dir):
+    from etl_extractor_spark.operators.dedup import exact_dedup_groups
+
+    batch_groups = exact_dedup_groups(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    stream = SE.streaming_dedup_exact(SE.documents_stream(spark, sf_dir))
+    got = SE.run_to_memory(stream, "t_dedup", output_mode="append")
+    assert got.count() == batch_groups.count()
+    assert got.select("content_hash").distinct().count() == got.count()
+
+
 def test_stateful_sessionize_emits_closed_sessions(spark, sf_dir):
     """applyInPandasWithState emits every CLOSED session; the still-open
     last session per user remains in state. So its output must equal
