@@ -17,12 +17,20 @@ def _col(c: ColumnOrName) -> Column:
 
 
 def normalize_text(c: ColumnOrName) -> Column:
-    """F1: cast to string, trim, collapse internal whitespace to one space.
+    """F1: cast to string, collapse whitespace runs to one space, trim.
 
     Parity with the reference's normalize_text (reference
-    transform/clean_data.py:4-7).
+    transform/clean_data.py:4-7). Collapse BEFORE trim: Spark's trim
+    strips only ASCII spaces, so an input like "\\r" would survive a
+    leading trim and collapse to " " instead of "" (caught by the
+    hypothesis property test).
+
+    Whitespace class: ASCII ``\\s`` ([ \\t\\n\\x0b\\f\\r]) — Java regex
+    and DuckDB's RE2 agree on this; pandas' Python-re ``\\s`` would also
+    strip Unicode whitespace (U+00A0 etc.). Documented divergence from
+    the reference (SURVEY §7.3: replicate intent, pin engine parity).
     """
-    return F.regexp_replace(F.trim(_col(c).cast("string")), r"\s+", " ")
+    return F.trim(F.regexp_replace(_col(c).cast("string"), r"\s+", " "))
 
 
 def truncate(c: ColumnOrName, n: int = 2000) -> Column:

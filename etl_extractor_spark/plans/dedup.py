@@ -29,7 +29,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_EXACT_SQL = r"""
-SELECT md5(lower(regexp_replace(trim(CAST(text AS VARCHAR)), '\s+', ' ', 'g'))) AS content_hash,
+SELECT md5(lower(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')))) AS content_hash,
        min(doc_id) AS keep_id,
        count(*) AS n_docs
 FROM documents

@@ -31,7 +31,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_QUALITY_SQL = r"""
 WITH t AS (
   SELECT doc_id,
-         string_split(regexp_replace(trim(CAST(text AS VARCHAR)), '\s+', ' ', 'g'), ' ') AS toks,
+         string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ') AS toks,
          text
   FROM documents
 ), s AS (
@@ -69,7 +69,7 @@ def lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 LANG_DETECT_SQL = r"""
 WITH t AS (
   SELECT doc_id, lang,
-         string_split(regexp_replace(trim(CAST(text AS VARCHAR)), '\s+', ' ', 'g'), ' ') AS toks
+         string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ') AS toks
   FROM documents
 ), s AS (
   SELECT doc_id, lang,
@@ -103,7 +103,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_FINGERPRINTS_SQL = r"""
 SELECT doc_id, source,
-       md5(lower(regexp_replace(trim(CAST(text AS VARCHAR)), '\s+', ' ', 'g'))) AS fp,
+       md5(lower(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')))) AS fp,
        CAST(n_chars AS BIGINT) AS n_chars
 FROM documents
 """
@@ -129,7 +129,7 @@ def corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORPUS_STATS_SQL = r"""
 WITH t AS (
   SELECT lang,
-         CAST(len(string_split(regexp_replace(trim(CAST(text AS VARCHAR)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
          CAST(n_chars AS DOUBLE) AS n_chars
   FROM documents
 )
@@ -141,11 +141,78 @@ FROM t GROUP BY lang
 """
 
 
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word count (explode + agg + top-k): the canonical
+    row-multiplying operator — partial counts before the shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(ts.tokens("text")).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(20)
+    )
+
+
+TOKEN_FREQ_SQL = r"""
+SELECT token, count(*) AS freq
+FROM (
+  SELECT unnest(string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ')) AS token
+  FROM documents
+)
+WHERE len(token) > 0
+GROUP BY token
+ORDER BY freq DESC, token ASC
+LIMIT 20
+"""
+
+
+def docs_pivot_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (crosstab): document counts for lang × source facets."""
+    d = load_table(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    return (
+        d.groupBy("source")
+        .pivot("lang", langs)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, langs)
+    )
+
+
+DOCS_PIVOT_SQL = """
+SELECT source,
+       CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS de,
+       CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS en,
+       CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS es,
+       CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS fr,
+       CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS zh
+FROM documents
+GROUP BY source
+"""
+
+
+def approx_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct count — the 100 TB path for
+    cardinality estimation (rows-only: HLL implementations differ
+    between engines, so there is no exact oracle; the batch test bounds
+    the error against the exact count instead)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(ts.tokens("text")).alias("token"))
+    return toks.agg(
+        F.approx_count_distinct("token", rsd=0.01).alias("approx_tokens"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 QUERIES = {
     "text_quality": text_quality,
     "lang_detect": lang_detect,
     "doc_fingerprints": doc_fingerprints,
     "corpus_stats_by_lang": corpus_stats_by_lang,
+    "token_frequencies": token_frequencies,
+    "docs_pivot_lang_source": docs_pivot_lang_source,
+    "approx_distinct_tokens": approx_distinct_tokens,
 }
 
 ORACLES = {
@@ -153,4 +220,7 @@ ORACLES = {
     "lang_detect": LANG_DETECT_SQL,
     "doc_fingerprints": DOC_FINGERPRINTS_SQL,
     "corpus_stats_by_lang": CORPUS_STATS_SQL,
+    "token_frequencies": TOKEN_FREQ_SQL,
+    "docs_pivot_lang_source": DOCS_PIVOT_SQL,
+    # approx_distinct_tokens: rows-only (HLL sketches are engine-specific)
 }

@@ -1,0 +1,69 @@
+"""Property-based tests (hypothesis) for the scalar function library:
+Spark column expressions vs straight-Python reference semantics over
+generated inputs — catches edge cases fixed fixtures miss."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from etl_extractor_spark.functions.casts import to_double_or
+from etl_extractor_spark.functions.text import normalize_text, prefixed_key
+
+# normalize_text pins the ASCII \s class (Java + RE2 agree; Python's
+# Unicode \s differs on U+0085/U+00A0/Zs — documented divergence), so
+# the generator excludes the Unicode-only whitespace code points.
+_UNICODE_ONLY_WS = "\x85\xa0                　᠎\x1c\x1d\x1e\x1f"
+TEXT = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",),
+        max_codepoint=0x2FFF,
+        blacklist_characters=_UNICODE_ONLY_WS,
+    ),
+    max_size=40,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_normalize_text_property(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], ["t"])
+    got = [r[0] for r in df.select(normalize_text("t")).collect()]
+    # Python reference: strip + collapse ANY whitespace runs to one space
+    want = [re.sub(r"\s+", " ", v).strip() for v in values]
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**8), min_size=1, max_size=8))
+def test_prefixed_key_property(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], ["id"])
+    got = [r[0] for r in df.select(prefixed_key("id", "C", 9)).collect()]
+    want = ["C" + str(k).zfill(9) for k in keys]
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.floats(allow_nan=False, allow_infinity=False, width=32).map(str),
+            st.text(max_size=6),
+            st.none(),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_to_double_or_property(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v: string")
+    got = [r[0] for r in df.select(to_double_or("v", -7.5)).collect()]
+    for v, g in zip(values, got):
+        if v is None:
+            assert g == -7.5
+        else:
+            try:
+                assert abs(g - float(v)) < 1e-6 or (float(v) != float(v))
+            except ValueError:
+                assert g == -7.5  # unparseable → sentinel, never an exception
