@@ -8,6 +8,7 @@ expressions through Structured Streaming.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_extractor_spark.operators import events as E
 from etl_extractor_spark.sources.parquet import load_table
@@ -87,8 +88,50 @@ GROUP BY event_type
 """
 
 
+def events_totals_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe per-user totals: 15 users × ~6.6k events each is the
+    toy version of a hot-key aggregation; the salted two-phase plan
+    spreads each user over 16 reducers, with results identical to the
+    plain GROUP BY (the oracle)."""
+    from etl_extractor_spark.operators.skew import salted_sum_count
+
+    e = load_table(spark, sf_dir, "events")
+    # DECIMAL, not double: two-phase summation changes float addition
+    # order vs the oracle's single pass (observed 1-ulp flip at a
+    # round-half boundary). Decimal aggregation is exact and
+    # order-independent — the correct type for money-like columns in
+    # any distributed aggregation.
+    out = salted_sum_count(
+        e.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("value").cast("decimal(18,2)").alias("value"),
+            "event_id",
+        ),
+        ["user_id"],
+        "value",
+        salt_from="event_id",
+    )
+    # avg_value is derived (sum/count) and double-rounding of a .xxxx5
+    # quotient differs between Spark (BigDecimal HALF_UP on shortest
+    # repr) and DuckDB (scaled multiply) — exclude it from the oracle
+    # comparison; sum & count pin it exactly.
+    return out.drop("avg_value")
+
+
+EVENTS_TOTALS_SALTED_SQL = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_value,
+       count(*) AS n_rows,
+       round(CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS min_value,
+       round(CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS max_value
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
+    "events_totals_salted": events_totals_salted,
     "events_sliding": events_sliding,
     "events_sessionize": events_sessionize,
     "events_sessionize_pandas": events_sessionize_pandas,
@@ -97,6 +140,7 @@ QUERIES = {
 
 ORACLES = {
     "events_tumbling": EVENTS_TUMBLING_SQL,
+    "events_totals_salted": EVENTS_TOTALS_SALTED_SQL,
     "events_sliding": EVENTS_SLIDING_SQL,
     "events_sessionize": _SESSION_SQL,
     "events_sessionize_pandas": _SESSION_SQL,
