@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "text_quality",
     "knn_topk_cosine",
     "events_sessionize",
+    "q8_market_share",
+    "events_asof_click",
 ]
 
 

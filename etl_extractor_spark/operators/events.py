@@ -109,6 +109,81 @@ def sessionize_pandas(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def asof_join_last_event(
+    df: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    key: str = "user_id",
+) -> DataFrame:
+    """AS-OF join: for each left event, the latest right event at or
+    before it (per key) — e.g. the click that preceded each purchase.
+
+    Spark has no native as-of join. The scalable formulation is NOT a
+    range join (which explodes to |L|×|R| candidate pairs per key) but
+    a union + single event-time sort per key + last-value carry-forward
+    window: one shuffle on the key, linear work, no pair blowup —
+    exactly how you'd run it over 100 TB of events.
+    """
+    from pyspark.sql import Window
+
+    tagged = df.filter(F.col("event_type").isin(left_type, right_type)).select(
+        key,
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == right_type, F.col("event_id")).alias("_r_id"),
+        F.when(F.col("event_type") == right_type, F.col("ts")).alias("_r_ts"),
+    )
+    # rows ordered by time; right-side ids carried forward onto later rows.
+    # Tie-break: right events sort BEFORE left at the same timestamp, so a
+    # simultaneous right event is visible to the left row ("at or before").
+    order = [F.col("ts"), (F.col("event_type") == left_type).cast("int"), F.col("event_id")]
+    w = Window.partitionBy(key).orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    carried = tagged.select(
+        key,
+        "ts",
+        "event_id",
+        "event_type",
+        F.last("_r_id", ignorenulls=True).over(w).alias("prev_right_id"),
+        F.last("_r_ts", ignorenulls=True).over(w).alias("prev_right_ts"),
+    )
+    return carried.filter(F.col("event_type") == left_type).select(
+        F.col(key).cast("long").alias(key),
+        F.col("event_id").alias("purchase_id"),
+        F.date_format("ts", TS_FMT).alias("purchase_ts"),
+        F.col("prev_right_id").alias("last_click_id"),
+        F.date_format("prev_right_ts", TS_FMT).alias("last_click_ts"),
+    )
+
+
+def interval_join_counts(
+    df: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    key: str = "user_id",
+    window_minutes: int = 30,
+) -> DataFrame:
+    """Interval/range join: count right events in the (t-w, t] window
+    before each left event, per key. The equi-key keeps the join
+    hash-partitioned; the range predicate filters within partitions."""
+    left = df.filter(F.col("event_type") == left_type).select(
+        F.col(key).alias("k"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("pt")
+    )
+    right = df.filter(F.col("event_type") == right_type).select(
+        F.col(key).alias("k2"), F.col("ts").alias("ct")
+    )
+    win = F.expr(f"INTERVAL {window_minutes} MINUTES")
+    joined = left.join(
+        right,
+        (left.k == right.k2) & (right.ct <= left.pt) & (right.ct > left.pt - win),
+        "left",
+    )
+    return (
+        joined.groupBy(F.col("k").cast("long").alias(key), "purchase_id")
+        .agg(F.count("ct").alias("n_clicks_30m"))
+    )
+
+
 def json_props_stats(df: DataFrame) -> DataFrame:
     """Schema-on-read JSON extraction (S3 analog on a column): pull a
     typed value out of a JSON string column, aggregate by facet."""

@@ -132,6 +132,57 @@ def lsh_signature(vec_col: Column) -> Column:
     return sig
 
 
+def ivf_kmeans_topk(
+    df: DataFrame,
+    query_pred,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_clusters: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF with LEARNED centroids: fit KMeans over the corpus, assign
+    every vector (and query) to its nearest centroid, then brute-force
+    score only within the query's cluster — the real ANN scale path
+    (the ``label``-blocked variant fakes the cluster assignment; this
+    one learns it).
+
+    Recall < 1 by design (nearest neighbor may live in an adjacent
+    cluster); the test bounds recall against the exact brute force.
+    Not SQL-expressible → rows-only driver check.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        F.col(id_col).alias("vec_id"),
+        as_double(vec_col).alias("arr"),
+    ).withColumn("features", array_to_vector("arr"))
+    model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(feats)
+    assigned = model.transform(feats).select("vec_id", "arr", F.col("prediction").alias("cluster"))
+
+    queries = assigned.filter(query_pred(F.col("vec_id"))).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("arr").alias("qv"),
+        F.col("cluster").alias("qc"),
+    )
+    corpus = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("arr").alias("cv"),
+        "cluster",
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), (F.col("cluster") == F.col("qc")) & (F.col("neighbor_id") != F.col("query_id")))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("_cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("_cos", 4).alias("cos_sim"), "rank")
+    )
+
+
 def lsh_buckets(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     from etl_extractor_spark.operators.common import fan_out
 

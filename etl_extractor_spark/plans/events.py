@@ -129,9 +129,50 @@ GROUP BY user_id
 """
 
 
+def events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: last click at or before each purchase, per user
+    (oracle: DuckDB's native ASOF JOIN)."""
+    return E.asof_join_last_event(load_table(spark, sf_dir, "events"))
+
+
+EVENTS_ASOF_SQL = """
+WITH p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT CAST(p.user_id AS BIGINT) AS user_id,
+       p.event_id AS purchase_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       c.event_id AS last_click_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: clicks within 30 min before each purchase."""
+    return E.interval_join_counts(load_table(spark, sf_dir, "events"))
+
+
+EVENTS_INTERVAL_SQL = """
+SELECT CAST(p.user_id AS BIGINT) AS user_id,
+       p.event_id AS purchase_id,
+       count(c.ts) AS n_clicks_30m
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 30 MINUTE
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
     "events_totals_salted": events_totals_salted,
+    "events_asof_click": events_asof_click,
+    "events_interval_join": events_interval_join,
     "events_sliding": events_sliding,
     "events_sessionize": events_sessionize,
     "events_sessionize_pandas": events_sessionize_pandas,
@@ -141,6 +182,8 @@ QUERIES = {
 ORACLES = {
     "events_tumbling": EVENTS_TUMBLING_SQL,
     "events_totals_salted": EVENTS_TOTALS_SALTED_SQL,
+    "events_asof_click": EVENTS_ASOF_SQL,
+    "events_interval_join": EVENTS_INTERVAL_SQL,
     "events_sliding": EVENTS_SLIDING_SQL,
     "events_sessionize": _SESSION_SQL,
     "events_sessionize_pandas": _SESSION_SQL,

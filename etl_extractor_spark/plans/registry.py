@@ -16,6 +16,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MODULES = (
     "etl_extractor_spark.plans.tpch",
     "etl_extractor_spark.plans.tpch2",
+    "etl_extractor_spark.plans.tpch3",
     "etl_extractor_spark.plans.stats",
     "etl_extractor_spark.plans.parity",
     "etl_extractor_spark.plans.text_analysis",

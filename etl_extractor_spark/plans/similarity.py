@@ -96,6 +96,13 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_buckets(e)
 
 
+def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-centroid IVF ANN: top-5 within the query's KMeans
+    cluster (rows-only; recall bounded against brute force in tests)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_kmeans_topk(e, lambda vid: vid % 100 == 0)
+
+
 def _plane_sql_literal(plane: list[float]) -> str:
     return "[" + ", ".join(repr(x) for x in plane) + "]"
 
@@ -116,6 +123,8 @@ QUERIES = {
     "sim_histogram": sim_histogram,
     "embedding_near_dup": embedding_near_dup,
     "ann_lsh_buckets": ann_lsh_buckets,
+    "knn_ivf_kmeans": knn_ivf_kmeans,
+    # knn_ivf_kmeans: rows-only (learned KMeans centroids, not SQL)
 }
 
 ORACLES = {

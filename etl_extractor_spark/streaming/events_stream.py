@@ -143,6 +143,45 @@ def streaming_sessionize_stateful(stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_interval_join(
+    spark: SparkSession, sf_dir: str, window_minutes: int = 30
+) -> DataFrame:
+    """Stream-stream inner join: purchases ⋈ clicks from the same user
+    within the preceding window. Watermarks on BOTH sides + the time-
+    range join condition bound the join state — without them a
+    stream-stream join would buffer both streams forever."""
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("pt"),
+        )
+        .withWatermark("pt", "1 hour")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("ct"),
+        )
+        .withWatermark("ct", "1 hour")
+    )
+    win = F.expr(f"INTERVAL {window_minutes} MINUTES")
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("ct") <= F.col("pt"))
+        & (F.col("ct") > F.col("pt") - win),
+        "inner",
+    ).select(
+        F.col("p_user").cast("long").alias("user_id"), "purchase_id", "click_id"
+    )
+
+
 def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents table."""
     return (

@@ -29,6 +29,28 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir):
     assert _rows(got, cols) == _rows(batch, cols)
 
 
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("pt")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("ct")
+    )
+    batch = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("ct") <= F.col("pt"))
+        & (F.col("ct") > F.col("pt") - F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(F.col("p_user").cast("long").alias("user_id"), "purchase_id", "click_id")
+
+    stream = SE.streaming_interval_join(spark, sf_dir)
+    got = SE.run_to_memory(stream, "t_ssjoin", output_mode="append")
+    cols = ["user_id", "purchase_id", "click_id"]
+    assert _rows(got, cols) == _rows(batch, cols)
+
+
 def test_streaming_dedup_matches_batch(spark, sf_dir):
     from etl_extractor_spark.operators.dedup import exact_dedup_groups
 
