@@ -180,7 +180,10 @@ def minhash_lsh_pairs(
     shingle explosion twice.
     """
     hashed = hashed_shingles(df, id_col, text_col, k).persist()
-    cands = lsh_candidate_pairs(minhash_signatures(hashed))
+    # persist signatures too: the banded self-join scans them twice and
+    # would otherwise recompute the whole n_perm aggregation both times
+    sigs = minhash_signatures(hashed).persist()
+    cands = lsh_candidate_pairs(sigs)
     # candidate-driven verification: join the (small) candidate list
     # against per-doc shingle-hash sets and intersect arrays — cost is
     # proportional to |candidates|, never to all colliding pairs. This

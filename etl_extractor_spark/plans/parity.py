@@ -343,7 +343,45 @@ SELECT * FROM (
 """
 
 
+def orders_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% systematic sample by key modulo — the
+    reproducible sampling primitive (hash/TABLESAMPLE variants are
+    engine-specific; key-modulo is exact in both engines)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.pmod(F.col("o_orderkey"), F.lit(10)) == 0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )
+
+
+ORDERS_SAMPLE_SQL = """
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+FROM orders
+WHERE ((o_orderkey % 10) + 10) % 10 = 0
+GROUP BY o_orderstatus
+"""
+
+
+def orders_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (sampleBy): per-stratum fractions with a
+    fixed seed — rows-only (Bernoulli draws are engine-specific); the
+    driver checks shape, tests bound the per-stratum rates."""
+    o = _t(spark, sf_dir, "orders")
+    fractions = {"F": 0.2, "O": 0.1, "P": 0.5}
+    return (
+        o.sampleBy("o_orderstatus", fractions, seed=42)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
 QUERIES = {
+    "orders_systematic_sample": orders_systematic_sample,
+    "orders_stratified_sample": orders_stratified_sample,
     "dim_customer": dim_customer,
     "dim_product": dim_product,
     "dim_source": dim_source,
@@ -357,6 +395,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "orders_systematic_sample": ORDERS_SAMPLE_SQL,
+    # orders_stratified_sample: rows-only (engine-specific Bernoulli)
     "dim_customer": DIM_CUSTOMER_SQL,
     "dim_product": DIM_PRODUCT_SQL,
     "dim_source": DIM_SOURCE_SQL,
