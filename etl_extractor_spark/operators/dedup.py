@@ -203,6 +203,74 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: every
+    node starts labeled with its own id; each round adopts the minimum
+    label among itself and its neighbors; fixpoint when nothing changes
+    (iterations ≈ component diameter).
+
+    This is the operator that turns near-dup PAIRS into dedup GROUPS
+    (keep one doc per component). At 100 TB you'd switch the inner step
+    to the large-star/small-star formulation (alternating min-joins
+    that provably converge in O(log n) rounds); the loop skeleton and
+    convergence check are identical.
+
+    nodes: single-column frame of ids; edges: (id_a, id_b) undirected.
+    Returns (node, cluster_id = min id in component).
+    """
+    bidir = (
+        edges.selectExpr("id_a AS src", "id_b AS dst")
+        .unionByName(edges.selectExpr("id_b AS src", "id_a AS dst"))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.toDF("node").withColumn("lbl", F.col("node")).persist()
+    for _ in range(max_iter):
+        neighbor_min = (
+            bidir.join(labels, bidir.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lbl", "old"), "node")
+            .filter(F.col("lbl") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
+
+
+def dedup_cluster_assignments(
+    df: DataFrame, id_col: str, text_col: str, k: int = 30, threshold: float = 0.5
+) -> DataFrame:
+    """End-to-end dedup grouping: exact n-gram Jaccard pairs →
+    connected components → (doc_id, cluster_id, is_canonical)."""
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, k, threshold).select(
+        "id_a", "id_b"
+    )
+    nodes = df.select(F.col(id_col).cast("long")).distinct()
+    cc = connected_components(nodes, pairs)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per doc: per-bit majority vote over token hashes.
 

@@ -73,8 +73,49 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → per-doc cluster id
+    (oracle: transitive closure via DuckDB recursive CTE + min label)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.dedup_cluster_assignments(d, "doc_id", "text", k=SHINGLE_K, threshold=THRESHOLD)
+
+
+DEDUP_CLUSTERS_SQL = rf"""
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, {SHINGLE_K}) AS s
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(1, len(text) - {SHINGLE_K - 1}))) AS i)
+  WHERE len(text) >= {SHINGLE_K}
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= {THRESHOLD}
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(node, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.node
+)
+SELECT node AS doc_id,
+       CAST(min(m) AS BIGINT) AS cluster_id,
+       node = min(m) AS is_canonical
+FROM reach GROUP BY node
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_clusters": dedup_clusters,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -82,6 +123,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_minhash_lsh": _JACCARD_SQL,
     # dedup_simhash: rows-only (hash-specific signature, not SQL-expressible)

@@ -205,8 +205,73 @@ def approx_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentiment via the Arrow-vectorized pandas UDF — oracle-pinned to
+    the equivalent SQL, proving the Python path's exact semantics."""
+    from etl_extractor_spark.functions.sentiment import sentiment_label, sentiment_score
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select("doc_id", sentiment_score("text").alias("sentiment"))
+    return scored.select(
+        "doc_id", "sentiment", sentiment_label(F.col("sentiment")).alias("label")
+    )
+
+
+DOC_SENTIMENT_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         round((len(list_filter(toks, x -> list_contains(['fast','small','value'], x)))
+              - len(list_filter(toks, x -> list_contains(['slow','big','dup'], x))))
+              * 1.0 / greatest(len(toks), 1), 4) AS sentiment
+  FROM t
+)
+SELECT doc_id, sentiment,
+       CASE WHEN sentiment > 0.02 THEN 'positive'
+            WHEN sentiment < -0.02 THEN 'negative'
+            ELSE 'neutral' END AS label
+FROM s
+"""
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token chunking via Python UDTF (lateral join): one row per
+    50-token chunk per document."""
+    from etl_extractor_spark.functions.chunking import register_chunker
+
+    register_chunker(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_id, c.chunk_text, c.n_tokens
+        FROM documents d, LATERAL chunk_tokens(d.doc_id, d.text) c
+        """
+    )
+
+
+CHUNK_DOCUMENTS_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_id,
+       array_to_string(toks[(i * 50 + 1):((i + 1) * 50)], ' ') AS chunk_text,
+       CAST(len(toks[(i * 50 + 1):((i + 1) * 50)]) AS BIGINT) AS n_tokens
+FROM t, LATERAL (
+  SELECT unnest(generate_series(0, CAST(ceil(len(toks) / 50.0) AS INT) - 1)) AS i
+)
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
+    "doc_sentiment": doc_sentiment,
+    "chunk_documents": chunk_documents,
     "lang_detect": lang_detect,
     "doc_fingerprints": doc_fingerprints,
     "corpus_stats_by_lang": corpus_stats_by_lang,
@@ -217,6 +282,8 @@ QUERIES = {
 
 ORACLES = {
     "text_quality": TEXT_QUALITY_SQL,
+    "doc_sentiment": DOC_SENTIMENT_SQL,
+    "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "lang_detect": LANG_DETECT_SQL,
     "doc_fingerprints": DOC_FINGERPRINTS_SQL,
     "corpus_stats_by_lang": CORPUS_STATS_SQL,
