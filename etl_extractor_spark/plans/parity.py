@@ -379,7 +379,46 @@ def orders_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality profile of the orders table."""
+    from etl_extractor_spark.operators.profile import profile_table
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    return profile_table(o)
+
+
+PROFILE_ORDERS_SQL = """
+SELECT 'o_orderkey' AS column, count(*) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(max(o_orderkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*),
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_custkey),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*),
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_orderstatus),
+       CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*),
+       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_totalprice),
+       CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+FROM orders
+"""
+
+
 QUERIES = {
+    "profile_orders": profile_orders,
     "orders_systematic_sample": orders_systematic_sample,
     "orders_stratified_sample": orders_stratified_sample,
     "dim_customer": dim_customer,
@@ -395,6 +434,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "profile_orders": PROFILE_ORDERS_SQL,
     "orders_systematic_sample": ORDERS_SAMPLE_SQL,
     # orders_stratified_sample: rows-only (engine-specific Bernoulli)
     "dim_customer": DIM_CUSTOMER_SQL,

@@ -208,6 +208,36 @@ def streaming_dedup_exact(stream: DataFrame) -> DataFrame:
     return hashed.dropDuplicates(["content_hash"])
 
 
+def run_foreach_batch_to_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> int:
+    """foreachBatch sink: write each micro-batch to a batch-id
+    partition. With a checkpoint location the source offsets commit per
+    batch, so a restarted query resumes AFTER the last committed batch
+    — rerunning with the same checkpoint reprocesses nothing (the
+    exactly-once pattern for non-transactional sinks: batch-id
+    partition overwrite makes retries of an uncommitted batch
+    idempotent too). Returns the number of batches written this run."""
+    import os
+
+    batches_written = {"n": 0}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+        batches_written["n"] += 1
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return batches_written["n"]
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Drive a streaming query to completion with availableNow and
     return the materialized result (test/bench harness)."""

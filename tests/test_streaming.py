@@ -63,6 +63,29 @@ def test_streaming_dedup_matches_batch(spark, sf_dir):
     assert got.select("content_hash").distinct().count() == got.count()
 
 
+def test_foreach_batch_checkpoint_exactly_once(spark, sf_dir):
+    """First run writes all data; a rerun with the same checkpoint
+    writes zero new batches (offsets committed)."""
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+        n1 = SE.run_foreach_batch_to_parquet(
+            SE.events_stream(spark, sf_dir), out, ckpt
+        )
+        assert n1 >= 1
+        rows = spark.read.parquet(out)
+        assert rows.count() == load_table(spark, sf_dir, "events").count()
+
+        n2 = SE.run_foreach_batch_to_parquet(
+            SE.events_stream(spark, sf_dir), out, ckpt
+        )
+        assert n2 == 0  # nothing reprocessed
+        assert spark.read.parquet(out).count() == rows.count()
+
+
 def test_stateful_sessionize_emits_closed_sessions(spark, sf_dir):
     """applyInPandasWithState emits every CLOSED session; the still-open
     last session per user remains in state. So its output must equal
