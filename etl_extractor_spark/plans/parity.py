@@ -417,7 +417,56 @@ FROM orders
 """
 
 
+def star_join_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship analytical query shape verbatim
+    (reference test.py:26-32): a ROW-LEVEL 4-way star join projecting
+    attributes from the fact and every dimension — no aggregation —
+    with a deterministic top-100 preview (test.py prints head())."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("o_orderkey").alias("id_opinion"),
+            F.col("c_name").alias("cliente"),
+            F.col("c_mktsegment").alias("segmento"),
+            F.col("n_name").alias("nacion"),
+            F.col("r_name").alias("region"),
+            fecha_key("o_orderdate").alias("fecha_key"),
+            F.round("o_totalprice", 4).alias("calificacion"),
+            F.col("o_orderpriority").alias("fuente"),
+            F.col("o_orderstatus").alias("comentario"),
+        )
+        .orderBy(F.desc("calificacion"), F.asc("id_opinion"))
+        .limit(100)
+    )
+
+
+STAR_DETAIL_SQL = """
+SELECT o_orderkey AS id_opinion,
+       c_name AS cliente,
+       c_mktsegment AS segmento,
+       n_name AS nacion,
+       r_name AS region,
+       COALESCE(CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT), -1) AS fecha_key,
+       round(o_totalprice, 4) AS calificacion,
+       o_orderpriority AS fuente,
+       o_orderstatus AS comentario
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+ORDER BY calificacion DESC, id_opinion ASC
+LIMIT 100
+"""
+
+
 QUERIES = {
+    "star_join_detail": star_join_detail,
     "profile_orders": profile_orders,
     "orders_systematic_sample": orders_systematic_sample,
     "orders_stratified_sample": orders_stratified_sample,
@@ -434,6 +483,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "star_join_detail": STAR_DETAIL_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,
     "orders_systematic_sample": ORDERS_SAMPLE_SQL,
     # orders_stratified_sample: rows-only (engine-specific Bernoulli)

@@ -1,0 +1,46 @@
+"""Config-driven source registry (X4): a settings.json like the
+reference's routes every source through the registry with per-source
+isolation."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from etl_extractor_spark.config import Settings
+from etl_extractor_spark.sources.registry import SourceRegistry
+
+
+def test_settings_load_and_registry(spark, sf_dir):
+    with tempfile.TemporaryDirectory() as tmp:
+        csv_path = os.path.join(tmp, "clients.csv")
+        with open(csv_path, "w") as f:
+            f.write("IdCliente,Nombre\n1,Ann\n2,\n")
+        cfg = {
+            "clients_csv": csv_path,
+            "parquet_dir": sf_dir,
+            "api_url": "http://127.0.0.1:1/unreachable",
+            "staging_dir": os.path.join(tmp, "staging"),
+            "gold_dir": os.path.join(tmp, "gold"),
+        }
+        cfg_path = os.path.join(tmp, "settings.json")
+        with open(cfg_path, "w") as f:
+            json.dump(cfg, f)
+
+        settings = Settings.load(cfg_path)
+        assert settings.staging_dir.endswith("staging")
+        assert set(settings.sources) == {"clients_csv", "parquet_dir", "api_url"}
+
+        reg = SourceRegistry(spark)
+        reg.register_from_config(settings.sources)
+        frames = reg.read_all()
+
+        # CSV source standardized + empty-string semantics
+        assert frames["clients"].columns == ["idcliente", "nombre"]
+        got = {r["idcliente"]: r["nombre"] for r in frames["clients"].collect()}
+        assert got == {1: "Ann", 2: ""}
+        # parquet tables registered
+        assert frames["customer"].count() > 0
+        # unreachable API isolated to an empty frame, not a failure
+        assert frames["api"].count() == 0
