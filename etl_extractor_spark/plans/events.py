@@ -168,11 +168,69 @@ GROUP BY 1, 2
 """
 
 
+def events_gapfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style dense rollup: per (user, 6-hour bucket) counts
+    over the FULL time grid — buckets with no events appear with zero
+    counts (gap filling). The grid is generated with sequence+explode
+    (codegen) and cross-joined with the user dimension; the sparse
+    aggregate left-joins onto it. At scale the grid is tiny relative to
+    the events (|users| × |buckets|) and the join broadcasts."""
+    e = load_table(spark, sf_dir, "events")
+    bucket_us = 6 * 3600 * 1_000_000
+    bucketed = e.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / bucket_us)).alias("b"),
+        "value",
+    )
+    bounds = bucketed.agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("b")
+    ).crossJoin(bucketed.select("user_id").distinct())
+    agg = bucketed.groupBy("user_id", "b").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv")
+    )
+    return (
+        grid.join(agg, ["user_id", "b"], "left")
+        .select(
+            "user_id",
+            F.date_format(
+                F.timestamp_micros(F.col("b") * bucket_us), "yyyy-MM-dd HH:mm:ss"
+            ).alias("bucket_start"),
+            F.coalesce("cnt", F.lit(0)).alias("n_events"),
+            F.round(F.coalesce("sv", F.lit(0.0)), 4).alias("sum_value"),
+        )
+    )
+
+
+EVENTS_GAPFILL_SQL = """
+WITH b AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT) AS b,
+         value
+  FROM events
+), bounds AS (
+  SELECT min(b) AS lo, max(b) AS hi FROM b
+), grid AS (
+  SELECT u.user_id, g.b
+  FROM (SELECT DISTINCT user_id FROM b) u,
+       (SELECT unnest(generate_series(lo, hi)) AS b FROM bounds) g
+), agg AS (
+  SELECT user_id, b, count(*) AS cnt, sum(value) AS sv FROM b GROUP BY 1, 2
+)
+SELECT grid.user_id,
+       strftime(make_timestamp(grid.b * 21600000000), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       COALESCE(cnt, 0) AS n_events,
+       round(COALESCE(sv, 0.0), 4) AS sum_value
+FROM grid LEFT JOIN agg ON grid.user_id = agg.user_id AND grid.b = agg.b
+"""
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
     "events_totals_salted": events_totals_salted,
     "events_asof_click": events_asof_click,
     "events_interval_join": events_interval_join,
+    "events_gapfill_rollup": events_gapfill_rollup,
     "events_sliding": events_sliding,
     "events_sessionize": events_sessionize,
     "events_sessionize_pandas": events_sessionize_pandas,
@@ -184,6 +242,7 @@ ORACLES = {
     "events_totals_salted": EVENTS_TOTALS_SALTED_SQL,
     "events_asof_click": EVENTS_ASOF_SQL,
     "events_interval_join": EVENTS_INTERVAL_SQL,
+    "events_gapfill_rollup": EVENTS_GAPFILL_SQL,
     "events_sliding": EVENTS_SLIDING_SQL,
     "events_sessionize": _SESSION_SQL,
     "events_sessionize_pandas": _SESSION_SQL,
