@@ -1,0 +1,140 @@
+"""Data-cleaning / record-linkage queries.
+
+- winsorize_prices : per-group percentile capping (outlier handling)
+- fuzzy_name_pairs : blocked Levenshtein similarity join (record
+                     linkage — the blocking key bounds the candidate
+                     pairs exactly like LSH does for dedup)
+- order_quartiles  : ntile quartile assignment per segment
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_extractor_spark.sources.parquet import load_table
+
+
+def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap l_extendedprice at the per-returnflag [p05, p95] band and
+    report the effect — the standard robust-statistics cleaning step.
+    Percentiles via one grouped agg, applied with a broadcast join
+    (never a per-row window over the fact)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    pct = l.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    )
+    capped = l.join(F.broadcast(pct), "l_returnflag").select(
+        "l_returnflag",
+        F.greatest(F.least(F.col("l_extendedprice"), F.col("p95")), F.col("p05")).alias(
+            "capped"
+        ),
+        (
+            (F.col("l_extendedprice") > F.col("p95"))
+            | (F.col("l_extendedprice") < F.col("p05"))
+        ).cast("long").alias("was_capped"),
+    )
+    return capped.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("was_capped").alias("n_capped"),
+        F.round(F.avg("capped"), 4).alias("avg_capped"),
+    )
+
+
+WINSORIZE_SQL = """
+WITH pct AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS p05,
+         quantile_cont(l_extendedprice, 0.95) AS p95
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_returnflag,
+       count(*) AS n,
+       CAST(sum(CASE WHEN l_extendedprice > p95 OR l_extendedprice < p05
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+       round(avg(greatest(least(l_extendedprice, p95), p05)), 4) AS avg_capped
+FROM lineitem l JOIN pct ON l.l_returnflag = pct.l_returnflag
+GROUP BY 1
+"""
+
+
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: supplier names within Levenshtein distance 5 of
+    a customer name, blocked on the numeric suffix length to bound the
+    candidate space (a real pipeline blocks on phonetic/sorted-
+    neighborhood keys the same way)."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"), "c_name"
+    )
+    blocked = s.join(
+        F.broadcast(c), F.length("s_name") == F.length("c_name")
+    )
+    return (
+        blocked.withColumn("dist", F.levenshtein("s_name", "c_name"))
+        .filter(F.col("dist") <= 5)
+        .select("s_suppkey", "s_name", "c_custkey", "c_name", F.col("dist").cast("long").alias("dist"))
+    )
+
+
+FUZZY_SQL = """
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(levenshtein(s_name, c_name) AS BIGINT) AS dist
+FROM supplier JOIN customer ON len(s_name) = len(c_name)
+WHERE levenshtein(s_name, c_name) <= 5
+"""
+
+
+def order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) quartile binning of order value within each segment."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_mktsegment",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            "o_totalprice",
+        )
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+    )
+
+
+QUARTILES_SQL = """
+WITH q AS (
+  SELECT c_mktsegment,
+         CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                             ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile,
+         o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment, quartile, count(*) AS n,
+       round(min(o_totalprice), 4) AS lo,
+       round(max(o_totalprice), 4) AS hi
+FROM q GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "winsorize_prices": winsorize_prices,
+    "fuzzy_name_pairs": fuzzy_name_pairs,
+    "order_quartiles": order_quartiles,
+}
+
+ORACLES = {
+    "winsorize_prices": WINSORIZE_SQL,
+    "fuzzy_name_pairs": FUZZY_SQL,
+    "order_quartiles": QUARTILES_SQL,
+}
