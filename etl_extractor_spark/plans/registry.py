@@ -17,6 +17,7 @@ _MODULES = (
     "etl_extractor_spark.plans.tpch",
     "etl_extractor_spark.plans.tpch2",
     "etl_extractor_spark.plans.tpch3",
+    "etl_extractor_spark.plans.tpch4",
     "etl_extractor_spark.plans.stats",
     "etl_extractor_spark.plans.cleaning",
     "etl_extractor_spark.plans.parity",
