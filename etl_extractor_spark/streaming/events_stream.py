@@ -250,3 +250,42 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def run_streaming_upsert(
+    stream_df: DataFrame,
+    target_path: str,
+    checkpoint_dir: str,
+    key_cols: list,
+    partition_col: str,
+) -> int:
+    """Streaming CDC sink: foreachBatch → partition-scoped MERGE
+    (sinks/merge.py). Each micro-batch upserts by key into the parquet
+    target, rewriting only the partitions the batch touches — the
+    standard Structured-Streaming upsert pattern for non-transactional
+    stores. Checkpointed offsets + idempotent per-key MERGE give
+    effective exactly-once: replaying an uncommitted batch converges
+    to the same table state. Returns batches applied this run."""
+    from etl_extractor_spark.sinks.merge import merge_upsert_partitioned
+
+    applied = {"n": 0}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # Latest row per key within the batch wins (micro-batches can
+        # carry multiple updates for one key).
+        merge_upsert_partitioned(
+            batch_df.sparkSession, target_path,
+            batch_df.dropDuplicates(key_cols), key_cols, partition_col,
+        )
+        applied["n"] += 1
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return applied["n"]

@@ -102,3 +102,40 @@ def test_stateful_sessionize_emits_closed_sessions(spark, sf_dir):
         batch.withColumn("rn", F.row_number().over(w)).filter("rn > 1").drop("rn")
     )
     assert _rows(got, cols) == _rows(batch_closed, cols)
+
+
+def test_streaming_upsert_merges_batches_into_target(spark):
+    """foreachBatch → partition-scoped MERGE: stream of updates upserts
+    by key; rerun with same checkpoint applies nothing new."""
+    import os
+    import tempfile
+
+    from etl_extractor_spark.streaming.events_stream import run_streaming_upsert
+
+    with tempfile.TemporaryDirectory() as tmp:
+        target = os.path.join(tmp, "target")
+        src = os.path.join(tmp, "src")
+        ckpt = os.path.join(tmp, "ckpt")
+        spark.createDataFrame(
+            [(1, "a", "2026-01-01"), (2, "b", "2026-01-02")],
+            ["id", "name", "dt"],
+        ).write.partitionBy("dt").parquet(target)
+        spark.createDataFrame(
+            [(2, "b2", "2026-01-02"), (3, "c", "2026-01-03")],
+            ["id", "name", "dt"],
+        ).write.parquet(src)
+
+        stream = spark.readStream.schema("id long, name string, dt string").parquet(src)
+        n = run_streaming_upsert(stream, target, ckpt, ["id"], "dt")
+        assert n >= 1
+        got = {r["id"]: (r["name"], str(r["dt"])) for r in spark.read.parquet(target).collect()}
+        assert got == {
+            1: ("a", "2026-01-01"),
+            2: ("b2", "2026-01-02"),
+            3: ("c", "2026-01-03"),
+        }
+
+        stream2 = spark.readStream.schema("id long, name string, dt string").parquet(src)
+        n2 = run_streaming_upsert(stream2, target, ckpt, ["id"], "dt")
+        assert n2 == 0  # checkpoint: nothing reapplied
+        assert spark.read.parquet(target).count() == 3
