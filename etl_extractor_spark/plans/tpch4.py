@@ -82,7 +82,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = l.groupBy(F.col("l_partkey").cast("long").alias("p_key")).agg(
         F.sum(value).alias("val")
     )
-    total = l.agg((F.sum(value) * F.lit(0.0005)).alias("threshold"))
+    # scale-invariant threshold (TPC-H divides its fraction by SF for
+    # the same reason): parts worth > 1.5x the mean per-part value
+    total = per_part.agg((F.avg("val") * F.lit(1.5)).alias("threshold"))
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("val") > F.col("threshold"))
@@ -96,7 +98,8 @@ SELECT CAST(l_partkey AS BIGINT) AS p_key,
 FROM lineitem
 GROUP BY 1
 HAVING sum(l_extendedprice * (1 - l_discount)) >
-       (SELECT sum(l_extendedprice * (1 - l_discount)) * 0.0005 FROM lineitem)
+       (SELECT avg(v) * 1.5 FROM (SELECT sum(l_extendedprice * (1 - l_discount)) AS v
+                                  FROM lineitem GROUP BY l_partkey))
 """
 
 
