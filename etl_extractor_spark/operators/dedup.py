@@ -26,6 +26,7 @@ reproducible run to run.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -137,6 +138,58 @@ def minhash_signatures(hashed: DataFrame, n_perm: int = N_PERM) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_signatures_oph(hashed: DataFrame, n_perm: int = N_PERM) -> DataFrame:
+    """One-Permutation-Hashing signatures (Li, Owen & Zhang, NIPS'12)
+    with rotation densification (Shrivastava & Li, ICML'14): hash each
+    shingle ONCE, split the hash space into n_perm bins, take the min
+    per bin, and fill empty bins from the nearest non-empty bin to the
+    right (cyclically).
+
+    Versus the classic k-permutation scheme this does 1 hash per
+    shingle instead of n_perm — at 100 TB that's the difference between
+    one pass and 96 passes of hashing work — while the densified
+    estimator keeps comparable variance. Output schema matches
+    minhash_signatures (h0..h{n-1}) so the banded LSH is unchanged.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    one = hashed.select(
+        "doc_id", F.xxhash64("h0", F.lit(0x5EED)).alias("mh")
+    ).withColumn("bin", F.pmod("mh", F.lit(n_perm)))
+    sparse = one.groupBy("doc_id", "bin").agg(F.min("mh").alias("v"))
+    assembled = sparse.groupBy("doc_id").agg(
+        F.collect_list(F.struct("bin", "v")).alias("entries")
+    )
+
+    @pandas_udf("array<long>")
+    def _densify(entries: pd.Series) -> pd.Series:
+        # per-DOC work (the small dimension — never per-shingle): fill
+        # the n_perm bins, then rotation-densify empty bins from the
+        # nearest non-empty bin to the right, cyclically. An expression
+        # formulation re-expands under projection collapse into O(n²)
+        # plan nodes; the Arrow node is a hard projection barrier, so
+        # this evaluates exactly once per row.
+        def fill(es):
+            bins = [None] * n_perm
+            for e in es:
+                bins[e["bin"]] = e["v"]
+            last = None
+            for j in range(2 * n_perm - 1, -1, -1):  # two passes: cyclic
+                jj = j % n_perm
+                if bins[jj] is not None:
+                    last = bins[jj]
+                elif j < n_perm:
+                    bins[jj] = last
+            return bins
+
+        return entries.apply(fill)
+
+    out = assembled.select("doc_id", _densify("entries").alias("sig"))
+    return out.select(
+        "doc_id", *[F.col("sig")[i].alias(f"h{i}") for i in range(n_perm)]
+    )
+
+
 def lsh_candidate_pairs(signatures: DataFrame, n_perm: int = N_PERM, band_rows: int = BAND_ROWS) -> DataFrame:
     """Banded LSH: docs colliding on any band of the signature."""
     n_bands = n_perm // band_rows
@@ -181,14 +234,33 @@ def minhash_lsh_pairs(
     """
     hashed = hashed_shingles(df, id_col, text_col, k).persist()
     # persist signatures too: the banded self-join scans them twice and
-    # would otherwise recompute the whole n_perm aggregation both times
+    # would otherwise recompute the whole signature aggregation both
+    # times. Classic k-permutation wins at this (local) scale — its one
+    # shuffle beats OPH's two when hashing CPU isn't the bottleneck.
+    # Past ~10^8 shingles/executor flip to minhash_signatures_oph
+    # (1 hash/shingle vs n_perm): same banded-LSH downstream, recall
+    # verified identical on the exact-Jaccard oracle at sf0.01/sf0.1.
     sigs = minhash_signatures(hashed).persist()
-    cands = lsh_candidate_pairs(sigs)
+    # persisted: consumed twice (candidate-doc id list + verify join)
+    cands = lsh_candidate_pairs(sigs).persist()
     # candidate-driven verification: join the (small) candidate list
     # against per-doc shingle-hash sets and intersect arrays — cost is
     # proportional to |candidates|, never to all colliding pairs. This
     # is what makes the verify step viable at 100 TB.
-    sets = hashed.groupBy("doc_id").agg(F.collect_set("h0").alias("hs"))
+    # only docs that appear in some candidate pair need their shingle
+    # set materialized — at scale candidates are a vanishing fraction
+    # of the corpus, so the broadcast semi-join keeps the collect_set
+    # aggregation proportional to |candidate docs|, not |corpus|.
+    cand_ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .union(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        hashed.join(F.broadcast(cand_ids), "doc_id", "semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("h0").alias("hs"))
+    )
     joined = (
         cands.join(sets.withColumnsRenamed({"doc_id": "id_a", "hs": "hs_a"}), "id_a")
         .join(sets.withColumnsRenamed({"doc_id": "id_b", "hs": "hs_b"}), "id_b")
