@@ -1,0 +1,137 @@
+"""Training-corpus preparation pipeline — the composed end-to-end
+shape a 100 TB LLM-data run takes, as ONE declarative plan:
+
+    quality gate → exact dedup (keep min id per content hash)
+                 → near-dup removal (MinHash-LSH clusters, keep
+                   canonical member)
+                 → per-language corpus stats
+
+Each stage is an operator verified elsewhere on its own oracle
+(text_quality, dedup_exact, dedup_clusters); this query verifies the
+COMPOSITION against a single DuckDB oracle (recursive-CTE transitive
+closure over the filtered+deduped set).
+
+Scale shape: the quality gate and hash dedup are map + one shuffle;
+near-dup runs banded LSH on the (already reduced) survivor set; the
+final stats are a partial-aggregated groupBy on lang — no stage holds
+more than the survivor fraction of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_extractor_spark.functions import textstats as ts
+from etl_extractor_spark.functions.text import normalize_text
+from etl_extractor_spark.operators import dedup as D
+from etl_extractor_spark.plans.dedup import SHINGLE_K, THRESHOLD
+from etl_extractor_spark.sources.parquet import load_table
+
+QUALITY_MIN = 1.4005  # off the binary/decimal grid: no ulp-boundary docs
+
+
+def corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        ts.quality_score("text").alias("quality"),
+        ts.token_count("text").alias("n_tokens"),
+    ).filter(F.col("quality") >= QUALITY_MIN)
+
+    # exact dedup: canonical (min) id per normalized-content hash
+    h = F.md5(F.lower(normalize_text("text")).cast("binary"))
+    w = Window.partitionBy(h)
+    exact_kept = (
+        scored.withColumn("keep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .drop("keep_id")
+    )
+
+    # near-dup removal: keep each cluster's canonical member
+    clusters = D.dedup_cluster_assignments(
+        exact_kept, "doc_id", "text", k=SHINGLE_K, threshold=THRESHOLD
+    )
+    kept = exact_kept.join(
+        clusters.filter(F.col("is_canonical")).select("doc_id"), "doc_id"
+    )
+
+    # avg via exact DECIMAL sum of per-doc 4-dp-rounded scores: double
+    # summation is order-dependent (1-ulp flips at round boundaries
+    # between engines); decimal addition is exact and associative.
+    qdec = F.round("quality", 4).cast("decimal(14,4)")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum(qdec).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_quality"),
+    )
+
+
+CORPUS_PREP_SQL = rf"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, text, lang,
+         string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, text, lang,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END
+          + len(list_distinct(toks)) * 1.0 / len(toks) * 0.5
+          + least(len(list_filter(toks, x -> list_contains(['the','a','and','of'], x)))
+                  * 1.0 / len(toks) * 5.0, 0.5)) AS quality
+  FROM t
+  WHERE (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END
+         + len(list_distinct(toks)) * 1.0 / len(toks) * 0.5
+         + least(len(list_filter(toks, x -> list_contains(['the','a','and','of'], x)))
+                 * 1.0 / len(toks) * 5.0, 0.5)) >= {QUALITY_MIN}
+), exact_kept AS (
+  SELECT * FROM (
+    SELECT s.*,
+           min(doc_id) OVER (
+             PARTITION BY md5(lower(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g'))))
+           ) AS keep_id
+    FROM scored s
+  ) WHERE doc_id = keep_id
+), sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, {SHINGLE_K}) AS s
+  FROM exact_kept,
+       LATERAL (SELECT unnest(generate_series(1, greatest(1, len(text) - {SHINGLE_K - 1}))) AS i)
+  WHERE len(text) >= {SHINGLE_K}
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= {THRESHOLD}
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(node, m) AS (
+  SELECT doc_id, doc_id FROM exact_kept
+  UNION
+  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.node
+), canon AS (
+  SELECT node AS doc_id FROM reach GROUP BY node HAVING node = min(m)
+)
+SELECT lang,
+       count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       round(CAST(sum(CAST(round(quality, 4) AS DECIMAL(14,4))) AS DOUBLE)
+             / count(*), 4) AS avg_quality
+FROM exact_kept JOIN canon USING (doc_id)
+GROUP BY 1
+"""
+
+
+QUERIES = {"corpus_prep_stats": corpus_prep_stats}
+ORACLES = {"corpus_prep_stats": CORPUS_PREP_SQL}

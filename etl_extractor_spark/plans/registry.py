@@ -20,6 +20,7 @@ _MODULES = (
     "etl_extractor_spark.plans.tpch4",
     "etl_extractor_spark.plans.stats",
     "etl_extractor_spark.plans.cleaning",
+    "etl_extractor_spark.plans.corpus_prep",
     "etl_extractor_spark.plans.parity",
     "etl_extractor_spark.plans.text_analysis",
     "etl_extractor_spark.plans.dedup",
