@@ -48,3 +48,39 @@ def test_dim_query_no_shuffle_before_dedup_projection(spark, sf_dir):
     plan = _plan(dim_customer(spark, sf_dir))
     # dedup needs exactly one exchange; the projection itself must not
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q9_dimension_broadcasts_and_name_pushdown(spark, sf_dir):
+    from etl_extractor_spark.plans.tpch4 import q9_profit_by_nation
+
+    plan = _plan(q9_profit_by_nation(spark, sf_dir))
+    # part/supplier/nation broadcast; only orders⋈lineitem may shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the p_name contains-filter reaches the part scan
+    assert "StringContains(p_name,red)" in plan
+
+
+def test_q16_not_in_compiles_to_broadcast_anti_join(spark, sf_dir):
+    from etl_extractor_spark.plans.tpch4 import q16_supplier_part_counts
+
+    plan = _plan(q16_supplier_part_counts(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winsorize_percentiles_broadcast_back(spark, sf_dir):
+    from etl_extractor_spark.plans.cleaning import winsorize_prices
+
+    plan = _plan(winsorize_prices(spark, sf_dir))
+    # per-group percentile bounds join back as a broadcast, never a
+    # per-row window over the fact
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_q11_scalar_threshold_is_broadcast_not_collected(spark, sf_dir):
+    from etl_extractor_spark.plans.tpch4 import q11_important_parts
+
+    plan = _plan(q11_important_parts(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
