@@ -265,7 +265,61 @@ GROUP BY 1
 """
 
 
+def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: for each part (of a size class), the supplier offering
+    the minimum unit price — a correlated-min subquery decorrelated
+    into a grouped min + join-back on (part, min). Unit price comes
+    from lineitem (no partsupp table). Ties on the min keep all
+    achieving suppliers, exactly like TPC-H Q2."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 7)
+    s = _t(spark, sf_dir, "supplier")
+    offers = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit_price").alias("best_offer"))
+    )
+    mins = offers.groupBy("l_partkey").agg(
+        F.min("best_offer").alias("min_price")
+    ).select(F.col("l_partkey").alias("m_partkey"), "min_price")
+    return (
+        offers.join(
+            mins,
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("best_offer") == F.col("min_price")),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            F.col("l_partkey").cast("long").alias("p_key"),
+            F.col("s_name"),
+            # no rounded ratio column: Spark/DuckDB round() diverge by
+            # 1 ulp on .xxxx5-shortest-repr doubles; the min VALUE is
+            # still compared bit-exactly inside the join condition
+        )
+    )
+
+
+Q2_SQL = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS best_offer
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size = 7
+  GROUP BY 1, 2
+)
+SELECT CAST(o.l_partkey AS BIGINT) AS p_key, s_name
+FROM offers o
+JOIN supplier ON o.l_suppkey = s_suppkey
+WHERE o.best_offer = (SELECT min(best_offer) FROM offers i
+                      WHERE i.l_partkey = o.l_partkey)
+"""
+
+
 QUERIES = {
+    "q2_cheapest_supplier": q2_cheapest_supplier,
     "q9_profit_by_nation": q9_profit_by_nation,
     "q11_important_parts": q11_important_parts,
     "q12_priority_class": q12_priority_class,
@@ -276,6 +330,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q2_cheapest_supplier": Q2_SQL,
     "q9_profit_by_nation": Q9_SQL,
     "q11_important_parts": Q11_SQL,
     "q12_priority_class": Q12_SQL,
