@@ -1,0 +1,239 @@
+"""Analytics shapes, wave 3: multi-dimensional grouping (CUBE /
+GROUPING SETS), rank-family window functions, array aggregation,
+unpivot (melt), and INTERSECT — rounding out the SQL surface the
+reference's star schema would serve from a real warehouse (the
+reference itself delegates all analytics to SQL Server, reference
+test.py:26-41; these are the shapes that engine provides for free and
+ours must too).
+
+Scale notes (100 TB):
+- CUBE/GROUPING SETS expand each input row once per grouping set
+  *after* partial aggregation (Spark's Expand runs on the map side,
+  then one shuffle on the expanded keys) — cost is (#sets × groups),
+  not (#sets × rows shuffled raw).
+- The rank-family query windows over *pre-aggregated* per-customer
+  totals (one row per customer), never over raw orders; the single
+  global window is over |customers| rows, and would be range-
+  partitioned at scale.
+- collect_list runs as an unordered partial aggregate; ordering is
+  imposed by array_sort AFTER collection (collect_list after orderBy
+  does not preserve group order across partitions).
+- unpivot is a map-side Expand — no shuffle at all.
+- INTERSECT compiles to a left-semi join over distinct keys; both
+  sides pre-aggregate to distinct custkeys before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_extractor_spark.sources.parquet import load_table
+
+
+def cube_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (lang, source): every facet combination plus margins
+    in one pass. Null group keys (the rolled-up margins) are labelled
+    'ALL' — the data has no null lang/source, so the sentinel is
+    unambiguous."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+            F.max(F.col("n_chars").cast("long")).alias("max_chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            "n_docs",
+            "total_chars",
+            "max_chars",
+        )
+    )
+
+
+CUBE_DOCS_SQL = """
+SELECT coalesce(lang, 'ALL') AS lang,
+       coalesce(source, 'ALL') AS source,
+       count(*) AS n_docs,
+       sum(CAST(n_chars AS BIGINT)) AS total_chars,
+       max(CAST(n_chars AS BIGINT)) AS max_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+"""
+
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: (priority, year) detail, (year) subtotal,
+    () grand total — the warehouse report shape. Money is aggregated in
+    DECIMAL(18,2) (exact, addition-order-independent) and surfaced as a
+    2-decimal double."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(CAST(yr AS STRING), 'ALL') AS yr,
+               count(*) AS n_orders,
+               CAST(sum(price_d) AS DOUBLE) AS revenue
+        FROM (
+          SELECT o_orderpriority, year(o_orderdate) AS yr,
+                 CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS price_d
+          FROM orders_v
+        )
+        GROUP BY GROUPING SETS ((o_orderpriority, yr), (yr), ())
+        """
+    )
+
+
+GROUPING_SETS_ORDERS_SQL = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(CAST(yr AS VARCHAR), 'ALL') AS yr,
+       count(*) AS n_orders,
+       CAST(sum(price_d) AS DOUBLE) AS revenue
+FROM (
+  SELECT o_orderpriority, year(o_orderdate) AS yr,
+         CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS price_d
+  FROM orders
+)
+GROUP BY GROUPING SETS ((o_orderpriority, yr), (yr), ())
+"""
+
+
+def customer_spend_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank family over per-customer lifetime spend: dense_rank,
+    percent_rank, cume_dist. Spend is an exact DECIMAL(18,2) sum, so
+    ties (and therefore every rank) are deterministic across engines;
+    percent_rank/cume_dist are single integer divisions — bit-identical
+    in any IEEE engine."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).alias("spend_d")
+    )
+    w = Window.orderBy(F.desc("spend_d"), F.asc("o_custkey"))
+    return spend.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("spend_d").cast("double").alias("spend"),
+        F.dense_rank().over(w).alias("drank"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+CUSTOMER_SPEND_RANKS_SQL = """
+WITH spend AS (
+  SELECT o_custkey AS custkey,
+         sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS spend_d
+  FROM orders GROUP BY o_custkey
+)
+SELECT custkey,
+       CAST(spend_d AS DOUBLE) AS spend,
+       CAST(dense_rank()   OVER w AS INTEGER) AS drank,
+       percent_rank() OVER w AS prank,
+       cume_dist()    OVER w AS cdist
+FROM spend
+WINDOW w AS (ORDER BY spend_d DESC, custkey ASC)
+"""
+
+
+def order_qty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per multi-item order, the sorted list of line
+    quantities as a string. collect_list is partial-aggregated and
+    unordered; array_sort imposes the deterministic order afterwards
+    (never rely on collect_list seeing sorted input)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("l_quantity").cast("long"))), ","
+            ).alias("qty_profile"),
+        )
+        .filter(F.col("n_items") >= 5)
+        .select(F.col("l_orderkey").alias("orderkey"), "n_items", "qty_profile")
+    )
+
+
+ORDER_QTY_PROFILE_SQL = """
+SELECT l_orderkey AS orderkey,
+       count(*) AS n_items,
+       array_to_string(list_sort(list(CAST(l_quantity AS BIGINT))), ',') AS qty_profile
+FROM lineitem
+GROUP BY l_orderkey
+HAVING count(*) >= 5
+"""
+
+
+def lang_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): a wide per-language metrics row folded into long
+    (lang, metric, value) form — pure map-side Expand, zero shuffles
+    beyond the one aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    wide = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+        F.max(F.col("n_chars").cast("long")).alias("max_chars"),
+    )
+    return wide.unpivot(
+        ["lang"], ["n_docs", "total_chars", "max_chars"], "metric", "value"
+    )
+
+
+LANG_METRICS_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT lang,
+         count(*) AS n_docs,
+         sum(CAST(n_chars AS BIGINT)) AS total_chars,
+         max(CAST(n_chars AS BIGINT)) AS max_chars
+  FROM documents GROUP BY lang
+)
+SELECT lang, 'n_docs' AS metric, n_docs AS value FROM wide
+UNION ALL
+SELECT lang, 'total_chars' AS metric, total_chars AS value FROM wide
+UNION ALL
+SELECT lang, 'max_chars' AS metric, max_chars AS value FROM wide
+"""
+
+
+def customers_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op (complements the EXCEPT in set_ops_customers):
+    customers active in both 1995 and 1996. Compiles to distinct +
+    left-semi join — each side reduces to distinct keys before the
+    shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y96 = o.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return y95.intersect(y96)
+
+
+CUSTOMERS_BOTH_YEARS_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+"""
+
+
+QUERIES = {
+    "cube_docs": cube_docs,
+    "grouping_sets_orders": grouping_sets_orders,
+    "customer_spend_ranks": customer_spend_ranks,
+    "order_qty_profile": order_qty_profile,
+    "lang_metrics_unpivot": lang_metrics_unpivot,
+    "customers_both_years": customers_both_years,
+}
+
+ORACLES = {
+    "cube_docs": CUBE_DOCS_SQL,
+    "grouping_sets_orders": GROUPING_SETS_ORDERS_SQL,
+    "customer_spend_ranks": CUSTOMER_SPEND_RANKS_SQL,
+    "order_qty_profile": ORDER_QTY_PROFILE_SQL,
+    "lang_metrics_unpivot": LANG_METRICS_UNPIVOT_SQL,
+    "customers_both_years": CUSTOMERS_BOTH_YEARS_SQL,
+}
