@@ -1,0 +1,216 @@
+"""Manifest-based data skipping over plain parquet — the Iceberg/Delta
+file-statistics idea without a table-format dependency (none in this
+container).
+
+The reference's only physical-layout feature is B-tree indexes on the
+staging SQLite (reference load/load_to_staging.py:7-16). Spark has no
+indexes; the scale-equivalent is FILE SKIPPING: persist per-file
+column min/max statistics at write time, and at read time plan the
+file list so a selective predicate touches only the files whose
+[min, max] range intersects it.
+
+Why this matters at 100 TB: partition pruning only helps on the
+partition column. A table laid out by `repartitionByRange(sort_col)`
+gets near-disjoint per-file ranges on the sort column, so a point or
+range predicate on it prunes to O(selectivity) of the files — the same
+effect Delta's zorder/stats or Iceberg's manifests give — with zero
+scan cost at planning time (the stats already sit in the parquet
+footers; we lift them into one JSON manifest so planning never opens
+100k footers).
+
+Costs are metadata-scale by construction:
+- write side reads only footers (~KB per file). Below
+  ``DISTRIBUTE_THRESHOLD`` files this runs on the driver; above, it
+  fans out over the executors (``spark.sparkContext.parallelize`` of
+  file names — footer fetch is embarrassingly parallel and the result
+  is one small dict per file).
+- read side is a driver-side list filter over the manifest, then a
+  normal ``spark.read.parquet(*files)`` — Catalyst still pushes the
+  predicate into the surviving scans (row-group pruning inside files
+  still applies).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import date, datetime
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_NAME = "_manifest.json"
+DISTRIBUTE_THRESHOLD = 64  # files; above this, harvest footers on executors
+
+
+def _jsonable(v: Any) -> Any:
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    return v
+
+
+def _file_stats(fpath: str, stats_cols: list[str]) -> dict[str, Any]:
+    """Lift min/max/null stats for ``stats_cols`` from one parquet
+    footer (metadata-only read — no data pages touched)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fpath).metadata
+    rows = md.num_rows
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    complete: dict[str, bool] = {c: True for c in stats_cols}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in complete:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                complete[name] = False  # no stats → file can never be pruned on this col
+                continue
+            lo, hi = _jsonable(st.min), _jsonable(st.max)
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+    stats = {
+        c: {"min": mins[c], "max": maxs[c]}
+        for c in stats_cols
+        if complete[c] and c in mins
+    }
+    return {"file": os.path.basename(fpath), "rows": rows, "stats": stats}
+
+
+def _part_files(path: str) -> list[str]:
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
+def write_with_manifest(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    stats_cols: list[str],
+    mode: str = "overwrite",
+) -> dict[str, Any]:
+    """Write ``df`` as parquet and persist a ``_manifest.json`` of
+    per-file min/max stats for ``stats_cols``.
+
+    ``mode="append"`` harvests footers only for files not already in
+    the manifest (incremental commit — cost scales with the batch, not
+    the table). Callers wanting maximal skipping should range-lay-out
+    first: ``df.repartitionByRange(n, col).sortWithinPartitions(col)``.
+    """
+    df.write.mode(mode).parquet(path)
+    files = _part_files(path)
+
+    known: dict[str, dict[str, Any]] = {}
+    if mode == "append":
+        old = read_manifest(path)
+        if old is not None and old["stats_cols"] == sorted(stats_cols):
+            known = {e["file"]: e for e in old["files"]}
+
+    todo = [f for f in files if os.path.basename(f) not in known]
+    if len(todo) > DISTRIBUTE_THRESHOLD:
+        sc = spark.sparkContext
+        cols = list(stats_cols)
+        entries = (
+            sc.parallelize(todo, max(1, len(todo) // 32))
+            .map(lambda f: _file_stats(f, cols))
+            .collect()
+        )
+    else:
+        entries = [_file_stats(f, stats_cols) for f in todo]
+
+    all_entries = [known[os.path.basename(f)] for f in files if os.path.basename(f) in known]
+    all_entries += entries
+    all_entries.sort(key=lambda e: e["file"])
+    manifest = {
+        "version": 1,
+        "stats_cols": sorted(stats_cols),
+        "n_files": len(all_entries),
+        "total_rows": sum(e["rows"] for e in all_entries),
+        "files": all_entries,
+    }
+    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
+        json.dump(manifest, fh, indent=1, default=str)
+    return manifest
+
+
+def read_manifest(path: str) -> dict[str, Any] | None:
+    p = os.path.join(path, MANIFEST_NAME)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _coerce(v: Any) -> Any:
+    """Normalize a predicate bound to the manifest's JSON domain so
+    comparisons are like-with-like (datetimes → ISO strings)."""
+    return _jsonable(v)
+
+
+def plan_files(
+    manifest: dict[str, Any],
+    col: str,
+    lower: Any = None,
+    upper: Any = None,
+) -> list[str]:
+    """File names whose [min, max] range on ``col`` intersects
+    [lower, upper] (either bound may be None = unbounded). Files with
+    no stats for ``col`` are conservatively kept."""
+    lo, hi = _coerce(lower), _coerce(upper)
+    keep = []
+    for e in manifest["files"]:
+        st = e["stats"].get(col)
+        if st is None:
+            keep.append(e["file"])  # unknown range — must scan
+            continue
+        if lo is not None and st["max"] < lo:
+            continue
+        if hi is not None and st["min"] > hi:
+            continue
+        keep.append(e["file"])
+    return keep
+
+
+def read_with_skipping(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lower: Any = None,
+    upper: Any = None,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Range-scan ``path`` reading only the files the manifest says can
+    contain ``col`` ∈ [lower, upper]. The predicate is still applied
+    (skipping is a superset guarantee, row-group + row filters finish
+    the job). Returns (df, {files_total, files_read}).
+
+    Falls back to a full scan (still filtered) when no manifest exists.
+    """
+    manifest = read_manifest(path)
+    cond = F.lit(True)
+    if lower is not None:
+        cond = cond & (F.col(col) >= F.lit(lower))
+    if upper is not None:
+        cond = cond & (F.col(col) <= F.lit(upper))
+
+    if manifest is None:
+        return spark.read.parquet(path).filter(cond), {"files_total": -1, "files_read": -1}
+
+    names = plan_files(manifest, col, lower, upper)
+    info = {"files_total": manifest["n_files"], "files_read": len(names)}
+    if not names:
+        df = spark.read.parquet(path).filter(F.lit(False))  # schema-preserving empty
+        return df, info
+    paths = [os.path.join(path, n) for n in names]
+    return spark.read.parquet(*paths).filter(cond), info

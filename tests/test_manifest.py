@@ -1,0 +1,120 @@
+"""Manifest-based file skipping: stats harvest, pruning correctness
+(results identical to a full scan), and the conservative no-stats /
+non-clustered-column paths."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_extractor_spark.sinks import manifest as M
+from etl_extractor_spark.sources.parquet import load_table
+
+
+@pytest.fixture(scope="module")
+def orders_laid_out(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("manifest") / "orders_by_date")
+    o = load_table(spark, sf_dir, "orders")
+    laid = o.repartitionByRange(8, "o_orderdate").sortWithinPartitions("o_orderdate")
+    man = M.write_with_manifest(
+        spark, laid, path, stats_cols=["o_orderdate", "o_totalprice"]
+    )
+    return path, man
+
+
+def test_manifest_written_with_stats(orders_laid_out, spark, sf_dir):
+    path, man = orders_laid_out
+    assert man["n_files"] == 8
+    assert man["total_rows"] == load_table(spark, sf_dir, "orders").count()
+    for e in man["files"]:
+        assert set(e["stats"]) == {"o_orderdate", "o_totalprice"}
+        assert e["stats"]["o_orderdate"]["min"] <= e["stats"]["o_orderdate"]["max"]
+    assert os.path.exists(os.path.join(path, M.MANIFEST_NAME))
+
+
+def test_range_predicate_prunes_files_and_matches_full_scan(orders_laid_out, spark):
+    path, _ = orders_laid_out
+    lo, hi = dt.datetime(1996, 1, 1), dt.datetime(1996, 6, 30)
+    df, info = M.read_with_skipping(spark, path, "o_orderdate", lo, hi)
+    assert info["files_read"] < info["files_total"], (
+        "range-clustered layout must prune files for a narrow date range"
+    )
+    full = (
+        spark.read.parquet(path)
+        .filter((F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") <= F.lit(hi)))
+    )
+    got = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).alias("s"),
+    ).first()
+    want = full.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).alias("s"),
+    ).first()
+    assert got["n"] == want["n"] and got["n"] > 0
+    assert got["s"] == want["s"]
+
+
+def test_out_of_range_predicate_reads_zero_files(orders_laid_out, spark):
+    path, _ = orders_laid_out
+    df, info = M.read_with_skipping(
+        spark, path, "o_orderdate", dt.datetime(2030, 1, 1), None
+    )
+    assert info["files_read"] == 0
+    assert df.count() == 0
+    assert "o_totalprice" in df.columns  # schema preserved for empty plan
+
+
+def test_non_clustered_column_keeps_all_files_but_stays_correct(
+    orders_laid_out, spark
+):
+    # o_totalprice is uncorrelated with the date layout: every file's
+    # [min,max] spans the predicate, so nothing prunes — and nothing
+    # may be wrongly dropped.
+    path, _ = orders_laid_out
+    df, info = M.read_with_skipping(spark, path, "o_totalprice", 400000.0, None)
+    assert info["files_read"] == info["files_total"]
+    full = spark.read.parquet(path).filter(F.col("o_totalprice") >= 400000.0)
+    assert df.count() == full.count()
+
+
+def test_append_mode_extends_manifest_incrementally(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "orders_inc")
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).repartition(2)
+    y96 = o.filter(F.year("o_orderdate") == 1996).repartition(2)
+    m1 = M.write_with_manifest(spark, y95, path, ["o_orderdate"], mode="overwrite")
+    m2 = M.write_with_manifest(spark, y96, path, ["o_orderdate"], mode="append")
+    assert m2["n_files"] == m1["n_files"] + 2
+    assert m2["total_rows"] == y95.count() + y96.count()
+    # pruning on the append boundary: a 1996-only scan skips the 1995 files
+    df, info = M.read_with_skipping(
+        spark, path, "o_orderdate", dt.datetime(1996, 1, 1), None
+    )
+    assert info["files_read"] == 2
+    assert df.count() == y96.count()
+
+
+def test_missing_manifest_falls_back_to_full_scan(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "plain")
+    load_table(spark, sf_dir, "orders").limit(100).write.parquet(path)
+    df, info = M.read_with_skipping(
+        spark, path, "o_orderdate", dt.datetime(1990, 1, 1), None
+    )
+    assert info == {"files_total": -1, "files_read": -1}
+    assert df.count() == 100
+
+
+def test_distributed_footer_harvest_matches_driver_path(spark, sf_dir, tmp_path, monkeypatch):
+    path_a = str(tmp_path / "driver_side")
+    path_b = str(tmp_path / "exec_side")
+    o = load_table(spark, sf_dir, "orders").repartitionByRange(6, "o_orderdate")
+    ma = M.write_with_manifest(spark, o, path_a, ["o_orderdate"])
+    monkeypatch.setattr(M, "DISTRIBUTE_THRESHOLD", 0)
+    mb = M.write_with_manifest(spark, o, path_b, ["o_orderdate"])
+    sa = [e["stats"] for e in ma["files"]]
+    sb = [e["stats"] for e in mb["files"]]
+    assert sa == sb and ma["total_rows"] == mb["total_rows"]
