@@ -220,8 +220,114 @@ SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
 """
 
 
+def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per customer over order history (ROWS
+    UNBOUNDED PRECEDING frame). The frame order is total — (date,
+    orderkey) with orderkey unique — and the cumulative sum is
+    DECIMAL, so every prefix is exact and deterministic. The window
+    partitions by customer: at scale this is a per-key sort within the
+    customer's partition, never a global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_revenue"),
+    )
+
+
+CUSTOMER_RUNNING_REVENUE_SQL = """
+SELECT o_custkey AS custkey,
+       o_orderkey AS orderkey,
+       CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS running_revenue
+FROM orders
+"""
+
+
+def daily_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-point moving average over the daily revenue series (ROWS
+    BETWEEN 6 PRECEDING): aggregate to day grain FIRST (one shuffle of
+    |days| rows), then a single bounded-frame window over the tiny
+    series. The average divides an exact DECIMAL sum by an exact
+    count — one double division, identical in any IEEE engine."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).alias("rev_d")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day",
+        F.col("rev_d").cast("double").alias("day_revenue"),
+        (F.sum("rev_d").over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "ma7"
+        ),
+    )
+
+
+DAILY_REVENUE_MOVING_AVG_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS rev_d
+  FROM orders GROUP BY 1
+)
+SELECT day,
+       CAST(rev_d AS DOUBLE) AS day_revenue,
+       CAST(sum(rev_d) OVER w AS DOUBLE)
+         / count(*) OVER w AS ma7
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def priority_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over the full partition
+    frame (UNBOUNDED on both sides — last_value with the default frame
+    is a classic bug): per priority, the first, 100th and last order in
+    (date, orderkey) order."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT DISTINCT o_orderpriority AS priority,
+               first_value(o_orderkey) OVER w AS first_order,
+               nth_value(o_orderkey, 100) OVER w AS hundredth_order,
+               last_value(o_orderkey) OVER w AS last_order
+        FROM orders_v
+        WINDOW w AS (
+          PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+        """
+    )
+
+
+PRIORITY_FIRST_LAST_SQL = """
+SELECT DISTINCT o_orderpriority AS priority,
+       first_value(o_orderkey) OVER w AS first_order,
+       nth_value(o_orderkey, 100) OVER w AS hundredth_order,
+       last_value(o_orderkey) OVER w AS last_order
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+"""
+
+
 QUERIES = {
     "cube_docs": cube_docs,
+    "customer_running_revenue": customer_running_revenue,
+    "daily_revenue_moving_avg": daily_revenue_moving_avg,
+    "priority_first_last": priority_first_last,
     "grouping_sets_orders": grouping_sets_orders,
     "customer_spend_ranks": customer_spend_ranks,
     "order_qty_profile": order_qty_profile,
@@ -231,6 +337,9 @@ QUERIES = {
 
 ORACLES = {
     "cube_docs": CUBE_DOCS_SQL,
+    "customer_running_revenue": CUSTOMER_RUNNING_REVENUE_SQL,
+    "daily_revenue_moving_avg": DAILY_REVENUE_MOVING_AVG_SQL,
+    "priority_first_last": PRIORITY_FIRST_LAST_SQL,
     "grouping_sets_orders": GROUPING_SETS_ORDERS_SQL,
     "customer_spend_ranks": CUSTOMER_SPEND_RANKS_SQL,
     "order_qty_profile": ORDER_QTY_PROFILE_SQL,
