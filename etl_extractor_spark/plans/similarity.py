@@ -43,6 +43,16 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def knn_topk_cosine_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy variant of knn_topk_cosine — same query set, same
+    oracle: the sequential-cumsum scoring is bit-identical to the
+    declarative fold, proving the vectorized fast path computes exactly
+    the declared semantics."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return S.topk_cosine_np(e, queries, k=5)
+
+
 def sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     pairs = S.blocked_pairs_cosine(e)
@@ -120,6 +130,7 @@ ANN_LSH_SQL = (
 
 QUERIES = {
     "knn_topk_cosine": knn_topk_cosine,
+    "knn_topk_cosine_np": knn_topk_cosine_np,
     "sim_histogram": sim_histogram,
     "embedding_near_dup": embedding_near_dup,
     "ann_lsh_buckets": ann_lsh_buckets,
@@ -129,6 +140,7 @@ QUERIES = {
 
 ORACLES = {
     "knn_topk_cosine": KNN_SQL,
+    "knn_topk_cosine_np": KNN_SQL,
     "sim_histogram": SIM_HISTOGRAM_SQL,
     "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
     "ann_lsh_buckets": ANN_LSH_SQL,
