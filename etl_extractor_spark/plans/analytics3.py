@@ -1,0 +1,290 @@
+"""Product-analytics and corpus-analytics queries, wave 3.
+
+Beyond-reference extensions (SURVEY §7.4 north-star): TF-IDF-style
+term salience, sequential event funnels, weekly cohort retention,
+deterministic hash-stratified sampling, and distributed embedding
+centroids. Every query is integer-exact or fixed-point-quantized so
+the DuckDB oracle hash-matches bit-for-bit (see spark4 parity notes in
+tests/oracle.py usage): no float ratios in compared output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_extractor_spark.functions import textstats as ts
+from etl_extractor_spark.sources.parquet import load_table
+
+# ---------------------------------------------------------------------------
+# 1. TF-IDF-style salient terms per language
+# ---------------------------------------------------------------------------
+
+
+def salient_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 salient terms per language: high term frequency within the
+    language, low document frequency across the corpus.
+
+    TF-IDF shape with integer-exact scoring: ``salience = (tf * 10000)
+    div df`` replaces ``tf * log(N/df)`` — monotone in tf/df for fixed
+    N, and reproducible across engines (no float log). Two aggregations
+    (tf per lang-token, df per token) joined on token; the df side is
+    tiny (corpus vocabulary) so it broadcasts — at 100 TB the vocab
+    table is still only O(vocab) rows after the distinct-agg shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(ts.tokens("text")).alias("token")
+    ).filter(F.length("token") > 0)
+    tf = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .withColumn("salience", F.expr("tf * 10000 div df"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("salience"), F.desc("tf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "token", "tf", "df", "salience", "rnk")
+    )
+
+
+SALIENT_TERMS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ')) AS token
+  FROM documents
+), toks2 AS (
+  SELECT * FROM toks WHERE len(token) > 0
+), tf AS (
+  SELECT lang, token, count(*) AS tf FROM toks2 GROUP BY lang, token
+), df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM toks2 GROUP BY token
+), scored AS (
+  SELECT tf.lang, tf.token, tf.tf, df.df, (tf.tf * 10000) // df.df AS salience
+  FROM tf JOIN df USING (token)
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY salience DESC, tf DESC, token ASC
+  ) AS rnk
+  FROM scored
+)
+SELECT lang, token, tf, df, salience, rnk FROM ranked WHERE rnk <= 5
+"""
+
+# ---------------------------------------------------------------------------
+# 2. Sequential event funnel
+# ---------------------------------------------------------------------------
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → view → click → purchase: users counted at
+    stage k only if stage k's first qualifying event is strictly after
+    their stage-(k-1) time.
+
+    Each step is one filtered aggregation joined to the previous
+    stage's (user, time) frame — all four shuffles hash on ``user_id``
+    so the exchanges reuse one partitioning; no window over the full
+    event log and no per-user event collection. Scales as O(events) map
+    work + O(users) join state per stage.
+    """
+    e = load_table(spark, sf_dir, "events")
+
+    def first_after(prev: DataFrame, etype: str, tcol: str, out: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(tcol))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = first_after(s1, "view", "t1", "t2")
+    s3 = first_after(s2, "click", "t2", "t3")
+    s4 = first_after(s3, "purchase", "t3", "t4")
+
+    def stage(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("stage"), F.count(F.lit(1)).alias("users")
+        )
+
+    return (
+        stage(s1, "1_signup")
+        .unionByName(stage(s2, "2_view"))
+        .unionByName(stage(s3, "3_click"))
+        .unionByName(stage(s4, "4_purchase"))
+    )
+
+
+EVENT_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id
+), s4 AS (
+  SELECT e.user_id, min(e.ts) AS t4 FROM events e JOIN s3 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id
+)
+SELECT '1_signup' AS stage, count(*) AS users FROM s1
+UNION ALL SELECT '2_view', count(*) FROM s2
+UNION ALL SELECT '3_click', count(*) FROM s3
+UNION ALL SELECT '4_purchase', count(*) FROM s4
+"""
+
+# ---------------------------------------------------------------------------
+# 3. Weekly cohort retention
+# ---------------------------------------------------------------------------
+
+
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort = Monday-truncated week of each user's first event;
+    retention cell (cohort_week, week_offset) counts distinct users
+    active that many weeks later.
+
+    Two aggregations on ``user_id`` then one on the (small) cohort
+    grid. The first-event frame is O(users); it re-joins the event log
+    on user_id (co-partitioned with the preceding agg's shuffle).
+    """
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    return (
+        e.select("user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk"))
+        .join(first, "user_id")
+        .withColumn(
+            "week_offset",
+            F.expr("datediff(wk, cohort_week) div 7").cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("users"))
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_week,
+       CAST(datediff('day', f.cohort_week, CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT) AS week_offset,
+       count(DISTINCT e.user_id) AS users
+FROM events e JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# 4. Deterministic hash-stratified sampling
+# ---------------------------------------------------------------------------
+
+# Knuth multiplicative constant; key*C mod 1000 gives a uniform,
+# engine-reproducible pseudo-random bucket without any rand()/seed.
+_HASH_C = 2654435761
+_RATES = {"F": 100, "O": 50, "P": 500}  # per-mille keep rates per stratum
+
+
+def orders_sample_hash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample with per-status rates (F 10%, O 5%, P 50%)
+    selected by a deterministic key hash — reproducible across engines,
+    cluster sizes, and reruns (no rand(), no seed coordination, no
+    driver-side sampling state). The predicate is a pure row-local
+    expression, so it pushes into the scan and costs zero shuffles.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.pmod(F.col("o_orderkey") * F.lit(_HASH_C), F.lit(1000))
+    rate = (
+        F.when(F.col("o_orderstatus") == "F", _RATES["F"])
+        .when(F.col("o_orderstatus") == "O", _RATES["O"])
+        .otherwise(_RATES["P"])
+    )
+    return o.filter(bucket < rate).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+ORDERS_SAMPLE_HASH_SQL = f"""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE ((o_orderkey * {_HASH_C}) % 1000 + 1000) % 1000 <
+      CASE o_orderstatus WHEN 'F' THEN {_RATES["F"]}
+                         WHEN 'O' THEN {_RATES["O"]}
+                         ELSE {_RATES["P"]} END
+"""
+
+# ---------------------------------------------------------------------------
+# 5. Distributed embedding centroids
+# ---------------------------------------------------------------------------
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column via posexplode +
+    groupBy(label, dim) — the distributed building block for KMeans /
+    IVF training (no vector fits on the driver at 100 TB).
+
+    Components are fixed-point quantized (``floor(x * 10^4)``, an
+    identical IEEE double op in both engines) so sums and the integer
+    centroid are bit-exact; no float summation order sensitivity.
+    ``centroid_q4`` is the centroid component in 1e-4 units.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "label", F.posexplode("embedding").alias("pos", "x")
+        )
+        .select(
+            "label",
+            (F.col("pos") + 1).alias("dim"),
+            F.floor(F.col("x").cast("double") * 10000).alias("xq"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xq").alias("sum_q4"),
+        )
+        .withColumn("centroid_q4", F.expr("sum_q4 div n"))
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+WITH comp AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS xq
+  FROM embeddings
+)
+SELECT label, CAST(dim AS INT) AS dim, count(*) AS n, sum(xq) AS sum_q4,
+       sum(xq) // count(*) AS centroid_q4
+FROM comp
+GROUP BY label, dim
+"""
+
+
+QUERIES = {
+    "salient_terms_by_lang": salient_terms_by_lang,
+    "event_funnel": event_funnel,
+    "weekly_cohort_retention": weekly_cohort_retention,
+    "orders_sample_hash_det": orders_sample_hash_det,
+    "label_centroids": label_centroids,
+}
+
+ORACLES = {
+    "salient_terms_by_lang": SALIENT_TERMS_SQL,
+    "event_funnel": EVENT_FUNNEL_SQL,
+    "weekly_cohort_retention": COHORT_RETENTION_SQL,
+    "orders_sample_hash_det": ORDERS_SAMPLE_HASH_SQL,
+    "label_centroids": LABEL_CENTROIDS_SQL,
+}
