@@ -84,3 +84,49 @@ def test_q11_scalar_threshold_is_broadcast_not_collected(spark, sf_dir):
 
     plan = _plan(q11_important_parts(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Selective dim filter + big-big shuffle join: Spark's runtime
+    bloom filter should materialize on the dim side and pre-filter the
+    fact scan (semi-join reduction). At 100 TB the default thresholds
+    (creation side <=10MB, probe scan >=10GB) trigger this natively;
+    here we lower them to express the same plan at test scale."""
+    from pyspark.sql import functions as F
+
+    from etl_extractor_spark.sources.parquet import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+        j = (
+            li.join(part, li.l_partkey == part.p_partkey)
+            .groupBy("p_type")
+            .agg(F.sum("l_quantity"))
+        )
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan
+        assert "BloomFilterMightContain" in plan or "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

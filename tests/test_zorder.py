@@ -1,0 +1,90 @@
+"""Z-order clustered layout: multi-column file skipping.
+
+The contract: after ``write_zordered`` on (a, b), a range predicate on
+EITHER column prunes files via the manifest, while a linear layout on
+``a`` alone prunes only on ``a``. Pruned scans stay row-for-row equal
+to full scans (skipping is a superset guarantee).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_extractor_spark.sinks.manifest import read_with_skipping, write_with_manifest
+from etl_extractor_spark.sinks.zorder import write_zordered, zvalue
+from etl_extractor_spark.sources.parquet import load_table
+
+N_FILES = 16
+
+
+@pytest.fixture(scope="module")
+def layouts(spark, sf_dir, tmp_path_factory):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zpath = str(tmp_path_factory.mktemp("zorder") / "li_z")
+    lpath = str(tmp_path_factory.mktemp("zorder") / "li_lin")
+    write_zordered(spark, li, zpath, ["l_partkey", "l_suppkey"], n_files=N_FILES)
+    linear = li.repartitionByRange(N_FILES, "l_partkey").sortWithinPartitions(
+        "l_partkey"
+    )
+    write_with_manifest(
+        spark, linear, lpath, stats_cols=["l_partkey", "l_suppkey"]
+    )
+    # middle ~20% band per column, valid at any scale factor
+    b = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).first()
+    ranges = {
+        "l_partkey": _mid_band(b[0], b[1]),
+        "l_suppkey": _mid_band(b[2], b[3]),
+    }
+    return zpath, lpath, ranges
+
+
+def _mid_band(lo: int, hi: int) -> tuple[int, int]:
+    span = hi - lo
+    return lo + int(span * 0.4), lo + int(span * 0.6)
+
+
+def test_zorder_prunes_both_dimensions(spark, layouts):
+    zpath, _, ranges = layouts
+    _, on_a = read_with_skipping(spark, zpath, "l_partkey", *ranges["l_partkey"])
+    _, on_b = read_with_skipping(spark, zpath, "l_suppkey", *ranges["l_suppkey"])
+    assert on_a["files_read"] < on_a["files_total"]
+    assert on_b["files_read"] < on_b["files_total"]
+
+
+def test_linear_layout_cannot_prune_second_column(spark, layouts):
+    _, lpath, ranges = layouts
+    _, on_a = read_with_skipping(spark, lpath, "l_partkey", *ranges["l_partkey"])
+    _, on_b = read_with_skipping(spark, lpath, "l_suppkey", *ranges["l_suppkey"])
+    assert on_a["files_read"] < on_a["files_total"]  # sort column prunes hard
+    assert on_b["files_read"] == on_b["files_total"]  # other column: no locality
+
+
+def test_pruned_scan_equals_full_scan(spark, layouts):
+    zpath, _, ranges = layouts
+    lo, hi = ranges["l_suppkey"]
+    pruned, info = read_with_skipping(spark, zpath, "l_suppkey", lo, hi)
+    full = (
+        spark.read.parquet(zpath)
+        .filter((F.col("l_suppkey") >= lo) & (F.col("l_suppkey") <= hi))
+    )
+    assert info["files_read"] < info["files_total"]
+    assert pruned.count() == full.count()
+    assert pruned.exceptAll(full).isEmpty() and full.exceptAll(pruned).isEmpty()
+
+
+def test_zvalue_is_deterministic_jvm_expression(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    z = zvalue(li, ["l_partkey", "l_suppkey"], bits=4)
+    out = li.withColumn("z", z)
+    # bit-interleave of 4-bit buckets stays within 8 bits
+    row = out.agg(F.min("z"), F.max("z")).first()
+    assert 0 <= row[0] <= row[1] < 256
+    # same input → same codes (no rand, no partition sensitivity)
+    a = out.groupBy("z").count().orderBy("z").collect()
+    b = out.repartition(7).groupBy("z").count().orderBy("z").collect()
+    assert a == b
