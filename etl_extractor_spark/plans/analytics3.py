@@ -288,3 +288,162 @@ ORACLES = {
     "orders_sample_hash_det": ORDERS_SAMPLE_HASH_SQL,
     "label_centroids": LABEL_CENTROIDS_SQL,
 }
+
+# ---------------------------------------------------------------------------
+# 6. Event transition matrix (sequence modeling)
+# ---------------------------------------------------------------------------
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts: consecutive event_type pairs per user,
+    ordered by (ts, event_id) for a deterministic sequence. One window
+    over user_id partitions (the natural shuffle key), one count agg —
+    state per partition is a single row, so the window streams.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# 7. Token bigrams (n-gram language statistics)
+# ---------------------------------------------------------------------------
+
+
+def token_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 token bigrams across the corpus. The bigram list is built
+    per-row with two array slices + zip (pure codegen, no Python, no
+    row-multiplying join); only the exploded (bigram, 1) pairs hit the
+    count shuffle with map-side partial aggregation.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = ts.tokens("text")
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("w1"),
+        F.slice(toks, 2, n - 1).alias("w2"),
+    )
+    return (
+        d.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter((F.length("w1") > 0) & (F.length("w2") > 0))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )
+
+
+TOKEN_BIGRAMS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' '), 1) AS i,
+         unnest(string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+)
+SELECT a.tok AS w1, b.tok AS w2, count(*) AS freq
+FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+WHERE len(a.tok) > 0 AND len(b.tok) > 0
+GROUP BY 1, 2
+ORDER BY freq DESC, w1 ASC, w2 ASC
+LIMIT 20
+"""
+
+# ---------------------------------------------------------------------------
+# 8. RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency / Frequency / Monetary quartile segmentation.
+
+    Money aggregates in DECIMAL(18,2) (exact, order-independent);
+    recency anchored to the corpus max order date (a scalar agg
+    broadcast into the projection, not a driver literal); every ntile
+    window orders with the customer key as final tiebreaker so tile
+    assignment is total-order deterministic in both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
+    scored = per_cust.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days", F.datediff("anchor", "last_order")
+    )
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return (
+        scored.withColumn("r_score", F.ntile(4).over(r_w))
+        .withColumn("f_score", F.ntile(4).over(f_w))
+        .withColumn("m_score", F.ntile(4).over(m_w))
+        .select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            F.col("monetary").cast("double").alias("monetary"),
+            "r_score",
+            "f_score",
+            "m_score",
+            F.concat_ws("-", "r_score", "f_score", "m_score").alias("segment"),
+        )
+    )
+
+
+ORDERS_RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY o_custkey
+), anchored AS (
+  SELECT *, datediff('day', last_order, (SELECT max(o_orderdate) FROM orders)) AS recency_days
+  FROM per_cust
+)
+SELECT o_custkey, recency_days, frequency,
+       CAST(monetary AS DOUBLE) AS monetary,
+       ntile(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_score,
+       ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+       ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_score,
+       concat_ws('-',
+         ntile(4) OVER (ORDER BY recency_days ASC, o_custkey ASC),
+         ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC),
+         ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC)) AS segment
+FROM anchored
+"""
+
+QUERIES.update(
+    {
+        "event_transitions": event_transitions,
+        "token_bigrams": token_bigrams,
+        "orders_rfm": orders_rfm,
+    }
+)
+
+ORACLES.update(
+    {
+        "event_transitions": EVENT_TRANSITIONS_SQL,
+        "token_bigrams": TOKEN_BIGRAMS_SQL,
+        "orders_rfm": ORDERS_RFM_SQL,
+    }
+)

@@ -289,3 +289,44 @@ def run_streaming_upsert(
     )
     q.awaitTermination()
     return applied["n"]
+
+
+def run_streaming_incremental_agg(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    keys: list,
+    measures: dict,
+) -> int:
+    """Streaming materialized aggregate: foreachBatch →
+    sinks/incremental.apply_batch. Each micro-batch partial-aggregates
+    itself and merges into the persistent aggregate state — per-batch
+    cost scales with the batch + group count, never with history, and
+    no unbounded streaming state lives in the query (the state IS the
+    output table, bounded by group cardinality).
+
+    Double safety net for exactly-once: checkpointed source offsets
+    skip committed batches on restart, and the incremental sink's own
+    batch-id watermark turns a replay of an uncommitted-but-applied
+    batch into a no-op. Returns batches applied this run."""
+    from etl_extractor_spark.sinks.incremental import apply_batch as _apply
+
+    applied = {"n": 0}
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _apply(
+            batch_df.sparkSession, state_path, batch_df, keys, measures,
+            batch_id=batch_id,
+        )
+        applied["n"] += 1
+
+    q = (
+        stream_df.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return applied["n"]

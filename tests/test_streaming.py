@@ -139,3 +139,65 @@ def test_streaming_upsert_merges_batches_into_target(spark):
         n2 = run_streaming_upsert(stream2, target, ckpt, ["id"], "dt")
         assert n2 == 0  # checkpoint: nothing reapplied
         assert spark.read.parquet(target).count() == 3
+
+
+def test_streaming_incremental_agg_matches_batch(spark, sf_dir):
+    """Multi-file source streamed one file per micro-batch through the
+    incremental aggregate sink: final state == one-shot batch
+    recompute, and a checkpointed rerun applies nothing."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_extractor_spark.sinks.incremental import read_state
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    measures = {"revenue": ("sum", "o_totalprice"), "n_orders": ("count", "*")}
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        orders.repartition(4).write.parquet(src)  # 4 source files
+        state = os.path.join(tmp, "state")
+        ckpt = os.path.join(tmp, "ckpt")
+
+        stream = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        n1 = SE.run_streaming_incremental_agg(
+            stream, state, ckpt, ["o_custkey"], measures
+        )
+        assert n1 >= 2  # genuinely incremental: several micro-batches
+
+        got = sorted(
+            (r["o_custkey"], r["revenue"], r["n_orders"])
+            for r in read_state(spark, state).collect()
+        )
+        want = sorted(
+            (r["o_custkey"], r["revenue"], r["n_orders"])
+            for r in orders.groupBy("o_custkey")
+            .agg(
+                F.sum("o_totalprice").alias("revenue"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+            .collect()
+        )
+        assert got == want
+
+        stream2 = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        n2 = SE.run_streaming_incremental_agg(
+            stream2, state, ckpt, ["o_custkey"], measures
+        )
+        assert n2 == 0  # offsets committed — restart reprocesses nothing
+        assert sorted(
+            (r["o_custkey"], r["revenue"], r["n_orders"])
+            for r in read_state(spark, state).collect()
+        ) == want
