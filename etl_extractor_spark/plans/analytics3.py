@@ -447,3 +447,98 @@ ORACLES.update(
         "orders_rfm": ORDERS_RFM_SQL,
     }
 )
+
+# ---------------------------------------------------------------------------
+# 9. Rolling 7-day distinct active users
+# ---------------------------------------------------------------------------
+
+
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per trailing 7-day window, one row per active day.
+
+    COUNT(DISTINCT) over a sliding frame isn't a window function Spark
+    (or any engine) can stream, so the scalable form pre-aggregates to
+    the (day, user) grain — collapsing 100 TB of events to O(days ×
+    DAU) rows — then joins each day against its trailing week and
+    counts distinct users once per (anchor day). The join fans out at
+    most 7× the day-grain frame, independent of raw event volume.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day_users = e.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    days = day_users.select("d").distinct().alias("anchor")
+    du = day_users.alias("du")
+    return (
+        days.join(
+            du,
+            (F.col("du.d") <= F.col("anchor.d"))
+            & (F.col("du.d") >= F.date_sub(F.col("anchor.d"), 6)),
+        )
+        .groupBy(F.col("anchor.d").alias("day"))
+        .agg(F.countDistinct("du.user_id").alias("active_users_7d"))
+    )
+
+
+ROLLING_7D_AU_SQL = """
+WITH day_users AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+), days AS (
+  SELECT DISTINCT d FROM day_users
+)
+SELECT days.d AS day, count(DISTINCT du.user_id) AS active_users_7d
+FROM days JOIN day_users du
+  ON du.d <= days.d AND du.d >= days.d - INTERVAL 6 DAY
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# 10. Deterministic per-group sampling
+# ---------------------------------------------------------------------------
+
+
+def events_per_user_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At most 3 events per user, chosen by a deterministic key hash —
+    the bounded-fan-in "reservoir" every training-data pipeline needs
+    (cap per-source/per-user contributions without a global sort).
+
+    One window per user partition ordered by an arithmetic hash of the
+    event id: reproducible across engines and cluster layouts, no
+    rand() state, and the window streams within each user partition.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hash_order = F.pmod(F.col("event_id") * F.lit(_HASH_C), F.lit(1_000_000_007))
+    w = Window.partitionBy("user_id").orderBy(hash_order.asc(), F.col("event_id").asc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "event_type", "rn")
+    )
+
+
+EVENTS_PER_USER_SAMPLE_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY ((event_id * {_HASH_C}) % 1000000007 + 1000000007) % 1000000007 ASC,
+                    event_id ASC
+         ) AS rn
+  FROM events
+)
+SELECT user_id, event_id, event_type, rn FROM ranked WHERE rn <= 3
+"""
+
+QUERIES.update(
+    {
+        "rolling_7d_active_users": rolling_7d_active_users,
+        "events_per_user_sample": events_per_user_sample,
+    }
+)
+
+ORACLES.update(
+    {
+        "rolling_7d_active_users": ROLLING_7D_AU_SQL,
+        "events_per_user_sample": EVENTS_PER_USER_SAMPLE_SQL,
+    }
+)
