@@ -66,6 +66,7 @@ def main() -> None:
                 _force(fn(spark, warm_dir))
             except Exception:
                 pass
+            spark.catalog.clearCache()  # drop persisted intermediates
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -75,6 +76,9 @@ def main() -> None:
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # release this query's persisted intermediates so cached
+        # partitions from one query can't skew the next one's GC
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
