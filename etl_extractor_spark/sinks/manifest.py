@@ -133,12 +133,32 @@ def write_with_manifest(
     all_entries = [known[os.path.basename(f)] for f in files if os.path.basename(f) in known]
     all_entries += entries
     all_entries.sort(key=lambda e: e["file"])
+
+    # snapshot history: every commit records the file list it made
+    # current. Appends never rewrite existing files, so any previous
+    # snapshot stays readable (time travel); an overwrite deletes the
+    # old data files, which resets history to the new snapshot — this
+    # is append-only versioning, not copy-on-write.
+    snapshots: list[dict[str, Any]] = []
+    if mode == "append":
+        old = read_manifest(path)
+        if old is not None:
+            snapshots = old.get("snapshots", [])
+    snapshots.append(
+        {
+            "id": (snapshots[-1]["id"] + 1) if snapshots else 0,
+            "files": [e["file"] for e in all_entries],
+            "total_rows": sum(e["rows"] for e in all_entries),
+        }
+    )
+
     manifest = {
-        "version": 1,
+        "version": 2,
         "stats_cols": sorted(stats_cols),
         "n_files": len(all_entries),
         "total_rows": sum(e["rows"] for e in all_entries),
         "files": all_entries,
+        "snapshots": snapshots,
     }
     with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
         json.dump(manifest, fh, indent=1, default=str)
@@ -214,3 +234,39 @@ def read_with_skipping(
         return df, info
     paths = [os.path.join(path, n) for n in names]
     return spark.read.parquet(*paths).filter(cond), info
+
+
+def table_history(path: str) -> list[dict[str, Any]]:
+    """Commit history: one entry per write, oldest first — (id, file
+    count, row count). The metadata-only answer to "what did this
+    table look like N commits ago"."""
+    m = read_manifest(path)
+    if m is None:
+        return []
+    return [
+        {"id": s["id"], "n_files": len(s["files"]), "total_rows": s["total_rows"]}
+        for s in m.get("snapshots", [])
+    ]
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, snapshot_id: int
+) -> DataFrame:
+    """Time travel: read the table exactly as it was at ``snapshot_id``.
+
+    Planning is a manifest lookup (no file listing, no footer reads);
+    the scan touches only the files that snapshot committed. Appends
+    preserve old files so every recorded snapshot stays readable;
+    overwrites reset history (see write_with_manifest).
+    """
+    m = read_manifest(path)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path}")
+    by_id = {s["id"]: s for s in m.get("snapshots", [])}
+    if snapshot_id not in by_id:
+        raise KeyError(
+            f"snapshot {snapshot_id} not in history {sorted(by_id)} "
+            "(overwritten tables keep only post-overwrite snapshots)"
+        )
+    names = by_id[snapshot_id]["files"]
+    return spark.read.parquet(*[os.path.join(path, n) for n in names])

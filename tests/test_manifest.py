@@ -118,3 +118,56 @@ def test_distributed_footer_harvest_matches_driver_path(spark, sf_dir, tmp_path,
     sa = [e["stats"] for e in ma["files"]]
     sb = [e["stats"] for e in mb["files"]]
     assert sa == sb and ma["total_rows"] == mb["total_rows"]
+
+
+def test_snapshot_history_and_time_travel(spark, sf_dir, tmp_path):
+    """Three commits (overwrite + two appends) → three snapshots; each
+    one stays readable as-of, planned purely from the manifest."""
+    from pyspark.sql import functions as F
+
+    from etl_extractor_spark.sinks.manifest import (
+        read_snapshot,
+        table_history,
+        write_with_manifest,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    b1 = orders.filter(F.year("o_orderdate") <= 1996)
+    b2 = orders.filter(F.year("o_orderdate").isin(1997, 1998))
+    b3 = orders.filter(F.year("o_orderdate") >= 1999)
+    path = str(tmp_path / "tt")
+
+    write_with_manifest(spark, b1, path, ["o_orderkey"], mode="overwrite")
+    write_with_manifest(spark, b2, path, ["o_orderkey"], mode="append")
+    write_with_manifest(spark, b3, path, ["o_orderkey"], mode="append")
+
+    hist = table_history(path)
+    assert [h["id"] for h in hist] == [0, 1, 2]
+    n1, n2, n3 = b1.count(), b2.count(), b3.count()
+    assert [h["total_rows"] for h in hist] == [n1, n1 + n2, n1 + n2 + n3]
+
+    as_of_0 = read_snapshot(spark, path, 0)
+    assert as_of_0.count() == n1
+    # exactly the first batch, not merely the right cardinality
+    assert as_of_0.exceptAll(b1).isEmpty() and b1.exceptAll(as_of_0).isEmpty()
+    assert read_snapshot(spark, path, 1).count() == n1 + n2
+    assert read_snapshot(spark, path, 2).count() == n1 + n2 + n3
+
+    with pytest.raises(KeyError):
+        read_snapshot(spark, path, 99)
+
+
+def test_overwrite_resets_history(spark, sf_dir, tmp_path):
+    from etl_extractor_spark.sinks.manifest import (
+        table_history,
+        write_with_manifest,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "reset")
+    write_with_manifest(spark, orders, path, ["o_orderkey"], mode="overwrite")
+    write_with_manifest(spark, orders, path, ["o_orderkey"], mode="append")
+    assert len(table_history(path)) == 2
+    write_with_manifest(spark, orders, path, ["o_orderkey"], mode="overwrite")
+    hist = table_history(path)
+    assert len(hist) == 1 and hist[0]["id"] == 0

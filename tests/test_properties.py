@@ -67,3 +67,27 @@ def test_to_double_or_property(spark, values):
                 assert abs(g - float(v)) < 1e-6 or (float(v) != float(v))
             except ValueError:
                 assert g == -7.5  # unparseable → sentinel, never an exception
+
+
+def test_approx_percentile_rank_error_bound(spark, sf_dir):
+    """approx_percentile's contract: with accuracy a, the returned
+    value's RANK is within n/a of the target rank (KLL-style sketch
+    guarantee — rank error, not value error). This is the scalable
+    substitute for exact percentile_cont at 100 TB (mergeable sketch,
+    one pass, no global sort); the bound is what makes it safe to use.
+    """
+    from pyspark.sql import functions as F
+
+    from etl_extractor_spark.sources.parquet import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    accuracy = 1000
+    for q in (0.1, 0.5, 0.9):
+        approx = li.agg(
+            F.expr(
+                f"approx_percentile(l_extendedprice, {q}, {accuracy})"
+            ).alias("v")
+        ).first()["v"]
+        rank = li.filter(F.col("l_extendedprice") <= approx).count()
+        assert abs(rank - q * n) <= n / accuracy + 1, (q, rank, q * n, n)
