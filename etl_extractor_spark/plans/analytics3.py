@@ -542,3 +542,136 @@ ORACLES.update(
         "events_per_user_sample": EVENTS_PER_USER_SAMPLE_SQL,
     }
 )
+
+# ---------------------------------------------------------------------------
+# 11. PII redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[a-z0-9.]+@[a-z]+\.[a-z]+"
+_PHONE_RE = r"555-[0-9]{4}"
+
+
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/phone redaction over a synthesized contact string — the
+    standard pre-training scrub stage, as a pure row-local projection
+    (pushes to the scan, zero shuffles, codegen regex).
+
+    The corpus has no PII columns, so the contact text is constructed
+    deterministically from customer fields the same way in the oracle;
+    what the compare then pins is the REDACTION semantics: match sets,
+    replace-all behavior, and counts per row.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.regexp_replace(F.lower("c_name"), F.lit("#"), F.lit(".")),
+        F.lit("@example.com call 555-"),
+        F.lpad(F.pmod("c_custkey", F.lit(10000)).cast("string"), 4, "0"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(contact, F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(_PHONE_RE),
+        F.lit("<PHONE>"),
+    )
+    return (
+        c.select(
+            "c_custkey",
+            red.alias("redacted"),
+            F.size(F.regexp_extract_all(contact, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+            F.size(F.regexp_extract_all(contact, F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        )
+    )
+
+
+REDACT_PII_SQL = rf"""
+WITH built AS (
+  SELECT c_custkey,
+         replace(lower(c_name), '#', '.') || '@example.com call 555-' ||
+         lpad(CAST(((c_custkey % 10000) + 10000) % 10000 AS VARCHAR), 4, '0') AS contact
+  FROM customer
+)
+SELECT c_custkey,
+       regexp_replace(regexp_replace(contact, '{_EMAIL_RE}', '<EMAIL>', 'g'), '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+       len(regexp_extract_all(contact, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(contact, '{_PHONE_RE}')) AS n_phones
+FROM built
+"""
+
+# ---------------------------------------------------------------------------
+# 12. Per-user value trend (distributed OLS via sufficient statistics)
+# ---------------------------------------------------------------------------
+
+
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of event value over time, per user, from
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²) — one partial-agg
+    shuffle, mergeable across any partitioning, never a per-user sort.
+    This is how you fit millions of tiny models on 100 TB: sufficient
+    stats are just another mergeable aggregate.
+
+    Exactness: x = day index (small int), y quantized to 1e-4 units
+    with an IEEE-identical floor(value*10⁴); the slope is reported as
+    an exact integer rational (num, den) plus its 1e-4-unit integer
+    quotient, so both engines hash-match bit-for-bit (no float sums).
+    """
+    e = load_table(spark, sf_dir, "events")
+    x = F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01")))
+    y = F.floor(F.col("value") * 10000)
+    stats = (
+        e.select(
+            "user_id", x.alias("x"), y.alias("y")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return stats.select(
+        "user_id",
+        "n",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.when(den != 0, F.expr(
+            "(n * sxy - sx * sy) * 10000 div (n * sxx - sx * sx)"
+        )).alias("slope_q4"),
+    )
+
+
+USER_VALUE_TREND_SQL = """
+WITH pts AS (
+  SELECT user_id,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         CAST(floor(value * 10000) AS BIGINT) AS y
+  FROM events
+), stats AS (
+  SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM pts GROUP BY user_id
+)
+SELECT user_id, n,
+       n * sxy - sx * sy AS slope_num,
+       n * sxx - sx * sx AS slope_den,
+       CASE WHEN n * sxx - sx * sx <> 0
+            THEN ((n * sxy - sx * sy) * 10000) // (n * sxx - sx * sx)
+       END AS slope_q4
+FROM stats
+"""
+
+QUERIES.update(
+    {
+        "redact_pii": redact_pii,
+        "user_value_trend": user_value_trend,
+    }
+)
+
+ORACLES.update(
+    {
+        "redact_pii": REDACT_PII_SQL,
+        "user_value_trend": USER_VALUE_TREND_SQL,
+    }
+)
