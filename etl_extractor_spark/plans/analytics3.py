@@ -675,3 +675,60 @@ ORACLES.update(
         "user_value_trend": USER_VALUE_TREND_SQL,
     }
 )
+
+# ---------------------------------------------------------------------------
+# 13. Purchase attribution (first/last touch)
+# ---------------------------------------------------------------------------
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: for every purchase, the user's first and
+    last non-purchase touch before it, counted per (first, last) pair.
+
+    One window pass per user partition (ignore-nulls first/last over
+    the preceding frame) — no interval self-join, no per-purchase
+    rescans; cost is one shuffle on user_id regardless of history
+    depth. Ordering ties broken by event_id so the frame is a total
+    order in both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    np_type = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        e.withColumn("touch", np_type)
+        .withColumn("first_touch", F.first("touch", ignorenulls=True).over(w))
+        .withColumn("last_touch", F.last("touch", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce("first_touch", F.lit("none")).alias("first_touch"),
+            F.coalesce("last_touch", F.lit("none")).alias("last_touch"),
+        )
+        .agg(F.count(F.lit(1)).alias("purchases"))
+    )
+
+
+PURCHASE_ATTRIBUTION_SQL = """
+WITH touched AS (
+  SELECT event_type,
+         first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+  FROM events
+)
+SELECT coalesce(first_touch, 'none') AS first_touch,
+       coalesce(last_touch, 'none') AS last_touch,
+       count(*) AS purchases
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY 1, 2
+"""
+
+QUERIES.update({"purchase_attribution": purchase_attribution})
+ORACLES.update({"purchase_attribution": PURCHASE_ATTRIBUTION_SQL})

@@ -47,3 +47,43 @@ def compact_parquet(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return parquet_file_count(path)
+
+
+def compact_with_manifest(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    sort_col: str | None = None,
+    n_files: int | None = None,
+) -> dict:
+    """Compaction for manifest-tracked tables: rewrite to ~target-sized
+    files, re-harvest footer stats, and commit a fresh manifest.
+
+    Rows are unchanged; the file set is not, and the old files are
+    gone after the swap, so prior snapshots are no longer readable —
+    the compacted table restarts history at a single snapshot (the
+    OPTIMIZE + VACUUM trade-off on a non-copy-on-write store; keep
+    appending to retain history, compact when file count matters more).
+
+    ``sort_col`` optionally re-clusters during the rewrite
+    (repartitionByRange + in-partition sort) so compaction doubles as
+    layout repair — restoring the file skipping that interleaved
+    appends destroyed.
+    """
+    from etl_extractor_spark.sinks.manifest import harvest_manifest, read_manifest
+
+    m = read_manifest(path)
+    stats_cols = m["stats_cols"] if m else []
+    df = spark.read.parquet(path)
+    if n_files is None:
+        n_files = max(1, math.ceil(dir_bytes(path) / (target_file_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + "__compacting"
+    laid = (
+        df.repartitionByRange(n_files, sort_col).sortWithinPartitions(sort_col)
+        if sort_col
+        else df.coalesce(n_files)
+    )
+    laid.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return harvest_manifest(spark, path, stats_cols)

@@ -109,14 +109,29 @@ def write_with_manifest(
     the table). Callers wanting maximal skipping should range-lay-out
     first: ``df.repartitionByRange(n, col).sortWithinPartitions(col)``.
     """
+    old = read_manifest(path) if mode == "append" else None
     df.write.mode(mode).parquet(path)
+    return harvest_manifest(spark, path, stats_cols, prior=old)
+
+
+def harvest_manifest(
+    spark: SparkSession,
+    path: str,
+    stats_cols: list[str],
+    prior: dict[str, Any] | None = None,
+) -> dict[str, Any]:
+    """Stat every data file under ``path`` and commit a manifest.
+
+    ``prior`` (the manifest from before an append) supplies already-
+    harvested file entries — only new files get their footers read —
+    and the snapshot history to extend. Without it, history restarts
+    at a single snapshot covering the current file set (fresh write,
+    overwrite, or compaction)."""
     files = _part_files(path)
 
     known: dict[str, dict[str, Any]] = {}
-    if mode == "append":
-        old = read_manifest(path)
-        if old is not None and old["stats_cols"] == sorted(stats_cols):
-            known = {e["file"]: e for e in old["files"]}
+    if prior is not None and prior["stats_cols"] == sorted(stats_cols):
+        known = {e["file"]: e for e in prior["files"]}
 
     todo = [f for f in files if os.path.basename(f) not in known]
     if len(todo) > DISTRIBUTE_THRESHOLD:
@@ -136,14 +151,12 @@ def write_with_manifest(
 
     # snapshot history: every commit records the file list it made
     # current. Appends never rewrite existing files, so any previous
-    # snapshot stays readable (time travel); an overwrite deletes the
-    # old data files, which resets history to the new snapshot — this
-    # is append-only versioning, not copy-on-write.
-    snapshots: list[dict[str, Any]] = []
-    if mode == "append":
-        old = read_manifest(path)
-        if old is not None:
-            snapshots = old.get("snapshots", [])
+    # snapshot stays readable (time travel); an overwrite/compaction
+    # deletes old data files, which resets history to the new snapshot
+    # — append-only versioning, not copy-on-write.
+    snapshots: list[dict[str, Any]] = (
+        list(prior.get("snapshots", [])) if prior is not None else []
+    )
     snapshots.append(
         {
             "id": (snapshots[-1]["id"] + 1) if snapshots else 0,

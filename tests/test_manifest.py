@@ -171,3 +171,50 @@ def test_overwrite_resets_history(spark, sf_dir, tmp_path):
     write_with_manifest(spark, orders, path, ["o_orderkey"], mode="overwrite")
     hist = table_history(path)
     assert len(hist) == 1 and hist[0]["id"] == 0
+
+
+def test_compact_with_manifest_repairs_layout(spark, sf_dir, tmp_path):
+    """Interleaved appends destroy range locality; compaction with a
+    sort column restores file skipping, preserves every row, and
+    restarts history at one snapshot (old files are gone)."""
+    from etl_extractor_spark.sinks.compact import compact_with_manifest
+    from etl_extractor_spark.sinks.manifest import (
+        read_with_skipping,
+        table_history,
+        write_with_manifest,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    path = str(tmp_path / "cmp")
+    # 3 appends, each internally range-laid-out → global ranges overlap
+    for i, m in enumerate(["overwrite", "append", "append"]):
+        batch = li.filter(F.pmod("l_orderkey", F.lit(3)) == i).repartitionByRange(
+            4, "l_partkey"
+        )
+        write_with_manifest(spark, batch, path, ["l_partkey"], mode=m)
+    before = M.read_manifest(path)
+    assert before["n_files"] == 12
+    total = spark.read.parquet(path).count()
+
+    lo = li.agg(F.min("l_partkey")).first()[0]
+    hi = li.agg(F.max("l_partkey")).first()[0]
+    band = (lo + (hi - lo) * 2 // 5, lo + (hi - lo) * 3 // 5)
+    _, overlapped = read_with_skipping(spark, path, "l_partkey", *band)
+    # each append overlaps the band with ~half its files — the band
+    # predicate must touch every append (no global locality)
+    assert overlapped["files_read"] >= 3
+
+    after = compact_with_manifest(spark, path, sort_col="l_partkey", n_files=4)
+    assert after["n_files"] < before["n_files"]
+    assert spark.read.parquet(path).count() == total
+    pruned, info = read_with_skipping(spark, path, "l_partkey", *band)
+    assert info["files_read"] < info["files_total"]  # locality restored
+    assert info["files_read"] < overlapped["files_read"]  # strictly better
+    full = spark.read.parquet(path).filter(
+        (F.col("l_partkey") >= band[0]) & (F.col("l_partkey") <= band[1])
+    )
+    assert pruned.exceptAll(full).isEmpty() and full.exceptAll(pruned).isEmpty()
+    hist = table_history(path)
+    assert len(hist) == 1 and hist[0]["total_rows"] == total

@@ -91,3 +91,22 @@ def test_approx_percentile_rank_error_bound(spark, sf_dir):
         ).first()["v"]
         rank = li.filter(F.col("l_extendedprice") <= approx).count()
         assert abs(rank - q * n) <= n / accuracy + 1, (q, rank, q * n, n)
+
+
+def test_hll_approx_distinct_error_bound(spark, sf_dir):
+    """approx_count_distinct's contract: relative standard deviation
+    rsd ⇒ error within a few σ of exact. The HLL++ sketch is mergeable
+    (combines across partitions without a distinct shuffle), which is
+    why it replaces count(DISTINCT) at 100 TB; the bound is the safety
+    contract."""
+    from pyspark.sql import functions as F
+
+    from etl_extractor_spark.sources.parquet import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.select("l_partkey").distinct().count()
+    for rsd in (0.05, 0.01):
+        approx = li.agg(
+            F.approx_count_distinct("l_partkey", rsd).alias("v")
+        ).first()["v"]
+        assert abs(approx - exact) <= 5 * rsd * exact + 1, (rsd, approx, exact)
