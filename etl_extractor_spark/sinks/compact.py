@@ -55,6 +55,7 @@ def compact_with_manifest(
     target_file_mb: int = 128,
     sort_col: str | None = None,
     n_files: int | None = None,
+    zcols: list[str] | None = None,
 ) -> dict:
     """Compaction for manifest-tracked tables: rewrite to ~target-sized
     files, re-harvest footer stats, and commit a fresh manifest.
@@ -68,7 +69,9 @@ def compact_with_manifest(
     ``sort_col`` optionally re-clusters during the rewrite
     (repartitionByRange + in-partition sort) so compaction doubles as
     layout repair — restoring the file skipping that interleaved
-    appends destroyed.
+    appends destroyed. ``zcols`` instead re-clusters on the Morton
+    curve of several columns (the OPTIMIZE ZORDER BY analog) so the
+    repaired layout prunes on all of them.
     """
     from etl_extractor_spark.sinks.manifest import harvest_manifest, read_manifest
 
@@ -78,11 +81,19 @@ def compact_with_manifest(
     if n_files is None:
         n_files = max(1, math.ceil(dir_bytes(path) / (target_file_mb * 1024 * 1024)))
     tmp = path.rstrip("/") + "__compacting"
-    laid = (
-        df.repartitionByRange(n_files, sort_col).sortWithinPartitions(sort_col)
-        if sort_col
-        else df.coalesce(n_files)
-    )
+    if zcols:
+        from etl_extractor_spark.sinks.zorder import zvalue
+
+        laid = (
+            df.withColumn("_zval", zvalue(df, zcols))
+            .repartitionByRange(n_files, "_zval")
+            .sortWithinPartitions("_zval")
+            .drop("_zval")
+        )
+    elif sort_col:
+        laid = df.repartitionByRange(n_files, sort_col).sortWithinPartitions(sort_col)
+    else:
+        laid = df.coalesce(n_files)
     laid.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(path)
     os.rename(tmp, path)

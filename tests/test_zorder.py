@@ -88,3 +88,46 @@ def test_zvalue_is_deterministic_jvm_expression(spark, sf_dir):
     a = out.groupBy("z").count().orderBy("z").collect()
     b = out.repartition(7).groupBy("z").count().orderBy("z").collect()
     assert a == b
+
+
+def test_zorder_compaction_repairs_multi_column_skipping(spark, sf_dir, tmp_path):
+    """Appends wreck locality on BOTH columns; z-order compaction
+    restores pruning on each of them in one rewrite."""
+    from etl_extractor_spark.sinks.compact import compact_with_manifest
+    from etl_extractor_spark.sinks.manifest import (
+        table_history,
+        write_with_manifest,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    path = str(tmp_path / "zcmp")
+    for i, m in enumerate(["overwrite", "append", "append"]):
+        write_with_manifest(
+            spark,
+            li.filter(F.pmod("l_orderkey", F.lit(3)) == i).repartition(4),
+            path,
+            ["l_partkey", "l_suppkey"],
+            mode=m,
+        )
+    total = spark.read.parquet(path).count()
+    b = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).first()
+    pk = _mid_band(b[0], b[1])
+    sk = _mid_band(b[2], b[3])
+    # random repartition → no stats locality at all
+    _, before_pk = read_with_skipping(spark, path, "l_partkey", *pk)
+    assert before_pk["files_read"] == before_pk["files_total"]
+
+    after = compact_with_manifest(
+        spark, path, n_files=N_FILES, zcols=["l_partkey", "l_suppkey"]
+    )
+    assert after["n_files"] == N_FILES
+    assert spark.read.parquet(path).count() == total
+    _, on_pk = read_with_skipping(spark, path, "l_partkey", *pk)
+    _, on_sk = read_with_skipping(spark, path, "l_suppkey", *sk)
+    assert on_pk["files_read"] < on_pk["files_total"]
+    assert on_sk["files_read"] < on_sk["files_total"]
+    assert len(table_history(path)) == 1
