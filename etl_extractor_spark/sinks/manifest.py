@@ -111,7 +111,25 @@ def write_with_manifest(
     """
     old = read_manifest(path) if mode == "append" else None
     df.write.mode(mode).parquet(path)
-    return harvest_manifest(spark, path, stats_cols, prior=old)
+    # schema evolution on append: the manifest carries the UNION of
+    # every committed schema (prior columns first, new ones appended),
+    # so reads resolve columns from one metadata lookup instead of a
+    # mergeSchema footer sweep over the whole table — files written
+    # before a column existed yield nulls for it (parquet
+    # read-with-explicit-schema semantics), the Delta/Iceberg behavior.
+    schema_fields = {f.name: f for f in df.schema.fields}
+    if old is not None and old.get("schema") is not None:
+        from pyspark.sql.types import StructType
+
+        prior_schema = StructType.fromJson(json.loads(old["schema"]))
+        merged = list(prior_schema.fields)
+        merged += [f for n, f in schema_fields.items() if n not in prior_schema.names]
+        schema = StructType(merged)
+    else:
+        schema = df.schema
+    return harvest_manifest(
+        spark, path, stats_cols, prior=old, schema_json=json.dumps(schema.jsonValue())
+    )
 
 
 def harvest_manifest(
@@ -119,6 +137,7 @@ def harvest_manifest(
     path: str,
     stats_cols: list[str],
     prior: dict[str, Any] | None = None,
+    schema_json: str | None = None,
 ) -> dict[str, Any]:
     """Stat every data file under ``path`` and commit a manifest.
 
@@ -127,6 +146,8 @@ def harvest_manifest(
     and the snapshot history to extend. Without it, history restarts
     at a single snapshot covering the current file set (fresh write,
     overwrite, or compaction)."""
+    if schema_json is None:
+        schema_json = json.dumps(spark.read.parquet(path).schema.jsonValue())
     files = _part_files(path)
 
     known: dict[str, dict[str, Any]] = {}
@@ -168,6 +189,7 @@ def harvest_manifest(
     manifest = {
         "version": 2,
         "stats_cols": sorted(stats_cols),
+        "schema": schema_json,
         "n_files": len(all_entries),
         "total_rows": sum(e["rows"] for e in all_entries),
         "files": all_entries,
@@ -240,13 +262,22 @@ def read_with_skipping(
     if manifest is None:
         return spark.read.parquet(path).filter(cond), {"files_total": -1, "files_read": -1}
 
+    # committed (evolved) schema, so a pruned file subset with
+    # mixed-schema files resolves every column, not just the first
+    # surviving footer's
+    reader = spark.read
+    if manifest.get("schema") is not None:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(json.loads(manifest["schema"])))
+
     names = plan_files(manifest, col, lower, upper)
     info = {"files_total": manifest["n_files"], "files_read": len(names)}
     if not names:
-        df = spark.read.parquet(path).filter(F.lit(False))  # schema-preserving empty
+        df = reader.parquet(path).filter(F.lit(False))  # schema-preserving empty
         return df, info
     paths = [os.path.join(path, n) for n in names]
-    return spark.read.parquet(*paths).filter(cond), info
+    return reader.parquet(*paths).filter(cond), info
 
 
 def table_history(path: str) -> list[dict[str, Any]]:
@@ -283,3 +314,17 @@ def read_snapshot(
         )
     names = by_id[snapshot_id]["files"]
     return spark.read.parquet(*[os.path.join(path, n) for n in names])
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a manifest-tracked table with its committed (evolved)
+    schema — one metadata lookup, no mergeSchema footer sweep. Files
+    predating a column yield nulls for it. Falls back to a plain
+    parquet read when no manifest/schema exists."""
+    m = read_manifest(path)
+    if m is None or m.get("schema") is None:
+        return spark.read.parquet(path)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    return spark.read.schema(schema).parquet(path)

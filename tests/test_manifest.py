@@ -218,3 +218,67 @@ def test_compact_with_manifest_repairs_layout(spark, sf_dir, tmp_path):
     assert pruned.exceptAll(full).isEmpty() and full.exceptAll(pruned).isEmpty()
     hist = table_history(path)
     assert len(hist) == 1 and hist[0]["total_rows"] == total
+
+
+def test_schema_evolution_on_append(spark, sf_dir, tmp_path):
+    """Appending a batch with a new column evolves the manifest schema:
+    reads resolve all columns from metadata (no mergeSchema sweep),
+    old files yield nulls for the new column, skipping still works."""
+    from etl_extractor_spark.sinks.manifest import (
+        read_table,
+        read_with_skipping,
+        write_with_manifest,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "evo")
+    old_half = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    new_half = (
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("priority_band", F.lit("standard"))
+    )
+    write_with_manifest(spark, old_half, path, ["o_orderkey"], mode="overwrite")
+    write_with_manifest(spark, new_half, path, ["o_orderkey"], mode="append")
+
+    t = read_table(spark, path)
+    assert "priority_band" in t.columns
+    assert t.count() == orders.count()
+    assert t.filter(F.col("priority_band").isNull()).count() == old_half.count()
+    assert t.filter(F.col("priority_band") == "standard").count() == new_half.count()
+
+    # plain single-footer read would have missed the evolved column on
+    # half the files; skipping still plans from the same manifest
+    _, info = read_with_skipping(spark, path, "o_orderkey", 0, 10)
+    assert info["files_total"] > 0
+
+
+def test_pruned_read_resolves_evolved_schema(spark, sf_dir, tmp_path):
+    from etl_extractor_spark.sinks.manifest import (
+        read_with_skipping,
+        write_with_manifest,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "evo2")
+    write_with_manifest(
+        spark,
+        orders.select("o_orderkey", "o_totalprice"),
+        path,
+        ["o_orderkey"],
+        mode="overwrite",
+    )
+    write_with_manifest(
+        spark,
+        orders.select("o_orderkey", "o_totalprice").withColumn(
+            "band", F.lit("b")
+        ),
+        path,
+        ["o_orderkey"],
+        mode="append",
+    )
+    df, _ = read_with_skipping(spark, path, "o_orderkey", 0, 50)
+    assert "band" in df.columns  # evolved column visible on pruned scans
+    assert df.count() > 0
