@@ -732,3 +732,66 @@ GROUP BY 1, 2
 
 QUERIES.update({"purchase_attribution": purchase_attribution})
 ORACLES.update({"purchase_attribution": PURCHASE_ATTRIBUTION_SQL})
+
+# ---------------------------------------------------------------------------
+# 14. Data-quality expectations report
+# ---------------------------------------------------------------------------
+
+
+def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over orders: all rules compile to
+    ONE scan + one tiny aggregation (operators/expectations.py) — never
+    a pass per rule, never violating rows shipped to the driver.
+    """
+    from etl_extractor_spark.operators.expectations import validate_report
+
+    o = load_table(spark, sf_dir, "orders")
+    rules = [
+        {"name": "orderkey_not_null", "type": "not_null", "col": "o_orderkey"},
+        {"name": "orderkey_unique", "type": "unique", "col": "o_orderkey"},
+        {
+            "name": "totalprice_range",
+            "type": "range",
+            "col": "o_totalprice",
+            "min": 0.0,
+            "max": 1000000.0,
+        },
+        {
+            "name": "status_accepted",
+            "type": "accepted_values",
+            "col": "o_orderstatus",
+            "values": ["F", "O", "P"],
+        },
+        {
+            "name": "priority_format",
+            "type": "regex",
+            "col": "o_orderpriority",
+            "pattern": "^[1-5]-[A-Z ]+$",
+        },
+    ]
+    return validate_report(o, rules)
+
+
+ORDERS_QUALITY_SQL = """
+SELECT 'orderkey_not_null' AS rule,
+       count(*) FILTER (WHERE o_orderkey IS NULL) AS violations FROM orders
+UNION ALL
+SELECT 'orderkey_unique',
+       count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders
+UNION ALL
+SELECT 'totalprice_range',
+       count(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice < 0.0
+                          OR o_totalprice > 1000000.0) FROM orders
+UNION ALL
+SELECT 'status_accepted',
+       count(*) FILTER (WHERE o_orderstatus IS NULL
+                          OR o_orderstatus NOT IN ('F','O','P')) FROM orders
+UNION ALL
+SELECT 'priority_format',
+       count(*) FILTER (WHERE o_orderpriority IS NULL
+                          OR NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$'))
+FROM orders
+"""
+
+QUERIES.update({"orders_quality_report": orders_quality_report})
+ORACLES.update({"orders_quality_report": ORDERS_QUALITY_SQL})

@@ -107,3 +107,34 @@ def test_unwrap_envelope_spark_native(spark):
     df = spark.createDataFrame([([(1, "x"), (2, "y")],)], "data: array<struct<id:int,v:string>>")
     out = unwrap_data_envelope(df)
     assert sorted(tuple(r) for r in out.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_expectations_detect_violations(spark):
+    """Crafted dirty frame: every rule type fires with the right count,
+    and the report is a single aggregation (one row per rule)."""
+    from etl_extractor_spark.operators.expectations import is_valid, validate_report
+
+    rows = [
+        (1, "a", 10.0),
+        (1, "b", -5.0),     # dup id, range violation
+        (None, "c", 20.0),  # null id
+        (3, "zz", 30.0),    # accepted_values violation
+    ]
+    df = spark.createDataFrame(rows, "id long, code string, v double")
+    rules = [
+        {"name": "id_nn", "type": "not_null", "col": "id"},
+        {"name": "id_uq", "type": "unique", "col": "id"},
+        {"name": "v_rng", "type": "range", "col": "v", "min": 0.0, "max": 100.0},
+        {
+            "name": "code_ok",
+            "type": "accepted_values",
+            "col": "code",
+            "values": ["a", "b", "c"],
+        },
+        {"name": "code_re", "type": "regex", "col": "code", "pattern": "^[a-c]$"},
+    ]
+    got = {r["rule"]: r["violations"] for r in validate_report(df, rules).collect()}
+    assert got == {"id_nn": 1, "id_uq": 1, "v_rng": 1, "code_ok": 1, "code_re": 1}
+    assert not is_valid(df, rules)
+    clean = df.filter("id = 3").withColumn("code", F.lit("a"))
+    assert is_valid(clean, [rules[0], rules[2], rules[3]])
