@@ -201,3 +201,58 @@ def test_streaming_incremental_agg_matches_batch(spark, sf_dir):
             (r["o_custkey"], r["revenue"], r["n_orders"])
             for r in read_state(spark, state).collect()
         ) == want
+
+
+def test_streaming_topk_matches_batch(spark, sf_dir):
+    """Top-k is mergeable: streaming k-row state over 4 micro-batches
+    equals the one-shot batch top-k, ties broken deterministically."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_extractor_spark.sinks.topk import read_topk, run_streaming_topk
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = 10
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        orders.repartition(4).write.parquet(src)
+        state, ckpt = os.path.join(tmp, "state"), os.path.join(tmp, "ckpt")
+
+        stream = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        n1 = run_streaming_topk(
+            stream, state, ckpt, metric="o_totalprice", k=k, tiebreak="o_orderkey"
+        )
+        assert n1 >= 2
+
+        got = [
+            (r["o_orderkey"], r["o_totalprice"])
+            for r in read_topk(spark, state)
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .collect()
+        ]
+        want = [
+            (r["o_orderkey"], r["o_totalprice"])
+            for r in orders.orderBy(
+                F.desc("o_totalprice"), F.asc("o_orderkey")
+            )
+            .limit(k)
+            .collect()
+        ]
+        assert got == want
+
+        # replay with same checkpoint: nothing applied, state unchanged
+        stream2 = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        n2 = run_streaming_topk(
+            stream2, state, ckpt, metric="o_totalprice", k=k, tiebreak="o_orderkey"
+        )
+        assert n2 == 0
