@@ -795,3 +795,59 @@ FROM orders
 
 QUERIES.update({"orders_quality_report": orders_quality_report})
 ORACLES.update({"orders_quality_report": ORDERS_QUALITY_SQL})
+
+# ---------------------------------------------------------------------------
+# 15. Join-key skew profile
+# ---------------------------------------------------------------------------
+
+
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-key row counts for a join key — the
+    diagnostic that decides between plain shuffle join, broadcast,
+    salting, or AQE skew handling. Two aggregations: per-key counts
+    (the key-space shuffle you'd pay for the join anyway), then a
+    digit-bucketed histogram of those counts (tiny).
+
+    Buckets are decimal-digit counts of the per-key cardinality
+    (1 = 1–9 rows, 2 = 10–99, …): deterministic integer bucketing in
+    both engines — no float log2 at bucket boundaries.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def profile(key: str) -> DataFrame:
+        per_key = li.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+        return per_key.groupBy(
+            F.lit(key).alias("join_key"),
+            F.length(F.col("cnt").cast("string")).alias("magnitude"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("cnt").alias("max_rows_per_key"),
+            F.sum("cnt").alias("total_rows"),
+        )
+
+    return (
+        profile("l_orderkey")
+        .unionByName(profile("l_partkey"))
+        .unionByName(profile("l_suppkey"))
+    )
+
+
+KEY_SKEW_PROFILE_SQL = """
+WITH p AS (
+  SELECT 'l_orderkey' AS join_key, count(*) AS cnt FROM lineitem GROUP BY l_orderkey
+  UNION ALL
+  SELECT 'l_partkey', count(*) FROM lineitem GROUP BY l_partkey
+  UNION ALL
+  SELECT 'l_suppkey', count(*) FROM lineitem GROUP BY l_suppkey
+)
+SELECT join_key,
+       CAST(len(CAST(cnt AS VARCHAR)) AS INT) AS magnitude,
+       count(*) AS n_keys,
+       max(cnt) AS max_rows_per_key,
+       sum(cnt) AS total_rows
+FROM p
+GROUP BY 1, 2
+"""
+
+QUERIES.update({"key_skew_profile": key_skew_profile})
+ORACLES.update({"key_skew_profile": KEY_SKEW_PROFILE_SQL})
