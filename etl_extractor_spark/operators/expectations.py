@@ -58,3 +58,49 @@ def is_valid(df: DataFrame, rules: list[dict[str, Any]]) -> bool:
     """Gate form: True iff every rule has zero violations."""
     row = validate_report(df, rules).agg(F.max("violations")).first()
     return (row[0] or 0) == 0
+
+
+def _row_violates(rule: dict[str, Any]) -> Column:
+    """Row-local violation predicate (everything except ``unique``,
+    which needs group context and lives in the aggregate report)."""
+    t, c = rule["type"], rule.get("col")
+    col = F.col(c)
+    if t == "not_null":
+        return col.isNull()
+    if t == "range":
+        return col.isNull() | (col < rule["min"]) | (col > rule["max"])
+    if t == "accepted_values":
+        return ~col.isin(rule["values"]) | col.isNull()
+    if t == "regex":
+        return ~col.rlike(rule["pattern"]) | col.isNull()
+    raise ValueError(f"rule type {t} has no row-local predicate")
+
+
+def violation_samples(
+    df: DataFrame,
+    rules: list[dict[str, Any]],
+    key_col: str,
+    k: int = 5,
+    hash_c: int = 2654435761,
+) -> DataFrame:
+    """Up to ``k`` violating rows per rule, chosen by a deterministic
+    key hash — the debugging companion to validate_report. One scan
+    tags each row with every rule it violates (array + explode, no
+    per-rule passes), one window caps the sample per rule; output is
+    bounded at k × rules regardless of how broken the table is.
+    """
+    tags = F.array(
+        *[
+            F.when(_row_violates(r), F.lit(r["name"]))
+            for r in rules
+        ]
+    )
+    order = F.pmod(F.col(key_col) * F.lit(hash_c), F.lit(1_000_000_007))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("rule").orderBy(order.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("rule", F.explode(F.array_compact(tags)))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )

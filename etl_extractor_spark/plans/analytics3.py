@@ -851,3 +851,62 @@ GROUP BY 1, 2
 
 QUERIES.update({"key_skew_profile": key_skew_profile})
 ORACLES.update({"key_skew_profile": KEY_SKEW_PROFILE_SQL})
+
+# ---------------------------------------------------------------------------
+# 16. Quality violation sampling
+# ---------------------------------------------------------------------------
+
+
+def quality_violation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Up to 5 example rows per violated rule (deterministic hash
+    pick): the bounded debugging companion to orders_quality_report —
+    output is ≤ k × rules rows no matter how dirty the table, so it is
+    safe to collect at any scale. Rules here are chosen to fire on the
+    clean corpus (a price cap and a narrowed status set).
+    """
+    from etl_extractor_spark.operators.expectations import violation_samples
+
+    o = load_table(spark, sf_dir, "orders")
+    rules = [
+        {
+            "name": "price_cap",
+            "type": "range",
+            "col": "o_totalprice",
+            "min": 0.0,
+            "max": 300000.0,
+        },
+        {
+            "name": "status_subset",
+            "type": "accepted_values",
+            "col": "o_orderstatus",
+            "values": ["F", "O"],
+        },
+    ]
+    return violation_samples(o, rules, key_col="o_orderkey", k=5).select(
+        "rule", "o_orderkey", "o_orderstatus", "o_totalprice", "rn"
+    )
+
+
+QUALITY_VIOLATION_SAMPLE_SQL = """
+WITH tagged AS (
+  SELECT 'price_cap' AS rule, o_orderkey, o_orderstatus, o_totalprice
+  FROM orders
+  WHERE o_totalprice IS NULL OR o_totalprice < 0.0 OR o_totalprice > 300000.0
+  UNION ALL
+  SELECT 'status_subset', o_orderkey, o_orderstatus, o_totalprice
+  FROM orders
+  WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('F', 'O')
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY rule
+    ORDER BY ((o_orderkey * 2654435761) % 1000000007 + 1000000007) % 1000000007 ASC,
+             o_orderkey ASC
+  ) AS rn
+  FROM tagged
+)
+SELECT rule, o_orderkey, o_orderstatus, o_totalprice, rn
+FROM ranked WHERE rn <= 5
+"""
+
+QUERIES.update({"quality_violation_sample": quality_violation_sample})
+ORACLES.update({"quality_violation_sample": QUALITY_VIOLATION_SAMPLE_SQL})
