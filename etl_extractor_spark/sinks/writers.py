@@ -38,3 +38,31 @@ def write_partitioned(
     index on fecha_key (reference load/load_to_staging.py:9-15).
     """
     df.write.mode(mode).format(fmt).partitionBy(*partition_by).save(path)
+
+
+def write_observed(
+    df: DataFrame,
+    path: str,
+    metrics: dict | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> dict:
+    """Write with free metrics: attach an Observation so row counts
+    (and any caller-supplied aggregate expressions) are collected ON
+    the write pass itself — no second count() job over the data.
+
+    This is the scale-correct version of the reference's per-stage
+    ``len(df)`` logging (reference main.py:45,59,72,93,...,411 — SURVEY
+    A3): at 100 TB a separate count re-scans the table; an observed
+    metric rides the same task set for free. Returns the metrics dict
+    (always includes ``rows``).
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    exprs = [F.count(F.lit(1)).alias("rows")]
+    for name, col in (metrics or {}).items():
+        exprs.append(col.alias(name))
+    df.observe(obs, *exprs).write.mode(mode).format(fmt).save(path)
+    return obs.get

@@ -81,3 +81,27 @@ def test_pipeline_idempotent(lake, spark, sf_dir):
         gold_dir=os.path.join(tmp, "gold"),
     )
     assert counts2 == counts
+
+
+def test_write_observed_metrics_ride_the_write(spark, sf_dir, tmp_path):
+    """Observed metrics equal a separate recount — but came from the
+    write job itself (no extra scan)."""
+    from pyspark.sql import functions as F
+
+    from etl_extractor_spark.sinks.writers import write_observed
+    from etl_extractor_spark.sources.parquet import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "obs")
+    got = write_observed(
+        orders,
+        out,
+        metrics={
+            "n_open": F.count_if(F.col("o_orderstatus") == "O"),
+            "max_price": F.max("o_totalprice"),
+        },
+    )
+    assert got["rows"] == orders.count()
+    assert got["n_open"] == orders.filter("o_orderstatus = 'O'").count()
+    assert got["max_price"] == orders.agg(F.max("o_totalprice")).first()[0]
+    assert spark.read.parquet(out).count() == got["rows"]
