@@ -328,3 +328,23 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
 
     schema = StructType.fromJson(json.loads(m["schema"]))
     return spark.read.schema(schema).parquet(path)
+
+
+def layout_report(path: str) -> dict[str, Any]:
+    """File-balance diagnostics from the manifest alone (no data read):
+    row counts per file and the max/mean imbalance ratio. A ratio near
+    1 means even task sizes downstream; a high ratio means one file
+    (→ one scan task) dominates — the write-side analog of join-key
+    skew, fixed by compact_with_manifest or a different layout key."""
+    m = read_manifest(path)
+    if m is None or not m["files"]:
+        return {"n_files": 0}
+    rows = [e["rows"] for e in m["files"]]
+    mean = sum(rows) / len(rows)
+    return {
+        "n_files": len(rows),
+        "total_rows": sum(rows),
+        "min_rows": min(rows),
+        "max_rows": max(rows),
+        "imbalance": round(max(rows) / mean, 3) if mean else None,
+    }

@@ -282,3 +282,22 @@ def test_pruned_read_resolves_evolved_schema(spark, sf_dir, tmp_path):
     df, _ = read_with_skipping(spark, path, "o_orderkey", 0, 50)
     assert "band" in df.columns  # evolved column visible on pruned scans
     assert df.count() > 0
+
+
+def test_layout_report_flags_imbalance(spark, sf_dir, tmp_path):
+    from etl_extractor_spark.sinks.manifest import layout_report
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    even, skewed = str(tmp_path / "even"), str(tmp_path / "skewed")
+    M.write_with_manifest(spark, li.repartition(8), even, ["l_orderkey"])
+    # ~87% of rows land in one file
+    M.write_with_manifest(
+        spark,
+        li.repartitionByRange(8, F.pmod("l_orderkey", F.lit(64))),
+        skewed,
+        ["l_orderkey"],
+    )
+    r_even, r_skew = layout_report(even), layout_report(skewed)
+    assert r_even["total_rows"] == r_skew["total_rows"] == li.count()
+    assert r_even["imbalance"] < 1.2
+    assert r_skew["imbalance"] > r_even["imbalance"]
