@@ -130,3 +130,35 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_join_with_stats_broadcasts_from_manifest_rowcount(spark, sf_dir, tmp_path):
+    """Manifest row counts drive the broadcast decision: under the
+    threshold → BroadcastHashJoin; threshold 0 → shuffle join. No data
+    is scanned to decide (one JSON read)."""
+    from etl_extractor_spark.operators.planning import join_with_stats
+    from etl_extractor_spark.sinks.manifest import write_with_manifest
+    from etl_extractor_spark.sources.parquet import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_nationkey", "n_nationkey"
+    )
+    dim_path = str(tmp_path / "nation_dim")
+    write_with_manifest(spark, nation, dim_path, ["n_nationkey"])
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # neutralize Spark's own size heuristic so the manifest decision
+        # is what we observe
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j1 = join_with_stats(spark, cust, dim_path, "n_nationkey")
+        assert "BroadcastHashJoin" in _plan(j1)
+        j2 = join_with_stats(
+            spark, cust, dim_path, "n_nationkey", broadcast_row_threshold=0
+        )
+        p2 = _plan(j2)
+        assert "SortMergeJoin" in p2 and "BroadcastHashJoin" not in p2
+        assert j1.count() == j2.count() == cust.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
