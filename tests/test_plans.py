@@ -162,3 +162,42 @@ def test_join_with_stats_broadcasts_from_manifest_rowcount(spark, sf_dir, tmp_pa
         assert j1.count() == j2.count() == cust.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_parquet_aggregate_pushdown_answers_from_footers(spark, sf_dir):
+    """With the V2 parquet source, global MIN/MAX/COUNT compile to a
+    BatchScan with PushedAggregation — answered from row-group
+    statistics, no data pages decoded. At 100 TB that's a metadata read
+    instead of a table scan for the reference's scalar-bound lookups
+    (SURVEY A1/A2)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    saved = {
+        "spark.sql.parquet.aggregatePushdown": spark.conf.get(
+            "spark.sql.parquet.aggregatePushdown"
+        ),
+        "spark.sql.sources.useV1SourceList": spark.conf.get(
+            "spark.sql.sources.useV1SourceList"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        q = df.agg(
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        plan = _plan(q)
+        assert "PushedAggregation: [MIN(o_totalprice), MAX(o_totalprice), COUNT(*)]" in plan
+        # and the footer-answered result matches a real (non-pushed) scan
+        row = q.first()
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+        full = df.agg(F.min("o_totalprice"), F.max("o_totalprice"), F.count(F.lit(1))).first()
+        assert (row["lo"], row["hi"], row["n"]) == (full[0], full[1], full[2])
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
