@@ -61,28 +61,40 @@ def _file_stats(fpath: str, stats_cols: list[str]) -> dict[str, Any]:
     rows = md.num_rows
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}
-    complete: dict[str, bool] = {c: True for c in stats_cols}
+    nulls: dict[str, int] = {}
+    minmax_ok: dict[str, bool] = {c: True for c in stats_cols}
+    nulls_ok: dict[str, bool] = {c: True for c in stats_cols}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
             name = col.path_in_schema
-            if name not in complete:
+            if name not in minmax_ok:
                 continue
             st = col.statistics
+            if st is not None and st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            else:
+                nulls_ok[name] = False
             if st is None or not st.has_min_max:
-                complete[name] = False  # no stats → file can never be pruned on this col
+                # an all-null row group legitimately has no min/max —
+                # only range pruning is lost, null stats stay usable
+                minmax_ok[name] = False
                 continue
             lo, hi = _jsonable(st.min), _jsonable(st.max)
             if name not in mins or lo < mins[name]:
                 mins[name] = lo
             if name not in maxs or hi > maxs[name]:
                 maxs[name] = hi
-    stats = {
-        c: {"min": mins[c], "max": maxs[c]}
-        for c in stats_cols
-        if complete[c] and c in mins
-    }
+    stats: dict[str, dict[str, Any]] = {}
+    for c in stats_cols:
+        entry: dict[str, Any] = {}
+        if minmax_ok[c] and c in mins:
+            entry["min"], entry["max"] = mins[c], maxs[c]
+        if nulls_ok[c]:
+            entry["nulls"] = nulls.get(c, 0)
+        if entry:
+            stats[c] = entry
     return {"file": os.path.basename(fpath), "rows": rows, "stats": stats}
 
 
@@ -227,7 +239,7 @@ def plan_files(
     keep = []
     for e in manifest["files"]:
         st = e["stats"].get(col)
-        if st is None:
+        if st is None or "min" not in st:
             keep.append(e["file"])  # unknown range — must scan
             continue
         if lo is not None and st["max"] < lo:
@@ -348,3 +360,63 @@ def layout_report(path: str) -> dict[str, Any]:
         "max_rows": max(rows),
         "imbalance": round(max(rows) / mean, 3) if mean else None,
     }
+
+
+def vacuum(path: str, dry_run: bool = False) -> list[str]:
+    """Delete data files not referenced by any manifest snapshot —
+    orphans from failed/interrupted writes (Spark task retries and
+    aborted jobs leave part files; a killed append leaves files the
+    manifest never committed). Metadata-only planning: the referenced
+    set is the union of every snapshot's file list, so time travel
+    stays intact. Returns the removed (or, with ``dry_run``, would-be
+    removed) file names."""
+    m = read_manifest(path)
+    if m is None:
+        return []
+    referenced: set[str] = set()
+    for s in m.get("snapshots", []):
+        referenced.update(s["files"])
+    referenced.update(e["file"] for e in m["files"])
+    orphans = [
+        os.path.basename(f)
+        for f in _part_files(path)
+        if os.path.basename(f) not in referenced
+    ]
+    if not dry_run:
+        for name in orphans:
+            os.remove(os.path.join(path, name))
+    return orphans
+
+
+def read_null_skipping(
+    spark: SparkSession, path: str, col: str, want_null: bool
+) -> tuple[DataFrame, dict[str, int]]:
+    """IS NULL / IS NOT NULL scans planned from per-file null counts:
+    ``want_null=True`` skips files with zero nulls in ``col``;
+    ``want_null=False`` skips files that are entirely null. Files
+    without null stats are conservatively kept. The filter still
+    applies after skipping (superset guarantee, as everywhere)."""
+    manifest = read_manifest(path)
+    cond = F.col(col).isNull() if want_null else F.col(col).isNotNull()
+    if manifest is None:
+        return spark.read.parquet(path).filter(cond), {"files_total": -1, "files_read": -1}
+
+    keep = []
+    for e in manifest["files"]:
+        st = e["stats"].get(col)
+        nulls = st.get("nulls") if st else None
+        if nulls is None:
+            keep.append(e["file"])  # unknown → must scan
+        elif want_null and nulls == 0:
+            continue
+        elif not want_null and nulls == e["rows"]:
+            continue
+        else:
+            keep.append(e["file"])
+    info = {"files_total": manifest["n_files"], "files_read": len(keep)}
+    if not keep:
+        return spark.read.parquet(path).filter(F.lit(False)), info
+    return (
+        spark.read.parquet(*[os.path.join(path, n) for n in keep]).filter(cond),
+        info,
+    )

@@ -301,3 +301,72 @@ def test_layout_report_flags_imbalance(spark, sf_dir, tmp_path):
     assert r_even["total_rows"] == r_skew["total_rows"] == li.count()
     assert r_even["imbalance"] < 1.2
     assert r_skew["imbalance"] > r_even["imbalance"]
+
+
+def test_vacuum_removes_only_orphans(spark, sf_dir, tmp_path):
+    from etl_extractor_spark.sinks.manifest import read_snapshot, vacuum
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "vac")
+    M.write_with_manifest(
+        spark, orders.limit(100), path, ["o_orderkey"], mode="overwrite"
+    )
+    M.write_with_manifest(
+        spark, orders.limit(50), path, ["o_orderkey"], mode="append"
+    )
+    total = spark.read.parquet(path).count()
+
+    # simulate a failed write: an uncommitted part file appears
+    orphan = os.path.join(path, "part-99999-orphan.snappy.parquet")
+    orders.limit(7).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "o"))
+    import shutil
+
+    src = next(
+        f for f in os.listdir(str(tmp_path / "o")) if f.endswith(".parquet")
+    )
+    shutil.copy(os.path.join(str(tmp_path / "o"), src), orphan)
+    assert spark.read.parquet(path).count() == total + 7  # orphan pollutes scans
+
+    assert vacuum(path, dry_run=True) == ["part-99999-orphan.snappy.parquet"]
+    removed = vacuum(path)
+    assert removed == ["part-99999-orphan.snappy.parquet"]
+    assert not os.path.exists(orphan)
+    assert spark.read.parquet(path).count() == total
+    # every snapshot still fully readable
+    assert read_snapshot(spark, path, 0).count() == 100
+    assert read_snapshot(spark, path, 1).count() == total
+    assert vacuum(path) == []  # idempotent
+
+
+def test_null_count_skipping(spark, sf_dir, tmp_path):
+    """Files whose null counts rule them out are skipped for
+    IS NULL / IS NOT NULL scans; results equal full filtered scans."""
+    from etl_extractor_spark.sinks.manifest import read_null_skipping
+
+    orders = load_table(spark, sf_dir, "orders")
+    # three files: all-null / mixed / no-null priority column
+    base = orders.limit(300).select("o_orderkey", "o_orderpriority")
+    path = str(tmp_path / "nulls")
+    allnull = base.limit(100).withColumn(
+        "o_orderpriority", F.lit(None).cast("string")
+    )
+    mixed = base.limit(200).exceptAll(base.limit(100)).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 2 == 0, F.col("o_orderpriority")),
+    )
+    nonull = base.exceptAll(base.limit(200))
+    for i, (b, m) in enumerate(
+        [(allnull, "overwrite"), (mixed, "append"), (nonull, "append")]
+    ):
+        M.write_with_manifest(
+            spark, b.coalesce(1), path, ["o_orderpriority"], mode=m
+        )
+
+    want_null, info_n = read_null_skipping(spark, path, "o_orderpriority", True)
+    assert info_n["files_read"] < info_n["files_total"]  # no-null file skipped
+    full = spark.read.parquet(path)
+    assert want_null.count() == full.filter("o_orderpriority IS NULL").count()
+
+    want_nn, info_nn = read_null_skipping(spark, path, "o_orderpriority", False)
+    assert info_nn["files_read"] < info_nn["files_total"]  # all-null file skipped
+    assert want_nn.count() == full.filter("o_orderpriority IS NOT NULL").count()
