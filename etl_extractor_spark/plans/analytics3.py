@@ -1,11 +1,16 @@
 """Product-analytics and corpus-analytics queries, wave 3.
 
-Beyond-reference extensions (SURVEY §7.4 north-star): TF-IDF-style
-term salience, sequential event funnels, weekly cohort retention,
-deterministic hash-stratified sampling, and distributed embedding
-centroids. Every query is integer-exact or fixed-point-quantized so
-the DuckDB oracle hash-matches bit-for-bit (see spark4 parity notes in
-tests/oracle.py usage): no float ratios in compared output.
+Beyond-reference extensions (SURVEY §7.4 north-star — the reference
+at /root/reference has no analytics layer beyond the single star-join
+in test.py:13-44; these are the workloads its star-schema DW exists to
+serve, README.md:21-35): TF-IDF-style term salience, sequential event
+funnels, cohort retention, attribution, deterministic sampling,
+distributed embedding centroids, OLS trends, PII scrubbing (filling
+the reference's reserved-but-empty enrichment columns, main.py:386-392),
+data-quality gates (the validation layer the reference deliberately
+omits, main.py:326-327), and skew diagnostics. Every compared output
+is integer-exact or fixed-point-quantized so the DuckDB oracle
+hash-matches bit-for-bit: no float ratios in compared output.
 """
 
 from __future__ import annotations
