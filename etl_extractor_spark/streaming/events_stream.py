@@ -330,3 +330,64 @@ def run_streaming_incremental_agg(
     )
     q.awaitTermination()
     return applied["n"]
+
+
+def run_streaming_quarantine(
+    stream_df: DataFrame,
+    good_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    rules: list,
+) -> dict:
+    """Streaming quality gate: each micro-batch splits on the
+    row-local expectation rules (operators/expectations.py) — passing
+    rows land in the main table, violating rows in a quarantine table
+    WITH a ``violated`` column naming the rules they broke. Nothing is
+    dropped silently (the reference's coerce-don't-fail philosophy,
+    reference main.py:326-327, made observable instead of invisible).
+
+    Both sides write batch-id partitions under the same checkpoint, so
+    retries overwrite in place (exactly-once per the foreachBatch
+    pattern). One pass per batch: the rule tags are computed once and
+    the split is two filters on the tagged frame.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_extractor_spark.operators.expectations import _row_violates
+
+    counts = {"good": 0, "quarantined": 0, "batches": 0}
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tags = F.array_compact(
+            F.array(
+                *[F.when(_row_violates(r), F.lit(r["name"])) for r in rules]
+            )
+        )
+        tagged = batch_df.withColumn("violated", tags).persist()
+        good = tagged.filter(F.size("violated") == 0).drop("violated")
+        bad = tagged.filter(F.size("violated") > 0).withColumn(
+            "violated", F.array_join("violated", ",")
+        )
+        good.write.mode("overwrite").parquet(
+            os.path.join(good_dir, f"batch_id={batch_id}")
+        )
+        bad.write.mode("overwrite").parquet(
+            os.path.join(quarantine_dir, f"batch_id={batch_id}")
+        )
+        counts["good"] += good.count()
+        counts["quarantined"] += bad.count()
+        counts["batches"] += 1
+        tagged.unpersist()
+
+    q = (
+        stream_df.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return counts

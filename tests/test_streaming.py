@@ -256,3 +256,61 @@ def test_streaming_topk_matches_batch(spark, sf_dir):
             stream2, state, ckpt, metric="o_totalprice", k=k, tiebreak="o_orderkey"
         )
         assert n2 == 0
+
+
+def test_streaming_quarantine_splits_without_loss(spark, sf_dir):
+    """Every input row lands in exactly one of main/quarantine; the
+    quarantine rows carry the names of the rules they violated."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    rules = [
+        {
+            "name": "price_cap",
+            "type": "range",
+            "col": "o_totalprice",
+            "min": 0.0,
+            "max": 300000.0,
+        },
+        {
+            "name": "status_subset",
+            "type": "accepted_values",
+            "col": "o_orderstatus",
+            "values": ["F", "O"],
+        },
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        orders.repartition(3).write.parquet(src)
+        good_d, quar_d, ckpt = (
+            os.path.join(tmp, "good"),
+            os.path.join(tmp, "quar"),
+            os.path.join(tmp, "ckpt"),
+        )
+        stream = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        counts = SE.run_streaming_quarantine(stream, good_d, quar_d, ckpt, rules)
+        assert counts["batches"] >= 2
+
+        good = spark.read.parquet(good_d)
+        quar = spark.read.parquet(quar_d)
+        assert good.count() + quar.count() == orders.count()  # nothing lost
+        assert good.count() == counts["good"]
+        want_bad = orders.filter(
+            (F.col("o_totalprice") > 300000.0) | (~F.col("o_orderstatus").isin("F", "O"))
+        ).count()
+        assert quar.count() == want_bad
+        # violated column names the failed rules
+        both = quar.filter(
+            (F.col("o_totalprice") > 300000.0) & (F.col("o_orderstatus") == "P")
+        )
+        if both.count() > 0:
+            assert both.filter(
+                F.col("violated") == "price_cap,status_subset"
+            ).count() == both.count()
