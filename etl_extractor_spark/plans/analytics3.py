@@ -915,3 +915,49 @@ FROM ranked WHERE rn <= 5
 
 QUERIES.update({"quality_violation_sample": quality_violation_sample})
 ORACLES.update({"quality_violation_sample": QUALITY_VIOLATION_SAMPLE_SQL})
+
+# ---------------------------------------------------------------------------
+# 17. Activity gap detection
+# ---------------------------------------------------------------------------
+
+
+def user_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity continuity: active-day count, span, largest
+    gap between consecutive active days, and how many gaps exceed one
+    day — the completeness check run before trusting any per-user
+    time-series. Day-grain dedup first (collapses raw volume), then a
+    lag window inside each user partition; all integers.
+    """
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    gaps = days.withColumn(
+        "gap", F.datediff("d", F.lag("d").over(w))
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("active_days"),
+        (F.datediff(F.max("d"), F.min("d")) + 1).alias("span_days"),
+        F.coalesce(F.max("gap"), F.lit(0)).alias("max_gap"),
+        F.count_if(F.col("gap") > 1).alias("n_gaps"),
+    )
+
+
+USER_ACTIVITY_GAPS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), gaps AS (
+  SELECT user_id, d,
+         datediff('day', lag(d) OVER (PARTITION BY user_id ORDER BY d), d) AS gap
+  FROM days
+)
+SELECT user_id,
+       count(*) AS active_days,
+       datediff('day', min(d), max(d)) + 1 AS span_days,
+       coalesce(max(gap), 0) AS max_gap,
+       count(*) FILTER (WHERE gap > 1) AS n_gaps
+FROM gaps
+GROUP BY user_id
+"""
+
+QUERIES.update({"user_activity_gaps": user_activity_gaps})
+ORACLES.update({"user_activity_gaps": USER_ACTIVITY_GAPS_SQL})
