@@ -190,8 +190,12 @@ def minhash_signatures_oph(hashed: DataFrame, n_perm: int = N_PERM) -> DataFrame
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, n_perm: int = N_PERM, band_rows: int = BAND_ROWS) -> DataFrame:
-    """Banded LSH: docs colliding on any band of the signature."""
+def band_frame(
+    signatures: DataFrame, n_perm: int = N_PERM, band_rows: int = BAND_ROWS
+) -> DataFrame:
+    """(doc_id, band_idx, band_hash): the banded form of a signature
+    frame — the join key of LSH candidate generation, and the exact
+    content of the persistent index in incremental dedup."""
     n_bands = n_perm // band_rows
     bands = F.array(
         *[
@@ -203,9 +207,14 @@ def lsh_candidate_pairs(signatures: DataFrame, n_perm: int = N_PERM, band_rows: 
             for b in range(n_bands)
         ]
     )
-    banded = signatures.select(
+    return signatures.select(
         "doc_id", F.posexplode(bands).alias("band_idx", "band_hash")
     )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, n_perm: int = N_PERM, band_rows: int = BAND_ROWS) -> DataFrame:
+    """Banded LSH: docs colliding on any band of the signature."""
+    banded = band_frame(signatures, n_perm, band_rows)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

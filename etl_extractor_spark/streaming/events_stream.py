@@ -391,3 +391,46 @@ def run_streaming_quarantine(
     )
     q.awaitTermination()
     return counts
+
+
+def run_streaming_minhash_dedup(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> int:
+    """Streaming near-dup detection at ingestion: each micro-batch of
+    documents is deduped against itself AND the persistent MinHash band
+    index (operators/dedup_incremental.py), pairs land in a batch-id
+    partition, and the batch joins the index — per-batch cost scales
+    with the batch, never the corpus. Checkpointed offsets + the
+    index's own batch-id watermark give effective exactly-once.
+    Returns batches applied this run."""
+    import os
+
+    from etl_extractor_spark.operators.dedup_incremental import ingest_batch
+
+    applied = {"n": 0}
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pairs = ingest_batch(
+            batch_df.sparkSession, index_path, batch_df, id_col, text_col,
+            threshold=threshold, batch_id=batch_id,
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(index_path, "pairs", f"batch_id={batch_id}")
+        )
+        applied["n"] += 1
+
+    q = (
+        stream_df.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return applied["n"]
