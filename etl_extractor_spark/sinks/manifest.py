@@ -420,3 +420,38 @@ def read_null_skipping(
         spark.read.parquet(*[os.path.join(path, n) for n in keep]).filter(cond),
         info,
     )
+
+
+def read_with_skipping_multi(
+    spark: SparkSession,
+    path: str,
+    predicates: list[tuple[str, Any, Any]],
+) -> tuple[DataFrame, dict[str, int]]:
+    """Conjunctive range scan: ``predicates`` is a list of
+    (col, lower, upper); a file survives only if EVERY predicate's
+    [min, max] range intersects it — the natural reader for z-ordered
+    layouts, where each clustered column prunes independently and the
+    intersection multiplies the skipping. Residual filters still apply
+    after planning (superset guarantee)."""
+    manifest = read_manifest(path)
+    cond = F.lit(True)
+    for col, lower, upper in predicates:
+        if lower is not None:
+            cond = cond & (F.col(col) >= F.lit(lower))
+        if upper is not None:
+            cond = cond & (F.col(col) <= F.lit(upper))
+    if manifest is None:
+        return spark.read.parquet(path).filter(cond), {"files_total": -1, "files_read": -1}
+
+    keep: set[str] | None = None
+    for col, lower, upper in predicates:
+        names = set(plan_files(manifest, col, lower, upper))
+        keep = names if keep is None else keep & names
+    keep = keep if keep is not None else {e["file"] for e in manifest["files"]}
+    info = {"files_total": manifest["n_files"], "files_read": len(keep)}
+    if not keep:
+        return spark.read.parquet(path).filter(F.lit(False)), info
+    return (
+        spark.read.parquet(*[os.path.join(path, n) for n in sorted(keep)]).filter(cond),
+        info,
+    )

@@ -131,3 +131,26 @@ def test_zorder_compaction_repairs_multi_column_skipping(spark, sf_dir, tmp_path
     assert on_pk["files_read"] < on_pk["files_total"]
     assert on_sk["files_read"] < on_sk["files_total"]
     assert len(table_history(path)) == 1
+
+
+def test_conjunctive_skipping_multiplies_on_zorder(spark, layouts):
+    """On a z-ordered layout, an AND of range predicates on both
+    clustered columns prunes at least as hard as either alone, and the
+    pruned scan equals the fully filtered full scan."""
+    from etl_extractor_spark.sinks.manifest import read_with_skipping_multi
+
+    zpath, _, ranges = layouts
+    pk, sk = ranges["l_partkey"], ranges["l_suppkey"]
+    _, on_pk = read_with_skipping(spark, zpath, "l_partkey", *pk)
+    _, on_sk = read_with_skipping(spark, zpath, "l_suppkey", *sk)
+    both, info = read_with_skipping_multi(
+        spark, zpath, [("l_partkey", *pk), ("l_suppkey", *sk)]
+    )
+    assert info["files_read"] <= min(on_pk["files_read"], on_sk["files_read"])
+    assert info["files_read"] < info["files_total"]
+    full = spark.read.parquet(zpath).filter(
+        (F.col("l_partkey") >= pk[0]) & (F.col("l_partkey") <= pk[1])
+        & (F.col("l_suppkey") >= sk[0]) & (F.col("l_suppkey") <= sk[1])
+    )
+    assert both.count() == full.count()
+    assert both.exceptAll(full).isEmpty()
