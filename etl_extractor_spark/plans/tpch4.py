@@ -318,8 +318,59 @@ WHERE o.best_offer = (SELECT min(best_offer) FROM offers i
 """
 
 
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape ("potential part promotion"): suppliers who, for some
+    'red' part, shipped MORE than half that part's total 1996 volume —
+    TPC-H Q20's `ps_availqty > 0.5 * correlated sum(l_quantity)` with
+    lineitem standing in for partsupp. The correlated scalar aggregate
+    is decorrelated into a per-part total joined back on partkey, and
+    the double-nested IN becomes a semi join into supplier⋈nation.
+
+    Scale: the filtered lineitem aggregates partially map-side on
+    (partkey, suppkey); the per-part total reuses the same grouped
+    frame (one extra reduce over ~|parts| rows, no second scan); part
+    and supplier joins broadcast."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1996)
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    per_supp = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    per_part = per_supp.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    dominant = per_supp.join(
+        per_part, per_supp.l_partkey == per_part.t_partkey
+    ).filter(F.col("supp_qty") > 0.5 * F.col("part_qty"))
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_name", F.col("n_name").alias("nation"))
+    )
+
+
+Q20_SQL = """
+WITH per_supp AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) = 1996 AND p_name LIKE '%red%'
+  GROUP BY 1, 2
+)
+SELECT s_name, n_name AS nation
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM per_supp o
+  WHERE o.supp_qty > 0.5 * (SELECT sum(supp_qty) FROM per_supp i
+                            WHERE i.l_partkey = o.l_partkey))
+"""
+
+
 QUERIES = {
     "q2_cheapest_supplier": q2_cheapest_supplier,
+    "q20_dominant_suppliers": q20_dominant_suppliers,
     "q9_profit_by_nation": q9_profit_by_nation,
     "q11_important_parts": q11_important_parts,
     "q12_priority_class": q12_priority_class,
@@ -331,6 +382,7 @@ QUERIES = {
 
 ORACLES = {
     "q2_cheapest_supplier": Q2_SQL,
+    "q20_dominant_suppliers": Q20_SQL,
     "q9_profit_by_nation": Q9_SQL,
     "q11_important_parts": Q11_SQL,
     "q12_priority_class": Q12_SQL,
