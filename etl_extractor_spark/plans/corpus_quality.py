@@ -1,0 +1,157 @@
+"""Corpus-curation queries: repetition quality metrics and benchmark
+decontamination over the documents table.
+
+Training-data pipeline staples beyond the reference's surface (the
+reference cleans opinion text with scalar fns only,
+`transform/clean_data.py:4-15`; these are the corpus-level analogs a
+100 TB pretraining pipeline needs):
+
+- ``gopher_repetition``  : per-document repetition statistics in the
+  style of the Gopher/MassiveText quality rules — most-frequent-token
+  fraction, most-frequent-bigram fraction, duplicate-trigram fraction.
+  Heavily repetitive documents (boilerplate, keyword stuffing, OCR
+  loops) score high and get filtered before training.
+- ``decontaminate_ngrams`` : flag training documents sharing any
+  4-token shingle with a benchmark corpus (here: the ``src0`` slice
+  stands in for the eval set). This is the standard n-gram-overlap
+  eval-decontamination pass.
+
+Scale notes: both queries explode documents into n-gram rows — at
+100 TB that is a map-side transform feeding a partial aggregation on
+(doc_id, gram), so the shuffle carries pre-combined counts, not raw
+grams. The benchmark gram set is DISTINCT-reduced and broadcast
+(real eval benchmarks are tiny relative to the corpus); at larger
+benchmark sizes Spark's runtime bloom filter on the semi join does the
+same reduction without a driver-side collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_extractor_spark.sources.parquet import load_table
+
+
+def _tokens(d: DataFrame) -> DataFrame:
+    toks = F.split(
+        F.trim(F.regexp_replace(F.col("text").cast("string"), r"\s+", " ")), " "
+    )
+    return d.select("doc_id", "source", toks.alias("toks"))
+
+
+def _grams(tok_df: DataFrame, n: int) -> DataFrame:
+    """Explode token arrays into n-gram rows (space-joined shingles)."""
+    gram = F.expr(
+        f"transform(sequence(1, size(toks) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(toks, i, {n})))"
+    )
+    return tok_df.select(
+        "doc_id", "source", F.explode(gram).alias("gram")
+    )
+
+
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition metrics (Gopher-rule style): top-token frac,
+    top-bigram frac, duplicate-trigram frac. Each n-gram level is a
+    (doc_id, gram) partial-agg count rolled up to per-doc max/total —
+    two-phase aggregation, no data leaves the doc_id partitioning
+    between the two groupBys (Catalyst reuses the hash partitioning)."""
+    t = _tokens(load_table(spark, sf_dir, "documents"))
+
+    def per_doc(n: int, mx: str, tot: str, nd: str) -> DataFrame:
+        return (
+            _grams(t, n)
+            .groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(
+                F.max("c").alias(mx),
+                F.sum("c").alias(tot),
+                F.count(F.lit(1)).alias(nd),
+            )
+        )
+    uni = per_doc(1, "mx1", "tot1", "nd1")
+    bi = per_doc(2, "mx2", "tot2", "nd2")
+    tri = per_doc(3, "mx3", "tot3", "nd3")
+    return (
+        uni.join(bi, "doc_id").join(tri, "doc_id")
+        .select(
+            "doc_id",
+            F.col("tot1").cast("long").alias("n_tokens"),
+            F.round(F.col("mx1") / F.col("tot1"), 4).alias("top_token_frac"),
+            F.round(F.col("mx2") / F.col("tot2"), 4).alias("top_bigram_frac"),
+            F.round(1.0 - F.col("nd3") / F.col("tot3"), 4).alias(
+                "dup_trigram_frac"
+            ),
+        )
+    )
+
+
+GOPHER_REPETITION_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, toks,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg,
+         list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tg
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(list_max(list_transform(list_distinct(toks), x -> len(list_filter(toks, y -> y = x)))) * 1.0 / len(toks), 4) AS top_token_frac,
+       round(list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))) * 1.0 / len(bg), 4) AS top_bigram_frac,
+       round(1.0 - len(list_distinct(tg)) * 1.0 / len(tg), 4) AS dup_trigram_frac
+FROM g
+"""
+
+
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (source != src0)
+    sharing at least one 4-gram with the benchmark slice (source =
+    src0), with the count of distinct shared grams. The benchmark gram
+    set is distinct-reduced then broadcast into the inner join; the
+    per-doc distinct count is a two-phase aggregate."""
+    t = _tokens(load_table(spark, sf_dir, "documents"))
+    grams = _grams(t, 4)
+    bench = (
+        grams.filter(F.col("source") == "src0").select("gram").distinct()
+    )
+    train = grams.filter(F.col("source") != "src0")
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_shared"))
+    )
+
+
+DECONTAMINATE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(toks)-2), i -> list_aggregate(toks[i:i+3], 'string_agg', ' '))) AS gram
+  FROM t
+), b AS (
+  SELECT DISTINCT gram FROM g WHERE source = 'src0'
+)
+SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_shared
+FROM g JOIN b USING (gram)
+WHERE source <> 'src0'
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "gopher_repetition": gopher_repetition,
+    "decontaminate_ngrams": decontaminate_ngrams,
+}
+
+ORACLES = {
+    "gopher_repetition": GOPHER_REPETITION_SQL,
+    "decontaminate_ngrams": DECONTAMINATE_SQL,
+}

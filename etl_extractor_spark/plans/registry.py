@@ -25,6 +25,7 @@ _MODULES = (
     "etl_extractor_spark.plans.corpus_prep",
     "etl_extractor_spark.plans.parity",
     "etl_extractor_spark.plans.text_analysis",
+    "etl_extractor_spark.plans.corpus_quality",
     "etl_extractor_spark.plans.dedup",
     "etl_extractor_spark.plans.similarity",
     "etl_extractor_spark.plans.events",
