@@ -86,3 +86,82 @@ def extract_features(blobs: DataFrame, fake_decode: bool = True) -> DataFrame:
             )
 
     return blobs.select("doc_id", "blob").mapInPandas(fn, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes_out", T.LongType()),
+        T.StructField("out_md5", T.StringType()),
+    ]
+)
+
+
+def resize_payloads(blobs: DataFrame, max_bytes: int = 256) -> DataFrame:
+    """Resize plumbing (image downscale analog): payload in → smaller
+    payload out, one row per row, Arrow-batched. The real version
+    decodes + resamples via an imaging library; the STUB truncates to
+    ``max_bytes`` — a deterministic, engine-independent byte transform
+    so the whole Python path stays oracle-checkable. Pipeline shape is
+    the production one: mapInPandas, no shuffle, partitioning
+    inherited from the scan."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf["blob"].map(lambda p: bytes(p)[:max_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes_out": out.map(len).astype("int64"),
+                    "out_md5": out.map(lambda b: hashlib.md5(b).hexdigest()),
+                }
+            )
+
+    return blobs.select("doc_id", "blob").mapInPandas(fn, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    blobs: DataFrame, frame_bytes: int = 64, stride: int = 4
+) -> DataFrame:
+    """Frame-sampling plumbing (video → every k-th frame): the ONE
+    multimodal op whose cardinality changes (1 payload → N frame
+    rows), which is exactly what mapInPandas expresses and a scalar
+    pandas_udf cannot. The STUB treats the payload as fixed-size
+    ``frame_bytes`` frames and emits every ``stride``-th one with a
+    content digest; a real decoder would emit decoded frame tensors.
+    Output stays partitioned like the input — downstream per-frame
+    feature extraction pipelines without a shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            digests: list[str] = []
+            for did, p in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(p)
+                for i in range(0, len(b) // frame_bytes, stride):
+                    ids.append(int(did))
+                    idxs.append(i)
+                    digests.append(
+                        hashlib.md5(
+                            b[i * frame_bytes : (i + 1) * frame_bytes]
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_md5": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return blobs.select("doc_id", "blob").mapInPandas(fn, FRAME_SCHEMA)

@@ -48,12 +48,55 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(M.to_blob_table(d, "doc_id", "text"), fake_decode=True)
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python mapInPandas resize path, pinned to an exact SQL oracle:
+    the stub transform (byte truncation) is expressible on both sides
+    because the fake payload is encoded ASCII text (byte slice ≡ char
+    slice), so the whole Arrow round-trip is hash-checked."""
+    d = load_table(spark, sf_dir, "documents")
+    return M.resize_payloads(M.to_blob_table(d, "doc_id", "text"), max_bytes=256)
+
+
+MULTIMODAL_RESIZE_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(substring(text, 1, 256))) AS BIGINT) AS n_bytes_out,
+       md5(substring(text, 1, 256)) AS out_md5
+FROM documents
+"""
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality-changing frame sampling (1 payload → N frames),
+    also oracle-pinned via the ASCII byte≡char equivalence."""
+    d = load_table(spark, sf_dir, "documents")
+    return M.sample_frames(
+        M.to_blob_table(d, "doc_id", "text"), frame_bytes=64, stride=4
+    )
+
+
+MULTIMODAL_FRAMES_SQL = """
+WITH f AS (
+  SELECT doc_id, text,
+         CAST(octet_length(encode(text)) AS BIGINT) // 64 AS n_frames
+  FROM documents
+)
+SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+       md5(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_md5
+FROM (SELECT doc_id, text, unnest(range(0, n_frames, 4)) AS i
+      FROM f WHERE n_frames > 0)
+"""
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
+    "multimodal_resize": multimodal_resize,
+    "multimodal_frames": multimodal_frames,
 }
 
 ORACLES = {
     "multimodal_meta": MULTIMODAL_META_SQL,
     # multimodal_features: rows-only (sha256 fake-decode not in DuckDB core)
+    "multimodal_resize": MULTIMODAL_RESIZE_SQL,
+    "multimodal_frames": MULTIMODAL_FRAMES_SQL,
 }
