@@ -417,3 +417,97 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, min_len: int = 30
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    every maximal character span that is covered by some exact
+    substring of length >= ``min_len`` occurring at least twice in the
+    corpus (across documents OR repeated within one), and report
+    per-document span stats.
+
+    The single-node reference algorithm is a suffix array — inherently
+    sequential and memory-bound at 100 TB. The distributed design here
+    is the shingle-hash equivalent:
+
+    1. explode each doc into its length-``min_len`` shingle positions
+       (map-side, no shuffle; the row blowup is the algorithm's real
+       cost and is linear in corpus bytes),
+    2. count shingle occurrences by 64-bit xxhash (one shuffle on an
+       8-byte key with map-side partial counts — we never shuffle the
+       shingle strings themselves),
+    3. mark positions whose shingle repeats (shuffle join on the same
+       hash key; Catalyst reuses the partitioning from step 2),
+    4. merge overlapping marked intervals per doc with a
+       gaps-and-islands window (partitionBy doc_id — co-partitioned
+       with nothing else; spans per doc are tiny).
+
+    Output: one row per input doc (zero-filled for clean docs) with
+    n_dup_spans, dup_chars, dup_frac. Dropping/clipping the spans
+    (the paper's actual dedup) is a trivial substring on top.
+
+    The reference has no analog; nearest is its full-row
+    drop_duplicates (`main.py:108`).
+    """
+    from pyspark.sql import Window
+
+    d = df.select(id_col, F.col(text_col).alias("__txt"))
+    pos = (
+        d.filter(F.char_length("__txt") >= min_len)
+        .withColumn(
+            "pos",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.char_length("__txt") - F.lit(min_len - 1)
+                )
+            ),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.xxhash64(
+                F.substring(F.col("__txt"), F.col("pos"), F.lit(min_len))
+            ).alias("h"),
+        )
+    )
+    dup_h = (
+        pos.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    marked = pos.join(dup_h, "h").select(
+        id_col, "pos", (F.col("pos") + F.lit(min_len - 1)).alias("end")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = marked.withColumn(
+        "is_new",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    ).withColumn("span_id", F.sum("is_new").over(w))
+    per_doc = (
+        islands.groupBy(id_col, "span_id")
+        .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"),
+        )
+    )
+    return (
+        d.select(id_col, F.char_length("__txt").alias("__n"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+            F.round(
+                F.coalesce("dup_chars", F.lit(0)) / F.col("__n"), 4
+            ).alias("dup_frac"),
+        )
+    )

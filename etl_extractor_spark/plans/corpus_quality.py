@@ -146,12 +146,132 @@ GROUP BY 1
 """
 
 
+def exactsubstr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup diagnostics: per-doc duplicated-span stats for
+    exact repeats of >= 30 chars anywhere in the corpus. See
+    ``operators.dedup.duplicated_spans`` for the distributed design
+    (shingle-hash instead of the paper's suffix array). The oracle
+    groups on the shingle STRING where the Spark plan groups on its
+    xxhash64 — identical up to 64-bit collisions (~1e-8 at sf0.01)."""
+    from etl_extractor_spark.operators.dedup import duplicated_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(d, "doc_id", "text", min_len=30)
+
+
+EXACTSUBSTR_SQL = r"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+sh AS (
+  SELECT doc_id, unnest(range(1, n - 30 + 2)) AS pos, text
+  FROM d WHERE n >= 30
+), s AS (
+  SELECT doc_id, pos, substring(text, CAST(pos AS INTEGER), 30) AS shingle
+  FROM sh
+), dup AS (
+  SELECT shingle FROM s GROUP BY shingle HAVING count(*) >= 2
+), m AS (
+  SELECT doc_id, pos, pos + 29 AS e
+  FROM s WHERE shingle IN (SELECT shingle FROM dup)
+), isl AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS is_new
+  FROM m
+), sp AS (
+  SELECT doc_id, pos, e,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM isl
+), agg AS (
+  SELECT doc_id, span_id, min(pos) AS s0, max(e) AS e0
+  FROM sp GROUP BY 1, 2
+), per AS (
+  SELECT doc_id, count(*) AS n_dup_spans, sum(e0 - s0 + 1) AS dup_chars
+  FROM agg GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(coalesce(dup_chars, 0) AS BIGINT) AS dup_chars,
+       round(coalesce(dup_chars, 0) * 1.0 / n, 4) AS dup_frac
+FROM d LEFT JOIN per USING (doc_id)
+"""
+
+
+def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM fluency scoring with a corpus-trained unigram
+    model: p(tok) = count(tok)/total over the whole corpus, doc score =
+    mean negative log10 probability of its tokens (the monotone core of
+    perplexity — high score = tokens rare in-domain = candidate junk).
+
+    Scale shape: token explode → two-phase count (Zipf-skewed heavy
+    hitters are absorbed by map-side partial agg); the trained vocab is
+    tiny relative to the corpus, so the score-back join is a broadcast
+    — the token stream itself is never shuffled, and the per-doc mean
+    reuses the doc_id partitioning. Per-token log-probs are quantized
+    to integer micro-units BEFORE the per-doc sum so the aggregate is
+    order-independent and bit-exact vs the oracle."""
+    t = _tokens(load_table(spark, sf_dir, "documents"))
+    tok = t.select("doc_id", F.explode("toks").alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.floor(
+            F.log10(F.col("cnt") / F.col("total")) * F.lit(1_000_000)
+        ).alias("lp_micro"),
+    )
+    return (
+        tok.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_micro").alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                -F.col("s") / (F.col("n_tokens") * F.lit(1_000_000.0)), 4
+            ).alias("avg_neg_log10p"),
+        )
+    )
+
+
+UNIGRAM_LM_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS tok FROM t
+), v AS (
+  SELECT tok, count(*) AS cnt FROM tok GROUP BY 1
+), tot AS (
+  SELECT sum(cnt) AS total FROM v
+), lp AS (
+  SELECT tok, CAST(floor(log10(cnt * 1.0 / total) * 1000000) AS BIGINT) AS lp_micro
+  FROM v, tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(-sum(lp_micro) * 1.0 / (count(*) * 1000000.0), 4) AS avg_neg_log10p
+FROM tok JOIN lp USING (tok)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "gopher_repetition": gopher_repetition,
     "decontaminate_ngrams": decontaminate_ngrams,
+    "exactsubstr_spans": exactsubstr_spans,
+    "unigram_lm_score": unigram_lm_score,
 }
 
 ORACLES = {
     "gopher_repetition": GOPHER_REPETITION_SQL,
     "decontaminate_ngrams": DECONTAMINATE_SQL,
+    "exactsubstr_spans": EXACTSUBSTR_SQL,
+    "unigram_lm_score": UNIGRAM_LM_SQL,
 }

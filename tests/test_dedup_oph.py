@@ -30,3 +30,35 @@ def test_oph_signatures_have_no_nulls(spark, sf_dir):
     sigs = minhash_signatures_oph(hashed_shingles(docs, "doc_id", "text"))
     null_checks = " OR ".join(f"h{i} IS NULL" for i in range(96))
     assert sigs.filter(null_checks).count() == 0
+
+
+def test_duplicated_spans_literal(spark):
+    """ExactSubstr span semantics on hand-built rows: overlapping hits
+    merge into one span, within-doc repeats count, clean docs report
+    zero. min_len=10; doc A and B share a 12-char substring (3 shingle
+    positions -> 1 merged span of 12 chars); doc C repeats a 10-char
+    block twice internally at distance > 10 (2 disjoint spans); doc D
+    is unique."""
+    from etl_extractor_spark.operators.dedup import duplicated_spans
+
+    rows = [
+        (1, "XXABCDEFGHIJKLYY"),     # shares ABCDEFGHIJKL with doc 2
+        (2, "zzABCDEFGHIJKLqq"),
+        (3, "0123456789----0123456789"),  # internal repeat, 2 spans
+        (4, "unique text nothing repeats here at all"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_spans(
+            spark.createDataFrame(rows, ["doc_id", "text"]),
+            "doc_id",
+            "text",
+            min_len=10,
+        )
+        .collect()
+    }
+    assert out[1]["n_dup_spans"] == 1 and out[1]["dup_chars"] == 12
+    assert out[2]["n_dup_spans"] == 1 and out[2]["dup_chars"] == 12
+    assert out[3]["n_dup_spans"] == 2 and out[3]["dup_chars"] == 20
+    assert out[4]["n_dup_spans"] == 0 and out[4]["dup_chars"] == 0
+    assert abs(out[1]["dup_frac"] - round(12 / 16, 4)) < 1e-9
