@@ -1,0 +1,421 @@
+"""Analytics wave 4 — query shapes rounding out the general engine.
+
+Beyond-reference extensions (the reference at /root/reference has no
+analytics layer beyond the single star-join in test.py:13-44; its DW
+exists to serve exactly these workloads, README.md:21-35): keep-latest
+compaction reads, percent-of-total windows, time-range (RANGE interval)
+frames, nucleus-style vocabulary coverage, co-occurrence self-joins,
+exact heavy hitters, equi-width histograms, and robust (MAD) outlier
+detection. All compared output is integer-exact (cents / fixed-point)
+so the DuckDB oracle hash-matches bit-for-bit.
+
+Scale notes are per-query; the common theme: one hash shuffle per
+logical regrouping, windows partitioned by the same key as the shuffle
+that precedes them, and scalar thresholds broadcast — never collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_extractor_spark.functions import textstats as ts
+from etl_extractor_spark.sources.parquet import load_table
+
+def _cents():
+    return F.round(F.col("o_totalprice") * 100, 0).cast("long")
+
+# ---------------------------------------------------------------------------
+# 1. Keep-latest-per-key (CDC / compaction read shape)
+# ---------------------------------------------------------------------------
+
+
+def orders_latest_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest order row per customer — the canonical keep-latest dedup
+    that a CDC mirror or compacted upsert table serves on read.
+
+    One shuffle on ``o_custkey``; the row_number window rides the same
+    partitioning. At 100 TB this is the read path of `merge_cdc_apply`
+    (sinks/merge.py) expressed as a query: no global sort, per-key state
+    is one row.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("last_order_date"),
+            "o_orderstatus",
+            _cents().alias("price_cents"),
+        )
+    )
+
+
+LATEST_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS last_order_date,
+       o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+  ) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+# ---------------------------------------------------------------------------
+# 2. Percent-of-total window (partition-frame aggregate)
+# ---------------------------------------------------------------------------
+
+
+def nation_revenue_share_bps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each nation's share of its region's revenue, in integer basis
+    points — the ratio_to_report shape.
+
+    Revenue is summed as per-line cents (BIGINT, exact). The nation agg
+    shuffles on the join key chain; the region-total window is a
+    partition-only frame over the tiny nation-level aggregate, so the
+    window state is O(nations), not O(lineitem).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    line_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    per_nation = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(line_cents).alias("nation_cents"))
+    )
+    return per_nation.withColumn(
+        "share_bps",
+        F.expr("nation_cents * 10000 div sum(nation_cents) over (partition by r_name)"),
+    ).select("r_name", "n_name", "nation_cents", "share_bps")
+
+
+NATION_SHARE_SQL = """
+WITH per_nation AS (
+  SELECT r_name, n_name,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS nation_cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name, nation_cents,
+       nation_cents * 10000 // sum(nation_cents) OVER (PARTITION BY r_name) AS share_bps
+FROM per_nation
+"""
+
+# ---------------------------------------------------------------------------
+# 3. Time-range window frame (RANGE BETWEEN INTERVAL)
+# ---------------------------------------------------------------------------
+
+
+def customer_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order: that customer's total spend in the trailing 30 days
+    (inclusive) — a RANGE frame over event time, not a ROWS frame, so
+    peers at the same timestamp aggregate together and gaps in the
+    series are handled by value, not by row offset.
+
+    Spark expresses the interval frame as ``rangeBetween`` over epoch
+    seconds; one shuffle on ``o_custkey``, per-key state bounded by the
+    30-day horizon (the frame slides, it never rebuilds).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", "o_orderdate", _cents().alias("price_cents"))
+        .withColumn("trailing_30d_cents", F.sum("price_cents").over(w))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            "price_cents",
+            "trailing_30d_cents",
+        )
+    )
+
+
+TRAILING_30D_SQL = """
+SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+       ) AS trailing_30d_cents
+FROM orders
+"""
+
+# ---------------------------------------------------------------------------
+# 4. Nucleus-style vocabulary coverage (cumulative-mass cutoff)
+# ---------------------------------------------------------------------------
+
+
+def token_coverage_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per language: how many distinct tokens (taken most-frequent
+    first) cover ≥90% of the token mass — the top-p/nucleus cutoff used
+    to size vocabularies and spot low-diversity corpora.
+
+    One token-count aggregate, then windows partitioned by ``lang`` over
+    the (small) per-language vocabulary — the heavy explode/count never
+    passes through a window. Cutoff test is integer (cum*10 ≥ total*9).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.col("lang"), F.explode(ts.tokens("text")).alias("token")).filter(
+        F.length("token") > 0
+    )
+    counts = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    w_ord = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
+    w_all = Window.partitionBy("lang")
+    ranked = counts.select(
+        "lang",
+        "cnt",
+        F.row_number().over(w_ord).alias("rnk"),
+        F.sum("cnt").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.min(F.when(F.col("cum") * 10 >= F.col("total") * 9, F.col("rnk"))).alias(
+            "tokens_p90"
+        ),
+    )
+
+
+TOKEN_COVERAGE_SQL = r"""
+WITH toks AS (
+  SELECT lang,
+         unnest(string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ')) AS token
+  FROM documents
+), counts AS (
+  SELECT lang, token, count(*) AS cnt FROM toks WHERE len(token) > 0
+  GROUP BY lang, token
+), ranked AS (
+  SELECT lang, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rnk,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY lang) AS total
+  FROM counts
+)
+SELECT lang, count(*) AS vocab,
+       min(CASE WHEN cum * 10 >= total * 9 THEN rnk END) AS tokens_p90
+FROM ranked GROUP BY lang
+"""
+
+# ---------------------------------------------------------------------------
+# 5. Co-occurrence self-join (market-basket shape)
+# ---------------------------------------------------------------------------
+
+
+def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How often two event types co-occur for the same user on the same
+    day — the market-basket / co-view shape.
+
+    Distinct (user, day, type) first, THEN the self-join: the join
+    explodes pairs per basket, so shrinking baskets to distinct items
+    before joining bounds the blowup at |types|² per user-day. Both
+    sides shuffle on the same (user_id, day) key.
+    """
+    e = load_table(spark, sf_dir, "events")
+    basket = e.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).distinct()
+    a = basket.alias("a")
+    b = basket.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_days"))
+    )
+
+
+COOCCURRENCE_SQL = """
+WITH basket AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS pair_days
+FROM basket a
+JOIN basket b ON a.user_id = b.user_id AND a.day = b.day
+            AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type
+"""
+
+# ---------------------------------------------------------------------------
+# 6. Exact heavy hitters (scalar threshold, broadcast)
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts appearing in more than 0.1% of all lineitems — exact heavy
+    hitters with the threshold derived from the data itself.
+
+    The total is a one-row aggregate cross-joined (broadcast) into the
+    per-part counts — no ``collect()`` round-trip, the whole plan stays
+    on the cluster and the threshold never hits the driver.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    counts = l.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 1000 > F.col("total"))
+        .select("l_partkey", "cnt")
+    )
+
+
+HEAVY_HITTERS_SQL = """
+WITH counts AS (
+  SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey
+), t AS (SELECT sum(cnt) AS total FROM counts)
+SELECT l_partkey, cnt FROM counts, t WHERE cnt * 1000 > total
+"""
+
+# ---------------------------------------------------------------------------
+# 7. Equi-width histogram (integer-exact binning)
+# ---------------------------------------------------------------------------
+
+
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bucket equi-width histogram of order value over [0, 600k),
+    binned on integer cents so bucket edges are exact (no float-boundary
+    flips between engines).
+
+    A single partial+final hash agg: 60 groups regardless of table
+    size — the canonical profile/sketch scan at 100 TB.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.expr("cast(round(o_totalprice * 100, 0) as bigint) div 1000000"), F.lit(59)) + 1
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(_cents()).alias("min_cents"),
+            F.max(_cents()).alias("max_cents"),
+        )
+    )
+
+
+PRICE_HISTOGRAM_SQL = """
+SELECT least(CAST(round(o_totalprice * 100) AS BIGINT) // 1000000, 59) + 1 AS bucket,
+       count(*) AS n_orders,
+       min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_cents,
+       max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
+FROM orders
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# 8. Robust outliers via MAD (median absolute deviation)
+# ---------------------------------------------------------------------------
+
+
+def mad_outliers_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order priority: count orders whose price deviates from the
+    group median by more than 3× the median absolute deviation — the
+    robust z-score filter that survives the heavy tails a mean/stddev
+    gate does not.
+
+    Two exact-percentile aggregates over the same ``o_orderpriority``
+    partitioning (medians of integers are k or k.5 — doubled to stay in
+    BIGINT, so the 3×MAD comparison is integer-exact). Group count is
+    tiny; each pass is one shuffle of pre-aggregated state.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", _cents().alias("cents")
+    )
+    med = o.groupBy("o_orderpriority").agg(
+        (2 * F.percentile("cents", F.lit(0.5))).cast("long").alias("median_cents_x2")
+    )
+    dev = o.join(F.broadcast(med), "o_orderpriority").withColumn(
+        "dev_x2", F.abs(2 * F.col("cents") - F.col("median_cents_x2"))
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        (2 * F.percentile("dev_x2", F.lit(0.5))).cast("long").alias("mad_cents_x4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("median_cents_x2").alias("median_cents_x2"),
+            F.max("mad_cents_x4").alias("mad_cents_x4"),
+            F.sum(
+                F.when(2 * F.col("dev_x2") > 3 * F.col("mad_cents_x4"), 1).otherwise(0)
+            ).alias("outliers"),
+        )
+    )
+
+
+MAD_OUTLIERS_SQL = """
+WITH o AS (
+  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), med AS (
+  SELECT o_orderpriority,
+         CAST(2 * quantile_cont(cents, 0.5) AS BIGINT) AS median_cents_x2
+  FROM o GROUP BY o_orderpriority
+), dev AS (
+  SELECT o.o_orderpriority, cents, median_cents_x2,
+         abs(2 * cents - median_cents_x2) AS dev_x2
+  FROM o JOIN med USING (o_orderpriority)
+), mad AS (
+  SELECT o_orderpriority,
+         CAST(2 * quantile_cont(dev_x2, 0.5) AS BIGINT) AS mad_cents_x4
+  FROM dev GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, count(*) AS n_orders,
+       max(median_cents_x2) AS median_cents_x2,
+       max(mad_cents_x4) AS mad_cents_x4,
+       sum(CASE WHEN 2 * dev_x2 > 3 * mad_cents_x4 THEN 1 ELSE 0 END) AS outliers
+FROM dev JOIN mad USING (o_orderpriority)
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "orders_latest_per_customer": orders_latest_per_customer,
+    "nation_revenue_share_bps": nation_revenue_share_bps,
+    "customer_trailing_30d_spend": customer_trailing_30d_spend,
+    "token_coverage_p90": token_coverage_p90,
+    "event_type_cooccurrence": event_type_cooccurrence,
+    "heavy_hitter_parts": heavy_hitter_parts,
+    "price_histogram": price_histogram,
+    "mad_outliers_by_priority": mad_outliers_by_priority,
+}
+
+ORACLES = {
+    "orders_latest_per_customer": LATEST_PER_CUSTOMER_SQL,
+    "nation_revenue_share_bps": NATION_SHARE_SQL,
+    "customer_trailing_30d_spend": TRAILING_30D_SQL,
+    "token_coverage_p90": TOKEN_COVERAGE_SQL,
+    "event_type_cooccurrence": COOCCURRENCE_SQL,
+    "heavy_hitter_parts": HEAVY_HITTERS_SQL,
+    "price_histogram": PRICE_HISTOGRAM_SQL,
+    "mad_outliers_by_priority": MAD_OUTLIERS_SQL,
+}

@@ -20,6 +20,7 @@ _MODULES = (
     "etl_extractor_spark.plans.tpch4",
     "etl_extractor_spark.plans.analytics2",
     "etl_extractor_spark.plans.analytics3",
+    "etl_extractor_spark.plans.analytics4",
     "etl_extractor_spark.plans.stats",
     "etl_extractor_spark.plans.cleaning",
     "etl_extractor_spark.plans.corpus_prep",
