@@ -16,6 +16,11 @@ from etl_extractor_spark.functions.text import ColumnOrName, _col
 
 
 def to_double_or(c: ColumnOrName, default: float = 0.0) -> Column:
+    """Pinned to Spark's cast semantics, which trim ASCII control
+    chars and whitespace (any char ≤ U+0020) before parsing — so
+    ``"0\\x1f"`` parses as 0.0 where Python ``float()`` would raise.
+    Documented divergence from pandas ``to_numeric`` in FIXTURES.md;
+    kept because it stays pure codegen (no UDF pre-filter)."""
     return F.coalesce(_col(c).try_cast("double"), F.lit(float(default)))
 
 

@@ -59,7 +59,7 @@ CUBE_DOCS_SQL = """
 SELECT coalesce(lang, 'ALL') AS lang,
        coalesce(source, 'ALL') AS source,
        count(*) AS n_docs,
-       sum(CAST(n_chars AS BIGINT)) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        max(CAST(n_chars AS BIGINT)) AS max_chars
 FROM documents
 GROUP BY CUBE (lang, source)
@@ -186,15 +186,15 @@ LANG_METRICS_UNPIVOT_SQL = """
 WITH wide AS (
   SELECT lang,
          count(*) AS n_docs,
-         sum(CAST(n_chars AS BIGINT)) AS total_chars,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
          max(CAST(n_chars AS BIGINT)) AS max_chars
   FROM documents GROUP BY lang
 )
-SELECT lang, 'n_docs' AS metric, n_docs AS value FROM wide
+SELECT lang, 'n_docs' AS metric, CAST(n_docs AS BIGINT) AS value FROM wide
 UNION ALL
-SELECT lang, 'total_chars' AS metric, total_chars AS value FROM wide
+SELECT lang, 'total_chars' AS metric, CAST(total_chars AS BIGINT) AS value FROM wide
 UNION ALL
-SELECT lang, 'max_chars' AS metric, max_chars AS value FROM wide
+SELECT lang, 'max_chars' AS metric, CAST(max_chars AS BIGINT) AS value FROM wide
 """
 
 

@@ -271,8 +271,9 @@ WITH comp AS (
          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS xq
   FROM embeddings
 )
-SELECT label, CAST(dim AS INT) AS dim, count(*) AS n, sum(xq) AS sum_q4,
-       sum(xq) // count(*) AS centroid_q4
+SELECT label, CAST(dim AS INT) AS dim, count(*) AS n,
+       CAST(sum(xq) AS BIGINT) AS sum_q4,
+       CAST(sum(xq) // count(*) AS BIGINT) AS centroid_q4
 FROM comp
 GROUP BY label, dim
 """
@@ -654,16 +655,17 @@ WITH pts AS (
          CAST(floor(value * 10000) AS BIGINT) AS y
   FROM events
 ), stats AS (
-  SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-         sum(x * y) AS sxy, sum(x * x) AS sxx
+  SELECT user_id, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
   FROM pts GROUP BY user_id
 )
 SELECT user_id, n,
-       n * sxy - sx * sy AS slope_num,
-       n * sxx - sx * sx AS slope_den,
-       CASE WHEN n * sxx - sx * sx <> 0
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST(CASE WHEN n * sxx - sx * sx <> 0
             THEN ((n * sxy - sx * sy) * 10000) // (n * sxx - sx * sx)
-       END AS slope_q4
+       END AS BIGINT) AS slope_q4
 FROM stats
 """
 
@@ -849,7 +851,7 @@ SELECT join_key,
        CAST(len(CAST(cnt AS VARCHAR)) AS INT) AS magnitude,
        count(*) AS n_keys,
        max(cnt) AS max_rows_per_key,
-       sum(cnt) AS total_rows
+       CAST(sum(cnt) AS BIGINT) AS total_rows
 FROM p
 GROUP BY 1, 2
 """

@@ -114,8 +114,8 @@ WITH per_nation AS (
   JOIN region ON n_regionkey = r_regionkey
   GROUP BY r_name, n_name
 )
-SELECT r_name, n_name, nation_cents,
-       nation_cents * 10000 // sum(nation_cents) OVER (PARTITION BY r_name) AS share_bps
+SELECT r_name, n_name, CAST(nation_cents AS BIGINT) AS nation_cents,
+       CAST(nation_cents * 10000 // sum(nation_cents) OVER (PARTITION BY r_name) AS BIGINT) AS share_bps
 FROM per_nation
 """
 
@@ -156,10 +156,10 @@ def customer_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRAILING_30D_SQL = """
 SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
        CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate
          RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
-       ) AS trailing_30d_cents
+       ) AS BIGINT) AS trailing_30d_cents
 FROM orders
 """
 
@@ -392,7 +392,7 @@ WITH o AS (
 SELECT o_orderpriority, count(*) AS n_orders,
        max(median_cents_x2) AS median_cents_x2,
        max(mad_cents_x4) AS mad_cents_x4,
-       sum(CASE WHEN 2 * dev_x2 > 3 * mad_cents_x4 THEN 1 ELSE 0 END) AS outliers
+       CAST(sum(CASE WHEN 2 * dev_x2 > 3 * mad_cents_x4 THEN 1 ELSE 0 END) AS BIGINT) AS outliers
 FROM dev JOIN mad USING (o_orderpriority)
 GROUP BY o_orderpriority
 """

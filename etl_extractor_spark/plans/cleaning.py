@@ -71,7 +71,7 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").cast("long").alias("c_custkey"), "c_name"
     )
     blocked = s.join(
-        F.broadcast(c), F.length("s_name") == F.length("c_name")
+        c, F.length("s_name") == F.length("c_name")
     )
     return (
         blocked.withColumn("dist", F.levenshtein("s_name", "c_name"))
@@ -97,7 +97,7 @@ def order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice"), F.col("o_orderkey")
     )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_mktsegment",
             F.ntile(4).over(w).cast("long").alias("quartile"),

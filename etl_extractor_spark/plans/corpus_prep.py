@@ -125,7 +125,7 @@ WITH RECURSIVE t AS (
 )
 SELECT lang,
        count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(CAST(sum(CAST(round(quality, 4) AS DECIMAL(14,4))) AS DOUBLE)
              / count(*), 4) AS avg_quality
 FROM exact_kept JOIN canon USING (doc_id)

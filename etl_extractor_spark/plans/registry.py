@@ -13,24 +13,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# Ordered so the driver's (possibly capped) CORRECTNESS sweep verifies
+# the not-yet-driver-verified modules first: SURVEY-§2 parity anchors,
+# then the LLM-pipeline suites, then the analytics modules whose
+# oracles were retyped in r2, then the r1-green TPC-H modules last.
 _MODULES = (
-    "etl_extractor_spark.plans.tpch",
-    "etl_extractor_spark.plans.tpch2",
-    "etl_extractor_spark.plans.tpch3",
-    "etl_extractor_spark.plans.tpch4",
+    "etl_extractor_spark.plans.parity",
+    "etl_extractor_spark.plans.dedup",
+    "etl_extractor_spark.plans.similarity",
+    "etl_extractor_spark.plans.events",
+    "etl_extractor_spark.plans.multimodal",
+    "etl_extractor_spark.plans.text_analysis",
+    "etl_extractor_spark.plans.corpus_quality",
     "etl_extractor_spark.plans.analytics2",
     "etl_extractor_spark.plans.analytics3",
     "etl_extractor_spark.plans.analytics4",
     "etl_extractor_spark.plans.stats",
     "etl_extractor_spark.plans.cleaning",
     "etl_extractor_spark.plans.corpus_prep",
-    "etl_extractor_spark.plans.parity",
-    "etl_extractor_spark.plans.text_analysis",
-    "etl_extractor_spark.plans.corpus_quality",
-    "etl_extractor_spark.plans.dedup",
-    "etl_extractor_spark.plans.similarity",
-    "etl_extractor_spark.plans.events",
-    "etl_extractor_spark.plans.multimodal",
+    "etl_extractor_spark.plans.tpch",
+    "etl_extractor_spark.plans.tpch2",
+    "etl_extractor_spark.plans.tpch3",
+    "etl_extractor_spark.plans.tpch4",
 )
 
 

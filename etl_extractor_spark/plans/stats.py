@@ -19,7 +19,7 @@ from etl_extractor_spark.sources.parquet import load_table, register_views
 def revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    j = o.join(c, o.o_custkey == c.c_custkey)
     pct = F.percentile("o_totalprice", F.lit([0.25, 0.5, 0.9]))
     return (
         j.groupBy("c_mktsegment")

@@ -15,16 +15,37 @@ from etl_extractor_spark.sources.parquet import load_table
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token stats + composite quality score."""
+    """Per-document token stats + composite quality score.
+
+    The token array is materialized ONCE (`_toks` projection boundary)
+    and every stat derives from it — the per-stat helpers each re-run
+    `split(regexp_replace(...))`, and Spark's subexpression elimination
+    does not reliably collapse repeated HOF trees across projections
+    (r1 bench showed 9× on exactly that). CollapseProject keeps the
+    boundary because `_toks` is non-cheap and referenced 5×.
+    """
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    t = F.col("_toks")
+    nt = F.size(t)
+    markers = F.array(*[F.lit(m) for m in ts.EN_MARKERS])
+    sw_hits = F.size(F.filter(t, lambda x: F.array_contains(markers, x)))
+    ttr_raw = F.size(F.array_distinct(t)) / nt
+    sw_raw = sw_hits / nt
+    len_band = (
+        F.when((nt >= 10) & (nt <= 1000), F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    return d.withColumn("_toks", ts.tokens("text")).select(
         "doc_id",
-        ts.token_count("text").alias("n_tokens"),
+        nt.cast("long").alias("n_tokens"),
         ts.bpe_token_count("text").alias("n_bpe_tokens"),
-        ts.distinct_token_ratio("text").alias("ttr"),
-        ts.avg_token_length("text").alias("avg_tok_len"),
-        ts.stopword_ratio("text").alias("stop_ratio"),
-        ts.quality_score("text").alias("quality"),
+        F.round(ttr_raw, 4).alias("ttr"),
+        F.round(
+            F.aggregate(t, F.lit(0.0), lambda acc, x: acc + F.length(x)) / nt, 4
+        ).alias("avg_tok_len"),
+        F.round(sw_raw, 4).alias("stop_ratio"),
+        F.round(
+            len_band + ttr_raw * 0.5 + F.least(sw_raw * 5.0, F.lit(0.5)), 4
+        ).alias("quality"),
     )
 
 

@@ -82,7 +82,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("l_quantity") * 0.8).alias("qty_threshold")
     )
     return (
-        l.join(F.broadcast(avg_qty), l.l_partkey == avg_qty.pk)
+        l.join(avg_qty, l.l_partkey == avg_qty.pk)
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
@@ -114,7 +114,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -145,7 +145,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter pushdown and join-condition simplification."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    joined = l.join(p, l.l_partkey == p.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity") <= 10) & (F.col("p_size") <= 20))
         | ((F.col("p_brand") == "Brand#2") & (F.col("l_quantity") > 10) & (F.col("p_size") > 10))
@@ -174,7 +174,7 @@ def distinct_suppliers_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_type")
         .agg(
             F.countDistinct("l_suppkey").alias("supplier_cnt"),

@@ -34,9 +34,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     )
     return (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
         .filter(pair)
@@ -91,8 +91,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n_c), c.c_nationkey == F.col("cnk"))
         .join(F.broadcast(n_s), s.s_nationkey == F.col("snk"))
         .join(F.broadcast(r), F.col("crk") == r.r_regionkey)
@@ -144,7 +144,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rev = revenue.agg(F.max("_rev").alias("_mx"))
     return (
         revenue.join(F.broadcast(max_rev), revenue._rev == max_rev._mx)
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select(
             F.col("s_suppkey").cast("long").alias("s_suppkey"),
             "s_name",
@@ -200,7 +200,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftanti",
     )
     return (
-        only_late.join(F.broadcast(s), only_late.l_suppkey == s.s_suppkey)
+        only_late.join(s, only_late.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -24,24 +24,33 @@ from etl_extractor_spark.sources.parquet import load_table
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table (schema from a batch
-    probe read; nanosecond timestamps normalized the same way)."""
-    batch = load_table(spark, sf_dir, "events")
+    """File-source stream over the events table.
+
+    The stream's read schema and the ts conversion are derived from the
+    file's ACTUAL parquet type (probed with a batch read), never
+    assumed: TIMESTAMP(NANOS) files surface ts as raw long nanos (via
+    ``nanosAsLong``) and are floor-divided to µs; µs/ms files surface
+    as TIMESTAMP_NTZ and are cast to TIMESTAMP — watermarks require an
+    instant type (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE rejects NTZ),
+    and under the UTC session the wall clock matches the batch NTZ
+    path exactly.
+    """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    ts_type = raw_schema["ts"].dataType
     raw = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
+        spark.readStream.schema(raw_schema)
         .parquet(f"{sf_dir}/events.[p]arquet")  # glob ⇒ basePath = sf_dir (file source needs a directory basePath)
     )
-    if isinstance(batch.schema["ts"].dataType, (T.TimestampNTZType, T.TimestampType)):
-        # watermarks require TIMESTAMP (instant) — EVENT_TIME_IS_NOT_ON_
-        # TIMESTAMP_TYPE rejects NTZ. Under a UTC session (our default)
-        # the wall clock matches the batch NTZ path exactly.
+    if isinstance(ts_type, T.LongType):
+        # TIMESTAMP(NANOS) read as raw long nanos → truncate to µs.
         raw = raw.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
+    elif isinstance(ts_type, T.TimestampNTZType):
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 

@@ -201,3 +201,38 @@ def test_parquet_aggregate_pushdown_answers_from_footers(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_no_forced_broadcast_on_sf_scaled_tables():
+    """customer/supplier/part/orders GROW with scale factor: a forced
+    F.broadcast() on them would OOM the build side at 100 TB, so the
+    plans may hint only fixed-size dims (nation/region) and scalar/
+    grid-sized aggregates — AQE decides for everything that scales.
+    Source-level guard: no F.broadcast(<sf-scaled alias>) in plans/."""
+    import pathlib
+    import re
+
+    scaled = re.compile(
+        r"F\.broadcast\(\s*(c|s|p|o|l|customer|supplier|part|orders|lineitem)\s*[,)]"
+    )
+    plans = pathlib.Path("etl_extractor_spark/plans")
+    offenders = [
+        f"{f.name}:{i}"
+        for f in sorted(plans.glob("*.py"))
+        for i, line in enumerate(f.read_text().splitlines(), 1)
+        if scaled.search(line)
+    ]
+    assert offenders == [], offenders
+
+
+def test_q8_hints_only_on_fixed_dims(spark, sf_dir):
+    """q7/q8-style plans: the only explicit broadcast hints left are the
+    fixed-cardinality nation/region dims; customer/supplier join via
+    AQE's runtime decision (broadcast at local SF, shuffle at 100 TB)."""
+    from etl_extractor_spark.plans.tpch3 import q8_market_share
+
+    df = q8_market_share(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # exactly the 3 fixed-dim hints (n_c, n_s, region) survive analysis
+    assert analyzed.count("ResolvedHint") == 3
+    assert df.count() >= 0  # still executes

@@ -59,12 +59,18 @@ def test_prefixed_key_property(spark, keys):
 def test_to_double_or_property(spark, values):
     df = spark.createDataFrame([(v,) for v in values], "v: string")
     got = [r[0] for r in df.select(to_double_or("v", -7.5)).collect()]
+    # Model mirrors Spark's documented cast trim: any leading/trailing
+    # char ≤ U+0020 (control chars included) is stripped before the
+    # parse — e.g. '0\x1f' → 0.0, where Python float() raises. See
+    # FIXTURES.md "cast semantics".
+    trim = "".join(chr(i) for i in range(0x21))
     for v, g in zip(values, got):
         if v is None:
             assert g == -7.5
         else:
             try:
-                assert abs(g - float(v)) < 1e-6 or (float(v) != float(v))
+                want = float(v.strip(trim))
+                assert abs(g - want) < 1e-6 or (want != want)
             except ValueError:
                 assert g == -7.5  # unparseable → sentinel, never an exception
 
