@@ -32,7 +32,10 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_quality",
-    "knn_topk_cosine",
+    # Arrow/numpy scoring path — bit-exact vs the HOF expression variant
+    # (same oracle); the HOF form is interpreter-bound per pair and is
+    # kept as the declarative-semantics reference, not the hot path.
+    "knn_topk_cosine_np",
     "events_sessionize",
     "q8_market_share",
     "events_asof_click",

@@ -230,7 +230,12 @@ def lsh_candidate_pairs(signatures: DataFrame, n_perm: int = N_PERM, band_rows: 
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, id_col: str, text_col: str, k: int = 30, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 30,
+    threshold: float = 0.5,
+    oph: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-dup detection with exact-Jaccard verification:
     candidates from banded LSH (never all pairs), then the true Jaccard
@@ -249,7 +254,8 @@ def minhash_lsh_pairs(
     # Past ~10^8 shingles/executor flip to minhash_signatures_oph
     # (1 hash/shingle vs n_perm): same banded-LSH downstream, recall
     # verified identical on the exact-Jaccard oracle at sf0.01/sf0.1.
-    sigs = minhash_signatures(hashed).persist()
+    sig_fn = minhash_signatures_oph if oph else minhash_signatures
+    sigs = sig_fn(hashed).persist()
     # persisted: consumed twice (candidate-doc id list + verify join)
     cands = lsh_candidate_pairs(sigs).persist()
     # candidate-driven verification: join the (small) candidate list

@@ -68,6 +68,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(d, "doc_id", "text", k=SHINGLE_K, threshold=THRESHOLD)
 
 
+def dedup_minhash_lsh_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-Permutation-Hashing variant of the MinHash-LSH path (1 hash
+    per shingle instead of n_perm — the 100 TB flip documented in
+    operators/dedup.py). Same exact-Jaccard verification, same oracle:
+    identical output is the recall-equivalence proof at this SF."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        d, "doc_id", "text", k=SHINGLE_K, threshold=THRESHOLD, oph=True
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return D.simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
@@ -118,6 +129,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_oph": dedup_minhash_lsh_oph,
     "dedup_simhash": dedup_simhash,
 }
 
@@ -126,5 +138,6 @@ ORACLES = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_minhash_lsh": _JACCARD_SQL,
+    "dedup_minhash_lsh_oph": _JACCARD_SQL,
     # dedup_simhash: rows-only (hash-specific signature, not SQL-expressible)
 }
