@@ -341,16 +341,115 @@ def connected_components(
     return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
 
 
+def connected_components_star(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii,
+    "Connected Components in MapReduce and Beyond", SoCC'14):
+
+    - large-star(u): for every neighbor v > u, re-point v at
+      m = min(N(u) ∪ {u})
+    - small-star(u): re-point every neighbor v ≤ u (and u itself) at m
+
+    Each round is two groupBy-min + joins; the edge set provably
+    converges to per-component stars in O(log n) rounds — versus the
+    O(diameter) rounds of plain min-label propagation. This is the
+    100 TB path for chain-shaped duplicate clusters (crawl corpora
+    produce exactly those: doc A ≈ B ≈ C ≈ ... with A !≈ C).
+
+    Same contract as connected_components: nodes is a single-column id
+    frame, edges is (id_a, id_b) undirected; returns
+    (node, cluster_id = min id in component). Property-tested
+    equivalent to min-label propagation (tests/test_operators.py).
+    """
+
+    def _checksum(e: DataFrame) -> tuple[int, int]:
+        # decimal accumulator: summing 64-bit hashes overflows LONG
+        # under ANSI mode; DECIMAL(38,0) holds ~1e18 rows' worth
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).first()
+        return int(row["n"]), int(row["h"])
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        # bidirectional neighbor view, m = min(N(u) ∪ {u})
+        nbrs = (
+            e.selectExpr("u", "v")
+            .unionByName(e.selectExpr("v AS u", "u AS v"))
+            .distinct()
+        )
+        m = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        j = nbrs.join(m, "u")
+        if large:
+            moved = j.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+            kept = j.filter(F.col("v") <= F.col("u")).select("u", "v")
+            out = moved.unionByName(kept)
+        else:
+            moved = j.filter(F.col("v") <= F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+            self_edge = j.select("u", F.col("m").alias("v"))
+            out = moved.unionByName(self_edge)
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    e = (
+        edges.selectExpr("id_a AS u", "id_b AS v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        # eager localCheckpoint after every round: each round's plan
+        # references the previous round's twice per star, so lineage
+        # (and Catalyst re-optimization time) grows exponentially
+        # without a hard plan-truncation point. Checkpointed blocks
+        # live on executors — no driver materialization.
+        .localCheckpoint(eager=True)
+    )
+    sig = _checksum(e)
+    for _ in range(max_iter):
+        new_e = _star(_star(e, large=True), large=False).localCheckpoint(
+            eager=True
+        )
+        new_sig = _checksum(new_e)
+        e = new_e
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # at fixpoint every edge points a member at its component min;
+    # orient and take the min per node to be robust to orientation
+    members = (
+        e.selectExpr("u AS node", "v AS lbl")
+        .unionByName(e.selectExpr("v AS node", "u AS lbl"))
+        .groupBy("node")
+        .agg(F.min("lbl").alias("m"))
+        .select("node", F.least("m", F.col("node")).alias("cluster_id"))
+    )
+    return (
+        nodes.toDF("node")
+        .join(members, "node", "left")
+        .select(
+            "node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id")
+        )
+    )
+
+
 def dedup_cluster_assignments(
     df: DataFrame, id_col: str, text_col: str, k: int = 30, threshold: float = 0.5
 ) -> DataFrame:
     """End-to-end dedup grouping: exact n-gram Jaccard pairs →
-    connected components → (doc_id, cluster_id, is_canonical)."""
+    connected components (large-star/small-star, the O(log n)-round
+    formulation) → (doc_id, cluster_id, is_canonical)."""
     pairs = ngram_jaccard_pairs(df, id_col, text_col, k, threshold).select(
         "id_a", "id_b"
     )
     nodes = df.select(F.col(id_col).cast("long")).distinct()
-    cc = connected_components(nodes, pairs)
+    cc = connected_components_star(nodes, pairs)
     return cc.select(
         F.col("node").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),

@@ -138,3 +138,47 @@ def test_expectations_detect_violations(spark):
     assert not is_valid(df, rules)
     clean = df.filter("id = 3").withColumn("code", F.lit("a"))
     assert is_valid(clean, [rules[0], rules[2], rules[3]])
+
+
+def test_connected_components_star_equals_label_propagation(spark):
+    """Property: the large-star/small-star formulation and plain
+    min-label propagation assign identical (node, cluster_id) on random
+    graphs — chains, singletons, stars, and merged components."""
+    import random
+
+    from etl_extractor_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = rng.randrange(6, 30)
+        ids = rng.sample(range(1000), n)
+        n_edges = rng.randrange(0, n * 2)
+        edges = [
+            tuple(rng.sample(ids, 2)) for _ in range(n_edges)
+        ]
+        nodes = spark.createDataFrame([(i,) for i in ids], "node: long")
+        if edges:
+            e = spark.createDataFrame(edges, "id_a: long, id_b: long")
+        else:
+            e = spark.createDataFrame([], "id_a: long, id_b: long")
+        a = sorted(map(tuple, connected_components(nodes, e).collect()))
+        b = sorted(map(tuple, connected_components_star(nodes, e).collect()))
+        assert a == b, f"trial {trial}: {a} != {b}"
+
+
+def test_connected_components_star_chain_is_one_component(spark):
+    """A 12-node chain (worst case for diameter-bound propagation):
+    star alternation must collapse it to one component labeled by the
+    min id."""
+    from etl_extractor_spark.operators.dedup import connected_components_star
+
+    ids = list(range(100, 112))
+    nodes = spark.createDataFrame([(i,) for i in ids], "node: long")
+    e = spark.createDataFrame(
+        [(a, b) for a, b in zip(ids, ids[1:])], "id_a: long, id_b: long"
+    )
+    got = {r["node"]: r["cluster_id"] for r in connected_components_star(nodes, e).collect()}
+    assert got == {i: 100 for i in ids}
