@@ -47,13 +47,156 @@ def to_blob_table(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     )
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
+
+
+def encode_png(
+    width: int, height: int, pixels: bytes, channels: int = 1, filter_type: int = 0
+) -> bytes:
+    """Minimal REAL PNG encoder (stdlib only): 8-bit gray/RGB/RGBA,
+    one filter type applied to every scanline. Used by tests and the
+    png round-trip query to manufacture genuine decodable images."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    stride = width * channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = bytes(pixels[y * stride : (y + 1) * stride].ljust(stride, b"\x00"))
+        raw.append(filter_type)
+        raw.extend(_png_filter(filter_type, line, prev, channels))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_filter(ft: int, line: bytes, prev: bytes, bpp: int) -> bytes:
+    out = bytearray(len(line))
+    for i, x in enumerate(line):
+        a = line[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ft == 0:
+            out[i] = x
+        elif ft == 1:
+            out[i] = (x - a) & 0xFF
+        elif ft == 2:
+            out[i] = (x - b) & 0xFF
+        elif ft == 3:
+            out[i] = (x - (a + b) // 2) & 0xFF
+        elif ft == 4:
+            out[i] = (x - _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad filter {ft}")
+    return bytes(out)
+
+
+def _png_unfilter(ft: int, line: bytes, prev: bytes, bpp: int) -> bytes:
+    out = bytearray(len(line))
+    for i, x in enumerate(line):
+        a = out[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ft == 0:
+            out[i] = x
+        elif ft == 1:
+            out[i] = (x + a) & 0xFF
+        elif ft == 2:
+            out[i] = (x + b) & 0xFF
+        elif ft == 3:
+            out[i] = (x + (a + b) // 2) & 0xFF
+        elif ft == 4:
+            out[i] = (x + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad filter {ft}")
+    return bytes(out)
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL PNG decode, stdlib only: parses chunks, inflates IDAT,
+    reverses scanline filters 0-4. Supports 8-bit depth, color types
+    0/2/4/6, no interlace — exactly what encode_png (and most tiny
+    test fixtures) produce. Returns (width, height, channels, pixels).
+    """
+    import struct
+    import zlib
+
+    buf = bytes(payload)
+    if buf[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos < len(buf):
+        (length,) = struct.unpack(">I", buf[pos : pos + 4])
+        tag = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"unsupported PNG: depth={depth} color={color_type} "
+                    f"interlace={interlace}"
+                )
+            channels = _PNG_CHANNELS[color_type]
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    pixels = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        off = y * (stride + 1)
+        line = _png_unfilter(raw[off], raw[off + 1 : off + 1 + stride], prev, channels)
+        pixels.extend(line)
+        prev = line
+    return width, height, channels, bytes(pixels)
+
+
 def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, int]:
-    """STUB: real image decode needs PIL/libvips — not in this
-    container. ``fake=True`` derives deterministic pseudo-dimensions
-    from a content digest (stable across runs and engines)."""
+    """Image decode: REAL for PNG payloads (pure-stdlib decoder above —
+    no imaging library needed); other formats still need PIL/libvips
+    and fall back to the deterministic fake when requested.
+    ``fake=True`` derives pseudo-dimensions from a content digest
+    (stable across runs and engines)."""
+    head = bytes(payload[:8])
+    if head == PNG_MAGIC:
+        width, height, channels, _ = decode_png(payload)
+        return width, height, channels
     if not fake:
         raise NotImplementedError(
-            "image decode requires an imaging library; run with fake=True "
+            "non-PNG decode requires an imaging library; run with fake=True "
             "for the deterministic test double"
         )
     digest = hashlib.sha256(payload).digest()

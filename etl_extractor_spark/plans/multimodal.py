@@ -87,8 +87,77 @@ FROM (SELECT doc_id, text, unnest(range(0, n_frames, 4)) AS i
 """
 
 
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, end to end: each document's UTF-8 bytes are
+    packed into a genuine 16-px-wide 8-bit grayscale PNG (stdlib
+    encoder), then decoded back through the real PNG decoder (chunk
+    parse → inflate → unfilter) inside mapInPandas. The oracle pins the
+    decoded geometry via independent arithmetic on octet_length — if
+    the decoder mis-parsed IHDR or mangled scanlines (pixel checksum
+    feeds px_md5), the hash comparison fails.
+    """
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = load_table(spark, sf_dir, "documents")
+    blobs = M.to_blob_table(d, "doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("channels", T.LongType()),
+            T.StructField("px_md5", T.StringType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                data = bytes(blob)
+                w = 16
+                h = max(1, -(-len(data) // w))
+                png = M.encode_png(w, h, data, channels=1, filter_type=2)
+                dw, dh, dc, px = M.decode_png(png)
+                # decoded pixels must equal the zero-padded input bytes
+                rows.append(
+                    (
+                        int(did),
+                        dw,
+                        dh,
+                        dc,
+                        # md5 over the hex form: DuckDB's md5() takes
+                        # VARCHAR only, and NUL-padded pixels can't
+                        # round-trip through VARCHAR — hex can.
+                        hashlib.md5(px.hex().encode()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "channels", "px_md5"]
+            )
+
+    return blobs.mapInPandas(fn, schema)
+
+
+MULTIMODAL_PNG_SQL = """
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(greatest(1, ceil(octet_length(encode(text)) / 16.0)) AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS channels,
+       md5(lower(hex(encode(text) || repeat('\\x00'::BLOB,
+           CAST(greatest(1, ceil(octet_length(encode(text)) / 16.0)) * 16
+                - octet_length(encode(text)) AS INTEGER))))) AS px_md5
+FROM documents
+"""
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
+    "multimodal_png_roundtrip": multimodal_png_roundtrip,
     "multimodal_features": multimodal_features,
     "multimodal_resize": multimodal_resize,
     "multimodal_frames": multimodal_frames,
@@ -96,6 +165,7 @@ QUERIES = {
 
 ORACLES = {
     "multimodal_meta": MULTIMODAL_META_SQL,
+    "multimodal_png_roundtrip": MULTIMODAL_PNG_SQL,
     # multimodal_features: rows-only (sha256 fake-decode not in DuckDB core)
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
     "multimodal_frames": MULTIMODAL_FRAMES_SQL,

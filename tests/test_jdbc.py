@@ -1,0 +1,71 @@
+"""Executed JDBC round-trip (S2 read / K3 bulk append / K1 overwrite)
+against Apache Derby's EMBEDDED driver — already on Spark's default
+classpath (it backs the Hive metastore), so the real ``format("jdbc")``
+code path runs with no vendored jars. Mirrors the reference's DB legs:
+column-projecting SELECT (extract/db_extractor.py:6-14) and batched
+bulk insert (core/dw_repository.py:8-23)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_extractor_spark.sources.jdbc import read_jdbc, write_jdbc
+
+DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@pytest.fixture(scope="module")
+def derby_url(tmp_path_factory):
+    db = tmp_path_factory.mktemp("derby") / "testdb"
+    return f"jdbc:derby:{db};create=true"
+
+
+def test_jdbc_write_read_roundtrip(spark, derby_url):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5)],
+        "id: long, name: string, val: double",
+    )
+    write_jdbc(df, derby_url, "t_round", mode="overwrite", driver=DRIVER)
+    back = read_jdbc(spark, url=derby_url, table="t_round")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_jdbc_bulk_append(spark, derby_url):
+    base = spark.createDataFrame([(10, "x", 0.1)], "id: long, name: string, val: double")
+    write_jdbc(base, derby_url, "t_app", mode="overwrite", driver=DRIVER)
+    more = spark.createDataFrame(
+        [(11, "y", 0.2), (12, "z", 0.3)], "id: long, name: string, val: double"
+    )
+    write_jdbc(more, derby_url, "t_app", mode="append", driver=DRIVER)
+    assert read_jdbc(spark, url=derby_url, table="t_app").count() == 3
+
+
+def test_jdbc_projection_and_filter_pushdown(spark, derby_url):
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(20)],
+        "id: long, name: string, val: double",
+    )
+    write_jdbc(df, derby_url, "t_push", mode="overwrite", driver=DRIVER)
+    q = (
+        read_jdbc(spark, url=derby_url, table="t_push")
+        .filter("id >= 10")
+        .select("id", "name")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # S2 semantics: the projection AND the predicate reach the database
+    assert "PushedFilters: [*IsNotNull(id), *GreaterThanOrEqual(id,10)]" in plan
+    assert "ReadSchema: struct<id:bigint,name:string>" in plan
+    assert q.count() == 10
+
+
+def test_jdbc_query_option_projecting_select(spark, derby_url):
+    """The reference reads via a hand-written SELECT (main.py:35-38) —
+    the query= option is that exact shape."""
+    df = spark.createDataFrame([(1, "a", 9.0), (2, "b", 8.0)], "id: long, name: string, val: double")
+    write_jdbc(df, derby_url, "t_q", mode="overwrite", driver=DRIVER)
+    # Spark's JDBC writer creates case-exact quoted columns; Derby
+    # folds unquoted identifiers to upper case, so the SELECT quotes
+    got = read_jdbc(
+        spark, url=derby_url, query='SELECT "id", "val" FROM t_q WHERE "val" > 8.5'
+    )
+    assert [tuple(r) for r in got.collect()] == [(1, 9.0)]

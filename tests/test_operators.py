@@ -182,3 +182,38 @@ def test_connected_components_star_chain_is_one_component(spark):
     )
     got = {r["node"]: r["cluster_id"] for r in connected_components_star(nodes, e).collect()}
     assert got == {i: 100 for i in ids}
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Real PNG decode (stdlib chunk-parse → inflate → unfilter):
+    pixel-exact round-trip through every scanline filter type and
+    gray/RGB/RGBA color types."""
+    from etl_extractor_spark.operators.multimodal import decode_png, encode_png
+
+    data = bytes(range(256)) * 3
+    for ft in range(5):
+        for ch in (1, 3, 4):
+            w = 16
+            h = -(-len(data) // (w * ch))
+            png = encode_png(w, h, data, channels=ch, filter_type=ft)
+            dw, dh, dc, px = decode_png(png)
+            assert (dw, dh, dc) == (w, h, ch)
+            assert px == data.ljust(w * h * ch, b"\x00")
+
+
+def test_extract_features_real_png_decode(spark):
+    """multimodal feature extraction with the REAL decoder (no fake):
+    PNG payloads flow through mapInPandas and come back with their true
+    geometry."""
+    from etl_extractor_spark.operators.multimodal import encode_png, extract_features
+
+    rows = [
+        (1, encode_png(20, 10, bytes(200), channels=1, filter_type=1)),
+        (2, encode_png(8, 8, bytes(192), channels=3, filter_type=4)),
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id: long, blob: binary")
+    got = {
+        r["doc_id"]: (r["fake_width"], r["fake_height"], r["fake_channels"])
+        for r in extract_features(blobs, fake_decode=False).collect()
+    }
+    assert got == {1: (20, 10, 1), 2: (8, 8, 3)}
