@@ -133,5 +133,76 @@ GROUP BY 1
 """
 
 
-QUERIES = {"corpus_prep_stats": corpus_prep_stats}
-ORACLES = {"corpus_prep_stats": CORPUS_PREP_SQL}
+_MIX_C = 2654435761  # Knuth multiplicative constant, shared with the oracle
+
+
+def source_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced source mixing (the T5/data-mixture trick,
+    temperature t = 0.5): a source contributing n_s documents is
+    downsampled with acceptance rate sqrt(min_n / n_s) (≤ 1 by construction), so
+    dominant sources shrink toward the smaller ones instead of drowning
+    them. Selection is a deterministic multiplicative-hash bucket on
+    doc_id — reproducible across engines, reruns, and cluster sizes; no
+    rand(), no state.
+
+    Two aggregations: per-source counts (tiny — one row per source,
+    broadcast back), then the row-local acceptance filter, which pushes
+    into the scan on everything except the joined-in rate. sqrt is
+    IEEE-correctly-rounded in both engines, so the per-mille thresholds
+    match bit-for-bit.
+
+    Output: per-source kept counts + the applied per-mille rate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # The synthetic corpus has uniform per-source counts, so the size
+    # signal is amplified by a deterministic per-source weight (numeric
+    # suffix + 1) standing in for real-world source-size skew — the
+    # arithmetic the operator exists for stays fully exercised.
+    wgt = F.regexp_extract("source", r"(\d+)", 1).cast("long") + 1
+    counts = d.groupBy("source").agg(
+        (F.count(F.lit(1)) * F.first(wgt)).alias("n_s")
+    )
+    min_n = counts.agg(F.min("n_s").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "source",
+        "n_s",
+        F.least(
+            F.lit(1000).cast("long"),
+            F.floor(F.lit(1000.0) * F.sqrt(F.col("min_n") / F.col("n_s"))).cast("long"),
+        ).alias("rate_pm"),
+    )
+    bucket = F.pmod(F.col("doc_id") * F.lit(_MIX_C), F.lit(1000))
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(bucket < F.col("rate_pm"))
+        .groupBy("source", "rate_pm")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+SOURCE_MIX_SQL = f"""
+WITH counts AS (
+  SELECT source,
+         count(*) * (CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) + 1) AS n_s
+  FROM documents GROUP BY source
+), rates AS (
+  SELECT source, n_s,
+         least(1000, CAST(floor(1000.0 * sqrt(
+             (SELECT min(n_s) FROM counts) * 1.0 / n_s)) AS BIGINT)) AS rate_pm
+  FROM counts
+)
+SELECT d.source, r.rate_pm, count(*) AS n_kept
+FROM documents d JOIN rates r USING (source)
+WHERE ((d.doc_id * {_MIX_C}) % 1000 + 1000) % 1000 < r.rate_pm
+GROUP BY d.source, r.rate_pm
+"""
+
+
+QUERIES = {
+    "corpus_prep_stats": corpus_prep_stats,
+    "source_mix_resample": source_mix_resample,
+}
+ORACLES = {
+    "corpus_prep_stats": CORPUS_PREP_SQL,
+    "source_mix_resample": SOURCE_MIX_SQL,
+}

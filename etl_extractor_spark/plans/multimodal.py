@@ -3,9 +3,11 @@
 - multimodal_meta    : binary payload + metadata projection, oracle-
                        pinned (digests/lengths are engine-independent)
 - multimodal_features: mapInPandas feature extraction with the
-                       deterministic fake decoder (rows-only: sha256-
-                       derived pseudo-dimensions are not SQL-expressible
-                       in DuckDB, which lacks sha256 over blobs in-core)
+                       deterministic fake decoder — oracle-pinned too:
+                       DuckDB's sha256() lets the digest-derived dims
+                       be recomputed in SQL (hex-byte strpos parse)
+- multimodal_png_roundtrip: REAL PNG encode → decode, geometry and
+                       pixel hash pinned by independent arithmetic
 """
 
 from __future__ import annotations
@@ -46,6 +48,33 @@ FROM documents
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return M.extract_features(M.to_blob_table(d, "doc_id", "text"), fake_decode=True)
+
+
+# DuckDB ships sha256(VARCHAR) → hex, so even the digest-derived fake
+# dimensions are SQL-expressible: parse the first three digest bytes
+# out of the hex form with strpos arithmetic. This upgrades the
+# feature-extraction check from rows-only to a full value-hash match.
+_HEXD = "'0123456789abcdef'"
+def _hexbyte(pos: int) -> str:
+    return (
+        f"(strpos({_HEXD}, substr(hx, {pos}, 1)) - 1) * 16"
+        f" + strpos({_HEXD}, substr(hx, {pos + 1}, 1)) - 1"
+    )
+
+
+MULTIMODAL_FEATURES_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         sha256(text) AS hx
+  FROM documents
+)
+SELECT doc_id, n_bytes, substr(hx, 1, 16) AS sha16,
+       CAST(64 + ({_hexbyte(1)}) % 192 AS BIGINT) AS fake_width,
+       CAST(64 + ({_hexbyte(3)}) % 192 AS BIGINT) AS fake_height,
+       CAST(1 + ({_hexbyte(5)}) % 3 AS BIGINT) AS fake_channels
+FROM h
+"""
 
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,7 +195,7 @@ QUERIES = {
 ORACLES = {
     "multimodal_meta": MULTIMODAL_META_SQL,
     "multimodal_png_roundtrip": MULTIMODAL_PNG_SQL,
-    # multimodal_features: rows-only (sha256 fake-decode not in DuckDB core)
+    "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
     "multimodal_frames": MULTIMODAL_FRAMES_SQL,
 }

@@ -128,6 +128,125 @@ ANN_LSH_SQL = (
 )
 
 
+import math as _math
+
+# SemDeDup centroids: literal constants shared verbatim by both engines
+# (argmax assignment is oracle-checkable only because the "model" is a
+# pinned literal, same trick as the LSH hyperplanes above).
+SEMDEDUP_K = 4
+SEMDEDUP_DIM = 64
+SEMDEDUP_TAU = 0.30
+SEMDEDUP_CENTROIDS = [
+    [round(_math.sin(0.7 * (c * SEMDEDUP_DIM + d) + 0.3), 6) for d in range(SEMDEDUP_DIM)]
+    for c in range(SEMDEDUP_K)
+]
+
+
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic
+    dedup = cluster embeddings around K centroids, then drop any vector
+    that has a sufficiently-cosine-similar neighbor WITHIN its cluster
+    (the parallel relaxation: dominated-by-smaller-id, no sequential
+    scan order). Pairwise work is bounded per cluster — the property
+    that makes semantic dedup feasible at 100 TB where corpus-wide
+    pairwise cosine is not.
+
+    Output: (vec_id, cluster_id, is_kept).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # centroid assignment: argmax of cos(v, c_k); norms via the same
+    # left-to-right fold DuckDB's list aggregates use
+    dots = [
+        F.aggregate(
+            F.zip_with(
+                "v", F.array(*[F.lit(x) for x in SEMDEDUP_CENTROIDS[k]]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(_math.sqrt(sum(x * x for x in SEMDEDUP_CENTROIDS[k])))
+        for k in range(SEMDEDUP_K)
+    ]
+    best = F.greatest(*dots)
+    cluster = F.lit(None).cast("long")
+    for k in reversed(range(SEMDEDUP_K)):
+        cluster = F.when(dots[k] == best, F.lit(k)).otherwise(cluster)
+    assigned = e.select("vec_id", "v", cluster.alias("cluster_id"))
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    vnorm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (vnorm(F.col("a.v")) * vnorm(F.col("b.v")))
+    dominated = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(cos >= SEMDEDUP_TAU)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dominated.withColumn("_dom", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.coalesce(~F.col("_dom"), F.lit(True)).alias("is_kept"),
+        )
+    )
+
+
+def _centroid_sql(k: int) -> str:
+    return "[" + ", ".join(repr(x) for x in SEMDEDUP_CENTROIDS[k]) + "]"
+
+
+SEMDEDUP_SQL = (
+    """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), dots AS (
+  SELECT vec_id, v, """
+    + ", ".join(
+        f"list_dot_product(v, {_centroid_sql(k)}) / "
+        f"{_math.sqrt(sum(x * x for x in SEMDEDUP_CENTROIDS[k]))!r} AS d{k}"
+        for k in range(SEMDEDUP_K)
+    )
+    + """
+  FROM v
+), assigned AS (
+  SELECT vec_id, v,
+         CASE """
+    + " ".join(
+        f"WHEN d{k} = greatest(d0, d1, d2, d3) THEN {k}"
+        for k in range(SEMDEDUP_K)
+    )
+    + """ END AS cluster_id
+  FROM dots
+), dominated AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= """
+    + repr(SEMDEDUP_TAU)
+    + """
+)
+SELECT s.vec_id, CAST(s.cluster_id AS BIGINT) AS cluster_id,
+       d.vec_id IS NULL AS is_kept
+FROM assigned s LEFT JOIN dominated d ON s.vec_id = d.vec_id
+"""
+)
+
+
 QUERIES = {
     "knn_topk_cosine": knn_topk_cosine,
     "knn_topk_cosine_np": knn_topk_cosine_np,
@@ -136,6 +255,7 @@ QUERIES = {
     "ann_lsh_buckets": ann_lsh_buckets,
     "knn_ivf_kmeans": knn_ivf_kmeans,
     # knn_ivf_kmeans: rows-only (learned KMeans centroids, not SQL)
+    "semdedup_keep": semdedup_keep,
 }
 
 ORACLES = {
@@ -144,4 +264,5 @@ ORACLES = {
     "sim_histogram": SIM_HISTOGRAM_SQL,
     "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
     "ann_lsh_buckets": ANN_LSH_SQL,
+    "semdedup_keep": SEMDEDUP_SQL,
 }
