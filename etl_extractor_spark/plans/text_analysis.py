@@ -7,10 +7,11 @@ expressions with exact DuckDB oracles pinning the semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_extractor_spark.functions import textstats as ts
+from etl_extractor_spark.functions.text import normalize_text
 from etl_extractor_spark.sources.parquet import load_table
 
 
@@ -312,3 +313,181 @@ ORACLES = {
     "docs_pivot_lang_source": DOCS_PIVOT_SQL,
     # approx_distinct_tokens: rows-only (HLL sketches are engine-specific)
 }
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner statistic of BPE tokenizer TRAINING, distributed: count
+    adjacent character pairs across every token occurrence in the
+    corpus and surface the top-20 merge candidates (deterministic
+    lexical tie-break). One explode → groupBy — partial aggregation
+    eats the pair stream map-side, so the shuffle carries only the
+    (tiny) distinct-pair space. The full BPE loop is this query
+    re-run over re-segmented tokens per merge round.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(ts.tokens("text")).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.col("tok").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("pair", "n", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+BPE_PAIR_SQL = r"""
+WITH toks AS (
+  SELECT unnest(string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+), pairs AS (
+  SELECT substr(tok, i, 2) AS pair
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tok) - 1)) AS i)
+  WHERE len(tok) >= 2
+), counted AS (
+  SELECT pair, count(*) AS n FROM pairs GROUP BY pair
+)
+SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS BIGINT) AS rnk
+FROM counted QUALIFY rnk <= 20
+"""
+
+
+WINNOW_K = 8  # k-gram length
+WINNOW_W = 4  # winnowing window (guarantee: any match >= k+w-1 chars is caught)
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-gram, slide a window
+    of w consecutive hashes, keep each window's minimum. Guarantees any
+    exact match of length >= k+w-1 shares a fingerprint, while storing
+    ~2/(w+1) of the hashes — the storage/recall dial for 100 TB
+    fingerprint indexes. Hash = md5-prefix so both engines order
+    identically; per-doc output keeps the comparison compact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n = F.length("norm")
+    grams = (
+        d.select("doc_id", F.lower(normalize_text("text")).alias("norm"))
+        .filter(n >= WINNOW_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), n - WINNOW_K + 1),
+                    lambda i: F.col("norm").substr(i, F.lit(WINNOW_K)),
+                )
+            ).alias("pos", "gram"),
+        )
+        .select("doc_id", "pos", F.substring(F.md5("gram"), 1, 16).alias("h"))
+    )
+    wspec = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    )
+    cnt = Window.partitionBy("doc_id")
+    selected = (
+        grams.withColumn("win_min", F.min("h").over(wspec))
+        .withColumn("n_grams", F.count(F.lit(1)).over(cnt))
+        # only full windows (classic winnowing); pos is 0-BASED from
+        # posexplode, so the last full window starts at n_grams - W
+        .filter(F.col("pos") <= F.col("n_grams") - WINNOW_W)
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.countDistinct("win_min").alias("n_fingerprints"),
+            F.min("win_min").alias("min_fp"),
+            F.max("win_min").alias("max_fp"),
+        )
+    )
+    return selected.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_fingerprints").cast("long").alias("n_fingerprints"),
+        "min_fp",
+        "max_fp",
+    )
+
+
+WINNOW_SQL = rf"""
+WITH norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g'))) AS s
+  FROM documents
+), grams AS (
+  SELECT doc_id, i AS pos, substr(md5(substr(s, i, {WINNOW_K})), 1, 16) AS h,
+         len(s) - {WINNOW_K} + 1 AS n_grams
+  FROM norm, LATERAL (SELECT unnest(generate_series(1, len(s) - {WINNOW_K} + 1)) AS i)
+  WHERE len(s) >= {WINNOW_K}
+), mins AS (
+  SELECT doc_id, pos, n_grams,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS win_min
+  FROM grams
+)
+SELECT doc_id,
+       CAST(max(n_grams) AS BIGINT) AS n_grams,
+       CAST(count(DISTINCT win_min) AS BIGINT) AS n_fingerprints,
+       min(win_min) AS min_fp,
+       max(win_min) AS max_fp
+FROM mins
+WHERE pos < n_grams - {WINNOW_W - 1} + 1
+GROUP BY doc_id
+"""
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the per-document character distribution —
+    the cheap degenerate-text detector (base64 blobs score high,
+    aaaa-padding scores near 0). Explode → two aggregations, both
+    partial-aggregated; entropy surfaces rounded to 4 decimals."""
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(normalize_text("text")), "")).alias("c"),
+    ).filter(F.length("c") > 0)
+    counts = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
+    tot = Window.partitionBy("doc_id")
+    p = F.col("k") / F.sum("k").over(tot)
+    return (
+        counts.withColumn("term", -p * F.log2(p))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term"), 4).alias("entropy_bits"))
+    )
+
+
+CHAR_ENTROPY_SQL = r"""
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g'))), '')) AS c
+  FROM documents
+), counts AS (
+  SELECT doc_id, c, count(*) AS k FROM chars WHERE len(c) > 0 GROUP BY doc_id, c
+), probs AS (
+  SELECT doc_id, k * 1.0 / sum(k) OVER (PARTITION BY doc_id) AS p FROM counts
+)
+SELECT doc_id, round(sum(-p * log2(p)), 4) AS entropy_bits
+FROM probs GROUP BY doc_id
+"""
+
+QUERIES.update(
+    {
+        "bpe_pair_counts": bpe_pair_counts,
+        "winnow_fingerprints": winnow_fingerprints,
+        "char_entropy": char_entropy,
+    }
+)
+ORACLES.update(
+    {
+        "bpe_pair_counts": BPE_PAIR_SQL,
+        "winnow_fingerprints": WINNOW_SQL,
+        "char_entropy": CHAR_ENTROPY_SQL,
+    }
+)
