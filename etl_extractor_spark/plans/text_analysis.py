@@ -477,9 +477,99 @@ SELECT doc_id, round(sum(-p * log2(p)), 4) AS entropy_bits
 FROM probs GROUP BY doc_id
 """
 
+def bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full BPE TRAINING round, distributed: find the most frequent
+    adjacent pair (round 1), fuse it everywhere in the symbolized
+    corpus, and emit the post-merge top-20 pair counts — the state
+    after two rounds of the BPE loop. The winning pair rides a
+    broadcast scalar join into a row-local replace; no driver-side
+    loop state beyond the one-row winner.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(ts.tokens("text")).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    # symbolize: "abc" -> "a b c" (space-separated symbol workspace)
+    sym = toks.select(
+        F.concat_ws(" ", F.split(F.col("tok"), "(?!^)(?=.)")).alias("s")
+    )
+    first_pairs = (
+        toks.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("tok") - 1),
+                    lambda i: F.col("tok").substr(i, F.lit(2)),
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w1 = Window.orderBy(F.desc("n"), F.asc("pair"))
+    top1 = (
+        first_pairs.withColumn("r", F.row_number().over(w1))
+        .filter(F.col("r") == 1)
+        .select(
+            F.concat(
+                F.substring("pair", 1, 1), F.lit(" "), F.substring("pair", 2, 1)
+            ).alias("spaced"),
+            F.col("pair").alias("fused"),
+        )
+    )
+    merged = sym.crossJoin(F.broadcast(top1)).select(
+        F.replace(F.col("s"), F.col("spaced"), F.col("fused")).alias("s")
+    )
+    post = merged.select(F.split("s", " ").alias("syms")).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(syms) - 1),"
+                " i -> concat(syms[i - 1], '|', syms[i]))"
+            )
+        ).alias("pair")
+    )
+    w2 = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        post.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= 20)
+        .select("pair", "n", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+BPE_APPLY_SQL = r"""
+WITH toks AS (
+  SELECT tok FROM (
+    SELECT unnest(string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ')) AS tok
+    FROM documents
+  ) WHERE len(tok) >= 2
+), first_pairs AS (
+  SELECT substr(tok, i, 2) AS pair, count(*) AS n
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tok) - 1)) AS i)
+  GROUP BY pair
+), top1 AS (
+  SELECT substr(pair, 1, 1) || ' ' || substr(pair, 2, 1) AS spaced, pair AS fused
+  FROM first_pairs ORDER BY n DESC, pair ASC LIMIT 1
+), sym AS (
+  SELECT list_aggregate(string_split(tok, ''), 'string_agg', ' ') AS s FROM toks
+), merged AS (
+  SELECT replace(s, (SELECT spaced FROM top1), (SELECT fused FROM top1)) AS s FROM sym
+), post AS (
+  SELECT syms[i] || '|' || syms[i + 1] AS pair
+  FROM (SELECT string_split(s, ' ') AS syms FROM merged),
+       LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
+), counted AS (
+  SELECT pair, count(*) AS n FROM post GROUP BY pair
+)
+SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS BIGINT) AS rnk
+FROM counted QUALIFY rnk <= 20
+"""
+
+
 QUERIES.update(
     {
         "bpe_pair_counts": bpe_pair_counts,
+        "bpe_apply_merge": bpe_apply_merge,
         "winnow_fingerprints": winnow_fingerprints,
         "char_entropy": char_entropy,
     }
@@ -487,6 +577,7 @@ QUERIES.update(
 ORACLES.update(
     {
         "bpe_pair_counts": BPE_PAIR_SQL,
+        "bpe_apply_merge": BPE_APPLY_SQL,
         "winnow_fingerprints": WINNOW_SQL,
         "char_entropy": CHAR_ENTROPY_SQL,
     }

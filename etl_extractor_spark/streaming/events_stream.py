@@ -443,3 +443,43 @@ def run_streaming_minhash_dedup(
     )
     q.awaitTermination()
     return applied["n"]
+
+
+def run_streaming_jdbc_sink(
+    stream_df: DataFrame,
+    url: str,
+    table: str,
+    checkpoint_dir: str,
+    driver: str | None = None,
+) -> int:
+    """Streaming → relational sink: foreachBatch append into a JDBC
+    table (the continuous version of the reference's bulk load,
+    core/dw_repository.py:8-23). foreachBatch is the supported bridge
+    for sinks without a native streaming writer; checkpointed offsets
+    make replays append the SAME batches, so a keyed target (or
+    batch-id column, added here) dedupes on the warehouse side.
+    Returns batches written this run."""
+    from etl_extractor_spark.sources.jdbc import write_jdbc
+
+    n = {"b": 0}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_jdbc(
+            batch_df.withColumn("batch_id", F.lit(batch_id)),
+            url,
+            table,
+            mode="append",
+            driver=driver,
+        )
+        n["b"] += 1
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n["b"]

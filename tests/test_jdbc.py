@@ -69,3 +69,55 @@ def test_jdbc_query_option_projecting_select(spark, derby_url):
         spark, url=derby_url, query='SELECT "id", "val" FROM t_q WHERE "val" > 8.5'
     )
     assert [tuple(r) for r in got.collect()] == [(1, 9.0)]
+
+
+def test_streaming_jdbc_sink_matches_batch(spark, derby_url, sf_dir, tmp_path):
+    """Streaming aggregation → foreachBatch JDBC append: the rows that
+    land in the relational table equal the batch aggregation."""
+    from etl_extractor_spark.streaming import events_stream as SE
+
+    agg = SE.streaming_tumbling(SE.events_stream(spark, sf_dir))
+    n = SE.run_streaming_jdbc_sink(
+        agg.select("window_start", "event_type", "n_events"),
+        derby_url,
+        "t_stream",
+        str(tmp_path / "ckpt"),
+        driver=DRIVER,
+    )
+    assert n >= 1
+    got = read_jdbc(spark, url=derby_url, table="t_stream").drop("batch_id")
+
+    # batch twin: same aggregation over the static read
+    from pyspark.sql import functions as F
+
+    from etl_extractor_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    wantdf = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    # append mode emits a window only once the 2h watermark passes its
+    # end: the final windows stay in state at end-of-stream, so the
+    # sink holds the CLOSED subset of the batch result — exactly the
+    # windows ending at or before max(ts) - 2h.
+    cutoff = ev.agg(F.max("ts")).first()[0]
+    import datetime
+
+    closed = wantdf.filter(
+        F.col("window_end") <= F.lit(cutoff - datetime.timedelta(hours=2))
+    ).drop("window_end")
+    got_rows = sorted(map(tuple, got.collect()))
+    want_all = sorted(map(tuple, wantdf.drop("window_end").collect()))
+    want_closed = sorted(map(tuple, closed.collect()))
+    assert set(got_rows) <= set(want_all)
+    assert set(want_closed) <= set(got_rows)
+    assert len(got_rows) >= len(want_closed) > 0
