@@ -236,3 +236,25 @@ def test_q8_hints_only_on_fixed_dims(spark, sf_dir):
     # exactly the 3 fixed-dim hints (n_c, n_s, region) survive analysis
     assert analyzed.count("ResolvedHint") == 3
     assert df.count() >= 0  # still executes
+
+
+def test_winnow_single_exchange(spark, sf_dir):
+    """winnow_fingerprints: the per-doc window AND the per-doc groupBy
+    must share ONE hashpartitioning exchange on doc_id — re-shuffling
+    between them would double the wide cost of the fingerprint pass."""
+    from etl_extractor_spark.plans.text_analysis import winnow_fingerprints
+
+    plan = _plan(winnow_fingerprints(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_new_ops_no_cartesian(spark, sf_dir):
+    """semdedup / bpe / source-mix: scalar broadcasts only — no
+    cartesian or nested-loop joins may appear in the physical plans."""
+    from etl_extractor_spark.plans.corpus_prep import source_mix_resample
+    from etl_extractor_spark.plans.similarity import semdedup_keep
+    from etl_extractor_spark.plans.text_analysis import bpe_apply_merge
+
+    for fn in (semdedup_keep, bpe_apply_merge, source_mix_resample):
+        plan = _plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
