@@ -266,3 +266,66 @@ ORACLES = {
     "ann_lsh_buckets": ANN_LSH_SQL,
     "semdedup_keep": SEMDEDUP_SQL,
 }
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 4×
+    storage/bandwidth compression every 100 TB vector corpus applies
+    before indexing. Per vector: scale = max|x|/127, q_i = round-half-up
+    of x_i/scale (floor(v + 0.5) — spelled explicitly so Spark and the
+    oracle share ONE rounding rule; both engines' bare round() differ on
+    ties). Output pins the whole codebook: scale, position-weighted
+    checksum of the int8 codes, and the code extremes.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    absmax = F.array_max(F.transform("v", lambda x: F.abs(x)))
+    scale = absmax / F.lit(127.0)
+    q = F.transform(
+        "v", lambda x: F.floor(x / F.col("_scale") + F.lit(0.5)).cast("long")
+    )
+    return (
+        e.withColumn("_scale", scale)
+        .withColumn("_q", q)
+        .select(
+            "vec_id",
+            F.round("_scale", 6).alias("scale_r6"),
+            F.aggregate(
+                F.zip_with(
+                    "_q",
+                    F.sequence(F.lit(1), F.size("_q")).cast("array<long>"),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("checksum"),
+            F.array_min("_q").alias("q_min"),
+            F.array_max("_q").alias("q_max"),
+        )
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM v
+), q AS (
+  SELECT vec_id, scale,
+         list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
+  FROM s
+)
+SELECT vec_id, round(scale, 6) AS scale_r6,
+       CAST(list_sum(list_transform(range(1, len(q) + 1),
+            i -> q[i] * i)) AS BIGINT) AS checksum,
+       list_min(q) AS q_min,
+       list_max(q) AS q_max
+FROM q
+"""
+
+QUERIES["embedding_quantize_int8"] = embedding_quantize_int8
+ORACLES["embedding_quantize_int8"] = EMBEDDING_QUANTIZE_SQL
