@@ -483,3 +483,40 @@ def run_streaming_jdbc_sink(
     )
     q.awaitTermination()
     return n["b"]
+
+
+def streaming_enriched_totals(
+    spark: SparkSession, sf_dir: str, window: str = "1 hour"
+) -> DataFrame:
+    """Stream-static join: the event stream enriched against a STATIC
+    dimension (no watermark needed on the static side — Spark re-plans
+    the broadcast per micro-batch, which is also how slowly-changing
+    dims get picked up mid-stream). The static frame here derives a
+    user-tier dim from the customer table; the join then feeds a
+    watermarked tumbling aggregation per tier."""
+    static_tiers = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.when(F.col("c_acctbal") >= 5000, "high")
+            .when(F.col("c_acctbal") >= 0, "mid")
+            .otherwise("low")
+            .alias("tier"),
+        )
+    )
+    ev = events_stream(spark, sf_dir)
+    return (
+        ev.join(static_tiers, "user_id", "inner")  # stream-static equijoin
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", window).alias("w"), "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
+            "tier",
+            "n_events",
+            "sum_value",
+        )
+    )

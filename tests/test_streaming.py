@@ -314,3 +314,37 @@ def test_streaming_quarantine_splits_without_loss(spark, sf_dir):
             assert both.filter(
                 F.col("violated") == "price_cap,status_subset"
             ).count() == both.count()
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    """Stream-static dimension enrichment must agree with the same
+    join+aggregation over static reads."""
+    got = SE.run_to_memory(
+        SE.streaming_enriched_totals(spark, sf_dir),
+        "t_enriched",
+        output_mode="complete",
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.when(F.col("c_acctbal") >= 5000, "high")
+        .when(F.col("c_acctbal") >= 0, "mid")
+        .otherwise("low")
+        .alias("tier"),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.join(c, "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), BE.TS_FMT).alias("window_start"),
+            "tier",
+            "n_events",
+            "sum_value",
+        )
+    )
+    cols = ["window_start", "tier", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(batch, cols)
