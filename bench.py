@@ -76,18 +76,22 @@ def main() -> None:
     # co-tenant CPU spike landed on one run (r1→r2 showed 5× swings on
     # identical plans). Min-of-2 is the standard steady-state estimator
     # for single-machine benches; the driver still sees one JSON line.
+    # Back-to-back repetitions per query (not rep-loops over the whole
+    # list): the JVM's generated-code cache holds ~100 classes, so a
+    # second pass after 13 other queries re-compiles the big plans —
+    # consecutive runs measure the plan, not compilation.
     timings: dict[str, float] = {}
-    for _rep in range(2):
-        for name in BENCH_QUERIES:
-            fn = queries.get(name)
-            if fn is None:
-                continue
+    for name in BENCH_QUERIES:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        for _rep in range(2):
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
             # release this query's persisted intermediates so cached
-            # partitions from one query can't skew the next one's GC
+            # partitions from one run can't skew the next one's GC
             spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
