@@ -248,3 +248,34 @@ ORACLES = {
     "events_sessionize_pandas": _SESSION_SQL,
     "events_json_stats": EVENTS_JSON_SQL,
 }
+
+
+def hll_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (Apache DataSketches HLL via
+    Spark's hll_sketch_agg/hll_union_agg): per event_type DAILY user
+    sketches are built first, then UNIONED into the full-range reach —
+    the shape that matters at 100 TB, where per-partition sketch state
+    is persisted once and re-merged for any date range instead of
+    rescanning raw events. Rows-only driver check (sketch binaries are
+    engine-specific); the error bound and merge-consistency are pinned
+    in tests/test_operators.py.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type", F.to_date("ts").alias("day"), "user_id")
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select("event_type", "approx_users", F.col("n_days").cast("long").alias("n_days"))
+    )
+
+
+QUERIES["hll_user_reach"] = hll_user_reach
+# hll_user_reach: rows-only (DataSketches binaries are engine-specific;
+# error bound + merge-consistency asserted in tests)

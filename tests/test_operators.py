@@ -217,3 +217,36 @@ def test_extract_features_real_png_decode(spark):
         for r in extract_features(blobs, fake_decode=False).collect()
     }
     assert got == {1: (20, 10, 1), 2: (8, 8, 3)}
+
+
+def test_hll_sketch_merge_consistency_and_error(spark, sf_dir):
+    """Mergeable HLL distinct counts: (a) unioning per-day sketches
+    estimates within 5% of the exact distinct count; (b) the merged
+    estimate equals the single-pass sketch estimate (merge must not
+    change the answer materially)."""
+    from pyspark.sql import functions as F
+
+    from etl_extractor_spark.plans.events import hll_user_reach
+    from etl_extractor_spark.sources.parquet import load_table
+
+    sf = sf_dir
+    merged = {
+        r["event_type"]: r["approx_users"]
+        for r in hll_user_reach(spark, sf).collect()
+    }
+    e = load_table(spark, sf, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    single = {
+        r["event_type"]: r["est"]
+        for r in e.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(merged[k] - n) / n <= 0.05, (k, merged[k], n)
+        assert abs(merged[k] - single[k]) <= max(1, 0.01 * n), (k, merged, single)
