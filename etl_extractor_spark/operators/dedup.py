@@ -27,7 +27,7 @@ reproducible run to run.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_extractor_spark.functions.text import normalize_text
@@ -457,18 +457,35 @@ def dedup_cluster_assignments(
     )
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def md5_long(c) -> Column:
+    """First 64 bits of md5 as a signed BIGINT, built from two 32-bit
+    hex halves with overflow-safe arithmetic (no shiftleft wrap relied
+    on) — the same construction is expressible in DuckDB, which is what
+    makes the md5-hashed SimHash variant oracle-checkable."""
+    h = F.md5(c)
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    signed_hi = F.when(hi >= F.lit(1 << 31), hi - F.lit(1 << 32)).otherwise(hi)
+    return signed_hi * F.lit(1 << 32) + lo
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, hash_fn=None
+) -> DataFrame:
     """64-bit SimHash per doc: per-bit majority vote over token hashes.
 
-    Expressed as codegen: explode tokens → xxhash64 → for each bit sum
-    (+1/−1) → sign bits reassembled with bit shifts.
+    Expressed as codegen: explode tokens → 64-bit token hash (xxhash64
+    by default; pass ``hash_fn=md5_long`` for the oracle-checkable
+    variant) → for each bit sum (+1/−1) → sign bits reassembled with
+    bit shifts.
     """
     from etl_extractor_spark.operators.common import fan_out
 
+    hasher = hash_fn if hash_fn is not None else F.xxhash64
     toks = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(normalize_text(text_col)), " ")).alias("tok"),
-    ).withColumn("th", F.xxhash64("tok"))
+    ).withColumn("th", hasher(F.col("tok")))
 
     def _mask(i: int) -> int:  # bit 63 is the sign bit of a signed long
         return (1 << i) if i < 63 else -(1 << 63)

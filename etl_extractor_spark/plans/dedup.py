@@ -141,3 +141,60 @@ ORACLES = {
     "dedup_minhash_lsh_oph": _JACCARD_SQL,
     # dedup_simhash: rows-only (hash-specific signature, not SQL-expressible)
 }
+
+
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures under the md5-based 64-bit token hash — the
+    oracle-checkable twin of the xxhash64 fast path: every one of the
+    64 majority-vote bits is recomputed independently by DuckDB from
+    the same md5 hex, so a single flipped bit anywhere in the packed
+    bit arithmetic (sign-bit masks included) breaks the hash match."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_signatures(d, "doc_id", "text", hash_fn=D.md5_long)
+
+
+def _simhash_sql() -> str:
+    hexd = "'0123456789abcdef'"
+    # th: signed 64-bit from two 32-bit hex halves (overflow-safe)
+    half = (
+        lambda lo_i: "("
+        + " + ".join(
+            f"(CAST(strpos({hexd}, substr(h, {lo_i + j}, 1)) - 1 AS BIGINT)"
+            f" << {4 * (7 - j)})"
+            for j in range(8)
+        )
+        + ")"
+    )
+    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    votes = ", ".join(
+        f"sum(CASE WHEN (th & CAST({m} AS BIGINT)) <> 0 THEN 1 ELSE -1 END) AS b{i}"
+        for i, m in enumerate(masks)
+    )
+    sig = " | ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({m} AS BIGINT) ELSE 0 END)"
+        for i, m in enumerate(masks)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g'))), ' ')) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id, md5(tok) AS h FROM toks
+), th AS (
+  SELECT doc_id,
+         (CASE WHEN {half(1)} >= 2147483648
+               THEN {half(1)} - 4294967296 ELSE {half(1)} END) * 4294967296
+         + {half(9)} AS th
+  FROM hashed
+), votes AS (
+  SELECT doc_id, {votes} FROM th GROUP BY doc_id
+)
+SELECT doc_id, {sig} AS simhash FROM votes
+"""
+
+
+SIMHASH_MD5_SQL = _simhash_sql()
+
+QUERIES["dedup_simhash_md5"] = dedup_simhash_md5
+ORACLES["dedup_simhash_md5"] = SIMHASH_MD5_SQL
