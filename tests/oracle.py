@@ -47,12 +47,35 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+
+# dtype pairs the driver's value-hash tolerates (r1 evidence: date-as-
+# object vs datetime64 and int-width diffs hashed equal; int-vs-float
+# did NOT — DuckDB HUGEINT sums surfacing as float64 broke four queries)
+_COMPAT = [{"object", "datetime64[us]"}, {"int32", "int64"}, {"bool", "object"}]
+
+
+def _dtypes_compatible(a: str, b: str) -> bool:
+    if a == b:
+        return True
+    return any({a, b} <= c for c in _COMPAT)
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, atol: float = 1e-6):
-    got = _normalize(spark_df.toPandas())
-    want = _normalize(con.execute(sql).fetchdf())
+    raw_got = spark_df.toPandas()
+    raw_want = con.execute(sql).fetchdf()
+    got = _normalize(raw_got)
+    want = _normalize(raw_want)
     assert list(got.columns) == list(want.columns), (
         f"columns differ: {list(got.columns)} vs {list(want.columns)}"
     )
+    # strict dtype gate mirroring the driver's hash behavior: catch
+    # int-vs-float oracle typing bugs locally, before the driver does
+    mm = [
+        (c, str(raw_got[c].dtype), str(raw_want[c].dtype))
+        for c in raw_got.columns
+        if not _dtypes_compatible(str(raw_got[c].dtype), str(raw_want[c].dtype))
+    ]
+    assert not mm, f"dtype mismatch (spark vs oracle): {mm}"
     assert len(got) == len(want), f"row count differs: {len(got)} vs {len(want)}"
     for c in got.columns:
         g, w = got[c], want[c]
