@@ -258,3 +258,17 @@ def test_new_ops_no_cartesian(spark, sf_dir):
     for fn in (semdedup_keep, bpe_apply_merge, source_mix_resample):
         plan = _plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_aqe_converts_dehinted_joins_to_broadcast(spark, sf_dir):
+    """With forced hints removed from SF-scaled tables, AQE must still
+    pick broadcast joins at test SF (runtime stats) — proving the hint
+    removal trades nothing locally while unblocking shuffle joins at
+    100 TB."""
+    from etl_extractor_spark.plans.tpch import q3_top_revenue_orders
+
+    df = q3_top_revenue_orders(spark, sf_dir)
+    df.collect()  # AQE finalizes the physical plan during execution
+    plan = _plan(df)
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("BroadcastHashJoin") >= 2
