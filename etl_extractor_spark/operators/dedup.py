@@ -505,12 +505,12 @@ def simhash_signatures(
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, hash_fn=None
 ) -> DataFrame:
     """Near-dup pairs at hamming distance ≤ max_hamming via 16-bit band
     blocking (pigeonhole: ≤3 differing bits over 4 bands ⇒ ≥1 equal
     band) + exact bit_count verification."""
-    sigs = simhash_signatures(df, id_col, text_col)
+    sigs = simhash_signatures(df, id_col, text_col, hash_fn=hash_fn)
     bands = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF))

@@ -198,3 +198,30 @@ SIMHASH_MD5_SQL = _simhash_sql()
 
 QUERIES["dedup_simhash_md5"] = dedup_simhash_md5
 ORACLES["dedup_simhash_md5"] = SIMHASH_MD5_SQL
+
+
+def dedup_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SimHash near-dup pipeline under the md5 token hash —
+    band-blocked candidate generation + bit_count verification — with
+    an EXACT oracle: DuckDB recomputes the signatures from the same md5
+    hex and finds hamming ≤ 3 pairs by brute force. LSH-banding recall
+    for hamming ≤ 3 over 4 × 16-bit bands is exactly 1 (pigeonhole), so
+    the banded plan must equal the all-pairs oracle, not just overlap
+    it."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(
+        d, "doc_id", "text", max_hamming=3, hash_fn=D.md5_long
+    )
+
+
+SIMHASH_MD5_PAIRS_SQL = (
+    "WITH sigs AS (" + SIMHASH_MD5_SQL.replace(";", "") + ")\n"
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+)
+
+QUERIES["dedup_simhash_md5_pairs"] = dedup_simhash_md5_pairs
+ORACLES["dedup_simhash_md5_pairs"] = SIMHASH_MD5_PAIRS_SQL
