@@ -114,6 +114,7 @@ def asof_join_last_event(
     left_type: str = "purchase",
     right_type: str = "click",
     key: str = "user_id",
+    tolerance_minutes: int | None = None,
 ) -> DataFrame:
     """AS-OF join: for each left event, the latest right event at or
     before it (per key) — e.g. the click that preceded each purchase.
@@ -147,6 +148,22 @@ def asof_join_last_event(
         F.last("_r_id", ignorenulls=True).over(w).alias("prev_right_id"),
         F.last("_r_ts", ignorenulls=True).over(w).alias("prev_right_ts"),
     )
+    if tolerance_minutes is not None:
+        # merge_asof-style tolerance: a carried right event older than
+        # the tolerance is as good as no match — null both columns.
+        within = F.col("_r_ok")
+        carried = carried.withColumn(
+            "_r_ok",
+            F.col("prev_right_ts")
+            >= F.col("ts") - F.expr(f"INTERVAL {tolerance_minutes} MINUTES"),
+        ).select(
+            key,
+            "ts",
+            "event_id",
+            "event_type",
+            F.when(within, F.col("prev_right_id")).alias("prev_right_id"),
+            F.when(within, F.col("prev_right_ts")).alias("prev_right_ts"),
+        )
     return carried.filter(F.col("event_type") == left_type).select(
         F.col(key).cast("long").alias(key),
         F.col("event_id").alias("purchase_id"),

@@ -279,3 +279,37 @@ def hll_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["hll_user_reach"] = hll_user_reach
 # hll_user_reach: rows-only (DataSketches binaries are engine-specific;
 # error bound + merge-consistency asserted in tests)
+
+
+def events_asof_click_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a merge_asof-style TOLERANCE: the carried click
+    must be within 60 minutes of the purchase or the match is null —
+    same single-shuffle carry-forward plan, one extra row-local
+    predicate (tolerance costs nothing at scale, unlike re-joining)."""
+    return E.asof_join_last_event(
+        load_table(spark, sf_dir, "events"), tolerance_minutes=60
+    )
+
+
+EVENTS_ASOF_TOL_SQL = """
+WITH p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), m AS (
+  SELECT p.user_id, p.event_id AS purchase_id, p.ts AS pts,
+         c.event_id AS cid, c.ts AS cts
+  FROM p ASOF LEFT JOIN c
+    ON p.user_id = c.user_id AND c.ts <= p.ts
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       purchase_id,
+       strftime(pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       CASE WHEN cts >= pts - INTERVAL 60 MINUTE THEN cid END AS last_click_id,
+       CASE WHEN cts >= pts - INTERVAL 60 MINUTE
+            THEN strftime(cts, '%Y-%m-%d %H:%M:%S') END AS last_click_ts
+FROM m
+"""
+
+QUERIES["events_asof_click_tol"] = events_asof_click_tol
+ORACLES["events_asof_click_tol"] = EVENTS_ASOF_TOL_SQL
