@@ -419,3 +419,57 @@ ORACLES = {
     "price_histogram": PRICE_HISTOGRAM_SQL,
     "mad_outliers_by_priority": MAD_OUTLIERS_SQL,
 }
+
+
+def customer_year_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation — the join type the rest of the query
+    library doesn't exercise (semi/anti/left/inner are covered): order
+    counts per customer for 1995 vs 1996, outer-joined so
+    one-sided customers survive with nulls, classified with the
+    coalesce pattern every reconciliation report uses. Both inputs
+    aggregate before the join, so the shuffle carries one row per
+    (customer, year) — never raw orders."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def year_counts(year: int, alias: str) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    a = year_counts(1995, "n_1995")
+    b = year_counts(1996, "n_1996")
+    return (
+        a.join(b, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            F.coalesce("n_1995", F.lit(0)).alias("n_1995"),
+            F.coalesce("n_1996", F.lit(0)).alias("n_1996"),
+            F.when((F.col("n_1995").isNotNull()) & (F.col("n_1996").isNotNull()), "both")
+            .when(F.col("n_1995").isNotNull(), "only_1995")
+            .otherwise("only_1996")
+            .alias("status"),
+        )
+    )
+
+
+CUSTOMER_YEAR_RECON_SQL = """
+WITH a AS (
+  SELECT o_custkey, count(*) AS n_1995 FROM orders
+  WHERE year(o_orderdate) = 1995 GROUP BY o_custkey
+), b AS (
+  SELECT o_custkey, count(*) AS n_1996 FROM orders
+  WHERE year(o_orderdate) = 1996 GROUP BY o_custkey
+)
+SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+       coalesce(n_1995, 0) AS n_1995,
+       coalesce(n_1996, 0) AS n_1996,
+       CASE WHEN n_1995 IS NOT NULL AND n_1996 IS NOT NULL THEN 'both'
+            WHEN n_1995 IS NOT NULL THEN 'only_1995'
+            ELSE 'only_1996' END AS status
+FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+"""
+
+QUERIES.update({"customer_year_reconciliation": customer_year_reconciliation})
+ORACLES.update({"customer_year_reconciliation": CUSTOMER_YEAR_RECON_SQL})
