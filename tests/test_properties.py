@@ -116,3 +116,23 @@ def test_hll_approx_distinct_error_bound(spark, sf_dir):
             F.approx_count_distinct("l_partkey", rsd).alias("v")
         ).first()["v"]
         assert abs(approx - exact) <= 5 * rsd * exact + 1, (rsd, approx, exact)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.sampled_from([1, 3, 4]),
+    st.integers(min_value=0, max_value=4),
+    st.binary(min_size=0, max_size=24 * 24 * 4),
+)
+def test_png_codec_roundtrip_property(w, h, channels, filter_type, data):
+    """Pure-stdlib PNG codec: encode→decode is pixel-exact for every
+    geometry × color type × scanline filter × payload (payload is
+    zero-padded to the raster size, mirroring the encoder contract)."""
+    from etl_extractor_spark.operators.multimodal import decode_png, encode_png
+
+    png = encode_png(w, h, data, channels=channels, filter_type=filter_type)
+    dw, dh, dc, px = decode_png(png)
+    assert (dw, dh, dc) == (w, h, channels)
+    assert px == bytes(data[: w * h * channels].ljust(w * h * channels, b"\x00"))
