@@ -21,9 +21,29 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="etl_extractor_spark")
     p.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
-    p.add_argument("--out", required=True, help="lake root (staging/ + gold/ written below)")
+    p.add_argument("--out", help="lake root (staging/ + gold/ written below)")
     p.add_argument("--log", default=None, help="optional rotating log file")
+    p.add_argument("--query", help="run one registered query by name and print rows (use 'list' to enumerate)")
+    p.add_argument("--limit", type=int, default=20, help="rows to show with --query")
     args = p.parse_args(argv)
+
+    if args.query:
+        from etl_extractor_spark.plans.registry import all_queries
+        from etl_extractor_spark.session import get_spark
+
+        queries = all_queries()
+        if args.query == "list":
+            print("\n".join(sorted(queries)))
+            return 0
+        if args.query not in queries:
+            print(f"unknown query {args.query!r}; --query list to enumerate", file=sys.stderr)
+            return 2
+        spark = get_spark(app_name="etl-extractor-spark-cli")
+        queries[args.query](spark, args.sf_dir).show(args.limit, truncate=False)
+        return 0
+
+    if not args.out:
+        p.error("--out is required unless --query is given")
 
     from etl_extractor_spark.pipeline import run_pipeline
     from etl_extractor_spark.session import get_spark
