@@ -412,6 +412,7 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     sig = _checksum(e)
+    converged = False
     for _ in range(max_iter):
         new_e = _star(_star(e, large=True), large=False).localCheckpoint(
             eager=True
@@ -419,8 +420,18 @@ def connected_components_star(
         new_sig = _checksum(new_e)
         e = new_e
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # Unconverged labels are silently wrong downstream (split
+        # clusters). Large-star/small-star needs O(log n) rounds, so
+        # exhausting max_iter means something is off — fail loudly.
+        raise RuntimeError(
+            f"connected_components_star: checksum fixpoint not reached "
+            f"within max_iter={max_iter} rounds; labels may be incomplete. "
+            f"Raise max_iter (O(log n) rounds expected for n nodes)."
+        )
     # at fixpoint every edge points a member at its component min;
     # orient and take the min per node to be robust to orientation
     members = (

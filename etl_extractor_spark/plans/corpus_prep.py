@@ -171,7 +171,11 @@ def source_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.lit(1000.0) * F.sqrt(F.col("min_n") / F.col("n_s"))).cast("long"),
         ).alias("rate_pm"),
     )
-    bucket = F.pmod(F.col("doc_id") * F.lit(_MIX_C), F.lit(1000))
+    # Reduce doc_id mod 1000 BEFORE the Knuth multiply: pmod(x*C, 1000)
+    # == pmod(pmod(x,1000)*C, 1000), and the reduced product caps at
+    # 999*C ~ 2.7e12 — no BIGINT overflow (ANSI runtime error) even for
+    # doc_ids past 3.5e9 on a 100 TB corpus.
+    bucket = F.pmod(F.pmod(F.col("doc_id"), F.lit(1000)) * F.lit(_MIX_C), F.lit(1000))
     return (
         d.join(F.broadcast(rates), "source")
         .filter(bucket < F.col("rate_pm"))
@@ -180,7 +184,7 @@ def source_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SOURCE_MIX_SQL = f"""
+SOURCE_MIX_SQL = rf"""
 WITH counts AS (
   SELECT source,
          count(*) * (CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) + 1) AS n_s
@@ -193,7 +197,7 @@ WITH counts AS (
 )
 SELECT d.source, r.rate_pm, count(*) AS n_kept
 FROM documents d JOIN rates r USING (source)
-WHERE ((d.doc_id * {_MIX_C}) % 1000 + 1000) % 1000 < r.rate_pm
+WHERE (((d.doc_id % 1000) * {_MIX_C}) % 1000 + 1000) % 1000 < r.rate_pm
 GROUP BY d.source, r.rate_pm
 """
 

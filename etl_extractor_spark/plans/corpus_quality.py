@@ -42,9 +42,14 @@ def _tokens(d: DataFrame) -> DataFrame:
 
 def _grams(tok_df: DataFrame, n: int) -> DataFrame:
     """Explode token arrays into n-gram rows (space-joined shingles)."""
+    # Guard docs shorter than n tokens: sequence(1, k) with k < 1 is a
+    # DESCENDING array in Spark, so slice(toks, 0, n) would raise under
+    # ANSI mode. Empty array -> explode drops the doc, matching the SQL
+    # oracle's empty generate_series.
     gram = F.expr(
-        f"transform(sequence(1, size(toks) - {n - 1}), "
-        f"i -> concat_ws(' ', slice(toks, i, {n})))"
+        f"CASE WHEN size(toks) < {n} THEN CAST(array() AS array<string>) "
+        f"ELSE transform(sequence(1, size(toks) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(toks, i, {n}))) END"
     )
     return tok_df.select(
         "doc_id", "source", F.explode(gram).alias("gram")

@@ -498,3 +498,60 @@ ORACLES = {
     "surrogate_suppliers": SURROGATE_SQL,
     "window_top_orders": WINDOW_TOP_SQL,
 }
+
+
+def orders_stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic twin of ``orders_stratified_sample``: the same
+    per-stratum rates ({F: 20%, O: 10%, P: 50%}) drawn by a
+    cross-engine md5 bucket instead of engine-specific Bernoulli —
+    keep the row iff bucket(md5(o_orderkey)) mod 1000 < rate_pm. Both
+    engines compute the identical md5 hex, so membership (not just the
+    rate) is exact and the driver hash-checks the full sample. At
+    scale this IS the production sampler: reproducible across cluster
+    sizes, re-runs, and engines, unlike seeded Bernoulli whose draws
+    depend on partitioning."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1000),
+    )
+    rate = (
+        F.when(F.col("o_orderstatus") == "F", F.lit(200))
+        .when(F.col("o_orderstatus") == "O", F.lit(100))
+        .otherwise(F.lit(500))
+    )
+    return (
+        o.filter(bucket < rate)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )
+
+
+STRATIFIED_HASH_SQL = (
+    """
+WITH b AS (
+  SELECT o_orderstatus, o_totalprice,
+         ("""
+  + " + ".join(
+      f"(CAST(strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), {1 + j}, 1)) - 1 AS BIGINT) << {4 * (7 - j)})"
+      for j in range(8)
+  )
+  + """) % 1000 AS bucket,
+         CASE o_orderstatus WHEN 'F' THEN 200 WHEN 'O' THEN 100 ELSE 500 END AS rate
+  FROM orders
+)
+SELECT o_orderstatus, count(*) AS n_sampled,
+       round(sum(o_totalprice), 4) AS total
+FROM b WHERE bucket < rate GROUP BY o_orderstatus
+"""
+)
+
+QUERIES["orders_stratified_sample_hash"] = orders_stratified_sample_hash
+ORACLES["orders_stratified_sample_hash"] = STRATIFIED_HASH_SQL

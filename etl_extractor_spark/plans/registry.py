@@ -31,6 +31,7 @@ _MODULES = (
     "etl_extractor_spark.plans.stats",
     "etl_extractor_spark.plans.cleaning",
     "etl_extractor_spark.plans.corpus_prep",
+    "etl_extractor_spark.plans.roundtrip",
     "etl_extractor_spark.plans.tpch",
     "etl_extractor_spark.plans.tpch2",
     "etl_extractor_spark.plans.tpch3",
@@ -38,37 +39,38 @@ _MODULES = (
 )
 
 
-# Emitted ahead of module order: the queries a capped correctness sweep
-# must reach — every SURVEY-§2 parity anchor, the LLM-pipeline suites,
-# and the four oracles whose integer typing was fixed in round 2.
-# (Names not present in any module are skipped harmlessly.)
+# Emitted ahead of module order: the queries a capped (~50/round)
+# CORRECTNESS sweep must reach. Round-3 rotation: every query that has
+# never appeared in a driver run (r1+r2 checked 96 of 134) leads,
+# followed by the round-3-new round-trip/twin queries, then a small
+# regression canary of previously-green anchors. (Names not present in
+# any module are skipped harmlessly.)
 _PRIORITY = (
-    # parity (SURVEY §2 anchors)
-    "star_join_detail", "profile_orders", "orders_systematic_sample",
-    "orders_stratified_sample", "dim_customer", "dim_product",
-    "dim_source", "dim_date", "fact_conformed", "fact_enriched",
-    "fk_modulo_fold", "scalar_bounds", "surrogate_suppliers",
-    "window_top_orders",
-    # dedup
-    "dedup_exact", "dedup_clusters", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_minhash_lsh_oph", "dedup_simhash",
-    # similarity
-    "knn_topk_cosine", "knn_topk_cosine_np", "sim_histogram",
-    "embedding_near_dup", "ann_lsh_buckets", "knn_ivf_kmeans",
-    "semdedup_keep",
-    # events
-    "events_tumbling", "events_totals_salted", "events_asof_click",
-    "events_interval_join", "events_gapfill_rollup", "events_sliding",
-    "events_sessionize", "events_sessionize_pandas", "events_json_stats",
-    # multimodal
-    "multimodal_meta", "multimodal_png_roundtrip", "multimodal_features",
-    "multimodal_resize", "multimodal_frames",
-    # round-2 retyped oracles (driver hash-failed on int typing in r1)
-    "cube_docs", "lang_metrics_unpivot", "label_centroids",
-    "user_value_trend",
-    # text/corpus headliners
-    "text_quality", "corpus_prep_stats", "source_mix_resample",
-    "gopher_repetition", "exactsubstr_spans",
+    # --- never driver-checked (r1+r2 union): text/corpus suite
+    "bpe_pair_counts", "bpe_apply_merge", "winnow_fingerprints",
+    "char_entropy", "unigram_lm_score", "decontaminate_ngrams",
+    "doc_sentiment", "chunk_documents", "lang_detect",
+    "doc_fingerprints", "corpus_stats_by_lang", "token_frequencies",
+    "docs_pivot_lang_source", "approx_distinct_tokens",
+    # --- never driver-checked: dedup/similarity/events
+    "dedup_simhash_md5", "dedup_simhash_md5_pairs",
+    "embedding_quantize_int8", "hll_user_reach", "events_asof_click_tol",
+    # --- never driver-checked: analytics3/4, stats, cleaning
+    "orders_quality_report", "key_skew_profile",
+    "quality_violation_sample", "user_activity_gaps",
+    "orders_latest_per_customer", "nation_revenue_share_bps",
+    "customer_trailing_30d_spend", "token_coverage_p90",
+    "event_type_cooccurrence", "heavy_hitter_parts", "price_histogram",
+    "mad_outliers_by_priority", "customer_year_reconciliation",
+    "revenue_percentiles", "lineitem_stats", "sql_star_revenue",
+    "winsorize_prices", "fuzzy_name_pairs", "order_quartiles",
+    # --- round-3-new: environmental-op round-trips + deterministic twins
+    "csv_roundtrip", "json_envelope_unwrap", "jdbc_roundtrip",
+    "orders_stratified_sample_hash", "knn_ivf_fixed",
+    # --- regression canary (green in r1/r2; re-pin a few anchors)
+    "q5_regional_revenue", "fact_conformed", "dedup_minhash_lsh",
+    "dedup_minhash_lsh_oph", "star_join_detail", "text_quality",
+    "knn_topk_cosine_np", "events_sessionize",
 )
 
 
@@ -77,27 +79,32 @@ def _ordered(out: dict) -> dict:
     return head | {k: v for k, v in out.items() if k not in head}
 
 
-def all_queries() -> dict[str, QueryFn]:
+def _load(attr: str) -> dict:
     import importlib
 
-    out: dict[str, QueryFn] = {}
+    out: dict = {}
     for mod_name in _MODULES:
         try:
             mod = importlib.import_module(mod_name)
         except ImportError:
             continue  # module not built yet
-        out.update(getattr(mod, "QUERIES", {}))
+        out.update(getattr(mod, attr, {}))
     return _ordered(out)
+
+
+# Registry hygiene at 134+ queries: the 17-module import walk runs once;
+# repeated driver calls to __spark_entry__.queries() are O(1). A fresh
+# dict is returned each call so callers may mutate their copy safely.
+_CACHE: dict[str, dict] = {}
+
+
+def all_queries() -> dict[str, QueryFn]:
+    if "QUERIES" not in _CACHE:
+        _CACHE["QUERIES"] = _load("QUERIES")
+    return dict(_CACHE["QUERIES"])
 
 
 def all_oracles() -> dict[str, str]:
-    import importlib
-
-    out: dict[str, str] = {}
-    for mod_name in _MODULES:
-        try:
-            mod = importlib.import_module(mod_name)
-        except ImportError:
-            continue
-        out.update(getattr(mod, "ORACLES", {}))
-    return _ordered(out)
+    if "ORACLES" not in _CACHE:
+        _CACHE["ORACLES"] = _load("ORACLES")
+    return dict(_CACHE["ORACLES"])

@@ -1,0 +1,144 @@
+"""Driver-checkable round-trips for the environmental operators.
+
+SURVEY §2's source/sink ops (S1 CSV na_filter parity, S3 REST envelope
+unwrap, S2/K3 JDBC read + bulk append) are exercised by pytest, but a
+pytest pass is a weaker signal than the driver's DuckDB hash gate.
+These queries make each leg a self-contained ``queries()`` entry: the
+query WRITES through the engine's own sink, READS back through the
+engine's own source, and the oracle states the expected rows in pure
+SQL over the same sf_dir tables (plus literals for the null-semantics
+rows) — so a hash match certifies the full write→read contract, not
+just "it didn't throw".
+
+Reference parity targets:
+- CSV:  extract/csv_extractor.py:4-10 (``na_filter=False`` — empty
+  cells are ``""``, never null, and flow through joins as keys)
+- JSON: extract/api_extractor.py:12-28 (``{"data": [...]}`` envelope,
+  nested objects flattened to dotted columns)
+- JDBC: extract/db_extractor.py:6-14 + core/dw_repository.py:8-23
+  (column-projecting SELECT read; batched bulk append) — executed
+  against Apache Derby's embedded driver, which ships on Spark's
+  default classpath.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_extractor_spark.sources.csv import read_csv
+from etl_extractor_spark.sources.jdbc import read_jdbc, write_jdbc
+from etl_extractor_spark.sources.json_api import records_to_df
+from etl_extractor_spark.sources.parquet import load_table
+
+_DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 + K1: nation → CSV (engine writer) → read_csv (engine reader,
+    na_filter=False parity). A literal row with a NULL name is unioned
+    in before the write; the round-trip must surface it as ``''`` —
+    the reference's empty-cell semantics — while the typed int columns
+    keep their values exactly."""
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    extra = spark.createDataFrame(
+        [(-1, None, -1)], "n_nationkey: int, n_name: string, n_regionkey: int"
+    )
+    out_dir = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    nation.unionByName(extra).coalesce(1).write.mode("overwrite").option(
+        "header", True
+    ).csv(out_dir)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return read_csv(spark, out_dir, schema=schema)
+
+
+CSV_ROUNDTRIP_SQL = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+UNION ALL
+SELECT -1, '', -1
+"""
+
+
+def json_envelope_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: the reference's API envelope contract on a deterministic
+    payload — ``{"data": [...]}`` unwrap, nested object flattened to a
+    dotted column, non-dict entries dropped. The oracle restates the
+    expected flat rows as literals."""
+    payload = {
+        "data": [
+            {"id": 1, "name": "alpha", "meta": {"lang": "en", "score": 0.5}},
+            {"id": 2, "name": "beta", "meta": {"lang": "es", "score": 1.5}},
+            ["not", "a", "record"],  # dropped by the unwrap contract
+            {"id": 3, "name": "gamma", "meta": {"lang": "en", "score": 2.5}},
+        ]
+    }
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("meta.lang", T.StringType()),
+            T.StructField("meta.score", T.DoubleType()),
+        ]
+    )
+    return records_to_df(spark, payload, schema=schema)
+
+
+JSON_ENVELOPE_SQL = """
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 'alpha', 'en', 0.5),
+  (CAST(2 AS BIGINT), 'beta',  'es', 1.5),
+  (CAST(3 AS BIGINT), 'gamma', 'en', 2.5)
+) AS t(id, name, "meta.lang", "meta.score")
+"""
+
+
+def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 + K3: region → Derby overwrite (K1 truncate+load), two
+    literal rows bulk-appended (K3 batched INSERT), read back through
+    the projecting JDBC source. Derby is the embedded driver on
+    Spark's default classpath — a real format("jdbc") wire path."""
+    region = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("int").alias("rk"),
+        F.col("r_name").alias("rn"),
+    )
+    db = tempfile.mkdtemp(prefix="jdbc_roundtrip_") + "/db"
+    url = f"jdbc:derby:{db};create=true"
+    write_jdbc(region, url, "t_round", mode="overwrite", driver=_DERBY_DRIVER)
+    extra = spark.createDataFrame(
+        [(90, "EXTRA_A"), (91, "EXTRA_B")], "rk: int, rn: string"
+    )
+    write_jdbc(extra, url, "t_round", mode="append", driver=_DERBY_DRIVER)
+    return read_jdbc(spark, url=url, table="t_round").select(
+        F.col("rk").cast("int").alias("rk"), "rn"
+    )
+
+
+JDBC_ROUNDTRIP_SQL = """
+SELECT CAST(r_regionkey AS INTEGER) AS rk, r_name AS rn FROM region
+UNION ALL
+SELECT * FROM (VALUES (90, 'EXTRA_A'), (91, 'EXTRA_B')) AS t(rk, rn)
+"""
+
+
+QUERIES = {
+    "csv_roundtrip": csv_roundtrip,
+    "json_envelope_unwrap": json_envelope_unwrap,
+    "jdbc_roundtrip": jdbc_roundtrip,
+}
+
+ORACLES = {
+    "csv_roundtrip": CSV_ROUNDTRIP_SQL,
+    "json_envelope_unwrap": JSON_ENVELOPE_SQL,
+    "jdbc_roundtrip": JDBC_ROUNDTRIP_SQL,
+}

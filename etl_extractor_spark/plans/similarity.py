@@ -329,3 +329,116 @@ FROM q
 
 QUERIES["embedding_quantize_int8"] = embedding_quantize_int8
 ORACLES["embedding_quantize_int8"] = EMBEDDING_QUANTIZE_SQL
+
+
+def knn_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with PINNED literal centroids — the oracle-checkable
+    deterministic twin of ``knn_ivf_kmeans`` (same trick as
+    ``ann_lsh_buckets``'s pinned hyperplanes and SemDeDup's pinned
+    centroids): coarse assignment is argmax cosine over the
+    SEMDEDUP_CENTROIDS literals, then exact scoring ONLY within the
+    query's cluster and a per-query top-5. DuckDB recomputes the whole
+    index + search from the same literals, so a hash match certifies
+    the IVF plan shape (assign → within-cluster score → rank) exactly;
+    recall-vs-brute-force properties live on the learned variant."""
+    import math as _m
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dots = [
+        F.aggregate(
+            F.zip_with(
+                "v",
+                F.array(*[F.lit(x) for x in SEMDEDUP_CENTROIDS[k]]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(_m.sqrt(sum(x * x for x in SEMDEDUP_CENTROIDS[k])))
+        for k in range(SEMDEDUP_K)
+    ]
+    best = F.greatest(*dots)
+    cluster = F.lit(None).cast("long")
+    for k in reversed(range(SEMDEDUP_K)):
+        cluster = F.when(dots[k] == best, F.lit(k)).otherwise(cluster)
+    assigned = e.select("vec_id", "v", cluster.alias("cluster_id"))
+    q = F.broadcast(
+        assigned.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("cluster_id").alias("qc"),
+        )
+    )
+    scored = (
+        assigned.join(
+            q,
+            (F.col("cluster_id") == F.col("qc"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            S.cosine(F.col("qv"), F.col("v")).alias("_cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("_cos", 4).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
+KNN_IVF_FIXED_SQL = (
+    """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), dots AS (
+  SELECT vec_id, v, """
+    + ", ".join(
+        f"list_dot_product(v, {_centroid_sql(k)}) / "
+        f"{_math.sqrt(sum(x * x for x in SEMDEDUP_CENTROIDS[k]))!r} AS d{k}"
+        for k in range(SEMDEDUP_K)
+    )
+    + """
+  FROM v
+), assigned AS (
+  SELECT vec_id, v,
+         CASE """
+    + " ".join(
+        f"WHEN d{k} = greatest(d0, d1, d2, d3) THEN {k}"
+        for k in range(SEMDEDUP_K)
+    )
+    + """ END AS cluster_id
+  FROM dots
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, c.v) AS cos
+  FROM assigned q JOIN assigned c
+    ON q.cluster_id = c.cluster_id AND c.vec_id <> q.vec_id
+  WHERE q.vec_id % 100 = 0
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim, rank
+FROM ranked WHERE rank <= 5
+"""
+)
+
+QUERIES["knn_ivf_fixed"] = knn_ivf_fixed
+ORACLES["knn_ivf_fixed"] = KNN_IVF_FIXED_SQL

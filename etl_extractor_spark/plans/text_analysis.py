@@ -519,11 +519,17 @@ def bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = sym.crossJoin(F.broadcast(top1)).select(
         F.replace(F.col("s"), F.col("spaced"), F.col("fused")).alias("s")
     )
+    # Guard size(syms) < 2: Spark's sequence(1, 0) is the DESCENDING
+    # array [1, 0], so the transform would index out of bounds (ANSI
+    # runtime error on 4.x) for any token that fused into a single
+    # symbol — e.g. a standalone token equal to the winning pair.
+    # DuckDB's generate_series(1, 0) is empty, so only Spark needs it.
     post = merged.select(F.split("s", " ").alias("syms")).select(
         F.explode(
             F.expr(
-                "transform(sequence(1, size(syms) - 1),"
-                " i -> concat(syms[i - 1], '|', syms[i]))"
+                "CASE WHEN size(syms) < 2 THEN CAST(array() AS array<string>)"
+                " ELSE transform(sequence(1, size(syms) - 1),"
+                " i -> concat(syms[i - 1], '|', syms[i])) END"
             )
         ).alias("pair")
     )

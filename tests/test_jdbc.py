@@ -52,9 +52,20 @@ def test_jdbc_projection_and_filter_pushdown(spark, derby_url):
         .select("id", "name")
     )
     plan = q._jdf.queryExecution().executedPlan().toString()
-    # S2 semantics: the projection AND the predicate reach the database
-    assert "PushedFilters: [*IsNotNull(id), *GreaterThanOrEqual(id,10)]" in plan
-    assert "ReadSchema: struct<id:bigint,name:string>" in plan
+    # S2 semantics: the projection AND the predicate reach the database.
+    # Match with regexes, not exact plan text — Spark's plan rendering
+    # (filter ordering, '*' markers, spacing) shifts across minor
+    # versions; the semantic content is the pushed filter names and the
+    # pruned two-column read schema.
+    import re
+
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed, plan
+    assert re.search(r"GreaterThanOrEqual\(id,\s*10\)", pushed.group(1)), plan
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schema, plan
+    cols = {c.split(":")[0] for c in schema.group(1).split(",") if c}
+    assert cols == {"id", "name"}, plan
     assert q.count() == 10
 
 

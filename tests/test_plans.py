@@ -272,3 +272,60 @@ def test_aqe_converts_dehinted_joins_to_broadcast(spark, sf_dir):
     plan = _plan(df)
     assert plan.count("SortMergeJoin") == 0
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_bpe_apply_merge_single_symbol_token(spark, tmp_path):
+    """ANSI regression: a standalone token EQUAL to the winning pair
+    fuses into ONE symbol, making sequence(1, size(syms)-1) =
+    sequence(1, 0) — Spark's DESCENDING [1, 0] — which indexed out of
+    bounds before the size(syms) >= 2 guard. The corpus here forces
+    'er' to win round 1 while also appearing as its own token; the
+    result must match the DuckDB oracle on the same frame."""
+    import duckdb
+    import pandas as pd
+
+    from etl_extractor_spark.plans.text_analysis import (
+        BPE_APPLY_SQL,
+        bpe_apply_merge,
+    )
+    from tests.oracle import compare
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "source": ["src0", "src0", "src1"],
+            "text": [
+                "er er er verb herd",
+                "term er tiger",
+                "er banner",
+            ],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    n = compare(bpe_apply_merge(spark, str(tmp_path)), con, BPE_APPLY_SQL)
+    assert n > 0
+
+
+def test_gopher_short_doc_does_not_crash(spark, tmp_path):
+    """Docs shorter than the n-gram order must drop cleanly (empty
+    gram array), not raise an ANSI slice error via sequence(1, k<1)."""
+    import pandas as pd
+
+    from etl_extractor_spark.plans.corpus_quality import gopher_repetition
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "source": ["src0", "src0", "src1"],
+            "text": ["one", "two tokens", "three token doc here ok"],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    rows = {r["doc_id"] for r in gopher_repetition(spark, str(tmp_path)).collect()}
+    # only doc 3 has trigrams; docs 1-2 drop from the inner join
+    assert rows == {3}
