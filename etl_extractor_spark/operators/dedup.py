@@ -122,6 +122,72 @@ def hashed_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 30) -> D
     return sh.select("doc_id", F.xxhash64("shingle").alias("h0"))
 
 
+def doc_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, k: int = 30
+) -> DataFrame:
+    """(doc_id, hs): the distinct shingle-hash SET of each document as
+    one array column — the map-only substrate of the fast MinHash path.
+
+    No explode, no shuffle: shingling, dedup, and hashing all happen
+    row-locally inside codegen, so at 100 TB the signature stage reads
+    the corpus once and writes nothing to the shuffle at all (the
+    exploded ``hashed_shingles`` form shuffles one row per shingle —
+    corpus-character-count rows — into its groupBy).
+
+    Per-row memory is O(doc length): a 10 MB document carries a ~10M
+    element array through this stage, fine for web/book corpora;
+    chunk pathological docs upstream if needed.
+    """
+    from etl_extractor_spark.operators.common import fan_out
+
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), F.length(text_col) - F.lit(k - 1))
+    )
+    shingles = F.array_distinct(
+        F.transform(positions, lambda i: F.substr(F.col(text_col), i, F.lit(k)))
+    )
+    return fan_out(df.filter(F.length(text_col) >= k)).select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(shingles, lambda s: F.xxhash64(s)).alias("hs"),
+    )
+
+
+# Fixed multiply-add permutation family for the Arrow signature path:
+# h_i(x) = a_i * x + b_i in uint64 (natural wraparound — numpy, so no
+# ANSI overflow concerns). Seeded literals: deterministic across runs,
+# cluster sizes, and engines; a_i forced odd (bijective mod 2^64).
+def _perm_coeffs(n_perm: int):
+    import numpy as np
+
+    rng = np.random.default_rng(0x5EED)
+    a = rng.integers(1, 2**63, size=n_perm, dtype=np.uint64) * 2 + 1
+    b = rng.integers(0, 2**63, size=n_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures_arr(doc_hs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
+    """MinHash signatures from per-doc shingle-hash arrays, one Arrow
+    batch pass: for each doc the full (n_perm × n_shingles) permutation
+    grid is a single numpy broadcast multiply-add + min — no explode,
+    no shuffle, no per-row JVM hashing loop. Output is the array form
+    (doc_id, sig: array<long>); band with ``lsh_candidate_pairs_arr``."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    a, b = _perm_coeffs(n_perm)
+
+    @pandas_udf("array<long>")
+    def _sig(hs: pd.Series) -> pd.Series:
+        def one(arr):
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            grid = h[None, :] * a[:, None] + b[:, None]  # uint64 wraps
+            return grid.min(axis=1).astype(np.int64)
+
+        return hs.apply(one)
+
+    return doc_hs.select("doc_id", _sig("hs").alias("sig"))
+
+
 def minhash_signatures(hashed: DataFrame, n_perm: int = N_PERM) -> DataFrame:
     """Per-doc MinHash signature: min over shingle-hashes of the i-th
     seeded permutation — one shuffle, partial min before it.
@@ -190,6 +256,83 @@ def minhash_signatures_oph(hashed: DataFrame, n_perm: int = N_PERM) -> DataFrame
     )
 
 
+def minhash_signatures_oph_arr(doc_hs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
+    """One-Permutation-Hashing on the per-doc array substrate: ONE
+    multiply-add hash per shingle, bin by hash mod n_perm, min per bin,
+    rotation-densify empty bins (Shrivastava & Li, ICML'14) — all
+    inside a single Arrow batch pass, zero shuffle. This is the scale
+    path past ~10^8 shingles per executor-core, where even the classic
+    (n_perm × shingles) numpy grid is too much memory traffic; OPH
+    touches each shingle hash once."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.uint64(0x9E3779B97F4A7C15)
+    D = np.uint64(0x5EED5EED5EED5EED)
+    EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    @pandas_udf("array<long>")
+    def _sig(hs: pd.Series) -> pd.Series:
+        def one(arr):
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            mh = h * C + D  # uint64 wraparound
+            bins = (mh % np.uint64(n_perm)).astype(np.int64)
+            out = np.full(n_perm, EMPTY, dtype=np.uint64)
+            np.minimum.at(out, bins, mh)
+            # nearest non-empty bin to the RIGHT, cyclically (two passes)
+            last = None
+            for j in range(2 * n_perm - 1, -1, -1):
+                jj = j % n_perm
+                if out[jj] != EMPTY:
+                    last = out[jj]
+                elif j < n_perm and last is not None:
+                    out[jj] = last
+            return out.astype(np.int64)
+
+        return hs.apply(one)
+
+    return doc_hs.select("doc_id", _sig("hs").alias("sig"))
+
+
+def band_frame_arr(
+    signatures: DataFrame, n_perm: int = N_PERM, band_rows: int = BAND_ROWS
+) -> DataFrame:
+    """(doc_id, band_idx, band_hash) straight from the ``sig`` array
+    column — 24 xxhash64s over array extracts, no 96-column
+    materialization between the Arrow signature pass and the banding."""
+    n_bands = n_perm // band_rows
+    bands = F.array(
+        *[
+            F.xxhash64(
+                *[F.col("sig")[b * band_rows + r] for r in range(band_rows)]
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return signatures.select(
+        "doc_id", F.posexplode(bands).alias("band_idx", "band_hash")
+    )
+
+
+def lsh_candidate_pairs_arr(
+    signatures: DataFrame, n_perm: int = N_PERM, band_rows: int = BAND_ROWS
+) -> DataFrame:
+    """Banded LSH candidates from array-form signatures."""
+    banded = band_frame_arr(signatures, n_perm, band_rows)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
 def band_frame(
     signatures: DataFrame, n_perm: int = N_PERM, band_rows: int = BAND_ROWS
 ) -> DataFrame:
@@ -197,12 +340,13 @@ def band_frame(
     frame — the join key of LSH candidate generation, and the exact
     content of the persistent index in incremental dedup."""
     n_bands = n_perm // band_rows
+    # xxhash64 over the band's long columns DIRECTLY — no concat_ws
+    # string materialization per band (the string path allocated
+    # n_bands strings per doc just to throw them away after hashing).
     bands = F.array(
         *[
             F.xxhash64(
-                F.concat_ws(
-                    "_", *[F.col(f"h{b * band_rows + r}") for r in range(band_rows)]
-                )
+                *[F.col(f"h{b * band_rows + r}") for r in range(band_rows)]
             )
             for b in range(n_bands)
         ]
@@ -241,41 +385,24 @@ def minhash_lsh_pairs(
     candidates from banded LSH (never all pairs), then the true Jaccard
     filter — precision 1.0, recall = LSH recall (≈1 at these params).
 
-    The hashed-shingle frame feeds both the signature aggregation and
-    the verification join, so it is persisted (it is tiny relative to
-    the text: one long per distinct shingle) instead of recomputing the
-    shingle explosion twice.
+    Classic (default) path: per-doc shingle-hash ARRAYS end-to-end —
+    the signature stage is map-only (``doc_shingle_hashes`` +
+    ``minhash_signatures_arr``: zero shuffle, one Arrow pass), and the
+    same persisted arrays ARE the verification sets, so nothing is
+    re-aggregated for the verify join. The only shuffles in the whole
+    operator are the banded candidate self-join and the candidate
+    verify join — both proportional to |candidates|, never |corpus|.
+
+    OPH variant (``oph=True``): same array substrate, but 1 multiply-add
+    hash per shingle + bin-min + rotation densification instead of the
+    full n_perm grid. Flip to it past ~10^8 shingles per executor-core,
+    where the (n_perm × shingles) grid's memory traffic dominates.
     """
-    hashed = hashed_shingles(df, id_col, text_col, k).persist()
-    # persist signatures too: the banded self-join scans them twice and
-    # would otherwise recompute the whole signature aggregation both
-    # times. Classic k-permutation wins at this (local) scale — its one
-    # shuffle beats OPH's two when hashing CPU isn't the bottleneck.
-    # Past ~10^8 shingles/executor flip to minhash_signatures_oph
-    # (1 hash/shingle vs n_perm): same banded-LSH downstream, recall
-    # verified identical on the exact-Jaccard oracle at sf0.01/sf0.1.
-    sig_fn = minhash_signatures_oph if oph else minhash_signatures
-    sigs = sig_fn(hashed).persist()
-    # persisted: consumed twice (candidate-doc id list + verify join)
-    cands = lsh_candidate_pairs(sigs).persist()
-    # candidate-driven verification: join the (small) candidate list
-    # against per-doc shingle-hash sets and intersect arrays — cost is
-    # proportional to |candidates|, never to all colliding pairs. This
-    # is what makes the verify step viable at 100 TB.
-    # only docs that appear in some candidate pair need their shingle
-    # set materialized — at scale candidates are a vanishing fraction
-    # of the corpus, so the broadcast semi-join keeps the collect_set
-    # aggregation proportional to |candidate docs|, not |corpus|.
-    cand_ids = (
-        cands.select(F.col("id_a").alias("doc_id"))
-        .union(cands.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
-    sets = (
-        hashed.join(F.broadcast(cand_ids), "doc_id", "semi")
-        .groupBy("doc_id")
-        .agg(F.collect_set("h0").alias("hs"))
-    )
+    doc_hs = doc_shingle_hashes(df, id_col, text_col, k).persist()
+    sig_fn = minhash_signatures_oph_arr if oph else minhash_signatures_arr
+    sigs = sig_fn(doc_hs).persist()
+    cands = lsh_candidate_pairs_arr(sigs).persist()
+    sets = doc_hs
     joined = (
         cands.join(sets.withColumnsRenamed({"doc_id": "id_a", "hs": "hs_a"}), "id_a")
         .join(sets.withColumnsRenamed({"doc_id": "id_b", "hs": "hs_b"}), "id_b")

@@ -520,3 +520,127 @@ def streaming_enriched_totals(
             "sum_value",
         )
     )
+
+
+def streaming_interval_join_outer(
+    spark: SparkSession, sf_dir: str, window_minutes: int = 30
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase, matched
+    to same-user clicks from the preceding window, or null-padded when
+    the click-side watermark has passed far enough that no matching
+    click can still arrive. The outer semantics are exactly what makes
+    the watermark load-bearing: an unmatched left row can only be
+    emitted once the engine can PROVE no match is coming, so rows
+    younger than (watermark) stay buffered in state — the test
+    accounts for that held-back tail against the batch twin."""
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("pt"),
+        )
+        .withWatermark("pt", "1 hour")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("ct"),
+        )
+        .withWatermark("ct", "1 hour")
+    )
+    win = F.expr(f"INTERVAL {window_minutes} MINUTES")
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("ct") <= F.col("pt"))
+        & (F.col("ct") > F.col("pt") - win),
+        "leftOuter",
+    ).select(
+        F.col("p_user").cast("long").alias("user_id"),
+        "purchase_id",
+        "click_id",
+    )
+
+
+_TIMEOUT_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("last_seen", T.StringType()),
+    ]
+)
+_TIMEOUT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+_INACTIVITY_GAP_MS = 60 * 60 * 1000  # 1 hour
+
+
+def _totals_with_timer(key, pdfs, state: GroupState):
+    """Timer-eviction stateful operator (the transformWithState
+    pattern): accumulate per-user totals in state, EMIT ONLY when the
+    event-time timer fires — i.e. the watermark has passed the user's
+    last event + inactivity gap — then drop the state. Nothing is
+    emitted on the data path; the timer IS the output trigger.
+    """
+    (user_id,) = key
+    if state.hasTimedOut:
+        last_us, n, total = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [(user_id, n, round(total, 4), _fmt_us(last_us))],
+            columns=["user_id", "n_events", "sum_value", "last_seen"],
+        )
+        return
+    if state.exists:
+        last_us, n, total = state.get
+    else:
+        last_us, n, total = -1, 0, 0.0
+    for pdf in pdfs:
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        last_us = max(last_us, int(ts_us.max()))
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((last_us, n, total))
+    # arm the eviction timer: fire once the event-time watermark passes
+    # last event + gap. Re-armed (overwritten) on every new batch that
+    # touches this user — a sliding inactivity deadline.
+    state.setTimeoutTimestamp(last_us // 1000 + _INACTIVITY_GAP_MS)
+    # nothing yielded on the data path — the timer branch is the only
+    # emitter (and an un-entered generator body is a valid empty batch)
+
+
+def streaming_user_timeout_totals(
+    stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user running totals emitted purely by EVENT-TIME TIMER
+    eviction (inactivity > 1 hour), the ``transformWithState``-style
+    shape: state carries (last_ts, n, total); the data path only
+    accumulates and re-arms the timer; output happens exclusively in
+    the timed-out branch. Users still inside their inactivity window
+    when the stream ends remain in state, unemitted — exactly the
+    at-scale contract where the stream never ends."""
+    return (
+        stream.select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+        )
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _totals_with_timer,
+            outputStructType=_TIMEOUT_OUT_SCHEMA,
+            stateStructType=_TIMEOUT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

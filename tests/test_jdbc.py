@@ -132,3 +132,41 @@ def test_streaming_jdbc_sink_matches_batch(spark, derby_url, sf_dir, tmp_path):
     assert set(got_rows) <= set(want_all)
     assert set(want_closed) <= set(got_rows)
     assert len(got_rows) >= len(want_closed) > 0
+
+
+def test_jdbc_partitioned_read_executes_key_ranges(spark, derby_url):
+    """S2 scale path EXECUTED: partitionColumn/bounds must produce
+    numPartitions parallel JDBC partitions, each pulling a disjoint
+    key-range slice, together covering the table exactly."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(100)], "id: long, name: string"
+    )
+    write_jdbc(df, derby_url, "t_part", mode="overwrite", driver=DRIVER)
+    got = read_jdbc(
+        spark,
+        url=derby_url,
+        table="t_part",
+        partition_column="id",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=100,
+    )
+    assert got.rdd.getNumPartitions() == 4
+    per_part = (
+        got.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("id").alias("lo"),
+            F.max("id").alias("hi"),
+        )
+        .orderBy("pid")
+        .collect()
+    )
+    # every partition did real work on its own contiguous stride
+    assert [r["n"] for r in per_part] == [25, 25, 25, 25]
+    ranges = [(r["lo"], r["hi"]) for r in per_part]
+    assert ranges == [(0, 24), (25, 49), (50, 74), (75, 99)]
+    assert got.count() == 100

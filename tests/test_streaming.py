@@ -348,3 +348,80 @@ def test_stream_static_join_matches_batch(spark, sf_dir):
     )
     cols = ["window_start", "tier", "n_events", "sum_value"]
     assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_stream_stream_outer_join_matches_batch(spark, sf_dir):
+    """Left-outer interval join: matched rows all emit; unmatched
+    purchases emit null-padded ONLY once the click watermark proves no
+    match can arrive (pt < final watermark = min(max_pt, max_ct) - 1h).
+    The expected set is the batch left join filtered to exactly that
+    emission rule — held-back tail rows excluded."""
+    import datetime
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pt"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("ct"),
+    )
+    max_pt = p.agg(F.max("pt")).first()[0]
+    max_ct = c.agg(F.max("ct")).first()[0]
+    wm = min(max_pt, max_ct) - datetime.timedelta(hours=1)
+    batch = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("ct") <= F.col("pt"))
+        & (F.col("ct") > F.col("pt") - F.expr("INTERVAL 30 MINUTES")),
+        "left",
+    )
+    expected = batch.filter(
+        F.col("click_id").isNotNull() | (F.col("pt") < F.lit(wm))
+    ).select(
+        F.col("p_user").cast("long").alias("user_id"),
+        "purchase_id",
+        "click_id",
+    )
+    got = SE.run_to_memory(
+        SE.streaming_interval_join_outer(spark, sf_dir),
+        "t_ssjoin_outer",
+        output_mode="append",
+    )
+    cols = ["user_id", "purchase_id", "click_id"]
+    assert _rows(got, cols) == _rows(expected, cols)
+    # the outer semantics actually fired: some null-padded rows exist
+    assert got.filter(F.col("click_id").isNull()).count() > 0
+
+
+def test_timer_eviction_emits_inactive_users_only(spark, sf_dir):
+    """Event-time timer eviction (transformWithState pattern): a user
+    row is emitted iff the watermark passed their last event + 1h gap
+    (last_ts + 1h < max_ts - 2h watermark); emitted totals must equal
+    the batch per-user totals; still-active users stay in state."""
+    import datetime
+
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts")).first()[0]
+    users = e.groupBy("user_id").agg(
+        F.max("ts").alias("mxts"),
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value"), 4).alias("tot"),
+    )
+    expected = users.filter(
+        F.col("mxts") + F.expr("INTERVAL 1 HOUR")
+        < F.lit(mx - datetime.timedelta(hours=2))
+    ).select(F.col("user_id").cast("long"), "n", "tot")
+    got = SE.run_to_memory(
+        SE.streaming_user_timeout_totals(SE.events_stream(spark, sf_dir)),
+        "t_timer_evict",
+        output_mode="append",
+    )
+    assert _rows(got, ["user_id", "n_events", "sum_value"]) == _rows(
+        expected, ["user_id", "n", "tot"]
+    )
+    # both regimes exercised: some users evicted, some still in state
+    assert 0 < got.count() < users.count()
