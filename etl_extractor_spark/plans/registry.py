@@ -32,6 +32,7 @@ _MODULES = (
     "etl_extractor_spark.plans.cleaning",
     "etl_extractor_spark.plans.corpus_prep",
     "etl_extractor_spark.plans.roundtrip",
+    "etl_extractor_spark.plans.training_prep",
     "etl_extractor_spark.plans.tpch",
     "etl_extractor_spark.plans.tpch2",
     "etl_extractor_spark.plans.tpch3",
@@ -67,6 +68,7 @@ _PRIORITY = (
     # --- round-3-new: environmental-op round-trips + deterministic twins
     "csv_roundtrip", "json_envelope_unwrap", "jdbc_roundtrip",
     "orders_stratified_sample_hash", "knn_ivf_fixed",
+    "bm25_scores", "pack_sequences", "dataset_split_hash",
     # --- regression canary (green in r1/r2; re-pin a few anchors)
     "q5_regional_revenue", "fact_conformed", "dedup_minhash_lsh",
     "dedup_minhash_lsh_oph", "star_join_detail", "text_quality",

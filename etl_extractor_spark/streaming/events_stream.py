@@ -6,9 +6,14 @@ watermark-based state cleanup. On a cluster this is the continuous
 ingestion path: the file source is swapped for Kafka/queue sources with
 no change to the aggregation expressions.
 
-Also includes an ``applyInPandasWithState`` custom stateful operator
-(running session accumulation per user) — the template for stateful
-logic that outgrows session_window.
+Also includes ``applyInPandasWithState`` custom stateful operators:
+running session accumulation per user, and an event-time TIMER
+EVICTION shape (``streaming_user_timeout_totals``) — the
+``transformWithState`` pattern. (Spark 4's first-class
+``transformWithStateInPandas`` API needs the ``protobuf`` Python
+package for its driver-side runner, absent in this environment;
+the GroupState formulation expresses the same state + timer
+semantics and is what the tests pin.)
 """
 
 from __future__ import annotations
