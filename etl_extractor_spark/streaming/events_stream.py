@@ -649,3 +649,23 @@ def streaming_user_timeout_totals(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_dedup_within_watermark(
+    stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermark-BOUNDED streaming dedup (``dropDuplicatesWithinWatermark``):
+    keeps the first event per event_id among events whose times are
+    within the watermark of each other, and — unlike global
+    ``dropDuplicates`` — EVICTS seen-key state once the watermark
+    passes, which is what makes streaming dedup viable on an unbounded
+    stream (global-state dedup grows without bound). The at-scale
+    contract: duplicates are only ever near-in-time (retries, at-least-
+    once sources), so bounded memory loses nothing."""
+    return (
+        stream.select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "value"
+        )
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )

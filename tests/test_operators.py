@@ -250,3 +250,19 @@ def test_hll_sketch_merge_consistency_and_error(spark, sf_dir):
     for k, n in exact.items():
         assert abs(merged[k] - n) / n <= 0.05, (k, merged[k], n)
         assert abs(merged[k] - single[k]) <= max(1, 0.01 * n), (k, merged, single)
+
+
+def test_connected_components_star_raises_on_nonconvergence(spark):
+    """Exhausting max_iter without the checksum fixpoint must FAIL
+    loudly (silently-unconverged labels split clusters downstream)."""
+    import pytest as _pytest
+
+    from etl_extractor_spark.operators.dedup import connected_components_star
+
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node: long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a: long, id_b: long"
+    )
+    with _pytest.raises(RuntimeError, match="fixpoint not reached"):
+        connected_components_star(nodes, chain, max_iter=1).collect()

@@ -425,3 +425,27 @@ def test_timer_eviction_emits_inactive_users_only(spark, sf_dir):
     )
     # both regimes exercised: some users evicted, some still in state
     assert 0 < got.count() < users.count()
+
+
+def test_dedup_within_watermark_drops_dupes_keeps_state_bounded(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark twin: feed the events file with
+    each row duplicated (a second copy at the same ts) — output must
+    equal the distinct event_ids, i.e. every near-in-time duplicate is
+    dropped, none of the originals are."""
+    e = load_table(spark, sf_dir, "events")
+    dup_dir = str(tmp_path / "dup_events")
+    e.unionByName(e).coalesce(1).write.mode("overwrite").parquet(dup_dir)
+
+    import os
+
+    schema = spark.read.parquet(dup_dir).schema
+    stream = spark.readStream.schema(schema).parquet(
+        os.path.join(dup_dir, "*.[p]arquet")
+    )
+    got = SE.run_to_memory(
+        SE.streaming_dedup_within_watermark(stream),
+        "t_dedup_wm",
+        output_mode="append",
+    )
+    assert got.count() == e.count()
+    assert got.select("event_id").distinct().count() == e.count()
