@@ -41,3 +41,28 @@ def date_dim_columns(c: ColumnOrName) -> dict[str, Column]:
         "mes_nombre": F.date_format(col, "MMMM"),
         "dia_semana": F.date_format(col, "EEEE"),
     }
+
+
+_NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def ntz_epoch_micros(c: ColumnOrName) -> Column:
+    """Microseconds since 1970-01-01 as pure WALL-CLOCK arithmetic on a
+    TIMESTAMP_NTZ column — session-timezone-INDEPENDENT, unlike
+    ``unix_micros(cast(ts as timestamp))`` which first reinterprets the
+    wall clock in the session zone (shifting bucket boundaries by the
+    UTC offset, and by a different amount across DST). Matches DuckDB's
+    ``epoch_us(ts)`` for the same wall-clock values."""
+    return F.timestamp_diff("MICROSECOND", F.expr(_NTZ_EPOCH), _col(c))
+
+
+def ntz_epoch_seconds(c: ColumnOrName) -> Column:
+    """Seconds since 1970-01-01, wall-clock (see ntz_epoch_micros)."""
+    return F.timestamp_diff("SECOND", F.expr(_NTZ_EPOCH), _col(c))
+
+
+def ntz_from_epoch_micros(c: Column) -> Column:
+    """Inverse of ntz_epoch_micros: micros → TIMESTAMP_NTZ wall clock
+    (``timestamp_micros`` would produce an instant that date_format
+    then renders in the session zone)."""
+    return F.timestamp_add("MICROSECOND", c, F.expr(_NTZ_EPOCH))

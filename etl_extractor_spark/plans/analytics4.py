@@ -135,9 +135,14 @@ def customer_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     30-day horizon (the frame slides, it never rebuilds).
     """
     o = load_table(spark, sf_dir, "orders")
+    from etl_extractor_spark.functions.dates import ntz_epoch_seconds
+
+    # wall-clock epoch seconds: unix_timestamp() is session-zone-
+    # dependent, and a 30-day range frame spanning a DST transition
+    # would mis-include/exclude boundary rows under a DST zone
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy(F.unix_timestamp("o_orderdate"))
+        .orderBy(ntz_epoch_seconds("o_orderdate"))
         .rangeBetween(-30 * 86400, 0)
     )
     return (

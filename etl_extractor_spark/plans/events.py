@@ -175,11 +175,20 @@ def events_gapfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (codegen) and cross-joined with the user dimension; the sparse
     aggregate left-joins onto it. At scale the grid is tiny relative to
     the events (|users| × |buckets|) and the join broadcasts."""
+    from etl_extractor_spark.functions.dates import (
+        ntz_epoch_micros,
+        ntz_from_epoch_micros,
+    )
+
     e = load_table(spark, sf_dir, "events")
     bucket_us = 6 * 3600 * 1_000_000
+    # wall-clock epoch, NOT unix_micros(cast(ts as timestamp)): ts is
+    # NTZ, and the cast reinterprets it in the session zone — bucket
+    # boundaries would shift with the timezone (caught by the non-UTC
+    # probe: 18150 vs 18000 grid rows under America/New_York).
     bucketed = e.select(
         F.col("user_id").cast("long").alias("user_id"),
-        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / bucket_us)).alias("b"),
+        (F.floor(ntz_epoch_micros("ts") / bucket_us)).alias("b"),
         "value",
     )
     bounds = bucketed.agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
@@ -194,7 +203,8 @@ def events_gapfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.date_format(
-                F.timestamp_micros(F.col("b") * bucket_us), "yyyy-MM-dd HH:mm:ss"
+                ntz_from_epoch_micros(F.col("b") * bucket_us),
+                "yyyy-MM-dd HH:mm:ss",
             ).alias("bucket_start"),
             F.coalesce("cnt", F.lit(0)).alias("n_events"),
             F.round(F.coalesce("sv", F.lit(0.0)), 4).alias("sum_value"),

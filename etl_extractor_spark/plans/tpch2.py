@@ -201,8 +201,11 @@ def events_user_lag_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         F.col("user_id").cast("long").alias("user_id"),
+        # wall-clock diff on the NTZ column: instant-cast diffs cancel
+        # the zone offset EXCEPT across a DST transition, where the gap
+        # would gain/lose an hour under a DST session zone
         F.coalesce(
-            (F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(F.lag("ts", 1).over(w).cast("timestamp")))
+            F.timestamp_diff("MICROSECOND", F.lag("ts", 1).over(w), F.col("ts"))
             / 1_000_000.0,
             F.lit(-1.0),
         ).alias("gap_sec"),
