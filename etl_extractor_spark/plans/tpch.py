@@ -30,7 +30,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-shuffle of raw rows."""
     l = _t(spark, sf_dir, "lineitem")
     return (
-        l.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        l.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
@@ -75,10 +75,10 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension-sized → broadcast; top-k has a deterministic tie-break."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
     )
     l = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
@@ -119,8 +119,8 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
     )
     l = _t(spark, sf_dir, "lineitem")
     return (
@@ -162,8 +162,8 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     return (
         l.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
             & (F.col("l_discount") >= 0.03)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -186,8 +186,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: revenue lost to returns per customer, top 20."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
     )
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")

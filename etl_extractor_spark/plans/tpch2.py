@@ -19,11 +19,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS → left-semi join, then count by priority."""
     o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
     )
     l = _t(spark, sf_dir, "lineitem")
-    late = l.filter(F.col("l_shipdate") > F.lit("1996-07-01").cast("timestamp"))
+    late = l.filter(F.col("l_shipdate") > F.lit("1996-07-01").cast("timestamp_ntz"))
     return (
         o.join(late, o.o_orderkey == late.l_orderkey, "leftsemi")
         .groupBy("o_orderpriority")
