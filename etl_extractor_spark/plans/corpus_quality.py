@@ -237,8 +237,14 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.round(
-                -F.col("s") / (F.col("n_tokens") * F.lit(1_000_000.0)), 4
+            # round-half-up to 4 decimals ENTIRELY in integer space:
+            # target = -s/(100n) rounded = (-2s + 100n) DIV (200n).
+            # round(double, 4) disagreed between engines when a doc's
+            # score landed exactly on a decimal tie (caught by the sf1
+            # sweep: 2.1724 vs 2.1723); integer div has no ties.
+            (
+                F.expr("(-2 * s + 100 * n_tokens) DIV (200 * n_tokens)")
+                / F.lit(10_000.0)
             ).alias("avg_neg_log10p"),
         )
     )
@@ -261,7 +267,8 @@ WITH t AS (
 )
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
-       round(-sum(lp_micro) * 1.0 / (count(*) * 1000000.0), 4) AS avg_neg_log10p
+       ((-2 * sum(lp_micro) + 100 * count(*)) // (200 * count(*))) / 10000.0
+         AS avg_neg_log10p
 FROM tok JOIN lp USING (tok)
 GROUP BY 1
 """
