@@ -178,10 +178,18 @@ def minhash_signatures_arr(doc_hs: DataFrame, n_perm: int = N_PERM) -> DataFrame
 
     @pandas_udf("array<long>")
     def _sig(hs: pd.Series) -> pd.Series:
+        CHUNK = 65_536  # bounds the grid at n_perm × 64k × 8B ≈ 50 MB
+
         def one(arr):
             h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-            grid = h[None, :] * a[:, None] + b[:, None]  # uint64 wraps
-            return grid.min(axis=1).astype(np.int64)
+            # chunked min-accumulate: a huge doc (10M shingles) must
+            # not materialize the full n_perm × n grid (~8 GB); each
+            # chunk's grid is bounded and the running min is exact
+            mins = np.full(len(a), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+            for lo in range(0, len(h), CHUNK):
+                grid = h[None, lo : lo + CHUNK] * a[:, None] + b[:, None]
+                np.minimum(mins, grid.min(axis=1), out=mins)
+            return mins.astype(np.int64)
 
         return hs.apply(one)
 
@@ -402,7 +410,17 @@ def minhash_lsh_pairs(
     sig_fn = minhash_signatures_oph_arr if oph else minhash_signatures_arr
     sigs = sig_fn(doc_hs).persist()
     cands = lsh_candidate_pairs_arr(sigs).persist()
-    sets = doc_hs
+    # candidate-restricted verify sets: only docs that appear in some
+    # candidate pair keep their arrays in the join — the broadcast
+    # semi-join keeps the verify shuffle proportional to |candidate
+    # docs|, never |corpus| (without it, AQE falling back to a
+    # sort-merge join would shuffle every doc's full array)
+    cand_ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .union(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = doc_hs.join(F.broadcast(cand_ids), "doc_id", "semi")
     joined = (
         cands.join(sets.withColumnsRenamed({"doc_id": "id_a", "hs": "hs_a"}), "id_a")
         .join(sets.withColumnsRenamed({"doc_id": "id_b", "hs": "hs_b"}), "id_b")

@@ -20,6 +20,13 @@ result on the full corpus — asserted in tests/test_dedup_incremental.py.
 A batch-id watermark (same recipe as sinks/incremental.py) makes
 replays no-ops, so the at-least-once foreachBatch driver in
 streaming/events_stream.py composes safely.
+
+INDEX FORMAT v2 (round 3): the index stores per-doc shingle-hash
+ARRAYS (doc_id, hs) and bands of the array-substrate signature family
+(``minhash_signatures_arr``) — the same family ``minhash_lsh_pairs``
+bands, so batch == incremental holds by construction, not by luck.
+Indexes written by the round-2 exploded/k-perm format are NOT
+compatible (different band hashes); rebuild the index when upgrading.
 """
 
 from __future__ import annotations
@@ -32,9 +39,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_extractor_spark.operators.dedup import (
-    band_frame,
-    hashed_shingles,
-    minhash_signatures,
+    band_frame_arr,
+    doc_shingle_hashes,
+    minhash_signatures_arr,
 )
 
 _META = "_dedup_index_meta.json"
@@ -79,8 +86,8 @@ def ingest_batch(
     if batch_id <= _watermark(index_path):
         return empty
 
-    hashed = hashed_shingles(batch, id_col, text_col, k).persist()
-    new_bands = band_frame(minhash_signatures(hashed)).persist()
+    hashed = doc_shingle_hashes(batch, id_col, text_col, k).persist()
+    new_bands = band_frame_arr(minhash_signatures_arr(hashed)).persist()
 
     a, b = new_bands.alias("a"), new_bands.alias("b")
     within = a.join(
@@ -116,11 +123,9 @@ def ingest_batch(
         if _exists(shingles_dir)
         else hashed
     )
-    sets = (
-        all_shingles.join(F.broadcast(cand_ids), "doc_id", "semi")
-        .groupBy("doc_id")
-        .agg(F.collect_set("h0").alias("hs"))
-    )
+    # the index already stores per-doc arrays — the semi-join restricts
+    # to candidate docs, no re-aggregation needed
+    sets = all_shingles.join(F.broadcast(cand_ids), "doc_id", "semi")
     joined = cands.join(
         sets.withColumnsRenamed({"doc_id": "id_a", "hs": "hs_a"}), "id_a"
     ).join(sets.withColumnsRenamed({"doc_id": "id_b", "hs": "hs_b"}), "id_b")

@@ -70,8 +70,16 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").cast("long").alias("c_custkey"), "c_name"
     )
-    blocked = s.join(
-        c, F.length("s_name") == F.length("c_name")
+    # broadcast the SMALL side: the length block key is single-valued
+    # on these name shapes, so a shuffle join would funnel the whole
+    # cross product through one reducer (observed: sf1 sweep wedged on
+    # one task). Broadcasting suppliers spreads the Levenshtein work
+    # across the customer partitions — no shuffle, no skew, and the
+    # same plan holds at 100 TB (dimension side stays broadcastable).
+    from etl_extractor_spark.operators.common import fan_out
+
+    blocked = fan_out(c).join(
+        F.broadcast(s), F.length("s_name") == F.length("c_name")
     )
     return (
         blocked.withColumn("dist", F.levenshtein("s_name", "c_name"))

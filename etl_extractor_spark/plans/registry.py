@@ -81,17 +81,23 @@ def _ordered(out: dict) -> dict:
     return head | {k: v for k, v in out.items() if k not in head}
 
 
-def _load(attr: str) -> dict:
+def _load(attr: str) -> tuple[dict, bool]:
+    """Returns (registry, complete): ``complete`` is False if any plan
+    module failed to import — a partial registry must NOT be memoized,
+    or a transiently-missing dependency would permanently hide its
+    queries from this process."""
     import importlib
 
     out: dict = {}
+    complete = True
     for mod_name in _MODULES:
         try:
             mod = importlib.import_module(mod_name)
         except ImportError:
-            continue  # module not built yet
+            complete = False
+            continue  # module not importable right now
         out.update(getattr(mod, attr, {}))
-    return _ordered(out)
+    return _ordered(out), complete
 
 
 # Registry hygiene at 134+ queries: the 17-module import walk runs once;
@@ -102,11 +108,17 @@ _CACHE: dict[str, dict] = {}
 
 def all_queries() -> dict[str, QueryFn]:
     if "QUERIES" not in _CACHE:
-        _CACHE["QUERIES"] = _load("QUERIES")
+        out, complete = _load("QUERIES")
+        if not complete:
+            return out  # partial: retry imports next call, don't memoize
+        _CACHE["QUERIES"] = out
     return dict(_CACHE["QUERIES"])
 
 
 def all_oracles() -> dict[str, str]:
     if "ORACLES" not in _CACHE:
-        _CACHE["ORACLES"] = _load("ORACLES")
+        out, complete = _load("ORACLES")
+        if not complete:
+            return out
+        _CACHE["ORACLES"] = out
     return dict(_CACHE["ORACLES"])

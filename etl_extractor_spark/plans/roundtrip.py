@@ -23,6 +23,7 @@ Reference parity targets:
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,7 +50,11 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra = spark.createDataFrame(
         [(-1, None, -1)], "n_nationkey: int, n_name: string, n_regionkey: int"
     )
-    out_dir = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    # fixed per-process path, overwritten each run — repeated driver
+    # sweeps must not leak a new temp dir per invocation
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_csv_roundtrip_{os.getpid()}"
+    )
     nation.unionByName(extra).coalesce(1).write.mode("overwrite").option(
         "header", True
     ).csv(out_dir)
@@ -112,7 +117,11 @@ def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_regionkey").cast("int").alias("rk"),
         F.col("r_name").alias("rn"),
     )
-    db = tempfile.mkdtemp(prefix="jdbc_roundtrip_") + "/db"
+    # fixed per-process Derby database, tables overwritten each run
+    # (embedded Derby allows re-boot of the same db within one JVM)
+    db = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_jdbc_roundtrip_{os.getpid()}", "db"
+    )
     url = f"jdbc:derby:{db};create=true"
     write_jdbc(region, url, "t_round", mode="overwrite", driver=_DERBY_DRIVER)
     extra = spark.createDataFrame(

@@ -612,8 +612,12 @@ def _totals_with_timer(key, pdfs, state: GroupState):
     else:
         last_us, n, total = -1, 0, 0.0
     for pdf in pdfs:
-        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
-        last_us = max(last_us, int(ts_us.max()))
+        # ev_us is computed JVM-side (unix_micros of the instant) so it
+        # is TRUE epoch in the watermark's frame. Reading pdf["ts"]
+        # as naive datetimes here would yield wall-clock micros in the
+        # SESSION zone — a timer armed from those fires hours early
+        # under a non-UTC session (round-3 review catch).
+        last_us = max(last_us, int(pdf["ev_us"].max()))
         n += len(pdf)
         total += float(pdf["value"].sum())
     state.update((last_us, n, total))
@@ -639,6 +643,10 @@ def streaming_user_timeout_totals(
         stream.select(
             "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
         )
+        # true epoch micros of the instant, computed JVM-side — the
+        # value the timer must be armed with (the pandas-side ts column
+        # arrives as session-zone wall clock, NOT epoch)
+        .withColumn("ev_us", F.unix_micros("ts"))
         .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(

@@ -62,3 +62,31 @@ def test_duplicated_spans_literal(spark):
     assert out[3]["n_dup_spans"] == 2 and out[3]["dup_chars"] == 20
     assert out[4]["n_dup_spans"] == 0 and out[4]["dup_chars"] == 0
     assert abs(out[1]["dup_frac"] - round(12 / 16, 4)) < 1e-9
+
+
+def test_arr_signatures_chunked_equals_direct_grid(spark):
+    """The chunked min-accumulate in minhash_signatures_arr (memory
+    guard for huge docs) must compute exactly the same signature as the
+    one-shot grid — checked on a doc larger than one 65,536-shingle
+    chunk."""
+    import numpy as np
+
+    from etl_extractor_spark.operators.dedup import (
+        _perm_coeffs,
+        doc_shingle_hashes,
+        minhash_signatures_arr,
+    )
+
+    rng = np.random.default_rng(7)
+    text = "".join(rng.choice(list("abcdefgh ")) for _ in range(70_000))
+    docs = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
+    doc_hs = doc_shingle_hashes(docs, "doc_id", "text")
+    (row,) = minhash_signatures_arr(doc_hs).collect()
+    got = np.array(row["sig"], dtype=np.int64)
+
+    (hs_row,) = doc_hs.collect()
+    h = np.array(hs_row["hs"], dtype=np.int64).astype(np.uint64)
+    assert len(h) > 65_536  # actually exercises the chunk boundary
+    a, b = _perm_coeffs(96)
+    want = (h[None, :] * a[:, None] + b[:, None]).min(axis=1).astype(np.int64)
+    assert np.array_equal(got, want)

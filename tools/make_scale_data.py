@@ -32,17 +32,27 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 VOWELS = "aeiou"
+CONS = "bcdfg"
 
 
 def _sub_expr(col: str, r: int) -> str:
-    """Per-replica deterministic character substitution (vowel
-    rotation by r) — changes every shingle, preserves length and
-    word/whitespace structure (token counts, quality metrics keep the
-    same distribution)."""
-    rot = VOWELS[r % 5 :] + VOWELS[: r % 5]
+    """Per-replica deterministic character substitution — changes every
+    shingle, preserves length and word/whitespace structure (token
+    counts, quality metrics keep the same distribution).
+
+    TWO independent rotations (vowels by r mod 5, the b-g consonant
+    band by r div 5) give period 25, so every replica pair differs for
+    any replicas <= 25. A single 5-letter rotation has period 5:
+    replicas 5..9 would be byte-identical twins of 0..4, flooding the
+    dedup measurements with spurious exact-dup pairs (caught by round-3
+    code review)."""
+    vrot = VOWELS[r % 5 :] + VOWELS[: r % 5]
+    crot = CONS[(r // 5) % 5 :] + CONS[: (r // 5) % 5]
+    src = VOWELS + CONS
+    dst = vrot + crot
     return (
-        f"translate({col}, '{VOWELS}{VOWELS.upper()}', "
-        f"'{rot}{rot.upper()}')"
+        f"translate({col}, '{src}{src.upper()}', "
+        f"'{dst}{dst.upper()}')"
     )
 
 
