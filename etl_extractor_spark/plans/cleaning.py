@@ -70,16 +70,22 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").cast("long").alias("c_custkey"), "c_name"
     )
-    # broadcast the SMALL side: the length block key is single-valued
-    # on these name shapes, so a shuffle join would funnel the whole
-    # cross product through one reducer (observed: sf1 sweep wedged on
-    # one task). Broadcasting suppliers spreads the Levenshtein work
-    # across the customer partitions — no shuffle, no skew, and the
-    # same plan holds at 100 TB (dimension side stays broadcastable).
+    # SALTED join on the block key: name length is single-valued on
+    # these name shapes, so a plain shuffle join funnels the whole
+    # cross product through ONE reducer (observed: sf1 sweep wedged on
+    # a single task for >20 min). Salting spreads every hot block over
+    # n_salt reducers; both sides SCALE with SF, so no broadcast
+    # (guarded by test_no_forced_broadcast_on_sf_scaled_tables).
     from etl_extractor_spark.operators.common import fan_out
+    from etl_extractor_spark.operators.skew import salted_join
 
-    blocked = fan_out(c).join(
-        F.broadcast(s), F.length("s_name") == F.length("c_name")
+    blocked = salted_join(
+        fan_out(c).withColumn("len_c", F.length("c_name")),
+        s.withColumn("len_s", F.length("s_name")),
+        "len_c",
+        "len_s",
+        n_salt=32,
+        salt_from="c_custkey",
     )
     return (
         blocked.withColumn("dist", F.levenshtein("s_name", "c_name"))
