@@ -323,3 +323,30 @@ FROM m
 
 QUERIES["events_asof_click_tol"] = events_asof_click_tol
 ORACLES["events_asof_click_tol"] = EVENTS_ASOF_TOL_SQL
+
+
+def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for the semi-structured ``props`` column:
+    ``parse_json`` parses each payload ONCE into the binary Variant
+    encoding, then ``variant_get`` does typed field extraction — at
+    100 TB this beats per-field ``get_json_object`` (which re-parses
+    the JSON text for every extracted field) and stays entirely inside
+    the JVM. Same rollup as ``events_json_stats`` (its oracle pins the
+    semantics), so the two queries certify that the VARIANT path and
+    the string-JSON path agree byte-for-byte."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+QUERIES["events_variant_stats"] = events_variant_stats
+ORACLES["events_variant_stats"] = EVENTS_JSON_SQL

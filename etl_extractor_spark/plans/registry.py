@@ -30,6 +30,7 @@ _MODULES = (
     "etl_extractor_spark.plans.analytics4",
     "etl_extractor_spark.plans.stats",
     "etl_extractor_spark.plans.cleaning",
+    "etl_extractor_spark.plans.pii",
     "etl_extractor_spark.plans.corpus_prep",
     "etl_extractor_spark.plans.roundtrip",
     "etl_extractor_spark.plans.training_prep",

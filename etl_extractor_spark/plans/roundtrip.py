@@ -151,3 +151,56 @@ ORACLES = {
     "json_envelope_unwrap": JSON_ENVELOPE_SQL,
     "jdbc_roundtrip": JDBC_ROUNDTRIP_SQL,
 }
+
+
+def pyds_envelope_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 scale path: the Python Data Source API (Spark 4) envelope
+    reader. nation is dumped into three ``{"data": [...]}`` JSON files
+    (driver-side — 25 rows, contract-small), with the region key nested
+    one level to exercise the dotted-column flatten; the custom
+    ``format("envelope_json")`` source then reads the directory with
+    one InputPartition per file. Oracle = the same rows straight off
+    the nation table."""
+    import json
+
+    from etl_extractor_spark.sources.pyds import register
+
+    register(spark)
+    rows = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_pyds_roundtrip_{os.getpid()}"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    for shard in range(3):
+        recs = [
+            {
+                "n_nationkey": r.n_nationkey,
+                "n_name": r.n_name,
+                "region": {"key": r.n_regionkey},
+            }
+            for r in rows
+            if r.n_nationkey % 3 == shard
+        ]
+        with open(os.path.join(out_dir, f"part{shard}.json"), "w") as fh:
+            json.dump({"data": recs}, fh)
+    return (
+        spark.read.format("envelope_json")
+        .schema("n_nationkey bigint, n_name string, `region.key` bigint")
+        .option("path", out_dir)
+        .load()
+    )
+
+
+PYDS_ENVELOPE_SQL = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       n_name,
+       CAST(n_regionkey AS BIGINT) AS "region.key"
+FROM nation
+"""
+
+QUERIES["pyds_envelope_scan"] = pyds_envelope_scan
+ORACLES["pyds_envelope_scan"] = PYDS_ENVELOPE_SQL
