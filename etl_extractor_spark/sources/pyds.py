@@ -33,7 +33,19 @@ import glob
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
 
 from etl_extractor_spark.sources.json_api import _flatten, _unwrap_envelope
 
@@ -53,6 +65,9 @@ class EnvelopeJsonDataSource(DataSource):
     def reader(self, schema) -> "EnvelopeJsonReader":
         return EnvelopeJsonReader(schema, dict(self.options))
 
+    def writer(self, schema, overwrite: bool) -> "EnvelopeJsonWriter":
+        return EnvelopeJsonWriter(schema, dict(self.options), overwrite)
+
 
 class EnvelopeJsonReader(DataSourceReader):
     def __init__(self, schema, options: dict) -> None:
@@ -63,6 +78,47 @@ class EnvelopeJsonReader(DataSourceReader):
         self._pattern = (
             os.path.join(path, "*.json") if os.path.isdir(path) else path
         )
+        self._pushed: list = []  # filters this scan evaluates itself
+
+    def pushFilters(self, filters):
+        """Filter pushdown (Spark 4.1 Python Data Source API): consume
+        the comparison shapes the scan can evaluate on the flattened
+        record — rows are dropped INSIDE the per-file read, so Spark
+        never materializes them — and hand everything else back for
+        post-scan evaluation. At 100 TB this is the difference between
+        shipping a source's full API dump through the scan and shipping
+        the selected slice."""
+        supported = (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+            IsNotNull,
+        )
+        for f in filters:
+            # only top-level (possibly dotted) attributes: path len 1
+            if isinstance(f, supported) and len(f.attribute) == 1:
+                self._pushed.append(f)
+            else:
+                yield f
+
+    @staticmethod
+    def _keep(f, row: dict) -> bool:
+        v = row.get(f.attribute[0])
+        if isinstance(f, IsNotNull):
+            return v is not None
+        if v is None:
+            return False  # comparisons with null are never true
+        if isinstance(f, EqualTo):
+            return v == f.value
+        if isinstance(f, GreaterThan):
+            return v > f.value
+        if isinstance(f, GreaterThanOrEqual):
+            return v >= f.value
+        if isinstance(f, LessThan):
+            return v < f.value
+        return v <= f.value  # LessThanOrEqual
 
     def partitions(self):  # one partition per file — the split unit
         files = sorted(glob.glob(self._pattern))
@@ -82,9 +138,79 @@ class EnvelopeJsonReader(DataSourceReader):
             return
         for rec in _unwrap_envelope(payload):
             flat = _flatten(rec)
-            yield tuple(flat.get(name) for name in self._fields)
+            if all(self._keep(f, flat) for f in self._pushed):
+                yield tuple(flat.get(name) for name in self._fields)
+
+
+def _unflatten(rec: dict) -> dict:
+    """Inverse of json_api._flatten: dotted keys back to nested dicts."""
+    out: dict = {}
+    for k, v in rec.items():
+        parts = k.split(".")
+        cur = out
+        for p in parts[:-1]:
+            cur = cur.setdefault(p, {})
+        cur[parts[-1]] = v
+    return out
+
+
+class _EnvelopeCommit(WriterCommitMessage):
+    def __init__(self, path: str, n: int) -> None:
+        self.path = path
+        self.n = n
+
+
+class EnvelopeJsonWriter(DataSourceWriter):
+    """K-side of the envelope contract: each task writes its partition
+    as ONE ``{"data": [...]}`` file (dotted columns re-nested, the
+    exact inverse of the read path), so a directory written here is
+    readable by ``EnvelopeJsonReader`` — and by the reference's own API
+    consumers. Task files land under unique names; ``commit`` seals the
+    directory with a ``_SUCCESS`` manifest listing files + row counts,
+    and ``abort`` removes the partials — the usual job-commit protocol,
+    in ~40 lines of Python."""
+
+    def __init__(self, schema, options: dict, overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("envelope_json requires .option('path', <dir>)")
+        self._dir = path
+        self._fields = [f.name for f in schema.fields]
+        # Driver-side (runs before any task): overwrite clears prior data
+        if overwrite and os.path.isdir(path):
+            for f in glob.glob(os.path.join(path, "*.json")):
+                os.remove(f)
+        os.makedirs(path, exist_ok=True)
+
+    def write(self, iterator) -> _EnvelopeCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        name = f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.json"
+        path = os.path.join(self._dir, name)
+        recs = [
+            _unflatten({f: v for f, v in zip(self._fields, row)})
+            for row in iterator
+        ]
+        with open(path, "w", encoding="utf-8") as fh:
+            json.dump({"data": recs}, fh)
+        return _EnvelopeCommit(path, len(recs))
+
+    def commit(self, messages) -> None:
+        manifest = {m.path: m.n for m in messages if m is not None}
+        with open(os.path.join(self._dir, "_SUCCESS"), "w") as fh:
+            json.dump(manifest, fh)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
 
 
 def register(spark) -> None:
-    """Idempotent registration (re-registering the same name is fine)."""
+    """Idempotent registration (re-registering the same name is fine).
+    Python-source filter pushdown ships behind a flag in Spark 4.1;
+    a reader that implements pushFilters() FAILS when the flag is off,
+    so registration flips it for this session (runtime-settable)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(EnvelopeJsonDataSource)

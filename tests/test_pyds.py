@@ -68,3 +68,68 @@ def test_pyds_empty_dir_yields_empty_frame(spark, tmp_path):
         .load()
     )
     assert df.count() == 0 and df.columns == ["id", "name"]
+
+
+def test_pyds_filter_pushdown_unit_and_e2e(spark, tmp_path):
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In, IsNotNull
+    from pyspark.sql.types import StructType
+
+    from etl_extractor_spark.sources.pyds import EnvelopeJsonReader
+
+    schema = StructType.fromDDL("id bigint, name string")
+    r = EnvelopeJsonReader(schema, {"path": str(tmp_path)})
+    flt = [GreaterThan(("id",), 5), In(("name",), ("a", "b")), IsNotNull(("name",))]
+    remaining = list(r.pushFilters(flt))
+    # comparison + null shapes consumed, IN handed back to Spark
+    assert remaining == [flt[1]]
+    assert r._keep(EqualTo(("id",), 3), {"id": 3})
+    assert not r._keep(GreaterThan(("id",), 5), {"id": None})
+
+    register(spark)
+    d = str(tmp_path)
+    _write(d, "p.json", {"data": [{"id": i, "name": f"n{i}"} for i in range(20)]})
+    df = (
+        spark.read.format("envelope_json")
+        .schema("id bigint, name string")
+        .option("path", d)
+        .load()
+        .filter("id > 15")
+    )
+    assert sorted(r.id for r in df.collect()) == [16, 17, 18, 19]
+
+
+def test_pyds_writer_roundtrip_overwrite_and_nesting(spark, tmp_path):
+    register(spark)
+    out = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [(1, "a", 0.5), (2, "b", 1.5), (3, "c", 2.5)],
+        "id bigint, name string, `meta.s` double",
+    ).repartition(2)
+    df.write.format("envelope_json").mode("overwrite").option("path", out).save()
+    # task files + _SUCCESS manifest with row counts
+    files = sorted(os.listdir(out))
+    assert "_SUCCESS" in files and sum(1 for f in files if f.endswith(".json")) == 2
+    with open(os.path.join(out, "_SUCCESS")) as fh:
+        assert sum(json.load(fh).values()) == 3
+    # dotted column re-nested on disk (reference envelope shape)
+    with open(os.path.join(out, [f for f in files if f.endswith(".json")][0])) as fh:
+        rec = json.load(fh)["data"][0]
+        assert "meta" in rec and "s" in rec["meta"] and "meta.s" not in rec
+    # read back through the same format == original frame
+    back = (
+        spark.read.format("envelope_json")
+        .schema("id bigint, name string, `meta.s` double")
+        .option("path", out)
+        .load()
+    )
+    assert sorted(tuple(r) for r in back.collect()) == sorted(tuple(r) for r in df.collect())
+    # overwrite replaces, append-style second write without overwrite adds
+    df.limit(1).write.format("envelope_json").mode("overwrite").option("path", out).save()
+    assert (
+        spark.read.format("envelope_json")
+        .schema("id bigint, name string, `meta.s` double")
+        .option("path", out)
+        .load()
+        .count()
+        == 1
+    )
