@@ -1,7 +1,10 @@
 """PII detection / redaction — the privacy pass of a training-data
 pipeline (reference scope: transform/clean_data.py:4-29 normalizes
 text but has no privacy stage; this is part of the beyond-reference
-LLM-pipeline extension set).
+LLM-pipeline extension set). Extends ``redact_pii``
+(plans/analytics3.py, customer contact strings) to the documents
+corpus with IPv4 detection, conditional injection (zero-match rows
+exist), and a per-source prevalence rollup.
 
 The synthetic corpus is PII-free word soup, so each query first
 APPENDS a deterministic synthetic contact block derived from doc_id
