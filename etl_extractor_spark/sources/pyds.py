@@ -36,6 +36,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     GreaterThan,
@@ -44,6 +45,7 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -67,6 +69,12 @@ class EnvelopeJsonDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "EnvelopeJsonWriter":
         return EnvelopeJsonWriter(schema, dict(self.options), overwrite)
+
+    def simpleStreamReader(self, schema) -> "EnvelopeJsonStreamReader":
+        return EnvelopeJsonStreamReader(schema, dict(self.options))
+
+    def streamWriter(self, schema, overwrite: bool) -> "EnvelopeJsonStreamWriter":
+        return EnvelopeJsonStreamWriter(schema, dict(self.options))
 
 
 class EnvelopeJsonReader(DataSourceReader):
@@ -202,6 +210,102 @@ class EnvelopeJsonWriter(DataSourceWriter):
             json.dump(manifest, fh)
 
     def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class EnvelopeJsonStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of the envelope reader: tails a directory of
+    envelope files as a Structured Streaming source.
+
+    Offset contract: files arrive under MONOTONICALLY INCREASING names
+    (the writer's ``part-...`` names and any timestamped API dump
+    satisfy this); the offset is just ``{"last": <max name read>}`` —
+    O(1) state no matter how many files have ever arrived, unlike a
+    seen-set offset which grows without bound on a long-lived stream.
+    ``read(start)`` picks up every file lexicographically after
+    ``last``; ``readBetweenOffsets`` replays a (start, end] window
+    deterministically for recovery, which is exactly the exactly-once
+    contract Structured Streaming asks of a source."""
+
+    def __init__(self, schema, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("envelope_json requires .option('path', <dir>)")
+        self._dir = path
+        self._fields = [f.name for f in schema.fields]
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def _files_after(self, last: str, upto: str | None = None) -> list[str]:
+        names = sorted(
+            os.path.basename(p) for p in glob.glob(os.path.join(self._dir, "*.json"))
+        )
+        return [n for n in names if n > last and (upto is None or n <= upto)]
+
+    def _rows(self, names: list[str]):
+        for name in names:
+            try:
+                with open(os.path.join(self._dir, name), encoding="utf-8") as fh:
+                    payload = json.load(fh)
+            except (OSError, ValueError):
+                continue  # bad file: skipped, reference error contract
+            for rec in _unwrap_envelope(payload):
+                flat = _flatten(rec)
+                yield tuple(flat.get(f) for f in self._fields)
+
+    def read(self, start: dict):
+        # iter over a materialized list: the SimpleStream runner calls
+        # next() (needs an iterator) AND pickles the prefetched rows
+        # into its offset cache (generators don't pickle)
+        new = self._files_after(start.get("last", ""))
+        if not new:
+            return iter([]), start
+        return iter(list(self._rows(new))), {"last": new[-1]}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return list(
+            self._rows(self._files_after(start.get("last", ""), end.get("last", "")))
+        )
+
+
+class EnvelopeJsonStreamWriter(DataSourceStreamWriter):
+    """Streaming sink: tasks write their partition to hidden temp files
+    (invisible to the ``*.json`` readers); ``commit(messages, batchId)``
+    renames them to ``batch-<batchId>-<seq>.json`` — a replayed batch
+    re-commits to the SAME names, so recovery overwrites instead of
+    duplicating (exactly-once on a rename-atomic shared filesystem; on
+    an object store you would seal via manifest like the batch writer's
+    ``_SUCCESS``). ``abort`` removes the temps — a failed batch leaves
+    no torn output."""
+
+    def __init__(self, schema, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("envelope_json requires .option('path', <dir>)")
+        self._dir = path
+        self._fields = [f.name for f in schema.fields]
+        os.makedirs(path, exist_ok=True)
+
+    def write(self, iterator) -> _EnvelopeCommit:
+        import uuid
+
+        path = os.path.join(self._dir, f".tmp-{uuid.uuid4().hex}")
+        recs = [
+            _unflatten({f: v for f, v in zip(self._fields, row)}) for row in iterator
+        ]
+        with open(path, "w", encoding="utf-8") as fh:
+            json.dump({"data": recs}, fh)
+        return _EnvelopeCommit(path, len(recs))
+
+    def commit(self, messages, batchId: int) -> None:
+        for seq, m in enumerate(m for m in messages if m is not None):
+            final = os.path.join(self._dir, f"batch-{batchId:08d}-{seq:05d}.json")
+            os.replace(m.path, final)
+
+    def abort(self, messages, batchId: int) -> None:
         for m in messages:
             if m is not None and os.path.exists(m.path):
                 os.remove(m.path)

@@ -133,3 +133,68 @@ def test_pyds_writer_roundtrip_overwrite_and_nesting(spark, tmp_path):
         .count()
         == 1
     )
+
+
+def test_pyds_stream_source_tails_directory_exactly_once(spark, tmp_path):
+    register(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(2):
+        _write(str(src), f"f{i:03d}.json", {"data": [{"id": i * 10 + j, "name": f"n{i}{j}"} for j in range(3)]})
+    stream = (
+        spark.readStream.format("envelope_json")
+        .schema("id bigint, name string")
+        .option("path", str(src))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pyds_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {r.id for r in spark.sql("SELECT * FROM pyds_stream").collect()}
+        assert got1 == {0, 1, 2, 10, 11, 12}
+        # late-arriving file: picked up by the next micro-batch, no replays
+        _write(str(src), "f002.json", {"data": [{"id": 20, "name": "n20"}]})
+        q.processAllAvailable()
+        rows = spark.sql("SELECT id FROM pyds_stream").collect()
+        assert sorted(r.id for r in rows) == [0, 1, 2, 10, 11, 12, 20]
+    finally:
+        q.stop()
+
+
+def test_pyds_stream_writer_batch_files_and_no_temps(spark, tmp_path):
+    register(spark)
+    src, out = tmp_path / "src", tmp_path / "out"
+    src.mkdir()
+    for i in range(2):
+        _write(str(src), f"f{i:03d}.json", {"data": [{"id": i, "name": f"x{i}", "meta": {"s": 1.0 * i}}]})
+    stream = (
+        spark.readStream.format("envelope_json")
+        .schema("id bigint, name string, `meta.s` double")
+        .option("path", str(src))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("envelope_json")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    names = sorted(os.listdir(out))
+    assert all(n.startswith("batch-") and n.endswith(".json") for n in names)
+    recs = []
+    for n in names:
+        with open(out / n) as fh:
+            recs += json.load(fh)["data"]
+    assert sorted((r["id"], r["name"], r["meta"]["s"]) for r in recs) == [
+        (0, "x0", 0.0),
+        (1, "x1", 1.0),
+    ]  # dotted column re-nested; every row exactly once; no .tmp- left
