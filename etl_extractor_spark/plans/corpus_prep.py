@@ -210,3 +210,72 @@ ORACLES = {
     "corpus_prep_stats": CORPUS_PREP_SQL,
     "source_mix_resample": SOURCE_MIX_SQL,
 }
+
+
+TOKEN_BUDGET = 10_000_000  # tokens the training run will consume
+
+
+def mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture → dataloader config: given per-source token counts and
+    temperature-smoothed target weights (t=0.5, same smoothing as
+    ``source_mix_resample`` but on TOKENS, the unit training actually
+    budgets), compute how many epochs of each source a TOKEN_BUDGET
+    run implies — the number that says "this source will repeat 8×,
+    cap it" (the Muennighoff data-constrained-scaling dial).
+
+    One tiny aggregate (|sources| rows) does all the math; nothing
+    here touches the corpus twice. Doubles are pinned cross-engine by
+    the floor(x*K + 0.5) fixed-point rule (Spark HALF_UP vs DuckDB
+    banker's rounding never meet a tie)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(ts.tokens("text"))).cast("long").alias("n_tokens"),
+    )
+    total = counts.agg(
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("z")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))  # 1-row scalar: broadcast
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            # weight in per-mille: sqrt(n_s) / sum_j sqrt(n_j)
+            F.floor(F.sqrt(F.col("n_tokens").cast("double")) / F.col("z") * 1000 + 0.5)
+            .cast("long")
+            .alias("weight_pm"),
+            # epochs×100 this budget implies for the source
+            F.floor(
+                F.lit(TOKEN_BUDGET)
+                * (F.sqrt(F.col("n_tokens").cast("double")) / F.col("z"))
+                / F.col("n_tokens")
+                * 100
+                + 0.5
+            )
+            .cast("long")
+            .alias("epochs_x100"),
+        )
+        .orderBy("source")
+    )
+
+
+MIXTURE_EPOCHS_SQL = f"""
+WITH counts AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(len(string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\\s+', ' ', 'g')), ' '))) AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY source
+), z AS (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS z FROM counts)
+SELECT source,
+       n_docs,
+       n_tokens,
+       CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) / z * 1000 + 0.5) AS BIGINT) AS weight_pm,
+       CAST(floor({TOKEN_BUDGET} * (sqrt(CAST(n_tokens AS DOUBLE)) / z) / n_tokens * 100 + 0.5) AS BIGINT) AS epochs_x100
+FROM counts, z
+ORDER BY source
+"""
+
+QUERIES["mixture_epochs"] = mixture_epochs
+ORACLES["mixture_epochs"] = MIXTURE_EPOCHS_SQL

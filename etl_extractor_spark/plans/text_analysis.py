@@ -588,3 +588,47 @@ ORACLES.update(
         "char_entropy": CHAR_ENTROPY_SQL,
     }
 )
+
+
+def vocab_growth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary stats per source: total token volume N,
+    vocabulary size V, and the implied growth exponent ln(V)/ln(N) —
+    the one-glance diagnostic for synthetic/templated text (tiny beta:
+    vocabulary saturated; ~0.5: natural-language growth). Explode →
+    one partial-aggregated groupBy; distinct-count is the only
+    shuffle-heavy term and it rides the same hash partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(ts.tokens("text")).alias("tok"))
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("tok").alias("vocab"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            F.round(F.log("vocab") / F.log("n_tokens"), 4).alias("heaps_beta"),
+        )
+        .orderBy("source")
+    )
+
+
+VOCAB_GROWTH_SQL = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_tokens,
+       count(DISTINCT tok) AS vocab,
+       round(ln(count(DISTINCT tok)) / ln(count(*)), 4) AS heaps_beta
+FROM toks
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["vocab_growth_by_source"] = vocab_growth_by_source
+ORACLES["vocab_growth_by_source"] = VOCAB_GROWTH_SQL
