@@ -173,6 +173,63 @@ def asof_join_last_event(
     )
 
 
+def asof_join_next_event(
+    df: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    key: str = "user_id",
+) -> DataFrame:
+    """FORWARD as-of join (pandas ``merge_asof(direction="forward")``):
+    for each left event, the EARLIEST right event at or after it per
+    key — e.g. the first click following each purchase.
+
+    Same single-shuffle carry formulation as ``asof_join_last_event``,
+    with the event-time sort REVERSED: in descending order, "carry the
+    nearest preceding right row" is exactly "the next right event in
+    real time". Deterministic tie-breaks: closest timestamp wins, then
+    the smallest right event_id among simultaneous right events (the
+    oracle states the same argmin).
+    """
+    from pyspark.sql import Window
+
+    tagged = df.filter(F.col("event_type").isin(left_type, right_type)).select(
+        key,
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == right_type, F.col("event_id")).alias("_r_id"),
+        F.when(F.col("event_type") == right_type, F.col("ts")).alias("_r_ts"),
+    )
+    # ts desc: preceding rows are LATER in real time; right events sort
+    # before left at the same timestamp ("at or after" includes ties);
+    # event_id desc makes the nearest-preceding tie the smallest id.
+    order = [
+        F.col("ts").desc(),
+        (F.col("event_type") == left_type).cast("int"),
+        F.col("event_id").desc(),
+    ]
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = tagged.select(
+        key,
+        "ts",
+        "event_id",
+        "event_type",
+        F.last("_r_id", ignorenulls=True).over(w).alias("next_right_id"),
+        F.last("_r_ts", ignorenulls=True).over(w).alias("next_right_ts"),
+    )
+    return carried.filter(F.col("event_type") == left_type).select(
+        F.col(key).cast("long").alias(key),
+        F.col("event_id").alias("purchase_id"),
+        F.date_format("ts", TS_FMT).alias("purchase_ts"),
+        F.col("next_right_id").alias("next_click_id"),
+        F.date_format("next_right_ts", TS_FMT).alias("next_click_ts"),
+    )
+
+
 def interval_join_counts(
     df: DataFrame,
     left_type: str = "purchase",

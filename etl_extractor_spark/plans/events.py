@@ -350,3 +350,34 @@ def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["events_variant_stats"] = events_variant_stats
 ORACLES["events_variant_stats"] = EVENTS_JSON_SQL
+
+
+def events_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: first click at-or-after each purchase. The oracle
+    is an independent argmin formulation (min next ts per purchase,
+    then min click id at that ts), not a mirror of the carry plan."""
+    return E.asof_join_next_event(load_table(spark, sf_dir, "events"))
+
+
+EVENTS_ASOF_NEXT_SQL = """
+WITH p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), nxt AS (
+  SELECT p.user_id, p.event_id AS purchase_id, p.ts AS pts,
+         min(c.ts) FILTER (WHERE c.ts >= p.ts) AS nts
+  FROM p LEFT JOIN c USING (user_id)
+  GROUP BY p.user_id, p.event_id, p.ts
+)
+SELECT CAST(n.user_id AS BIGINT) AS user_id,
+       n.purchase_id,
+       strftime(n.pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       min(c.event_id) AS next_click_id,
+       strftime(n.nts, '%Y-%m-%d %H:%M:%S') AS next_click_ts
+FROM nxt n LEFT JOIN c ON c.user_id = n.user_id AND c.ts = n.nts
+GROUP BY n.user_id, n.purchase_id, n.pts, n.nts
+"""
+
+QUERIES["events_asof_next_click"] = events_asof_next_click
+ORACLES["events_asof_next_click"] = EVENTS_ASOF_NEXT_SQL
