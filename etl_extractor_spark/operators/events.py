@@ -230,6 +230,48 @@ def asof_join_next_event(
     )
 
 
+def asof_join_nearest_event(
+    df: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    key: str = "user_id",
+) -> DataFrame:
+    """NEAREST as-of join (pandas ``merge_asof(direction="nearest")``):
+    the right event closest in time to each left event, in either
+    direction; ties go to the earlier (backward) match — pandas
+    semantics. Composed from the two carry passes (backward + forward)
+    joined row-for-row on the left event: still one shuffle per carry,
+    no pair blowup, and the compare is row-local."""
+    back = asof_join_last_event(df, left_type, right_type, key)
+    fwd = asof_join_next_event(df, left_type, right_type, key)
+    j = back.join(fwd.drop("purchase_ts"), [key, "purchase_id"])
+    # NTZ re-parse + timestampdiff: pure wall-clock arithmetic, immune
+    # to the session timezone (unix_timestamp on these strings would be
+    # DST-ambiguous under a non-UTC session tz)
+    prev_gap = F.expr(
+        "timestampdiff(SECOND, to_timestamp_ntz(last_click_ts),"
+        " to_timestamp_ntz(purchase_ts))"
+    )
+    next_gap = F.expr(
+        "timestampdiff(SECOND, to_timestamp_ntz(purchase_ts),"
+        " to_timestamp_ntz(next_click_ts))"
+    )
+    take_prev = F.col("last_click_ts").isNotNull() & (
+        F.col("next_click_ts").isNull() | (prev_gap <= next_gap)
+    )
+    return j.select(
+        key,
+        "purchase_id",
+        "purchase_ts",
+        F.when(take_prev, F.col("last_click_id"))
+        .otherwise(F.col("next_click_id"))
+        .alias("nearest_click_id"),
+        F.when(take_prev, F.col("last_click_ts"))
+        .otherwise(F.col("next_click_ts"))
+        .alias("nearest_click_ts"),
+    )
+
+
 def interval_join_counts(
     df: DataFrame,
     left_type: str = "purchase",

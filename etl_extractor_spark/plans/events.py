@@ -381,3 +381,47 @@ GROUP BY n.user_id, n.purchase_id, n.pts, n.nts
 
 QUERIES["events_asof_next_click"] = events_asof_next_click
 ORACLES["events_asof_next_click"] = EVENTS_ASOF_NEXT_SQL
+
+
+def events_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of (merge_asof direction="nearest"): closest click in
+    either direction, earlier side on ties. Oracle is an independent
+    argmin-by-side formulation over the raw events."""
+    return E.asof_join_nearest_event(load_table(spark, sf_dir, "events"))
+
+
+EVENTS_ASOF_NEAREST_SQL = """
+WITH p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), b AS (
+  SELECT p.user_id, p.event_id AS purchase_id, p.ts AS pts,
+         max(c.ts) FILTER (WHERE c.ts <= p.ts) AS bts,
+         min(c.ts) FILTER (WHERE c.ts >= p.ts) AS nts
+  FROM p LEFT JOIN c USING (user_id)
+  GROUP BY p.user_id, p.event_id, p.ts
+), ids AS (
+  SELECT b.*,
+         (SELECT max(c2.event_id) FROM c c2
+           WHERE c2.user_id = b.user_id AND c2.ts = b.bts) AS b_id,
+         (SELECT min(c3.event_id) FROM c c3
+           WHERE c3.user_id = b.user_id AND c3.ts = b.nts) AS f_id
+  FROM b
+), pick AS (
+  SELECT *,
+         bts IS NOT NULL AND (nts IS NULL
+             OR epoch(pts) - epoch(bts) <= epoch(nts) - epoch(pts)) AS take_prev
+  FROM ids
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       purchase_id,
+       strftime(pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       CASE WHEN take_prev THEN b_id ELSE f_id END AS nearest_click_id,
+       strftime(CASE WHEN take_prev THEN bts ELSE nts END,
+                '%Y-%m-%d %H:%M:%S') AS nearest_click_ts
+FROM pick
+"""
+
+QUERIES["events_asof_nearest_click"] = events_asof_nearest_click
+ORACLES["events_asof_nearest_click"] = EVENTS_ASOF_NEAREST_SQL
