@@ -70,6 +70,11 @@ _PRIORITY = (
     "csv_roundtrip", "json_envelope_unwrap", "jdbc_roundtrip",
     "orders_stratified_sample_hash", "knn_ivf_fixed",
     "bm25_scores", "pack_sequences", "dataset_split_hash",
+    # --- round-3-new, second wave: PII / VARIANT / Python Data Source /
+    #     as-of trio completion / corpus planning
+    "pii_redaction", "pii_prevalence_by_source", "events_variant_stats",
+    "pyds_envelope_scan", "events_asof_next_click",
+    "events_asof_nearest_click", "mixture_epochs", "vocab_growth_by_source",
     # --- regression canary (green in r1/r2; re-pin a few anchors)
     "q5_regional_revenue", "fact_conformed", "dedup_minhash_lsh",
     "dedup_minhash_lsh_oph", "star_join_detail", "text_quality",
