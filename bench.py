@@ -43,6 +43,10 @@ BENCH_QUERIES = [
     "events_sessionize",
     "q8_market_share",
     "events_asof_click",
+    # round-3 surface: map-only codegen-regex privacy pass and the
+    # Spark-4 VARIANT semi-structured path
+    "pii_redaction",
+    "events_variant_stats",
 ]
 
 
