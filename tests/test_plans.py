@@ -329,3 +329,44 @@ def test_gopher_short_doc_does_not_crash(spark, tmp_path):
     rows = {r["doc_id"] for r in gopher_repetition(spark, str(tmp_path)).collect()}
     # only doc 3 has trigrams; docs 1-2 drop from the inner join
     assert rows == {3}
+
+
+def test_pii_redaction_is_map_only(spark, sf_dir):
+    """The privacy pass must stay a shuffle-free projection over the
+    scan — a regex pass that exchanges data would be a 100 TB bug."""
+    from etl_extractor_spark.plans.pii import pii_redaction
+
+    plan = _plan(pii_redaction(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "text" in plan.split("ReadSchema")[1]  # only doc_id/source/text read
+
+
+def test_variant_stats_single_exchange(spark, sf_dir):
+    """parse_json + variant_get: one partial-agg exchange, scan reads
+    only (event_type, props)."""
+    from etl_extractor_spark.plans.events import events_variant_stats
+
+    plan = _plan(events_variant_stats(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    read = plan.split("ReadSchema")[1]
+    assert "props" in read and "user_id" not in read
+
+
+def test_asof_trio_single_shuffle_per_carry(spark, sf_dir):
+    """as-of = union + per-key sort-window carry: the forward variant
+    must shuffle on the key once, never expand to a pair join."""
+    from etl_extractor_spark.plans.events import events_asof_next_click
+
+    plan = _plan(events_asof_next_click(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_mixture_epochs_scalar_broadcast_not_cartesian(spark, sf_dir):
+    """The corpus-total join is a 1-row broadcast nested loop, never a
+    cartesian of the corpus."""
+    from etl_extractor_spark.plans.corpus_prep import mixture_epochs
+
+    plan = _plan(mixture_epochs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
