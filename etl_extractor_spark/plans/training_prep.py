@@ -269,3 +269,44 @@ ORACLES = {
     "pack_sequences": PACK_SQL,
     "dataset_split_hash": SPLIT_SQL,
 }
+
+
+def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus shuffle — the training-order permutation:
+    position = rank of md5(doc_id) (then doc_id for total order). Same
+    permutation on any cluster size, any engine, any re-run; re-seed by
+    salting the hash input.
+
+    DISTRIBUTED rank, not a global window: docs are bucketed by the
+    first hash byte (256 buckets), ranked within each bucket by a
+    partitioned window, and bucket offsets (a 256-row cumsum) are
+    broadcast back — the corpus never funnels through one task, same
+    two-phase pattern as ``pack_sequences``. The oracle states the
+    straight ROW_NUMBER over the full order."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    d = d.withColumn("b", F.substring("h", 1, 2))
+    wb = Window.partitionBy("b").orderBy("h", "doc_id")
+    ranked = d.withColumn("r", F.row_number().over(wb))
+    sizes = d.groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+    wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "b", F.coalesce(F.sum("n").over(wo), F.lit(0)).alias("off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "b")
+        .select("doc_id", (F.col("off") + F.col("r")).cast("long").alias("pos"))
+    )
+
+
+SHUFFLE_SQL = """
+SELECT doc_id,
+       row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+FROM documents
+"""
+
+QUERIES["shuffle_deterministic"] = shuffle_deterministic
+ORACLES["shuffle_deterministic"] = SHUFFLE_SQL
