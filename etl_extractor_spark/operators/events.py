@@ -239,36 +239,62 @@ def asof_join_nearest_event(
     """NEAREST as-of join (pandas ``merge_asof(direction="nearest")``):
     the right event closest in time to each left event, in either
     direction; ties go to the earlier (backward) match — pandas
-    semantics. Composed from the two carry passes (backward + forward)
-    joined row-for-row on the left event: still one shuffle per carry,
-    no pair blowup, and the compare is row-local."""
-    back = asof_join_last_event(df, left_type, right_type, key)
-    fwd = asof_join_next_event(df, left_type, right_type, key)
-    j = back.join(fwd.drop("purchase_ts"), [key, "purchase_id"])
-    # NTZ re-parse + timestampdiff: pure wall-clock arithmetic, immune
-    # to the session timezone (unix_timestamp on these strings would be
-    # DST-ambiguous under a non-UTC session tz)
-    prev_gap = F.expr(
-        "timestampdiff(SECOND, to_timestamp_ntz(last_click_ts),"
-        " to_timestamp_ntz(purchase_ts))"
-    )
-    next_gap = F.expr(
-        "timestampdiff(SECOND, to_timestamp_ntz(purchase_ts),"
-        " to_timestamp_ntz(next_click_ts))"
-    )
-    take_prev = F.col("last_click_ts").isNotNull() & (
-        F.col("next_click_ts").isNull() | (prev_gap <= next_gap)
-    )
-    return j.select(
+    semantics.
+
+    ONE tagged frame carries both directions: the backward and forward
+    windows share ``partitionBy(key)``, so this is one scan and one
+    key shuffle (two sorts), no self-join. The gap compare runs on the
+    RAW event timestamps (wall-clock microsecond diff) — comparing the
+    second-truncated display strings would mis-pick whenever sub-second
+    precision decides which side is nearer."""
+    from pyspark.sql import Window
+
+    tagged = df.filter(F.col("event_type").isin(left_type, right_type)).select(
         key,
-        "purchase_id",
-        "purchase_ts",
-        F.when(take_prev, F.col("last_click_id"))
-        .otherwise(F.col("next_click_id"))
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == right_type, F.col("event_id")).alias("_r_id"),
+        F.when(F.col("event_type") == right_type, F.col("ts")).alias("_r_ts"),
+    )
+    is_left = (F.col("event_type") == left_type).cast("int")
+    w_back = (
+        Window.partitionBy(key)
+        .orderBy(F.col("ts"), is_left, F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_fwd = (
+        Window.partitionBy(key)
+        .orderBy(F.col("ts").desc(), is_left, F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = tagged.select(
+        key,
+        "ts",
+        "event_id",
+        "event_type",
+        F.last("_r_id", ignorenulls=True).over(w_back).alias("prev_id"),
+        F.last("_r_ts", ignorenulls=True).over(w_back).alias("prev_ts"),
+        F.last("_r_id", ignorenulls=True).over(w_fwd).alias("next_id"),
+        F.last("_r_ts", ignorenulls=True).over(w_fwd).alias("next_ts"),
+    )
+    # full-precision wall-clock gaps; timestampdiff on the NTZ values is
+    # session-timezone-free
+    prev_gap = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    next_gap = F.expr("timestampdiff(MICROSECOND, ts, next_ts)")
+    take_prev = F.col("prev_ts").isNotNull() & (
+        F.col("next_ts").isNull() | (prev_gap <= next_gap)
+    )
+    return carried.filter(F.col("event_type") == left_type).select(
+        F.col(key).cast("long").alias(key),
+        F.col("event_id").alias("purchase_id"),
+        F.date_format("ts", TS_FMT).alias("purchase_ts"),
+        F.when(take_prev, F.col("prev_id"))
+        .otherwise(F.col("next_id"))
         .alias("nearest_click_id"),
-        F.when(take_prev, F.col("last_click_ts"))
-        .otherwise(F.col("next_click_ts"))
-        .alias("nearest_click_ts"),
+        F.date_format(
+            F.when(take_prev, F.col("prev_ts")).otherwise(F.col("next_ts")), TS_FMT
+        ).alias("nearest_click_ts"),
     )
 
 

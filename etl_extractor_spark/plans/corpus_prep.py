@@ -223,20 +223,25 @@ def mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     run implies — the number that says "this source will repeat 8×,
     cap it" (the Muennighoff data-constrained-scaling dial).
 
-    One tiny aggregate (|sources| rows) does all the math; nothing
-    here touches the corpus twice. Doubles are pinned cross-engine by
-    the floor(x*K + 0.5) fixed-point rule (Spark HALF_UP vs DuckDB
-    banker's rounding never meet a tie)."""
+    One tiny aggregate (|sources| rows) does all the math — the corpus
+    is scanned and tokenized ONCE (the z normalizer is a global window
+    over the |sources|-row aggregate, not a second aggregate over a
+    re-instantiated subtree, which Spark would re-scan). Doubles are
+    pinned cross-engine by the floor(x*K + 0.5) fixed-point rule
+    (Spark HALF_UP vs DuckDB banker's rounding never meet a tie)."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(ts.tokens("text"))).cast("long").alias("n_tokens"),
     )
-    total = counts.agg(
-        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("z")
-    )
+    # global window over the tiny post-agg frame (|sources| rows)
+    w_all = Window.partitionBy()
     return (
-        counts.crossJoin(F.broadcast(total))  # 1-row scalar: broadcast
+        counts.withColumn(
+            "z", F.sum(F.sqrt(F.col("n_tokens").cast("double"))).over(w_all)
+        )
         .select(
             "source",
             "n_docs",

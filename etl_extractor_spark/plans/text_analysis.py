@@ -609,7 +609,11 @@ def vocab_growth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_tokens",
             "vocab",
-            F.round(F.log("vocab") / F.log("n_tokens"), 4).alias("heaps_beta"),
+            # fixed-point floor(x*K+0.5), the repo's cross-engine
+            # rounding rule — plain round() differs on half-ties
+            (
+                F.floor(F.log("vocab") / F.log("n_tokens") * 10000 + 0.5) / 10000
+            ).alias("heaps_beta"),
         )
         .orderBy("source")
     )
@@ -624,7 +628,7 @@ WITH toks AS (
 SELECT source,
        count(*) AS n_tokens,
        count(DISTINCT tok) AS vocab,
-       round(ln(count(DISTINCT tok)) / ln(count(*)), 4) AS heaps_beta
+       floor(ln(count(DISTINCT tok)) / ln(count(*)) * 10000 + 0.5) / 10000 AS heaps_beta
 FROM toks
 GROUP BY source
 ORDER BY source

@@ -288,7 +288,10 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
     )
-    d = d.withColumn("b", F.substring("h", 1, 2))
+    # persist the key+hash projection: both the rank pass and the
+    # bucket-size aggregate read it — without this Spark instantiates
+    # the scan+md5 subtree twice (one extra corpus read)
+    d = d.withColumn("b", F.substring("h", 1, 2)).persist()
     wb = Window.partitionBy("b").orderBy("h", "doc_id")
     ranked = d.withColumn("r", F.row_number().over(wb))
     sizes = d.groupBy("b").agg(F.count(F.lit(1)).alias("n"))

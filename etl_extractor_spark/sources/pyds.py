@@ -173,10 +173,13 @@ class EnvelopeJsonWriter(DataSourceWriter):
     as ONE ``{"data": [...]}`` file (dotted columns re-nested, the
     exact inverse of the read path), so a directory written here is
     readable by ``EnvelopeJsonReader`` — and by the reference's own API
-    consumers. Task files land under unique names; ``commit`` seals the
-    directory with a ``_SUCCESS`` manifest listing files + row counts,
-    and ``abort`` removes the partials — the usual job-commit protocol,
-    in ~40 lines of Python."""
+    consumers. Tasks write HIDDEN temp files (a retried or speculative
+    task attempt must never leave a reader-visible orphan — only
+    successful tasks' messages reach ``commit``); ``commit`` renames
+    them to their final ``part-<seq>.json`` names and seals the
+    directory with a ``_SUCCESS`` manifest listing files + row counts;
+    ``abort`` removes the temps — the usual job-commit protocol, in
+    ~40 lines of Python."""
 
     def __init__(self, schema, options: dict, overwrite: bool) -> None:
         path = options.get("path")
@@ -191,11 +194,9 @@ class EnvelopeJsonWriter(DataSourceWriter):
         os.makedirs(path, exist_ok=True)
 
     def write(self, iterator) -> _EnvelopeCommit:
-        from pyspark import TaskContext
+        import uuid
 
-        ctx = TaskContext.get()
-        name = f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.json"
-        path = os.path.join(self._dir, name)
+        path = os.path.join(self._dir, f".tmp-{uuid.uuid4().hex}")
         recs = [
             _unflatten({f: v for f, v in zip(self._fields, row)})
             for row in iterator
@@ -205,7 +206,11 @@ class EnvelopeJsonWriter(DataSourceWriter):
         return _EnvelopeCommit(path, len(recs))
 
     def commit(self, messages) -> None:
-        manifest = {m.path: m.n for m in messages if m is not None}
+        manifest = {}
+        for seq, m in enumerate(m for m in messages if m is not None):
+            final = os.path.join(self._dir, f"part-{seq:05d}.json")
+            os.replace(m.path, final)
+            manifest[final] = m.n
         with open(os.path.join(self._dir, "_SUCCESS"), "w") as fh:
             json.dump(manifest, fh)
 

@@ -34,8 +34,10 @@ def _random_events(seed: int) -> pd.DataFrame:
         used = {"purchase": set(), "click": set()}
         for _ in range(rng.randint(3, 25)):
             typ = rng.choice(["purchase", "click", "view"])
-            # unique ts within (user, type); collisions across types stay
-            sec = rng.randint(0, 3600)
+            # unique ts within (user, type); collisions across types stay.
+            # MILLISECOND grain: sub-second gaps must drive the nearest
+            # pick even though the display columns truncate to seconds
+            sec = rng.randint(0, 3600 * 1000) / 1000.0
             if typ in used and sec in used.get(typ, ()):
                 continue
             if typ in used:

@@ -362,11 +362,12 @@ def test_asof_trio_single_shuffle_per_carry(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_mixture_epochs_scalar_broadcast_not_cartesian(spark, sf_dir):
-    """The corpus-total join is a 1-row broadcast nested loop, never a
-    cartesian of the corpus."""
+def test_mixture_epochs_single_corpus_scan(spark, sf_dir):
+    """The z normalizer is a window over the |sources|-row aggregate:
+    ONE corpus scan+tokenize, no join, no cartesian (a crossJoin with a
+    re-aggregated total would instantiate the scan subtree twice)."""
     from etl_extractor_spark.plans.corpus_prep import mixture_epochs
 
     plan = _plan(mixture_epochs(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("FileScan") == 1
