@@ -198,3 +198,32 @@ def test_pyds_stream_writer_batch_files_and_no_temps(spark, tmp_path):
         (0, "x0", 0.0),
         (1, "x1", 1.0),
     ]  # dotted column re-nested; every row exactly once; no .tmp- left
+
+
+def test_pyds_batch_writer_commit_renames_and_abort_cleans(spark, tmp_path):
+    """Unit-level commit protocol: write() leaves only hidden temps
+    (no reader-visible file before commit); commit renames to final
+    names; abort removes temps."""
+    from pyspark.sql.types import StructType
+
+    from etl_extractor_spark.sources.pyds import EnvelopeJsonWriter, _EnvelopeCommit
+
+    schema = StructType.fromDDL("id bigint, name string")
+    out = tmp_path / "sink"
+    w = EnvelopeJsonWriter(schema, {"path": str(out)}, overwrite=False)
+    msgs = [w.write(iter([(1, "a"), (2, "b")])), w.write(iter([(3, "c")]))]
+    # before commit: nothing a *.json glob (the reader) can see
+    assert [f for f in os.listdir(out) if f.endswith(".json")] == []
+    assert all(os.path.basename(m.path).startswith(".tmp-") for m in msgs)
+    w.commit(msgs)
+    finals = sorted(f for f in os.listdir(out) if f.endswith(".json"))
+    assert finals == ["part-00000.json", "part-00001.json"]
+    with open(out / "_SUCCESS") as fh:
+        assert sum(json.load(fh).values()) == 3
+    # abort path: temps from a failed job are removed
+    w2 = EnvelopeJsonWriter(schema, {"path": str(out)}, overwrite=False)
+    m = w2.write(iter([(9, "z")]))
+    w2.abort([m, None])
+    assert not os.path.exists(m.path)
+    # the committed files from the first job are untouched
+    assert sorted(f for f in os.listdir(out) if f.endswith(".json")) == finals
