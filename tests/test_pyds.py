@@ -227,3 +227,40 @@ def test_pyds_batch_writer_commit_renames_and_abort_cleans(spark, tmp_path):
     assert not os.path.exists(m.path)
     # the committed files from the first job are untouched
     assert sorted(f for f in os.listdir(out) if f.endswith(".json")) == finals
+
+
+def test_pyds_end_to_end_stream_dedup(spark, tmp_path):
+    """Composition: envelope stream SOURCE -> stateful streaming
+    dropDuplicates -> envelope stream SINK. A duplicate id arriving in
+    a LATER micro-batch is suppressed by state, and the sink's
+    committed batch files contain each id exactly once."""
+    register(spark)
+    src, out = tmp_path / "src", tmp_path / "out"
+    src.mkdir()
+    _write(str(src), "f000.json", {"data": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]})
+    stream = (
+        spark.readStream.format("envelope_json")
+        .schema("id bigint, name string")
+        .option("path", str(src))
+        .load()
+        .dropDuplicates(["id"])
+    )
+    q = (
+        stream.writeStream.format("envelope_json")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch: one duplicate (id=2) + one new id
+        _write(str(src), "f001.json", {"data": [{"id": 2, "name": "b"}, {"id": 3, "name": "c"}]})
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    recs = []
+    for n in sorted(os.listdir(out)):
+        if n.endswith(".json"):
+            with open(out / n) as fh:
+                recs += json.load(fh)["data"]
+    assert sorted((r["id"], r["name"]) for r in recs) == [(1, "a"), (2, "b"), (3, "c")]
