@@ -35,15 +35,18 @@ def _random_events(seed: int) -> pd.DataFrame:
         for _ in range(rng.randint(3, 25)):
             typ = rng.choice(["purchase", "click", "view"])
             # unique ts within (user, type); collisions across types stay.
-            # MILLISECOND grain: sub-second gaps must drive the nearest
-            # pick even though the display columns truncate to seconds
-            sec = rng.randint(0, 3600 * 1000) / 1000.0
+            # INTEGER-millisecond grain: sub-second gaps must drive the
+            # nearest pick even though display columns truncate to
+            # seconds — and exact ms alignment keeps the pandas (ns) and
+            # Spark (us) representations identical (float seconds leave
+            # ns residue that Spark truncates but pandas keeps)
+            sec = rng.randint(0, 3600 * 1000)
             if typ in used and sec in used.get(typ, ()):
                 continue
             if typ in used:
                 used[typ].add(sec)
             rows.append(
-                (eid, base + pd.Timedelta(seconds=sec), user, typ, 0.0, "{}")
+                (eid, base + pd.Timedelta(milliseconds=sec), user, typ, 0.0, "{}")
             )
             eid += 1
     return pd.DataFrame(
