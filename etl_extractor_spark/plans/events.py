@@ -425,3 +425,83 @@ FROM pick
 
 QUERIES["events_asof_nearest_click"] = events_asof_nearest_click
 ORACLES["events_asof_nearest_click"] = EVENTS_ASOF_NEAREST_SQL
+
+
+def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches (DataSketches KLL, native in Spark
+    4.1): per event_type DAILY sketches over ``value`` are merged into
+    range-level p50/p95/p99 — like ``hll_user_reach``, the persist-
+    daily/merge-any-range pattern that replaces rescanning raw events
+    for every percentile dashboard at 100 TB. Rows-only driver check
+    (sketch internals are engine-specific); the rank-error contract vs
+    the exact percentile is pinned in tests/test_properties.py."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type", F.to_date("ts").alias("day"), "value")
+        .groupBy("event_type", "day")
+        .agg(F.kll_sketch_agg_double("value").alias("sk"))
+    )
+    # kll_sketch_merge_double is a BINARY scalar (no merge-aggregate in
+    # 4.1): fold the per-day sketch array with a higher-order reduce —
+    # |days| is bounded, so the collected array is small by contract
+    per_type = daily.groupBy("event_type").agg(
+        F.collect_list("sk").alias("sks"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    merged = per_type.select(
+        "event_type",
+        F.reduce(
+            F.slice(F.col("sks"), 2, F.size("sks")),
+            F.element_at("sks", 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("sk"),
+        "n_days",
+    )
+    q = lambda p: F.round(  # noqa: E731
+        F.kll_sketch_get_quantile_double("sk", F.lit(p)), 4
+    )
+    return merged.select(
+        "event_type",
+        q(0.5).alias("p50_est"),
+        q(0.95).alias("p95_est"),
+        q(0.99).alias("p99_est"),
+        F.col("n_days").cast("long").alias("n_days"),
+    )
+
+
+QUERIES["kll_value_quantiles"] = kll_value_quantiles
+# kll_value_quantiles: rows-only (sketch internals engine-specific;
+# rank-error + merge contracts pinned in tests)
+
+
+def theta_funnel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation cardinalities on Theta sketches (Spark 4.1): how
+    many distinct users BOTH clicked and purchased (intersection), and
+    how many clicked but never purchased (difference) — the funnel
+    numbers an exact count(DISTINCT) cannot answer from pre-aggregated
+    state. Sketches are mergeable per partition/day, so at 100 TB the
+    funnel is a sketch-algebra query over persisted state, never a
+    re-scan. Rows-only driver check; error contract vs exact set ops
+    pinned in tests/test_properties.py."""
+    e = load_table(spark, sf_dir, "events")
+    sk = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+    )
+    c = sk.filter(F.col("event_type") == "click").select(F.col("sk").alias("ck"))
+    p = sk.filter(F.col("event_type") == "purchase").select(F.col("sk").alias("pk"))
+    both = c.crossJoin(p)  # two 1-row frames
+    return both.select(
+        F.round(F.theta_sketch_estimate(F.theta_intersection("ck", "pk")), 1).alias(
+            "users_click_and_purchase_est"
+        ),
+        F.round(F.theta_sketch_estimate(F.theta_difference("ck", "pk")), 1).alias(
+            "users_click_no_purchase_est"
+        ),
+    )
+
+
+QUERIES["theta_funnel_overlap"] = theta_funnel_overlap
+# theta_funnel_overlap: rows-only (sketch internals engine-specific;
+# set-op error contract pinned in tests)

@@ -136,3 +136,41 @@ def test_png_codec_roundtrip_property(w, h, channels, filter_type, data):
     dw, dh, dc, px = decode_png(png)
     assert (dw, dh, dc) == (w, h, channels)
     assert px == bytes(data[: w * h * channels].ljust(w * h * channels, b"\x00"))
+
+
+def test_kll_quantile_rank_error_bound(spark, sf_dir):
+    """Merged KLL p95 must sit within ±3 normalized-rank points of the
+    true 0.95 rank (default k=200 guarantees ~1.65%); pins both the
+    sketch contract AND the higher-order-reduce merge."""
+    from pyspark.sql import functions as F
+
+    from etl_extractor_spark.plans.events import kll_value_quantiles
+    from etl_extractor_spark.sources.parquet import load_table
+
+    est = {
+        r.event_type: r.p95_est
+        for r in kll_value_quantiles(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    for etype, p95 in est.items():
+        sub = e.filter(F.col("event_type") == etype)
+        n = sub.count()
+        rank = sub.filter(F.col("value") <= p95).count() / n
+        assert 0.92 <= rank <= 0.98, (etype, rank)
+
+
+def test_theta_setops_error_bound(spark, sf_dir):
+    """Theta intersection/difference estimates vs exact distinct set
+    ops: ≤5% relative error (exact in sparse mode at these SFs)."""
+    from pyspark.sql import functions as F
+
+    from etl_extractor_spark.plans.events import theta_funnel_overlap
+    from etl_extractor_spark.sources.parquet import load_table
+
+    row = theta_funnel_overlap(spark, sf_dir).collect()[0]
+    e = load_table(spark, sf_dir, "events")
+    clicks = {r.user_id for r in e.filter(F.col("event_type") == "click").select("user_id").distinct().collect()}
+    buys = {r.user_id for r in e.filter(F.col("event_type") == "purchase").select("user_id").distinct().collect()}
+    inter, diff = len(clicks & buys), len(clicks - buys)
+    assert abs(row.users_click_and_purchase_est - inter) <= max(1, 0.05 * inter)
+    assert abs(row.users_click_no_purchase_est - diff) <= max(1, 0.05 * max(diff, 1))
