@@ -428,8 +428,8 @@ ORACLES["events_asof_nearest_click"] = EVENTS_ASOF_NEAREST_SQL
 
 
 def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable quantile sketches (DataSketches KLL, native in Spark
-    4.1): per event_type DAILY sketches over ``value`` are merged into
+    """Mergeable quantile sketches (DataSketches KLL — Karnin, Lang &
+    Liberty, FOCS'16 — native in Spark 4.1): per event_type DAILY sketches over ``value`` are merged into
     range-level p50/p95/p99 — like ``hll_user_reach``, the persist-
     daily/merge-any-range pattern that replaces rescanning raw events
     for every percentile dashboard at 100 TB. Rows-only driver check
