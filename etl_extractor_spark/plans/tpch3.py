@@ -132,14 +132,24 @@ GROUP BY 1
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: argmax of an aggregate — supplier(s) whose
     quarterly revenue equals the maximum. The 'view' is a revenue agg
-    joined against its own scalar max."""
+    joined against its own scalar max.
+
+    Revenue is summed in DECIMAL, not double: ``revenue = max(revenue)``
+    is a float EQUALITY at the argmax, and when several suppliers
+    genuinely tie (the sf1 key-shifted replicas create exact 10-way
+    ties) double summation ORDER decides which near-equal totals
+    compare equal — each engine picked a different tied subset. Exact
+    decimal money sums are order-independent, so the tie set is
+    identical everywhere (same rule as events_totals_salted)."""
     l = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
     )
     s = _t(spark, sf_dir, "supplier")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
     revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+        F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc)).alias("_rev")
     )
     max_rev = revenue.agg(F.max("_rev").alias("_mx"))
     return (
@@ -148,7 +158,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("s_suppkey").cast("long").alias("s_suppkey"),
             "s_name",
-            F.round("_rev", 4).alias("total_revenue"),
+            F.round(F.col("_rev").cast("double"), 4).alias("total_revenue"),
         )
     )
 
@@ -156,14 +166,15 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q15_SQL = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey
 )
 SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
-       round(total_revenue, 4) AS total_revenue
+       round(CAST(total_revenue AS DOUBLE), 4) AS total_revenue
 FROM supplier JOIN revenue ON s_suppkey = supplier_no
 WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 """
