@@ -478,3 +478,44 @@ FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
 
 QUERIES.update({"customer_year_reconciliation": customer_year_reconciliation})
 ORACLES.update({"customer_year_reconciliation": CUSTOMER_YEAR_RECON_SQL})
+
+
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated top-N per row via ``DataFrame.lateralJoin`` (Spark 4):
+    for each AUTOMOBILE-segment customer, their 2 largest orders.
+    Catalyst DECORRELATES the per-row subquery into a ranked join —
+    there is no per-customer loop at execution time, so the shape
+    scales like any partitioned-window top-k. Oracle = DuckDB's native
+    LATERAL. Deterministic tie-break (totalprice desc, orderkey asc)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    sub = (
+        o.where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(2)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return c.lateralJoin(sub).select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+LATERAL_TOP_ORDERS_SQL = """
+SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+       CAST(t.o_orderkey AS BIGINT) AS o_orderkey,
+       round(t.o_totalprice, 2) AS o_totalprice
+FROM customer c,
+     LATERAL (SELECT o_orderkey, o_totalprice
+              FROM orders
+              WHERE o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey
+              LIMIT 2) t
+WHERE c.c_mktsegment = 'AUTOMOBILE'
+"""
+
+QUERIES.update({"lateral_top_orders": lateral_top_orders})
+ORACLES.update({"lateral_top_orders": LATERAL_TOP_ORDERS_SQL})
