@@ -75,7 +75,7 @@ _PRIORITY = (
     "pii_redaction", "pii_prevalence_by_source", "events_variant_stats",
     "pyds_envelope_scan", "events_asof_next_click",
     "events_asof_nearest_click", "mixture_epochs", "vocab_growth_by_source",
-    "shuffle_deterministic",
+    "shuffle_deterministic", "lateral_top_orders",
     # --- regression canary (green in r1/r2; re-pin a few anchors)
     "q5_regional_revenue", "fact_conformed", "dedup_minhash_lsh",
     "dedup_minhash_lsh_oph", "star_join_detail", "text_quality",
