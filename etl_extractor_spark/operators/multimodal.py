@@ -308,3 +308,43 @@ def sample_frames(
             )
 
     return blobs.select("doc_id", "blob").mapInPandas(fn, FRAME_SCHEMA)
+
+
+def extract_features_arrow(blobs: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """``mapInArrow`` twin of ``extract_features``: operates on raw
+    ``pyarrow.RecordBatch``es — no Arrow→pandas→Arrow round trip, so
+    binary payloads are never copied into pandas object arrays. For
+    wide binary columns this is the cheapest Python entry point Spark
+    has; semantics are pinned equal to the pandas path by
+    ``test_multimodal_arrow_features_match_pandas``."""
+    import pyarrow as pa
+
+    def fn(batches):
+        for batch in batches:
+            doc_id = batch.column(batch.schema.get_field_index("doc_id"))
+            blob = batch.column(batch.schema.get_field_index("blob"))
+            payloads = [b.as_py() for b in blob]
+            dims = [decode_image(p, fake=fake_decode) for p in payloads]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_id.cast(pa.int64()),
+                    pa.array([len(p) for p in payloads], pa.int64()),
+                    pa.array(
+                        [hashlib.sha256(p).hexdigest()[:16] for p in payloads],
+                        pa.string(),
+                    ),
+                    pa.array([d[0] for d in dims], pa.int64()),
+                    pa.array([d[1] for d in dims], pa.int64()),
+                    pa.array([d[2] for d in dims], pa.int64()),
+                ],
+                names=[
+                    "doc_id",
+                    "n_bytes",
+                    "sha16",
+                    "fake_width",
+                    "fake_height",
+                    "fake_channels",
+                ],
+            )
+
+    return blobs.select("doc_id", "blob").mapInArrow(fn, FEATURE_SCHEMA)

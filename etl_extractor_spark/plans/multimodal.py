@@ -199,3 +199,18 @@ ORACLES = {
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
     "multimodal_frames": MULTIMODAL_FRAMES_SQL,
 }
+
+
+def multimodal_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` twin of ``multimodal_features`` — RecordBatch in,
+    RecordBatch out, no pandas materialization of the binary column.
+    Shares the pandas path's oracle, so the hash gate certifies the two
+    UDF modalities compute identical features."""
+    d = load_table(spark, sf_dir, "documents")
+    return M.extract_features_arrow(
+        M.to_blob_table(d, "doc_id", "text"), fake_decode=True
+    )
+
+
+QUERIES["multimodal_features_arrow"] = multimodal_features_arrow
+ORACLES["multimodal_features_arrow"] = MULTIMODAL_FEATURES_SQL

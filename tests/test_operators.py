@@ -266,3 +266,19 @@ def test_connected_components_star_raises_on_nonconvergence(spark):
     )
     with _pytest.raises(RuntimeError, match="fixpoint not reached"):
         connected_components_star(nodes, chain, max_iter=1).collect()
+
+
+def test_multimodal_arrow_features_match_pandas(spark, sf_dir):
+    """mapInArrow and mapInPandas feature paths must agree byte-for-byte."""
+    from etl_extractor_spark.operators.multimodal import (
+        extract_features,
+        extract_features_arrow,
+        to_blob_table,
+    )
+    from etl_extractor_spark.sources.parquet import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    blobs = to_blob_table(d, "doc_id", "text")
+    a = {tuple(r) for r in extract_features_arrow(blobs).collect()}
+    p = {tuple(r) for r in extract_features(blobs).collect()}
+    assert a == p and len(a) > 0
