@@ -287,3 +287,101 @@ ORACLES = {
     "exactsubstr_spans": EXACTSUBSTR_SQL,
     "unigram_lm_score": UNIGRAM_LM_SQL,
 }
+
+
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram LM fluency score (the KenLM-shaped step
+    past ``unigram_lm_score``): p(w2|w1) = (c(w1 w2)+1)/(c(w1 ·)+V),
+    doc score = mean negative log10 over its bigrams. Conditioning on
+    context separates natural word order from bag-of-words rarity —
+    the filter CCNet actually uses is this shape, not the unigram one.
+
+    Scale shape: one transform builds per-doc bigram arrays (no join),
+    the bigram/context vocabularies are two-phase counts (map-side
+    combine absorbs the Zipf head), and the score-back join broadcasts
+    the tiny trained table. Per-bigram log-probs are floor-quantized to
+    integer micro-units BEFORE the per-doc sum (order-independent,
+    bit-exact vs the oracle); the per-doc mean is the same all-integer
+    round-half-up as unigram_lm_score. Docs with < 2 tokens have no
+    bigrams and are excluded by construction (size guard, ANSI-safe)."""
+    t = _tokens(load_table(spark, sf_dir, "documents")).filter(
+        F.size("toks") >= 2
+    )
+    toks = F.col("toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    bg = t.select("doc_id", F.explode(bigrams).alias("bg"))
+    cnt = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    ctx = (
+        cnt.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
+        .agg(F.sum("c").alias("cc"))
+    )
+    vocab = (
+        _tokens(load_table(spark, sf_dir, "documents"))
+        .select(F.explode("toks").alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    lp = (
+        cnt.join(ctx, F.substring_index(cnt["bg"], " ", 1) == ctx["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.floor(
+                F.log10((F.col("c") + 1) / (F.col("cc") + F.col("v")))
+                * F.lit(1_000_000)
+            ).alias("lp_micro"),
+        )
+    )
+    return (
+        bg.join(F.broadcast(lp), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            (
+                F.expr("(-2 * s + 100 * n_bigrams) DIV (200 * n_bigrams)")
+                / F.lit(10_000.0)
+            ).alias("avg_neg_log10p"),
+        )
+    )
+
+
+BIGRAM_LM_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
+  WHERE len(toks) >= 2
+), cnt AS (
+  SELECT bg, count(*) AS c FROM bg GROUP BY 1
+), ctx AS (
+  SELECT split_part(bg, ' ', 1) AS w1, sum(c) AS cc FROM cnt GROUP BY 1
+), voc AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(toks) AS tok FROM t)
+), lp AS (
+  SELECT bg,
+         CAST(floor(log10((c + 1) * 1.0 / (cc + v)) * 1000000) AS BIGINT) AS lp_micro
+  FROM cnt JOIN ctx ON split_part(cnt.bg, ' ', 1) = ctx.w1, voc
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       ((-2 * sum(lp_micro) + 100 * count(*)) // (200 * count(*))) / 10000.0
+         AS avg_neg_log10p
+FROM bg JOIN lp USING (bg)
+GROUP BY 1
+"""
+
+QUERIES["bigram_lm_score"] = bigram_lm_score
+ORACLES["bigram_lm_score"] = BIGRAM_LM_SQL

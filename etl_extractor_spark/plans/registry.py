@@ -32,6 +32,7 @@ _MODULES = (
     "etl_extractor_spark.plans.cleaning",
     "etl_extractor_spark.plans.pii",
     "etl_extractor_spark.plans.corpus_prep",
+    "etl_extractor_spark.plans.web_curation",
     "etl_extractor_spark.plans.roundtrip",
     "etl_extractor_spark.plans.training_prep",
     "etl_extractor_spark.plans.tpch",
@@ -76,6 +77,9 @@ _PRIORITY = (
     "pyds_envelope_scan", "events_asof_next_click",
     "events_asof_nearest_click", "mixture_epochs", "vocab_growth_by_source",
     "shuffle_deterministic", "lateral_top_orders",
+    # --- round-3-new, third wave: web-corpus curation + retrieval eval
+    "url_canonical_dedup", "doc_quality_logreg", "cluster_representatives",
+    "bigram_lm_score", "ann_recall_at_k", "split_leakage_audit",
     # --- regression canary (green in r1/r2; re-pin a few anchors)
     "q5_regional_revenue", "fact_conformed", "dedup_minhash_lsh",
     "dedup_minhash_lsh_oph", "star_join_detail", "text_quality",

@@ -442,3 +442,55 @@ FROM ranked WHERE rank <= 5
 
 QUERIES["knn_ivf_fixed"] = knn_ivf_fixed
 ORACLES["knn_ivf_fixed"] = KNN_IVF_FIXED_SQL
+
+
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: per-query recall@5 of the pinned
+    IVF index (``knn_ivf_fixed``) against the exact brute-force top-5
+    (``knn_topk_cosine``) — the accuracy/cost dial every ANN deployment
+    reports. Both legs are independently oracle-pinned; this query
+    certifies the EVALUATION join itself (hit counting, zero-recall
+    queries kept via left join). Integer output (hits, basis points)
+    — no float aggregation to drift.
+
+    100 TB shape: ground truth is computed for a SAMPLED query set
+    (vec_id % 100) by contract — recall eval never brute-forces the
+    full corpus; the hits join is on (query_id, neighbor_id), both
+    legs already partitioned by query_id from their own top-k windows."""
+    bf = knn_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = knn_ivf_fixed(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        ivf.join(bf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        bf.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n"), F.lit(0)) * 2000)
+            .cast("long")
+            .alias("recall_bps"),
+        )
+    )
+
+
+ANN_RECALL_SQL = (
+    "WITH bf AS (\n" + KNN_SQL + "\n), ivf AS (\n" + KNN_IVF_FIXED_SQL + """
+), hits AS (
+  SELECT bf.query_id, count(*) AS n
+  FROM ivf JOIN bf USING (query_id, neighbor_id)
+  GROUP BY 1
+)
+SELECT q.query_id,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(n, 0) * 2000 AS BIGINT) AS recall_bps
+FROM (SELECT DISTINCT query_id FROM bf) q LEFT JOIN hits USING (query_id)
+"""
+)
+
+QUERIES["ann_recall_at_k"] = ann_recall_at_k
+ORACLES["ann_recall_at_k"] = ANN_RECALL_SQL

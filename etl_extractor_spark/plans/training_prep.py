@@ -313,3 +313,96 @@ FROM documents
 
 QUERIES["shuffle_deterministic"] = shuffle_deterministic
 ORACLES["shuffle_deterministic"] = SHUFFLE_SQL
+
+
+LEAK_N = 8  # shingle width for the leakage audit
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination report: for each held-out split of the
+    md5 90/5/5 partition (``dataset_split_hash``), the fraction of its
+    DISTINCT 8-token shingles that also occur in train — the leakage
+    audit run before trusting a val/test loss. Output in integer basis
+    points (no float drift).
+
+    Scale shape: shingles are built with one per-doc transform (no
+    join), DISTINCT-reduced per split with map-side partial
+    aggregation BEFORE the membership join, so the join carries unique
+    shingles only. The train-side set is shuffle-joined on the shingle
+    (at 100 TB it is far too big to broadcast; Spark's runtime bloom
+    filter prunes the probe side), and the per-split rollup is a
+    3-group aggregate. ANSI-safe: docs shorter than 8 tokens produce
+    an empty shingle array via the size guard, never a descending
+    sequence()."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", ts.tokens("text").alias("toks")
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    toks = F.col("toks")
+    grams = F.when(
+        F.size(toks) >= LEAK_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (LEAK_N - 1)),
+            lambda i: F.array_join(F.slice(toks, i, LEAK_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = (
+        d.select(split.alias("split"), F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    train = g.filter(F.col("split") == "train").select("gram")
+    evals = g.filter(F.col("split") != "train")
+    return (
+        evals.join(
+            train.withColumn("_hit", F.lit(1)), "gram", "left"
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_leaked"),
+        )
+        .select(
+            "split",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_leaked").cast("long").alias("n_leaked"),
+            F.expr("n_leaked * 10000 DIV n_shingles").alias("leak_bps"),
+        )
+    )
+
+
+LEAKAGE_SQL = rf"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ') AS toks,
+         {_MD5_BUCKET} AS bucket
+  FROM documents
+), g AS (
+  SELECT DISTINCT
+         CASE WHEN bucket < 90 THEN 'train'
+              WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+         array_to_string(toks[i:i + {LEAK_N - 1}], ' ') AS gram
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks) - {LEAK_N - 1})) AS i)
+  WHERE len(toks) >= {LEAK_N}
+), train AS (
+  SELECT DISTINCT gram FROM g WHERE split = 'train'
+)
+SELECT g.split,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+       CAST(sum(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS leak_bps
+FROM g LEFT JOIN train t USING (gram)
+WHERE g.split <> 'train'
+GROUP BY 1
+"""
+
+QUERIES["split_leakage_audit"] = split_leakage_audit
+ORACLES["split_leakage_audit"] = LEAKAGE_SQL
