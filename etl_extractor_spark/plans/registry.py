@@ -33,6 +33,7 @@ _MODULES = (
     "etl_extractor_spark.plans.pii",
     "etl_extractor_spark.plans.corpus_prep",
     "etl_extractor_spark.plans.web_curation",
+    "etl_extractor_spark.plans.graph",
     "etl_extractor_spark.plans.roundtrip",
     "etl_extractor_spark.plans.training_prep",
     "etl_extractor_spark.plans.tpch",
@@ -80,6 +81,7 @@ _PRIORITY = (
     # --- round-3-new, third wave: web-corpus curation + retrieval eval
     "url_canonical_dedup", "doc_quality_logreg", "cluster_representatives",
     "bigram_lm_score", "ann_recall_at_k", "split_leakage_audit",
+    "pagerank_purchase_graph", "purchase_graph_degrees",
     # --- regression canary (green in r1/r2; re-pin a few anchors)
     "q5_regional_revenue", "fact_conformed", "dedup_minhash_lsh",
     "dedup_minhash_lsh_oph", "star_join_detail", "text_quality",

@@ -282,3 +282,31 @@ def test_multimodal_arrow_features_match_pandas(spark, sf_dir):
     a = {tuple(r) for r in extract_features_arrow(blobs).collect()}
     p = {tuple(r) for r in extract_features(blobs).collect()}
     assert a == p and len(a) > 0
+
+
+def test_pagerank_integer_hand_computed(spark):
+    """3-node star A↔{B,C}: exact integer ranks after 3 damped rounds,
+    verified against hand-computed floor arithmetic (unit 1e6, d=0.85):
+    r1(A)=1850000, r2(A)=1127500, r3(A)=1741625, r3(B)=r3(C)=629187."""
+    from etl_extractor_spark.operators.graph import pagerank_integer
+
+    edges = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("B", "A"), ("C", "A")], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_integer(edges, iterations=3).collect()
+    }
+    assert got == {"A": 1741625, "B": 629187, "C": 629187}
+
+
+def test_pagerank_integer_symmetric_fixed_point(spark):
+    """A↔B is a fixed point: every round returns exactly unit rank."""
+    from etl_extractor_spark.operators.graph import pagerank_integer
+
+    edges = spark.createDataFrame([("A", "B"), ("B", "A")], "src string, dst string")
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_integer(edges, iterations=4).collect()
+    }
+    assert got == {"A": 1_000_000, "B": 1_000_000}

@@ -449,3 +449,22 @@ def test_dedup_within_watermark_drops_dupes_keeps_state_bounded(spark, sf_dir, t
     )
     assert got.count() == e.count()
     assert got.select("event_id").distinct().count() == e.count()
+
+
+def test_streaming_url_frontier_matches_batch(spark, sf_dir):
+    """Crawl-frontier twin: the streaming canonical-URL dedup state
+    (complete mode) must equal the batch url_canonical_dedup output —
+    same canonicalization Column expressions, incremental aggregation."""
+    from etl_extractor_spark.plans.web_curation import url_canonical_dedup
+    from etl_extractor_spark.streaming import docs_stream as DS
+
+    got = SE.run_to_memory(
+        DS.streaming_url_frontier(DS.docs_stream(spark, sf_dir)),
+        "t_url_frontier",
+        output_mode="complete",
+    )
+    expected = url_canonical_dedup(spark, sf_dir)
+    cols = ["canonical_url", "keep_id", "n_dups"]
+    assert _rows(got, cols) == _rows(expected, cols)
+    # dedup actually collapsed something
+    assert got.filter(F.col("n_dups") > 1).count() > 0
