@@ -20,7 +20,7 @@ agree.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -76,3 +76,41 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     ).withColumn("_salt", F.col("_salt").cast("long"))
     return left.join(right, (left[skewed_key] == right[small_key]) & (left["_salt"] == right["_salt"])).drop("_salt")
+
+
+def salted_topk(
+    df: DataFrame,
+    group_cols: list,
+    order_col: str,
+    tiebreak_col: str,
+    k: int = 3,
+    n_salt: int = 64,
+) -> DataFrame:
+    """Scale-safe top-k per group for FEW groups over MANY rows.
+
+    A single window over the group key funnels every row of a hot group
+    through one reducer; a collect_list aggregation buffers the whole
+    group in memory. This two-phase plan does neither: phase 1 ranks
+    within (group, salt) — n_salt-way parallel, each bucket holding
+    ~1/n_salt of the group — and keeps k rows per bucket (any global
+    top-k row is necessarily top-k within its salt bucket, so no
+    candidate is lost); phase 2 re-ranks the surviving
+    groups × n_salt × k rows, a constant-bounded relation. Ordering is
+    (order_col DESC, tiebreak_col DESC) in both phases, so results are
+    deterministic and equal to the naive single-window formulation.
+    """
+    salt = F.pmod(F.xxhash64(F.col(tiebreak_col)), F.lit(n_salt))
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy(
+        F.desc(order_col), F.desc(tiebreak_col)
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(
+        F.desc(order_col), F.desc(tiebreak_col)
+    )
+    return (
+        df.withColumn("_salt", salt)
+        .withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= k)
+        .withColumn("rk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rk") <= k)
+        .drop("_salt", "_rk1")
+    )

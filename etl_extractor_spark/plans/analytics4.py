@@ -519,3 +519,43 @@ WHERE c.c_mktsegment = 'AUTOMOBILE'
 
 QUERIES.update({"lateral_top_orders": lateral_top_orders})
 ORACLES.update({"lateral_top_orders": LATERAL_TOP_ORDERS_SQL})
+
+
+def topk_orders_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-group top-k via the two-phase salted plan
+    (operators/skew.py::salted_topk): 5 order priorities × ~300k rows
+    each at sf1 is exactly the few-groups/many-rows shape where a
+    single per-group window funnels everything through 5 reducers.
+    Phase 1 ranks within (priority, salt-of-orderkey) 64-way parallel
+    and keeps 3 rows per bucket; phase 2 re-ranks 5×64×3 rows. The
+    oracle is the naive single-window formulation — equality proves
+    the decomposition is lossless."""
+    from etl_extractor_spark.operators.skew import salted_topk
+
+    o = load_table(spark, sf_dir, "orders")
+    return salted_topk(
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        ["o_orderpriority"],
+        "o_totalprice",
+        "o_orderkey",
+        k=3,
+    ).select(
+        "o_orderpriority",
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "rk",
+    )
+
+
+TOPK_SALTED_SQL = """
+SELECT o_orderpriority,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       round(o_totalprice, 2) AS o_totalprice,
+       CAST(row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey DESC) AS BIGINT) AS rk
+FROM orders
+QUALIFY rk <= 3
+"""
+
+QUERIES.update({"topk_orders_salted": topk_orders_salted})
+ORACLES.update({"topk_orders_salted": TOPK_SALTED_SQL})

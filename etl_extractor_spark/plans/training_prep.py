@@ -406,3 +406,161 @@ GROUP BY 1
 
 QUERIES["split_leakage_audit"] = split_leakage_audit
 ORACLES["split_leakage_audit"] = LEAKAGE_SQL
+
+
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: decile-band documents by composite
+    quality (best band first), deterministically shuffle WITHIN each
+    band by md5(doc_id) — the standard curriculum/anti-curriculum
+    scheduler shape, fully reproducible across cluster sizes (no
+    rand(), no partition-order dependence). Output is the complete
+    permutation: (doc_id, band, ord)."""
+    from etl_extractor_spark.plans.text_analysis import text_quality
+
+    q = text_quality(spark, sf_dir).select("doc_id", "quality")
+    band_w = Window.orderBy(F.desc("quality"), F.asc("doc_id"))
+    ord_w = Window.orderBy(
+        F.asc("band"), F.asc(F.md5(F.col("doc_id").cast("string"))), F.asc("doc_id")
+    )
+    return (
+        q.withColumn("band", F.ntile(10).over(band_w).cast("long"))
+        .withColumn("ord", F.row_number().over(ord_w).cast("long"))
+        .select("doc_id", "band", "ord")
+    )
+
+
+def _curriculum_sql() -> str:
+    from etl_extractor_spark.plans.text_analysis import TEXT_QUALITY_SQL
+
+    return (
+        "WITH q AS (\n" + TEXT_QUALITY_SQL + """
+), banded AS (
+  SELECT doc_id,
+         CAST(ntile(10) OVER (ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS band
+  FROM q
+)
+SELECT doc_id, band,
+       CAST(row_number() OVER (ORDER BY band ASC,
+            md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT) AS ord
+FROM banded
+"""
+    )
+
+
+def doc_length_p99_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed p99 length gate: the overlong-document filter
+    every corpus pipeline applies, with the percentile computed
+    EXACTLY and distributively — per-length counts (distinct lengths
+    ≪ docs), a running sum over that tiny relation, and the smallest
+    length whose cumulative count reaches ceil(0.99·N). No
+    approx_percentile (engine-specific sketch), no sort of the full
+    corpus. Integer end-to-end; one summary row."""
+    d = load_table(spark, sf_dir, "documents").select(
+        ts.token_count("text").alias("len")
+    )
+    counts = d.groupBy("len").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.withColumn("cum", F.sum("c").over(w))
+    total = d.agg(F.count(F.lit(1)).alias("n"))
+    p99 = (
+        cum.crossJoin(F.broadcast(total))
+        .filter(F.col("cum") * 100 >= F.col("n") * 99)
+        .agg(F.min("len").alias("p99_len"))
+    )
+    return (
+        d.crossJoin(F.broadcast(p99))
+        .agg(
+            F.min(F.col("p99_len")).alias("p99_len"),
+            F.sum((F.col("len") > F.col("p99_len")).cast("long")).alias(
+                "n_docs_over"
+            ),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            "p99_len",
+            "n_docs_over",
+            F.expr("n_docs_over * 10000 DIV n_docs").alias("over_bps"),
+        )
+    )
+
+
+P99_FILTER_SQL = r"""
+WITH d AS (
+  SELECT len(string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ')) AS len
+  FROM documents
+), counts AS (
+  SELECT len, count(*) AS c FROM d GROUP BY 1
+), cum AS (
+  SELECT len, sum(c) OVER (ORDER BY len ROWS UNBOUNDED PRECEDING) AS cum
+  FROM counts
+), tot AS (
+  SELECT count(*) AS n FROM d
+), p99 AS (
+  SELECT min(len) AS p99_len FROM cum, tot WHERE cum * 100 >= n * 99
+)
+SELECT CAST(min(p99.p99_len) AS BIGINT) AS p99_len,
+       CAST(sum(CASE WHEN d.len > p99.p99_len THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_over,
+       CAST(sum(CASE WHEN d.len > p99.p99_len THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS over_bps
+FROM d, p99
+"""
+
+
+N_FEATURES = 256  # hashing-trick dimensionality
+
+
+def hashed_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick term-frequency features (the HashingTF shape):
+    feature index = md5(token) mod 256 (engine-portable, vocabulary-
+    free — no fit step, no dictionary to ship), one output row per
+    (doc, active feature) with the tf and the doc's L2 norm alongside
+    (the normalize-at-train-time contract). Map-side explode + one
+    two-key aggregation; the feature space is fixed so downstream
+    consumers get a stable schema at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(ts.tokens("text")).alias("tok"))
+    idx = F.pmod(
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"),
+        F.lit(N_FEATURES),
+    )
+    tf = tok.select("doc_id", idx.alias("feat_idx")).groupBy(
+        "doc_id", "feat_idx"
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    norm = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("l2")
+    )
+    return tf.join(norm, "doc_id").select(
+        "doc_id", "feat_idx", "tf", F.round("l2", 4).alias("l2_norm")
+    )
+
+
+_MD5_TOK_IDX = (
+    "("
+    + " + ".join(
+        f"(CAST(strpos('0123456789abcdef', substr(md5(tok), {1 + j}, 1)) - 1 AS BIGINT) << {4 * (7 - j)})"
+        for j in range(8)
+    )
+    + f") % {N_FEATURES}"
+)
+
+HASHED_FEATURES_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, {_MD5_TOK_IDX} AS feat_idx, count(*) AS tf
+  FROM tok GROUP BY 1, 2
+), norm AS (
+  SELECT doc_id, sqrt(sum(tf * tf)) AS l2 FROM tf GROUP BY 1
+)
+SELECT tf.doc_id, feat_idx, tf, round(l2, 4) AS l2_norm
+FROM tf JOIN norm USING (doc_id)
+"""
+
+QUERIES["curriculum_order"] = curriculum_order
+ORACLES["curriculum_order"] = _curriculum_sql()
+QUERIES["doc_length_p99_filter"] = doc_length_p99_filter
+ORACLES["doc_length_p99_filter"] = P99_FILTER_SQL
+QUERIES["hashed_feature_vectors"] = hashed_feature_vectors
+ORACLES["hashed_feature_vectors"] = HASHED_FEATURES_SQL

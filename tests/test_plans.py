@@ -371,3 +371,48 @@ def test_mixture_epochs_single_corpus_scan(spark, sf_dir):
     plan = _plan(mixture_epochs(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("FileScan") == 1
+
+
+def test_quality_logreg_is_map_only(spark, sf_dir):
+    """The logistic gate must compose with scans for free: zero
+    exchanges — it is the filter pushed in front of expensive dedup."""
+    from etl_extractor_spark.plans.web_curation import doc_quality_logreg
+
+    plan = _plan(doc_quality_logreg(spark, sf_dir))
+    assert "Exchange" not in plan
+    # column pruning: only doc_id + text are read
+    assert "lang" not in plan.split("ReadSchema")[1]
+
+
+def test_url_canonical_dedup_single_exchange(spark, sf_dir):
+    """Canonicalization is map-side; the only shuffle is the group-by
+    on the canonical key."""
+    from etl_extractor_spark.plans.web_curation import url_canonical_dedup
+
+    plan = _plan(url_canonical_dedup(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_salted_topk_no_single_partition_funnel_in_phase1(spark, sf_dir):
+    """Two-phase top-k: phase 1 must partition by (group, salt) — the
+    hot group never lands on one reducer with the full row set; the
+    single-key exchange happens only after the per-bucket k-cap."""
+    from etl_extractor_spark.plans.analytics4 import topk_orders_salted
+
+    plan = _plan(topk_orders_salted(spark, sf_dir))
+    # both exchanges present: salted first, group-only second
+    assert "hashpartitioning(o_orderpriority" in plan
+    assert "_salt" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_iteration_plans_stay_bounded(spark, sf_dir):
+    """localCheckpoint each round must keep the executed plan flat —
+    the final round's plan contains the rank scan, not the full
+    3-round lineage (no nested re-optimized join pyramid)."""
+    from etl_extractor_spark.plans.graph import pagerank_purchase_graph
+
+    plan = _plan(pagerank_purchase_graph(spark, sf_dir))
+    # lineage cut: at most the final round's joins appear (2 joins +
+    # ranking window), not 3 rounds x 2 joins
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 4
