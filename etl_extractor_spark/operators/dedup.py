@@ -89,9 +89,14 @@ def _pair_jaccard(
     )
     if candidates is not None:
         common = common.join(candidates, ["id_a", "id_b"], "leftsemi")
+    # NO broadcast hint on sizes: it is one row per DOCUMENT (SF-scaled
+    # — unbroadcastable at corpus scale). The pair relation `common` is
+    # the candidate-bounded small side; AQE broadcasts IT at test SF,
+    # and at 100 TB both joins degrade gracefully to shuffle joins on
+    # the doc-id key.
     return (
-        common.join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "id_a", "n": "n_a"})), "id_a")
-        .join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "id_b", "n": "n_b"})), "id_b")
+        common.join(sizes.withColumnsRenamed({"doc_id": "id_a", "n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "n": "n_b"}), "id_b")
         .select(
             "id_a",
             "id_b",

@@ -636,3 +636,111 @@ ORDER BY source
 
 QUERIES["vocab_growth_by_source"] = vocab_growth_by_source
 ORACLES["vocab_growth_by_source"] = VOCAB_GROWTH_SQL
+
+
+CHUNK_W = 64  # sliding chunk width (tokens)
+CHUNK_S = 48  # stride (tokens) → 16-token overlap
+
+
+def chunk_sliding_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunking: width-64 token chunks every
+    48 tokens (16-token overlap so no sentence is split across a
+    retrieval boundary without context). Pure Catalyst — one
+    ``sequence`` of chunk starts per doc, one explode; no UDTF, no
+    join. Each chunk carries its token length and an md5 content hash
+    (the downstream embedding-cache key). Trailing partial chunks are
+    kept: retrieval must cover the document tail."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("_toks")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1)), F.lit(CHUNK_S))
+    return (
+        d.withColumn("_toks", ts.tokens("text"))
+        .select("doc_id", t.alias("_toks"), F.posexplode(starts).alias("chunk_id", "start"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.least(
+                F.lit(CHUNK_W), F.size("_toks") - F.col("start") + 1
+            ).cast("long").alias("n_tokens"),
+            F.md5(F.array_join(F.slice("_toks", F.col("start"), CHUNK_W), " ")).alias(
+                "chunk_hash"
+            ),
+        )
+    )
+
+
+CHUNK_SLIDING_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_id,
+       CAST(least({CHUNK_W}, len(toks) - (1 + i * {CHUNK_S}) + 1) AS BIGINT) AS n_tokens,
+       md5(array_to_string(toks[(1 + i * {CHUNK_S}):(1 + i * {CHUNK_S}) + {CHUNK_W - 1}], ' ')) AS chunk_hash
+FROM t, LATERAL (
+  SELECT unnest(generate_series(0,
+      CAST(floor((greatest(len(toks), 1) - 1) * 1.0 / {CHUNK_S}) AS BIGINT))) AS i)
+"""
+
+
+OOV_VOCAB_K = 1000
+
+
+def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus' own
+    top-1000 token vocabulary (count desc, token asc tie-break) — the
+    tokenizer-fit signal: a doc full of OOV tokens is junk, another
+    script, or markup. Two-phase vocab count, broadcast vocab join,
+    integer basis points."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(ts.tokens("text")).alias("tok"))
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= OOV_VOCAB_K)
+        .select("tok", F.lit(1).alias("_in"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_oov").cast("long").alias("n_oov"),
+            F.expr("n_oov * 10000 DIV n_tokens").alias("oov_bps"),
+        )
+    )
+
+
+OOV_RATE_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS rk
+    FROM tok GROUP BY tok
+  ) WHERE rk <= {OOV_VOCAB_K}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS oov_bps
+FROM tok LEFT JOIN vocab v USING (tok)
+GROUP BY doc_id
+"""
+
+QUERIES["chunk_sliding_stride"] = chunk_sliding_stride
+ORACLES["chunk_sliding_stride"] = CHUNK_SLIDING_SQL
+QUERIES["oov_rate"] = oov_rate
+ORACLES["oov_rate"] = OOV_RATE_SQL

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from etl_extractor_spark.functions import textstats as ts
 from etl_extractor_spark.sources.parquet import load_table
@@ -564,3 +565,61 @@ QUERIES["doc_length_p99_filter"] = doc_length_p99_filter
 ORACLES["doc_length_p99_filter"] = P99_FILTER_SQL
 QUERIES["hashed_feature_vectors"] = hashed_feature_vectors
 ORACLES["hashed_feature_vectors"] = HASHED_FEATURES_SQL
+
+
+import pandas as _pd
+
+
+@F.pandas_udf(T.LongType())
+def _rerank_stub_score(doc_ids: _pd.Series) -> _pd.Series:
+    """Deterministic stand-in for a cross-encoder scorer: md5 of the
+    prefixed doc_id, first 8 hex digits mod 1e6. The point is the
+    PLUMBING — Arrow-batched inference over candidate rows — with a
+    value DuckDB can recompute exactly (real models are not in this
+    container; swapping the hash for an ONNX session.run over the same
+    Series is the production change)."""
+    import hashlib
+
+    return doc_ids.map(
+        lambda i: int(hashlib.md5(f"q:{i}".encode()).hexdigest()[:8], 16)
+        % 1_000_000
+    )
+
+
+def rerank_bm25_hash_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-rerank: BM25 top-20 candidates re-scored by an
+    Arrow-vectorized 'model' (deterministic hash stub) and re-ranked.
+    The two-stage shape every RAG/retrieval pipeline runs — the
+    expensive model touches only k candidates, never the corpus; the
+    oracle recomputes the hash score in SQL, pinning the pandas_udf
+    batch path bit-for-bit."""
+    cands = bm25_scores(spark, sf_dir)
+    w = Window.orderBy(F.desc("rerank_score"), F.asc("doc_id"))
+    return (
+        cands.withColumn("rerank_score", _rerank_stub_score(F.col("doc_id")))
+        .withColumn("new_rank", F.row_number().over(w).cast("long"))
+        .select("doc_id", "bm25", "rank", "rerank_score", "new_rank")
+    )
+
+
+_MD5_QDOC = (
+    "("
+    + " + ".join(
+        f"(CAST(strpos('0123456789abcdef', substr(md5('q:' || CAST(doc_id AS VARCHAR)), {1 + j}, 1)) - 1 AS BIGINT) << {4 * (7 - j)})"
+        for j in range(8)
+    )
+    + ") % 1000000"
+)
+
+RERANK_SQL = (
+    "WITH cands AS (\n" + BM25_SQL + f"""
+)
+SELECT doc_id, bm25, rank,
+       {_MD5_QDOC} AS rerank_score,
+       CAST(row_number() OVER (ORDER BY {_MD5_QDOC} DESC, doc_id ASC) AS BIGINT) AS new_rank
+FROM cands
+"""
+)
+
+QUERIES["rerank_bm25_hash_stub"] = rerank_bm25_hash_stub
+ORACLES["rerank_bm25_hash_stub"] = RERANK_SQL
