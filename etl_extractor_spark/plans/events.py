@@ -7,7 +7,7 @@ expressions through Structured Streaming.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_extractor_spark.operators import events as E
@@ -505,3 +505,85 @@ def theta_funnel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["theta_funnel_overlap"] = theta_funnel_overlap
 # theta_funnel_overlap: rows-only (sketch internals engine-specific;
 # set-op error contract pinned in tests)
+
+
+PATH_K = 3  # leading events per session that define the journey
+
+
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session journeys: the first 3 event types of every
+    30-minute session, joined 'a>b>c' — the path-analysis rollup
+    product teams run on clickstreams. Sessions come from the same
+    gaps-and-islands definition the sessionize twins pin; the ordered
+    path is built with sort_array(collect_list(struct(rn, ·))) —
+    deterministic without a per-session sort pass, and the (user, sid)
+    aggregation reuses the window's partitioning. All timestamps stay
+    TIMESTAMP_NTZ end-to-end (subtraction on NTZ is exact and
+    session-timezone-independent — same frame as the DuckDB oracle)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") - F.lag("ts").over(w) >= F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    sid = F.sum(new_s).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    )
+    paths = (
+        e.withColumn("sid", sid)
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= PATH_K)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .withColumn("rk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+TOP_PATHS_SQL = f"""
+WITH x AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), y AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+), r AS (
+  SELECT user_id, sid, event_type,
+         row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+  FROM y
+), p AS (
+  SELECT user_id, sid, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= {PATH_K} GROUP BY 1, 2
+)
+SELECT path, count(*) AS n_sessions,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, path ASC) AS BIGINT) AS rk
+FROM p GROUP BY path QUALIFY rk <= 20
+"""
+
+QUERIES["top_session_paths"] = top_session_paths
+ORACLES["top_session_paths"] = TOP_PATHS_SQL

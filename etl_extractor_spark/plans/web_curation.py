@@ -184,7 +184,13 @@ def doc_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     are all counts over n_tokens, so ``(W·counts) DIV n - BIAS`` is the
     exact floored micro-logit — integer arithmetic end-to-end, immune
     to cross-engine libm drift. Map-only: composes with any scan."""
-    d = load_table(spark, sf_dir, "documents")
+    return quality_logit(load_table(spark, sf_dir, "documents"))
+
+
+def quality_logit(d: DataFrame) -> DataFrame:
+    """The gate itself, batch/stream-agnostic (zero shuffles ⇒ runs
+    unchanged under Structured Streaming append mode — pinned by
+    ``test_streaming_quality_gate_matches_batch``)."""
     t = F.col("_toks")
     markers = F.array(*[F.lit(m) for m in ts.EN_MARKERS])
     return (

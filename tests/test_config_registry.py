@@ -44,3 +44,22 @@ def test_settings_load_and_registry(spark, sf_dir):
         assert frames["customer"].count() > 0
         # unreachable API isolated to an empty frame, not a failure
         assert frames["api"].count() == 0
+
+
+def test_priority_names_all_resolve():
+    """Every name in the registry's _PRIORITY rotation must exist in
+    the query registry — _ordered() skips unknown names silently, so a
+    typo here would quietly drop a query from the driver's capped
+    CORRECTNESS sweep."""
+    from etl_extractor_spark.plans import registry as R
+
+    qs = set(R.all_queries())
+    missing = [n for n in R._PRIORITY if n not in qs]
+    assert missing == [], f"_PRIORITY names not in registry: {missing}"
+
+
+def test_all_oracle_names_have_queries():
+    from etl_extractor_spark.plans import registry as R
+
+    qs, os_ = R.all_queries(), R.all_oracles()
+    assert set(os_) <= set(qs)

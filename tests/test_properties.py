@@ -7,6 +7,7 @@ from __future__ import annotations
 import re
 
 from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from etl_extractor_spark.functions.casts import to_double_or
 from etl_extractor_spark.functions.text import normalize_text, prefixed_key
@@ -174,3 +175,63 @@ def test_theta_setops_error_bound(spark, sf_dir):
     inter, diff = len(clicks & buys), len(clicks - buys)
     assert abs(row.users_click_and_purchase_est - inter) <= max(1, 0.05 * inter)
     assert abs(row.users_click_no_purchase_est - diff) <= max(1, 0.05 * max(diff, 1))
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),          # group
+            st.integers(min_value=0, max_value=10**6), # order value
+            st.integers(min_value=0, max_value=10**9), # tiebreak id
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[2],
+    )
+)
+def test_salted_topk_equals_naive_window(spark, rows):
+    """salted_topk must be lossless vs the single-window top-k on
+    arbitrary (group, value, id) data — including groups smaller than
+    k and value ties (broken by id desc)."""
+    from pyspark.sql import Window
+
+    from etl_extractor_spark.operators.skew import salted_topk
+
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    got = {
+        (r["g"], r["id"], r["rk"])
+        for r in salted_topk(df, ["g"], "v", "id", k=3, n_salt=4).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.desc("id"))
+    expected = {
+        (r["g"], r["id"], r["rk"])
+        for r in df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .collect()
+    }
+    assert got == expected
+
+
+def test_canonicalize_url_idempotent_and_rules(spark):
+    """Canonicalization is a normal form: applying it twice equals
+    applying it once; and each documented rule fires."""
+    from etl_extractor_spark.plans.web_curation import canonicalize_url
+
+    raw = [
+        ("HTTPS://WWW.Ex.COM:443/A/1/?utm_source=x&page=2&fbclid=y#f",),
+        ("http://ex.com:80/path/",),
+        ("https://ex.com/p?gclid=1",),
+        ("https://ex.com/p?page=1&utm_campaign=z&id=9",),
+        ("https://Ex.Com/CaseSensitivePath",),
+    ]
+    df = spark.createDataFrame(raw, "u string")
+    once = df.select(canonicalize_url(F.col("u")).alias("c"))
+    twice = once.select(canonicalize_url(F.col("c")).alias("c"))
+    got = [r["c"] for r in once.collect()]
+    assert got == [r["c"] for r in twice.collect()]
+    assert got[0] == "https://ex.com/A/1?page=2"
+    assert got[1] == "http://ex.com/path"
+    assert got[2] == "https://ex.com/p"
+    assert got[3] == "https://ex.com/p?page=1&id=9"
+    assert got[4] == "https://ex.com/CaseSensitivePath"  # path case kept

@@ -468,3 +468,24 @@ def test_streaming_url_frontier_matches_batch(spark, sf_dir):
     assert _rows(got, cols) == _rows(expected, cols)
     # dedup actually collapsed something
     assert got.filter(F.col("n_dups") > 1).count() > 0
+
+
+def test_streaming_quality_gate_matches_batch(spark, sf_dir):
+    """The logreg quality gate is map-only, so it must run UNCHANGED
+    as a streaming append transform — the at-ingestion quality filter
+    a crawl pipeline applies before anything stateful."""
+    from etl_extractor_spark.plans.web_curation import (
+        doc_quality_logreg,
+        quality_logit,
+    )
+    from etl_extractor_spark.streaming.docs_stream import docs_stream
+
+    got = SE.run_to_memory(
+        quality_logit(docs_stream(spark, sf_dir)),
+        "t_quality_gate",
+        output_mode="append",
+    )
+    expected = doc_quality_logreg(spark, sf_dir)
+    cols = ["doc_id", "n_tokens", "logit_micro", "keep"]
+    assert _rows(got, cols) == _rows(expected, cols)
+    assert 0 < got.filter(F.col("keep")).count() < got.count()
