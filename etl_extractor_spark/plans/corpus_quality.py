@@ -27,7 +27,7 @@ same reduction without a driver-side collect.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_extractor_spark.sources.parquet import load_table
@@ -385,3 +385,104 @@ GROUP BY 1
 
 QUERIES["bigram_lm_score"] = bigram_lm_score
 ORACLES["bigram_lm_score"] = BIGRAM_LM_SQL
+
+
+PMI_MIN_PAIR = 5  # minimum bigram count to stabilize the estimate
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 collocations by pointwise mutual information:
+    PMI(a,b) = log10( p(a,b) / (p(a)·p(b)) ) over adjacent token
+    pairs, low-count pairs dropped (PMI's classic sparse-count
+    instability). The corpus-linguistics feature behind phrase
+    detection (word2vec's phrase pass, quality n-gram lexicons).
+
+    Shape: the bigram and unigram counts are two-phase aggregations;
+    PMI is computed per DISTINCT bigram (vocab-sized, not corpus-
+    sized) with the two scalar totals broadcast. The log10 is floor-
+    quantized to micro-units for a drift-free integer ordering; ties
+    broken by the pair text."""
+    t = _tokens(load_table(spark, sf_dir, "documents")).filter(
+        F.size("toks") >= 2
+    )
+    toks = F.col("toks")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    bg = t.select(F.explode(pairs).alias("bg"))
+    bcnt = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cab"))
+    ucnt = (
+        _tokens(load_table(spark, sf_dir, "documents"))
+        .select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = bcnt.agg(F.sum("cab").alias("nb")).crossJoin(
+        ucnt.agg(F.sum("c").alias("nu"))
+    )
+    scored = (
+        bcnt.filter(F.col("cab") >= PMI_MIN_PAIR)
+        .join(
+            ucnt.select(F.col("tok").alias("w1"), F.col("c").alias("ca")),
+            F.substring_index(F.col("bg"), " ", 1) == F.col("w1"),
+        )
+        .join(
+            ucnt.select(F.col("tok").alias("w2"), F.col("c").alias("cb")),
+            F.substring_index(F.col("bg"), " ", -1) == F.col("w2"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bg",
+            "cab",
+            F.floor(
+                F.log10(
+                    (F.col("cab") / F.col("nb"))
+                    / ((F.col("ca") / F.col("nu")) * (F.col("cb") / F.col("nu")))
+                )
+                * F.lit(1_000_000)
+            ).cast("long").alias("pmi_micro"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi_micro"), F.asc("bg"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 25)
+        .select("bg", "cab", "pmi_micro", "rk")
+    )
+
+
+PMI_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), bg AS (
+  SELECT toks[i] || ' ' || toks[i + 1] AS bg
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
+  WHERE len(toks) >= 2
+), bcnt AS (
+  SELECT bg, count(*) AS cab FROM bg GROUP BY 1
+), ucnt AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1
+), tot AS (
+  SELECT (SELECT sum(cab) FROM bcnt) AS nb, (SELECT sum(c) FROM ucnt) AS nu
+), scored AS (
+  SELECT bg, cab,
+         CAST(floor(log10((cab * 1.0 / nb) /
+              ((a.c * 1.0 / nu) * (b.c * 1.0 / nu))) * 1000000) AS BIGINT) AS pmi_micro
+  FROM bcnt
+  JOIN ucnt a ON split_part(bg, ' ', 1) = a.tok
+  JOIN ucnt b ON split_part(bg, ' ', 2) = b.tok, tot
+  WHERE cab >= {PMI_MIN_PAIR}
+)
+SELECT bg, cab, pmi_micro,
+       CAST(row_number() OVER (ORDER BY pmi_micro DESC, bg ASC) AS BIGINT) AS rk
+FROM scored QUALIFY rk <= 25
+"""
+
+QUERIES["pmi_collocations"] = pmi_collocations
+ORACLES["pmi_collocations"] = PMI_SQL

@@ -84,7 +84,8 @@ _PRIORITY = (
     "pagerank_purchase_graph", "purchase_graph_degrees",
     "topk_orders_salted", "curriculum_order", "doc_length_p99_filter",
     "hashed_feature_vectors", "chunk_sliding_stride", "oov_rate",
-    "rerank_bm25_hash_stub", "top_session_paths",
+    "rerank_bm25_hash_stub", "top_session_paths", "pmi_collocations",
+    "knn_label_agreement", "contrastive_negatives",
     # --- regression canary (green in r1/r2; re-pin a few anchors)
     "q5_regional_revenue", "fact_conformed", "dedup_minhash_lsh",
     "dedup_minhash_lsh_oph", "star_join_detail", "text_quality",

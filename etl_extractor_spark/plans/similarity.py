@@ -494,3 +494,51 @@ FROM (SELECT DISTINCT query_id FROM bf) q LEFT JOIN hits USING (query_id)
 
 QUERIES["ann_recall_at_k"] = ann_recall_at_k
 ORACLES["ann_recall_at_k"] = ANN_RECALL_SQL
+
+
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label-consistency audit: for each sampled query
+    vector, the fraction of its exact 5-NN sharing its label — the
+    standard training-data diagnostic for mislabeled examples and
+    class overlap (low agreement ⇒ label noise or boundary points).
+    Integer output (hits, basis points); reuses the oracle-pinned
+    brute-force kNN leg, so this query certifies the label join +
+    agreement rollup."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    nn = knn_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    return (
+        nn.join(e.withColumnsRenamed({"vec_id": "query_id", "label": "q_label"}), "query_id")
+        .join(e.withColumnsRenamed({"vec_id": "neighbor_id", "label": "n_label"}), "neighbor_id")
+        .groupBy("query_id", "q_label")
+        .agg(
+            F.sum((F.col("n_label") == F.col("q_label")).cast("long")).alias(
+                "n_agree"
+            )
+        )
+        .select(
+            "query_id",
+            "q_label",
+            F.col("n_agree").cast("long").alias("n_agree"),
+            (F.col("n_agree") * 2000).cast("long").alias("agree_bps"),
+        )
+    )
+
+
+KNN_LABEL_AGREEMENT_SQL = (
+    "WITH nn AS (\n" + KNN_SQL + """
+)
+SELECT nn.query_id,
+       CAST(q.label AS BIGINT) AS q_label,
+       CAST(sum(CASE WHEN n.label = q.label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       CAST(sum(CASE WHEN n.label = q.label THEN 1 ELSE 0 END) * 2000 AS BIGINT) AS agree_bps
+FROM nn
+JOIN embeddings q ON q.vec_id = nn.query_id
+JOIN embeddings n ON n.vec_id = nn.neighbor_id
+GROUP BY 1, 2
+"""
+)
+
+QUERIES["knn_label_agreement"] = knn_label_agreement
+ORACLES["knn_label_agreement"] = KNN_LABEL_AGREEMENT_SQL

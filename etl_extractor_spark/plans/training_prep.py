@@ -623,3 +623,107 @@ FROM cands
 
 QUERIES["rerank_bm25_hash_stub"] = rerank_bm25_hash_stub
 ORACLES["rerank_bm25_hash_stub"] = RERANK_SQL
+
+
+NEG_K = 4  # negatives per anchor
+
+
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-negative mining for contrastive training:
+    each anchor (doc_id % 50 == 0) gets 4 pseudo-random negatives —
+    the 4 nearest successors on the md5 hash ring (candidates ordered
+    by md5(doc_id), anchors excluded). Hash-ring selection is the
+    cluster-size-independent way to draw 'random' negatives: no
+    rand() state, same pairs on every run and every engine.
+
+    Shape: the ring neighborhood is a range-limited window join — the
+    candidate pool is sorted once by ring position; each anchor takes
+    the next K candidates (wrapping) via a union of two bounded
+    windows, never a full cross join."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    ring = F.md5(F.col("doc_id").cast("string"))
+    anchors = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("anchor_id"), ring.alias("a_ring")
+    )
+    cands = d.filter(F.col("doc_id") % 50 != 0).select(
+        F.col("doc_id").alias("neg_id"), ring.alias("c_ring")
+    )
+    # successors on the ring; wrap-around handled by taking the K
+    # smallest ring positions as a fallback pool for every anchor
+    succ = (
+        anchors.join(cands, F.col("c_ring") > F.col("a_ring"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("anchor_id").orderBy("c_ring", "neg_id")
+            ),
+        )
+        .filter(F.col("rk") <= NEG_K)
+    )
+    wrap_pool = (
+        cands.withColumn(
+            "rk0",
+            F.row_number().over(Window.orderBy("c_ring", "neg_id")),
+        )
+        .filter(F.col("rk0") <= NEG_K)
+    )
+    wrapped = (
+        anchors.join(F.broadcast(wrap_pool), F.lit(True))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("anchor_id").orderBy("rk0")
+            ),
+        )
+    )
+    n_succ = succ.groupBy("anchor_id").agg(F.count(F.lit(1)).alias("ns"))
+    need_wrap = (
+        wrapped.join(
+            n_succ.withColumnRenamed("anchor_id", "aid"),
+            F.col("anchor_id") == F.col("aid"),
+            "left",
+        )
+        .withColumn("ns", F.coalesce(F.col("ns"), F.lit(0)))
+        .filter(F.col("rk") <= NEG_K - F.col("ns"))
+        .select("anchor_id", "neg_id", (F.col("ns") + F.col("rk")).alias("rk"))
+    )
+    return (
+        succ.select("anchor_id", "neg_id", F.col("rk").cast("long"))
+        .unionByName(need_wrap.select("anchor_id", "neg_id", F.col("rk").cast("long")))
+        .select("anchor_id", "neg_id", F.col("rk").alias("neg_rank"))
+    )
+
+
+CONTRASTIVE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ring FROM documents
+), anchors AS (
+  SELECT doc_id AS anchor_id, ring AS a_ring FROM d WHERE doc_id % 50 = 0
+), cands AS (
+  SELECT doc_id AS neg_id, ring AS c_ring FROM d WHERE doc_id % 50 <> 0
+), succ AS (
+  SELECT anchor_id, neg_id,
+         row_number() OVER (PARTITION BY anchor_id ORDER BY c_ring, neg_id) AS rk
+  FROM anchors JOIN cands ON c_ring > a_ring
+  QUALIFY rk <= {NEG_K}
+), wrap_pool AS (
+  SELECT neg_id, row_number() OVER (ORDER BY c_ring, neg_id) AS rk0
+  FROM cands QUALIFY rk0 <= {NEG_K}
+), ns AS (
+  SELECT anchor_id, count(*) AS ns FROM succ GROUP BY 1
+), wrapped AS (
+  SELECT a.anchor_id, w.neg_id,
+         coalesce(ns.ns, 0) + row_number() OVER (PARTITION BY a.anchor_id ORDER BY w.rk0) AS rk,
+         coalesce(ns.ns, 0) AS n_have,
+         row_number() OVER (PARTITION BY a.anchor_id ORDER BY w.rk0) AS extra
+  FROM anchors a CROSS JOIN wrap_pool w
+  LEFT JOIN ns ON ns.anchor_id = a.anchor_id
+  QUALIFY extra <= {NEG_K} - n_have
+)
+SELECT anchor_id, neg_id, CAST(rk AS BIGINT) AS neg_rank FROM succ
+UNION ALL
+SELECT anchor_id, neg_id, CAST(rk AS BIGINT) AS neg_rank FROM wrapped
+"""
+
+QUERIES["contrastive_negatives"] = contrastive_negatives
+ORACLES["contrastive_negatives"] = CONTRASTIVE_SQL
