@@ -559,3 +559,78 @@ QUALIFY rk <= 3
 
 QUERIES.update({"topk_orders_salted": topk_orders_salted})
 ORACLES.update({"topk_orders_salted": TOPK_SALTED_SQL})
+
+
+ZS_WIN = 20   # trailing events in the reference window
+ZS_MIN = 10   # minimum window size to score
+
+
+def rolling_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user streaming-style anomaly flagging: an event is an
+    outlier when it deviates > 3σ from the user's OWN trailing-20-event
+    history (window ends at the PREVIOUS event — the score never sees
+    the value it judges). The z-test is evaluated ENTIRELY in integer
+    arithmetic on cents: (n·x − Σ)² > 9·(n·Σx² − Σ²) is algebraically
+    (x − μ)² > (3σ)² with every term exact — no sqrt, no division, no
+    float boundary for engines to disagree on. Magnitudes: cents ≤
+    ~5·10⁴, n ≤ 20 ⇒ every term ≤ ~10¹⁴, far inside BIGINT.
+
+    Scale shape: one hash-exchange on user_id, one sort per partition —
+    the same plan as any per-user window; the flag is map-side after
+    the window."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZS_WIN, -1)
+    )
+    scored = e.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.sum("cents").over(w).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("s2"),
+    )
+    x, n, s1, s2 = (F.col(c) for c in ("cents", "n_win", "s1", "s2"))
+    dev = n * x - s1
+    var_n3 = n * s2 - s1 * s1
+    return (
+        scored.filter((n >= ZS_MIN) & (dev * dev > 9 * var_n3))
+        .select(
+            "user_id",
+            "event_id",
+            "cents",
+            n.cast("long").alias("n_win"),
+        )
+    )
+
+
+ROLLING_ZSCORE_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), scored AS (
+  SELECT user_id, event_id, cents,
+         count(*) OVER w AS n_win,
+         sum(cents) OVER w AS s1,
+         sum(cents * cents) OVER w AS s2
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {ZS_WIN} PRECEDING AND 1 PRECEDING)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, event_id, cents,
+       CAST(n_win AS BIGINT) AS n_win
+FROM scored
+WHERE n_win >= {ZS_MIN}
+  AND (n_win * cents - s1) * (n_win * cents - s1) > 9 * (n_win * s2 - s1 * s1)
+"""
+
+QUERIES.update({"rolling_zscore_outliers": rolling_zscore_outliers})
+ORACLES.update({"rolling_zscore_outliers": ROLLING_ZSCORE_SQL})

@@ -86,6 +86,7 @@ _PRIORITY = (
     "hashed_feature_vectors", "chunk_sliding_stride", "oov_rate",
     "rerank_bm25_hash_stub", "top_session_paths", "pmi_collocations",
     "knn_label_agreement", "contrastive_negatives",
+    "rolling_zscore_outliers",
     # --- regression canary (green in r1/r2; re-pin a few anchors)
     "q5_regional_revenue", "fact_conformed", "dedup_minhash_lsh",
     "dedup_minhash_lsh_oph", "star_join_detail", "text_quality",
