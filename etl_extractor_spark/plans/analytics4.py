@@ -634,3 +634,72 @@ WHERE n_win >= {ZS_MIN}
 
 QUERIES.update({"rolling_zscore_outliers": rolling_zscore_outliers})
 ORACLES.update({"rolling_zscore_outliers": ROLLING_ZSCORE_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Exponential-decay trailing revenue (exact integer weights)
+# ---------------------------------------------------------------------------
+
+DECAY_HORIZON = 30  # days a sale keeps contributing
+DECAY_HALFLIFE = 3  # weight halves every 3 days: w(k) = 2^(9 - k div 3)
+
+
+def decayed_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed trailing revenue per order day — the
+    freshness-weighted KPI behind trending/decay scoring (same shape
+    as a decayed click counter). EWMA is inherently sequential
+    (y_t = a*x_t + (1-a)*y_{t-1}), which does not distribute; the
+    standard scale-out reformulation is CONTRIBUTION EXPANSION: each
+    day's revenue emits its future contributions (here a 30-day
+    horizon, weight halving every 3 days), and one group-by folds
+    them. That is a map-side 30x expand of the ALREADY-AGGREGATED
+    daily table (tiny) + one shuffle — no sequential scan, no window
+    over an unbounded frame, identical on 1 or 1000 executors.
+
+    Weights are exact powers of two (512 >> (k div 3)) and revenue is
+    integer cents, so the decayed sum is bit-exact in both engines;
+    max magnitude ~ daily_cents * 512 * 30 stays far under BIGINT even
+    at SF 10000.
+    """
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.to_date("o_orderdate")
+    )
+    daily = o.groupBy("o_orderdate").agg(F.sum(_cents()).alias("rev_cents"))
+    contrib = daily.select(
+        "o_orderdate",
+        "rev_cents",
+        F.explode(F.sequence(F.lit(0), F.lit(DECAY_HORIZON - 1))).alias("k"),
+    ).select(
+        F.date_add("o_orderdate", F.col("k")).alias("day"),
+        (
+            F.col("rev_cents")
+            * F.pow(F.lit(2.0), F.lit(9) - F.floor(F.col("k") / DECAY_HALFLIFE)).cast(
+                "long"
+            )
+        ).alias("w"),
+    )
+    dec = contrib.groupBy("day").agg(F.sum("w").alias("decayed_cents"))
+    return daily.join(dec, daily.o_orderdate == dec.day).select(
+        F.col("o_orderdate").alias("day"), "rev_cents", "decayed_cents"
+    )
+
+
+DECAYED_REVENUE_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1
+), contrib AS (
+  SELECT day + CAST(k AS INTEGER) AS tday,
+         rev_cents * CAST(pow(2, 9 - k // {DECAY_HALFLIFE}) AS BIGINT) AS w
+  FROM daily,
+       LATERAL (SELECT unnest(generate_series(0, {DECAY_HORIZON - 1})) AS k)
+), dec AS (
+  SELECT tday, CAST(sum(w) AS BIGINT) AS decayed_cents FROM contrib GROUP BY 1
+)
+SELECT d.day, d.rev_cents, x.decayed_cents
+FROM daily d JOIN dec x ON x.tday = d.day
+"""
+
+QUERIES.update({"decayed_daily_revenue": decayed_daily_revenue})
+ORACLES.update({"decayed_daily_revenue": DECAYED_REVENUE_SQL})

@@ -152,3 +152,78 @@ ORACLES = {
     "fuzzy_name_pairs": FUZZY_SQL,
     "order_quartiles": QUARTILES_SQL,
 }
+
+
+def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten audit: given a deterministic erasure
+    request list (users with ``user_id % 7 == 3`` — stand-in for the
+    legal request table), count how many rows each table would lose,
+    cascading through the FK graph: events by user_id, orders by
+    o_custkey (same key domain), lineitem through its order. This is
+    the pre-delete dry-run every GDPR/CCPA pipeline runs before the
+    actual MERGE DELETE (which `sinks/merge.py` implements).
+
+    Plan shape (100 TB): the request list is tiny relative to the
+    corpus — every probe is a small-side join the optimizer turns into
+    a broadcast; the lineitem cascade joins on l_orderkey, the fact's
+    natural key, so it rides existing partitioning. Facts are scanned
+    once each; no wide shuffle anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    reqs = (
+        ev.filter((F.col("user_id") % 7) == 3)
+        .select(F.col("user_id").alias("uid"))
+        .distinct()
+    )
+    ev_row = ev.join(reqs, ev.user_id == reqs.uid, "left").agg(
+        F.lit("events").alias("table_name"),
+        F.count(F.lit(1)).alias("rows_total"),
+        F.count("uid").alias("rows_erased"),
+    )
+    od_row = od.join(reqs, od.o_custkey == reqs.uid, "left").agg(
+        F.lit("orders").alias("table_name"),
+        F.count(F.lit(1)).alias("rows_total"),
+        F.count("uid").alias("rows_erased"),
+    )
+    erased_orders = od.join(reqs, od.o_custkey == reqs.uid, "semi").select(
+        F.col("o_orderkey").alias("ok")
+    )
+    li_row = li.join(erased_orders, li.l_orderkey == erased_orders.ok, "left").agg(
+        F.lit("lineitem").alias("table_name"),
+        F.count(F.lit(1)).alias("rows_total"),
+        F.count("ok").alias("rows_erased"),
+    )
+    return (
+        ev_row.unionByName(od_row)
+        .unionByName(li_row)
+        .withColumn("rows_kept", F.col("rows_total") - F.col("rows_erased"))
+    )
+
+
+ERASURE_AUDIT_SQL = """
+WITH reqs AS (
+  SELECT DISTINCT user_id AS uid FROM events WHERE user_id % 7 = 3
+), eo AS (
+  SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT uid FROM reqs)
+)
+SELECT 'events' AS table_name,
+       count(*) AS rows_total,
+       count(CASE WHEN user_id IN (SELECT uid FROM reqs) THEN 1 END) AS rows_erased,
+       count(*) - count(CASE WHEN user_id IN (SELECT uid FROM reqs) THEN 1 END) AS rows_kept
+FROM events
+UNION ALL
+SELECT 'orders', count(*),
+       count(CASE WHEN o_custkey IN (SELECT uid FROM reqs) THEN 1 END),
+       count(*) - count(CASE WHEN o_custkey IN (SELECT uid FROM reqs) THEN 1 END)
+FROM orders
+UNION ALL
+SELECT 'lineitem', count(*),
+       count(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM eo) THEN 1 END),
+       count(*) - count(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM eo) THEN 1 END)
+FROM lineitem
+"""
+
+QUERIES["user_erasure_audit"] = user_erasure_audit
+ORACLES["user_erasure_audit"] = ERASURE_AUDIT_SQL

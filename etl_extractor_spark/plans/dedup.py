@@ -225,3 +225,96 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 QUERIES["dedup_simhash_md5_pairs"] = dedup_simhash_md5_pairs
 ORACLES["dedup_simhash_md5_pairs"] = SIMHASH_MD5_PAIRS_SQL
+
+
+# ------------------------------------------------- paragraph-level dedup
+
+PARA_TOKENS = 4  # tokens per paragraph chunk
+PARA_DF = 3  # doc-frequency at/above which a paragraph is "common"
+
+
+def common_paragraph_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document paragraph filtering (Wenzek et al.,
+    LREC 2020): boilerplate shows up as the SAME paragraph repeated
+    across MANY documents, so each doc is scored by how much of it is
+    corpus-common. Paragraphs here are consecutive ``PARA_TOKENS``-token
+    chunks of the normalized text (the synthetic corpus has no newlines,
+    so the chunking IS the paragraph segmentation — deterministic and
+    identical in both engines). Reference parity: extends
+    `transform/clean_data.py:4-29`'s per-row cleaning to corpus-global
+    cleaning, which pandas cannot express without holding the corpus.
+
+    Plan shape (100 TB): one map-side chunk explosion, one shuffle to
+    compute paragraph doc-frequency, one shuffle back on the paragraph
+    key to tag chunks, one per-doc aggregate that rides the doc_id
+    shuffle. The doc-frequency table is filtered to df >= PARA_DF
+    before the tag join, so the join's build side is only the common
+    paragraphs (boilerplate is rare relative to the corpus — AQE picks
+    broadcast when it fits; no forced hint because the set is
+    SF-scaled). Integer bps output — no float comparisons anywhere.
+    """
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(PARA_TOKENS)).cast("int")
+    # Guard n_chunks == 0 (null/empty text): sequence(0, -1) would be
+    # the DESCENDING [0, -1] under ANSI mode (same trap as
+    # bpe_apply_merge) — emit no paragraphs instead.
+    pars = F.when(n_chunks <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * PARA_TOKENS + 1, PARA_TOKENS)
+            ),
+        )
+    )
+    ex = d.select("doc_id", F.explode(pars).alias("par"))
+    common = (
+        ex.groupBy("par")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= PARA_DF)
+    )
+    return (
+        ex.join(common, "par", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_par"),
+            F.count("df").alias("n_common"),
+        )
+        .withColumn(
+            "keep_bps",
+            F.expr("(n_par - n_common) * 10000 div n_par"),
+        )
+    )
+
+
+COMMON_PARAGRAPH_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+  FROM documents
+), chunks AS (
+  SELECT doc_id,
+         array_to_string(t[(i*{PARA_TOKENS}+1):((i+1)*{PARA_TOKENS})], ' ') AS par
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(0,
+                  CAST(ceil(len(t)*1.0/{PARA_TOKENS}) AS BIGINT)-1)) AS i)
+), dfreq AS (
+  SELECT par, count(DISTINCT doc_id) AS df FROM chunks GROUP BY 1
+), common AS (
+  SELECT par FROM dfreq WHERE df >= {PARA_DF}
+), tagged AS (
+  SELECT c.doc_id, c.par, (cm.par IS NOT NULL) AS is_common
+  FROM chunks c LEFT JOIN common cm USING (par)
+)
+SELECT doc_id,
+       count(*) AS n_par,
+       count(CASE WHEN is_common THEN 1 END) AS n_common,
+       (count(*) - count(CASE WHEN is_common THEN 1 END)) * 10000
+         // count(*) AS keep_bps
+FROM tagged GROUP BY doc_id
+"""
+
+QUERIES["common_paragraph_filter"] = common_paragraph_filter
+ORACLES["common_paragraph_filter"] = COMMON_PARAGRAPH_SQL

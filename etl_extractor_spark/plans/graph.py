@@ -138,3 +138,96 @@ ORACLES = {
     "pagerank_purchase_graph": _pagerank_sql(),
     "purchase_graph_degrees": DEGREES_SQL,
 }
+
+
+def triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the part co-purchase graph (parts
+    ordered together in at least one order). Triangles are the basic
+    community/cohesion signal — clustering coefficients, spam-graph
+    detection, and feature engineering all start here.
+
+    Scale path: DEGREE-ORDERED ORIENTATION (Schank-Wagner; MapReduce
+    formulation Suri & Vassilvitskii WWW'11). Each undirected edge is
+    oriented from the lower-(degree, id) endpoint to the higher, so
+    every triangle is counted from exactly one wedge and the wedge
+    self-join materializes sum(out_deg^2) pairs with out-degree
+    bounded by O(sqrt(m)) — the hub that would explode a naive wedge
+    join has huge IN-degree but small OUT-degree. The closing-edge
+    probe is a semi-equi-join on (v, w). The oracle counts the same
+    triangles with the naive a<b<c 3-way join — identical sets, so a
+    hash match certifies the orientation trick is lossless.
+
+    Orientation keys are packed as ``deg * 2^32 + node`` (single
+    BIGINT compare in the join condition; part keys stay < 2^32 far
+    past SF 1000) — no global row_number ranking, nothing driver-side.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select("n", (F.col("deg") * F.lit(1 << 32) + F.col("n")).alias("rk"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    keyed = (
+        und.join(du, F.col("u") == F.col("du.n"))
+        .join(dv, F.col("v") == F.col("dv.n"))
+        .select("u", "v", F.col("du.rk").alias("rku"), F.col("dv.rk").alias("rkv"))
+    )
+    o = keyed.select(
+        F.when(F.col("rku") < F.col("rkv"), F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(F.col("rku") < F.col("rkv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.least("rku", "rkv").alias("rks"),
+        F.greatest("rku", "rkv").alias("rkd"),
+    )
+    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src")) & (F.col("e1.rkd") < F.col("e2.rkd")),
+    ).select(
+        F.col("e1.src").alias("x"),
+        F.col("e1.dst").alias("y"),
+        F.col("e2.dst").alias("z"),
+    )
+    tri = wedges.join(
+        e3,
+        (F.col("y") == F.col("e3.src")) & (F.col("z") == F.col("e3.dst")),
+        "semi",
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("p_partkey"))
+        .groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+
+
+TRIANGLE_SQL = """
+WITH pe AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+), tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM pe e1
+  JOIN pe e2 ON e1.v = e2.u
+  JOIN pe e3 ON e3.u = e1.u AND e3.v = e2.v
+), nodes AS (
+  SELECT x AS p FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT p AS p_partkey, count(*) AS n_tri FROM nodes GROUP BY 1
+"""
+
+QUERIES["triangle_participation"] = triangle_participation
+ORACLES["triangle_participation"] = TRIANGLE_SQL

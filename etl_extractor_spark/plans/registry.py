@@ -34,6 +34,7 @@ _MODULES = (
     "etl_extractor_spark.plans.corpus_prep",
     "etl_extractor_spark.plans.web_curation",
     "etl_extractor_spark.plans.graph",
+    "etl_extractor_spark.plans.recursive",
     "etl_extractor_spark.plans.roundtrip",
     "etl_extractor_spark.plans.training_prep",
     "etl_extractor_spark.plans.tpch",
@@ -87,6 +88,11 @@ _PRIORITY = (
     "rerank_bm25_hash_stub", "top_session_paths", "pmi_collocations",
     "knn_label_agreement", "contrastive_negatives",
     "rolling_zscore_outliers",
+    # --- round-3, fourth wave: corpus-global cleaning, governance,
+    #     graph cohesion, decayed KPIs
+    "common_paragraph_filter", "user_erasure_audit",
+    "triangle_participation", "decayed_daily_revenue",
+    "doc_tree_depth", "doc_subtree_rollup",
     # --- regression canary (green in r1/r2; re-pin a few anchors)
     "q5_regional_revenue", "fact_conformed", "dedup_minhash_lsh",
     "dedup_minhash_lsh_oph", "star_join_detail", "text_quality",

@@ -542,3 +542,150 @@ GROUP BY 1, 2
 
 QUERIES["knn_label_agreement"] = knn_label_agreement
 ORACLES["knn_label_agreement"] = KNN_LABEL_AGREEMENT_SQL
+
+
+# ------------------------------------------------ product quantization
+
+PQ_NSUB = 8  # subspaces (64-dim -> 8 x 8)
+PQ_DSUB = 8  # dims per subspace
+PQ_KCODE = 16  # codes per subspace (4-bit)
+PQ_QSCALE = 64  # int quantization: floor(x*64 + 0.5)
+
+
+def _pq_cent(s: int, c, j: int):
+    """Closed-form pinned codebook value for (subspace, code, dim) —
+    works with ints (oracle text) and Columns (runtime lookup)."""
+    return (s * 73 + c * 37 + j * 17) % 25 - 12
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-Quantization ANN with Asymmetric Distance Computation
+    (Jegou et al., TPAMI 2011) — THE memory-side scale technique: 64
+    float dims compress to 8 one-byte codes (32x), so a 100 TB vector
+    corpus's index fits executor memory and ADC scans it without
+    touching raw vectors. Codebooks here are PINNED closed-form
+    literals (same deterministic-twin trick as ``knn_ivf_fixed``) and
+    vectors are integer-quantized with the proven floor(x*S + 0.5)
+    idiom, so encode -> ADC -> top-k is bit-exact and the DuckDB
+    oracle recomputes the identical index end-to-end.
+
+    Plan: encoding is map-only (argmin over 16 pinned centroids per
+    subspace, all in whole-stage codegen); the query side (1% of rows
+    by contract) broadcasts; ADC reconstructs centroid values from the
+    closed form INSIDE the aggregate lambda — no codebook join, no
+    shuffle until the per-query top-5 window. Compose with the IVF
+    coarse filter (knn_ivf_fixed) for the full IVFPQ pipeline at
+    scale; kept separate here so each stage has its own oracle.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * PQ_QSCALE + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("qv"),
+    )
+
+    def _sq(col):
+        return col * col
+
+    codes = []
+    for s in range(PQ_NSUB):
+        sub = F.slice("qv", s * PQ_DSUB + 1, PQ_DSUB)
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.array(
+                        *[F.lit(_pq_cent(s, c, j)) for j in range(PQ_DSUB)]
+                    ),
+                    lambda a, b: _sq(a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for c in range(PQ_KCODE)
+        ]
+        darr = F.array(*dists)
+        # array_position returns the FIRST index of the min -> ties
+        # break to the lowest code, same as the oracle's (d, c) sort.
+        codes.append((F.array_position(darr, F.array_min(darr)) - 1).cast("long"))
+    enc = e.select("vec_id", "qv", F.array(*codes).alias("codes"))
+
+    q = F.broadcast(
+        enc.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+        )
+    )
+    x = enc.select(F.col("vec_id").alias("neighbor_id"), "codes")
+    joined = x.join(q, F.col("neighbor_id") != F.col("query_id"))
+    recon = lambda j, cod: (  # noqa: E731
+        (j.cast("long") / PQ_DSUB).cast("long") * 73
+        + F.element_at(cod, ((j / PQ_DSUB).cast("int")) + 1) * 37
+        + (j % PQ_DSUB) * 17
+    ) % 25 - 12
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_NSUB * PQ_DSUB - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + _sq(F.element_at(F.col("qq"), j.cast("int") + 1) - recon(j, F.col("codes"))),
+    )
+    scored = joined.select("query_id", "neighbor_id", adc.alias("adc_dist"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+PQ_ADC_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {PQ_QSCALE} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), comp AS (
+  SELECT vec_id, j, qv[j + 1] AS qval, j // {PQ_DSUB} AS s, j % {PQ_DSUB} AS jj
+  FROM q, LATERAL (SELECT unnest(generate_series(0, {PQ_NSUB * PQ_DSUB - 1})) AS j)
+), cb AS (
+  SELECT s, c, jj, (s * 73 + c * 37 + jj * 17) % 25 - 12 AS val
+  FROM (SELECT unnest(generate_series(0, {PQ_NSUB - 1})) AS s),
+       (SELECT unnest(generate_series(0, {PQ_KCODE - 1})) AS c),
+       (SELECT unnest(generate_series(0, {PQ_DSUB - 1})) AS jj)
+), sdist AS (
+  SELECT comp.vec_id, comp.s, cb.c,
+         sum((qval - val) * (qval - val)) AS d
+  FROM comp JOIN cb ON cb.s = comp.s AND cb.jj = comp.jj
+  GROUP BY 1, 2, 3
+), codes AS (
+  SELECT vec_id, s, c FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+    FROM sdist
+  ) WHERE rn = 1
+), recon AS (
+  SELECT codes.vec_id, cb.s, cb.jj, cb.val
+  FROM codes JOIN cb ON cb.s = codes.s AND cb.c = codes.c
+), adc AS (
+  SELECT qc.vec_id AS query_id, r.vec_id AS neighbor_id,
+         sum((qc.qval - r.val) * (qc.qval - r.val)) AS a
+  FROM comp qc
+  JOIN recon r ON r.s = qc.s AND r.jj = qc.jj
+  WHERE qc.vec_id % 100 = 0 AND r.vec_id <> qc.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id,
+       CAST(a AS BIGINT) AS adc_dist,
+       CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY a, neighbor_id) AS rn
+  FROM adc
+) WHERE rn <= 5
+"""
+
+QUERIES["pq_adc_topk"] = pq_adc_topk
+ORACLES["pq_adc_topk"] = PQ_ADC_SQL
