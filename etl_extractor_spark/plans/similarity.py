@@ -558,6 +558,73 @@ def _pq_cent(s: int, c, j: int):
     return (s * 73 + c * 37 + j * 17) % 25 - 12
 
 
+def _pq_int_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with the integer-quantized view ``qv`` (and the raw
+    double view ``v`` for coarse assignment)."""
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * PQ_QSCALE + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("qv"),
+    )
+
+
+def _pq_codes_col():
+    """PQ encode expression over column ``qv`` -> array of 8 codes.
+    argmin over 16 pinned centroids per subspace, entirely in
+    whole-stage codegen; array_position picks the FIRST min, so ties
+    break to the lowest code like the oracle's (d, c) sort."""
+
+    def _sq(col):
+        return col * col
+
+    codes = []
+    for s in range(PQ_NSUB):
+        sub = F.slice("qv", s * PQ_DSUB + 1, PQ_DSUB)
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.array(*[F.lit(_pq_cent(s, c, j)) for j in range(PQ_DSUB)]),
+                    lambda a, b: _sq(a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for c in range(PQ_KCODE)
+        ]
+        darr = F.array(*dists)
+        codes.append((F.array_position(darr, F.array_min(darr)) - 1).cast("long"))
+    return F.array(*codes)
+
+
+def _pq_adc_col(qq="qq", codes="codes"):
+    """ADC expression between a query's int vector and a neighbor's PQ
+    codes — centroid values reconstructed from the closed form inside
+    the aggregate lambda, no codebook join."""
+
+    def _sq(col):
+        return col * col
+
+    recon = lambda j, cod: (  # noqa: E731
+        (j.cast("long") / PQ_DSUB).cast("long") * 73
+        + F.element_at(cod, ((j / PQ_DSUB).cast("int")) + 1) * 37
+        + (j % PQ_DSUB) * 17
+    ) % 25 - 12
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_NSUB * PQ_DSUB - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + _sq(
+            F.element_at(F.col(qq), j.cast("int") + 1) - recon(j, F.col(codes))
+        ),
+    )
+
+
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-Quantization ANN with Asymmetric Distance Computation
     (Jegou et al., TPAMI 2011) — THE memory-side scale technique: 64
@@ -577,42 +644,9 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse filter (knn_ivf_fixed) for the full IVFPQ pipeline at
     scale; kept separate here so each stage has its own oracle.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(x.cast("double") * PQ_QSCALE + F.lit(0.5)).cast(
-                "long"
-            ),
-        ).alias("qv"),
+    enc = _pq_int_vectors(spark, sf_dir).select(
+        "vec_id", "qv", _pq_codes_col().alias("codes")
     )
-
-    def _sq(col):
-        return col * col
-
-    codes = []
-    for s in range(PQ_NSUB):
-        sub = F.slice("qv", s * PQ_DSUB + 1, PQ_DSUB)
-        dists = [
-            F.aggregate(
-                F.zip_with(
-                    sub,
-                    F.array(
-                        *[F.lit(_pq_cent(s, c, j)) for j in range(PQ_DSUB)]
-                    ),
-                    lambda a, b: _sq(a - b),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            for c in range(PQ_KCODE)
-        ]
-        darr = F.array(*dists)
-        # array_position returns the FIRST index of the min -> ties
-        # break to the lowest code, same as the oracle's (d, c) sort.
-        codes.append((F.array_position(darr, F.array_min(darr)) - 1).cast("long"))
-    enc = e.select("vec_id", "qv", F.array(*codes).alias("codes"))
-
     q = F.broadcast(
         enc.filter(F.col("vec_id") % 100 == 0).select(
             F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
@@ -620,18 +654,9 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = enc.select(F.col("vec_id").alias("neighbor_id"), "codes")
     joined = x.join(q, F.col("neighbor_id") != F.col("query_id"))
-    recon = lambda j, cod: (  # noqa: E731
-        (j.cast("long") / PQ_DSUB).cast("long") * 73
-        + F.element_at(cod, ((j / PQ_DSUB).cast("int")) + 1) * 37
-        + (j % PQ_DSUB) * 17
-    ) % 25 - 12
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(PQ_NSUB * PQ_DSUB - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, j: acc
-        + _sq(F.element_at(F.col("qq"), j.cast("int") + 1) - recon(j, F.col("codes"))),
+    scored = joined.select(
+        "query_id", "neighbor_id", _pq_adc_col().alias("adc_dist")
     )
-    scored = joined.select("query_id", "neighbor_id", adc.alias("adc_dist"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
@@ -689,3 +714,144 @@ FROM (
 
 QUERIES["pq_adc_topk"] = pq_adc_topk
 ORACLES["pq_adc_topk"] = PQ_ADC_SQL
+
+
+def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ pipeline (Jegou et al.) — the ANN architecture
+    that actually runs at 100 TB: a coarse quantizer prunes the
+    candidate set to the query's cluster (here nprobe=1 over the
+    pinned SEMDEDUP centroids, the same assignment knn_ivf_fixed
+    certifies), then PQ-ADC scores only those candidates from their
+    8-byte codes. Per-query work drops from O(n) to O(n / k_coarse)
+    and the scanned index is 32x smaller than the raw vectors — the
+    two multiplicative wins compose. Both stages are individually
+    oracle-certified (knn_ivf_fixed, pq_adc_topk); this query's oracle
+    re-derives the COMPOSITION end-to-end in DuckDB, so the pruning
+    and the compressed scoring are checked together.
+
+    Plan: both quantizers are map-only codegen; queries (1%) broadcast
+    with their cluster id; the candidate join is cluster-equality +
+    ADC — one shuffle for the per-query top-5 window, nothing else.
+    """
+    enc = _pq_int_vectors(spark, sf_dir)
+    import math as _m
+
+    dots = [
+        F.aggregate(
+            F.zip_with(
+                "v",
+                F.array(*[F.lit(x) for x in SEMDEDUP_CENTROIDS[k]]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(_m.sqrt(sum(x * x for x in SEMDEDUP_CENTROIDS[k])))
+        for k in range(SEMDEDUP_K)
+    ]
+    best = F.greatest(*dots)
+    cluster = F.lit(None).cast("long")
+    for k in reversed(range(SEMDEDUP_K)):
+        cluster = F.when(dots[k] == best, F.lit(k)).otherwise(cluster)
+    enc = enc.select(
+        "vec_id", "qv", cluster.alias("cluster_id"), _pq_codes_col().alias("codes")
+    )
+    q = F.broadcast(
+        enc.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qv").alias("qq"),
+            F.col("cluster_id").alias("qc"),
+        )
+    )
+    x = enc.select(F.col("vec_id").alias("neighbor_id"), "cluster_id", "codes")
+    joined = x.join(
+        q,
+        (F.col("cluster_id") == F.col("qc"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    scored = joined.select(
+        "query_id", "neighbor_id", _pq_adc_col().alias("adc_dist")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+IVFPQ_ADC_SQL = (
+    f"""
+WITH q0 AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {PQ_QSCALE} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), dots AS (
+  SELECT vec_id, qv, """
+    + ", ".join(
+        f"list_dot_product(v, {_centroid_sql(k)}) / "
+        f"{_math.sqrt(sum(x * x for x in SEMDEDUP_CENTROIDS[k]))!r} AS d{k}"
+        for k in range(SEMDEDUP_K)
+    )
+    + """
+  FROM q0
+), assigned AS (
+  SELECT vec_id, qv,
+         CASE """
+    + " ".join(
+        f"WHEN d{k} = greatest(d0, d1, d2, d3) THEN {k}"
+        for k in range(SEMDEDUP_K)
+    )
+    + f""" END AS cluster_id
+  FROM dots
+), comp AS (
+  SELECT vec_id, cluster_id, j, qv[j + 1] AS qval,
+         j // {PQ_DSUB} AS s, j % {PQ_DSUB} AS jj
+  FROM assigned,
+       LATERAL (SELECT unnest(generate_series(0, {PQ_NSUB * PQ_DSUB - 1})) AS j)
+), cb AS (
+  SELECT s, c, jj, (s * 73 + c * 37 + jj * 17) % 25 - 12 AS val
+  FROM (SELECT unnest(generate_series(0, {PQ_NSUB - 1})) AS s),
+       (SELECT unnest(generate_series(0, {PQ_KCODE - 1})) AS c),
+       (SELECT unnest(generate_series(0, {PQ_DSUB - 1})) AS jj)
+), sdist AS (
+  SELECT comp.vec_id, comp.s, cb.c,
+         sum((qval - val) * (qval - val)) AS d
+  FROM comp JOIN cb ON cb.s = comp.s AND cb.jj = comp.jj
+  GROUP BY 1, 2, 3
+), codes AS (
+  SELECT vec_id, s, c FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+    FROM sdist
+  ) WHERE rn = 1
+), recon AS (
+  SELECT codes.vec_id, a.cluster_id, cb.s, cb.jj, cb.val
+  FROM codes
+  JOIN cb ON cb.s = codes.s AND cb.c = codes.c
+  JOIN assigned a ON a.vec_id = codes.vec_id
+), adc AS (
+  SELECT qc.vec_id AS query_id, r.vec_id AS neighbor_id,
+         sum((qc.qval - r.val) * (qc.qval - r.val)) AS a
+  FROM comp qc
+  JOIN recon r ON r.s = qc.s AND r.jj = qc.jj
+               AND r.cluster_id = qc.cluster_id
+  WHERE qc.vec_id % 100 = 0 AND r.vec_id <> qc.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id,
+       CAST(a AS BIGINT) AS adc_dist,
+       CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY a, neighbor_id) AS rn
+  FROM adc
+) WHERE rn <= 5
+"""
+)
+
+QUERIES["ivfpq_adc_topk"] = ivfpq_adc_topk
+ORACLES["ivfpq_adc_topk"] = IVFPQ_ADC_SQL

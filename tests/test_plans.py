@@ -416,3 +416,82 @@ def test_pagerank_iteration_plans_stay_bounded(spark, sf_dir):
     # lineage cut: at most the final round's joins appear (2 joins +
     # ranking window), not 3 rounds x 2 joins
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 4
+
+
+def test_common_paragraph_filter_pruned_scan_no_cartesian(spark, sf_dir):
+    """Corpus-global paragraph filtering: chunking is map-side, the
+    doc-frequency join is key-equi (never a pair blowup), and the scan
+    must read only (doc_id, text)."""
+    from etl_extractor_spark.plans.dedup import common_paragraph_filter
+
+    plan = _plan(common_paragraph_filter(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "lang" not in plan.split("ReadSchema")[1]
+
+
+def test_user_erasure_audit_no_cartesian(spark, sf_dir):
+    """GDPR dry-run: three fact probes against the tiny request list —
+    equi/semi joins only; the cascade must not multiply rows."""
+    from etl_extractor_spark.plans.cleaning import user_erasure_audit
+
+    plan = _plan(user_erasure_audit(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_orientation_bounds_wedge_join(spark, sf_dir):
+    """Triangle counting must run on the ORIENTED edge list: the wedge
+    self-join keys on src (equi), the closing probe on (src, dst) —
+    never a cartesian; and the only base scan is lineitem's two keys."""
+    from etl_extractor_spark.plans.graph import triangle_participation
+
+    plan = _plan(triangle_participation(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    read = plan.split("ReadSchema")[1]
+    assert "l_orderkey" in read and "l_quantity" not in plan
+
+
+def test_decayed_revenue_single_daily_aggregate(spark, sf_dir):
+    """Contribution expansion must run over the ALREADY-AGGREGATED
+    daily table: orders is scanned at most twice (daily + join-back),
+    the 30x explode never touches raw orders."""
+    from etl_extractor_spark.plans.analytics4 import decayed_daily_revenue
+
+    plan = _plan(decayed_daily_revenue(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan") <= 2
+
+
+def test_recursive_cte_plans_execute_without_cartesian(spark, sf_dir):
+    """WITH RECURSIVE: each iteration is an equi-join of the frontier
+    (no cartesian); union-loop execution handles the fixpoint."""
+    from etl_extractor_spark.plans.recursive import (
+        doc_subtree_rollup,
+        doc_tree_depth,
+    )
+
+    for fn in (doc_tree_depth, doc_subtree_rollup):
+        plan = _plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_pq_brute_broadcasts_query_side(spark, sf_dir):
+    """PQ-ADC brute scan: the non-equi self-pair join must be the
+    broadcast-small-query-side nested loop, never a cartesian of two
+    SF-scaled sides."""
+    from etl_extractor_spark.plans.similarity import pq_adc_topk
+
+    plan = _plan(pq_adc_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_ivfpq_candidate_join_is_equi_on_cluster(spark, sf_dir):
+    """IVF-PQ composition: coarse pruning must surface as an EQUI join
+    on cluster_id (hash or broadcast-hash), not the brute nested-loop —
+    that equi key IS the O(n/k) candidate bound."""
+    from etl_extractor_spark.plans.similarity import ivfpq_adc_topk
+
+    plan = _plan(ivfpq_adc_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
