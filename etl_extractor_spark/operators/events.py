@@ -340,3 +340,29 @@ def json_props_stats(df: DataFrame) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+def rate_limit(
+    df: DataFrame, window: str = "1 day", max_per_window: int = 2
+) -> DataFrame:
+    """Per-user rate limiting: within each tumbling window a user's
+    first ``max_per_window`` events (by ts, event_id) pass, the rest
+    are dropped — the batch specification of an ingestion throttle /
+    per-client quota (streaming twin:
+    `streaming/events_stream.py::streaming_rate_limit`). Returns the
+    event stream annotated with ``is_kept`` so callers can either
+    filter or audit.
+
+    One shuffle: the ranking window partitions by (user_id, bucket) —
+    the same key any per-user quota state would shard on at scale.
+    The bucket comes from F.window over the NTZ timestamp, so the
+    decision is session-timezone-independent.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(
+        "user_id", F.window("ts", window)
+    ).orderBy("ts", "event_id")
+    return df.withColumn(
+        "is_kept", (F.row_number().over(w) <= max_per_window)
+    )

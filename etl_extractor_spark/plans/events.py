@@ -587,3 +587,45 @@ FROM p GROUP BY path QUALIFY rk <= 20
 
 QUERIES["top_session_paths"] = top_session_paths
 ORACLES["top_session_paths"] = TOP_PATHS_SQL
+
+
+RL_WINDOW = "1 day"
+RL_MAX = 2
+
+
+def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ingestion throttle audit: how much of each user's
+    traffic survives a 2-events-per-day quota (abuse control /
+    API metering — also the dedup-adjacent 'burst collapse' cleaning
+    step for event-derived training data). Batch spec of the
+    streaming token bucket; one (user, bucket) shuffle then a user
+    fold that rides the same partitioning prefix."""
+    ev = E.rate_limit(
+        load_table(spark, sf_dir, "events"),
+        window=RL_WINDOW,
+        max_per_window=RL_MAX,
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("is_kept").cast("long")).alias("n_kept"),
+        F.sum((~F.col("is_kept")).cast("long")).alias("n_dropped"),
+    )
+
+
+EVENTS_RATE_LIMIT_SQL = f"""
+WITH ranked AS (
+  SELECT user_id,
+         row_number() OVER (
+           PARTITION BY user_id, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+           ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN rn <= {RL_MAX} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn > {RL_MAX} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM ranked GROUP BY 1
+"""
+
+QUERIES["events_rate_limit"] = events_rate_limit
+ORACLES["events_rate_limit"] = EVENTS_RATE_LIMIT_SQL

@@ -677,3 +677,75 @@ def streaming_dedup_within_watermark(
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["event_id"])
     )
+
+
+# ------------------------------------------------------ rate limiting
+
+_RL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+    ]
+)
+_RL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+_RL_BUCKET_US = 86400 * 1_000_000  # 1 day (matches plans/events.RL_WINDOW)
+_RL_MAX = 2
+
+
+def _rate_limit_state(key, pdfs, state: GroupState):
+    """Token-bucket quota per user: pass the first _RL_MAX events per
+    daily bucket, drop the rest. State carries only (current
+    bucket, count) — O(1) per key, the property that lets a quota
+    layer hold 10^9 keys in executor memory. Rows are sorted by
+    (ev_us, event_id) within the invocation, so with an in-order
+    source the kept set equals the batch `operators/events.rate_limit`
+    exactly; buckets older than the current one are assumed
+    watermark-expired (late events are charged to the current bucket —
+    the standard lenient-throttle behavior)."""
+    import pandas as _pd
+
+    (user_id,) = key
+    if state.exists:
+        bucket, n = state.get
+    else:
+        bucket, n = -1, 0
+    rows = _pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ev_us", "event_id"], kind="mergesort")
+    kept = []
+    for ev_us, event_id in zip(rows["ev_us"], rows["event_id"]):
+        b = int(ev_us) // _RL_BUCKET_US
+        if b > bucket:
+            bucket, n = b, 0
+        n += 1
+        if n <= _RL_MAX:
+            kept.append((user_id, int(event_id)))
+    state.update((bucket, n))
+    if kept:
+        yield _pd.DataFrame(kept, columns=["user_id", "event_id"])
+
+
+def streaming_rate_limit(stream: DataFrame) -> DataFrame:
+    """Streaming twin of the batch per-user rate limit: emits the KEPT
+    (user_id, event_id) pairs in append mode. ev_us is computed
+    JVM-side from the instant (same discipline as the timer operator —
+    naive-pandas micros would shift under a non-UTC session)."""
+    return (
+        stream.select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ev_us"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _rate_limit_state,
+            outputStructType=_RL_OUT_SCHEMA,
+            stateStructType=_RL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -495,3 +495,14 @@ def test_ivfpq_candidate_join_is_equi_on_cluster(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_rate_limit_single_shuffle(spark, sf_dir):
+    """The quota decision must shuffle once on (user, bucket); the
+    per-user audit fold rides the same partitioning prefix — a second
+    full exchange would double the cost of an ingestion-path gate."""
+    from etl_extractor_spark.plans.events import events_rate_limit
+
+    plan = _plan(events_rate_limit(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2

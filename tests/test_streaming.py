@@ -489,3 +489,27 @@ def test_streaming_quality_gate_matches_batch(spark, sf_dir):
     cols = ["doc_id", "n_tokens", "logit_micro", "keep"]
     assert _rows(got, cols) == _rows(expected, cols)
     assert 0 < got.filter(F.col("keep")).count() < got.count()
+
+
+def test_streaming_rate_limit_matches_batch(spark, sf_dir):
+    """Token-bucket throttle: the streaming kept-set must equal the
+    batch rate_limit specification event-for-event (single availableNow
+    batch ⇒ in-order per-user processing)."""
+    from etl_extractor_spark.operators.events import rate_limit
+
+    batch_kept = (
+        rate_limit(load_table(spark, sf_dir, "events"))
+        .filter("is_kept")
+        .select(F.col("user_id").cast("long"), F.col("event_id").cast("long"))
+    )
+    got = SE.run_to_memory(
+        SE.streaming_rate_limit(SE.events_stream(spark, sf_dir)),
+        "t_rate_limit",
+        output_mode="append",
+    )
+    assert _rows(got, ["user_id", "event_id"]) == _rows(
+        batch_kept, ["user_id", "event_id"]
+    )
+    # the quota actually fired: some events were dropped
+    n_total = load_table(spark, sf_dir, "events").count()
+    assert 0 < got.count() < n_total
