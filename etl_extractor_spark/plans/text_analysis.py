@@ -744,3 +744,131 @@ QUERIES["chunk_sliding_stride"] = chunk_sliding_stride
 ORACLES["chunk_sliding_stride"] = CHUNK_SLIDING_SQL
 QUERIES["oov_rate"] = oov_rate
 ORACLES["oov_rate"] = OOV_RATE_SQL
+
+
+BPE_ROUNDS = 3
+
+
+def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL iterative BPE training, ``BPE_ROUNDS`` merge rounds
+    distributed end-to-end — the loop `bpe_apply_merge` unrolls once,
+    now run to a (small) vocabulary: each round counts adjacent symbol
+    pairs corpus-wide, picks the winner (n DESC, pair ASC — the
+    deterministic argmax), fuses it EVERYWHERE, and repeats on the
+    re-segmented corpus. Emits the learned merge table
+    (round, pair, n) — i.e. the tokenizer vocabulary delta.
+
+    Two representation invariants make the rounds exact and engine-
+    portable once symbols grow beyond one character:
+
+    - symbols are joined with TWO spaces and the string padded with
+      one: the fuse is then a plain ``replace(' A  B ', ' AB ')`` —
+      the pattern's boundary spaces guarantee A and B match COMPLETE
+      symbols (symbols never contain spaces), and because each
+      occurrence consumes only one space of each flanking delimiter,
+      left-to-right non-overlapping replace implements BPE's canonical
+      leftmost-first fusing even for runs like ``A A A``.
+    - the winning pair rides a broadcast 1-row join into the replace
+      (no driver collect); the corpus is localCheckpoint'ed each round
+      so the plan stays flat (lineage discipline proven by the
+      PageRank/components operators).
+
+    Scale: each round is one pair-count shuffle over the DISTINCT pair
+    space (map-side partial agg eats the stream) + one map-only fuse.
+    Rounds are inherently sequential — that is BPE, not the engine.
+    The oracle unrolls all three rounds as DuckDB CTEs, so the loop's
+    composition is hash-certified, not just one round.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(ts.tokens("text")).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    corpus = toks.select(
+        F.concat(
+            F.lit(" "),
+            F.concat_ws("  ", F.split(F.col("tok"), "(?!^)(?=.)")),
+            F.lit(" "),
+        ).alias("s")
+    )
+    rounds = []
+    for r in range(1, BPE_ROUNDS + 1):
+        pairs = corpus.select(F.split(F.trim("s"), "  ").alias("syms")).select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(syms) < 2"
+                    " THEN CAST(array() AS array<struct<a:string,b:string>>)"
+                    " ELSE transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(syms[i - 1] AS a, syms[i] AS b)) END"
+                )
+            ).alias("p")
+        )
+        counts = pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        # orderBy().limit(1) compiles to TakeOrderedAndProject — a
+        # distributed per-partition top-1 + tiny driver merge, never
+        # the single-partition funnel a global row_number window is.
+        top1 = counts.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1)
+        rounds.append(
+            top1.select(
+                F.lit(r).cast("long").alias("round"),
+                F.concat("a", F.lit("|"), "b").alias("pair"),
+                "n",
+            )
+        )
+        corpus = (
+            corpus.crossJoin(F.broadcast(top1))
+            .select(
+                F.replace(
+                    "s",
+                    F.concat(F.lit(" "), "a", F.lit("  "), "b", F.lit(" ")),
+                    F.concat(F.lit(" "), "a", "b", F.lit(" ")),
+                ).alias("s")
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = rounds[0]
+    for t in rounds[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+def _bpe_train_sql() -> str:
+    head = r"""
+WITH toks AS (
+  SELECT tok FROM (
+    SELECT unnest(string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ')) AS tok
+    FROM documents
+  ) WHERE len(tok) >= 2
+), c0 AS (
+  SELECT ' ' || list_aggregate(string_split(tok, ''), 'string_agg', '  ') || ' ' AS s
+  FROM toks
+)"""
+    ctes, selects = [], []
+    for r in range(1, BPE_ROUNDS + 1):
+        prev = f"c{r - 1}"
+        ctes.append(
+            f""", p{r} AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, count(*) AS n
+  FROM (SELECT string_split(trim(s), '  ') AS syms FROM {prev}),
+       LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
+  GROUP BY 1, 2
+), t{r} AS (
+  SELECT a, b, n FROM p{r} ORDER BY n DESC, a ASC, b ASC LIMIT 1
+), c{r} AS (
+  SELECT replace(s,
+           ' ' || (SELECT a FROM t{r}) || '  ' || (SELECT b FROM t{r}) || ' ',
+           ' ' || (SELECT a FROM t{r}) || (SELECT b FROM t{r}) || ' ') AS s
+  FROM {prev}
+)"""
+        )
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, a || '|' || b AS pair, n FROM t{r}"
+        )
+    return head + "".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+BPE_TRAIN_SQL = _bpe_train_sql()
+
+QUERIES.update({"bpe_train_rounds": bpe_train_rounds})
+ORACLES.update({"bpe_train_rounds": BPE_TRAIN_SQL})

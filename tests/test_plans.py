@@ -506,3 +506,42 @@ def test_rate_limit_single_shuffle(spark, sf_dir):
     plan = _plan(events_rate_limit(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_bpe_train_rounds_multichar_and_full_fuse(spark, tmp_path):
+    """Iterative BPE edge coverage in one corpus: round 2+ must fuse a
+    MULTI-CHARACTER symbol pair boundary-safely (the double-space
+    delimiter: 'ab'+'ab' in 'abab', never matching across symbol
+    boundaries like the 'b a' inside 'ab ab'), runs like 'ababab' must
+    fuse leftmost-first, and tokens that collapse into a single symbol
+    must hit the size(syms) < 2 guard instead of ANSI-erroring. Result
+    hash-checked against the unrolled DuckDB oracle on the same frame."""
+    import duckdb
+    import pandas as pd
+
+    from etl_extractor_spark.plans.text_analysis import (
+        BPE_TRAIN_SQL,
+        bpe_train_rounds,
+    )
+    from tests.oracle import compare
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "source": ["src0", "src0", "src1", "src1"],
+            "text": [
+                "abab abab ababab",
+                "ab abba cab",
+                "abab drab abs",
+                "babble ab abab",
+            ],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    n = compare(bpe_train_rounds(spark, str(tmp_path)), con, BPE_TRAIN_SQL)
+    assert n == 3
