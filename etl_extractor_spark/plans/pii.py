@@ -194,3 +194,122 @@ ORACLES = {
     "pii_redaction": PII_REDACTION_SQL,
     "pii_prevalence_by_source": PII_PREVALENCE_SQL,
 }
+
+
+CARD_RE = r"[0-9]{16}"
+
+
+def pii_luhn_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated credit-card detection: a bare ``[0-9]{16}``
+    regex false-positives on order numbers and timestamps at corpus
+    scale, so production PII scanners validate candidates with the
+    Luhn mod-10 check before redacting. Every 3rd document gets a
+    deterministic synthetic 16-digit number injected (15 digits from
+    doc_id, check digit = doc_id % 10 — so only ~1 in 10 passes Luhn
+    by construction), then the detector extracts candidates and
+    validates them in pure integer arithmetic. Per-source report:
+    candidates vs Luhn-valid.
+
+    Map-only detection + validation (regex and digit fold both live in
+    whole-stage codegen), one tiny rollup shuffle — composes with any
+    scan at 100 TB like the other PII passes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    digits15 = F.lpad(
+        ((F.col("doc_id") * 7919) % F.lit(10**15)).cast("string"), 15, "0"
+    )
+    aug = d.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" cc "),
+                digits15,
+                (F.col("doc_id") % 10).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("aug"),
+    )
+    cards = aug.select(
+        "source",
+        F.explode_outer(
+            F.regexp_extract_all(F.col("aug"), F.lit(CARD_RE), 0)
+        ).alias("card"),
+    )
+    # Luhn: from the rightmost digit, double every 2nd digit, subtract
+    # 9 when the doubled value exceeds 9, sum, valid iff sum % 10 == 0.
+    luhn_sum = F.aggregate(
+        F.sequence(F.lit(1), F.lit(16)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            (F.lit(17) - i) % 2 == 0,
+            F.when(
+                F.substring(F.col("card"), 1, 16).substr(i, F.lit(1)).cast("int") * 2 > 9,
+                F.substring(F.col("card"), 1, 16).substr(i, F.lit(1)).cast("int") * 2 - 9,
+            ).otherwise(
+                F.substring(F.col("card"), 1, 16).substr(i, F.lit(1)).cast("int") * 2
+            ),
+        ).otherwise(
+            F.substring(F.col("card"), 1, 16).substr(i, F.lit(1)).cast("int")
+        ),
+    )
+    return (
+        cards.select(
+            "source",
+            F.col("card").isNotNull().cast("long").alias("is_cand"),
+            F.when(
+                F.col("card").isNotNull() & (luhn_sum % 10 == 0), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_valid"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("is_cand").alias("n_candidates"),
+            F.sum("is_valid").alias("n_luhn_valid"),
+        )
+        .orderBy("source")
+    )
+
+
+PII_LUHN_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 3 = 1
+              THEN text || ' cc ' ||
+                   lpad(CAST((doc_id * 7919) % 1000000000000000 AS VARCHAR), 15, '0') ||
+                   CAST(doc_id % 10 AS VARCHAR)
+              ELSE text END AS aug
+  FROM documents
+), cards AS (
+  SELECT source, unnest(
+           CASE WHEN len(regexp_extract_all(aug, '{CARD_RE}')) = 0
+                THEN [NULL]
+                ELSE regexp_extract_all(aug, '{CARD_RE}') END) AS card
+  FROM aug
+), scored AS (
+  SELECT source,
+         CASE WHEN card IS NULL THEN 0 ELSE 1 END AS is_cand,
+         CASE WHEN card IS NOT NULL AND
+                   list_sum(list_transform(generate_series(1, 16), i ->
+                     CASE WHEN (17 - i) % 2 = 0
+                          THEN CASE WHEN CAST(substr(card, i, 1) AS INTEGER) * 2 > 9
+                                    THEN CAST(substr(card, i, 1) AS INTEGER) * 2 - 9
+                                    ELSE CAST(substr(card, i, 1) AS INTEGER) * 2 END
+                          ELSE CAST(substr(card, i, 1) AS INTEGER) END)) % 10 = 0
+              THEN 1 ELSE 0 END AS is_valid
+  FROM cards
+)
+SELECT source,
+       CAST(sum(is_cand) AS BIGINT) AS n_candidates,
+       CAST(sum(is_valid) AS BIGINT) AS n_luhn_valid
+FROM scored GROUP BY source ORDER BY source
+"""
+
+QUERIES["pii_luhn_cards"] = pii_luhn_cards
+ORACLES["pii_luhn_cards"] = PII_LUHN_SQL
