@@ -204,3 +204,59 @@ FROM nation
 
 QUERIES["pyds_envelope_scan"] = pyds_envelope_scan
 ORACLES["pyds_envelope_scan"] = PYDS_ENVELOPE_SQL
+
+
+def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/S4 schema evolution: a real table accretes columns over time
+    — old files lack them, new files carry them — and the reader must
+    union the generations with nulls for the missing column
+    (``mergeSchema``), never failing or silently dropping. Generation
+    1 (even doc_ids) is written WITHOUT ``score``; generation 2 (odd)
+    WITH it; the merged read is rolled up per lang with the null
+    accounting made explicit. The oracle rebuilds the same two
+    generations from the documents table in SQL.
+
+    100 TB note: mergeSchema=true scans file footers at planning time
+    — on a huge table pin the merged schema explicitly (as catalogs
+    do) and pay the footer sweep once, not per query; the read path
+    itself is unchanged.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_schema_evo_{os.getpid()}"
+    )
+    d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "gen=1"))
+    d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", F.col("n_chars").alias("score")
+    ).write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "gen=1"), os.path.join(base, "gen=2")
+    )
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("score").isNull().cast("long")).alias("n_legacy_rows"),
+            F.sum(F.coalesce("score", F.lit(0))).alias("sum_score"),
+        )
+        .orderBy("lang")
+    )
+
+
+SCHEMA_EVOLUTION_SQL = """
+WITH merged AS (
+  SELECT doc_id, lang, NULL AS score FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, lang, n_chars AS score FROM documents WHERE doc_id % 2 = 1
+)
+SELECT lang,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN score IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy_rows,
+       CAST(sum(coalesce(score, 0)) AS BIGINT) AS sum_score
+FROM merged GROUP BY lang ORDER BY lang
+"""
+
+QUERIES["parquet_schema_evolution"] = parquet_schema_evolution
+ORACLES["parquet_schema_evolution"] = SCHEMA_EVOLUTION_SQL
