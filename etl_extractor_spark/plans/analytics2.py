@@ -346,3 +346,149 @@ ORACLES = {
     "lang_metrics_unpivot": LANG_METRICS_UNPIVOT_SQL,
     "customers_both_years": CUSTOMERS_BOTH_YEARS_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+AR_TOPN = 25
+
+
+def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori-style association mining over co-purchased parts: for
+    the 25 strongest pairs (by co-occurrence, deterministic key
+    tie-break) report support in integer bps, confidence a→b, and
+    lift. The pair space is bounded by within-basket expansion (same
+    order), never a corpus cross join — the standard market-basket
+    formulation at any scale: one self-join keyed on the basket id,
+    distinct, then two tiny dimension joins against per-item counts.
+    Counts and bps are exact integers; confidence/lift are rounded
+    ratios of those integers (both engines compute them from identical
+    counts)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.distinct()
+    # basket total as a broadcast 1-row scalar — never a driver count()
+    tot = baskets.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ia, ib = item.alias("ia"), item.alias("ib")
+    top = (
+        pairs.join(ia, F.col("part_a") == F.col("ia.l_partkey"))
+        .join(ib, F.col("part_b") == F.col("ib.l_partkey"))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.col("ia.n_item").alias("n_a"),
+            F.col("ib.n_item").alias("n_b"),
+        )
+        .orderBy(F.desc("n_ab"), F.asc("part_a"), F.asc("part_b"))
+        .limit(AR_TOPN)
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        "part_a",
+        "part_b",
+        "n_ab",
+        F.expr("n_ab * 10000 div n_orders").alias("support_bps"),
+        F.round(F.col("n_ab") / F.col("n_a"), 4).alias("confidence_ab"),
+        F.round(
+            F.col("n_ab") * F.col("n_orders").cast("double")
+            / (F.col("n_a") * F.col("n_b")),
+            4,
+        ).alias("lift"),
+    )
+
+
+ASSOCIATION_SQL = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), tot AS (
+  SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets
+), item AS (
+  SELECT l_partkey, count(*) AS n_item FROM baskets GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), top AS (
+  SELECT part_a, part_b, n_ab, ia.n_item AS n_a, ib.n_item AS n_b
+  FROM pairs
+  JOIN item ia ON part_a = ia.l_partkey
+  JOIN item ib ON part_b = ib.l_partkey
+  ORDER BY n_ab DESC, part_a ASC, part_b ASC
+  LIMIT {AR_TOPN}
+)
+SELECT part_a, part_b, n_ab,
+       n_ab * 10000 // (SELECT n_orders FROM tot) AS support_bps,
+       round(n_ab * 1.0 / n_a, 4) AS confidence_ab,
+       round(n_ab * 1.0 * (SELECT n_orders FROM tot) / (n_a * n_b), 4) AS lift
+FROM top
+"""
+
+
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS revenue trend: regr_slope / regr_intercept /
+    regr_r2 of order value against the order's day index — grouped
+    linear regression as a single aggregate pass (Spark and DuckDB
+    both ship the regr_* family; no collect, no per-group loop, one
+    shuffle on nationkey). The day index is an exact integer datediff
+    from a pinned epoch, so x is identical in both engines."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        F.datediff(F.to_date("o_orderdate"), F.lit("2024-01-01").cast("date")).alias(
+            "x"
+        ),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.expr("regr_slope(o_totalprice, x)"), 4).alias("slope"),
+            F.round(F.expr("regr_intercept(o_totalprice, x)"), 4).alias(
+                "intercept"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+NATION_TREND_SQL = """
+SELECT n_name,
+       count(*) AS n_orders,
+       round(regr_slope(o_totalprice, datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE))), 4) AS slope,
+       round(regr_intercept(o_totalprice, datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE))), 4) AS intercept
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+QUERIES.update(
+    {
+        "part_association_rules": part_association_rules,
+        "nation_revenue_trend": nation_revenue_trend,
+    }
+)
+ORACLES.update(
+    {
+        "part_association_rules": ASSOCIATION_SQL,
+        "nation_revenue_trend": NATION_TREND_SQL,
+    }
+)
