@@ -47,6 +47,13 @@ BENCH_QUERIES = [
     # Spark-4 VARIANT semi-structured path
     "pii_redaction",
     "events_variant_stats",
+    # round-3 wave 4: the IVF-PQ ANN composition (the 100 TB vector
+    # path) and corpus-global paragraph filtering. (Triangle counting
+    # is NOT benched: the synthetic co-purchase graph is near-complete
+    # on |parts| nodes at sf0.1, so its cost measures the data's
+    # density, not the engine — see SCALING.md.)
+    "ivfpq_adc_topk",
+    "common_paragraph_filter",
 ]
 
 

@@ -644,7 +644,9 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse filter (knn_ivf_fixed) for the full IVFPQ pipeline at
     scale; kept separate here so each stage has its own oracle.
     """
-    enc = _pq_int_vectors(spark, sf_dir).select(
+    from etl_extractor_spark.operators.common import fan_out
+
+    enc = fan_out(_pq_int_vectors(spark, sf_dir)).select(
         "vec_id", "qv", _pq_codes_col().alias("codes")
     )
     q = F.broadcast(
@@ -733,7 +735,9 @@ def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with their cluster id; the candidate join is cluster-equality +
     ADC — one shuffle for the per-query top-5 window, nothing else.
     """
-    enc = _pq_int_vectors(spark, sf_dir)
+    from etl_extractor_spark.operators.common import fan_out
+
+    enc = fan_out(_pq_int_vectors(spark, sf_dir))
     import math as _m
 
     dots = [
