@@ -95,7 +95,7 @@ _PRIORITY = (
     "doc_tree_depth", "doc_subtree_rollup", "pq_adc_topk", "ivfpq_adc_topk",
     "events_rate_limit", "bpe_train_rounds", "pii_luhn_cards",
     "parquet_schema_evolution", "part_association_rules",
-    "nation_revenue_trend",
+    "nation_revenue_trend", "orc_roundtrip", "bootstrap_revenue_ci",
     # --- regression canary (green in r1/r2; re-pin a few anchors)
     "q5_regional_revenue", "fact_conformed", "dedup_minhash_lsh",
     "dedup_minhash_lsh_oph", "star_join_detail", "text_quality",

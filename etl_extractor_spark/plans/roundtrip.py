@@ -260,3 +260,35 @@ FROM merged GROUP BY lang ORDER BY lang
 
 QUERIES["parquet_schema_evolution"] = parquet_schema_evolution
 ORACLES["parquet_schema_evolution"] = SCHEMA_EVOLUTION_SQL
+
+
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4-adjacent columnar-format parity: supplier → ORC → read back
+    with a projection + predicate, proving the second columnar format
+    end-to-end under the hash gate (pytest covers pushdown plans; this
+    certifies values). ORC matters operationally as the interchange
+    format of Hive-lineage warehouses — an engine claiming to replace
+    one must round-trip it losslessly."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_orc_roundtrip_{os.getpid()}"
+    )
+    s.write.mode("overwrite").orc(out_dir)
+    back = spark.read.orc(out_dir)
+    return back.filter(F.col("s_acctbal") > 0).select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.round("s_acctbal", 2).alias("s_acctbal"),
+    )
+
+
+ORC_ROUNDTRIP_SQL = """
+SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS s_acctbal
+FROM supplier WHERE s_acctbal > 0
+"""
+
+QUERIES["orc_roundtrip"] = orc_roundtrip
+ORACLES["orc_roundtrip"] = ORC_ROUNDTRIP_SQL

@@ -99,3 +99,118 @@ ORACLES = {
     "lineitem_stats": LINEITEM_STATS_SQL,
     "sql_star_revenue": _SQL_STAR,
 }
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence interval (deterministic, hash-driven)
+# ---------------------------------------------------------------------------
+
+BOOT_B = 100  # bootstrap replicas
+# Poisson(1) inverse-CDF thresholds scaled to 2^32 (floor(cdf(k)*2^32)
+# for k=0..5; u >= all ⇒ weight 6). Shared integer literals — both
+# engines compare the same md5-derived 32-bit uniform against them.
+BOOT_THRESH = [1580030168, 3160060337, 3950075421, 4213413783, 4279248373, 4292415291]
+
+
+def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (the resampling scheme that DISTRIBUTES: per
+    replica each row independently gets a Poisson(1) multiplicity, so
+    no replica needs a global sample-with-replacement pass — Chamandy
+    et al., 'Estimating Uncertainty for Massive Data Streams', Google
+    2012): B=100 replicas of mean order value in one scan. The
+    per-(row, replica) weight is the Poisson(1) inverse CDF applied to
+    a 32-bit uniform derived from md5(orderkey:b) — deterministic,
+    identical in both engines, so the whole CI is hash-checkable (no
+    RNG state anywhere). CI bounds are ORDER STATISTICS of the replica
+    means (ranks 3 and 98 of 100 ≈ the 95% interval) — exact rank
+    selection, no interpolation ambiguity.
+
+    Plan shape: 100x map-side expand of the scan → ONE shuffle on the
+    replica id with map-side partial aggregation (so the shuffle
+    carries 100 x n_partitions partials, not 100 x n_rows) → a 100-row
+    sort. At 100 TB the expand is free (generated column), the partial
+    agg is the whole trick.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    rep = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":"), F.col("b"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(6)
+    for k in reversed(range(6)):
+        w = F.when(u < F.lit(BOOT_THRESH[k]), F.lit(k)).otherwise(w)
+    means = (
+        rep.select("b", (w * F.col("cents")).alias("wc"), w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.round(
+                F.sum("wc").cast("double") / F.sum("w").cast("double"), 4
+            ).alias("mean_cents")
+        )
+    )
+    from pyspark.sql import Window
+
+    ranked = means.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.asc("mean_cents"), F.asc("b")))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_replicas"),
+        F.min(F.when(F.col("r") == 3, F.col("mean_cents"))).alias("ci_lo"),
+        F.min(F.when(F.col("r") == 98, F.col("mean_cents"))).alias("ci_hi"),
+    )
+
+
+def _hex8_to_int_sql(expr: str) -> str:
+    """DuckDB: decode the first 8 hex chars of an md5 to the same
+    BIGINT Spark's conv(...,16,10) produces (nibble shift-or fold)."""
+    return " + ".join(
+        f"(CAST(strpos('0123456789abcdef', substr({expr}, {1 + j}, 1)) - 1 AS BIGINT)"
+        f" << {4 * (7 - j)})"
+        for j in range(8)
+    )
+
+
+_BOOT_W_SQL = "CASE " + " ".join(
+    f"WHEN u < {t} THEN {k}" for k, t in enumerate(BOOT_THRESH)
+) + " ELSE 6 END"
+
+BOOTSTRAP_CI_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+), rep AS (
+  SELECT o_orderkey, cents, b,
+         {_hex8_to_int_sql("md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR))")} AS u
+  FROM o, LATERAL (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b)
+), weighted AS (
+  SELECT b, {_BOOT_W_SQL} AS w, cents FROM rep
+), means AS (
+  SELECT b,
+         round(CAST(sum(w * cents) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 4) AS mean_cents
+  FROM weighted GROUP BY b
+), ranked AS (
+  SELECT b, mean_cents,
+         row_number() OVER (ORDER BY mean_cents ASC, b ASC) AS r
+  FROM means
+)
+SELECT count(*) AS n_replicas,
+       min(CASE WHEN r = 3 THEN mean_cents END) AS ci_lo,
+       min(CASE WHEN r = 98 THEN mean_cents END) AS ci_hi
+FROM ranked
+"""
+
+QUERIES["bootstrap_revenue_ci"] = bootstrap_revenue_ci
+ORACLES["bootstrap_revenue_ci"] = BOOTSTRAP_CI_SQL
