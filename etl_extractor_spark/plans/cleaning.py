@@ -227,3 +227,64 @@ FROM lineitem
 
 QUERIES["user_erasure_audit"] = user_erasure_audit
 ORACLES["user_erasure_audit"] = ERASURE_AUDIT_SQL
+
+
+def woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence categorical encoding (credit-scoring /
+    feature-engineering standard): per category of
+    (c_mktsegment, o_orderpriority), WOE = ln(P(cat|good)/P(cat|bad))
+    with good = fulfilled orders (o_orderstatus = 'F'). The encoding
+    table is what a model-training pipeline joins back onto the fact —
+    producing it is one grouped count + one broadcast-scalar totals
+    join; all inputs to the ln are exact integer counts, the ln itself
+    is a single rounded double per category."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", (F.col("o_orderstatus") == "F").alias("good")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    cat = j.groupBy("c_mktsegment", "o_orderpriority").agg(
+        F.sum(F.col("good").cast("long")).alias("n_good"),
+        F.sum((~F.col("good")).cast("long")).alias("n_bad"),
+    )
+    tot = j.agg(
+        F.sum(F.col("good").cast("long")).alias("t_good"),
+        F.sum((~F.col("good")).cast("long")).alias("t_bad"),
+    )
+    return cat.crossJoin(F.broadcast(tot)).select(
+        "c_mktsegment",
+        "o_orderpriority",
+        "n_good",
+        "n_bad",
+        F.round(
+            F.log(
+                (F.col("n_good") * F.col("t_bad")).cast("double")
+                / (F.col("n_bad") * F.col("t_good")).cast("double")
+            ),
+            4,
+        ).alias("woe"),
+    )
+
+
+WOE_SQL = """
+WITH j AS (
+  SELECT c_mktsegment, o_orderpriority,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS good
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), cat AS (
+  SELECT c_mktsegment, o_orderpriority,
+         CAST(sum(good) AS BIGINT) AS n_good,
+         CAST(sum(1 - good) AS BIGINT) AS n_bad
+  FROM j GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(sum(good) AS BIGINT) AS t_good,
+         CAST(sum(1 - good) AS BIGINT) AS t_bad
+  FROM j
+)
+SELECT c_mktsegment, o_orderpriority, n_good, n_bad,
+       round(ln(CAST(n_good * t_bad AS DOUBLE) / CAST(n_bad * t_good AS DOUBLE)), 4) AS woe
+FROM cat, tot
+"""
+
+QUERIES["woe_encoding"] = woe_encoding
+ORACLES["woe_encoding"] = WOE_SQL

@@ -872,3 +872,62 @@ BPE_TRAIN_SQL = _bpe_train_sql()
 
 QUERIES.update({"bpe_train_rounds": bpe_train_rounds})
 ORACLES.update({"bpe_train_rounds": BPE_TRAIN_SQL})
+
+
+PHRASE_A, PHRASE_B = "key", "order"
+
+
+def phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted-index phrase query: exact-phrase retrieval
+    ("key order") as a positional-postings self-join — the IR-engine
+    primitive (Lucene's PhraseQuery) expressed relationally. The
+    postings relation (token, doc_id, position) is what a search
+    pipeline MATERIALIZES bucketed by token; here it is built inline
+    (posexplode) and immediately queried: only the two phrase tokens'
+    postings survive the filter (predicate pushdown on the token
+    column of a materialized index ⇒ two posting-list scans, exactly
+    like an IR engine), then adjacency is b.pos = a.pos + 1 on the
+    same doc — an equi-join, never a text rescan.
+
+    Output: doc_id + occurrence count per matching doc.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    postings = d.select(
+        "doc_id",
+        F.posexplode(ts.tokens("text")).alias("pos", "tok"),
+    ).filter(F.col("tok").isin(PHRASE_A, PHRASE_B))
+    a = postings.filter(F.col("tok") == PHRASE_A).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = postings.filter(F.col("tok") == PHRASE_B).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_b")) & (F.col("pb") == F.col("pa") + 1),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+PHRASE_SEARCH_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), postings AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)
+  WHERE t[i] IN ('{PHRASE_A}', '{PHRASE_B}')
+)
+SELECT a.doc_id, count(*) AS n_hits
+FROM postings a
+JOIN postings b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.tok = '{PHRASE_A}' AND b.tok = '{PHRASE_B}'
+GROUP BY a.doc_id
+"""
+
+QUERIES.update({"phrase_search_postings": phrase_search_postings})
+ORACLES.update({"phrase_search_postings": PHRASE_SEARCH_SQL})
