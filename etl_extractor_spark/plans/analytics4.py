@@ -703,3 +703,117 @@ FROM daily d JOIN dec x ON x.tday = d.day
 
 QUERIES.update({"decayed_daily_revenue": decayed_daily_revenue})
 ORACLES.update({"decayed_daily_revenue": DECAYED_REVENUE_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Salted two-phase exact COUNT DISTINCT
+# ---------------------------------------------------------------------------
+
+
+def distinct_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type distinct-user counts under the SALTED two-phase
+    scheme: phase 1 deduplicates (type, salt, user) — the hot event
+    type's dedup work spreads over 16 reducers instead of one — and
+    phase 2 sums per-salt distinct counts, which is exact because the
+    salt is derived FROM the user id (pmod(user, 16)): each distinct
+    user lands in exactly one salt bucket, so bucket counts partition
+    the distinct set. This is the count-distinct sibling of
+    `topk_orders_salted` — the pattern that keeps a skewed
+    billion-user distinct from funneling through one reducer. The
+    oracle is the naive COUNT(DISTINCT), proving the two-phase
+    decomposition exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").alias("u"), F.pmod("user_id", F.lit(16)).alias("_salt")
+    )
+    phase1 = ev.distinct()  # (type, salt implied by u, u)
+    per_salt = phase1.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    return per_salt.groupBy("event_type").agg(
+        F.sum("d").alias("n_distinct_users")
+    )
+
+
+DISTINCT_SALTED_SQL = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+FROM events GROUP BY event_type
+"""
+
+QUERIES.update({"distinct_users_salted": distinct_users_salted})
+ORACLES.update({"distinct_users_salted": DISTINCT_SALTED_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC between two table versions)
+# ---------------------------------------------------------------------------
+
+SNAP_V1_CUTOFF = "1998-01-01"
+SNAP_V2_CUTOFF = "2000-01-01"
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table versions derived
+    deterministically from orders: v1 = orders before 1998; v2 = the
+    pre-2000 window with 'P'-status rows archived out (deletes) and
+    urgent orders repriced (+1.00, updates). The diff is ONE
+    full-outer join on the key with row-class tagging — the
+    reconciliation read `sinks/merge.py`'s CDC apply writes, and the
+    audit every snapshot-based lakehouse job runs after a restatement.
+    Counts per class; integer cents comparison, no float equality."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("d"),
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    v1 = o.filter(F.col("d") < F.lit(SNAP_V1_CUTOFF).cast("date")).select(
+        F.col("o_orderkey").alias("k1"), F.col("cents").alias("c1")
+    )
+    v2 = (
+        o.filter(
+            (F.col("d") < F.lit(SNAP_V2_CUTOFF).cast("date"))
+            & (F.col("o_orderstatus") != "P")
+        )
+        .select(
+            F.col("o_orderkey").alias("k2"),
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT", F.col("cents") + 100
+            )
+            .otherwise(F.col("cents"))
+            .alias("c2"),
+        )
+    )
+    diff = v1.join(v2, F.col("k1") == F.col("k2"), "full_outer").select(
+        F.when(F.col("k1").isNull(), F.lit("added"))
+        .when(F.col("k2").isNull(), F.lit("deleted"))
+        .when(F.col("c1") != F.col("c2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+    )
+    return diff.groupBy("change").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, o_orderstatus, o_orderpriority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+), v1 AS (
+  SELECT o_orderkey AS k1, cents AS c1 FROM o WHERE d < DATE '{SNAP_V1_CUTOFF}'
+), v2 AS (
+  SELECT o_orderkey AS k2,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN cents + 100 ELSE cents END AS c2
+  FROM o WHERE d < DATE '{SNAP_V2_CUTOFF}' AND o_orderstatus <> 'P'
+), diff AS (
+  SELECT CASE WHEN k1 IS NULL THEN 'added'
+              WHEN k2 IS NULL THEN 'deleted'
+              WHEN c1 <> c2 THEN 'changed'
+              ELSE 'unchanged' END AS change
+  FROM v1 FULL OUTER JOIN v2 ON k1 = k2
+)
+SELECT change, count(*) AS n_rows FROM diff GROUP BY change
+"""
+
+QUERIES.update({"snapshot_diff": snapshot_diff})
+ORACLES.update({"snapshot_diff": SNAPSHOT_DIFF_SQL})

@@ -214,3 +214,65 @@ FROM ranked
 
 QUERIES["bootstrap_revenue_ci"] = bootstrap_revenue_ci
 ORACLES["bootstrap_revenue_ci"] = BOOTSTRAP_CI_SQL
+
+
+def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample A/B significance readout: users are hash-split 50/50
+    (md5 — engine-portable, no RNG state), the metric is event value,
+    and the z statistic uses the exact count/sum/sum-of-squares
+    triple — the ONLY aggregation an experimentation pipeline needs to
+    ship to the driver regardless of data size (sufficient statistics,
+    not samples). One scan, one 2-group aggregate, scalar math on two
+    rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("value").cast("double").alias("v")
+    )
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+    )
+    g = ev.select(arm.alias("arm"), "v").groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    a = g.filter(F.col("arm") == 0).select(
+        F.col("n").alias("na"), F.col("s").alias("sa"), F.col("ss").alias("ssa")
+    )
+    b = g.filter(F.col("arm") == 1).select(
+        F.col("n").alias("nb"), F.col("s").alias("sb"), F.col("ss").alias("ssb")
+    )
+    j = a.crossJoin(b)  # 1 row x 1 row
+    ma, mb = F.col("sa") / F.col("na"), F.col("sb") / F.col("nb")
+    va = (F.col("ssa") - F.col("sa") * F.col("sa") / F.col("na")) / (F.col("na") - 1)
+    vb = (F.col("ssb") - F.col("sb") * F.col("sb") / F.col("nb")) / (F.col("nb") - 1)
+    return j.select(
+        "na",
+        "nb",
+        F.round(ma, 4).alias("mean_a"),
+        F.round(mb, 4).alias("mean_b"),
+        F.round(
+            (ma - mb) / F.sqrt(va / F.col("na") + vb / F.col("nb")), 4
+        ).alias("z"),
+    )
+
+
+AB_TEST_SQL = f"""
+WITH g AS (
+  SELECT ({_hex8_to_int_sql("md5(CAST(user_id AS VARCHAR))")}) % 2 AS arm,
+         count(*) AS n, sum(value) AS s, sum(value * value) AS ss
+  FROM events GROUP BY 1
+), a AS (SELECT n AS na, s AS sa, ss AS ssa FROM g WHERE arm = 0),
+b AS (SELECT n AS nb, s AS sb, ss AS ssb FROM g WHERE arm = 1)
+SELECT na, nb,
+       round(sa / na, 4) AS mean_a,
+       round(sb / nb, 4) AS mean_b,
+       round((sa / na - sb / nb) /
+             sqrt(((ssa - sa * sa / na) / (na - 1)) / na +
+                  ((ssb - sb * sb / nb) / (nb - 1)) / nb), 4) AS z
+FROM a, b
+"""
+
+QUERIES["ab_test_zscore"] = ab_test_zscore
+ORACLES["ab_test_zscore"] = AB_TEST_SQL
