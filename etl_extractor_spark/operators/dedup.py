@@ -822,3 +822,44 @@ def duplicated_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 30, min_bps: int = 8000
+) -> DataFrame:
+    """Directional n-gram CONTAINMENT pairs: C(a→b) = |A∩B| / |A|.
+    Jaccard misses quote-inclusion — a short document wholly contained
+    in a long one has small |A∩B|/|A∪B| but containment 1.0 from the
+    short side; dedup pipelines (Lee et al. 2022) check both metrics.
+    Same shingle substrate and candidate bounding as `_pair_jaccard`;
+    the score is integer basis points (n_common * 10000 div n_a) — no
+    float threshold boundary. Emits BOTH directions that clear
+    ``min_bps``."""
+    sh = char_shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    both = common.unionByName(
+        common.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            "n_common",
+        )
+    )
+    return (
+        both.join(sizes.withColumnsRenamed({"doc_id": "id_a", "n": "n_a"}), "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("n_common * 10000 div n_a").alias("containment_bps"),
+        )
+        .filter(F.col("containment_bps") >= min_bps)
+    )

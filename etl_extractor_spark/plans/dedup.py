@@ -318,3 +318,42 @@ FROM tagged GROUP BY doc_id
 
 QUERIES["common_paragraph_filter"] = common_paragraph_filter
 ORACLES["common_paragraph_filter"] = COMMON_PARAGRAPH_SQL
+
+
+CONTAIN_BPS = 8000
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment near-dup pairs (C(a→b) >= 0.8) — the
+    quote-inclusion detector Jaccard structurally misses; integer-bps
+    scores, both directions emitted."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(
+        d, "doc_id", "text", k=SHINGLE_K, min_bps=CONTAIN_BPS
+    )
+
+
+CONTAINMENT_SQL = rf"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, {SHINGLE_K}) AS s
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(1, len(text) - {SHINGLE_K - 1}))) AS i)
+  WHERE len(text) >= {SHINGLE_K}
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), bothdir AS (
+  SELECT id_a, id_b, c FROM common
+  UNION ALL
+  SELECT id_b, id_a, c FROM common
+)
+SELECT id_a, id_b, c * 10000 // sz.n AS containment_bps
+FROM bothdir JOIN sizes sz ON id_a = sz.doc_id
+WHERE c * 10000 // sz.n >= {CONTAIN_BPS}
+"""
+
+QUERIES["dedup_containment"] = dedup_containment
+ORACLES["dedup_containment"] = CONTAINMENT_SQL

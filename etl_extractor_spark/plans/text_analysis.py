@@ -931,3 +931,124 @@ GROUP BY a.doc_id
 
 QUERIES.update({"phrase_search_postings": phrase_search_postings})
 ORACLES.update({"phrase_search_postings": PHRASE_SEARCH_SQL})
+
+
+def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN→APPLY composition: learn the 3 BPE merges corpus-wide
+    (same loop as ``bpe_train_rounds``) and measure the segmentation
+    they buy PER DOCUMENT — symbols before vs after, and the saving in
+    integer bps. This is the per-doc token-budget readout a training
+    pipeline uses to cost documents under a tokenizer; running it as
+    one query proves the learned merges and their application compose
+    (the oracle re-derives the full chain, not just the merge table).
+
+    Same plan shape as the trainer plus one per-doc rollup that rides
+    the doc_id already carried through the fuse (no extra join)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(ts.tokens("text")).alias("tok")
+    ).filter(F.length("tok") >= 2)
+    corpus = toks.select(
+        "doc_id",
+        F.length("tok").alias("n_chars_tok"),
+        F.concat(
+            F.lit(" "),
+            F.concat_ws("  ", F.split(F.col("tok"), "(?!^)(?=.)")),
+            F.lit(" "),
+        ).alias("s"),
+    )
+    for _ in range(BPE_ROUNDS):
+        pairs = corpus.select(F.split(F.trim("s"), "  ").alias("syms")).select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(syms) < 2"
+                    " THEN CAST(array() AS array<struct<a:string,b:string>>)"
+                    " ELSE transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(syms[i - 1] AS a, syms[i] AS b)) END"
+                )
+            ).alias("p")
+        )
+        counts = pairs.groupBy(
+            F.col("p.a").alias("a"), F.col("p.b").alias("b")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        top1 = counts.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1)
+        corpus = (
+            corpus.crossJoin(F.broadcast(top1))
+            .select(
+                "doc_id",
+                "n_chars_tok",
+                F.replace(
+                    "s",
+                    F.concat(F.lit(" "), "a", F.lit("  "), "b", F.lit(" ")),
+                    F.concat(F.lit(" "), "a", "b", F.lit(" ")),
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        corpus.select(
+            "doc_id",
+            "n_chars_tok",
+            F.size(F.split(F.trim("s"), "  ")).cast("long").alias("n_syms"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_chars_tok").alias("syms_before"),
+            F.sum("n_syms").alias("syms_after"),
+        )
+        .withColumn(
+            "saved_bps",
+            F.expr("(syms_before - syms_after) * 10000 div syms_before"),
+        )
+    )
+
+
+def _bpe_apply_vocab_sql() -> str:
+    head = r"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ')) AS tok
+    FROM documents
+  ) WHERE len(tok) >= 2
+), c0 AS (
+  SELECT doc_id, len(tok) AS n_chars_tok,
+         ' ' || list_aggregate(string_split(tok, ''), 'string_agg', '  ') || ' ' AS s
+  FROM toks
+)"""
+    ctes = []
+    for r in range(1, BPE_ROUNDS + 1):
+        prev = f"c{r - 1}"
+        ctes.append(
+            f""", p{r} AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, count(*) AS n
+  FROM (SELECT string_split(trim(s), '  ') AS syms FROM {prev}),
+       LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
+  GROUP BY 1, 2
+), t{r} AS (
+  SELECT a, b FROM p{r} ORDER BY n DESC, a ASC, b ASC LIMIT 1
+), c{r} AS (
+  SELECT doc_id, n_chars_tok, replace(s,
+           ' ' || (SELECT a FROM t{r}) || '  ' || (SELECT b FROM t{r}) || ' ',
+           ' ' || (SELECT a FROM t{r}) || (SELECT b FROM t{r}) || ' ') AS s
+  FROM {prev}
+)"""
+        )
+    tail = f"""
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(n_chars_tok) AS BIGINT) AS syms_before,
+       CAST(sum(len(string_split(trim(s), '  '))) AS BIGINT) AS syms_after,
+       (CAST(sum(n_chars_tok) AS BIGINT) - CAST(sum(len(string_split(trim(s), '  '))) AS BIGINT))
+         * 10000 // CAST(sum(n_chars_tok) AS BIGINT) AS saved_bps
+FROM c{BPE_ROUNDS}
+GROUP BY doc_id
+"""
+    return head + "".join(ctes) + tail
+
+
+BPE_SEGMENT_SQL = _bpe_apply_vocab_sql()
+
+QUERIES.update({"bpe_segment_docs": bpe_segment_docs})
+ORACLES.update({"bpe_segment_docs": BPE_SEGMENT_SQL})
