@@ -492,3 +492,131 @@ ORACLES.update(
         "nation_revenue_trend": NATION_TREND_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Nested (array<struct>) document modeling
+# ---------------------------------------------------------------------------
+
+
+def orders_nested_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-data round-trip: reconstruct each order as an
+    array<struct> of its line items (the document shape a lakehouse
+    stores for event payloads / API exports), then compute the order
+    stats FROM THE NESTED FORM with array HOFs — proving the nested
+    model carries full fidelity. collect_list is an unordered partial
+    aggregate; determinism comes from sort_array AFTER collection
+    (struct comparison leads with l_linenumber), the same discipline
+    as the analytics2 array_agg query. One shuffle on the order key;
+    the HOF stats are map-side over the built arrays."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.struct(
+            F.col("l_linenumber").cast("long").alias("ln"),
+            F.col("l_partkey").alias("pk"),
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        ).alias("item"),
+    )
+    nested = l.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("item")).alias("lines")
+    )
+    return nested.select(
+        "l_orderkey",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.aggregate(
+            "lines", F.lit(0).cast("long"), lambda acc, x: acc + x["cents"]
+        ).alias("total_cents"),
+        F.array_max(F.transform("lines", lambda x: x["qty"])).alias("max_qty"),
+        F.element_at("lines", 1)["pk"].alias("first_part"),
+    )
+
+
+NESTED_LINES_SQL = """
+WITH nested AS (
+  SELECT l_orderkey,
+         list(struct_pack(
+             ln := CAST(l_linenumber AS BIGINT),
+             pk := l_partkey,
+             qty := CAST(l_quantity AS BIGINT),
+             cents := CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+           ORDER BY l_linenumber, l_partkey,
+                    CAST(l_quantity AS BIGINT),
+                    CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS lines
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(list_sum(list_transform(lines, x -> x.cents)) AS BIGINT) AS total_cents,
+       CAST(list_max(list_transform(lines, x -> x.qty)) AS BIGINT) AS max_qty,
+       lines[1].pk AS first_part
+FROM nested
+"""
+
+
+def customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest strictly-increasing spend streak per customer — the
+    gaps-and-islands shape behind engagement streaks and monotone-run
+    monitoring. Islands via the classic running-sum-of-breaks trick:
+    both windows (lag, running sum) share ONE o_custkey partitioning,
+    so the whole query is a single shuffle; integer cents comparisons
+    only."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    flagged = o.withColumn(
+        "brk",
+        F.when(
+            F.col("cents") > F.lag("cents").over(w), F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "grp",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    streaks = flagged.groupBy("o_custkey", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("o_custkey").agg(
+        F.sum("len").alias("n_orders"),
+        F.max("len").alias("max_streak"),
+    )
+
+
+ORDER_STREAKS_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+), flagged AS (
+  SELECT o_custkey, d, o_orderkey,
+         CASE WHEN cents > lag(cents) OVER w THEN 0 ELSE 1 END AS brk
+  FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+), grouped AS (
+  SELECT o_custkey,
+         sum(brk) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged
+), streaks AS (
+  SELECT o_custkey, grp, count(*) AS len FROM grouped GROUP BY 1, 2
+)
+SELECT o_custkey, CAST(sum(len) AS BIGINT) AS n_orders,
+       CAST(max(len) AS BIGINT) AS max_streak
+FROM streaks GROUP BY o_custkey
+"""
+
+QUERIES.update(
+    {
+        "orders_nested_lines": orders_nested_lines,
+        "customer_order_streaks": customer_order_streaks,
+    }
+)
+ORACLES.update(
+    {
+        "orders_nested_lines": NESTED_LINES_SQL,
+        "customer_order_streaks": ORDER_STREAKS_SQL,
+    }
+)

@@ -817,3 +817,88 @@ SELECT change, count(*) AS n_rows FROM diff GROUP BY change
 
 QUERIES.update({"snapshot_diff": snapshot_diff})
 ORACLES.update({"snapshot_diff": SNAPSHOT_DIFF_SQL})
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time resolution
+# ---------------------------------------------------------------------------
+
+SCD_V1 = "1995-01-01"
+SCD_V2 = "1998-01-01"
+
+
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history + point-in-time fact resolution in one query: the
+    customer dimension is versioned with the engine's own
+    `operators/scd.py` merge (v1 load 1995-01-01; 1998-01-01 batch
+    migrates every custkey % 3 == 0 to segment 'MIGRATED'), then each
+    order resolves the version valid AT ITS ORDER DATE — the
+    as-of-history join every auditable warehouse needs and wholesale
+    dimension replacement (the reference's approach) cannot answer.
+    Output: revenue by point-in-time segment and order year.
+
+    The PIT join is key-equi + a [valid_from, valid_to) range residual
+    — per key it touches at most the version count (2 here, bounded
+    small always), so it executes as a normal hash join with a cheap
+    residual filter, not a range explosion. The oracle rebuilds the
+    exact version table in SQL (both scd2_merge paths — changed and
+    unchanged keys — are therefore hash-certified)."""
+    from etl_extractor_spark.operators.scd import scd2_initial, scd2_merge
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dim_v1 = scd2_initial(c, "c_custkey", ["c_mktsegment"], SCD_V1)
+    updates = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("MIGRATED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    dim = scd2_merge(dim_v1, updates, "c_custkey", ["c_mktsegment"], SCD_V2)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        _cents().alias("cents"),
+    )
+    pit = o.join(
+        dim,
+        (o.o_custkey == dim.c_custkey)
+        & (F.col("d") >= F.col("valid_from"))
+        & (F.col("d") < F.col("valid_to")),
+    )
+    return (
+        pit.groupBy("c_mktsegment", F.year("d").cast("long").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+
+
+SCD2_PIT_SQL = f"""
+WITH dim AS (
+  -- v1 rows: migrated keys closed at the v2 load date, others open
+  SELECT c_custkey, c_mktsegment,
+         DATE '{SCD_V1}' AS valid_from,
+         CASE WHEN c_custkey % 3 = 0 THEN DATE '{SCD_V2}'
+              ELSE DATE '9999-12-31' END AS valid_to
+  FROM customer
+  UNION ALL
+  -- v2 versions for the migrated keys
+  SELECT c_custkey, 'MIGRATED', DATE '{SCD_V2}', DATE '9999-12-31'
+  FROM customer WHERE c_custkey % 3 = 0
+), o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT c_mktsegment,
+       CAST(year(d) AS BIGINT) AS order_year,
+       count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM o JOIN dim ON o_custkey = c_custkey
+                AND d >= valid_from AND d < valid_to
+GROUP BY 1, 2
+"""
+
+QUERIES.update({"scd2_point_in_time": scd2_point_in_time})
+ORACLES.update({"scd2_point_in_time": SCD2_PIT_SQL})
