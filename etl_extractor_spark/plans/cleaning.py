@@ -288,3 +288,57 @@ FROM cat, tot
 
 QUERIES["woe_encoding"] = woe_encoding
 ORACLES["woe_encoding"] = WOE_SQL
+
+
+K_ANON = 5
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple
+    (market segment, nation, order year): how many QI equivalence
+    classes fall below k=5 members — the re-identification risk
+    report a privacy review runs before releasing an 'anonymized'
+    extract (Sweeney 2002). One grouped count + one summary fold;
+    at 100 TB the QI group-by is the only shuffle and its cardinality
+    is the product of QI domains, not row count."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.year(F.to_date("o_orderdate")).alias("yr")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    qi = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_mktsegment", "n_name", "yr")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return qi.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("sz") < K_ANON).cast("long")).alias("risky_groups"),
+        F.sum(F.when(F.col("sz") < K_ANON, F.col("sz")).otherwise(0)).alias(
+            "risky_rows"
+        ),
+        F.min("sz").alias("min_group"),
+        F.max("sz").alias("max_group"),
+    )
+
+
+K_ANONYMITY_SQL = f"""
+WITH qi AS (
+  SELECT c_mktsegment, n_name, year(CAST(o_orderdate AS DATE)) AS yr,
+         count(*) AS sz
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2, 3
+)
+SELECT count(*) AS n_groups,
+       CAST(sum(CASE WHEN sz < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT) AS risky_groups,
+       CAST(sum(CASE WHEN sz < {K_ANON} THEN sz ELSE 0 END) AS BIGINT) AS risky_rows,
+       CAST(min(sz) AS BIGINT) AS min_group,
+       CAST(max(sz) AS BIGINT) AS max_group
+FROM qi
+"""
+
+QUERIES["k_anonymity_audit"] = k_anonymity_audit
+ORACLES["k_anonymity_audit"] = K_ANONYMITY_SQL
