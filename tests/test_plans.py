@@ -545,3 +545,45 @@ def test_bpe_train_rounds_multichar_and_full_fuse(spark, tmp_path):
     )
     n = compare(bpe_train_rounds(spark, str(tmp_path)), con, BPE_TRAIN_SQL)
     assert n == 3
+
+
+def test_bootstrap_ci_partial_agg_single_shuffle(spark, sf_dir):
+    """The 100x replica expand must partial-aggregate map-side: one
+    hashpartitioning exchange on the replica id (plus the 100-row
+    ranking), never a shuffle of the expanded rows themselves."""
+    from etl_extractor_spark.plans.stats import bootstrap_revenue_ci
+
+    plan = _plan(bootstrap_revenue_ci(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower() or "HashAggregate" in plan
+
+
+def test_scd2_pit_no_cartesian_bounded_joins(spark, sf_dir):
+    """The point-in-time join must stay key-equi with a range residual
+    — a pure range join (BroadcastNestedLoop over SF-scaled sides)
+    would explode at scale."""
+    from etl_extractor_spark.plans.analytics4 import scd2_point_in_time
+
+    plan = _plan(scd2_point_in_time(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the fact-dim join keys on custkey (equi), residual is a filter
+    assert "c_custkey" in plan
+
+
+def test_nested_lines_single_shuffle(spark, sf_dir):
+    """Nested reconstruction: one exchange on the order key; the HOF
+    stats run map-side over the built arrays."""
+    from etl_extractor_spark.plans.analytics2 import orders_nested_lines
+
+    plan = _plan(orders_nested_lines(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_streaks_share_one_partitioning(spark, sf_dir):
+    """lag + running-sum + per-(cust,grp) count + per-cust rollup must
+    ride ONE o_custkey exchange (grp is a refinement of the same key)."""
+    from etl_extractor_spark.plans.analytics2 import customer_order_streaks
+
+    plan = _plan(customer_order_streaks(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in plan
