@@ -292,3 +292,52 @@ FROM supplier WHERE s_acctbal > 0
 
 QUERIES["orc_roundtrip"] = orc_roundtrip
 ORACLES["orc_roundtrip"] = ORC_ROUNDTRIP_SQL
+
+
+def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic Partition Pruning, end to end: orders are written out
+    PARTITIONED BY order year (the engine's own partitioned writer
+    path), then joined to a filtered year dimension — at execution
+    Spark builds the dim's year set first and PRUNES the fact's
+    partition directories before scanning them (the `dynamicpruning`
+    subquery in the plan; guarded in tests/test_plans.py). On a 100 TB
+    date-partitioned fact this is the difference between scanning 7
+    years and scanning the 2 the dim selects — the single most
+    important optimizer behavior for star-schema scans. The oracle
+    computes the same join from the raw table, certifying values."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.year(F.to_date("o_orderdate")).alias("yr"),
+    )
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_dpp_{os.getpid()}")
+    o.write.mode("overwrite").partitionBy("yr").parquet(base)
+    fact = spark.read.parquet(base)
+    years = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.year(F.to_date("o_orderdate")).alias("dim_yr"))
+        .distinct()
+        .filter(F.col("dim_yr") >= 2000)
+    )
+    return (
+        fact.join(years, fact.yr == years.dim_yr)
+        .groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+
+
+DPP_SQL = """
+SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+WHERE year(CAST(o_orderdate AS DATE)) >= 2000
+GROUP BY 1
+"""
+
+QUERIES["dpp_partitioned_join"] = dpp_partitioned_join
+ORACLES["dpp_partitioned_join"] = DPP_SQL

@@ -587,3 +587,14 @@ def test_streaks_share_one_partitioning(spark, sf_dir):
     plan = _plan(customer_order_streaks(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_dpp_fires_on_partitioned_fact(spark, sf_dir):
+    """Dynamic Partition Pruning must appear in the partitioned-fact
+    join plan: the dim's filter prunes fact partitions at runtime
+    (PartitionFilters: [... dynamicpruning ...])."""
+    from etl_extractor_spark.plans.roundtrip import dpp_partitioned_join
+
+    plan = _plan(dpp_partitioned_join(spark, sf_dir))
+    assert "dynamicpruning" in plan.lower()
+    assert "CartesianProduct" not in plan
