@@ -100,7 +100,7 @@ _PRIORITY = (
     "distinct_users_salted", "snapshot_diff", "dedup_containment",
     "bpe_segment_docs", "scd2_point_in_time", "orders_nested_lines",
     "customer_order_streaks", "k_anonymity_audit", "multimodal_dhash",
-    "dpp_partitioned_join",
+    "dpp_partitioned_join", "bucketed_join_colocated",
     # --- regression canary (green in r1/r2; re-pin a few anchors)
     "q5_regional_revenue", "fact_conformed", "dedup_minhash_lsh",
     "dedup_minhash_lsh_oph", "star_join_detail", "text_quality",

@@ -341,3 +341,51 @@ GROUP BY 1
 
 QUERIES["dpp_partitioned_join"] = dpp_partitioned_join
 ORACLES["dpp_partitioned_join"] = DPP_SQL
+
+
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4's big⋈big answer as a driver-checkable query: orders and
+    customer are written BUCKETED on the join key (8 buckets each,
+    sorted) into a pinned-location database, then joined — Spark reads
+    matching buckets directly, so the join plan has NO Exchange on
+    either input (guarded in tests/test_plans.py); the only shuffle
+    left is the final segment rollup. On repeated 100 TB fact joins
+    this is the single largest shuffle saving available. The database
+    LOCATION is explicit (temp dir), so a vanilla driver session's
+    in-memory catalog works and nothing lands in the driver's cwd."""
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_bkt_{os.getpid()}")
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION '{base}'"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    from etl_extractor_spark.operators.bucketing import write_bucketed
+
+    write_bucketed(o, "graft_bkt.orders_b", "o_custkey", 8)
+    write_bucketed(c, "graft_bkt.customer_b", "c_custkey", 8)
+    ob = spark.table("graft_bkt.orders_b")
+    cb = spark.table("graft_bkt.customer_b")
+    return (
+        ob.join(cb, ob.o_custkey == cb.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+
+
+BUCKETED_JOIN_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+QUERIES["bucketed_join_colocated"] = bucketed_join_colocated
+ORACLES["bucketed_join_colocated"] = BUCKETED_JOIN_SQL

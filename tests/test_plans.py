@@ -598,3 +598,21 @@ def test_dpp_fires_on_partitioned_fact(spark, sf_dir):
     plan = _plan(dpp_partitioned_join(spark, sf_dir))
     assert "dynamicpruning" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_is_colocated(spark, sf_dir):
+    """Both bucketed scans must feed the sort-merge join directly —
+    zero Exchange on the join inputs (the single rollup exchange is
+    the only shuffle). Broadcast is disabled so the co-located SMJ
+    path (the 100 TB big-join shape) is what gets planned."""
+    from etl_extractor_spark.plans.roundtrip import bucketed_join_colocated
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(bucketed_join_colocated(spark, sf_dir))
+        assert "SortMergeJoin" in plan
+        assert plan.count("Bucketed: true") == 2
+        assert plan.count("Exchange hashpartitioning") == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
