@@ -616,3 +616,45 @@ def test_bucketed_join_is_colocated(spark, sf_dir):
         assert plan.count("Exchange hashpartitioning") == 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_common_paragraph_filter_empty_and_tiny_docs(spark, tmp_path):
+    """Edge coverage: an empty-text doc tokenizes to [''] in BOTH
+    engines (one empty paragraph — the ANSI sequence guard only has to
+    fire for NULL text), sub-chunk docs produce one tail paragraph,
+    and a 4-token chunk repeated across 3 docs crosses the df
+    threshold; hash-checked against the oracle on the same frame."""
+    import duckdb
+    import pandas as pd
+
+    from etl_extractor_spark.plans.dedup import (
+        COMMON_PARAGRAPH_SQL,
+        common_paragraph_filter,
+    )
+    from tests.oracle import compare
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6, 7],
+            "source": ["s"] * 7,
+            "lang": ["en"] * 7,
+            "n_chars": [0, 2, 11, 30, 30, 30, 30],
+            "text": [
+                "",  # empty -> zero paragraphs
+                "ab",  # single sub-chunk token
+                "one two three",  # one tail chunk
+                "common block here now tail",  # repeated 4-token chunk
+                "common block here now other",
+                "common block here now words",
+                "unique chunk entirely here xx",
+            ],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    n = compare(common_paragraph_filter(spark, str(tmp_path)), con, COMMON_PARAGRAPH_SQL)
+    assert n == 7
