@@ -486,3 +486,138 @@ FROM scored QUALIFY rk <= 25
 
 QUERIES["pmi_collocations"] = pmi_collocations
 ORACLES["pmi_collocations"] = PMI_SQL
+
+
+# ---------------------------------------------------------------------------
+# Source-pair similarity matrix via KMV (k-minimum-values) sketches
+# ---------------------------------------------------------------------------
+
+KMV_K = 64  # sketch size per source
+KMV_NGRAM = 3  # token n-gram shingles
+
+
+def source_similarity_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation similarity MATRIX between sources, from KMV
+    (k-minimum-values, Beyer et al. SIGMOD'07) sketches: each source
+    keeps only its k=64 smallest distinct md5(3-gram) values; for a
+    pair, the Jaccard estimate is |sketch∩ ∩ k-min(union)| / k. The
+    point at 100 TB: pairwise source comparison never touches raw
+    shingles twice — sources compress to k hashes each (the sketches
+    are mergeable partials), and the |S|^2 pair stage runs on 64-row
+    sketches, not corpora. md5 ordering is deterministic, so unlike a
+    random-seed sketch this one has an EXACT DuckDB oracle — the
+    estimator itself is hash-certified, and its error bound (~1/sqrt(k))
+    is the published KMV guarantee, not a leap of faith.
+
+    Integer bps output; pairs emitted once (source_a < source_b).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+    n_sh = F.size(toks) - (KMV_NGRAM - 1)
+    grams = d.select(
+        "source",
+        F.explode(
+            F.when(n_sh <= 0, F.array().cast("array<string>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), n_sh - 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, KMV_NGRAM)),
+                )
+            )
+        ).alias("g"),
+    )
+    hashed = grams.select("source", F.md5("g").alias("h")).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        hashed.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= KMV_K)
+        .select("source", "h")
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    # union sketch per pair: k smallest of (A ∪ B); intersection count
+    # within that window estimates Jaccard.
+    pairs = (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("sa"),
+            F.col("b.source").alias("sb"),
+            F.col("a.h").alias("ha"),
+            F.col("b.h").alias("hb"),
+        )
+    )
+    union_vals = (
+        pairs.select("sa", "sb", F.col("ha").alias("h"))
+        .unionByName(pairs.select("sa", "sb", F.col("hb").alias("h")))
+        .distinct()
+    )
+    wu = Window.partitionBy("sa", "sb").orderBy("h")
+    kmin = (
+        union_vals.withColumn("r", F.row_number().over(wu))
+        .filter(F.col("r") <= KMV_K)
+        .drop("r")
+    )
+    in_a = sk.select(F.col("source").alias("sa"), F.col("h"))
+    in_b = sk.select(F.col("source").alias("sb"), F.col("h"))
+    both = (
+        kmin.join(in_a, ["sa", "h"], "semi")
+        .join(in_b, ["sb", "h"], "semi")
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sizes = kmin.groupBy("sa", "sb").agg(F.count(F.lit(1)).alias("k_eff"))
+    return (
+        sizes.join(both, ["sa", "sb"], "left")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.coalesce("n_both", F.lit(0)).alias("n_both"),
+            "k_eff",
+            F.expr("coalesce(n_both, 0) * 10000 div k_eff").alias("est_jaccard_bps"),
+        )
+    )
+
+
+SOURCE_KMV_SQL = rf"""
+WITH toks AS (
+  SELECT source,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(t[(i+1):(i+{KMV_NGRAM})], ' ')) AS h
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(0, len(t) - {KMV_NGRAM})) AS i)
+  WHERE len(t) >= {KMV_NGRAM}
+), sk AS (
+  SELECT source, h FROM (
+    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS r
+    FROM grams
+  ) WHERE r <= {KMV_K}
+), pairs AS (
+  SELECT a.source AS sa, b.source AS sb, a.h
+  FROM sk a JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+  UNION
+  SELECT a.source, b.source, b.h
+  FROM (SELECT DISTINCT source FROM sk) a JOIN sk b ON a.source < b.source
+), kmin AS (
+  SELECT sa, sb, h FROM (
+    SELECT sa, sb, h, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS r
+    FROM pairs
+  ) WHERE r <= {KMV_K}
+), inter AS (
+  SELECT k.sa, k.sb, count(*) AS n_both
+  FROM kmin k
+  WHERE EXISTS (SELECT 1 FROM sk WHERE sk.source = k.sa AND sk.h = k.h)
+    AND EXISTS (SELECT 1 FROM sk WHERE sk.source = k.sb AND sk.h = k.h)
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT sa, sb, count(*) AS k_eff FROM kmin GROUP BY 1, 2
+)
+SELECT s.sa AS source_a, s.sb AS source_b,
+       coalesce(b.n_both, 0) AS n_both,
+       s.k_eff,
+       coalesce(b.n_both, 0) * 10000 // s.k_eff AS est_jaccard_bps
+FROM sizes s LEFT JOIN inter b ON s.sa = b.sa AND s.sb = b.sb
+"""
+
+QUERIES["source_similarity_kmv"] = source_similarity_kmv
+ORACLES["source_similarity_kmv"] = SOURCE_KMV_SQL
