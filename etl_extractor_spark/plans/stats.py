@@ -276,3 +276,141 @@ FROM a, b
 
 QUERIES["ab_test_zscore"] = ab_test_zscore
 ORACLES["ab_test_zscore"] = AB_TEST_SQL
+
+
+PSI_PIVOT = "1998-01-01"
+PSI_BINS = 10
+
+
+def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the pre- and post-1998 order
+    value distributions — the drift metric every ML monitoring stack
+    computes between a reference window and production traffic
+    (PSI < 0.1 stable / > 0.25 action). Bins are FIXED equi-width
+    cents ranges (pinned, not quantile-fitted — so the two windows
+    and both engines bin identically); counts are exact integers and
+    the PSI sum is the only float, rounded once. Two grouped counts +
+    a 10-row fold: at 100 TB this is one scan with a partial-agg
+    shuffle of 2x10 partials."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    # fixed 60k-cent-wide bins, clamped into [0, PSI_BINS)
+    binned = o.select(
+        (F.col("d") < F.lit(PSI_PIVOT).cast("date")).alias("is_ref"),
+        F.least(
+            F.lit(PSI_BINS - 1), (F.col("cents") / F.lit(6_000_000)).cast("long")
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.col("is_ref").cast("long")).alias("n_ref"),
+        F.sum((~F.col("is_ref")).cast("long")).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    per_bin = counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        (
+            (F.col("n_ref") / F.col("t_ref") - F.col("n_cur") / F.col("t_cur"))
+            * F.log(
+                (F.col("n_ref") / F.col("t_ref"))
+                / (F.col("n_cur") / F.col("t_cur"))
+            )
+        ).alias("term"),
+    )
+    return per_bin.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_ref").alias("rows_ref"),
+        F.sum("n_cur").alias("rows_cur"),
+        F.round(F.sum("term"), 4).alias("psi"),
+    )
+
+
+PSI_SQL = f"""
+WITH binned AS (
+  SELECT (CAST(o_orderdate AS DATE) < DATE '{PSI_PIVOT}') AS is_ref,
+         least({PSI_BINS - 1},
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) // 6000000) AS bin
+  FROM orders
+), counts AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+  FROM binned GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref, CAST(sum(n_cur) AS BIGINT) AS t_cur
+  FROM counts
+)
+SELECT count(*) AS n_bins,
+       CAST(sum(n_ref) AS BIGINT) AS rows_ref,
+       CAST(sum(n_cur) AS BIGINT) AS rows_cur,
+       round(sum((n_ref * 1.0 / t_ref - n_cur * 1.0 / t_cur)
+                 * ln((n_ref * 1.0 / t_ref) / (n_cur * 1.0 / t_cur))), 4) AS psi
+FROM counts, tot
+"""
+
+QUERIES["psi_price_drift"] = psi_price_drift
+ORACLES["psi_price_drift"] = PSI_SQL
+
+
+def chi2_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between customer segment and
+    order status: observed counts are exact integers, expected counts
+    are row_total*col_total/grand (exact integer products in the
+    numerator), and the statistic is one rounded double — the
+    contingency-table readout behind 'does this category matter'
+    feature screening. One grouped count + broadcast margins."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    obs = j.groupBy("c_mktsegment", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window
+
+    row_t = F.sum("n").over(Window.partitionBy("c_mktsegment"))
+    col_t = F.sum("n").over(Window.partitionBy("o_orderstatus"))
+    grand = F.sum("n").over(Window.partitionBy())
+    cells = obs.select(
+        "c_mktsegment",
+        "o_orderstatus",
+        "n",
+        (row_t * col_t / grand).alias("expected"),
+    )
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n").alias("n_rows"),
+        F.round(
+            F.sum(
+                (F.col("n") - F.col("expected"))
+                * (F.col("n") - F.col("expected"))
+                / F.col("expected")
+            ),
+            4,
+        ).alias("chi2"),
+    )
+
+
+CHI2_SQL = """
+WITH obs AS (
+  SELECT c_mktsegment, o_orderstatus, count(*) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), cells AS (
+  SELECT n,
+         sum(n) OVER (PARTITION BY c_mktsegment) * 1.0
+           * sum(n) OVER (PARTITION BY o_orderstatus) / sum(n) OVER () AS expected
+  FROM obs
+)
+SELECT count(*) AS n_cells,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       round(sum((n - expected) * (n - expected) / expected), 4) AS chi2
+FROM cells
+"""
+
+QUERIES["chi2_segment_status"] = chi2_segment_status
+ORACLES["chi2_segment_status"] = CHI2_SQL
