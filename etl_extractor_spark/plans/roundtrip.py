@@ -389,3 +389,68 @@ GROUP BY c_mktsegment
 
 QUERIES["bucketed_join_colocated"] = bucketed_join_colocated
 ORACLES["bucketed_join_colocated"] = BUCKETED_JOIN_SQL
+
+
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3-adjacent line-delimited JSON parity: region through the
+    engine's JSON writer and a schema-pinned read (schema pinned, not
+    inferred — inference is a second full scan and a type lottery on
+    big data). Value-certified by the hash gate."""
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_jsonl_roundtrip_{os.getpid()}"
+    )
+    r.write.mode("overwrite").json(out_dir)
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.LongType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    )
+    return spark.read.schema(schema).json(out_dir)
+
+
+JSONL_ROUNDTRIP_SQL = "SELECT r_regionkey, r_name FROM region"
+
+QUERIES["jsonl_roundtrip"] = jsonl_roundtrip
+ORACLES["jsonl_roundtrip"] = JSONL_ROUNDTRIP_SQL
+
+
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-family small-file compaction under the hash gate: supplier is
+    deliberately written as 8 fragment files (the streaming-ingest
+    disease), compacted with the engine's compactor (coalesce rewrite
+    — narrow, no shuffle), and read back; output = the per-nation
+    rollup PLUS the post-compaction file count as a column, so the
+    oracle pins both the content (unchanged) and the layout claim
+    (file count collapsed to 1 at this size). Small files are the #1
+    silent performance killer of long-lived 100 TB tables — this makes
+    the repair operation itself driver-verifiable."""
+    from etl_extractor_spark.sinks.compact import compact_parquet
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", F.round("s_acctbal", 2).alias("bal")
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_compact_{os.getpid()}"
+    )
+    s.repartition(8).write.mode("overwrite").parquet(path)
+    n_after = compact_parquet(spark, path, target_file_mb=128)
+    back = spark.read.parquet(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("bal"), 2).alias("total_bal"),
+        F.lit(n_after).cast("long").alias("n_files_after"),
+    )
+
+
+COMPACTION_SQL = """
+SELECT s_nationkey,
+       count(*) AS n_suppliers,
+       round(sum(round(s_acctbal, 2)), 2) AS total_bal,
+       CAST(1 AS BIGINT) AS n_files_after
+FROM supplier GROUP BY s_nationkey
+"""
+
+QUERIES["compaction_roundtrip"] = compaction_roundtrip
+ORACLES["compaction_roundtrip"] = COMPACTION_SQL
