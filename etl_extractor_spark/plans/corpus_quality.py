@@ -526,9 +526,20 @@ def source_similarity_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g"),
     )
     hashed = grams.select("source", F.md5("g").alias("h")).distinct()
+    # two-phase salted top-k (same trick as operators/skew.salted_topk):
+    # phase 1 takes the k smallest per (source, first-hex-digit) — 16
+    # parallel slivers per source instead of one task scanning the
+    # source's whole distinct-hash set — then phase 2 re-ranks the
+    # <= 16k survivors. Result identical to the single window.
+    w1 = Window.partitionBy("source", F.substring("h", 1, 1)).orderBy("h")
+    pre = (
+        hashed.withColumn("r", F.row_number().over(w1))
+        .filter(F.col("r") <= KMV_K)
+        .drop("r")
+    )
     w = Window.partitionBy("source").orderBy("h")
     sk = (
-        hashed.withColumn("r", F.row_number().over(w))
+        pre.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= KMV_K)
         .select("source", "h")
     )
