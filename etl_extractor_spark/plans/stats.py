@@ -310,20 +310,28 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = counts.agg(
         F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
     )
+    # a bin empty on ONE side would make the ln term infinite (the
+    # PSI degenerate case) — such bins are excluded from the sum and
+    # COUNTED, which is the standard practice and keeps the statistic
+    # finite in both engines.
+    ok = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
     per_bin = counts.crossJoin(F.broadcast(tot)).select(
         "bin",
         "n_ref",
         "n_cur",
-        (
+        F.when(
+            ok,
             (F.col("n_ref") / F.col("t_ref") - F.col("n_cur") / F.col("t_cur"))
             * F.log(
                 (F.col("n_ref") / F.col("t_ref"))
                 / (F.col("n_cur") / F.col("t_cur"))
-            )
-        ).alias("term"),
+            ),
+        ).otherwise(F.lit(0.0)).alias("term"),
+        (~ok).cast("long").alias("degen"),
     )
     return per_bin.agg(
         F.count(F.lit(1)).alias("n_bins"),
+        F.sum("degen").alias("n_degenerate_bins"),
         F.sum("n_ref").alias("rows_ref"),
         F.sum("n_cur").alias("rows_cur"),
         F.round(F.sum("term"), 4).alias("psi"),
@@ -346,10 +354,13 @@ WITH binned AS (
   FROM counts
 )
 SELECT count(*) AS n_bins,
+       CAST(sum(CASE WHEN n_ref = 0 OR n_cur = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate_bins,
        CAST(sum(n_ref) AS BIGINT) AS rows_ref,
        CAST(sum(n_cur) AS BIGINT) AS rows_cur,
-       round(sum((n_ref * 1.0 / t_ref - n_cur * 1.0 / t_cur)
-                 * ln((n_ref * 1.0 / t_ref) / (n_cur * 1.0 / t_cur))), 4) AS psi
+       round(sum(CASE WHEN n_ref > 0 AND n_cur > 0
+                 THEN (n_ref * 1.0 / t_ref - n_cur * 1.0 / t_cur)
+                      * ln((n_ref * 1.0 / t_ref) / (n_cur * 1.0 / t_cur))
+                 ELSE 0.0 END), 4) AS psi
 FROM counts, tot
 """
 
