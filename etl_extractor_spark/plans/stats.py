@@ -425,3 +425,43 @@ FROM cells
 
 QUERIES["chi2_segment_status"] = chi2_segment_status
 ORACLES["chi2_segment_status"] = CHI2_SQL
+
+
+def sql_udf_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL UDF + parameterized SQL surface: the margin formula
+    is declared ONCE as a catalog-level SQL function (CREATE FUNCTION
+    ... RETURN expr — Catalyst inlines it, so it optimizes exactly
+    like the raw expression: no serialization boundary, unlike a
+    Python UDF), and the query text takes the year bound as a NAMED
+    PARAMETER via spark.sql(..., args=...) — the injection-safe API a
+    query service should always use. Oracle: DuckDB MACRO, the same
+    define-once-inline-everywhere mechanism."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION line_margin(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d) * (1 + t)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n_lines,
+               CAST(sum(CAST(round(line_margin(l_extendedprice, l_discount, l_tax) * 100, 0) AS BIGINT)) AS BIGINT) AS margin_cents
+        FROM lineitem
+        WHERE l_shipdate < :cutoff
+        GROUP BY l_returnflag
+        """,
+        args={"cutoff": "1998-09-01"},
+    )
+
+
+SQL_UDF_MARGIN_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) AS BIGINT)) AS BIGINT) AS margin_cents
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag
+"""
+
+QUERIES["sql_udf_margin"] = sql_udf_margin
+ORACLES["sql_udf_margin"] = SQL_UDF_MARGIN_SQL
