@@ -256,10 +256,13 @@ def woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "n_good",
         "n_bad",
+        # products in DOUBLE before the ratio: n*total long products
+        # overflow past ~3e9x3e9 rows (ANSI runtime error); the double
+        # form matches the oracle's n_good * 1.0 * t_bad arithmetic.
         F.round(
             F.log(
-                (F.col("n_good") * F.col("t_bad")).cast("double")
-                / (F.col("n_bad") * F.col("t_good")).cast("double")
+                (F.col("n_good").cast("double") * F.col("t_bad").cast("double"))
+                / (F.col("n_bad").cast("double") * F.col("t_good").cast("double"))
             ),
             4,
         ).alias("woe"),
@@ -282,7 +285,7 @@ WITH j AS (
   FROM j
 )
 SELECT c_mktsegment, o_orderpriority, n_good, n_bad,
-       round(ln(CAST(n_good * t_bad AS DOUBLE) / CAST(n_bad * t_good AS DOUBLE)), 4) AS woe
+       round(ln((n_good * 1.0 * t_bad) / (n_bad * 1.0 * t_good)), 4) AS woe
 FROM cat, tot
 """
 

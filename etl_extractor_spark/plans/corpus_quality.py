@@ -543,23 +543,32 @@ def source_similarity_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") <= KMV_K)
         .select("source", "h")
     )
-    a, b = sk.alias("a"), sk.alias("b")
     # union sketch per pair: k smallest of (A ∪ B); intersection count
-    # within that window estimates Jaccard.
-    pairs = (
-        a.join(b, F.col("a.source") < F.col("b.source"))
+    # within that window estimates Jaccard. Built as sketch x
+    # SOURCE-LIST (k rows per pair per side, 2k total — the oracle's
+    # formulation), NOT a sketch x sketch self-join whose k x k rows
+    # per pair would shuffle 32x more than the sketches themselves
+    # (review catch).
+    srcs = sk.select("source").distinct()
+    left = (
+        sk.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
         .select(
             F.col("a.source").alias("sa"),
             F.col("b.source").alias("sb"),
-            F.col("a.h").alias("ha"),
-            F.col("b.h").alias("hb"),
+            F.col("a.h").alias("h"),
         )
     )
-    union_vals = (
-        pairs.select("sa", "sb", F.col("ha").alias("h"))
-        .unionByName(pairs.select("sa", "sb", F.col("hb").alias("h")))
-        .distinct()
+    right = (
+        srcs.alias("a")
+        .join(sk.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("sa"),
+            F.col("b.source").alias("sb"),
+            F.col("b.h").alias("h"),
+        )
     )
+    union_vals = left.unionByName(right).distinct()
     wu = Window.partitionBy("sa", "sb").orderBy("h")
     kmin = (
         union_vals.withColumn("r", F.row_number().over(wu))

@@ -216,6 +216,9 @@ QUERIES["bootstrap_revenue_ci"] = bootstrap_revenue_ci
 ORACLES["bootstrap_revenue_ci"] = BOOTSTRAP_CI_SQL
 
 
+AB_CENTER = 50.0  # pinned centering constant (near the metric mean)
+
+
 def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample A/B significance readout: users are hash-split 50/50
     (md5 — engine-portable, no RNG state), the metric is event value,
@@ -224,8 +227,14 @@ def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship to the driver regardless of data size (sufficient statistics,
     not samples). One scan, one 2-group aggregate, scalar math on two
     rows."""
+    # values are CENTERED on a pinned constant before the sufficient
+    # statistics: sum((v-K)^2) and (sum(v-K))^2/n are then the same
+    # order of magnitude as the variance itself, so the subtraction
+    # loses no significant bits — the raw ss - s^2/n form cancels
+    # catastrophically when the mean dominates the spread (review
+    # catch). K is shared literally with the oracle.
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.col("value").cast("double").alias("v")
+        "user_id", (F.col("value").cast("double") - F.lit(AB_CENTER)).alias("v")
     )
     arm = (
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
@@ -250,8 +259,8 @@ def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "na",
         "nb",
-        F.round(ma, 4).alias("mean_a"),
-        F.round(mb, 4).alias("mean_b"),
+        F.round(ma + F.lit(AB_CENTER), 4).alias("mean_a"),
+        F.round(mb + F.lit(AB_CENTER), 4).alias("mean_b"),
         F.round(
             (ma - mb) / F.sqrt(va / F.col("na") + vb / F.col("nb")), 4
         ).alias("z"),
@@ -261,13 +270,15 @@ def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 AB_TEST_SQL = f"""
 WITH g AS (
   SELECT ({_hex8_to_int_sql("md5(CAST(user_id AS VARCHAR))")}) % 2 AS arm,
-         count(*) AS n, sum(value) AS s, sum(value * value) AS ss
+         count(*) AS n,
+         sum(value - {AB_CENTER!r}) AS s,
+         sum((value - {AB_CENTER!r}) * (value - {AB_CENTER!r})) AS ss
   FROM events GROUP BY 1
 ), a AS (SELECT n AS na, s AS sa, ss AS ssa FROM g WHERE arm = 0),
 b AS (SELECT n AS nb, s AS sb, ss AS ssb FROM g WHERE arm = 1)
 SELECT na, nb,
-       round(sa / na, 4) AS mean_a,
-       round(sb / nb, 4) AS mean_b,
+       round(sa / na + 50.0, 4) AS mean_a,
+       round(sb / nb + 50.0, 4) AS mean_b,
        round((sa / na - sb / nb) /
              sqrt(((ssa - sa * sa / na) / (na - 1)) / na +
                   ((ssb - sb * sb / nb) / (nb - 1)) / nb), 4) AS z
@@ -386,11 +397,16 @@ def chi2_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_t = F.sum("n").over(Window.partitionBy("c_mktsegment"))
     col_t = F.sum("n").over(Window.partitionBy("o_orderstatus"))
     grand = F.sum("n").over(Window.partitionBy())
+    # margins multiply in DOUBLE: two BIGINT totals ~3e9 each would
+    # overflow long (ANSI runtime error at the very scale this query
+    # advertises); the oracle multiplies in double too.
     cells = obs.select(
         "c_mktsegment",
         "o_orderstatus",
         "n",
-        (row_t * col_t / grand).alias("expected"),
+        (row_t.cast("double") * col_t.cast("double") / grand.cast("double")).alias(
+            "expected"
+        ),
     )
     return cells.agg(
         F.count(F.lit(1)).alias("n_cells"),

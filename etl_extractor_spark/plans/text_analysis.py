@@ -816,13 +816,22 @@ def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n",
             )
         )
+        # LEFT join on true, not crossJoin: an empty top1 (a round with
+        # no pairs anywhere — fully-fused corpus) must pass the corpus
+        # through untouched, not annihilate it (crossJoin with an empty
+        # side produces ZERO rows — review catch, same family as the
+        # sequence(1,0) ANSI trap).
         corpus = (
-            corpus.crossJoin(F.broadcast(top1))
+            corpus.join(F.broadcast(top1), F.lit(True), "left")
             .select(
-                F.replace(
-                    "s",
-                    F.concat(F.lit(" "), "a", F.lit("  "), "b", F.lit(" ")),
-                    F.concat(F.lit(" "), "a", "b", F.lit(" ")),
+                F.when(
+                    F.col("a").isNull(), F.col("s")
+                ).otherwise(
+                    F.replace(
+                        "s",
+                        F.concat(F.lit(" "), "a", F.lit("  "), "b", F.lit(" ")),
+                        F.concat(F.lit(" "), "a", "b", F.lit(" ")),
+                    )
                 ).alias("s")
             )
             .localCheckpoint(eager=True)
@@ -856,9 +865,10 @@ WITH toks AS (
 ), t{r} AS (
   SELECT a, b, n FROM p{r} ORDER BY n DESC, a ASC, b ASC LIMIT 1
 ), c{r} AS (
-  SELECT replace(s,
-           ' ' || (SELECT a FROM t{r}) || '  ' || (SELECT b FROM t{r}) || ' ',
-           ' ' || (SELECT a FROM t{r}) || (SELECT b FROM t{r}) || ' ') AS s
+  SELECT CASE WHEN (SELECT count(*) FROM t{r}) = 0 THEN s
+              ELSE replace(s,
+                ' ' || (SELECT a FROM t{r}) || '  ' || (SELECT b FROM t{r}) || ' ',
+                ' ' || (SELECT a FROM t{r}) || (SELECT b FROM t{r}) || ' ') END AS s
   FROM {prev}
 )"""
         )
@@ -972,15 +982,21 @@ def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.a").alias("a"), F.col("p.b").alias("b")
         ).agg(F.count(F.lit(1)).alias("n"))
         top1 = counts.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1)
+        # LEFT join on true (see bpe_train_rounds): an empty top1 must
+        # NOT annihilate the corpus — every doc keeps its row.
         corpus = (
-            corpus.crossJoin(F.broadcast(top1))
+            corpus.join(F.broadcast(top1), F.lit(True), "left")
             .select(
                 "doc_id",
                 "n_chars_tok",
-                F.replace(
-                    "s",
-                    F.concat(F.lit(" "), "a", F.lit("  "), "b", F.lit(" ")),
-                    F.concat(F.lit(" "), "a", "b", F.lit(" ")),
+                F.when(
+                    F.col("a").isNull(), F.col("s")
+                ).otherwise(
+                    F.replace(
+                        "s",
+                        F.concat(F.lit(" "), "a", F.lit("  "), "b", F.lit(" ")),
+                        F.concat(F.lit(" "), "a", "b", F.lit(" ")),
+                    )
                 ).alias("s"),
             )
             .localCheckpoint(eager=True)
@@ -1029,9 +1045,11 @@ WITH toks AS (
 ), t{r} AS (
   SELECT a, b FROM p{r} ORDER BY n DESC, a ASC, b ASC LIMIT 1
 ), c{r} AS (
-  SELECT doc_id, n_chars_tok, replace(s,
-           ' ' || (SELECT a FROM t{r}) || '  ' || (SELECT b FROM t{r}) || ' ',
-           ' ' || (SELECT a FROM t{r}) || (SELECT b FROM t{r}) || ' ') AS s
+  SELECT doc_id, n_chars_tok,
+         CASE WHEN (SELECT count(*) FROM t{r}) = 0 THEN s
+              ELSE replace(s,
+                ' ' || (SELECT a FROM t{r}) || '  ' || (SELECT b FROM t{r}) || ' ',
+                ' ' || (SELECT a FROM t{r}) || (SELECT b FROM t{r}) || ' ') END AS s
   FROM {prev}
 )"""
         )

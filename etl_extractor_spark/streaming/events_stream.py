@@ -51,11 +51,21 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if isinstance(ts_type, T.LongType):
         # TIMESTAMP(NANOS) read as raw long nanos → truncate to µs.
-        raw = raw.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        # ts_ntz carries the TRUE wall clock (pure epoch arithmetic);
+        # ts is the instant the watermark machinery requires.
+        from etl_extractor_spark.functions.dates import ntz_from_epoch_micros
+
+        micros = (F.col("ts") / 1000).cast("long")
+        raw = raw.withColumn("ts_ntz", ntz_from_epoch_micros(micros)).withColumn(
+            "ts", F.timestamp_micros(micros)
         )
     elif isinstance(ts_type, T.TimestampNTZType):
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        # keep the file's wall clock BEFORE the session-zone instant
+        # cast — operators whose semantics are wall-clock (rate-limit
+        # buckets) must not inherit the session offset.
+        raw = raw.withColumn("ts_ntz", F.col("ts")).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
     return raw
 
 
@@ -731,14 +741,19 @@ def _rate_limit_state(key, pdfs, state: GroupState):
 
 def streaming_rate_limit(stream: DataFrame) -> DataFrame:
     """Streaming twin of the batch per-user rate limit: emits the KEPT
-    (user_id, event_id) pairs in append mode. ev_us is computed
-    JVM-side from the instant (same discipline as the timer operator —
-    naive-pandas micros would shift under a non-UTC session)."""
+    (user_id, event_id) pairs in append mode. ev_us is WALL-CLOCK
+    micros from the source's ts_ntz column (pure epoch arithmetic,
+    JVM-side) — the batch spec buckets with F.window over NTZ, which
+    is wall-clock, so the twin must NOT bucket on instant micros: an
+    instant inherits the session-zone offset through the µs-file cast
+    and the daily quota windows would shift off-UTC (review catch)."""
+    from etl_extractor_spark.functions.dates import ntz_epoch_micros
+
     return (
         stream.select(
             "user_id",
             "event_id",
-            F.unix_micros(F.col("ts").cast("timestamp")).alias("ev_us"),
+            ntz_epoch_micros("ts_ntz").alias("ev_us"),
         )
         .groupBy("user_id")
         .applyInPandasWithState(

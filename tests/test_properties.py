@@ -317,18 +317,38 @@ def test_containment_dominates_jaccard(spark, texts):
         assert c_max >= int(j * 10000) - 1  # -1 for the round/floor seam
 
 
-def test_pq_codes_within_range_and_adc_zero_on_self(spark):
-    """PQ contract: every code is in [0, 16); and a vector's ADC
-    distance to ITSELF equals the pure quantization residual — strictly
-    less than the distance to any differently-coded vector's
-    reconstruction (sanity that ADC orders by closeness)."""
+def test_pq_codes_within_range_and_adc_self_optimal(spark, sf_dir):
+    """PQ contract: every code is in [0, 16); and ADC(q, codes(q)) —
+    the quantization residual — is <= ADC(q, codes(x)) for EVERY other
+    vector x, because encoding takes the per-subspace argmin over the
+    same codebook ADC reconstructs from. A sign/index regression in
+    _pq_adc_col that preserved code ranges would break this ordering."""
+    from pyspark.sql import functions as F
+
     from etl_extractor_spark.plans.similarity import (
         PQ_KCODE,
+        _pq_adc_col,
         _pq_codes_col,
         _pq_int_vectors,
     )
 
-    e = _pq_int_vectors(spark, "/root/testdata/sf0.001").limit(50)
-    enc = e.select("vec_id", _pq_codes_col().alias("codes")).collect()
-    for r in enc:
+    enc = (
+        _pq_int_vectors(spark, sf_dir)
+        .limit(30)
+        .select("vec_id", "qv", _pq_codes_col().alias("codes"))
+    )
+    rows = enc.collect()
+    for r in rows:
         assert all(0 <= c < PQ_KCODE for c in r.codes)
+    q = enc.select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+    )
+    x = enc.select(F.col("vec_id").alias("neighbor_id"), "codes")
+    adc = (
+        x.crossJoin(q)
+        .select("query_id", "neighbor_id", _pq_adc_col().alias("d"))
+        .collect()
+    )
+    self_d = {r.query_id: r.d for r in adc if r.query_id == r.neighbor_id}
+    for r in adc:
+        assert self_d[r.query_id] <= r.d, (r.query_id, r.neighbor_id)
