@@ -963,3 +963,81 @@ GROUP BY user_id
 
 QUERIES.update({"user_activity_gaps": user_activity_gaps})
 ORACLES.update({"user_activity_gaps": USER_ACTIVITY_GAPS_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis, deterministic)
+# ---------------------------------------------------------------------------
+
+WS_K = 5  # sample size per segment
+
+
+def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, distributed: per market
+    segment, 5 orders drawn with probability proportional to order
+    value via the Efraimidis-Spirakis key ``u^(1/w)`` (equivalently
+    argmax of ln(u)/w) — THE one-pass parallel algorithm for weighted
+    reservoir sampling: keys are independent per row, so the top-k by
+    key per group IS the weighted sample, computable with an ordinary
+    ranking window at any parallelism. The uniform u comes from the
+    md5 of the order key (deterministic, engine-portable), so the
+    whole draw is hash-certified — no RNG state, same sample on every
+    engine and run."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").alias("w")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    u01 = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 32))
+    )
+    # ln(u)/w is monotone in u^(1/w); u in (0,1] after the +1 ulp shift
+    key = F.log(u01 + F.lit(2.0 ** -33)) / F.col("w")
+    ranked = j.select(
+        "c_mktsegment", "o_orderkey", "w", key.alias("k")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("c_mktsegment").orderBy(
+                F.desc("k"), F.asc("o_orderkey")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") <= WS_K).select(
+        "c_mktsegment",
+        "o_orderkey",
+        F.round("w", 2).alias("weight"),
+        F.col("rn").cast("long").alias("draw"),
+    )
+
+
+def _ws_hex8(expr: str) -> str:
+    return " + ".join(
+        f"(CAST(strpos('0123456789abcdef', substr({expr}, {1 + j}, 1)) - 1 AS BIGINT)"
+        f" << {4 * (7 - j)})"
+        for j in range(8)
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH j AS (
+  SELECT c_mktsegment, o_orderkey, o_totalprice AS w,
+         ({_ws_hex8("md5(CAST(o_orderkey AS VARCHAR))")}) / 4294967296.0 AS u
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), ranked AS (
+  SELECT c_mktsegment, o_orderkey, w,
+         row_number() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY ln(u + 1.1641532182693481e-10) / w DESC, o_orderkey ASC
+         ) AS rn
+  FROM j
+)
+SELECT c_mktsegment, o_orderkey, round(w, 2) AS weight,
+       CAST(rn AS BIGINT) AS draw
+FROM ranked WHERE rn <= {WS_K}
+"""
+
+QUERIES["weighted_sample_orders"] = weighted_sample_orders
+ORACLES["weighted_sample_orders"] = WEIGHTED_SAMPLE_SQL

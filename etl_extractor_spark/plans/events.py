@@ -629,3 +629,67 @@ FROM ranked GROUP BY 1
 
 QUERIES["events_rate_limit"] = events_rate_limit
 ORACLES["events_rate_limit"] = EVENTS_RATE_LIMIT_SQL
+
+
+COVER_WINDOW_MIN = 10  # each event opens a 10-minute activity interval
+
+
+def user_active_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-UNION length per user: each event opens a 10-minute
+    activity interval; overlapping intervals must count once (the
+    union, not the sum) — the measure behind 'active minutes',
+    ad-exposure dedup, and SLA uptime. Classic sweep: order by start
+    per user, carry the running max end, an interval contributes
+    ``min(len, start - prev_max_end)`` clipped at zero — one window
+    pass over one user-key shuffle, pure integer-seconds arithmetic
+    (wall-clock NTZ epoch, session-tz-independent)."""
+    from etl_extractor_spark.functions.dates import ntz_epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        ntz_epoch_seconds("ts").alias("s0"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s0", "user_id")
+    L = COVER_WINDOW_MIN * 60
+    prev_end = F.max(F.col("s0") + L).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.when(prev_end.isNull(), F.lit(L)).otherwise(
+        F.greatest(
+            F.lit(0),
+            F.least(F.lit(L), F.col("s0") + L - prev_end),
+        )
+    )
+    return (
+        ev.withColumn("c", contrib)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("c").alias("covered_seconds"),
+        )
+    )
+
+
+USER_COVERAGE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS s0 FROM events
+), sweep AS (
+  SELECT user_id,
+         CASE WHEN max(s0 + {COVER_WINDOW_MIN * 60}) OVER (
+                PARTITION BY user_id ORDER BY s0, user_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              THEN {COVER_WINDOW_MIN * 60}
+              ELSE greatest(0, least({COVER_WINDOW_MIN * 60},
+                s0 + {COVER_WINDOW_MIN * 60} - max(s0 + {COVER_WINDOW_MIN * 60}) OVER (
+                  PARTITION BY user_id ORDER BY s0, user_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)))
+         END AS c
+  FROM ev
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(c) AS BIGINT) AS covered_seconds
+FROM sweep GROUP BY user_id
+"""
+
+QUERIES["user_active_coverage"] = user_active_coverage
+ORACLES["user_active_coverage"] = USER_COVERAGE_SQL
