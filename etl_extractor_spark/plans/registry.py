@@ -103,7 +103,7 @@ _PRIORITY = (
     "dpp_partitioned_join", "bucketed_join_colocated",
     "source_similarity_kmv", "psi_price_drift", "chi2_segment_status",
     "jsonl_roundtrip", "compaction_roundtrip", "sql_udf_margin",
-    "weighted_sample_orders", "user_active_coverage",
+    "weighted_sample_orders", "user_active_coverage", "embedding_dbscan",
     # --- regression canary (green in r1/r2; re-pin a few anchors)
     "q5_regional_revenue", "fact_conformed", "dedup_minhash_lsh",
     "dedup_minhash_lsh_oph", "star_join_detail", "text_quality",

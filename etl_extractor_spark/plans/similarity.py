@@ -863,3 +863,117 @@ FROM (
 
 QUERIES["ivfpq_adc_topk"] = ivfpq_adc_topk
 ORACLES["ivfpq_adc_topk"] = IVFPQ_ADC_SQL
+
+
+# ------------------------------------------------------------- DBSCAN
+
+DBSCAN_TAU = 0.30  # cosine >= tau defines the eps-neighborhood
+DBSCAN_MINPTS = 2  # neighbors (excl. self) required to be a core point
+
+
+def embedding_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. KDD'96) over the
+    embeddings — completes the clustering family (centroid: IVF/
+    KMeans; threshold: SemDeDup; density: this). The scalable
+    decomposition: eps-neighbor pairs from the BLOCKED cosine join
+    (never corpus all-pairs), core points by degree count, clusters =
+    connected components over the core-core subgraph (the
+    large-star/small-star operator — O(log n) rounds), border points
+    attach to their minimum-labeled core neighbor, everything else is
+    noise. Deterministic labels (component min), exact oracle via the
+    same construction with a recursive-CTE closure.
+
+    Output: (vec_id, role core/border/noise, cluster_id — null for
+    noise)."""
+    from etl_extractor_spark.operators.dedup import connected_components_star
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = (
+        S.blocked_pairs_cosine(e)
+        .filter(F.col("cos_raw") >= DBSCAN_TAU)
+        .select("id_a", "id_b")
+    )
+    neigh = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    deg = neigh.groupBy("id_a").agg(F.count(F.lit(1)).alias("n_nb"))
+    core = deg.filter(F.col("n_nb") >= DBSCAN_MINPTS).select(
+        F.col("id_a").alias("cid")
+    )
+    core_edges = (
+        pairs.join(core.withColumnRenamed("cid", "id_a"), "id_a", "semi")
+        .join(core.withColumnRenamed("cid", "id_b"), "id_b", "semi")
+        .select("id_a", "id_b")
+    )
+    cc = connected_components_star(
+        core.select(F.col("cid").cast("long")), core_edges
+    ).select(F.col("node").alias("cid"), "cluster_id")
+    # border: non-core vertices take the min cluster among core neighbors
+    border = (
+        neigh.join(core.withColumnRenamed("cid", "id_a"), "id_a", "anti")
+        .join(
+            cc.withColumnRenamed("cid", "id_b"), "id_b"
+        )
+        .groupBy("id_a")
+        .agg(F.min("cluster_id").alias("b_cluster"))
+    )
+    out = (
+        e.select(F.col("vec_id"))
+        .join(cc.withColumnRenamed("cid", "vec_id"), "vec_id", "left")
+        .join(border.withColumnRenamed("id_a", "vec_id"), "vec_id", "left")
+    )
+    return out.select(
+        "vec_id",
+        F.when(F.col("cluster_id").isNotNull(), F.lit("core"))
+        .when(F.col("b_cluster").isNotNull(), F.lit("border"))
+        .otherwise(F.lit("noise"))
+        .alias("role"),
+        F.coalesce("cluster_id", "b_cluster").alias("cluster_id"),
+    )
+
+
+EMBEDDING_DBSCAN_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(
+          list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+          list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= {DBSCAN_TAU}
+), neigh AS (
+  SELECT id_a, id_b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), core AS (
+  SELECT id_a AS cid FROM neigh GROUP BY 1 HAVING count(*) >= {DBSCAN_MINPTS}
+), core_edges AS (
+  SELECT id_a, id_b FROM pairs
+  WHERE id_a IN (SELECT cid FROM core) AND id_b IN (SELECT cid FROM core)
+), bidir AS (
+  SELECT id_a AS a, id_b AS b FROM core_edges
+  UNION
+  SELECT id_b, id_a FROM core_edges
+), reach(node, m) AS (
+  SELECT cid, cid FROM core
+  UNION
+  SELECT e.a, r.m FROM bidir e JOIN reach r ON e.b = r.node
+), cc AS (
+  SELECT node AS cid, min(m) AS cluster_id FROM reach GROUP BY node
+), border AS (
+  SELECT n.id_a, min(c.cluster_id) AS b_cluster
+  FROM neigh n JOIN cc c ON n.id_b = c.cid
+  WHERE n.id_a NOT IN (SELECT cid FROM core)
+  GROUP BY n.id_a
+)
+SELECT e.vec_id,
+       CASE WHEN cc.cluster_id IS NOT NULL THEN 'core'
+            WHEN border.b_cluster IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       coalesce(cc.cluster_id, border.b_cluster) AS cluster_id
+FROM embeddings e
+LEFT JOIN cc ON e.vec_id = cc.cid
+LEFT JOIN border ON e.vec_id = border.id_a
+"""
+
+QUERIES["embedding_dbscan"] = embedding_dbscan
+ORACLES["embedding_dbscan"] = EMBEDDING_DBSCAN_SQL
