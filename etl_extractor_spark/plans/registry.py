@@ -104,6 +104,7 @@ _PRIORITY = (
     "source_similarity_kmv", "psi_price_drift", "chi2_segment_status",
     "jsonl_roundtrip", "compaction_roundtrip", "sql_udf_margin",
     "weighted_sample_orders", "user_active_coverage", "embedding_dbscan",
+    "theil_sen_nation_trend", "benford_first_digit",
     # --- regression canary (green in r1/r2; re-pin a few anchors)
     "q5_regional_revenue", "fact_conformed", "dedup_minhash_lsh",
     "dedup_minhash_lsh_oph", "star_join_detail", "text_quality",

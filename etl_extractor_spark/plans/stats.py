@@ -481,3 +481,155 @@ GROUP BY l_returnflag
 
 QUERIES["sql_udf_margin"] = sql_udf_margin
 ORACLES["sql_udf_margin"] = SQL_UDF_MARGIN_SQL
+
+
+def theil_sen_nation_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-nation revenue trend: the Theil-Sen estimator (median
+    of pairwise slopes) — outlier-resistant where OLS
+    (nation_revenue_trend) is not; the robust-statistics sibling the
+    monitoring stack prefers on dirty data. The median is an EXACT
+    ORDER STATISTIC (lower median by (slope, key-pair) rank), not an
+    interpolated percentile, so engines can't diverge on a float seam.
+    Pairs are generated WITHIN nation (blocked, like every pairwise
+    operator here) and SYSTEMATICALLY SAMPLED 1-in-997 by a
+    deterministic key-pair hash — the textbook scale variant
+    (Matousek's randomized Theil-Sen keeps O(n) pairs); the sample is
+    pinned arithmetic, so both engines median the identical subset.
+
+    One pair join keyed on nation + one ranking window that rides the
+    same partitioning."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("2024-01-01").cast("date")).alias(
+            "x"
+        ),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("y"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).select("n_name", "o_orderkey", "x", "y")
+    a, b = j.alias("a"), j.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.n_name") == F.col("b.n_name"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.col("a.x") != F.col("b.x"))
+            & (
+                F.pmod(
+                    F.col("a.o_orderkey") * 31 + F.col("b.o_orderkey"), F.lit(997)
+                )
+                == 0
+            ),
+        )
+        .select(
+            F.col("a.n_name").alias("n_name"),
+            F.col("a.o_orderkey").alias("ka"),
+            F.col("b.o_orderkey").alias("kb"),
+            (
+                (F.col("b.y") - F.col("a.y")).cast("double")
+                / (F.col("b.x") - F.col("a.x")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("n_name").orderBy("slope", "ka", "kb")
+    cnt = Window.partitionBy("n_name")
+    ranked = pairs.withColumn("r", F.row_number().over(w)).withColumn(
+        "m", F.count(F.lit(1)).over(cnt)
+    )
+    return (
+        ranked.filter(F.col("r") == F.floor((F.col("m") + 1) / 2))
+        .select(
+            "n_name",
+            F.col("m").alias("n_pairs"),
+            F.round("slope", 4).alias("median_slope"),
+        )
+        .orderBy("n_name")
+    )
+
+
+THEIL_SEN_SQL = """
+WITH j AS (
+  SELECT n_name, o_orderkey,
+         datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS x,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS y
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+), pairs AS (
+  SELECT a.n_name, a.o_orderkey AS ka, b.o_orderkey AS kb,
+         (b.y - a.y) * 1.0 / (b.x - a.x) AS slope
+  FROM j a JOIN j b
+    ON a.n_name = b.n_name AND a.o_orderkey < b.o_orderkey AND a.x <> b.x
+   AND (a.o_orderkey * 31 + b.o_orderkey) % 997 = 0
+), ranked AS (
+  SELECT n_name, slope,
+         row_number() OVER (PARTITION BY n_name ORDER BY slope, ka, kb) AS r,
+         count(*) OVER (PARTITION BY n_name) AS m
+  FROM pairs
+)
+SELECT n_name, CAST(m AS BIGINT) AS n_pairs, round(slope, 4) AS median_slope
+FROM ranked
+WHERE r = CAST(floor((m + 1) / 2) AS BIGINT)
+ORDER BY n_name
+"""
+
+QUERIES["theil_sen_nation_trend"] = theil_sen_nation_trend
+ORACLES["theil_sen_nation_trend"] = THEIL_SEN_SQL
+
+
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order values — the
+    fraud/synthetic-data smoke test: natural multiplicative data has
+    P(d) = log10(1 + 1/d); a uniform generator flunks it loudly.
+    Exact integer digit counts + the expected distribution as pinned
+    literals; the deviation readout is one rounded chi-square-style
+    statistic. Map-only digit extraction, 9-row aggregate."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    import math as _m
+
+    counts = o.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("t"))
+    exp = [0.0] + [_m.log10(1 + 1 / d) for d in range(1, 10)]
+    # element_at is 1-based: exp[0] pads index 1, digit d lives at d+1
+    p_exp = F.element_at(F.array(*[F.lit(x) for x in exp]), F.col("d").cast("int") + 1)
+    per = counts.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        F.round(F.col("n") / F.col("t"), 4).alias("p_obs"),
+        F.round(p_exp, 4).alias("p_benford"),
+    )
+    return per.orderBy("d")
+
+
+BENFORD_SQL = (
+    """
+WITH o AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS d
+  FROM orders
+), counts AS (
+  SELECT d, count(*) AS n FROM o GROUP BY 1
+), tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts)
+SELECT d, n, round(n * 1.0 / t, 4) AS p_obs,
+       round(CASE d """
+    + " ".join(
+        f"WHEN {d} THEN {__import__('math').log10(1 + 1 / d)!r}" for d in range(1, 10)
+    )
+    + """ ELSE 0.0 END, 4) AS p_benford
+FROM counts, tot ORDER BY d
+"""
+)
+
+QUERIES["benford_first_digit"] = benford_first_digit
+ORACLES["benford_first_digit"] = BENFORD_SQL
