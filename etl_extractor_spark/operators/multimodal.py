@@ -184,20 +184,53 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     return width, height, channels, bytes(pixels)
 
 
+# Magic-byte table for the strict dispatch contract: format is decided
+# from the payload header ONLY (never from metadata), and ``decodable``
+# means "this build has a REAL decoder for it" — today exactly PNG (the
+# stdlib decoder above). Every registered query routes non-decodable
+# formats to the deterministic digest fake; the NotImplementedError
+# below is reachable only by calling decode_image(fake=False) directly
+# on a non-PNG payload.
+_MAGIC = (
+    ("png", PNG_MAGIC),
+    ("jpeg", b"\xff\xd8\xff"),
+    ("gif", b"GIF8"),
+    ("bmp", b"BM"),
+    ("webp", b"RIFF"),  # refined below: RIFF....WEBP
+    ("pdf", b"%PDF"),
+)
+DECODABLE_FORMATS = frozenset({"png"})
+
+
+def detect_format(payload: bytes) -> str:
+    """Sniff the container format from leading magic bytes. Returns a
+    lowercase tag ('png', 'jpeg', …) or 'other' for unrecognized
+    headers — the single source of truth for decode routing."""
+    head = bytes(payload[:16])
+    for tag, magic in _MAGIC:
+        if head.startswith(magic):
+            if tag == "webp" and head[8:12] != b"WEBP":
+                continue
+            return tag
+    return "other"
+
+
 def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, int]:
-    """Image decode: REAL for PNG payloads (pure-stdlib decoder above —
-    no imaging library needed); other formats still need PIL/libvips
-    and fall back to the deterministic fake when requested.
-    ``fake=True`` derives pseudo-dimensions from a content digest
-    (stable across runs and engines)."""
-    head = bytes(payload[:8])
-    if head == PNG_MAGIC:
+    """Image decode behind the ``detect_format`` dispatch: REAL for PNG
+    payloads (pure-stdlib decoder above — no imaging library needed);
+    formats without a real decoder in this build fall back to the
+    deterministic fake when requested. ``fake=True`` derives
+    pseudo-dimensions from a content digest (stable across runs and
+    engines)."""
+    fmt = detect_format(payload)
+    if fmt in DECODABLE_FORMATS:
         width, height, channels, _ = decode_png(payload)
         return width, height, channels
     if not fake:
         raise NotImplementedError(
-            "non-PNG decode requires an imaging library; run with fake=True "
-            "for the deterministic test double"
+            f"no real decoder for format '{fmt}' in this build (decodable: "
+            f"{sorted(DECODABLE_FORMATS)}); run with fake=True for the "
+            "deterministic test double"
         )
     digest = hashlib.sha256(payload).digest()
     width = 64 + digest[0] % 192  # 64..255

@@ -693,3 +693,180 @@ FROM sweep GROUP BY user_id
 
 QUERIES["user_active_coverage"] = user_active_coverage
 ORACLES["user_active_coverage"] = USER_COVERAGE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Round-4 deterministic sketch twins (VERDICT r3 task 3). Each rows-only
+# sketch query above keeps its error/merge contract in pytest; these
+# twins express the SAME analytical question through a deterministic,
+# DuckDB-oracle-checkable estimator (md5 is identical in both engines),
+# so the driver hash-certifies the algebra end to end.
+
+KMV_REACH_K = 64  # < per-type user count at sf0.01 (150) → estimator path
+_HASH_SPAN = 1 << 48  # 12 hex digits; both engines parse exactly
+
+
+def kmv_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KMV (k-minimum-values, Beyer et al. SIGMOD'07)
+    distinct-user estimate per event_type — the oracle-backed twin of
+    ``hll_user_reach``. h = first 48 bits of md5(user_id) is uniform on
+    [0, 2^48); keeping the K smallest distinct hashes per type, the
+    estimator is (K-1)·2^48 / h_K (exact k_eff when fewer than K
+    distinct users exist — the sf0.001 path). md5 ordering is engine-
+    independent, so unlike HLL binaries this estimate hash-matches
+    DuckDB bit for bit. At 100 TB the k-min pass is the same mergeable
+    partial-state shape as the sketch: map-side distinct, then a
+    two-phase (salted sliver → re-rank) top-k, never a global sort.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hashed = (
+        e.select(
+            "event_type",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    # two-phase k-min: 16 parallel slivers per type, then re-rank the
+    # ≤16K survivors — identical result to one window per type without
+    # a single task scanning a type's whole distinct-hash set.
+    w1 = Window.partitionBy("event_type", F.pmod("h", F.lit(16))).orderBy("h")
+    pre = (
+        hashed.withColumn("r", F.row_number().over(w1))
+        .filter(F.col("r") <= KMV_REACH_K)
+        .drop("r")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    kmin = (
+        pre.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= KMV_REACH_K)
+    )
+    return (
+        kmin.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("k_eff"), F.max("h").alias("kth_hash"))
+        .select(
+            "event_type",
+            "k_eff",
+            "kth_hash",
+            F.expr(
+                f"case when k_eff < {KMV_REACH_K} then k_eff "
+                f"else {(KMV_REACH_K - 1) * _HASH_SPAN} div kth_hash end"
+            )
+            .cast("long")
+            .alias("est_users"),
+        )
+    )
+
+
+KMV_REACH_SQL = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+  FROM events
+), kmin AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+    FROM hashed
+  ) WHERE r <= {KMV_REACH_K}
+)
+SELECT event_type,
+       count(*) AS k_eff,
+       max(h) AS kth_hash,
+       CAST(CASE WHEN count(*) < {KMV_REACH_K} THEN count(*)
+                 ELSE {(KMV_REACH_K - 1) * _HASH_SPAN} // max(h) END AS BIGINT)
+         AS est_users
+FROM kmin GROUP BY event_type
+"""
+
+QUERIES["kmv_user_reach"] = kmv_user_reach
+ORACLES["kmv_user_reach"] = KMV_REACH_SQL
+
+
+def value_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-statistic p50/p95/p99 per event_type — the
+    oracle-backed twin of ``kll_value_quantiles``. The quantile is the
+    ACTUAL data value at rank ceil(p·n) (no interpolation), so both
+    engines select the identical element and the driver hash matches
+    exactly; the KLL sketch's rank-error contract against this exact
+    answer stays pinned in pytest. One shuffle (window by type), no
+    collect."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = e.select("event_type", "value", "event_id").withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"), F.col("value"))
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.round(pick(0.5), 4).alias("p50"),
+            F.round(pick(0.95), 4).alias("p95"),
+            F.round(pick(0.99), 4).alias("p99"),
+            F.max("n").cast("long").alias("n_events"),
+        )
+    )
+
+
+VALUE_QUANTILES_EXACT_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       round(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END), 4) AS p50,
+       round(max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN value END), 4) AS p95,
+       round(max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END), 4) AS p99,
+       CAST(max(n) AS BIGINT) AS n_events
+FROM ranked GROUP BY event_type
+"""
+
+QUERIES["value_quantiles_exact"] = value_quantiles_exact
+ORACLES["value_quantiles_exact"] = VALUE_QUANTILES_EXACT_SQL
+
+
+def funnel_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact funnel set-operation counts — the oracle-backed twin of
+    ``theta_funnel_overlap``: distinct users who BOTH clicked and
+    purchased, clicked but never purchased, and purchased without a
+    click. One groupBy(user) flag pass then a single global agg — the
+    exact plan you'd run when the sketch estimate needs an audit, and
+    the number the Theta error contract in pytest is measured against."""
+    e = load_table(spark, sf_dir, "events")
+    flags = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("event_type") == "click").alias("c"),
+            F.max(F.col("event_type") == "purchase").alias("p"),
+        )
+    )
+    return flags.agg(
+        F.sum((F.col("c") & F.col("p")).cast("long")).alias("users_click_and_purchase"),
+        F.sum((F.col("c") & ~F.col("p")).cast("long")).alias("users_click_no_purchase"),
+        F.sum((~F.col("c") & F.col("p")).cast("long")).alias("users_purchase_no_click"),
+    )
+
+
+FUNNEL_OVERLAP_EXACT_SQL = """
+WITH flags AS (
+  SELECT user_id,
+         max(event_type = 'click') AS c,
+         max(event_type = 'purchase') AS p
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY user_id
+)
+SELECT CAST(sum(CASE WHEN c AND p THEN 1 ELSE 0 END) AS BIGINT) AS users_click_and_purchase,
+       CAST(sum(CASE WHEN c AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS users_click_no_purchase,
+       CAST(sum(CASE WHEN NOT c AND p THEN 1 ELSE 0 END) AS BIGINT) AS users_purchase_no_click
+FROM flags
+"""
+
+QUERIES["funnel_overlap_exact"] = funnel_overlap_exact
+ORACLES["funnel_overlap_exact"] = FUNNEL_OVERLAP_EXACT_SQL

@@ -303,3 +303,89 @@ MULTIMODAL_DHASH_SQL = _dhash_sql()
 
 QUERIES["multimodal_dhash"] = multimodal_dhash
 ORACLES["multimodal_dhash"] = MULTIMODAL_DHASH_SQL
+
+
+def multimodal_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG-vs-other routing through the strict ``detect_format``
+    dispatch contract (VERDICT r3 task 6): even doc_ids are packed into
+    REAL 16-px grayscale PNGs (stdlib encoder) and travel the real
+    decoder; odd doc_ids stay raw bytes, sniff to a non-decodable
+    format, and route to the deterministic digest fake. Emits
+    (format, decodable, width, height, channels) so the oracle proves
+    BOTH branches: real IHDR geometry for PNGs, digest arithmetic for
+    the rest — the NotImplementedError path is structurally unreachable
+    because every non-decodable format carries fake=True.
+    """
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = load_table(spark, sf_dir, "documents")
+    blobs = M.to_blob_table(d, "doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("decodable", T.BooleanType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("channels", T.LongType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                data = bytes(blob)
+                if int(did) % 2 == 0:
+                    h = max(1, -(-len(data) // 16))
+                    payload = M.encode_png(16, h, data, channels=1, filter_type=2)
+                else:
+                    payload = data
+                fmt = M.detect_format(payload)
+                decodable = fmt in M.DECODABLE_FORMATS
+                w, hh, c = M.decode_image(payload, fake=not decodable)
+                rows.append((int(did), fmt, decodable, w, hh, c))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "format", "decodable", "width", "height", "channels"],
+            )
+
+    return blobs.mapInPandas(fn, schema)
+
+
+# Oracle mirrors both branches: PNG geometry is IHDR arithmetic on the
+# byte length; the non-PNG branch re-sniffs the ASCII-plausible magics
+# (BM/GIF8/RIFF+WEBP/%PDF) on the raw text — byte≡char for ASCII — and
+# recomputes the digest-fake dims from sha256 hex.
+MULTIMODAL_DISPATCH_SQL = f"""
+WITH h AS (
+  SELECT doc_id, text,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         sha256(text) AS hx
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png'
+            WHEN substring(text, 1, 4) = 'GIF8' THEN 'gif'
+            WHEN substring(text, 1, 4) = '%PDF' THEN 'pdf'
+            WHEN substring(text, 1, 4) = 'RIFF'
+                 AND substring(text, 9, 4) = 'WEBP' THEN 'webp'
+            WHEN substring(text, 1, 2) = 'BM' THEN 'bmp'
+            ELSE 'other' END AS format,
+       doc_id % 2 = 0 AS decodable,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(16 AS BIGINT)
+            ELSE CAST(64 + ({_hexbyte(1)}) % 192 AS BIGINT) END AS width,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST(greatest(1, ceil(n_bytes / 16.0)) AS BIGINT)
+            ELSE CAST(64 + ({_hexbyte(3)}) % 192 AS BIGINT) END AS height,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(1 AS BIGINT)
+            ELSE CAST(1 + ({_hexbyte(5)}) % 3 AS BIGINT) END AS channels
+FROM h
+"""
+
+QUERIES["multimodal_format_dispatch"] = multimodal_format_dispatch
+ORACLES["multimodal_format_dispatch"] = MULTIMODAL_DISPATCH_SQL

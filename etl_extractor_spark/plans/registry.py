@@ -45,76 +45,73 @@ _MODULES = (
 
 
 # Emitted ahead of module order: the queries a capped (~50/round)
-# CORRECTNESS sweep must reach. Round-3 rotation: every query that has
-# never appeared in a driver run (r1+r2 checked 96 of 134) leads,
-# followed by the round-3-new round-trip/twin queries, then a small
-# regression canary of previously-green anchors. (Names not present in
-# any module are skipped harmlessly.)
+# CORRECTNESS sweep must reach. Round-4 rotation (VERDICT r3 task 1):
+# the 68 oracle-backed queries that have never appeared in any driver
+# run (registered minus the 146 names in CORRECTNESS_r01-03) lead,
+# flagship round-3 algorithms first, then the round-4-new deterministic
+# sketch twins, then the stats / roundtrip / wave-5-6 tail. ALL
+# rows-only names are pushed behind every oracle-backed name by
+# ``_ordered`` (so the capped window contains zero ``no_oracle``
+# burns), and a ≤5-query green canary sits at the very end. (Names not
+# present in any module are skipped harmlessly.)
 _PRIORITY = (
-    # --- never driver-checked (r1+r2 union): text/corpus suite
-    "bpe_pair_counts", "bpe_apply_merge", "winnow_fingerprints",
-    "char_entropy", "unigram_lm_score", "decontaminate_ngrams",
-    "doc_sentiment", "chunk_documents", "lang_detect",
-    "doc_fingerprints", "corpus_stats_by_lang", "token_frequencies",
-    "docs_pivot_lang_source", "approx_distinct_tokens",
-    # --- never driver-checked: dedup/similarity/events
-    "dedup_simhash_md5", "dedup_simhash_md5_pairs",
-    "embedding_quantize_int8", "hll_user_reach", "events_asof_click_tol",
-    # --- never driver-checked: analytics3/4, stats, cleaning
-    "orders_quality_report", "key_skew_profile",
-    "quality_violation_sample", "user_activity_gaps",
-    "orders_latest_per_customer", "nation_revenue_share_bps",
-    "customer_trailing_30d_spend", "token_coverage_p90",
-    "event_type_cooccurrence", "heavy_hitter_parts", "price_histogram",
-    "mad_outliers_by_priority", "customer_year_reconciliation",
-    "revenue_percentiles", "lineitem_stats", "sql_star_revenue",
-    "winsorize_prices", "fuzzy_name_pairs", "order_quartiles",
-    # --- round-3-new: environmental-op round-trips + deterministic twins
-    "csv_roundtrip", "json_envelope_unwrap", "jdbc_roundtrip",
-    "orders_stratified_sample_hash", "knn_ivf_fixed",
-    "bm25_scores", "pack_sequences", "dataset_split_hash",
-    # --- round-3-new, second wave: PII / VARIANT / Python Data Source /
-    #     as-of trio completion / corpus planning
-    "pii_redaction", "pii_prevalence_by_source", "events_variant_stats",
-    "pyds_envelope_scan", "events_asof_next_click",
-    "events_asof_nearest_click", "mixture_epochs", "vocab_growth_by_source",
-    "shuffle_deterministic", "lateral_top_orders",
-    # --- round-3-new, third wave: web-corpus curation + retrieval eval
-    "url_canonical_dedup", "doc_quality_logreg", "cluster_representatives",
+    # --- flagship round-3 algorithms, never driver-checked (judge order)
+    "ivfpq_adc_topk", "pq_adc_topk", "common_paragraph_filter",
+    "bpe_train_rounds", "bpe_segment_docs", "embedding_dbscan",
+    "cluster_representatives", "pagerank_purchase_graph",
+    "doc_tree_depth", "doc_subtree_rollup", "scd2_point_in_time",
+    "dpp_partitioned_join", "bucketed_join_colocated", "multimodal_dhash",
+    "snapshot_diff", "distinct_users_salted", "topk_orders_salted",
+    # --- round-4 fixes + new deterministic twins (VERDICT tasks 2/3/6)
+    "theil_sen_nation_trend", "kmv_user_reach", "kmv_distinct_tokens",
+    "value_quantiles_exact", "funnel_overlap_exact",
+    "multimodal_format_dispatch",
+    # --- stats suite, never driver-checked
+    "bootstrap_revenue_ci", "woe_encoding", "ab_test_zscore",
+    "psi_price_drift", "chi2_segment_status", "benford_first_digit",
+    "rolling_zscore_outliers", "part_association_rules",
+    "nation_revenue_trend", "decayed_daily_revenue",
+    # --- roundtrip tail, never driver-checked
+    "orc_roundtrip", "jsonl_roundtrip", "compaction_roundtrip",
+    "parquet_schema_evolution", "sql_udf_margin",
+    # --- wave-5/6 tail, never driver-checked
+    "events_asof_next_click", "events_asof_nearest_click",
+    "events_rate_limit", "source_similarity_kmv", "k_anonymity_audit",
+    "user_erasure_audit", "triangle_participation",
+    "purchase_graph_degrees", "dedup_containment", "pii_luhn_cards",
+    "orders_nested_lines", "customer_order_streaks",
+    "weighted_sample_orders", "user_active_coverage",
+    "phrase_search_postings", "url_canonical_dedup", "doc_quality_logreg",
     "bigram_lm_score", "ann_recall_at_k", "split_leakage_audit",
-    "pagerank_purchase_graph", "purchase_graph_degrees",
-    "topk_orders_salted", "curriculum_order", "doc_length_p99_filter",
-    "hashed_feature_vectors", "chunk_sliding_stride", "oov_rate",
-    "rerank_bm25_hash_stub", "top_session_paths", "pmi_collocations",
-    "knn_label_agreement", "contrastive_negatives",
-    "rolling_zscore_outliers",
-    # --- round-3, fourth wave: corpus-global cleaning, governance,
-    #     graph cohesion, decayed KPIs
-    "common_paragraph_filter", "user_erasure_audit",
-    "triangle_participation", "decayed_daily_revenue",
-    "doc_tree_depth", "doc_subtree_rollup", "pq_adc_topk", "ivfpq_adc_topk",
-    "events_rate_limit", "bpe_train_rounds", "pii_luhn_cards",
-    "parquet_schema_evolution", "part_association_rules",
-    "nation_revenue_trend", "orc_roundtrip", "bootstrap_revenue_ci",
-    "woe_encoding", "phrase_search_postings", "ab_test_zscore",
-    "distinct_users_salted", "snapshot_diff", "dedup_containment",
-    "bpe_segment_docs", "scd2_point_in_time", "orders_nested_lines",
-    "customer_order_streaks", "k_anonymity_audit", "multimodal_dhash",
-    "dpp_partitioned_join", "bucketed_join_colocated",
-    "source_similarity_kmv", "psi_price_drift", "chi2_segment_status",
-    "jsonl_roundtrip", "compaction_roundtrip", "sql_udf_margin",
-    "weighted_sample_orders", "user_active_coverage", "embedding_dbscan",
-    "theil_sen_nation_trend", "benford_first_digit",
-    # --- regression canary (green in r1/r2; re-pin a few anchors)
+    "curriculum_order", "doc_length_p99_filter", "hashed_feature_vectors",
+    "chunk_sliding_stride", "oov_rate", "rerank_bm25_hash_stub",
+    "top_session_paths", "pmi_collocations", "knn_label_agreement",
+    "contrastive_negatives", "mixture_epochs", "vocab_growth_by_source",
+    "shuffle_deterministic", "lateral_top_orders",
+    "multimodal_features_arrow",
+)
+
+# Previously-green anchors pinned to the VERY END of the registry order
+# (behind even the rows-only names) as a regression canary for a future
+# uncapped sweep; they never displace a first-time check from the
+# capped window.
+_CANARY = (
     "q5_regional_revenue", "fact_conformed", "dedup_minhash_lsh",
-    "dedup_minhash_lsh_oph", "star_join_detail", "text_quality",
-    "knn_topk_cosine_np", "events_sessionize",
+    "text_quality", "events_sessionize",
 )
 
 
-def _ordered(out: dict) -> dict:
-    head = {k: out[k] for k in _PRIORITY if k in out}
-    return head | {k: v for k, v in out.items() if k not in head}
+def _ordered(out: dict, oracles: dict | None = None) -> dict:
+    """Priority head, then remaining oracle-backed names in module
+    order, then rows-only names (no oracle ⇒ a capped sweep slot spent
+    on them records only a weak rows-only check), then the canary."""
+    head = {k: out[k] for k in _PRIORITY if k in out and k not in _CANARY}
+    rest = [k for k in out if k not in head and k not in _CANARY]
+    if oracles is not None:
+        rest.sort(key=lambda k: k not in oracles)  # stable: oracle-backed first
+    tail = {k: out[k] for k in rest}
+    canary = {k: out[k] for k in _CANARY if k in out}
+    return head | tail | canary
 
 
 def _load(attr: str) -> tuple[dict, bool]:
@@ -126,6 +123,7 @@ def _load(attr: str) -> tuple[dict, bool]:
 
     out: dict = {}
     complete = True
+    oracles: dict = {}
     for mod_name in _MODULES:
         try:
             mod = importlib.import_module(mod_name)
@@ -133,7 +131,8 @@ def _load(attr: str) -> tuple[dict, bool]:
             complete = False
             continue  # module not importable right now
         out.update(getattr(mod, attr, {}))
-    return _ordered(out), complete
+        oracles.update(getattr(mod, "ORACLES", {}))
+    return _ordered(out, oracles), complete
 
 
 # Registry hygiene at 134+ queries: the 17-module import walk runs once;

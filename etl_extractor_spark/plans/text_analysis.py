@@ -1070,3 +1070,75 @@ BPE_SEGMENT_SQL = _bpe_apply_vocab_sql()
 
 QUERIES.update({"bpe_segment_docs": bpe_segment_docs})
 ORACLES.update({"bpe_segment_docs": BPE_SEGMENT_SQL})
+
+
+KMV_TOK_K = 256
+_KMV_SPAN = 1 << 48  # 12 hex md5 digits — parsed identically by both engines
+
+
+def kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KMV distinct-token estimate — the oracle-backed
+    twin of ``approx_distinct_tokens`` (HLL++, rows-only). Same
+    tokenizer as ``token_frequencies``; h = first 48 bits of
+    md5(token); keep the K=256 smallest distinct hashes; estimate
+    (K-1)·2^48 / h_K. md5 ordering is engine-independent, so the
+    estimate hash-matches DuckDB exactly while HLL binaries cannot.
+    Scale shape: map-side distinct + two-phase (16-sliver salted then
+    re-rank) k-min — no global sort, no single-task hash scan."""
+    d = load_table(spark, sf_dir, "documents")
+    hashed = (
+        d.select(F.explode(ts.tokens("text")).alias("token"))
+        .filter(F.length("token") > 0)
+        .select(
+            F.conv(F.substring(F.md5("token"), 1, 12), 16, 10)
+            .cast("long")
+            .alias("h")
+        )
+        .distinct()
+    )
+    w1 = Window.partitionBy(F.pmod("h", F.lit(16))).orderBy("h")
+    pre = (
+        hashed.withColumn("r", F.row_number().over(w1))
+        .filter(F.col("r") <= KMV_TOK_K)
+        .drop("r")
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("h")
+    kmin = (
+        pre.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= KMV_TOK_K)
+    )
+    return kmin.agg(
+        F.count(F.lit(1)).alias("k_eff"), F.max("h").alias("kth_hash")
+    ).select(
+        "k_eff",
+        "kth_hash",
+        F.expr(
+            f"case when k_eff < {KMV_TOK_K} then k_eff "
+            f"else {(KMV_TOK_K - 1) * _KMV_SPAN} div kth_hash end"
+        )
+        .cast("long")
+        .alias("est_tokens"),
+    )
+
+
+KMV_TOKENS_SQL = rf"""
+WITH toks AS (
+  SELECT unnest(string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ')) AS token
+  FROM documents
+), hashed AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT) AS h
+  FROM toks WHERE len(token) > 0
+), kmin AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS r FROM hashed
+  ) WHERE r <= {KMV_TOK_K}
+)
+SELECT count(*) AS k_eff,
+       max(h) AS kth_hash,
+       CAST(CASE WHEN count(*) < {KMV_TOK_K} THEN count(*)
+                 ELSE {(KMV_TOK_K - 1) * _KMV_SPAN} // max(h) END AS BIGINT) AS est_tokens
+FROM kmin
+"""
+
+QUERIES.update({"kmv_distinct_tokens": kmv_distinct_tokens})
+ORACLES.update({"kmv_distinct_tokens": KMV_TOKENS_SQL})
