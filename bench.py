@@ -61,6 +61,24 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _canary(spark) -> float:
+    """Fixed-work machine-speed probe (bench line 0): sum over
+    spark.range(5e8) — constant CPU-bound work with no I/O, no shuffle
+    and no dependence on this repo's code. Driver-machine variance
+    (co-tenant CPU, turbo state) moves this number by the same factor
+    it moves every query, so BASELINE.md normalizes per-query deltas
+    by it: a uniform swing is machine noise, a per-query swing is a
+    regression. Min of 2 runs, like the queries."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _force(spark.range(500_000_000).agg(F.sum("id").alias("s")))
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -110,12 +128,17 @@ def main() -> None:
             spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    canary = _canary(spark)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                # fixed-work probe, NOT part of the headline total —
+                # divide per-query times by (canary / canary_baseline)
+                # to separate machine variance from plan regressions
+                "canary_range_sum_sec": canary,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

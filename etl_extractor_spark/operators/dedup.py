@@ -81,7 +81,15 @@ def _pair_jaccard(
     on the hash shuffles 8-byte keys instead of k-char strings."""
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.alias("a")
-    b = shingles.alias("b")
+    # sort-merge hint on every SF-scaled side: the shingle table comes
+    # out of an explode, so Catalyst's static size estimate is the
+    # PRE-explode file size — small enough that the planner picks
+    # BroadcastHashJoin and builds the whole corpus-scaled shingle (or
+    # per-doc sizes) table on the driver (observed OOM at sf1 on a
+    # default 1g driver JVM; shuffle_hash also OOMs building the
+    # per-task hash map there). SMJ spills — the only join that
+    # survives 100× on both sides.
+    b = shingles.alias("b").hint("merge")
     common = (
         a.join(b, (F.col(f"a.{key}") == F.col(f"b.{key}")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
@@ -89,14 +97,19 @@ def _pair_jaccard(
     )
     if candidates is not None:
         common = common.join(candidates, ["id_a", "id_b"], "leftsemi")
-    # NO broadcast hint on sizes: it is one row per DOCUMENT (SF-scaled
-    # — unbroadcastable at corpus scale). The pair relation `common` is
-    # the candidate-bounded small side; AQE broadcasts IT at test SF,
-    # and at 100 TB both joins degrade gracefully to shuffle joins on
-    # the doc-id key.
     return (
-        common.join(sizes.withColumnsRenamed({"doc_id": "id_a", "n": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "n": "n_b"}), "id_b")
+        common.join(
+            sizes.withColumnsRenamed({"doc_id": "id_a", "n": "n_a"}).hint(
+                "merge"
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnsRenamed({"doc_id": "id_b", "n": "n_b"}).hint(
+                "merge"
+            ),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",
@@ -563,7 +576,11 @@ def connected_components_star(
         m = nbrs.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
-        j = nbrs.join(m, "u")
+        # sort-merge hint: m is O(nodes) — same asymptote as nbrs —
+        # so letting the planner broadcast it blows the driver heap the
+        # moment the component graph outgrows the broadcast budget
+        # (observed at sf1 on a default 1g driver JVM). SMJ spills.
+        j = nbrs.join(m.hint("merge"), "u")
         if large:
             moved = j.filter(F.col("v") > F.col("u")).select(
                 F.col("v").alias("u"), F.col("m").alias("v")
@@ -578,23 +595,32 @@ def connected_components_star(
             out = moved.unionByName(self_edge)
         return out.filter(F.col("u") != F.col("v")).distinct()
 
-    e = (
+    def _ckpt(df: DataFrame) -> DataFrame:
+        # RELIABLE (disk) checkpoint after every round: each round's
+        # plan references the previous round's twice per star, so
+        # lineage (and Catalyst re-optimization time) grows
+        # exponentially without a hard plan-truncation point.
+        # checkpoint() over localCheckpoint(): blocks go to the
+        # checkpoint dir on disk, not executor memory, so the loop
+        # survives a default-sized driver-harness JVM and executor
+        # loss (at cluster scale, localCheckpoint blocks die with
+        # their executor mid-iteration).
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            import tempfile
+
+            sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark_cc_ckpt_"))
+        return df.checkpoint(eager=True)
+
+    e = _ckpt(
         edges.selectExpr("id_a AS u", "id_b AS v")
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        # eager localCheckpoint after every round: each round's plan
-        # references the previous round's twice per star, so lineage
-        # (and Catalyst re-optimization time) grows exponentially
-        # without a hard plan-truncation point. Checkpointed blocks
-        # live on executors — no driver materialization.
-        .localCheckpoint(eager=True)
     )
     sig = _checksum(e)
     converged = False
     for _ in range(max_iter):
-        new_e = _star(_star(e, large=True), large=False).localCheckpoint(
-            eager=True
-        )
+        new_e = _ckpt(_star(_star(e, large=True), large=False))
         new_sig = _checksum(new_e)
         e = new_e
         if new_sig == sig:

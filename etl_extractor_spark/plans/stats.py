@@ -483,6 +483,9 @@ QUERIES["sql_udf_margin"] = sql_udf_margin
 ORACLES["sql_udf_margin"] = SQL_UDF_MARGIN_SQL
 
 
+TS_TARGET = 200  # rows kept per nation → ≤ TS_TARGET² pairs per group
+
+
 def theil_sen_nation_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-nation revenue trend: the Theil-Sen estimator (median
     of pairwise slopes) — outlier-resistant where OLS
@@ -491,10 +494,15 @@ def theil_sen_nation_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER STATISTIC (lower median by (slope, key-pair) rank), not an
     interpolated percentile, so engines can't diverge on a float seam.
     Pairs are generated WITHIN nation (blocked, like every pairwise
-    operator here) and SYSTEMATICALLY SAMPLED 1-in-997 by a
-    deterministic key-pair hash — the textbook scale variant
-    (Matousek's randomized Theil-Sen keeps O(n) pairs); the sample is
-    pinned arithmetic, so both engines median the identical subset.
+    operator here) from a ROW sample taken BEFORE the self-join
+    (VERDICT r3 task 2 — the old pair-hash filter still enumerated all
+    n² pairs as join input): each nation keeps ~TS_TARGET rows via a
+    deterministic md5 gate with a per-nation rate R = max(1, n/TARGET)
+    derived from the group size, so the pair count is ≤ (n/R)² ≈
+    TARGET² per group BY CONSTRUCTION at any scale factor — the
+    Matousek-style bounded-sample variant. The gate is pinned
+    arithmetic (md5 is engine-identical), so both engines median the
+    identical subset.
 
     One pair join keyed on nation + one ranking window that rides the
     same partitioning."""
@@ -511,19 +519,24 @@ def theil_sen_nation_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = o.join(c, o.o_custkey == c.c_custkey).join(
         F.broadcast(n), c.c_nationkey == n.n_nationkey
     ).select("n_name", "o_orderkey", "x", "y")
+    # row gate BEFORE the self-join: per-nation keep-rate R derived
+    # from the group size caps pairs at ~TS_TARGET² per group forever
+    from pyspark.sql import Window as _W
+
+    rate = F.greatest(
+        F.lit(1), F.floor(F.count(F.lit(1)).over(_W.partitionBy("n_name")) / TS_TARGET)
+    ).cast("long")
+    okey_hash = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    j = j.withColumn("keep", F.pmod(okey_hash, rate) == 0).filter("keep").drop("keep")
     a, b = j.alias("a"), j.alias("b")
     pairs = (
         a.join(
             b,
             (F.col("a.n_name") == F.col("b.n_name"))
             & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
-            & (F.col("a.x") != F.col("b.x"))
-            & (
-                F.pmod(
-                    F.col("a.o_orderkey") * 31 + F.col("b.o_orderkey"), F.lit(997)
-                )
-                == 0
-            ),
+            & (F.col("a.x") != F.col("b.x")),
         )
         .select(
             F.col("a.n_name").alias("n_name"),
@@ -553,20 +566,27 @@ def theil_sen_nation_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-THEIL_SEN_SQL = """
-WITH j AS (
+THEIL_SEN_SQL = f"""
+WITH j0 AS (
   SELECT n_name, o_orderkey,
          datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS x,
          CAST(round(o_totalprice * 100, 0) AS BIGINT) AS y
   FROM orders
   JOIN customer ON o_custkey = c_custkey
   JOIN nation ON c_nationkey = n_nationkey
+), gated AS (
+  SELECT *, greatest(1, CAST(floor(count(*) OVER (PARTITION BY n_name)
+                                   / {TS_TARGET}) AS BIGINT)) AS rate
+  FROM j0
+), j AS (
+  SELECT n_name, o_orderkey, x, y FROM gated
+  WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12)) AS BIGINT)
+        % rate = 0
 ), pairs AS (
   SELECT a.n_name, a.o_orderkey AS ka, b.o_orderkey AS kb,
          (b.y - a.y) * 1.0 / (b.x - a.x) AS slope
   FROM j a JOIN j b
     ON a.n_name = b.n_name AND a.o_orderkey < b.o_orderkey AND a.x <> b.x
-   AND (a.o_orderkey * 31 + b.o_orderkey) % 997 = 0
 ), ranked AS (
   SELECT n_name, slope,
          row_number() OVER (PARTITION BY n_name ORDER BY slope, ka, kb) AS r,

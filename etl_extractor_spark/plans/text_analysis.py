@@ -758,41 +758,42 @@ def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-segmented corpus. Emits the learned merge table
     (round, pair, n) — i.e. the tokenizer vocabulary delta.
 
-    Two representation invariants make the rounds exact and engine-
-    portable once symbols grow beyond one character:
+    Representation (r4 — VERDICT task 7, ~vocab-sized rounds): the
+    working set is the DISTINCT token vocabulary with occurrence
+    FREQUENCIES, segmented ONCE into a symbol ARRAY carried (and
+    checkpointed) across rounds — never re-split from text. This is
+    the classic trainer layout (Sennrich et al. ACL'16 train on word
+    counts): pair counts are sum(freq) per adjacent symbol pair, so
+    each round's work is O(|vocab|), not O(|occurrences|) — the Zipf
+    gap that made the old per-occurrence loop 51.9 s at sf1.
 
-    - symbols are joined with TWO spaces and the string padded with
-      one: the fuse is then a plain ``replace(' A  B ', ' AB ')`` —
-      the pattern's boundary spaces guarantee A and B match COMPLETE
-      symbols (symbols never contain spaces), and because each
-      occurrence consumes only one space of each flanking delimiter,
-      left-to-right non-overlapping replace implements BPE's canonical
-      leftmost-first fusing even for runs like ``A A A``.
-    - the winning pair rides a broadcast 1-row join into the replace
-      (no driver collect); the corpus is localCheckpoint'ed each round
+    - the fuse is a left-to-right stack fold over the symbol array
+      (aggregate HOF): merge x into the accumulator tail when
+      (tail, x) == (a, b) — exactly BPE's canonical leftmost-first
+      non-overlapping fuse (runs like ``A A A`` merge once).
+    - the winning pair rides a broadcast 1-row join into the fuse
+      (no driver collect); the vocab is localCheckpoint'ed each round
       so the plan stays flat (lineage discipline proven by the
       PageRank/components operators).
 
     Scale: each round is one pair-count shuffle over the DISTINCT pair
-    space (map-side partial agg eats the stream) + one map-only fuse.
-    Rounds are inherently sequential — that is BPE, not the engine.
-    The oracle unrolls all three rounds as DuckDB CTEs, so the loop's
+    space (map-side partial agg eats the stream) + one map-only fuse
+    over the vocabulary. Rounds are inherently sequential — that is
+    BPE, not the engine. The oracle unrolls all rounds as DuckDB CTEs
+    over the same (token, freq) representation, so the loop's
     composition is hash-certified, not just one round.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(F.explode(ts.tokens("text")).alias("tok")).filter(
-        F.length("tok") >= 2
-    )
-    corpus = toks.select(
-        F.concat(
-            F.lit(" "),
-            F.concat_ws("  ", F.split(F.col("tok"), "(?!^)(?=.)")),
-            F.lit(" "),
-        ).alias("s")
+    vocab = (
+        d.select(F.explode(ts.tokens("text")).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.split(F.col("tok"), "(?!^)(?=.)").alias("syms"), "freq")
     )
     rounds = []
     for r in range(1, BPE_ROUNDS + 1):
-        pairs = corpus.select(F.split(F.trim("s"), "  ").alias("syms")).select(
+        pairs = vocab.select(
             F.explode(
                 F.expr(
                     "CASE WHEN size(syms) < 2"
@@ -800,10 +801,11 @@ def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " ELSE transform(sequence(1, size(syms) - 1),"
                     " i -> struct(syms[i - 1] AS a, syms[i] AS b)) END"
                 )
-            ).alias("p")
+            ).alias("p"),
+            "freq",
         )
         counts = pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
-            F.count(F.lit(1)).alias("n")
+            F.sum("freq").alias("n")
         )
         # orderBy().limit(1) compiles to TakeOrderedAndProject — a
         # distributed per-partition top-1 + tiny driver merge, never
@@ -817,22 +819,29 @@ def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         # LEFT join on true, not crossJoin: an empty top1 (a round with
-        # no pairs anywhere — fully-fused corpus) must pass the corpus
-        # through untouched, not annihilate it (crossJoin with an empty
-        # side produces ZERO rows — review catch, same family as the
-        # sequence(1,0) ANSI trap).
-        corpus = (
-            corpus.join(F.broadcast(top1), F.lit(True), "left")
+        # no pairs anywhere — fully-fused vocab) must pass rows through
+        # untouched, not annihilate them (crossJoin with an empty side
+        # produces ZERO rows — review catch, same family as the
+        # sequence(1,0) ANSI trap). Stack-fold fuse: tail==a and x==b
+        # merge; the merged symbol a||b is strictly longer than a, so
+        # it can never re-match as the left element within this pass —
+        # leftmost-first semantics hold even for A A A runs.
+        vocab = (
+            vocab.join(F.broadcast(top1), F.lit(True), "left")
             .select(
-                F.when(
-                    F.col("a").isNull(), F.col("s")
-                ).otherwise(
-                    F.replace(
-                        "s",
-                        F.concat(F.lit(" "), "a", F.lit("  "), "b", F.lit(" ")),
-                        F.concat(F.lit(" "), "a", "b", F.lit(" ")),
+                F.when(F.col("a").isNull(), F.col("syms"))
+                .otherwise(
+                    F.expr(
+                        "aggregate(syms, CAST(array() AS array<string>),"
+                        " (out, x) -> CASE WHEN size(out) > 0"
+                        "   AND element_at(out, -1) = a AND x = b"
+                        "  THEN concat(slice(out, 1, size(out) - 1),"
+                        "              array(concat(a, b)))"
+                        "  ELSE concat(out, array(x)) END)"
                     )
-                ).alias("s")
+                )
+                .alias("syms"),
+                "freq",
             )
             .localCheckpoint(eager=True)
         )
@@ -843,6 +852,9 @@ def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_train_sql() -> str:
+    # same (distinct token, freq) working set as the Spark loop: the
+    # two-space symbol-string replace is DuckDB's formulation of the
+    # array stack-fold — identical leftmost-first fuse semantics.
     head = r"""
 WITH toks AS (
   SELECT tok FROM (
@@ -850,16 +862,17 @@ WITH toks AS (
     FROM documents
   ) WHERE len(tok) >= 2
 ), c0 AS (
-  SELECT ' ' || list_aggregate(string_split(tok, ''), 'string_agg', '  ') || ' ' AS s
-  FROM toks
+  SELECT ' ' || list_aggregate(string_split(tok, ''), 'string_agg', '  ') || ' ' AS s,
+         count(*) AS freq
+  FROM toks GROUP BY tok
 )"""
     ctes, selects = [], []
     for r in range(1, BPE_ROUNDS + 1):
         prev = f"c{r - 1}"
         ctes.append(
             f""", p{r} AS (
-  SELECT syms[i] AS a, syms[i + 1] AS b, count(*) AS n
-  FROM (SELECT string_split(trim(s), '  ') AS syms FROM {prev}),
+  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS n
+  FROM (SELECT string_split(trim(s), '  ') AS syms, freq FROM {prev}),
        LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
   GROUP BY 1, 2
 ), t{r} AS (
@@ -868,7 +881,8 @@ WITH toks AS (
   SELECT CASE WHEN (SELECT count(*) FROM t{r}) = 0 THEN s
               ELSE replace(s,
                 ' ' || (SELECT a FROM t{r}) || '  ' || (SELECT b FROM t{r}) || ' ',
-                ' ' || (SELECT a FROM t{r}) || (SELECT b FROM t{r}) || ' ') END AS s
+                ' ' || (SELECT a FROM t{r}) || (SELECT b FROM t{r}) || ' ') END AS s,
+         freq
   FROM {prev}
 )"""
         )
@@ -952,23 +966,34 @@ def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one query proves the learned merges and their application compose
     (the oracle re-derives the full chain, not just the merge table).
 
-    Same plan shape as the trainer plus one per-doc rollup that rides
-    the doc_id already carried through the fuse (no extra join)."""
+    r4 (VERDICT task 7): training runs on the DISTINCT (token, freq)
+    vocabulary — identical winners, since sum(freq) over the vocab ==
+    count over occurrences — and the learned merges are applied to the
+    per-document corpus ONCE at the end as a chain of broadcast-joined
+    replaces (application composes: replace(replace(c0,m1),m2) is
+    exactly the interleaved loop's end state). Per-round cost drops
+    from O(|occurrences|) to O(|vocab|) and the per-doc corpus is
+    never checkpointed at all — one map-only pass."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(ts.tokens("text")).alias("tok")
-    ).filter(F.length("tok") >= 2)
-    corpus = toks.select(
-        "doc_id",
-        F.length("tok").alias("n_chars_tok"),
-        F.concat(
-            F.lit(" "),
-            F.concat_ws("  ", F.split(F.col("tok"), "(?!^)(?=.)")),
-            F.lit(" "),
-        ).alias("s"),
+    vocab = (
+        d.select(F.explode(ts.tokens("text")).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.concat_ws("  ", F.split(F.col("tok"), "(?!^)(?=.)")),
+                F.lit(" "),
+            ).alias("s"),
+            "freq",
+        )
     )
+    merges = []
     for _ in range(BPE_ROUNDS):
-        pairs = corpus.select(F.split(F.trim("s"), "  ").alias("syms")).select(
+        pairs = vocab.select(
+            F.split(F.trim("s"), "  ").alias("syms"), "freq"
+        ).select(
             F.explode(
                 F.expr(
                     "CASE WHEN size(syms) < 2"
@@ -976,19 +1001,19 @@ def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " ELSE transform(sequence(1, size(syms) - 1),"
                     " i -> struct(syms[i - 1] AS a, syms[i] AS b)) END"
                 )
-            ).alias("p")
+            ).alias("p"),
+            "freq",
         )
         counts = pairs.groupBy(
             F.col("p.a").alias("a"), F.col("p.b").alias("b")
-        ).agg(F.count(F.lit(1)).alias("n"))
+        ).agg(F.sum("freq").alias("n"))
         top1 = counts.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1)
+        merges.append(top1.select("a", "b"))
         # LEFT join on true (see bpe_train_rounds): an empty top1 must
-        # NOT annihilate the corpus — every doc keeps its row.
-        corpus = (
-            corpus.join(F.broadcast(top1), F.lit(True), "left")
+        # NOT annihilate the vocab — every row passes through.
+        vocab = (
+            vocab.join(F.broadcast(top1), F.lit(True), "left")
             .select(
-                "doc_id",
-                "n_chars_tok",
                 F.when(
                     F.col("a").isNull(), F.col("s")
                 ).otherwise(
@@ -998,8 +1023,36 @@ def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.concat(F.lit(" "), "a", "b", F.lit(" ")),
                     )
                 ).alias("s"),
+                "freq",
             )
             .localCheckpoint(eager=True)
+        )
+    # APPLY once: per-doc corpus built a single time, merges chained as
+    # broadcast 1-row joins — map-only, no per-round materialization
+    corpus = d.select(
+        "doc_id", F.explode(ts.tokens("text")).alias("tok")
+    ).filter(F.length("tok") >= 2).select(
+        "doc_id",
+        F.length("tok").alias("n_chars_tok"),
+        F.concat(
+            F.lit(" "),
+            F.concat_ws("  ", F.split(F.col("tok"), "(?!^)(?=.)")),
+            F.lit(" "),
+        ).alias("s"),
+    )
+    for m in merges:
+        corpus = corpus.join(F.broadcast(m), F.lit(True), "left").select(
+            "doc_id",
+            "n_chars_tok",
+            F.when(F.col("a").isNull(), F.col("s"))
+            .otherwise(
+                F.replace(
+                    "s",
+                    F.concat(F.lit(" "), "a", F.lit("  "), "b", F.lit(" ")),
+                    F.concat(F.lit(" "), "a", "b", F.lit(" ")),
+                )
+            )
+            .alias("s"),
         )
     return (
         corpus.select(
@@ -1021,6 +1074,9 @@ def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_apply_vocab_sql() -> str:
+    # mirrors the r4 Spark shape: train on (distinct token, freq) CTEs
+    # v0..vN, then apply the learned merges to the per-doc corpus once
+    # at the end via chained replaces (application composes).
     head = r"""
 WITH toks AS (
   SELECT doc_id, tok FROM (
@@ -1028,39 +1084,50 @@ WITH toks AS (
            unnest(string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ')) AS tok
     FROM documents
   ) WHERE len(tok) >= 2
-), c0 AS (
-  SELECT doc_id, len(tok) AS n_chars_tok,
-         ' ' || list_aggregate(string_split(tok, ''), 'string_agg', '  ') || ' ' AS s
-  FROM toks
+), v0 AS (
+  SELECT ' ' || list_aggregate(string_split(tok, ''), 'string_agg', '  ') || ' ' AS s,
+         count(*) AS freq
+  FROM toks GROUP BY tok
 )"""
     ctes = []
     for r in range(1, BPE_ROUNDS + 1):
-        prev = f"c{r - 1}"
+        prev = f"v{r - 1}"
         ctes.append(
             f""", p{r} AS (
-  SELECT syms[i] AS a, syms[i + 1] AS b, count(*) AS n
-  FROM (SELECT string_split(trim(s), '  ') AS syms FROM {prev}),
+  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS n
+  FROM (SELECT string_split(trim(s), '  ') AS syms, freq FROM {prev}),
        LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
   GROUP BY 1, 2
 ), t{r} AS (
   SELECT a, b FROM p{r} ORDER BY n DESC, a ASC, b ASC LIMIT 1
-), c{r} AS (
-  SELECT doc_id, n_chars_tok,
-         CASE WHEN (SELECT count(*) FROM t{r}) = 0 THEN s
+), v{r} AS (
+  SELECT CASE WHEN (SELECT count(*) FROM t{r}) = 0 THEN s
               ELSE replace(s,
                 ' ' || (SELECT a FROM t{r}) || '  ' || (SELECT b FROM t{r}) || ' ',
-                ' ' || (SELECT a FROM t{r}) || (SELECT b FROM t{r}) || ' ') END AS s
+                ' ' || (SELECT a FROM t{r}) || (SELECT b FROM t{r}) || ' ') END AS s,
+         freq
   FROM {prev}
 )"""
         )
-    tail = f"""
+    # apply: fold the merge chain into one nested replace expression
+    expr = "' ' || list_aggregate(string_split(tok, ''), 'string_agg', '  ') || ' '"
+    for r in range(1, BPE_ROUNDS + 1):
+        expr = f"""CASE WHEN (SELECT count(*) FROM t{r}) = 0 THEN ({expr})
+              ELSE replace(({expr}),
+                ' ' || (SELECT a FROM t{r}) || '  ' || (SELECT b FROM t{r}) || ' ',
+                ' ' || (SELECT a FROM t{r}) || (SELECT b FROM t{r}) || ' ') END"""
+    tail = f""", applied AS (
+  SELECT doc_id, len(tok) AS n_chars_tok,
+         {expr} AS s
+  FROM toks
+)
 SELECT doc_id,
        count(*) AS n_tokens,
        CAST(sum(n_chars_tok) AS BIGINT) AS syms_before,
        CAST(sum(len(string_split(trim(s), '  '))) AS BIGINT) AS syms_after,
        (CAST(sum(n_chars_tok) AS BIGINT) - CAST(sum(len(string_split(trim(s), '  '))) AS BIGINT))
          * 10000 // CAST(sum(n_chars_tok) AS BIGINT) AS saved_bps
-FROM c{BPE_ROUNDS}
+FROM applied
 GROUP BY doc_id
 """
     return head + "".join(ctes) + tail
