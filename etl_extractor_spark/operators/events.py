@@ -342,8 +342,17 @@ def json_props_stats(df: DataFrame) -> DataFrame:
     )
 
 
+# Single source of truth for the rate-limit quota contract — the batch
+# operator default, plans/events.events_rate_limit's oracle, and the
+# streaming twin's state bucket all derive from these two values;
+# re-declaring them anywhere silently breaks the batch/stream equality
+# the tests certify (review catch).
+RL_WINDOW = "1 day"
+RL_MAX = 2
+
+
 def rate_limit(
-    df: DataFrame, window: str = "1 day", max_per_window: int = 2
+    df: DataFrame, window: str = RL_WINDOW, max_per_window: int = RL_MAX
 ) -> DataFrame:
     """Per-user rate limiting: within each tumbling window a user's
     first ``max_per_window`` events (by ts, event_id) pass, the rest

@@ -589,8 +589,10 @@ QUERIES["top_session_paths"] = top_session_paths
 ORACLES["top_session_paths"] = TOP_PATHS_SQL
 
 
-RL_WINDOW = "1 day"
-RL_MAX = 2
+# shared quota contract — single definition in operators/events (the
+# streaming twin derives its state bucket from the same values)
+RL_WINDOW = E.RL_WINDOW
+RL_MAX = E.RL_MAX
 
 
 def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:

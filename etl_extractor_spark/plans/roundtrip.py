@@ -421,9 +421,10 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately written as 8 fragment files (the streaming-ingest
     disease), compacted with the engine's compactor (coalesce rewrite
     — narrow, no shuffle), and read back; output = the per-nation
-    rollup PLUS the post-compaction file count as a column, so the
-    oracle pins both the content (unchanged) and the layout claim
-    (file count collapsed to 1 at this size). Small files are the #1
+    rollup PLUS a ``compaction_ok`` contract bit (post-compaction file
+    count == ceil(fragment_bytes / target), computed Spark-side), so
+    the oracle pins both the content (unchanged) and the layout claim
+    at ANY scale factor. Small files are the #1
     silent performance killer of long-lived 100 TB tables — this makes
     the repair operation itself driver-verifiable."""
     from etl_extractor_spark.sinks.compact import compact_parquet
@@ -435,12 +436,22 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"spark_graft_compact_{os.getpid()}"
     )
     s.repartition(8).write.mode("overwrite").parquet(path)
+    # pin the compactor's CONTRACT, not a literal file count: expected
+    # = ceil(fragment_bytes / target). A hardcoded `1` broke the oracle
+    # the moment the table outgrew one target file (ADVICE r3) — this
+    # form is scale-factor-independent and still fails if the
+    # compactor mis-sizes its output.
+    import math
+
+    from etl_extractor_spark.sinks.compact import dir_bytes
+
+    expected = max(1, math.ceil(dir_bytes(path) / (128 * 1024 * 1024)))
     n_after = compact_parquet(spark, path, target_file_mb=128)
     back = spark.read.parquet(path)
     return back.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("n_suppliers"),
         F.round(F.sum("bal"), 2).alias("total_bal"),
-        F.lit(n_after).cast("long").alias("n_files_after"),
+        F.lit(bool(n_after == expected)).alias("compaction_ok"),
     )
 
 
@@ -448,7 +459,7 @@ COMPACTION_SQL = """
 SELECT s_nationkey,
        count(*) AS n_suppliers,
        round(sum(round(s_acctbal, 2)), 2) AS total_bal,
-       CAST(1 AS BIGINT) AS n_files_after
+       true AS compaction_ok
 FROM supplier GROUP BY s_nationkey
 """
 

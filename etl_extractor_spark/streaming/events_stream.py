@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from etl_extractor_spark.operators import events as _E
 from etl_extractor_spark.operators.events import TS_FMT
 from etl_extractor_spark.sources.parquet import load_table
 
@@ -50,12 +51,15 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{sf_dir}/events.[p]arquet")  # glob ⇒ basePath = sf_dir (file source needs a directory basePath)
     )
     if isinstance(ts_type, T.LongType):
-        # TIMESTAMP(NANOS) read as raw long nanos → truncate to µs.
-        # ts_ntz carries the TRUE wall clock (pure epoch arithmetic);
-        # ts is the instant the watermark machinery requires.
+        # TIMESTAMP(NANOS) read as raw long nanos → truncate to µs via
+        # INTEGER floor division (double division truncates 1 µs low
+        # within ~128 ns of a boundary once nanos exceed 2^53 — review
+        # catch). ts_ntz carries the TRUE wall clock (pure epoch
+        # arithmetic); ts is the instant the watermark machinery
+        # requires.
         from etl_extractor_spark.functions.dates import ntz_from_epoch_micros
 
-        micros = (F.col("ts") / 1000).cast("long")
+        micros = F.expr("ts div 1000")
         raw = raw.withColumn("ts_ntz", ntz_from_epoch_micros(micros)).withColumn(
             "ts", F.timestamp_micros(micros)
         )
@@ -65,6 +69,20 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # buckets) must not inherit the session offset.
         raw = raw.withColumn("ts_ntz", F.col("ts")).withColumn(
             "ts", F.col("ts").cast("timestamp")
+        )
+    elif isinstance(ts_type, T.TimestampType):
+        # plain TIMESTAMP (instant, adjusted-to-UTC): recover the UTC
+        # wall clock from the epoch micros, session-zone-independent —
+        # without this branch ts_ntz is simply absent and every
+        # wall-clock operator fails with an unresolved column (review
+        # catch).
+        from etl_extractor_spark.functions.dates import ntz_from_epoch_micros
+
+        raw = raw.withColumn("ts_ntz", ntz_from_epoch_micros(F.unix_micros("ts")))
+    else:
+        raise TypeError(
+            f"events ts column has unsupported type {ts_type}; expected "
+            "LongType (raw nanos), TIMESTAMP_NTZ, or TIMESTAMP"
         )
     return raw
 
@@ -703,8 +721,22 @@ _RL_STATE_SCHEMA = T.StructType(
         T.StructField("n", T.LongType()),
     ]
 )
-_RL_BUCKET_US = 86400 * 1_000_000  # 1 day (matches plans/events.RL_WINDOW)
-_RL_MAX = 2
+# derived from the SAME constants as the batch operator and its oracle
+# (operators/events.RL_WINDOW/RL_MAX) — a re-declared literal here
+# would silently break the batch/stream equality the tests certify
+def _window_to_micros(window: str) -> int:
+    n, unit = window.split()
+    per_us = {
+        "second": 1_000_000,
+        "minute": 60_000_000,
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+    }[unit.rstrip("s")]
+    return int(n) * per_us
+
+
+_RL_BUCKET_US = _window_to_micros(_E.RL_WINDOW)
+_RL_MAX = _E.RL_MAX
 
 
 def _rate_limit_state(key, pdfs, state: GroupState):
@@ -714,9 +746,11 @@ def _rate_limit_state(key, pdfs, state: GroupState):
     layer hold 10^9 keys in executor memory. Rows are sorted by
     (ev_us, event_id) within the invocation, so with an in-order
     source the kept set equals the batch `operators/events.rate_limit`
-    exactly; buckets older than the current one are assumed
-    watermark-expired (late events are charged to the current bucket —
-    the standard lenient-throttle behavior)."""
+    exactly; events from buckets OLDER than the state's current bucket
+    are watermark-expired and dropped explicitly (their bucket's quota
+    state is gone — charging them to the current bucket would throttle
+    live traffic for late stragglers; pinned by
+    tests/test_streaming.py::test_rate_limit_state_multi_batch)."""
     import pandas as _pd
 
     (user_id,) = key
@@ -729,6 +763,8 @@ def _rate_limit_state(key, pdfs, state: GroupState):
     kept = []
     for ev_us, event_id in zip(rows["ev_us"], rows["event_id"]):
         b = int(ev_us) // _RL_BUCKET_US
+        if b < bucket:
+            continue  # late event from an expired bucket: drop
         if b > bucket:
             bucket, n = b, 0
         n += 1

@@ -63,3 +63,29 @@ def test_all_oracle_names_have_queries():
 
     qs, os_ = R.all_queries(), R.all_oracles()
     assert set(os_) <= set(qs)
+
+
+def test_registry_scan_is_cached_and_fast():
+    """221+ queries eager-import 23 plan modules; the walk must run
+    once (memoized) and repeat calls must be O(1) so the driver
+    harness startup doesn't creep as the registry grows (VERDICT r3
+    task 8)."""
+    import time
+
+    from etl_extractor_spark.plans import registry as R
+
+    R._CACHE.clear()
+    t0 = time.perf_counter()
+    first = R.all_queries()
+    fresh = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    second = R.all_queries()
+    cached = time.perf_counter() - t0
+    assert list(first) == list(second)
+    # fresh scan: module imports already warm in this process, the walk
+    # itself (plus any first-import stragglers) must stay under 2 s
+    assert fresh < 2.0, f"registry scan took {fresh:.2f}s"
+    assert cached < 0.05, f"cached registry call took {cached:.3f}s"
+    # callers get a fresh dict — mutating it must not poison the cache
+    second.clear()
+    assert len(R.all_queries()) == len(first)

@@ -513,3 +513,52 @@ def test_streaming_rate_limit_matches_batch(spark, sf_dir):
     # the quota actually fired: some events were dropped
     n_total = load_table(spark, sf_dir, "events").count()
     assert 0 < got.count() < n_total
+
+
+def test_rate_limit_state_multi_batch():
+    """Multi-microbatch contract of the rate-limit state function,
+    exercised directly (no stream rig): quota resets on a new bucket,
+    carries within a bucket across invocations, and late events from
+    watermark-expired buckets are DROPPED, never charged to the live
+    bucket's quota (ADVICE r3)."""
+    import pandas as pd
+
+    from etl_extractor_spark.streaming.events_stream import (
+        _RL_BUCKET_US,
+        _RL_MAX,
+        _rate_limit_state,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+    st = FakeState()
+    day = _RL_BUCKET_US
+
+    def run(rows):
+        pdf = pd.DataFrame(rows, columns=["ev_us", "event_id"])
+        out = list(_rate_limit_state((7,), [pdf], st))
+        return [int(e) for o in out for e in o["event_id"]]
+
+    # batch 1: three events in bucket 1 → first _RL_MAX kept
+    assert run([(day + 10, 1), (day + 20, 2), (day + 30, 3)]) == [1, 2][:_RL_MAX]
+    assert st.get == (1, 3)
+    # batch 2: same bucket — quota already exhausted, nothing kept
+    assert run([(day + 40, 4)]) == []
+    # batch 3: a LATE event from expired bucket 0 plus fresh bucket-2
+    # traffic: the late event is dropped (not kept, not charged), so
+    # bucket 2 still admits _RL_MAX fresh events
+    assert run([(10, 5), (2 * day + 1, 6), (2 * day + 2, 7), (2 * day + 3, 8)]) == [
+        6,
+        7,
+    ][:_RL_MAX]
+    assert st.get == (2, 3)
