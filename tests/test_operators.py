@@ -310,3 +310,82 @@ def test_pagerank_integer_symmetric_fixed_point(spark):
         for r in pagerank_integer(edges, iterations=4).collect()
     }
     assert got == {"A": 1_000_000, "B": 1_000_000}
+
+
+def test_detect_format_magic_dispatch():
+    """Strict magic-byte dispatch contract (r4): every registered
+    format tag sniffs from its header, RIFF without WEBP stays
+    'other', short/unknown payloads never raise."""
+    from etl_extractor_spark.operators.multimodal import (
+        DECODABLE_FORMATS,
+        detect_format,
+    )
+
+    assert detect_format(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8) == "png"
+    assert detect_format(b"\xff\xd8\xff\xe0rest") == "jpeg"
+    assert detect_format(b"GIF89a...") == "gif"
+    assert detect_format(b"BM\x00\x00") == "bmp"
+    assert detect_format(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == "webp"
+    assert detect_format(b"RIFF\x00\x00\x00\x00WAVEfmt ") == "other"
+    assert detect_format(b"%PDF-1.7") == "pdf"
+    assert detect_format(b"hello world") == "other"
+    assert detect_format(b"") == "other"
+    assert DECODABLE_FORMATS == {"png"}
+
+
+def test_decode_image_dispatch_routing():
+    """decode_image: PNG routes to the real decoder regardless of the
+    fake flag; non-decodable formats raise WITHOUT fake=True and give
+    digest dims WITH it."""
+    import pytest as _pytest
+
+    from etl_extractor_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    png = encode_png(4, 2, bytes(range(8)), channels=1)
+    assert decode_image(png, fake=False) == (4, 2, 1)
+    assert decode_image(png, fake=True) == (4, 2, 1)  # real path wins
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xffjpegdata", fake=False)
+    w, h, c = decode_image(b"\xff\xd8\xffjpegdata", fake=True)
+    assert 64 <= w <= 255 and 64 <= h <= 255 and 1 <= c <= 3
+
+
+def test_rl_window_to_micros_parse():
+    from etl_extractor_spark.streaming.events_stream import _window_to_micros
+
+    assert _window_to_micros("1 day") == 86_400_000_000
+    assert _window_to_micros("2 hours") == 7_200_000_000
+    assert _window_to_micros("30 minutes") == 1_800_000_000
+    assert _window_to_micros("45 seconds") == 45_000_000
+
+
+def test_bpe_stack_fold_fuse_matches_replace(spark):
+    """The r4 array stack-fold fuse must implement the same
+    leftmost-first non-overlapping merge as the two-space string
+    replace it replaced — including same-symbol runs (A A A → AA, A)."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        (["a", "a", "a"], "a", "a", ["aa", "a"]),
+        (["a", "a", "a", "a"], "a", "a", ["aa", "aa"]),
+        (["a", "b", "a", "b"], "a", "b", ["ab", "ab"]),
+        (["x", "a", "b", "y"], "a", "b", ["x", "ab", "y"]),
+        (["a", "b"], "b", "a", ["a", "b"]),  # no match
+        (["ab", "b"], "a", "b", ["ab", "b"]),  # whole-symbol match only
+    ]
+    for syms, a, b, want in cases:
+        df = spark.createDataFrame([(syms, a, b)], "syms array<string>, a string, b string")
+        got = df.select(
+            F.expr(
+                "aggregate(syms, CAST(array() AS array<string>),"
+                " (out, x) -> CASE WHEN size(out) > 0"
+                "   AND element_at(out, -1) = a AND x = b"
+                "  THEN concat(slice(out, 1, size(out) - 1),"
+                "              array(concat(a, b)))"
+                "  ELSE concat(out, array(x)) END)"
+            ).alias("fused")
+        ).collect()[0]["fused"]
+        assert got == want, (syms, a, b, got, want)

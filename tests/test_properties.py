@@ -352,3 +352,48 @@ def test_pq_codes_within_range_and_adc_self_optimal(spark, sf_dir):
     self_d = {r.query_id: r.d for r in adc if r.query_id == r.neighbor_id}
     for r in adc:
         assert self_d[r.query_id] <= r.d, (r.query_id, r.neighbor_id)
+
+
+def test_kmv_reach_estimator_error_bound(spark, sf_dir):
+    """Deterministic KMV distinct-user estimate vs the exact count:
+    exact when k_eff < K (sub-K cardinalities), within the published
+    ~3/sqrt(K) relative bound when the estimator engages."""
+    from pyspark.sql import functions as F
+
+    from etl_extractor_spark.plans.events import KMV_REACH_K, kmv_user_reach
+    from etl_extractor_spark.sources.parquet import load_table
+
+    est = {r.event_type: r for r in kmv_user_reach(spark, sf_dir).collect()}
+    exact = {
+        r.event_type: r.u
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    tol = 3.0 / (KMV_REACH_K ** 0.5)
+    for et, row in est.items():
+        if row.k_eff < KMV_REACH_K:
+            assert row.est_users == exact[et], et
+        else:
+            assert abs(row.est_users - exact[et]) <= tol * exact[et], (
+                et, row.est_users, exact[et],
+            )
+
+
+def test_funnel_twin_bridges_theta_sketch(spark, sf_dir):
+    """The exact funnel twin is the number the Theta error contract is
+    measured against — assert the sketch estimates land within 5% of
+    the twin's exact values (exact in sparse mode at these SFs)."""
+    from etl_extractor_spark.plans.events import (
+        funnel_overlap_exact,
+        theta_funnel_overlap,
+    )
+
+    exact = funnel_overlap_exact(spark, sf_dir).collect()[0]
+    est = theta_funnel_overlap(spark, sf_dir).collect()[0]
+    for est_v, exact_v in [
+        (est.users_click_and_purchase_est, exact.users_click_and_purchase),
+        (est.users_click_no_purchase_est, exact.users_click_no_purchase),
+    ]:
+        assert abs(est_v - exact_v) <= max(1, 0.05 * max(exact_v, 1))
