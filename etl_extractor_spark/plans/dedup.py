@@ -269,14 +269,23 @@ def common_paragraph_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    ex = d.select("doc_id", F.explode(pars).alias("par"))
+    # shuffle 8-byte paragraph hashes, never the ~PARA_TOKENS-word
+    # strings: both the doc-frequency groupBy and the tag join key on
+    # xxhash64(par) (deterministic; collisions negligible at 2^64 and
+    # the oracle's string-keyed formulation pins the semantics) — the
+    # same key-compression trick as operators/dedup.hashed_shingles,
+    # worth ~15× on the two shuffles' byte volume.
+    ex = d.select(
+        "doc_id",
+        F.explode(F.transform(pars, lambda p: F.xxhash64(p))).alias("ph"),
+    )
     common = (
-        ex.groupBy("par")
+        ex.groupBy("ph")
         .agg(F.count_distinct("doc_id").alias("df"))
         .filter(F.col("df") >= PARA_DF)
     )
     return (
-        ex.join(common, "par", "left")
+        ex.join(common, "ph", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_par"),
