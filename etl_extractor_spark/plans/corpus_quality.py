@@ -641,3 +641,143 @@ FROM sizes s LEFT JOIN inter b ON s.sa = b.sa AND s.sb = b.sb
 
 QUERIES["source_similarity_kmv"] = source_similarity_kmv
 ORACLES["source_similarity_kmv"] = SOURCE_KMV_SQL
+
+
+DSIR_BUCKETS = 4096  # hashed bigram feature space
+DSIR_TARGET_LANG = "en"  # the curated target distribution
+DSIR_SELECT_K = 50  # kept docs per source
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS'23 — Data Selection for
+    Language Models via Importance Resampling): score every document by
+    the log likelihood ratio of a TARGET distribution (here: the 'en'
+    slice, standing in for the curated domain) vs the RAW corpus, over
+    hashed bigram features, then keep the top-K per source. This is the
+    canonical pretraining-mix selector between pure heuristics
+    (text_quality) and model-based scoring (doc_quality_logreg).
+
+    log w(doc) = Σ_b c_doc[b]·(ln p_t[b] − ln p_r[b]), add-1 smoothed
+    over DSIR_BUCKETS hashed-bigram buckets. Per-bucket deltas are
+    quantized to integer MICRO-units before the per-doc sum (the
+    unigram_lm_score trick) so the aggregate is order-independent and
+    the output column is a pure BIGINT — no float seam anywhere. The
+    bucket hash is md5-derived, engine-identical.
+
+    Scale shape: one bigram explode → (doc, bucket) count (map-side
+    partial agg), the two distribution tables are DSIR_BUCKETS rows —
+    broadcast by construction, NOT SF-scaled — and the per-doc score
+    agg rides the doc_id partitioning. The top-K window shuffles one
+    row per doc. Nothing here holds the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.col("text").cast("string"), r"\s+", " ")), " "
+    )
+    n_bi = F.size(toks) - 1
+    bigrams = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(
+            F.when(n_bi <= 0, F.array().cast("array<string>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), n_bi),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+                )
+            )
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.pmod(
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long"),
+            F.lit(DSIR_BUCKETS),
+        ).alias("b"),
+    )
+    doc_counts = bigrams.groupBy("doc_id", "source", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    raw = bigrams.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        bigrams.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    nr = bigrams.count()
+    nt = bigrams.filter(F.col("lang") == DSIR_TARGET_LANG).count()
+    # delta[b] = ln((ct+1)/(Nt+B)) - ln((cr+1)/(Nr+B)), in micro-units
+    delta = (
+        raw.join(tgt, "b", "left")
+        .select(
+            "b",
+            F.floor(
+                (
+                    F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                    - F.log(F.lit(float(nt + DSIR_BUCKETS)))
+                    - F.log(F.col("cr") + 1)
+                    + F.log(F.lit(float(nr + DSIR_BUCKETS)))
+                )
+                * F.lit(1_000_000)
+            ).alias("d_micro"),
+        )
+    )
+    scored = (
+        doc_counts.join(F.broadcast(delta), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            F.sum(F.col("c") * F.col("d_micro")).cast("long").alias("logw_micro"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("logw_micro"), F.asc("doc_id")
+    )
+    return scored.withColumn(
+        "selected", F.row_number().over(w) <= DSIR_SELECT_K
+    ).select("doc_id", "source", "n_feats", "logw_micro", "selected")
+
+
+DSIR_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source, lang,
+         string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), bigrams AS (
+  SELECT doc_id, source, lang,
+         CAST(('0x' || substr(md5(array_to_string(t[i:i+1], ' ')), 1, 8)) AS BIGINT)
+           % {DSIR_BUCKETS} AS b
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+  WHERE len(t) >= 2
+), doc_counts AS (
+  SELECT doc_id, source, b, count(*) AS c FROM bigrams GROUP BY 1, 2, 3
+), raw AS (
+  SELECT b, count(*) AS cr FROM bigrams GROUP BY b
+), tgt AS (
+  SELECT b, count(*) AS ct FROM bigrams WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
+), totals AS (
+  SELECT (SELECT count(*) FROM bigrams) AS nr,
+         (SELECT count(*) FROM bigrams WHERE lang = '{DSIR_TARGET_LANG}') AS nt
+), delta AS (
+  SELECT raw.b,
+         CAST(floor((ln(coalesce(tgt.ct, 0) + 1) - ln(totals.nt + {DSIR_BUCKETS})
+                     - ln(raw.cr + 1) + ln(totals.nr + {DSIR_BUCKETS}))
+                    * 1000000) AS BIGINT) AS d_micro
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, totals
+), scored AS (
+  SELECT doc_id, source,
+         CAST(sum(c) AS BIGINT) AS n_feats,
+         CAST(sum(c * d_micro) AS BIGINT) AS logw_micro
+  FROM doc_counts JOIN delta USING (b)
+  GROUP BY 1, 2
+)
+SELECT doc_id, source, n_feats, logw_micro,
+       row_number() OVER (PARTITION BY source
+                          ORDER BY logw_micro DESC, doc_id ASC)
+         <= {DSIR_SELECT_K} AS selected
+FROM scored
+"""
+
+QUERIES["dsir_importance_weights"] = dsir_importance_weights
+ORACLES["dsir_importance_weights"] = DSIR_SQL

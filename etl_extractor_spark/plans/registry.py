@@ -89,6 +89,8 @@ _PRIORITY = (
     "contrastive_negatives", "mixture_epochs", "vocab_growth_by_source",
     "shuffle_deterministic", "lateral_top_orders",
     "multimodal_features_arrow",
+    # --- round-4-new additions (behind the never-checked backlog)
+    "dsir_importance_weights",
 )
 
 # Previously-green anchors pinned to the VERY END of the registry order
