@@ -87,6 +87,64 @@ def encode_png(
     )
 
 
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal REAL BMP encoder (stdlib only): 8-bit indexed with a
+    256-entry grayscale palette (BITMAPINFOHEADER, BI_RGB). Rows are
+    stored bottom-up and padded to 4 bytes — the classic on-disk
+    layout. Pairs with ``decode_bmp`` for the second real-decoder
+    round-trip (PNG being the first)."""
+    import struct
+
+    stride = (width + 3) & ~3
+    palette = b"".join(bytes((g, g, g, 0)) for g in range(256))
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up
+        line = pixels[y * width : (y + 1) * width].ljust(width, b"\x00")
+        rows.append(bytes(line).ljust(stride, b"\x00"))
+    data = b"".join(rows)
+    off = 14 + 40 + len(palette)
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0, len(data), 2835, 2835, 256, 0
+    )
+    return header + info + palette + data
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL BMP decode, stdlib only: BITMAPINFOHEADER, 8-bit indexed
+    (grayscale palette assumed ⇒ 1 channel) or 24-bit BI_RGB. Handles
+    bottom-up AND top-down (negative height) row order and 4-byte row
+    padding. Returns (width, height, channels, pixels)."""
+    import struct
+
+    buf = bytes(payload)
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (off,) = struct.unpack_from("<I", buf, 10)
+    size, width, height = struct.unpack_from("<Iii", buf, 14)
+    if size < 40:
+        raise NotImplementedError(f"BMP header size {size} unsupported")
+    planes, bpp, compression = struct.unpack_from("<HHI", buf, 26)
+    if compression != 0 or bpp not in (8, 24):
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    top_down = height < 0
+    height = abs(height)
+    nch = 1 if bpp == 8 else 3
+    stride = ((width * bpp // 8) + 3) & ~3
+    out = bytearray()
+    ys = range(height) if top_down else range(height - 1, -1, -1)
+    for y in ys:
+        row = buf[off + y * stride : off + y * stride + width * (bpp // 8)]
+        if bpp == 24:
+            # BGR → RGB
+            for x in range(width):
+                b, g, r = row[3 * x : 3 * x + 3]
+                out.extend((r, g, b))
+        else:
+            out.extend(row)
+    return width, height, nch, bytes(out)
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -199,17 +257,27 @@ _MAGIC = (
     ("webp", b"RIFF"),  # refined below: RIFF....WEBP
     ("pdf", b"%PDF"),
 )
-DECODABLE_FORMATS = frozenset({"png"})
+DECODABLE_FORMATS = frozenset({"png", "bmp"})  # formats with REAL decoders
 
 
 def detect_format(payload: bytes) -> str:
     """Sniff the container format from leading magic bytes. Returns a
     lowercase tag ('png', 'jpeg', …) or 'other' for unrecognized
-    headers — the single source of truth for decode routing."""
-    head = bytes(payload[:16])
+    headers — the single source of truth for decode routing. The 'BM'
+    magic is only 2 ASCII bytes, so bmp additionally requires a valid
+    BITMAPINFOHEADER size dword (structural check) — plain text that
+    happens to start with 'BM' must NOT route to the real decoder."""
+    head = bytes(payload[:18])
     for tag, magic in _MAGIC:
         if head.startswith(magic):
             if tag == "webp" and head[8:12] != b"WEBP":
+                continue
+            if tag == "bmp" and head[14:18] not in (
+                b"\x0c\x00\x00\x00",  # BITMAPCOREHEADER
+                b"\x28\x00\x00\x00",  # BITMAPINFOHEADER
+                b"\x6c\x00\x00\x00",  # V4
+                b"\x7c\x00\x00\x00",  # V5
+            ):
                 continue
             return tag
     return "other"
@@ -223,8 +291,11 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, int]:
     pseudo-dimensions from a content digest (stable across runs and
     engines)."""
     fmt = detect_format(payload)
-    if fmt in DECODABLE_FORMATS:
+    if fmt == "png":
         width, height, channels, _ = decode_png(payload)
+        return width, height, channels
+    if fmt == "bmp":
+        width, height, channels, _ = decode_bmp(payload)
         return width, height, channels
     if not fake:
         raise NotImplementedError(

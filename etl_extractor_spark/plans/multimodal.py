@@ -359,8 +359,11 @@ def multimodal_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Oracle mirrors both branches: PNG geometry is IHDR arithmetic on the
 # byte length; the non-PNG branch re-sniffs the ASCII-plausible magics
-# (BM/GIF8/RIFF+WEBP/%PDF) on the raw text — byte≡char for ASCII — and
-# recomputes the digest-fake dims from sha256 hex.
+# (GIF8/RIFF+WEBP/%PDF) on the raw text — byte≡char for ASCII — and
+# recomputes the digest-fake dims from sha256 hex. No 'bmp' branch:
+# the bmp sniff requires a little-endian header-size dword with NUL
+# bytes, which VARCHAR text can never contain, so 'BM…' text is
+# 'other' by construction on both sides.
 MULTIMODAL_DISPATCH_SQL = f"""
 WITH h AS (
   SELECT doc_id, text,
@@ -374,7 +377,6 @@ SELECT doc_id,
             WHEN substring(text, 1, 4) = '%PDF' THEN 'pdf'
             WHEN substring(text, 1, 4) = 'RIFF'
                  AND substring(text, 9, 4) = 'WEBP' THEN 'webp'
-            WHEN substring(text, 1, 2) = 'BM' THEN 'bmp'
             ELSE 'other' END AS format,
        doc_id % 2 = 0 AS decodable,
        CASE WHEN doc_id % 2 = 0 THEN CAST(16 AS BIGINT)
@@ -389,3 +391,60 @@ FROM h
 
 QUERIES["multimodal_format_dispatch"] = multimodal_format_dispatch
 ORACLES["multimodal_format_dispatch"] = MULTIMODAL_DISPATCH_SQL
+
+
+def multimodal_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second REAL image decode round-trip (r4): each document's UTF-8
+    bytes become a genuine 8-bit indexed BMP (grayscale palette,
+    bottom-up rows, stdlib encoder) and come back through the real BMP
+    decoder inside mapInPandas. Width 16 makes the row stride exactly
+    16 bytes (no padding), so the decoded pixels must equal the
+    zero-padded input — the same arithmetic oracle as the PNG
+    round-trip, proving the two decoders agree byte-for-byte on the
+    same pixel payload."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = load_table(spark, sf_dir, "documents")
+    blobs = M.to_blob_table(d, "doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("channels", T.LongType()),
+            T.StructField("px_md5", T.StringType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                data = bytes(blob)
+                w = 16
+                h = max(1, -(-len(data) // w))
+                bmp = M.encode_bmp(w, h, data.ljust(w * h, b"\x00"))
+                assert M.detect_format(bmp) == "bmp"
+                dw, dh, dc, px = M.decode_bmp(bmp)
+                rows.append(
+                    (
+                        int(did),
+                        dw,
+                        dh,
+                        dc,
+                        hashlib.md5(px.hex().encode()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "channels", "px_md5"]
+            )
+
+    return blobs.mapInPandas(fn, schema)
+
+
+QUERIES["multimodal_bmp_roundtrip"] = multimodal_bmp_roundtrip
+ORACLES["multimodal_bmp_roundtrip"] = MULTIMODAL_PNG_SQL  # same geometry + pixel contract

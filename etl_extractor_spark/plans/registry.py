@@ -90,7 +90,7 @@ _PRIORITY = (
     "shuffle_deterministic", "lateral_top_orders",
     "multimodal_features_arrow",
     # --- round-4-new additions (behind the never-checked backlog)
-    "dsir_importance_weights",
+    "dsir_importance_weights", "multimodal_bmp_roundtrip",
 )
 
 # Previously-green anchors pinned to the VERY END of the registry order

@@ -324,13 +324,35 @@ def test_detect_format_magic_dispatch():
     assert detect_format(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8) == "png"
     assert detect_format(b"\xff\xd8\xff\xe0rest") == "jpeg"
     assert detect_format(b"GIF89a...") == "gif"
-    assert detect_format(b"BM\x00\x00") == "bmp"
+    assert detect_format(b"BM" + b"\x00" * 12 + b"\x28\x00\x00\x00") == "bmp"
+    assert detect_format(b"BMtext that merely starts with BM") == "other"
     assert detect_format(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == "webp"
     assert detect_format(b"RIFF\x00\x00\x00\x00WAVEfmt ") == "other"
     assert detect_format(b"%PDF-1.7") == "pdf"
     assert detect_format(b"hello world") == "other"
     assert detect_format(b"") == "other"
-    assert DECODABLE_FORMATS == {"png"}
+    assert DECODABLE_FORMATS == {"png", "bmp"}
+
+
+def test_bmp_codec_roundtrip():
+    """Real BMP encode/decode: 8-bit palette geometry and pixel
+    fidelity, bottom-up row order reversed correctly, 24-bit BGR->RGB
+    path, 4-byte row padding stripped."""
+    from etl_extractor_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+        detect_format,
+        encode_bmp,
+    )
+
+    px = bytes(range(32))  # 16x2 grayscale
+    bmp = encode_bmp(16, 2, px)
+    assert detect_format(bmp) == "bmp"
+    assert decode_bmp(bmp) == (16, 2, 1, px)
+    assert decode_image(bmp, fake=False) == (16, 2, 1)
+    # width 5 -> stride 8: padding must be stripped on decode
+    px2 = bytes(range(15))  # 5x3
+    assert decode_bmp(encode_bmp(5, 3, px2)) == (5, 3, 1, px2)
 
 
 def test_decode_image_dispatch_routing():
