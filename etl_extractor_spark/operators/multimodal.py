@@ -244,11 +244,11 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
 
 # Magic-byte table for the strict dispatch contract: format is decided
 # from the payload header ONLY (never from metadata), and ``decodable``
-# means "this build has a REAL decoder for it" — today exactly PNG (the
-# stdlib decoder above). Every registered query routes non-decodable
-# formats to the deterministic digest fake; the NotImplementedError
-# below is reachable only by calling decode_image(fake=False) directly
-# on a non-PNG payload.
+# means "this build has a REAL decoder for it" — today PNG and BMP
+# (the stdlib codecs above). Every registered query routes
+# non-decodable formats to the deterministic digest fake; the
+# NotImplementedError below is reachable only by calling
+# decode_image(fake=False) directly on a non-decodable payload.
 _MAGIC = (
     ("png", PNG_MAGIC),
     ("jpeg", b"\xff\xd8\xff"),
@@ -272,8 +272,10 @@ def detect_format(payload: bytes) -> str:
         if head.startswith(magic):
             if tag == "webp" and head[8:12] != b"WEBP":
                 continue
+            # only the INFOHEADER family decode_bmp actually parses —
+            # a COREHEADER (0x0c) file must sniff 'other' and take the
+            # fake path rather than crash the strict decoder
             if tag == "bmp" and head[14:18] not in (
-                b"\x0c\x00\x00\x00",  # BITMAPCOREHEADER
                 b"\x28\x00\x00\x00",  # BITMAPINFOHEADER
                 b"\x6c\x00\x00\x00",  # V4
                 b"\x7c\x00\x00\x00",  # V5
