@@ -800,3 +800,72 @@ def streaming_rate_limit(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------------------- streaming KMV reach
+
+_KMV_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("k_eff", T.LongType()),
+        T.StructField("kth_hash", T.LongType()),
+        T.StructField("est_users", T.LongType()),
+    ]
+)
+_KMV_STATE_SCHEMA = T.StructType(
+    [T.StructField("mins", T.ArrayType(T.LongType()))]
+)
+
+
+def _kmv_state(key, pdfs, state: GroupState):
+    """Mergeable KMV sketch as streaming state: the per-type state is
+    the k smallest distinct md5-48bit user hashes seen so far — O(K)
+    per key forever, and merging a micro-batch is set-union + re-sort
+    + truncate. This is the sketch lifecycle the batch twin
+    (plans/events.kmv_user_reach) certifies: persist tiny state,
+    answer distinct-count queries without rescanning history."""
+    import pandas as _pd
+
+    from etl_extractor_spark.plans.events import KMV_REACH_K, _HASH_SPAN
+
+    (event_type,) = key
+    mins: list = list(state.get[0]) if state.exists else []
+    s = set(mins)
+    for pdf in pdfs:
+        s.update(int(h) for h in pdf["h"])
+    mins = sorted(s)[:KMV_REACH_K]
+    state.update((mins,))
+    k_eff = len(mins)
+    kth = mins[-1] if mins else None
+    est = (
+        k_eff
+        if k_eff < KMV_REACH_K
+        else (KMV_REACH_K - 1) * _HASH_SPAN // kth
+    )
+    yield _pd.DataFrame(
+        [(event_type, k_eff, kth, est)],
+        columns=["event_type", "k_eff", "kth_hash", "est_users"],
+    )
+
+
+def streaming_kmv_reach(stream: DataFrame) -> DataFrame:
+    """Streaming twin of the deterministic KMV distinct-user estimate:
+    each micro-batch folds its user hashes into the per-type k-min
+    state and emits the CURRENT estimate (update mode). After an
+    availableNow replay of the full table, the final row per type
+    equals the batch ``kmv_user_reach`` exactly (pinned in
+    tests/test_streaming.py) — the persist-state/merge-any-time sketch
+    contract, live."""
+    hashed = stream.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        _kmv_state,
+        outputStructType=_KMV_OUT_SCHEMA,
+        stateStructType=_KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -562,3 +562,29 @@ def test_rate_limit_state_multi_batch():
         7,
     ][:_RL_MAX]
     assert st.get == (2, 3)
+
+
+def test_streaming_kmv_reach_matches_batch(spark, sf_dir):
+    """Mergeable-sketch state: after replaying the whole table, the
+    streaming KMV per-type estimate must equal the batch twin
+    EXACTLY (same k-min set, same integer estimator)."""
+    from etl_extractor_spark.plans.events import kmv_user_reach
+
+    got = SE.run_to_memory(
+        SE.streaming_kmv_reach(SE.events_stream(spark, sf_dir)),
+        "t_kmv_reach",
+        output_mode="update",
+    )
+    # update mode may emit one row per micro-batch per key; the final
+    # (max k_eff, then max kth) state per type is the sketch's answer —
+    # with availableNow over one file there is exactly one batch, but
+    # don't assume it
+    latest = {
+        r.event_type: (r.k_eff, r.kth_hash, r.est_users)
+        for r in got.orderBy("k_eff", "kth_hash").collect()
+    }
+    want = {
+        r.event_type: (r.k_eff, r.kth_hash, r.est_users)
+        for r in kmv_user_reach(spark, sf_dir).collect()
+    }
+    assert latest == want
