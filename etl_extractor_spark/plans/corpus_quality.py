@@ -671,19 +671,31 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per doc. Nothing here holds the corpus.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(
-        F.trim(F.regexp_replace(F.col("text").cast("string"), r"\s+", " ")), " "
+    # materialize the token array ONCE behind a projection boundary
+    # (the text_quality lesson: subexpression elimination does not
+    # reliably collapse repeated split/regexp trees — r1 bench showed
+    # 9× on exactly that), then adjacent pairs via two slices +
+    # zip_with — O(n) per doc, no per-position slice calls
+    toked = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.split(
+            F.trim(F.regexp_replace(F.col("text").cast("string"), r"\s+", " ")), " "
+        ).alias("toks"),
     )
-    n_bi = F.size(toks) - 1
-    bigrams = d.select(
+    t = F.col("toks")
+    n = F.size(t)
+    bigrams = toked.select(
         "doc_id",
         "source",
         "lang",
         F.explode(
-            F.when(n_bi <= 0, F.array().cast("array<string>")).otherwise(
-                F.transform(
-                    F.sequence(F.lit(1), n_bi),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+            F.when(n < 2, F.array().cast("array<string>")).otherwise(
+                F.zip_with(
+                    F.slice(t, 1, n - 1),
+                    F.slice(t, 2, n - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
                 )
             )
         ).alias("g"),
@@ -699,29 +711,29 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_counts = bigrams.groupBy("doc_id", "source", "b").agg(
         F.count(F.lit(1)).alias("c")
     )
-    raw = bigrams.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = (
-        bigrams.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # ONE aggregation yields both distributions (raw + target share the
+    # explode), and the corpus totals ride a 1-row broadcast instead of
+    # driver-side count() actions — two passes over the bigram stream
+    # total, zero collects
+    per = bigrams.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("ct"),
     )
-    nr = bigrams.count()
-    nt = bigrams.filter(F.col("lang") == DSIR_TARGET_LANG).count()
+    tot = per.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
     # delta[b] = ln((ct+1)/(Nt+B)) - ln((cr+1)/(Nr+B)), in micro-units
-    delta = (
-        raw.join(tgt, "b", "left")
-        .select(
-            "b",
-            F.floor(
-                (
-                    F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1)
-                    - F.log(F.lit(float(nt + DSIR_BUCKETS)))
-                    - F.log(F.col("cr") + 1)
-                    + F.log(F.lit(float(nr + DSIR_BUCKETS)))
-                )
-                * F.lit(1_000_000)
-            ).alias("d_micro"),
-        )
+    delta = per.join(F.broadcast(tot), F.lit(True), "left").select(
+        "b",
+        F.floor(
+            (
+                F.log(F.col("ct") + 1)
+                - F.log(F.col("nt") + DSIR_BUCKETS)
+                - F.log(F.col("cr") + 1)
+                + F.log(F.col("nr") + DSIR_BUCKETS)
+            )
+            * F.lit(1_000_000)
+        ).alias("d_micro"),
     )
     scored = (
         doc_counts.join(F.broadcast(delta), "b")
