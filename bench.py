@@ -54,6 +54,13 @@ BENCH_QUERIES = [
     # density, not the engine — see SCALING.md.)
     "ivfpq_adc_topk",
     "common_paragraph_filter",
+    # round-4 surface: deterministic KMV sketch (distinct-token
+    # estimate), DSIR importance selection, robust Theil-Sen trend,
+    # BPE train→apply segmentation (vocab-sized training)
+    "kmv_distinct_tokens",
+    "dsir_importance_weights",
+    "theil_sen_nation_trend",
+    "bpe_segment_docs",
 ]
 
 
