@@ -91,6 +91,7 @@ _PRIORITY = (
     "multimodal_features_arrow",
     # --- round-4-new additions (behind the never-checked backlog)
     "dsir_importance_weights", "multimodal_bmp_roundtrip",
+    "cluster_aware_split", "length_bucketed_batches",
 )
 
 # Previously-green anchors pinned to the VERY END of the registry order

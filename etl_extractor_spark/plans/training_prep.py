@@ -727,3 +727,143 @@ SELECT anchor_id, neg_id, CAST(rk AS BIGINT) AS neg_rank FROM wrapped
 
 QUERIES["contrastive_negatives"] = contrastive_negatives
 ORACLES["contrastive_negatives"] = CONTRASTIVE_SQL
+
+
+LB_BATCH = 32  # sequences per batch
+LB_WIDTH = 64  # token-count range per length bucket
+
+
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch packing: group documents into token-count
+    RANGE buckets (width LB_WIDTH), then form fixed-size batches of
+    LB_BATCH inside each bucket, longest-first — the standard padding-
+    waste reducer for sequence training (batching random-length docs
+    pads every sequence to the batch max). Emits per-batch padding
+    waste in integer bps so the saving is hash-certified.
+
+    Scale shape: NO global sort/window — the ranking window partitions
+    by length bucket (bounded cardinality), so at 100 TB the batching
+    parallelizes across buckets instead of funneling the corpus
+    through one ordered partition."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", ts.token_count("text").alias("n_tok")
+    )
+    lb = F.expr(f"n_tok div {LB_WIDTH}").alias("len_bucket")
+    w = Window.partitionBy("len_bucket").orderBy(
+        F.desc("n_tok"), F.asc("doc_id")
+    )
+    batched = (
+        d.select("doc_id", "n_tok", lb)
+        .withColumn(
+            "batch_id",
+            F.floor((F.row_number().over(w) - 1) / LB_BATCH).cast("long"),
+        )
+    )
+    return (
+        batched.groupBy("len_bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("n_tok").cast("long").alias("max_tok"),
+            F.sum("n_tok").cast("long").alias("sum_tok"),
+        )
+        .withColumn(
+            "pad_waste_bps",
+            F.expr(
+                "(max_tok * n_docs - sum_tok) * 10000 div (max_tok * n_docs)"
+            ),
+        )
+    )
+
+
+LENGTH_BUCKETED_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         len(string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\\s+', ' ', 'g')), ' ')) AS n_tok
+  FROM documents
+), b AS (
+  SELECT doc_id, n_tok, n_tok // {LB_WIDTH} AS len_bucket,
+         (row_number() OVER (PARTITION BY n_tok // {LB_WIDTH}
+                             ORDER BY n_tok DESC, doc_id ASC) - 1)
+              // {LB_BATCH} AS batch_id
+  FROM d
+)
+SELECT len_bucket, batch_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(n_tok) AS BIGINT) AS max_tok,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+       CAST((max(n_tok) * count(*) - sum(n_tok)) * 10000 // (max(n_tok) * count(*)) AS BIGINT) AS pad_waste_bps
+FROM b GROUP BY 1, 2
+"""
+
+QUERIES["length_bucketed_batches"] = length_bucketed_batches
+ORACLES["length_bucketed_batches"] = LENGTH_BUCKETED_SQL
+
+
+def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that CANNOT leak near-duplicates across
+    splits: the hash split is taken on the dedup CLUSTER id (the
+    MinHash-pairs → connected-components assignment every dedup query
+    certifies), so all members of a near-dup cluster land in the same
+    split by construction. Splitting on doc_id instead silently puts
+    near-identical docs in train AND test — the classic contamination
+    that `split_leakage_audit` detects after the fact; this operator
+    prevents it structurally. Emits per-split doc/cluster counts, the
+    number of multi-doc clusters (proof the guard binds), and a
+    membership checksum."""
+    from etl_extractor_spark.plans.dedup import SHINGLE_K, THRESHOLD
+    from etl_extractor_spark.operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    clusters = D.dedup_cluster_assignments(
+        d, "doc_id", "text", k=SHINGLE_K, threshold=THRESHOLD
+    ).select("doc_id", "cluster_id")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    sized = clusters.withColumn("split", split).withColumn(
+        "csize",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("long"),
+    )
+    return sized.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        F.countDistinct(
+            F.when(F.col("csize") > 1, F.col("cluster_id"))
+        ).cast("long").alias("n_multi_clusters"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+
+
+def _cluster_split_sql() -> str:
+    from etl_extractor_spark.plans.dedup import DEDUP_CLUSTERS_SQL
+
+    return (
+        "WITH clusters AS (\n"
+        + DEDUP_CLUSTERS_SQL
+        + """
+), assigned AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+              WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split,
+         count(*) OVER (PARTITION BY cluster_id) AS csize
+  FROM clusters
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(count(DISTINCT CASE WHEN csize > 1 THEN cluster_id END) AS BIGINT) AS n_multi_clusters,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM assigned GROUP BY split
+"""
+    )
+
+
+QUERIES["cluster_aware_split"] = cluster_aware_split
+ORACLES["cluster_aware_split"] = _cluster_split_sql()
