@@ -588,3 +588,44 @@ def test_streaming_kmv_reach_matches_batch(spark, sf_dir):
         for r in kmv_user_reach(spark, sf_dir).collect()
     }
     assert latest == want
+
+
+def test_kmv_state_multi_batch():
+    """KMV streaming state across micro-batches: the k-min set is a
+    true mergeable sketch — folding batch 2 into batch 1's state gives
+    exactly the k smallest distinct hashes of the union, and the
+    estimate from merged state equals the batch estimate over the
+    union (order-insensitive)."""
+    import pandas as pd
+
+    from etl_extractor_spark.plans.events import KMV_REACH_K
+    from etl_extractor_spark.streaming.events_stream import _kmv_state
+
+    class FakeState:
+        def __init__(self):
+            self.exists, self._v = False, None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+    def run_batches(state, batches):
+        out = None
+        for hs in batches:
+            pdf = pd.DataFrame({"h": hs})
+            out = list(_kmv_state(("click",), [pdf], state))[-1]
+        return out.iloc[0]
+
+    all_hashes = list(range(1000, 1000 + 3 * KMV_REACH_K, 3))
+    # split across 2 batches with overlap; merged state must equal the
+    # single-batch run over the union
+    s1, s2 = FakeState(), FakeState()
+    r_split = run_batches(s1, [all_hashes[: KMV_REACH_K + 10], all_hashes[KMV_REACH_K - 5 :]])
+    r_once = run_batches(s2, [all_hashes])
+    assert list(s1.get[0]) == list(s2.get[0]) == sorted(set(all_hashes))[:KMV_REACH_K]
+    assert (r_split.k_eff, r_split.kth_hash, r_split.est_users) == (
+        r_once.k_eff, r_once.kth_hash, r_once.est_users,
+    )
