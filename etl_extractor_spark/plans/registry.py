@@ -104,17 +104,47 @@ _CANARY = (
 )
 
 
+def _driver_checked() -> frozenset:
+    """Names already verified by a driver CORRECTNESS sweep — read from
+    the CORRECTNESS_r*.json files the driver drops in the repo root.
+    Makes the rotation SELF-MAINTAINING: each round's capped sweep
+    window automatically leads with never-checked queries, with no
+    manual priority edits (the r2/r3 failure mode was exactly a stale
+    hand-written rotation). Unreadable files are skipped — worst case
+    the ordering degrades to the static priority, never breaks."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    names: set = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                names.update(json.load(f).keys())
+        except Exception:
+            continue
+    return frozenset(names)
+
+
 def _ordered(out: dict, oracles: dict | None = None) -> dict:
-    """Priority head, then remaining oracle-backed names in module
-    order, then rows-only names (no oracle ⇒ a capped sweep slot spent
-    on them records only a weak rows-only check), then the canary."""
-    head = {k: out[k] for k in _PRIORITY if k in out and k not in _CANARY}
-    rest = [k for k in out if k not in head and k not in _CANARY]
-    if oracles is not None:
-        rest.sort(key=lambda k: k not in oracles)  # stable: oracle-backed first
-    tail = {k: out[k] for k in rest}
-    canary = {k: out[k] for k in _CANARY if k in out}
-    return head | tail | canary
+    """Never-driver-checked names first (priority head order, then
+    module order), then already-checked names, with oracle-backed
+    before rows-only within each class (a rows-only name inside the
+    capped window burns a sweep slot as ``no_oracle``), and the canary
+    last."""
+    checked = _driver_checked()
+    ranked = list(_PRIORITY) + [k for k in out if k not in set(_PRIORITY)]
+
+    def key(k: str):
+        return (
+            k in _CANARY,  # canary at the very end
+            (oracles is not None) and (k not in oracles),  # rows-only behind
+            k in checked,  # never-checked first
+        )
+
+    ordered = sorted((k for k in ranked if k in out), key=key)  # stable
+    return {k: out[k] for k in ordered}
 
 
 def _load(attr: str) -> tuple[dict, bool]:
