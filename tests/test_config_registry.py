@@ -89,3 +89,45 @@ def test_registry_scan_is_cached_and_fast():
     # callers get a fresh dict — mutating it must not poison the cache
     second.clear()
     assert len(R.all_queries()) == len(first)
+
+
+def test_registry_self_rotation():
+    """The sweep window rotates itself: once a name appears in a
+    CORRECTNESS_r*.json, it must sort behind every never-checked
+    oracle-backed name; rows-only names sort behind ALL oracle-backed
+    names; the canary stays last regardless."""
+    from etl_extractor_spark.plans import registry as R
+
+    oracles = R.all_oracles()
+    checked = R._driver_checked()
+    names = list(R.all_queries())
+    # partition points must be monotone: never-checked oracle-backed,
+    # checked oracle-backed, rows-only, canary
+    def cls(n):
+        if n in R._CANARY:
+            return 3
+        if n not in oracles:
+            return 2
+        return 1 if n in checked else 0
+
+    classes = [cls(n) for n in names]
+    assert classes == sorted(classes), "registry order violates rotation classes"
+    # simulate the next round: marking the current window as checked
+    # must pull every remaining never-checked oracle-backed name into
+    # the front of the order
+    win = set(names[:50])
+    orig = R._driver_checked
+    try:
+        R._driver_checked = lambda: frozenset(checked | win)
+        R._CACHE.clear()
+        nxt = list(R.all_queries())
+        remaining = [
+            n for n in names if n in oracles and n not in checked and n not in win
+        ]
+        assert nxt[: len(remaining)] == sorted(
+            remaining, key=lambda n: nxt.index(n)
+        )
+        assert set(nxt[: len(remaining)]) == set(remaining)
+    finally:
+        R._driver_checked = orig
+        R._CACHE.clear()
