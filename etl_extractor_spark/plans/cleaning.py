@@ -345,3 +345,67 @@ FROM qi
 
 QUERIES["k_anonymity_audit"] = k_anonymity_audit
 ORACLES["k_anonymity_audit"] = K_ANONYMITY_SQL
+
+
+L_DIV = 3  # minimum distinct sensitive values per QI class
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., ICDE'06 — the
+    successor check to k-anonymity): a QI equivalence class can be
+    k-anonymous yet still leak if everyone in it shares the same
+    SENSITIVE value. Over the same QI tuple as ``k_anonymity_audit``
+    (market segment, nation, order year) with o_orderpriority as the
+    sensitive attribute: per-class distinct-sensitive count l, report
+    classes with l < L_DIV and the global l distribution. Same scale
+    shape as the k audit — one QI group-by (cardinality = product of
+    QI domains) + one summary fold."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year(F.to_date("o_orderdate")).alias("yr"),
+        "o_orderpriority",
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    qi = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_mktsegment", "n_name", "yr")
+        .agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.countDistinct("o_orderpriority").alias("l"),
+        )
+    )
+    return qi.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum((F.col("l") < L_DIV).cast("long")).alias("low_diversity_groups"),
+        F.sum(
+            F.when(F.col("l") < L_DIV, F.col("sz")).otherwise(0)
+        ).cast("long").alias("exposed_rows"),
+        F.min("l").cast("long").alias("min_l"),
+        F.max("l").cast("long").alias("max_l"),
+    )
+
+
+L_DIVERSITY_SQL = f"""
+WITH qi AS (
+  SELECT c_mktsegment, n_name, year(CAST(o_orderdate AS DATE)) AS yr,
+         count(*) AS sz,
+         count(DISTINCT o_orderpriority) AS l
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN l < {L_DIV} THEN 1 ELSE 0 END) AS BIGINT) AS low_diversity_groups,
+       CAST(sum(CASE WHEN l < {L_DIV} THEN sz ELSE 0 END) AS BIGINT) AS exposed_rows,
+       CAST(min(l) AS BIGINT) AS min_l,
+       CAST(max(l) AS BIGINT) AS max_l
+FROM qi
+"""
+
+QUERIES["l_diversity_audit"] = l_diversity_audit
+ORACLES["l_diversity_audit"] = L_DIVERSITY_SQL

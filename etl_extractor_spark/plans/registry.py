@@ -92,6 +92,7 @@ _PRIORITY = (
     # --- round-4-new additions (behind the never-checked backlog)
     "dsir_importance_weights", "multimodal_bmp_roundtrip",
     "cluster_aware_split", "length_bucketed_batches",
+    "rrf_fusion", "l_diversity_audit", "ses_forecast_nation", "doc_keyterms",
 )
 
 # Previously-green anchors pinned to the VERY END of the registry order

@@ -653,3 +653,103 @@ FROM counts, tot ORDER BY d
 
 QUERIES["benford_first_digit"] = benford_first_digit
 ORACLES["benford_first_digit"] = BENFORD_SQL
+
+
+SES_H = 12  # trailing months in the smoothing window
+
+
+def ses_forecast_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead revenue forecast per nation by simple exponential
+    smoothing (α = 1/2) over monthly revenue — the standard ops
+    forecast between naive-last-month and a full seasonal model. EWMA
+    is sequential; the distributable closed form is the weighted sum
+    S_T = Σ_{i<H} x_{T-i}·2^(H-1-i) / (2^H − 1) — power-of-two integer
+    weights over integer cents (the decayed_daily_revenue idiom), so
+    the forecast is BIT-EXACT in both engines: forecast_cents uses
+    integer div, no float anywhere.
+
+    Scale shape: the corpus collapses to a (nation × month) table
+    first (one shuffle); the smoothing window is a 12-row weighted fold
+    of that tiny table; the global last-month scalar rides a 1-row
+    broadcast."""
+    from pyspark.sql import Window as _W  # noqa: F401 (symmetry with siblings)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year(F.to_date("o_orderdate")) * 12 + F.month(F.to_date("o_orderdate")) - 1)
+        .alias("mi"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "mi")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    last = monthly.agg(F.max("mi").alias("last_mi"))
+    win = (
+        monthly.join(F.broadcast(last), F.lit(True), "left")
+        .filter(F.col("mi") > F.col("last_mi") - SES_H)
+        .select(
+            "n_name",
+            "rev_cents",
+            "last_mi",
+            (F.col("last_mi") - F.col("mi")).alias("age"),
+        )
+    )
+    return (
+        win.groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("rev_cents")
+                * F.pow(F.lit(2.0), F.lit(SES_H - 1) - F.col("age")).cast("long")
+            ).alias("wsum"),
+            F.max(F.when(F.col("age") == 0, F.col("rev_cents"))).alias(
+                "last_month_cents"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_months"),
+        )
+        .select(
+            "n_name",
+            F.coalesce("last_month_cents", F.lit(0)).cast("long").alias(
+                "last_month_cents"
+            ),
+            "n_months",
+            F.expr(f"wsum div {2 ** SES_H - 1}").cast("long").alias(
+                "forecast_cents"
+            ),
+        )
+    )
+
+
+SES_FORECAST_SQL = f"""
+WITH o AS (
+  SELECT o_custkey,
+         year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS mi,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+), monthly AS (
+  SELECT n_name, mi, CAST(sum(cents) AS BIGINT) AS rev_cents
+  FROM o
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), last AS (
+  SELECT max(mi) AS last_mi FROM monthly
+), win AS (
+  SELECT n_name, rev_cents, last_mi - mi AS age
+  FROM monthly, last
+  WHERE mi > last_mi - {SES_H}
+)
+SELECT n_name,
+       CAST(coalesce(max(CASE WHEN age = 0 THEN rev_cents END), 0) AS BIGINT) AS last_month_cents,
+       CAST(count(*) AS BIGINT) AS n_months,
+       CAST(sum(rev_cents * CAST(pow(2.0, {SES_H - 1} - age) AS BIGINT))
+            // {2 ** SES_H - 1} AS BIGINT) AS forecast_cents
+FROM win GROUP BY n_name
+"""
+
+QUERIES["ses_forecast_nation"] = ses_forecast_nation
+ORACLES["ses_forecast_nation"] = SES_FORECAST_SQL

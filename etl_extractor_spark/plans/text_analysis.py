@@ -1209,3 +1209,76 @@ FROM kmin
 
 QUERIES.update({"kmv_distinct_tokens": kmv_distinct_tokens})
 ORACLES.update({"kmv_distinct_tokens": KMV_TOKENS_SQL})
+
+
+KEYTERM_K = 3
+KEYTERM_MIN_LEN = 4  # skip short function words
+
+
+def doc_keyterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by TF-IDF (ln(N/df),
+    quantized to integer micro-units before the tf multiply so the
+    score — and therefore the ranking — is bit-identical across
+    engines). The per-doc complement of ``salient_terms_by_lang``:
+    document tagging / index-time keyword fields. One token explode →
+    (doc, term) tf; df and N fold to a term-level table that joins
+    back broadcast; the rank window partitions by doc_id — corpus-
+    parallel, no global ordering anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(ts.tokens("text")).alias("term")
+    ).filter(F.length("term") >= KEYTERM_MIN_LEN)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = d.select(F.count(F.lit(1)).alias("n"))
+    df_ = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(n_docs), F.lit(True), "left")
+        .select(
+            "term",
+            F.floor(F.log(F.col("n") / F.col("df")) * 1_000_000)
+            .cast("long")
+            .alias("idf_micro"),
+        )
+    )
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.col("idf_micro")).cast("long").alias("score_micro"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= KEYTERM_K)
+        .select("doc_id", "rnk", "term", "score_micro")
+    )
+
+
+DOC_KEYTERMS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ')) AS term
+    FROM documents
+  ) WHERE len(term) >= {KEYTERM_MIN_LEN}
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), idf AS (
+  SELECT term,
+         CAST(floor(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df) * 1000000) AS BIGINT) AS idf_micro
+  FROM (SELECT term, count(*) AS df FROM tf GROUP BY term)
+), scored AS (
+  SELECT doc_id, term, CAST(tf * idf_micro AS BIGINT) AS score_micro
+  FROM tf JOIN idf USING (term)
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_micro DESC, term ASC) AS BIGINT) AS rnk,
+       term, score_micro
+FROM scored QUALIFY rnk <= {KEYTERM_K}
+"""
+
+QUERIES.update({"doc_keyterms": doc_keyterms})
+ORACLES.update({"doc_keyterms": DOC_KEYTERMS_SQL})

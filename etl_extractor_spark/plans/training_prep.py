@@ -867,3 +867,130 @@ FROM assigned GROUP BY split
 
 QUERIES["cluster_aware_split"] = cluster_aware_split
 ORACLES["cluster_aware_split"] = _cluster_split_sql()
+
+
+RRF_K = 60  # reciprocal-rank-fusion damping constant (Cormack et al.)
+
+
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR'09) of
+    two retrieval rankings over the pinned BM25 query terms: the BM25
+    ranking and a tf-density ranking (matching-term occurrences per
+    document token — the coordination-style second voice). RRF is THE
+    standard way hybrid retrieval (lexical + semantic, or any N
+    rankers) combines lists without score calibration:
+    rrf(d) = Σ_r 1/(K + rank_r(d)).
+
+    Determinism: the fusion score is computed in integer MICRO-units
+    (1e6 div (K + rank)) so the hash gate certifies it exactly; both
+    rankers break ties by doc_id. Scale shape: candidate set = docs
+    matching ≥1 term (the BM25 prefilter), so the two rank windows
+    order only matching docs, never the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dl = d.select("doc_id", ts.token_count("text").alias("dl"))
+    toks = d.select(
+        "doc_id", F.explode(ts.tokens("text")).alias("term")
+    ).filter(F.col("term").isin(*BM25_TERMS))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scal = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    idf = df_.crossJoin(F.broadcast(scal)).select(
+        "term",
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
+        "avgdl",
+    )
+    bm25 = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            "dl",
+            (
+                F.col("idf")
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part"),
+            "tf",
+        )
+        .groupBy("doc_id", "dl")
+        .agg(
+            F.round(F.sum("part"), 4).alias("bm25"),
+            F.sum("tf").cast("long").alias("tf_total"),
+        )
+    )
+    w_bm = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    # tf density in integer ppm — no float seam in the second ranker
+    density = F.expr("tf_total * 1000000 div dl")
+    w_tf = Window.orderBy(F.desc(density), F.asc("doc_id"))
+    ranked = bm25.withColumn(
+        "rank_bm25", F.row_number().over(w_bm).cast("long")
+    ).withColumn("rank_tf", F.row_number().over(w_tf).cast("long"))
+    fused = ranked.select(
+        "doc_id",
+        "rank_bm25",
+        "rank_tf",
+        F.expr(
+            f"1000000 div ({RRF_K} + rank_bm25) + 1000000 div ({RRF_K} + rank_tf)"
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    w = Window.orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= 20)
+        .select("fused_rank", "doc_id", "rank_bm25", "rank_tf", "rrf_micro")
+    )
+
+
+RRF_SQL = rf"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(toks) AS dl FROM d
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+  WHERE term IN ('{BM25_TERMS[0]}', '{BM25_TERMS[1]}', '{BM25_TERMS[2]}')
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scal AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+), scored AS (
+  SELECT tf.doc_id, dl.dl, tf.tf,
+         ln((scal.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * ({BM25_K1} + 1))
+           / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / scal.avgdl))
+           AS part
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), scal
+), agg AS (
+  SELECT doc_id, dl, round(sum(part), 4) AS bm25,
+         CAST(sum(tf) AS BIGINT) AS tf_total
+  FROM scored GROUP BY doc_id, dl
+), ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank_bm25,
+         CAST(row_number() OVER (ORDER BY tf_total * 1000000 // dl DESC, doc_id ASC) AS BIGINT) AS rank_tf
+  FROM agg
+), fused AS (
+  SELECT doc_id, rank_bm25, rank_tf,
+         CAST(1000000 // ({RRF_K} + rank_bm25) + 1000000 // ({RRF_K} + rank_tf) AS BIGINT) AS rrf_micro
+  FROM ranked
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT) AS fused_rank,
+       doc_id, rank_bm25, rank_tf, rrf_micro
+FROM fused QUALIFY fused_rank <= 20
+"""
+
+QUERIES["rrf_fusion"] = rrf_fusion
+ORACLES["rrf_fusion"] = RRF_SQL
