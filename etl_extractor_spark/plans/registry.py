@@ -93,6 +93,7 @@ _PRIORITY = (
     "dsir_importance_weights", "multimodal_bmp_roundtrip",
     "cluster_aware_split", "length_bucketed_batches",
     "rrf_fusion", "l_diversity_audit", "ses_forecast_nation", "doc_keyterms",
+    "maxsim_multivector", "ndcg_retrieval_eval", "zipf_fit_tokens",
 )
 
 # Previously-green anchors pinned to the VERY END of the registry order

@@ -977,3 +977,102 @@ LEFT JOIN border ON e.vec_id = border.id_a
 
 QUERIES["embedding_dbscan"] = embedding_dbscan
 ORACLES["embedding_dbscan"] = EMBEDDING_DBSCAN_SQL
+
+
+MAXSIM_GROUP = 8  # vectors per multi-vector "document"
+MAXSIM_QVECS = 2  # query vectors per multi-vector query
+MAXSIM_QMOD = 20  # every 20th group is a query
+MAXSIM_K = 3
+
+
+def maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction multi-vector retrieval (ColBERT-style MaxSim,
+    Khattab & Zaharia SIGIR'20): documents are GROUPS of vectors
+    (vec_id div 8), queries carry 2 vectors each, and the score is
+    Σ_q max_d cos(q, d) — each query vector picks its best-matching
+    doc vector, unlike single-vector retrieval which pools first and
+    loses token-level alignment.
+
+    Plan: the query side (2 vectors × |groups|/20) broadcasts; one
+    cosine pass over (doc vector × query vector), a per-(query, doc,
+    qvec) MAX, a per-(query, doc) SUM, then a per-query top-3 window —
+    shuffles are bounded by |candidate scores|, never vectors². At
+    100 TB the doc side streams; IVF pruning composes in front exactly
+    as in ivfpq_adc_topk."""
+    from etl_extractor_spark.operators.common import fan_out
+    from etl_extractor_spark.operators.similarity import as_double, cosine
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    grouped = e.select(
+        F.expr(f"vec_id div {MAXSIM_GROUP}").alias("grp"),
+        "vec_id",
+        as_double("embedding").alias("v"),
+    )
+    q = F.broadcast(
+        grouped.filter(
+            (F.col("grp") % MAXSIM_QMOD == 0)
+            & (F.col("vec_id") % MAXSIM_GROUP < MAXSIM_QVECS)
+        ).select(
+            F.col("grp").alias("q_grp"),
+            F.col("vec_id").alias("q_vec"),
+            F.col("v").alias("qv"),
+        )
+    )
+    c = fan_out(grouped).select(
+        F.col("grp").alias("d_grp"), F.col("v").alias("dv")
+    )
+    per_qvec = (
+        c.join(q, F.col("d_grp") != F.col("q_grp"))
+        .select(
+            "q_grp",
+            "d_grp",
+            "q_vec",
+            cosine(F.col("qv"), F.col("dv")).alias("c"),
+        )
+        .groupBy("q_grp", "d_grp", "q_vec")
+        .agg(F.max("c").alias("best"))
+    )
+    scored = per_qvec.groupBy("q_grp", "d_grp").agg(
+        F.sum("best").alias("maxsim")
+    )
+    w = Window.partitionBy("q_grp").orderBy(F.desc("maxsim"), F.asc("d_grp"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= MAXSIM_K)
+        .select(
+            F.col("q_grp").alias("query_group"),
+            F.col("d_grp").alias("doc_group"),
+            F.round("maxsim", 4).alias("maxsim"),
+            "rank",
+        )
+    )
+
+
+MAXSIM_SQL = f"""
+WITH g AS (
+  SELECT vec_id // {MAXSIM_GROUP} AS grp, vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT grp AS q_grp, vec_id AS q_vec, v AS qv FROM g
+  WHERE grp % {MAXSIM_QMOD} = 0 AND vec_id % {MAXSIM_GROUP} < {MAXSIM_QVECS}
+), per_qvec AS (
+  SELECT q.q_grp, g.grp AS d_grp, q.q_vec,
+         max(list_cosine_similarity(q.qv, g.v)) AS best
+  FROM g JOIN q ON g.grp <> q.q_grp
+  GROUP BY 1, 2, 3
+), scored AS (
+  SELECT q_grp, d_grp, sum(best) AS maxsim FROM per_qvec GROUP BY 1, 2
+), ranked AS (
+  SELECT q_grp, d_grp, maxsim,
+         CAST(row_number() OVER (PARTITION BY q_grp
+                                 ORDER BY maxsim DESC, d_grp ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT q_grp AS query_group, d_grp AS doc_group, round(maxsim, 4) AS maxsim, rank
+FROM ranked WHERE rank <= {MAXSIM_K}
+"""
+
+QUERIES["maxsim_multivector"] = maxsim_multivector
+ORACLES["maxsim_multivector"] = MAXSIM_SQL

@@ -1282,3 +1282,63 @@ FROM scored QUALIFY rnk <= {KEYTERM_K}
 
 QUERIES.update({"doc_keyterms": doc_keyterms})
 ORACLES.update({"doc_keyterms": DOC_KEYTERMS_SQL})
+
+
+ZIPF_TOP = 1000  # head of the rank-frequency curve fitted
+
+
+def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: OLS slope of
+    ln(freq) against ln(rank) over the top-1000 tokens — natural text
+    sits near slope −1; strong deviation flags boilerplate floods or
+    templated/generated corpora, so this is a one-number corpus-health
+    gauge. Uses the engines' shared ``regr_*`` aggregate family (the
+    nation_revenue_trend idiom); the top-k is TakeOrderedAndProject —
+    the rank window orders only 1000 rows, never the vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    freqs = (
+        d.select(F.explode(ts.tokens("text")).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(ZIPF_TOP)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    xy = freqs.withColumn("rank", F.row_number().over(w)).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    return xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(F.expr("regr_slope(y, x)"), 4).alias("zipf_slope"),
+        F.round(F.expr("regr_intercept(y, x)"), 4).alias("zipf_intercept"),
+        F.round(F.expr("regr_r2(y, x)"), 4).alias("r2"),
+    )
+
+
+ZIPF_SQL = rf"""
+WITH freqs AS (
+  SELECT token, count(*) AS freq
+  FROM (
+    SELECT unnest(string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ')) AS token
+    FROM documents
+  )
+  WHERE len(token) > 0
+  GROUP BY token
+  ORDER BY freq DESC, token ASC
+  LIMIT {ZIPF_TOP}
+), xy AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, token ASC) AS DOUBLE)) AS x,
+         ln(CAST(freq AS DOUBLE)) AS y
+  FROM freqs
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round(regr_slope(y, x), 4) AS zipf_slope,
+       round(regr_intercept(y, x), 4) AS zipf_intercept,
+       round(regr_r2(y, x), 4) AS r2
+FROM xy
+"""
+
+QUERIES.update({"zipf_fit_tokens": zipf_fit_tokens})
+ORACLES.update({"zipf_fit_tokens": ZIPF_SQL})

@@ -994,3 +994,80 @@ FROM fused QUALIFY fused_rank <= 20
 
 QUERIES["rrf_fusion"] = rrf_fusion
 ORACLES["rrf_fusion"] = RRF_SQL
+
+
+NDCG_K = 20
+
+
+def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@20 of the BM25 ranking against a deterministic graded
+    relevance label (relevance = number of DISTINCT query terms a
+    document contains, 0-3) — the standard ranking-quality metric a
+    retrieval pipeline reports beside recall. DCG uses the classic
+    (2^rel − 1)/log2(rank+1) gains; IDCG re-ranks the same top-20 pool
+    by relevance (ideal order), so nDCG = DCG/IDCG ∈ (0, 1]. Everything
+    derives from the already-certified BM25 ranking — one extra
+    20-row window + fold, nothing corpus-scaled."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(ts.tokens("text")).alias("term")
+    ).filter(F.col("term").isin(*BM25_TERMS))
+    rel = toks.groupBy("doc_id").agg(
+        F.countDistinct("term").cast("long").alias("rel")
+    )
+    top = bm25_scores(spark, sf_dir).join(rel, "doc_id")
+    gains = top.select(
+        "rank",
+        "rel",
+        ((F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("rank") + 1)).alias(
+            "g"
+        ),
+    )
+    w_ideal = Window.orderBy(F.desc("rel"), F.asc("rank"))
+    ideal = gains.withColumn("irank", F.row_number().over(w_ideal)).select(
+        ((F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("irank") + 1)).alias(
+            "ig"
+        )
+    )
+    dcg = gains.agg(F.sum("g").alias("dcg"))
+    idcg = ideal.agg(F.sum("ig").alias("idcg"))
+    return (
+        dcg.join(F.broadcast(idcg), F.lit(True), "left")
+        .select(
+            F.lit(NDCG_K).cast("long").alias("k"),
+            F.round("dcg", 4).alias("dcg"),
+            F.round("idcg", 4).alias("idcg"),
+            F.round(F.col("dcg") / F.col("idcg"), 4).alias("ndcg"),
+        )
+    )
+
+
+NDCG_SQL = rf"""
+WITH rel AS (
+  SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS rel
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ')) AS term
+    FROM documents
+  )
+  WHERE term IN ('{BM25_TERMS[0]}', '{BM25_TERMS[1]}', '{BM25_TERMS[2]}')
+  GROUP BY doc_id
+), top AS (
+  {BM25_SQL.strip().rstrip()}
+), joined AS (
+  SELECT t.rank, r.rel FROM top t JOIN rel r USING (doc_id)
+), gains AS (
+  SELECT rank, rel, (pow(2.0, rel) - 1) / log2(rank + 1) AS g FROM joined
+), ideal AS (
+  SELECT (pow(2.0, rel) - 1)
+           / log2(row_number() OVER (ORDER BY rel DESC, rank ASC) + 1) AS ig
+  FROM gains
+)
+SELECT CAST({NDCG_K} AS BIGINT) AS k,
+       round((SELECT sum(g) FROM gains), 4) AS dcg,
+       round((SELECT sum(ig) FROM ideal), 4) AS idcg,
+       round((SELECT sum(g) FROM gains) / (SELECT sum(ig) FROM ideal), 4) AS ndcg
+"""
+
+QUERIES["ndcg_retrieval_eval"] = ndcg_retrieval_eval
+ORACLES["ndcg_retrieval_eval"] = NDCG_SQL
