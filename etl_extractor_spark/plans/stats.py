@@ -753,3 +753,134 @@ FROM win GROUP BY n_name
 
 QUERIES["ses_forecast_nation"] = ses_forecast_nation
 ORACLES["ses_forecast_nation"] = SES_FORECAST_SQL
+
+
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per nation — the standard
+    inequality/concentration gauge (how top-heavy is each market).
+    Exact rank-sum form on integer cents: G = (2·Σ i·x_(i) / (n·Σx))
+    − (n+1)/n over ascending-sorted customer totals; emitted in
+    integer bps via one DECIMAL division (rank·cents sums overflow
+    BIGINT at large SF — the decimal-accumulator idiom). One shuffle
+    to the per-customer rollup, one per-nation rank window."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(F.sum("cents").alias("cust_cents"))
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("n_name").orderBy(F.asc("cust_cents"), F.asc("c_custkey"))
+    ranked = per_cust.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cust_cents").cast("decimal(38,0)").alias("total"),
+            F.sum(F.col("i").cast("decimal(38,0)") * F.col("cust_cents")).alias(
+                "rank_sum"
+            ),
+        )
+        .select(
+            "n_name",
+            "n_customers",
+            F.col("total").cast("long").alias("total_cents"),
+            # G in bps: (2*rank_sum*10000) div (n*total) - ((n+1)*10000) div n
+            F.expr(
+                "CAST(CAST(2 AS decimal(38,0)) * rank_sum * 10000"
+                " div (CAST(n_customers AS decimal(38,0)) * total)"
+                " - CAST((n_customers + 1) AS decimal(38,0)) * 10000"
+                " div CAST(n_customers AS decimal(38,0)) AS BIGINT)"
+            ).alias("gini_bps"),
+        )
+    )
+
+
+GINI_SQL = """
+WITH per_cust AS (
+  SELECT n_name, c_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cust_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT n_name, cust_cents,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY cust_cents ASC, c_custkey ASC) AS i
+  FROM per_cust
+)
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cust_cents) AS BIGINT) AS total_cents,
+       CAST(CAST(2 AS HUGEINT) * sum(CAST(i AS HUGEINT) * cust_cents) * 10000
+              // (CAST(count(*) AS HUGEINT) * sum(cust_cents))
+            - CAST(count(*) + 1 AS HUGEINT) * 10000 // count(*) AS BIGINT) AS gini_bps
+FROM ranked GROUP BY n_name
+"""
+
+QUERIES["gini_revenue_concentration"] = gini_revenue_concentration
+ORACLES["gini_revenue_concentration"] = GINI_SQL
+
+
+def hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index per market segment: sum of squared
+    supplier^W customer revenue shares (share in bps, HHI on the
+    0-10^8 scale regulators use ×10^4). Integer-exact: shares are
+    computed as cents·10^4 div segment total, then squared and summed
+    — no float anywhere. One rollup + one windowed total."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum("cents").alias("cust_cents"))
+    )
+    from pyspark.sql import Window as _W
+
+    tot = F.sum("cust_cents").over(_W.partitionBy("c_mktsegment"))
+    shares = per_cust.select(
+        "c_mktsegment",
+        F.expr("cust_cents").alias("cust_cents"),
+        (F.col("cust_cents") * F.lit(10_000)).cast("decimal(38,0)").alias("num"),
+        tot.cast("decimal(38,0)").alias("tot"),
+    ).select(
+        "c_mktsegment",
+        F.expr("CAST(num div tot AS BIGINT)").alias("share_bps"),
+    )
+    return shares.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.col("share_bps") * F.col("share_bps")).cast("long").alias("hhi"),
+        F.max("share_bps").cast("long").alias("top_share_bps"),
+    )
+
+
+HHI_SQL = """
+WITH per_cust AS (
+  SELECT c_mktsegment, c_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cust_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), shares AS (
+  SELECT c_mktsegment,
+         CAST(CAST(cust_cents AS HUGEINT) * 10000
+              // sum(cust_cents) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS share_bps
+  FROM per_cust
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(share_bps * share_bps) AS BIGINT) AS hhi,
+       CAST(max(share_bps) AS BIGINT) AS top_share_bps
+FROM shares GROUP BY c_mktsegment
+"""
+
+QUERIES["hhi_market_concentration"] = hhi_market_concentration
+ORACLES["hhi_market_concentration"] = HHI_SQL
