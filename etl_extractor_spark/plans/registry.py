@@ -95,6 +95,7 @@ _PRIORITY = (
     "rrf_fusion", "l_diversity_audit", "ses_forecast_nation", "doc_keyterms",
     "maxsim_multivector", "ndcg_retrieval_eval", "zipf_fit_tokens",
     "gini_revenue_concentration", "hhi_market_concentration",
+    "maxsim_ivf_pruned",
 )
 
 # Previously-green anchors pinned to the VERY END of the registry order

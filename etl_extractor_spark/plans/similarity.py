@@ -1076,3 +1076,134 @@ FROM ranked WHERE rank <= {MAXSIM_K}
 
 QUERIES["maxsim_multivector"] = maxsim_multivector
 ORACLES["maxsim_multivector"] = MAXSIM_SQL
+
+
+def maxsim_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxSim with IVF coarse pruning — the 100 TB composition the
+    brute variant's docstring promises: each multi-vector group gets a
+    coarse cluster from its REPRESENTATIVE vector (the group's first,
+    argmax cosine over the pinned SEMDEDUP centroids, exactly the
+    knn_ivf_fixed quantizer), and late interaction runs only against
+    same-cluster doc groups. Per-query candidate count drops by
+    ~k_coarse (brute probe at 200k vectors: 425 s; pruning divides the
+    interaction pair space by the cluster count), and both stages stay
+    oracle-certified — DuckDB re-derives assignment + MaxSim from the
+    same literals."""
+    import math as _m
+
+    from etl_extractor_spark.operators.common import fan_out
+    from etl_extractor_spark.operators.similarity import as_double, cosine
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    grouped = e.select(
+        F.expr(f"vec_id div {MAXSIM_GROUP}").alias("grp"),
+        "vec_id",
+        as_double("embedding").alias("v"),
+    )
+    reps = grouped.filter(F.col("vec_id") % MAXSIM_GROUP == 0)
+    dots = [
+        F.aggregate(
+            F.zip_with(
+                "v",
+                F.array(*[F.lit(x) for x in SEMDEDUP_CENTROIDS[k]]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(_m.sqrt(sum(x * x for x in SEMDEDUP_CENTROIDS[k])))
+        for k in range(SEMDEDUP_K)
+    ]
+    best = F.greatest(*dots)
+    cl = F.lit(None).cast("long")
+    for k in reversed(range(SEMDEDUP_K)):
+        cl = F.when(dots[k] == best, F.lit(k)).otherwise(cl)
+    clusters = reps.select("grp", cl.alias("cluster_id"))
+    g = grouped.join(clusters, "grp")
+    q = F.broadcast(
+        g.filter(
+            (F.col("grp") % MAXSIM_QMOD == 0)
+            & (F.col("vec_id") % MAXSIM_GROUP < MAXSIM_QVECS)
+        ).select(
+            F.col("grp").alias("q_grp"),
+            F.col("vec_id").alias("q_vec"),
+            F.col("v").alias("qv"),
+            F.col("cluster_id").alias("qc"),
+        )
+    )
+    c = fan_out(g).select(
+        F.col("grp").alias("d_grp"), F.col("v").alias("dv"), "cluster_id"
+    )
+    per_qvec = (
+        c.join(
+            q,
+            (F.col("cluster_id") == F.col("qc"))
+            & (F.col("d_grp") != F.col("q_grp")),
+        )
+        .select("q_grp", "d_grp", "q_vec", cosine(F.col("qv"), F.col("dv")).alias("c"))
+        .groupBy("q_grp", "d_grp", "q_vec")
+        .agg(F.max("c").alias("best"))
+    )
+    scored = per_qvec.groupBy("q_grp", "d_grp").agg(F.sum("best").alias("maxsim"))
+    w = Window.partitionBy("q_grp").orderBy(F.desc("maxsim"), F.asc("d_grp"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= MAXSIM_K)
+        .select(
+            F.col("q_grp").alias("query_group"),
+            F.col("d_grp").alias("doc_group"),
+            F.round("maxsim", 4).alias("maxsim"),
+            "rank",
+        )
+    )
+
+
+MAXSIM_IVF_SQL = (
+    f"""
+WITH g AS (
+  SELECT vec_id // {MAXSIM_GROUP} AS grp, vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), repdots AS (
+  SELECT grp, """
+    + ", ".join(
+        f"list_dot_product(v, {_centroid_sql(k)}) / "
+        f"{_math.sqrt(sum(x * x for x in SEMDEDUP_CENTROIDS[k]))!r} AS d{k}"
+        for k in range(SEMDEDUP_K)
+    )
+    + f"""
+  FROM g WHERE vec_id % {MAXSIM_GROUP} = 0
+), clusters AS (
+  SELECT grp, CASE """
+    + " ".join(
+        f"WHEN d{k} = greatest(d0, d1, d2, d3) THEN {k}"
+        for k in range(SEMDEDUP_K)
+    )
+    + f""" END AS cluster_id
+  FROM repdots
+), gc AS (
+  SELECT g.grp, g.vec_id, g.v, c.cluster_id FROM g JOIN clusters c USING (grp)
+), q AS (
+  SELECT grp AS q_grp, vec_id AS q_vec, v AS qv, cluster_id AS qc FROM gc
+  WHERE grp % {MAXSIM_QMOD} = 0 AND vec_id % {MAXSIM_GROUP} < {MAXSIM_QVECS}
+), per_qvec AS (
+  SELECT q.q_grp, gc.grp AS d_grp, q.q_vec,
+         max(list_cosine_similarity(q.qv, gc.v)) AS best
+  FROM gc JOIN q ON gc.cluster_id = q.qc AND gc.grp <> q.q_grp
+  GROUP BY 1, 2, 3
+), scored AS (
+  SELECT q_grp, d_grp, sum(best) AS maxsim FROM per_qvec GROUP BY 1, 2
+), ranked AS (
+  SELECT q_grp, d_grp, maxsim,
+         CAST(row_number() OVER (PARTITION BY q_grp
+                                 ORDER BY maxsim DESC, d_grp ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT q_grp AS query_group, d_grp AS doc_group, round(maxsim, 4) AS maxsim, rank
+FROM ranked WHERE rank <= {MAXSIM_K}
+"""
+)
+
+QUERIES["maxsim_ivf_pruned"] = maxsim_ivf_pruned
+ORACLES["maxsim_ivf_pruned"] = MAXSIM_IVF_SQL
