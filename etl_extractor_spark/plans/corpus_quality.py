@@ -714,7 +714,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE aggregation yields both distributions (raw + target share the
     # explode), and the corpus totals ride a 1-row broadcast instead of
     # driver-side count() actions — two passes over the bigram stream
-    # total, zero collects
+    # total, zero collects. (Measured trade: persisting doc_counts to
+    # collapse to one pass costs MORE locally — the cache write exceeds
+    # the cheap zip_with re-explode. At corpus scale, where the text
+    # scan dominates, flip to `doc_counts.persist(MEMORY_AND_DISK)` and
+    # derive `per` from it — the 10-100× smaller compressed form.)
     per = bigrams.groupBy("b").agg(
         F.count(F.lit(1)).alias("cr"),
         F.sum(
