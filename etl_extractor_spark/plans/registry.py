@@ -44,16 +44,14 @@ _MODULES = (
 )
 
 
-# Emitted ahead of module order: the queries a capped (~50/round)
-# CORRECTNESS sweep must reach. Round-4 rotation (VERDICT r3 task 1):
-# the 68 oracle-backed queries that have never appeared in any driver
-# run (registered minus the 146 names in CORRECTNESS_r01-03) lead,
-# flagship round-3 algorithms first, then the round-4-new deterministic
-# sketch twins, then the stats / roundtrip / wave-5-6 tail. ALL
-# rows-only names are pushed behind every oracle-backed name by
-# ``_ordered`` (so the capped window contains zero ``no_oracle``
-# burns), and a ≤5-query green canary sits at the very end. (Names not
-# present in any module are skipped harmlessly.)
+# PREFERENCE order within the never-driver-checked class (the class
+# partitioning itself is automatic — ``_ordered`` reads the driver's
+# CORRECTNESS_r*.json files, so the capped ~50/round sweep window
+# self-rotates as rounds complete): flagship algorithms first, then
+# the round-4 deterministic sketch twins, then the stats / roundtrip /
+# wave tails, then later additions. Names not listed here sort after
+# these in module order; names not present in any module are skipped
+# harmlessly.
 _PRIORITY = (
     # --- flagship round-3 algorithms, never driver-checked (judge order)
     "ivfpq_adc_topk", "pq_adc_topk", "common_paragraph_filter",
