@@ -672,8 +672,6 @@ def ses_forecast_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     first (one shuffle); the smoothing window is a 12-row weighted fold
     of that tiny table; the global last-month scalar rides a 1-row
     broadcast."""
-    from pyspark.sql import Window as _W  # noqa: F401 (symmetry with siblings)
-
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         (F.year(F.to_date("o_orderdate")) * 12 + F.month(F.to_date("o_orderdate")) - 1)
