@@ -658,3 +658,57 @@ def test_common_paragraph_filter_empty_and_tiny_docs(spark, tmp_path):
     )
     n = compare(common_paragraph_filter(spark, str(tmp_path)), con, COMMON_PARAGRAPH_SQL)
     assert n == 7
+
+
+def test_round4_wave_no_cartesian_no_global_sort(spark, sf_dir):
+    """Round-4 additions: no cartesian products anywhere; the batching
+    and keyterm rank windows must partition (never a corpus-global
+    window); MaxSim's query side broadcasts."""
+    from etl_extractor_spark.plans.cleaning import l_diversity_audit
+    from etl_extractor_spark.plans.similarity import maxsim_multivector
+    from etl_extractor_spark.plans.stats import (
+        gini_revenue_concentration,
+        ses_forecast_nation,
+    )
+    from etl_extractor_spark.plans.text_analysis import doc_keyterms
+    from etl_extractor_spark.plans.training_prep import (
+        length_bucketed_batches,
+        rrf_fusion,
+    )
+
+    for fn in (
+        maxsim_multivector,
+        rrf_fusion,
+        length_bucketed_batches,
+        doc_keyterms,
+        l_diversity_audit,
+        ses_forecast_nation,
+        gini_revenue_concentration,
+    ):
+        plan = _plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+    # partitioned rank windows: the window spec must carry a
+    # partition key, not be a bare global ordering
+    for fn, key in (
+        (length_bucketed_batches, "len_bucket"),
+        (doc_keyterms, "doc_id"),
+        (gini_revenue_concentration, "n_name"),
+    ):
+        plan = _plan(fn(spark, sf_dir))
+        assert f"partitionBy: [{key}" in plan.replace("#", "").replace(
+            "L", ""
+        ) or "windowspecdefinition(" + key in plan.replace("#", "").replace(
+            "L", ""
+        ), f"{fn.__name__}: rank window not partitioned by {key}"
+    plan = _plan(maxsim_multivector(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_dsir_no_collect_single_bigram_substrate(spark, sf_dir):
+    """DSIR: the delta table must broadcast (4096 rows by construction)
+    and no cartesian/global-sort appears."""
+    from etl_extractor_spark.plans.corpus_quality import dsir_importance_weights
+
+    plan = _plan(dsir_importance_weights(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

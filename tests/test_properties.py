@@ -397,3 +397,31 @@ def test_funnel_twin_bridges_theta_sketch(spark, sf_dir):
         (est.users_click_no_purchase_est, exact.users_click_no_purchase),
     ]:
         assert abs(est_v - exact_v) <= max(1, 0.05 * max(exact_v, 1))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),   # width
+    st.integers(min_value=1, max_value=20),   # height
+    st.binary(min_size=0, max_size=800),
+)
+def test_codec_roundtrip_property(w, h, payload):
+    """Both real codecs, any geometry: encode → detect → decode
+    returns exactly the zero-padded input pixels (PNG all filter
+    types; BMP including non-multiple-of-4 strides)."""
+    from etl_extractor_spark.operators.multimodal import (
+        decode_bmp,
+        decode_png,
+        detect_format,
+        encode_bmp,
+        encode_png,
+    )
+
+    px = bytes(payload[: w * h]).ljust(w * h, b"\x00")
+    bmp = encode_bmp(w, h, px)
+    assert detect_format(bmp) == "bmp"
+    assert decode_bmp(bmp) == (w, h, 1, px)
+    for ft in (0, 1, 2, 3, 4):
+        png = encode_png(w, h, px, channels=1, filter_type=ft)
+        assert detect_format(png) == "png"
+        assert decode_png(png) == (w, h, 1, px)
