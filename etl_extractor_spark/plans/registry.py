@@ -106,35 +106,46 @@ _CANARY = (
 )
 
 
-def _driver_checked() -> frozenset:
-    """Names already verified by a driver CORRECTNESS sweep — read from
-    the CORRECTNESS_r*.json files the driver drops in the repo root.
-    Makes the rotation SELF-MAINTAINING: each round's capped sweep
-    window automatically leads with never-checked queries, with no
-    manual priority edits (the r2/r3 failure mode was exactly a stale
-    hand-written rotation). Unreadable files are skipped — worst case
-    the ordering degrades to the static priority, never breaks."""
+def _driver_checked() -> dict:
+    """Names already verified by a driver CORRECTNESS sweep → the LATEST
+    round that checked each, read from the CORRECTNESS_r*.json files the
+    driver drops in the repo root. Makes the rotation SELF-MAINTAINING:
+    each round's capped sweep window automatically leads with
+    never-checked queries, with no manual priority edits (the r2/r3
+    failure mode was exactly a stale hand-written rotation); once the
+    never-checked backlog drains, the round number drives a STALENESS
+    tier — oldest-checked names are re-verified first, so r1-era
+    anchors don't go unre-checked forever. Unreadable files are
+    skipped — worst case the ordering degrades to the static priority,
+    never breaks."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
-    names: set = set()
+    latest: dict = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
-                names.update(json.load(f).keys())
+                for name in json.load(f):
+                    latest[name] = max(latest.get(name, 0), rnd)
         except Exception:
             continue
-    return frozenset(names)
+    return latest
 
 
 def _ordered(out: dict, oracles: dict | None = None) -> dict:
     """Never-driver-checked names first (priority head order, then
-    module order), then already-checked names, with oracle-backed
-    before rows-only within each class (a rows-only name inside the
-    capped window burns a sweep slot as ``no_oracle``), and the canary
-    last."""
+    module order), then already-checked names STALEST-FIRST (lowest
+    latest-checked round — so once the never-checked backlog drains,
+    the capped window becomes a rotating re-check band that reaches
+    r1-era anchors before re-touching last round's greens), with
+    oracle-backed before rows-only within each class (a rows-only name
+    inside the capped window burns a sweep slot as ``no_oracle``), and
+    the canary last."""
     checked = _driver_checked()
     ranked = list(_PRIORITY) + [k for k in out if k not in set(_PRIORITY)]
 
@@ -143,6 +154,7 @@ def _ordered(out: dict, oracles: dict | None = None) -> dict:
             k in _CANARY,  # canary at the very end
             (oracles is not None) and (k not in oracles),  # rows-only behind
             k in checked,  # never-checked first
+            checked.get(k, 0),  # staleness tier: oldest-checked first
         )
 
     ordered = sorted((k for k in ranked if k in out), key=key)  # stable

@@ -118,7 +118,7 @@ def test_registry_self_rotation():
     win = set(names[:50])
     orig = R._driver_checked
     try:
-        R._driver_checked = lambda: frozenset(checked | win)
+        R._driver_checked = lambda: {**checked, **{n: 99 for n in win}}
         R._CACHE.clear()
         nxt = list(R.all_queries())
         remaining = [
@@ -131,3 +131,24 @@ def test_registry_self_rotation():
     finally:
         R._driver_checked = orig
         R._CACHE.clear()
+
+
+def test_registry_staleness_tier():
+    """Within the already-checked oracle-backed class, names re-sort
+    OLDEST-latest-check first, so once the never-checked backlog drains
+    the capped window becomes a rotating re-check band that reaches
+    r1-era anchors before re-touching last round's greens."""
+    from etl_extractor_spark.plans import registry as R
+
+    oracles = R.all_oracles()
+    checked = R._driver_checked()
+    assert checked, "driver CORRECTNESS artifacts missing from repo root"
+    # latest-round values must be parsed from filenames (not all equal)
+    assert len(set(checked.values())) > 1
+    names = list(R.all_queries())
+    rounds = [
+        checked[n]
+        for n in names
+        if n in checked and n in oracles and n not in R._CANARY
+    ]
+    assert rounds == sorted(rounds), "checked names not ordered stalest-first"
