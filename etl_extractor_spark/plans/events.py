@@ -786,6 +786,44 @@ QUERIES["kmv_user_reach"] = kmv_user_reach
 ORACLES["kmv_user_reach"] = KMV_REACH_SQL
 
 
+def streaming_kmv_reach_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming path under the driver contract: replay the
+    events table through the stateful KMV stream
+    (``streaming/events_stream.streaming_kmv_reach`` —
+    applyInPandasWithState, O(K) mergeable per-type state, update
+    mode) with an availableNow trigger, then reduce the per-micro-batch
+    emissions to the FINAL state per type. Because the KMV k-min set is
+    a true mergeable sketch, the final streaming state equals the batch
+    ``kmv_user_reach`` exactly, so this query shares its DuckDB oracle
+    — a driver-visible, hash-certified proof of the streaming engine's
+    replay semantics (not just pytest). Final-state selection is
+    algebraic, not positional: k_eff is non-decreasing across batches
+    and, once saturated, kth_hash is non-increasing, so (max k_eff,
+    min kth_hash) IS the last emission even if availableNow splits the
+    input into several micro-batches. At 100 TB the same query runs
+    unchanged against a live file/Kafka source with per-key state that
+    never exceeds K longs."""
+    from etl_extractor_spark.streaming import events_stream as SE
+
+    emitted = SE.run_to_memory(
+        SE.streaming_kmv_reach(SE.events_stream(spark, sf_dir)),
+        "t_kmv_reach_replay",
+        output_mode="update",
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("k_eff").desc(), F.col("kth_hash").asc()
+    )
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "k_eff", "kth_hash", "est_users")
+    )
+
+
+QUERIES["streaming_kmv_reach_replay"] = streaming_kmv_reach_replay
+ORACLES["streaming_kmv_reach_replay"] = KMV_REACH_SQL
+
+
 def value_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact order-statistic p50/p95/p99 per event_type — the
     oracle-backed twin of ``kll_value_quantiles``. The quantile is the
