@@ -269,3 +269,95 @@ def lsh_buckets(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding
         F.col(id_col).alias("vec_id"),
         lsh_signature(as_double(vec_col)).cast("long").alias("bucket"),
     )
+
+
+def maxsim_ivf_topk(
+    vectors: DataFrame,
+    centroids: list,
+    *,
+    group: int = 8,
+    qmod: int = 20,
+    qvecs: int = 2,
+    k: int = 3,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Parameterized ColBERT-style MaxSim with IVF coarse pruning — the
+    production-shape generalization of ``plans/similarity.
+    maxsim_ivf_pruned`` (which pins 4 literal centroids for its DuckDB
+    oracle). ``centroids`` is a trained coarse codebook (any k_coarse;
+    the 100 TB path trains it offline on a sample and broadcasts it);
+    each multi-vector group is assigned by its REPRESENTATIVE vector
+    (vec_id % group == 0) to its argmax-cosine cluster, queries probe
+    their top-``nprobe`` clusters, and late interaction runs only on
+    same-cluster pairs — the interaction pair space divides by
+    ~k_coarse/nprobe. Docs carry ONE cluster, so a (query, doc) pair
+    joins at most once regardless of nprobe (no dedup pass needed).
+    Assignment is a broadcast crossJoin against the k_coarse-row
+    codebook (map-side, no shuffle); the only wide exchanges are the
+    per-qvec max-reduce and the final top-k window, both keyed on
+    query group. Probe harness: tools/probe_maxsim_coarse_k.py
+    (measured recall/latency curve in BASELINE.md)."""
+    spark = vectors.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster_id bigint, cv array<double>",
+    )
+    grouped = vectors.select(
+        F.expr(f"vec_id div {group}").alias("grp"),
+        "vec_id",
+        as_double("embedding").alias("v"),
+    )
+    reps = grouped.filter(F.col("vec_id") % group == 0)
+    rep_scores = reps.crossJoin(F.broadcast(cent)).select(
+        "grp", "cluster_id", cosine(F.col("v"), F.col("cv")).alias("c")
+    )
+    wa = Window.partitionBy("grp").orderBy(F.desc("c"), F.asc("cluster_id"))
+    ranked_assign = rep_scores.withColumn("r", F.row_number().over(wa))
+    doc_cl = ranked_assign.filter(F.col("r") == 1).select("grp", "cluster_id")
+    q_cl = (
+        ranked_assign.filter((F.col("grp") % qmod == 0) & (F.col("r") <= nprobe))
+        .select(F.col("grp").alias("q_grp"), F.col("cluster_id").alias("qc"))
+    )
+    # fan_out BEFORE the candidate join: doc_cl is broadcast-small, so
+    # without it the interaction stage would inherit the raw file's
+    # (often single) partitioning and serialize the heavy compute
+    from etl_extractor_spark.operators.common import fan_out
+
+    g = fan_out(grouped).join(doc_cl, "grp")
+    q = F.broadcast(
+        grouped.filter(
+            (F.col("grp") % qmod == 0) & (F.col("vec_id") % group < qvecs)
+        )
+        .select(
+            F.col("grp").alias("q_grp"),
+            F.col("vec_id").alias("q_vec"),
+            F.col("v").alias("qv"),
+        )
+        .join(q_cl, "q_grp")
+    )
+    per_qvec = (
+        g.join(
+            q,
+            (F.col("cluster_id") == F.col("qc")) & (F.col("grp") != F.col("q_grp")),
+        )
+        .select(
+            "q_grp",
+            F.col("grp").alias("d_grp"),
+            "q_vec",
+            cosine(F.col("qv"), F.col("v")).alias("c"),
+        )
+        .groupBy("q_grp", "d_grp", "q_vec")
+        .agg(F.max("c").alias("best"))
+    )
+    scored = per_qvec.groupBy("q_grp", "d_grp").agg(F.sum("best").alias("maxsim"))
+    w = Window.partitionBy("q_grp").orderBy(F.desc("maxsim"), F.asc("d_grp"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_grp").alias("query_group"),
+            F.col("d_grp").alias("doc_group"),
+            F.round("maxsim", 4).alias("maxsim"),
+            "rank",
+        )
+    )

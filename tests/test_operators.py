@@ -331,7 +331,7 @@ def test_detect_format_magic_dispatch():
     assert detect_format(b"%PDF-1.7") == "pdf"
     assert detect_format(b"hello world") == "other"
     assert detect_format(b"") == "other"
-    assert DECODABLE_FORMATS == {"png", "bmp"}
+    assert DECODABLE_FORMATS == {"png", "bmp", "jpeg"}
 
 
 def test_bmp_codec_roundtrip():
@@ -369,9 +369,14 @@ def test_decode_image_dispatch_routing():
     png = encode_png(4, 2, bytes(range(8)), channels=1)
     assert decode_image(png, fake=False) == (4, 2, 1)
     assert decode_image(png, fake=True) == (4, 2, 1)  # real path wins
-    with _pytest.raises(NotImplementedError):
+    # jpeg is decodable since r5: real decoder wins, and a payload that
+    # SNIFFS as jpeg but is structurally broken raises like a bad PNG
+    # does (strict parse), it does not silently fall back to the fake
+    with _pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xffjpegdata", fake=False)
-    w, h, c = decode_image(b"\xff\xd8\xffjpegdata", fake=True)
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"GIF89a...", fake=False)
+    w, h, c = decode_image(b"GIF89a...", fake=True)
     assert 64 <= w <= 255 and 64 <= h <= 255 and 1 <= c <= 3
 
 
@@ -411,3 +416,63 @@ def test_bpe_stack_fold_fuse_matches_replace(spark):
             ).alias("fused")
         ).collect()[0]["fused"]
         assert got == want, (syms, a, b, got, want)
+
+
+def test_jpeg_codec_exact_constant_blocks():
+    """Baseline JPEG with a flat quant table is BIT-EXACT on
+    constant 8x8 blocks (DC-only spectra are integers), across the
+    full DC-difference category range including the 0xFF-stuffing
+    byte patterns."""
+    import numpy as np
+
+    from etl_extractor_spark.operators.multimodal import (
+        decode_image,
+        decode_jpeg_gray,
+        detect_format,
+        encode_jpeg_gray,
+    )
+
+    data = bytes(range(256)) + bytes(reversed(range(256)))
+    px = np.repeat(np.frombuffer(data, np.uint8), 64).tobytes()
+    jpg = encode_jpeg_gray(8, 8 * len(data), px, qtable=[1] * 64)
+    assert detect_format(jpg) == "jpeg"
+    assert decode_jpeg_gray(jpg) == (8, 8 * len(data), 1, px)
+    # dispatch routes JPEG through the REAL decoder
+    assert decode_image(jpg, fake=False) == (8, 8 * len(data), 1)
+
+
+def test_jpeg_codec_lossy_fidelity_and_guards():
+    """Standard Annex-K table on real content: non-multiple-of-8
+    geometry pads by edge replication and crops back, reconstruction
+    error stays within a few levels on smooth content; full AC
+    Huffman paths (ZRL, all run/size categories) exercised by noise;
+    progressive/multi-component inputs raise NotImplementedError."""
+    import numpy as np
+    import pytest
+
+    from etl_extractor_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    img = np.add.outer(np.arange(43), np.arange(59)).astype(np.uint8)
+    jpg = encode_jpeg_gray(59, 43, img.tobytes())
+    w, h, c, px = decode_jpeg_gray(jpg)
+    assert (w, h, c) == (59, 43, 1)
+    err = np.abs(
+        np.frombuffer(px, np.uint8).astype(int) - img.flatten().astype(int)
+    )
+    assert err.max() <= 4
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    w2, h2, _, px2 = decode_jpeg_gray(
+        encode_jpeg_gray(40, 24, noise.tobytes(), qtable=[1] * 64)
+    )
+    err2 = np.abs(
+        np.frombuffer(px2, np.uint8).astype(int) - noise.flatten().astype(int)
+    )
+    assert (w2, h2) == (40, 24) and err2.max() <= 1  # q=1 is near-lossless
+    # SOF2 (progressive) must refuse explicitly, not mis-decode
+    bad = jpg.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_gray(bad)
