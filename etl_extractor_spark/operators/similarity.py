@@ -297,26 +297,39 @@ def maxsim_ivf_topk(
     per-qvec max-reduce and the final top-k window, both keyed on
     query group. Probe harness: tools/probe_maxsim_coarse_k.py
     (measured recall/latency curve in BASELINE.md)."""
-    spark = vectors.sparkSession
-    cent = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cluster_id bigint, cv array<double>",
-    )
     grouped = vectors.select(
         F.expr(f"vec_id div {group}").alias("grp"),
         "vec_id",
         as_double("embedding").alias("v"),
     )
-    reps = grouped.filter(F.col("vec_id") % group == 0)
-    rep_scores = reps.crossJoin(F.broadcast(cent)).select(
-        "grp", "cluster_id", cosine(F.col("v"), F.col("cv")).alias("c")
+    # Coarse assignment is VECTORIZED (Arrow pandas_udf, one matmul per
+    # batch against the closure-shipped codebook), not a crossJoin of
+    # HOF cosine expressions: the r5 probe measured the expression form
+    # at O(groups × k_coarse) interpreted evals — 57 s of the 200k-vec
+    # run at k_coarse=256 was assignment, inverting the pruning win.
+    # One matmul makes assignment ~free at any k_coarse, which is what
+    # lets the latency curve actually FALL as the codebook grows.
+    cn = np.array(centroids, dtype=np.float64)
+    cn = cn / np.linalg.norm(cn, axis=1, keepdims=True)
+    n_probe = min(nprobe, len(cn))
+
+    @F.pandas_udf("array<bigint>")
+    def _probe(vs: pd.Series) -> pd.Series:
+        m = np.array(vs.tolist(), dtype=np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        # stable argsort on -sim ⇒ ties break toward the lower
+        # cluster_id, matching the (desc cos, asc cluster_id) window
+        idx = np.argsort(-(m @ cn.T), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(idx.astype("int64")))
+
+    from etl_extractor_spark.operators.common import fan_out as _fan
+
+    reps = _fan(grouped.filter(F.col("vec_id") % group == 0)).select(
+        "grp", _probe("v").alias("probes")
     )
-    wa = Window.partitionBy("grp").orderBy(F.desc("c"), F.asc("cluster_id"))
-    ranked_assign = rep_scores.withColumn("r", F.row_number().over(wa))
-    doc_cl = ranked_assign.filter(F.col("r") == 1).select("grp", "cluster_id")
-    q_cl = (
-        ranked_assign.filter((F.col("grp") % qmod == 0) & (F.col("r") <= nprobe))
-        .select(F.col("grp").alias("q_grp"), F.col("cluster_id").alias("qc"))
+    doc_cl = reps.select("grp", F.element_at("probes", 1).alias("cluster_id"))
+    q_cl = reps.filter(F.col("grp") % qmod == 0).select(
+        F.col("grp").alias("q_grp"), F.explode("probes").alias("qc")
     )
     # fan_out BEFORE the candidate join: doc_cl is broadcast-small, so
     # without it the interaction stage would inherit the raw file's

@@ -824,6 +824,48 @@ QUERIES["streaming_kmv_reach_replay"] = streaming_kmv_reach_replay
 ORACLES["streaming_kmv_reach_replay"] = KMV_REACH_SQL
 
 
+def streaming_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow replay of the native streaming tumbling-window
+    aggregation (``streaming/events_stream.streaming_tumbling``,
+    watermarked, complete mode) — shares the batch ``events_tumbling``
+    oracle, so the driver hash-certifies that the streaming windowed
+    state machine converges to the batch GROUP BY over the same file.
+    Complete mode re-emits the final table, so no last-emission
+    selection is needed."""
+    from etl_extractor_spark.streaming import events_stream as SE
+
+    return SE.run_to_memory(
+        SE.streaming_tumbling(SE.events_stream(spark, sf_dir)),
+        "t_tumbling_replay",
+        output_mode="complete",
+    )
+
+
+QUERIES["streaming_tumbling_replay"] = streaming_tumbling_replay
+ORACLES["streaming_tumbling_replay"] = EVENTS_TUMBLING_SQL
+
+
+def streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow replay of the native streaming session windows
+    (``streaming/events_stream.streaming_sessionize``: session_window
+    + watermark, complete mode) — shares the batch
+    ``events_sessionize`` oracle, proving the streaming gap-merge
+    state machine equals the batch session assignment row for row
+    under the driver contract (pytest pinned this; now the driver
+    does)."""
+    from etl_extractor_spark.streaming import events_stream as SE
+
+    return SE.run_to_memory(
+        SE.streaming_sessionize(SE.events_stream(spark, sf_dir)),
+        "t_sessionize_replay",
+        output_mode="complete",
+    )
+
+
+QUERIES["streaming_sessionize_replay"] = streaming_sessionize_replay
+ORACLES["streaming_sessionize_replay"] = _SESSION_SQL
+
+
 def value_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact order-statistic p50/p95/p99 per event_type — the
     oracle-backed twin of ``kll_value_quantiles``. The quantile is the

@@ -41,6 +41,7 @@ _MODULES = (
     "etl_extractor_spark.plans.tpch2",
     "etl_extractor_spark.plans.tpch3",
     "etl_extractor_spark.plans.tpch4",
+    "etl_extractor_spark.plans.training_eval",
 )
 
 
