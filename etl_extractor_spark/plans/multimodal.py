@@ -450,6 +450,9 @@ QUERIES["multimodal_bmp_roundtrip"] = multimodal_bmp_roundtrip
 ORACLES["multimodal_bmp_roundtrip"] = MULTIMODAL_PNG_SQL  # same geometry + pixel contract
 
 
+JPEG_ROUNDTRIP_CAP = 192  # bytes per doc → constant per-row decode cost
+
+
 def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Third REAL image decode round-trip (r5 judge task 4): a genuine
     baseline JFIF grayscale JPEG — full FDCT → quantize → zigzag →
@@ -464,15 +467,25 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte[i] repeated 64× in raster order — arithmetic DuckDB can
     mirror. The DC-difference Huffman path is exercised across the
     full [-1024, 1016] category range; lossy-mode fidelity on real
-    content is pinned in pytest."""
+    content is pinned in pytest.
+
+    Scale contract: the payload is the document's first 192 bytes
+    (12k-pixel image per row) — per-row decode cost is CONSTANT, so
+    the query scales with doc COUNT, not corpus bytes (the unbounded
+    form measured 464 s at sf1: block count = corpus bytes × 64-pixel
+    blocks through a Python entropy coder). fan_out spreads the
+    single-file scan across cores before the UDF — mapInPandas
+    inherits the scan's (often 1-2) partitions otherwise."""
     import hashlib
     from collections.abc import Iterator
 
     import pandas as pd
     from pyspark.sql import types as T
 
+    from etl_extractor_spark.operators.common import fan_out
+
     d = load_table(spark, sf_dir, "documents")
-    blobs = M.to_blob_table(d, "doc_id", "text")
+    blobs = fan_out(M.to_blob_table(d, "doc_id", "text"))
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -489,7 +502,7 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for did, blob in zip(pdf["doc_id"], pdf["blob"]):
-                data = bytes(blob) or b"\x00"
+                data = bytes(blob)[:JPEG_ROUNDTRIP_CAP] or b"\x00"
                 px = np.repeat(np.frombuffer(data, np.uint8), 64).tobytes()
                 jpg = M.encode_jpeg_gray(8, 8 * len(data), px, qtable=[1] * 64)
                 assert M.detect_format(jpg) == "jpeg"
@@ -513,10 +526,10 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracle: width 8, height = 8 bytes-per-block rows, channels 1; the
 # decoded raster is each (zero-padded-to-1) input byte's hex pair
 # repeated 64 times in order.
-MULTIMODAL_JPEG_SQL = """
+MULTIMODAL_JPEG_SQL = f"""
 WITH b AS (
   SELECT doc_id,
-         encode(text) || repeat('\\x00'::BLOB,
+         unhex(substr(hex(encode(text)), 1, {2 * JPEG_ROUNDTRIP_CAP})) || repeat('\\x00'::BLOB,
              CASE WHEN octet_length(encode(text)) = 0 THEN 1 ELSE 0 END)
            AS bytes
   FROM documents
