@@ -63,8 +63,10 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    # SMJ pin: Catalyst sizes the exploded relations at PRE-explode file
+    # size and would broadcast the corpus-scaled first-claim table
     return (
-        grams.join(first, "gram")
+        grams.join(first.hint("merge"), "gram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -193,12 +195,17 @@ def rouge1_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = (
         grams.filter(F.col("side") == 0)
         .select("pair_id", "tok")
-        .join(grams.filter(F.col("side") == 1).select("pair_id", "tok"), ["pair_id", "tok"])
+        .join(
+            grams.filter(F.col("side") == 1)
+            .select("pair_id", "tok")
+            .hint("merge"),  # exploded side: pre-explode size misestimate
+            ["pair_id", "tok"],
+        )
         .groupBy("pair_id")
         .agg(F.count(F.lit(1)).alias("i"))
     )
     return (
-        sizes.join(inter, "pair_id", "left")
+        sizes.join(inter.hint("merge"), "pair_id", "left")
         .select(
             "pair_id",
             "n_a",
@@ -306,7 +313,12 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = (
         grams.filter(F.col("side") == 0)
         .select("pair_id", "tok")
-        .join(grams.filter(F.col("side") == 1).select("pair_id", "tok"), ["pair_id", "tok"])
+        .join(
+            grams.filter(F.col("side") == 1)
+            .select("pair_id", "tok")
+            .hint("merge"),  # exploded side: pre-explode size misestimate
+            ["pair_id", "tok"],
+        )
         .groupBy("pair_id")
         .agg(F.count(F.lit(1)).alias("i"))
     )
@@ -320,8 +332,8 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = MINHASH_AUDIT_SEEDS
     return (
-        sizes.join(inter, "pair_id", "left")
-        .join(est, "pair_id")
+        sizes.join(inter.hint("merge"), "pair_id", "left")
+        .join(est.hint("merge"), "pair_id")  # est is pair-count-scaled
         .select(
             "pair_id",
             "seeds_match",
