@@ -712,3 +712,44 @@ def test_dsir_no_collect_single_bigram_substrate(spark, sf_dir):
     plan = _plan(dsir_importance_weights(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_training_eval_corpus_joins_stay_smj(spark, sf_dir):
+    """Round-5 training-eval suite: every join whose sides are
+    token-exploded (corpus-scaled at 100 TB) must be a SortMergeJoin —
+    Catalyst's PRE-explode size estimate would otherwise broadcast a
+    corpus-scaled build side (the r4 `_pair_jaccard` OOM class). The
+    1-row minority-size frame in class_balanced_sample is the one
+    join that SHOULD broadcast."""
+    from etl_extractor_spark.plans.training_eval import (
+        class_balanced_sample,
+        minhash_estimate_error,
+        ngram_novelty_score,
+        rouge1_adjacent_pairs,
+        tokenizer_fertility,
+    )
+
+    for fn in (ngram_novelty_score, rouge1_adjacent_pairs, minhash_estimate_error):
+        plan = _plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastHashJoin" not in plan, (
+            f"{fn.__name__}: corpus-scaled side got broadcast"
+        )
+        assert "SortMergeJoin" in plan, fn.__name__
+    plan = _plan(class_balanced_sample(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row K frame, by design
+    # fertility is a pure scan→partial-agg→final-agg pipeline: no join
+    plan = _plan(tokenizer_fertility(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # one shuffle (+AQE read)
+
+
+def test_jpeg_roundtrip_fans_out_before_python(spark, sf_dir):
+    """The JPEG round-trip must repartition ahead of mapInPandas (the
+    scan is 1-2 partitions; the Python codec is the expensive stage) —
+    and the Python stage must see only (doc_id, blob)."""
+    from etl_extractor_spark.plans.multimodal import multimodal_jpeg_roundtrip
+
+    plan = _plan(multimodal_jpeg_roundtrip(spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "RoundRobinPartitioning" in plan
