@@ -68,6 +68,12 @@ BENCH_QUERIES = [
     "maxsim_ivf_pruned",
     "cluster_aware_split",
     "doc_keyterms",
+    # round-5 additions: the vectorized-assignment MaxSim twin (the
+    # production ANN hot path), the Python-codec JPEG round-trip
+    # (bounded per-row decode), and the corpus-join novelty metric
+    "maxsim_ivf_np",
+    "multimodal_jpeg_roundtrip",
+    "ngram_novelty_score",
 ]
 
 
