@@ -255,6 +255,7 @@ _MAGIC = (
     ("jpeg", b"\xff\xd8\xff"),
     ("gif", b"GIF8"),
     ("bmp", b"BM"),
+    ("wav", b"RIFF"),  # refined below: RIFF....WAVE
     ("webp", b"RIFF"),  # refined below: RIFF....WEBP
     ("pdf", b"%PDF"),
 )
@@ -271,6 +272,8 @@ def detect_format(payload: bytes) -> str:
     head = bytes(payload[:18])
     for tag, magic in _MAGIC:
         if head.startswith(magic):
+            if tag == "wav" and head[8:12] != b"WAVE":
+                continue
             if tag == "webp" and head[8:12] != b"WEBP":
                 continue
             # only the INFOHEADER family decode_bmp actually parses —
@@ -865,3 +868,61 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, int, bytes]:
     )
     out = np.clip(np.floor(img + 128.5), 0, 255).astype(np.uint8)
     return width, height, 1, out[:height, :width].tobytes()
+
+
+# --- RIFF/WAVE PCM codec (round 5): the audio modality, real ------------
+
+
+def encode_wav(samples: bytes, sample_rate: int = 8000) -> bytes:
+    """Minimal REAL WAV encoder (stdlib only): canonical RIFF/WAVE
+    container, fmt chunk (PCM, mono, 8-bit unsigned) + data chunk.
+    Any audio tool plays the output; pairs with ``decode_wav`` for the
+    audio-modality round-trip the way encode_png/encode_bmp/
+    encode_jpeg_gray do for images."""
+    import struct
+
+    data = bytes(samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")  # RIFF word padding
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL WAV decode, stdlib only: walks RIFF chunks (skipping
+    unknown ones by their declared size), parses fmt, returns
+    (sample_rate, channels, bits_per_sample, raw sample bytes).
+    Supports uncompressed PCM 8-bit mono — what encode_wav emits;
+    compressed/multi-channel/16-bit streams raise NotImplementedError
+    explicitly."""
+    import struct
+
+    buf = bytes(payload)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    rate = bits = channels = None
+    data = None
+    while pos + 8 <= len(buf):
+        tag = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1 or channels != 1 or bits != 8:
+                raise NotImplementedError(
+                    f"only PCM 8-bit mono supported (fmt={audio_fmt}, "
+                    f"channels={channels}, bits={bits})"
+                )
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return rate, channels, bits, data

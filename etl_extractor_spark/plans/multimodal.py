@@ -376,6 +376,8 @@ SELECT doc_id,
             WHEN substring(text, 1, 4) = 'GIF8' THEN 'gif'
             WHEN substring(text, 1, 4) = '%PDF' THEN 'pdf'
             WHEN substring(text, 1, 4) = 'RIFF'
+                 AND substring(text, 9, 4) = 'WAVE' THEN 'wav'
+            WHEN substring(text, 1, 4) = 'RIFF'
                  AND substring(text, 9, 4) = 'WEBP' THEN 'webp'
             ELSE 'other' END AS format,
        doc_id % 2 = 0 AS decodable,
@@ -548,3 +550,108 @@ FROM b
 
 QUERIES["multimodal_jpeg_roundtrip"] = multimodal_jpeg_roundtrip
 ORACLES["multimodal_jpeg_roundtrip"] = MULTIMODAL_JPEG_SQL
+
+
+WAV_FEATURES_CAP = 256  # bytes per doc → constant per-row decode cost
+
+
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO modality, real end to end: each document's first 256
+    bytes become a genuine RIFF/WAVE 8-bit mono PCM file (stdlib
+    encoder), travel through the real chunk-walking WAV decoder, and
+    the decoded SAMPLES drive integer-exact signal features — energy
+    (Σ(s−128)²), peak deviation, and zero-crossing count, the
+    standard first-pass audio quality/VAD statistics. The oracle
+    re-derives every feature from the raw bytes with independent
+    arithmetic, so a mis-parsed fmt chunk, a mis-sliced data chunk or
+    an off-by-one in the sample stream all hash-mismatch. Same scale
+    contract as the JPEG round-trip: capped payload (cost ∝ doc
+    count), fan_out ahead of the Python stage."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from etl_extractor_spark.operators.common import fan_out
+
+    d = load_table(spark, sf_dir, "documents")
+    blobs = fan_out(M.to_blob_table(d, "doc_id", "text"))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sample_rate", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("energy", T.LongType()),
+            T.StructField("peak_dev", T.LongType()),
+            T.StructField("zero_cross", T.LongType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                data = bytes(blob)[:WAV_FEATURES_CAP] or b"\x80"
+                wav = M.encode_wav(data)
+                assert M.detect_format(wav) == "wav"
+                rate, _ch, _bits, samples = M.decode_wav(wav)
+                dev = np.frombuffer(samples, np.uint8).astype(np.int64) - 128
+                rows.append(
+                    (
+                        int(did),
+                        rate,
+                        len(dev),
+                        int((dev * dev).sum()),
+                        int(np.abs(dev).max()),
+                        int(((dev[:-1] * dev[1:]) < 0).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "n_samples",
+                    "energy",
+                    "peak_dev",
+                    "zero_cross",
+                ],
+            )
+
+    return blobs.mapInPandas(fn, schema)
+
+
+MULTIMODAL_WAV_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN octet_length(encode(text)) = 0 THEN '\\x80'::BLOB
+              ELSE unhex(substr(hex(encode(text)), 1, {2 * WAV_FEATURES_CAP}))
+         END AS bytes
+  FROM documents
+), v AS (
+  SELECT doc_id,
+         list_transform(range(octet_length(bytes)),
+             i -> CAST(('0x' || substr(hex(bytes), CAST(i * 2 + 1 AS INTEGER), 2))
+                       AS BIGINT) - 128) AS dev
+  FROM b
+)
+SELECT doc_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(len(dev) AS BIGINT) AS n_samples,
+       CAST(list_aggregate(list_transform(dev, x -> x * x), 'sum') AS BIGINT)
+         AS energy,
+       CAST(list_aggregate(list_transform(dev, x -> abs(x)), 'max') AS BIGINT)
+         AS peak_dev,
+       CAST(coalesce(list_aggregate(
+           list_transform(range(len(dev) - 1),
+               i -> CASE WHEN dev[CAST(i + 1 AS INTEGER)]
+                              * dev[CAST(i + 2 AS INTEGER)] < 0
+                         THEN 1 ELSE 0 END),
+           'sum'), 0) AS BIGINT) AS zero_cross
+FROM v
+"""
+
+QUERIES["multimodal_wav_features"] = multimodal_wav_features
+ORACLES["multimodal_wav_features"] = MULTIMODAL_WAV_SQL

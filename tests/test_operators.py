@@ -327,7 +327,7 @@ def test_detect_format_magic_dispatch():
     assert detect_format(b"BM" + b"\x00" * 12 + b"\x28\x00\x00\x00") == "bmp"
     assert detect_format(b"BMtext that merely starts with BM") == "other"
     assert detect_format(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == "webp"
-    assert detect_format(b"RIFF\x00\x00\x00\x00WAVEfmt ") == "other"
+    assert detect_format(b"RIFF\x00\x00\x00\x00WAVEfmt ") == "wav"
     assert detect_format(b"%PDF-1.7") == "pdf"
     assert detect_format(b"hello world") == "other"
     assert detect_format(b"") == "other"
@@ -476,3 +476,37 @@ def test_jpeg_codec_lossy_fidelity_and_guards():
     bad = jpg.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(NotImplementedError):
         decode_jpeg_gray(bad)
+
+
+def test_wav_codec_roundtrip_and_guards():
+    """Real RIFF/WAVE PCM codec: byte-exact sample round-trip (odd
+    lengths exercise RIFF word padding), chunk walking skips unknown
+    chunks, sniffing routes RIFF+WAVE but not RIFF+WEBP, and
+    16-bit/stereo/compressed streams refuse explicitly."""
+    import struct
+
+    import pytest
+
+    from etl_extractor_spark.operators.multimodal import (
+        decode_wav,
+        detect_format,
+        encode_wav,
+    )
+
+    for n in (0, 1, 255, 256, 1001):
+        samples = bytes(range(256)) * (n // 256 + 1)
+        samples = samples[:n]
+        wav = encode_wav(samples, sample_rate=16000)
+        assert detect_format(wav) == "wav"
+        assert decode_wav(wav) == (16000, 1, 8, samples)
+    # unknown chunk before data must be skipped by declared size
+    wav = encode_wav(b"\x01\x02\x03")
+    injected = wav[:12] + b"LIST" + struct.pack("<I", 4) + b"INFO" + wav[12:]
+    assert decode_wav(injected)[3] == b"\x01\x02\x03"
+    # 16-bit fmt refuses
+    bad = bytearray(encode_wav(b"\x00\x00"))
+    bad[34] = 16  # bits_per_sample
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WEBPdata")
