@@ -926,3 +926,207 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
     if rate is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     return rate, channels, bits, data
+
+
+# --- GIF codec (round 5): real LZW, GIF89a container ---------------------
+# NOTE: 'gif' stays OUT of DECODABLE_FORMATS deliberately — its magic
+# ("GIF89a") is plausible ASCII text and, unlike BMP's little-endian
+# header-size dword, a GIF header has no NUL-bearing structural field
+# the strict dispatch could use to prove a payload is really an image
+# rather than text that starts with the magic. Queries that manufacture
+# real GIFs call decode_gif directly (the BMP round-trip pattern).
+
+
+def _gif_lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW: variable 9→12-bit codes, LSB-first packing,
+    CLEAR emitted up front and on dictionary overflow."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = n = 0
+
+    def put(code: int, size: int):
+        nonlocal acc, n
+        acc |= code << n
+        n += size
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code, code_size = eoi + 1, min_code_size + 1
+    put(clear, code_size)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        put(table[w], code_size)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+        elif next_code == 4096:  # 12-bit dict full: reset explicitly
+            put(clear, code_size)
+            table = fresh()
+            next_code, code_size = eoi + 1, min_code_size + 1
+        w = bytes([byte])
+    if w:
+        put(table[w], code_size)
+    # the decoder defines one more entry when it reads that final data
+    # code; if that lands on 2^size - 1 its early bump widens the EOI
+    # read — emit EOI at the width the decoder will actually use
+    if next_code == (1 << code_size) - 1 and code_size < 12:
+        code_size += 1
+    put(eoi, code_size)
+    if n:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(stream: bytes, min_code_size: int = 8) -> bytes:
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    pos = acc = n = 0
+    code_size = min_code_size + 1
+    table: list = []
+    next_code = 0
+    prev: bytes | None = None
+
+    def read() -> int:
+        nonlocal pos, acc, n
+        while n < code_size:
+            if pos >= len(stream):
+                raise ValueError("LZW stream truncated")
+            acc |= stream[pos] << n
+            pos += 1
+            n += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        n -= code_size
+        return code
+
+    while True:
+        code = read()
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            next_code, code_size, prev = eoi + 1, min_code_size + 1, None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first LZW code")
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+            table.append(prev + entry[:1])
+            next_code += 1
+        elif code == next_code:  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+            next_code += 1
+        else:
+            raise ValueError("LZW code out of range")
+        # the decoder's dictionary lags the encoder's by exactly one
+        # entry (it learns each string one code later), so it must
+        # widen one slot EARLY to read the encoder's first wider code
+        if next_code == (1 << code_size) - 1 and code_size < 12:
+            code_size += 1
+        out.extend(entry)
+        prev = entry
+
+
+def encode_gif(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal REAL GIF89a encoder (stdlib only): 256-entry grayscale
+    global color table, one non-interlaced image, genuine variable-
+    width LZW with 255-byte sub-block framing. Any GIF reader renders
+    the output."""
+    import struct
+
+    px = bytes(pixels).ljust(width * height, b"\x00")[: width * height]
+    gct = b"".join(bytes((g, g, g)) for g in range(256))
+    lzw = _gif_lzw_encode(px)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)  # block terminator
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT, 256 entries
+        + gct
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + b"\x08"  # LZW min code size
+        + bytes(blocks)
+        + b"\x3b"  # trailer
+    )
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL GIF decode, stdlib only: header + logical screen
+    descriptor, global/local color tables, extension-block skipping,
+    sub-block reassembly and full variable-width LZW (CLEAR/EOI,
+    dictionary growth, the KwKwK case). Grayscale-identity palettes
+    decode to 1-channel gray values; arbitrary palettes to RGB.
+    Interlaced images raise NotImplementedError. Returns
+    (width, height, channels, pixels)."""
+    import struct
+
+    buf = bytes(payload)
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    width, height, flags, _bg, _ar = struct.unpack_from("<HHBBB", buf, 6)
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        palette = buf[pos : pos + 3 * size]
+        pos += 3 * size
+    while pos < len(buf):
+        block = buf[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(buf) and buf[pos]:
+                pos += 1 + buf[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block {block:#x}")
+        _l, _t, iw, ih, iflags = struct.unpack_from("<HHHHB", buf, pos)
+        pos += 9
+        if iflags & 0x40:
+            raise NotImplementedError("interlaced GIF unsupported")
+        if iflags & 0x80:  # local color table wins
+            size = 2 << (iflags & 0x07)
+            palette = buf[pos : pos + 3 * size]
+            pos += 3 * size
+        min_code = buf[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(buf) and buf[pos]:
+            cnt = buf[pos]
+            lzw.extend(buf[pos + 1 : pos + 1 + cnt])
+            pos += 1 + cnt
+        pos += 1
+        idx = _gif_lzw_decode(bytes(lzw), min_code)[: iw * ih]
+        if palette is None:
+            raise ValueError("GIF image without a color table")
+        gray = all(
+            palette[3 * i] == palette[3 * i + 1] == palette[3 * i + 2]
+            for i in range(len(palette) // 3)
+        )
+        if gray:
+            return iw, ih, 1, bytes(palette[3 * i] for i in idx)
+        return iw, ih, 3, b"".join(
+            palette[3 * i : 3 * i + 3] for i in idx
+        )
+    raise ValueError("GIF missing image descriptor")

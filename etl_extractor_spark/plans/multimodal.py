@@ -655,3 +655,66 @@ FROM v
 
 QUERIES["multimodal_wav_features"] = multimodal_wav_features
 ORACLES["multimodal_wav_features"] = MULTIMODAL_WAV_SQL
+
+
+def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth REAL image decode round-trip (r5): each document's UTF-8
+    bytes become palette indices of a genuine GIF89a (identity-gray
+    global color table, real variable-width LZW with 9→12-bit growth,
+    dictionary resets and 255-byte sub-block framing) and come back
+    through the full LZW decoder. GIF is lossless, so decoded pixels
+    must equal the zero-padded input — the same arithmetic oracle as
+    the PNG/BMP round-trips, proving a THIRD independent entropy
+    coder (deflate, none, LZW) agrees byte-for-byte on the same pixel
+    contract. ``decode_gif`` is called directly (the BMP pattern):
+    'gif' stays out of decode_image's DECODABLE_FORMATS because its
+    all-ASCII magic can't be structurally distinguished from text (see
+    operators/multimodal.py)."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from etl_extractor_spark.operators.common import fan_out
+
+    d = load_table(spark, sf_dir, "documents")
+    blobs = fan_out(M.to_blob_table(d, "doc_id", "text"))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("channels", T.LongType()),
+            T.StructField("px_md5", T.StringType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                data = bytes(blob)
+                w = 16
+                h = max(1, -(-len(data) // w))
+                gif = M.encode_gif(w, h, data)
+                assert M.detect_format(gif) == "gif"
+                dw, dh, dc, px = M.decode_gif(gif)
+                rows.append(
+                    (
+                        int(did),
+                        dw,
+                        dh,
+                        dc,
+                        hashlib.md5(px.hex().encode()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "channels", "px_md5"]
+            )
+
+    return blobs.mapInPandas(fn, schema)
+
+
+QUERIES["multimodal_gif_roundtrip"] = multimodal_gif_roundtrip
+ORACLES["multimodal_gif_roundtrip"] = MULTIMODAL_PNG_SQL  # same pixel contract

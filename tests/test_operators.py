@@ -510,3 +510,40 @@ def test_wav_codec_roundtrip_and_guards():
         decode_wav(bytes(bad))
     with pytest.raises(ValueError):
         decode_wav(b"RIFF\x00\x00\x00\x00WEBPdata")
+
+
+def test_gif_codec_lzw_roundtrip_and_guards():
+    """Real GIF89a LZW: byte-exact round-trip through dictionary
+    growth (9→12 bits), explicit resets on overflow, the KwKwK case
+    (repetitive input), extension-block skipping, RGB palette branch,
+    and the interlace refusal."""
+    import struct
+
+    import pytest
+
+    from etl_extractor_spark.operators.multimodal import (
+        decode_gif,
+        detect_format,
+        encode_gif,
+    )
+
+    rep = b"aaabbbaaabbbcccaaa" * 400  # KwKwK-heavy
+    gif = encode_gif(60, 120, rep)
+    assert detect_format(gif) == "gif"
+    assert decode_gif(gif) == (60, 120, 1, rep[: 60 * 120])
+    # extension block (e.g. GCE) before the image must be skipped
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    patched = gif[:13 + 768] + ext + gif[13 + 768:]
+    assert decode_gif(patched)[3] == rep[: 60 * 120]
+    # interlace flag refuses explicitly
+    bad = bytearray(gif)
+    bad[13 + 768 + 9] |= 0x40  # image-descriptor flags byte
+    with pytest.raises(NotImplementedError):
+        decode_gif(bytes(bad))
+    # non-gray palette decodes via the RGB branch
+    body = gif[13 + 768:]
+    palette = b"".join(bytes((g, 255 - g, 0)) for g in range(256))
+    rgb = gif[:10] + gif[10:13] + palette + body
+    w, h, c, px = decode_gif(rgb)
+    assert (w, h, c) == (60, 120, 3)
+    assert px[:3] == bytes((rep[0], 255 - rep[0], 0))

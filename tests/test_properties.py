@@ -425,3 +425,22 @@ def test_codec_roundtrip_property(w, h, payload):
         png = encode_png(w, h, px, channels=1, filter_type=ft)
         assert detect_format(png) == "png"
         assert decode_png(png) == (w, h, 1, px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=900))
+def test_gif_lzw_roundtrip_property(payload):
+    """GIF LZW, any payload: encode → sniff → decode returns exactly
+    the zero-padded input indices (exercises width growth, the
+    decoder's one-entry lag, and the EOI-at-boundary width case)."""
+    from etl_extractor_spark.operators.multimodal import (
+        decode_gif,
+        detect_format,
+        encode_gif,
+    )
+
+    n = len(payload)
+    h = max(1, -(-n // 16))
+    gif = encode_gif(16, h, payload)
+    assert detect_format(gif) == "gif"
+    assert decode_gif(gif) == (16, h, 1, bytes(payload).ljust(16 * h, b"\x00"))
