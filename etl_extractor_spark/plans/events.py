@@ -952,3 +952,66 @@ FROM flags
 
 QUERIES["funnel_overlap_exact"] = funnel_overlap_exact
 ORACLES["funnel_overlap_exact"] = FUNNEL_OVERLAP_EXACT_SQL
+
+
+def streaming_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow replay of the STREAM-STREAM interval join
+    (``streaming/events_stream.streaming_interval_join``: purchases ⋈
+    clicks of the same user within the preceding 30 minutes, both
+    sides watermarked so join state is bounded). Inner stream-stream
+    joins emit on match in append mode, so the replay must equal the
+    batch time-range join pair for pair — the oracle re-derives every
+    (purchase, click) pair with plain SQL. This is the fourth
+    driver-certified streaming query, covering the join (not just
+    aggregation/state) side of the streaming engine."""
+    from etl_extractor_spark.streaming import events_stream as SE
+
+    return SE.run_to_memory(
+        SE.streaming_interval_join(spark, sf_dir),
+        "t_interval_join_replay",
+        output_mode="append",
+    )
+
+
+STREAMING_INTERVAL_PAIRS_SQL = """
+SELECT CAST(p.user_id AS BIGINT) AS user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 30 MINUTE
+"""
+
+QUERIES["streaming_interval_join_replay"] = streaming_interval_join_replay
+ORACLES["streaming_interval_join_replay"] = STREAMING_INTERVAL_PAIRS_SQL
+
+
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow replay of the streaming exact-dedup
+    (``streaming/events_stream.streaming_dedup_exact``: global
+    dropDuplicates state on the content hash, the streaming twin of
+    the batch exact-dedup normalization). WHICH physical row survives
+    per hash is task-order-dependent, so the registered projection is
+    the deterministic part — the distinct content-hash set — which
+    must equal the batch normalization's distinct set exactly."""
+    from etl_extractor_spark.streaming import events_stream as SE
+
+    deduped = SE.streaming_dedup_exact(SE.documents_stream(spark, sf_dir))
+    return SE.run_to_memory(
+        deduped.select("content_hash"),
+        "t_dedup_replay",
+        output_mode="append",
+    ).select("content_hash").orderBy("content_hash")
+
+
+STREAMING_DEDUP_SQL = r"""
+SELECT DISTINCT md5(
+    trim(regexp_replace(lower(CAST(text AS VARCHAR)), '\s+', ' ', 'g'))
+  ) AS content_hash
+FROM documents
+ORDER BY content_hash
+"""
+
+QUERIES["streaming_dedup_replay"] = streaming_dedup_replay
+ORACLES["streaming_dedup_replay"] = STREAMING_DEDUP_SQL
