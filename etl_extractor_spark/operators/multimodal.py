@@ -1130,3 +1130,70 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
             palette[3 * i : 3 * i + 3] for i in idx
         )
     raise ValueError("GIF missing image descriptor")
+
+
+# --- ustar TAR shard container (round 5) ---------------------------------
+# Training corpora arrive as member-packed shard files (tar / WARC); the
+# engine-side contract is: shard blob in → one row per member out.
+
+
+def encode_tar(members: list) -> bytes:
+    """Minimal REAL ustar writer (stdlib only): [(name, bytes), ...] →
+    POSIX ustar archive — 512-byte headers with octal fields and the
+    space-normalized checksum, content padded to block size, two zero
+    blocks at the end. Deterministic (mtime/uid/gid pinned to 0), so
+    the same members always produce identical shard bytes."""
+    out = bytearray()
+    for name, data in members:
+        nb = name.encode()
+        if len(nb) > 100:
+            raise ValueError(f"member name too long: {name!r}")
+        hdr = bytearray(512)
+        hdr[0 : len(nb)] = nb
+        hdr[100:108] = b"0000644\x00"  # mode
+        hdr[108:116] = b"0000000\x00"  # uid
+        hdr[116:124] = b"0000000\x00"  # gid
+        hdr[124:136] = f"{len(data):011o}".encode() + b"\x00"
+        hdr[136:148] = b"00000000000\x00"  # mtime 0
+        hdr[148:156] = b" " * 8  # checksum field counts as spaces
+        hdr[156] = 0x30  # typeflag '0' regular file
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+        chk = sum(hdr)
+        hdr[148:156] = f"{chk:06o}".encode() + b"\x00 "
+        out.extend(hdr)
+        out.extend(data)
+        if len(data) % 512:
+            out.extend(b"\x00" * (512 - len(data) % 512))
+    out.extend(b"\x00" * 1024)
+    return bytes(out)
+
+
+def decode_tar(payload: bytes) -> list:
+    """Minimal REAL ustar reader (stdlib only): walks 512-byte
+    headers, VERIFIES each header checksum, parses octal sizes, slices
+    member content past block padding, stops at the zero block.
+    Returns [(name, bytes), ...]. Non-regular-file entries raise
+    NotImplementedError explicitly."""
+    buf = bytes(payload)
+    pos = 0
+    out = []
+    while pos + 512 <= len(buf):
+        hdr = buf[pos : pos + 512]
+        if hdr == b"\x00" * 512:
+            break
+        stored = int(hdr[148:156].split(b"\x00")[0].strip() or b"0", 8)
+        summed = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+        if stored != summed:
+            raise ValueError(f"tar header checksum mismatch at {pos}")
+        name = hdr[0:100].split(b"\x00")[0].decode()
+        size = int(hdr[124:136].split(b"\x00")[0].strip() or b"0", 8)
+        typeflag = hdr[156]
+        if typeflag not in (0x30, 0x00):
+            raise NotImplementedError(
+                f"tar member type {chr(typeflag)!r} unsupported"
+            )
+        data = buf[pos + 512 : pos + 512 + size]
+        out.append((name, data))
+        pos += 512 + size + ((512 - size % 512) % 512)
+    return out

@@ -718,3 +718,69 @@ def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["multimodal_gif_roundtrip"] = multimodal_gif_roundtrip
 ORACLES["multimodal_gif_roundtrip"] = MULTIMODAL_PNG_SQL  # same pixel contract
+
+
+def shard_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-container ingestion, real end to end: documents are
+    packed 8-to-a-shard into genuine POSIX ustar archives
+    (``operators/multimodal.encode_tar`` — octal fields, checksummed
+    headers, 512-block padding; cross-validated both directions
+    against stdlib tarfile in pytest), then the engine-side reader
+    (``decode_tar``, checksum-verifying) explodes each shard blob back
+    into one row per member — the tar/WARC shard pattern every
+    web-scale corpus arrives in. applyInPandas groups by shard id
+    (the one shuffle); pack → parse → emit stays inside one Arrow
+    batch per shard. The oracle re-derives member name, size and
+    content digest per document, so a mis-padded block, a checksum
+    slip or a size-field error shifts every subsequent member and
+    hash-fails."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = load_table(spark, sf_dir, "documents")
+    schema = T.StructType(
+        [
+            T.StructField("shard_id", T.LongType()),
+            T.StructField("member", T.StringType()),
+            T.StructField("size_bytes", T.LongType()),
+            T.StructField("content_md5", T.StringType()),
+        ]
+    )
+
+    def pack_and_unpack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        pdf = pdf.sort_values("doc_id")
+        shard = int(pdf["shard_id"].iloc[0])
+        members = [
+            (f"doc{int(did)}.txt", str(text).encode())
+            for did, text in zip(pdf["doc_id"], pdf["text"])
+        ]
+        tar = M.encode_tar(members)
+        rows = [
+            (shard, name, len(data), hashlib.md5(data).hexdigest())
+            for name, data in M.decode_tar(tar)
+        ]
+        return pd.DataFrame(
+            rows, columns=["shard_id", "member", "size_bytes", "content_md5"]
+        )
+
+    return (
+        d.select(F.expr("doc_id div 8").alias("shard_id"), "doc_id", "text")
+        .groupBy("shard_id")
+        .applyInPandas(pack_and_unpack, schema)
+    )
+
+
+SHARD_TAR_SQL = """
+SELECT doc_id // 8 AS shard_id,
+       'doc' || doc_id || '.txt' AS member,
+       CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+QUERIES["shard_tar_members"] = shard_tar_members
+ORACLES["shard_tar_members"] = SHARD_TAR_SQL

@@ -547,3 +547,31 @@ def test_gif_codec_lzw_roundtrip_and_guards():
     w, h, c, px = decode_gif(rgb)
     assert (w, h, c) == (60, 120, 3)
     assert px[:3] == bytes((rep[0], 255 - rep[0], 0))
+
+
+def test_tar_codec_stdlib_cross_validation():
+    """Our ustar writer must be readable by stdlib tarfile and our
+    checksum-verifying reader must parse stdlib-written archives —
+    format realism in both directions; corrupted checksums refuse."""
+    import io
+    import tarfile
+
+    import pytest
+
+    from etl_extractor_spark.operators.multimodal import decode_tar, encode_tar
+
+    members = [("a.txt", b"hello"), ("b/c.txt", b""), ("d.bin", bytes(range(256)) * 3)]
+    t = encode_tar(members)
+    tf = tarfile.open(fileobj=io.BytesIO(t))
+    assert [(m.name, tf.extractfile(m).read()) for m in tf.getmembers()] == members
+    bio = io.BytesIO()
+    with tarfile.open(fileobj=bio, mode="w", format=tarfile.USTAR_FORMAT) as tw:
+        for n, d in members:
+            ti = tarfile.TarInfo(n)
+            ti.size = len(d)
+            tw.addfile(ti, io.BytesIO(d))
+    assert decode_tar(bio.getvalue()) == members
+    bad = bytearray(t)
+    bad[0] ^= 0xFF  # corrupt the first header byte → checksum mismatch
+    with pytest.raises(ValueError):
+        decode_tar(bytes(bad))
