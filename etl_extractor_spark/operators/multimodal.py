@@ -1197,3 +1197,61 @@ def decode_tar(payload: bytes) -> list:
         out.append((name, data))
         pos += 512 + size + ((512 - size % 512) % 512)
     return out
+
+
+# --- WARC/1.0 records (round 5): the web-corpus interchange format -------
+
+
+def encode_warc(records: list) -> bytes:
+    """Minimal REAL WARC/1.0 writer: [(record_id, uri, bytes), ...] →
+    concatenated resource records with CRLF header blocks,
+    Content-Length framing and the mandatory blank-line + double-CRLF
+    record separators — the framing CommonCrawl shards use."""
+    out = bytearray()
+    for rid, uri, data in records:
+        hdr = (
+            "WARC/1.0\r\n"
+            f"WARC-Type: resource\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"Content-Length: {len(data)}\r\n"
+            "\r\n"
+        ).encode()
+        out.extend(hdr)
+        out.extend(data)
+        out.extend(b"\r\n\r\n")
+    return bytes(out)
+
+
+def decode_warc(payload: bytes) -> list:
+    """Minimal REAL WARC/1.0 reader: parses each record's header block
+    (version line + colon-separated fields, case-insensitive names),
+    slices content by Content-Length (never by scanning — content may
+    contain header-like bytes), and enforces the double-CRLF record
+    boundary. Returns [(record_id, uri, bytes), ...]."""
+    buf = bytes(payload)
+    pos = 0
+    out = []
+    while pos < len(buf):
+        if buf[pos : pos + 5] == b"\r\n\r\n":
+            pos += 4
+            continue
+        end = buf.find(b"\r\n\r\n", pos)
+        if end < 0:
+            raise ValueError("WARC header block unterminated")
+        head = buf[pos : end].decode()
+        lines = head.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(f"bad WARC version line: {lines[0]!r}")
+        fields = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            fields[k.strip().lower()] = v.strip()
+        length = int(fields["content-length"])
+        data = buf[end + 4 : end + 4 + length]
+        if buf[end + 4 + length : end + 4 + length + 4] != b"\r\n\r\n":
+            raise ValueError("WARC record missing terminating blank lines")
+        rid = fields["warc-record-id"].strip("<>").removeprefix("urn:uuid:")
+        out.append((rid, fields.get("warc-target-uri", ""), data))
+        pos = end + 4 + length + 4
+    return out

@@ -784,3 +784,67 @@ FROM documents
 
 QUERIES["shard_tar_members"] = shard_tar_members
 ORACLES["shard_tar_members"] = SHARD_TAR_SQL
+
+
+def shard_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/1.0 shard round-trip — the CommonCrawl interchange format:
+    8 documents per shard are framed as real WARC resource records
+    (CRLF header blocks, Content-Length framing, double-CRLF record
+    separators) and parsed back by the checksum-strict reader, which
+    slices content by declared length so header-like bytes INSIDE a
+    document cannot desynchronize the stream (pinned in pytest).
+    applyInPandas per shard, one shuffle; the oracle re-derives record
+    id, target URI and content digest per document — a framing error
+    shifts every subsequent record and hash-fails."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = load_table(spark, sf_dir, "documents")
+    schema = T.StructType(
+        [
+            T.StructField("shard_id", T.LongType()),
+            T.StructField("record_id", T.StringType()),
+            T.StructField("target_uri", T.StringType()),
+            T.StructField("size_bytes", T.LongType()),
+            T.StructField("content_md5", T.StringType()),
+        ]
+    )
+
+    def pack_and_unpack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        pdf = pdf.sort_values("doc_id")
+        shard = int(pdf["shard_id"].iloc[0])
+        recs = [
+            (f"doc-{int(did)}", f"corpus://{src}/{int(did)}", str(text).encode())
+            for did, src, text in zip(pdf["doc_id"], pdf["source"], pdf["text"])
+        ]
+        rows = [
+            (shard, rid, uri, len(data), hashlib.md5(data).hexdigest())
+            for rid, uri, data in M.decode_warc(M.encode_warc(recs))
+        ]
+        return pd.DataFrame(
+            rows,
+            columns=["shard_id", "record_id", "target_uri", "size_bytes", "content_md5"],
+        )
+
+    return (
+        d.select(F.expr("doc_id div 8").alias("shard_id"), "doc_id", "source", "text")
+        .groupBy("shard_id")
+        .applyInPandas(pack_and_unpack, schema)
+    )
+
+
+SHARD_WARC_SQL = """
+SELECT doc_id // 8 AS shard_id,
+       'doc-' || doc_id AS record_id,
+       'corpus://' || source || '/' || doc_id AS target_uri,
+       CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+QUERIES["shard_warc_records"] = shard_warc_records
+ORACLES["shard_warc_records"] = SHARD_WARC_SQL

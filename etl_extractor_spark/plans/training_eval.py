@@ -467,3 +467,104 @@ GROUP BY lang
 
 QUERIES["tokenizer_fertility"] = tokenizer_fertility
 ORACLES["tokenizer_fertility"] = TOKENIZER_FERTILITY_SQL
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_bucket_expr(seed_col: str, tok_col: str) -> F.Column:
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(seed_col).cast("string"), F.col(tok_col))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(CMS_WIDTH),
+    )
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan '05), deterministic
+    and therefore hash-certifiable: a depth-4 × width-256 counter grid
+    over md5-derived bucket hashes (engine-identical both sides), point
+    estimates for the exact top-20 tokens as min-over-rows, and the
+    sketch's signature one-sided error (estimate ≥ truth) surfaced as
+    ``overestimate``. The sketch table is 1024 cells REGARDLESS of
+    corpus size — the mergeable, map-side-combinable shape that lets a
+    1000-executor job keep per-token counts in constant memory; the
+    estimate lookup is a broadcast join against those 1024 cells. The
+    oracle rebuilds grid and minima from scratch in SQL, so the driver
+    certifies the ESTIMATOR (including its collisions), not just the
+    counts."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(ts.tokens("text")).alias("tok"))
+        .filter(F.length("tok") > 0)
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    top = (
+        exact.orderBy(F.desc("exact_count"), F.asc("tok"))
+        .limit(20)
+        .select("tok", "exact_count")
+    )
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("seed")
+    cms = (
+        toks.select("tok", seeds)
+        .select("seed", _cms_bucket_expr("seed", "tok").alias("bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+    probes = top.select("tok", "exact_count", seeds).select(
+        "tok", "exact_count", "seed", _cms_bucket_expr("seed", "tok").alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(cms), ["seed", "bucket"])
+        .groupBy("tok", "exact_count")
+        .agg(F.min("cell").alias("cms_estimate"))
+        .select(
+            "tok",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_count"), F.asc("tok"))
+    )
+
+
+CMS_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_TOKS}) AS tok FROM documents
+), toks_f AS (
+  SELECT tok FROM toks WHERE len(tok) > 0
+), exact_counts AS (
+  SELECT tok, count(*) AS exact_count FROM toks_f GROUP BY tok
+), top AS (
+  SELECT tok, exact_count FROM exact_counts
+  ORDER BY exact_count DESC, tok ASC LIMIT 20
+), cms AS (
+  SELECT s.seed,
+         CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || tok), 1, 12))
+              AS BIGINT) % {CMS_WIDTH} AS bucket,
+         count(*) AS cell
+  FROM toks_f, (SELECT unnest(range({CMS_DEPTH})) AS seed) s
+  GROUP BY 1, 2
+), probes AS (
+  SELECT t.tok, t.exact_count, s.seed,
+         CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || t.tok), 1, 12))
+              AS BIGINT) % {CMS_WIDTH} AS bucket
+  FROM top t, (SELECT unnest(range({CMS_DEPTH})) AS seed) s
+)
+SELECT p.tok, p.exact_count, min(c.cell) AS cms_estimate,
+       min(c.cell) - p.exact_count AS overestimate
+FROM probes p JOIN cms c ON p.seed = c.seed AND p.bucket = c.bucket
+GROUP BY p.tok, p.exact_count
+ORDER BY p.exact_count DESC, p.tok ASC
+"""
+
+QUERIES["cms_heavy_hitters"] = cms_heavy_hitters
+ORACLES["cms_heavy_hitters"] = CMS_SQL

@@ -575,3 +575,22 @@ def test_tar_codec_stdlib_cross_validation():
     bad[0] ^= 0xFF  # corrupt the first header byte → checksum mismatch
     with pytest.raises(ValueError):
         decode_tar(bytes(bad))
+
+
+def test_warc_codec_framing():
+    """WARC/1.0 framing: Content-Length slicing (content containing
+    CRLF-CRLF and 'WARC/1.0' must NOT desync), empty records, binary
+    content, and unterminated records refuse."""
+    import pytest
+
+    from etl_extractor_spark.operators.multimodal import decode_warc, encode_warc
+
+    recs = [
+        ("r1", "http://a", b"body\r\n\r\nWARC/1.0\r\nContent-Length: 0\r\n\r\n"),
+        ("r2", "http://b", b""),
+        ("r3", "http://c", bytes(range(256))),
+    ]
+    w = encode_warc(recs)
+    assert decode_warc(w) == recs
+    with pytest.raises(ValueError):
+        decode_warc(w[:-2])  # chopped terminator
