@@ -1255,3 +1255,147 @@ def decode_warc(payload: bytes) -> list:
         out.append((rid, fields.get("warc-target-uri", ""), data))
         pos = end + 4 + length + 4
     return out
+
+
+# --- Avro Object Container File (round 5): the row-interchange format ----
+
+
+def _avro_zigzag_encode(n: int) -> bytes:
+    """Avro long: zigzag then base-128 varint, little-endian groups."""
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _avro_zigzag_decode(buf: bytes, pos: int) -> tuple:
+    shift = z = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        z |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (z >> 1) ^ -(z & 1), pos
+
+
+AVRO_MAGIC = b"Obj\x01"
+
+
+def encode_avro_ocf(schema_fields: list, rows: list, sync: bytes = b"\x00" * 16) -> bytes:
+    """Minimal REAL Avro Object Container File writer (public Avro 1.x
+    spec, stdlib only): flat record schema of long/string/double
+    fields, null codec, zigzag-varint longs, length-prefixed UTF-8
+    strings, little-endian IEEE doubles, metadata map with the schema
+    JSON, and sync-marker-delimited blocks. ``sync`` is pinned so
+    output is deterministic."""
+    import json
+    import struct
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [{"name": n, "type": t} for n, t in schema_fields],
+    }
+
+    def enc_str(s: str) -> bytes:
+        b = s.encode()
+        return _avro_zigzag_encode(len(b)) + b
+
+    body = bytearray()
+    for row in rows:
+        for (name, typ), val in zip(schema_fields, row):
+            if typ == "long":
+                body.extend(_avro_zigzag_encode(int(val)))
+            elif typ == "string":
+                body.extend(enc_str(str(val)))
+            elif typ == "double":
+                body.extend(struct.pack("<d", float(val)))
+            else:
+                raise NotImplementedError(f"avro type {typ}")
+    meta = {"avro.schema": json.dumps(schema), "avro.codec": "null"}
+    out = bytearray(AVRO_MAGIC)
+    out.extend(_avro_zigzag_encode(len(meta)))
+    for k, v in sorted(meta.items()):
+        out.extend(enc_str(k))
+        out.extend(_avro_zigzag_encode(len(v.encode())) + v.encode())
+    out.extend(_avro_zigzag_encode(0))  # end of metadata map
+    out.extend(sync)
+    out.extend(_avro_zigzag_encode(len(rows)))
+    out.extend(_avro_zigzag_encode(len(body)))
+    out.extend(body)
+    out.extend(sync)
+    return bytes(out)
+
+
+def decode_avro_ocf(payload: bytes) -> tuple:
+    """Minimal REAL Avro OCF reader: parses the metadata map, resolves
+    the record schema FROM THE FILE (not assumed), walks sync-checked
+    blocks and decodes each field by its schema type. Returns
+    (schema_fields, rows). Non-null codecs and nested/union types
+    raise NotImplementedError explicitly."""
+    import json
+    import struct
+
+    buf = bytes(payload)
+    if buf[:4] != AVRO_MAGIC:
+        raise ValueError("not an Avro OCF")
+    pos = 4
+    meta = {}
+    while True:
+        n, pos = _avro_zigzag_decode(buf, pos)
+        if n == 0:
+            break
+        if n < 0:  # negative block count form of map encoding
+            _, pos = _avro_zigzag_decode(buf, pos)
+            n = -n
+        for _ in range(n):
+            klen, pos = _avro_zigzag_decode(buf, pos)
+            k = buf[pos : pos + klen].decode()
+            pos += klen
+            vlen, pos = _avro_zigzag_decode(buf, pos)
+            meta[k] = buf[pos : pos + vlen]
+            pos += vlen
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec != "null":
+        raise NotImplementedError(f"avro codec {codec!r} unsupported")
+    schema = json.loads(meta["avro.schema"])
+    if schema.get("type") != "record":
+        raise NotImplementedError("only flat record schemas supported")
+    fields = [(f["name"], f["type"]) for f in schema["fields"]]
+    if any(not isinstance(t, str) or t not in ("long", "string", "double") for _, t in fields):
+        raise NotImplementedError("only long/string/double fields supported")
+    sync = buf[pos : pos + 16]
+    pos += 16
+    rows = []
+    while pos < len(buf):
+        count, pos = _avro_zigzag_decode(buf, pos)
+        size, pos = _avro_zigzag_decode(buf, pos)
+        block_end = pos + size
+        for _ in range(count):
+            row = []
+            for _name, typ in fields:
+                if typ == "long":
+                    v, pos = _avro_zigzag_decode(buf, pos)
+                elif typ == "string":
+                    ln, pos = _avro_zigzag_decode(buf, pos)
+                    v = buf[pos : pos + ln].decode()
+                    pos += ln
+                else:
+                    (v,) = struct.unpack_from("<d", buf, pos)
+                    pos += 8
+                row.append(v)
+            rows.append(tuple(row))
+        if pos != block_end:
+            raise ValueError("avro block size mismatch")
+        if buf[pos : pos + 16] != sync:
+            raise ValueError("avro sync marker mismatch")
+        pos += 16
+    return fields, rows

@@ -848,3 +848,85 @@ FROM documents
 
 QUERIES["shard_warc_records"] = shard_warc_records
 ORACLES["shard_warc_records"] = SHARD_WARC_SQL
+
+
+def shard_avro_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro Object Container File round-trip — the row-interchange
+    format of the Kafka/data-lake world, implemented from the public
+    Avro 1.x spec (zigzag varints, length-prefixed UTF-8, LE doubles,
+    schema-in-file metadata, sync-checked blocks; operators/
+    multimodal.py). 8 documents per shard are serialized through
+    ``encode_avro_ocf`` and read back by ``decode_avro_ocf``, which
+    resolves the schema FROM the file; emitted fields must survive the
+    binary round-trip exactly — a varint off-by-one or a block-size
+    slip breaks every subsequent row and hash-fails against the
+    oracle's direct re-derivation."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = load_table(spark, sf_dir, "documents")
+    schema = T.StructType(
+        [
+            T.StructField("shard_id", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("text_md5", T.StringType()),
+        ]
+    )
+    fields = [
+        ("doc_id", "long"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "long"),
+        ("text", "string"),
+    ]
+
+    def pack_and_unpack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        pdf = pdf.sort_values("doc_id")
+        shard = int(pdf["shard_id"].iloc[0])
+        rows = [
+            (int(did), str(lang), str(src), int(nc), str(text))
+            for did, lang, src, nc, text in zip(
+                pdf["doc_id"], pdf["lang"], pdf["source"], pdf["n_chars"], pdf["text"]
+            )
+        ]
+        ocf = M.encode_avro_ocf(fields, rows)
+        got_fields, got_rows = M.decode_avro_ocf(ocf)
+        assert got_fields == fields
+        return pd.DataFrame(
+            [
+                (shard, did, lang, src, nc, hashlib.md5(text.encode()).hexdigest())
+                for did, lang, src, nc, text in got_rows
+            ],
+            columns=["shard_id", "doc_id", "lang", "source", "n_chars", "text_md5"],
+        )
+
+    return (
+        d.select(
+            F.expr("doc_id div 8").alias("shard_id"),
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            "text",
+        )
+        .groupBy("shard_id")
+        .applyInPandas(pack_and_unpack, schema)
+    )
+
+
+SHARD_AVRO_SQL = """
+SELECT doc_id // 8 AS shard_id,
+       doc_id, lang, source, n_chars,
+       md5(text) AS text_md5
+FROM documents
+"""
+
+QUERIES["shard_avro_records"] = shard_avro_records
+ORACLES["shard_avro_records"] = SHARD_AVRO_SQL

@@ -444,3 +444,29 @@ def test_gif_lzw_roundtrip_property(payload):
     gif = encode_gif(16, h, payload)
     assert detect_format(gif) == "gif"
     assert decode_gif(gif) == (16, h, 1, bytes(payload).ljust(16 * h, b"\x00"))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.text(max_size=80),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+        ),
+        max_size=30,
+    )
+)
+def test_avro_ocf_roundtrip_property(rows):
+    """Avro OCF: any (long, string, double) rows — including negative
+    zigzag extremes and non-ASCII strings — survive the binary
+    round-trip exactly, with the schema resolved from the file."""
+    from etl_extractor_spark.operators.multimodal import (
+        decode_avro_ocf,
+        encode_avro_ocf,
+    )
+
+    fields = [("a", "long"), ("b", "string"), ("c", "double")]
+    got_fields, got_rows = decode_avro_ocf(encode_avro_ocf(fields, rows))
+    assert got_fields == fields
+    assert got_rows == [tuple(r) for r in rows]
