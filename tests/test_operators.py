@@ -594,3 +594,38 @@ def test_warc_codec_framing():
     assert decode_warc(w) == recs
     with pytest.raises(ValueError):
         decode_warc(w[:-2])  # chopped terminator
+
+
+def test_cms_grid_is_mergeable(spark):
+    """Count-min algebra: the sketch of a union is the cellwise SUM of
+    per-split sketches — the property that lets executors build grids
+    map-side and merge at reduce time with no token ever shuffled."""
+    from etl_extractor_spark.plans.training_eval import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        _cms_bucket_expr,
+    )
+
+    toks = spark.createDataFrame(
+        [(t,) for t in "a b c a b a d e f a b c".split()], "tok string"
+    )
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("seed")
+
+    def grid(df):
+        return {
+            (r["seed"], r["bucket"]): r["cell"]
+            for r in df.select("tok", seeds)
+            .select("seed", _cms_bucket_expr("seed", "tok").alias("bucket"))
+            .groupBy("seed", "bucket")
+            .agg(F.count(F.lit(1)).alias("cell"))
+            .collect()
+        }
+
+    left, right = toks.limit(5), toks.subtract(spark.createDataFrame([], "tok string")).exceptAll(toks.limit(5))
+    whole = grid(toks)
+    a, b = grid(toks.limit(5)), grid(toks.exceptAll(toks.limit(5)))
+    merged: dict = {}
+    for g in (a, b):
+        for k, v in g.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == whole
