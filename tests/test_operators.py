@@ -621,9 +621,10 @@ def test_cms_grid_is_mergeable(spark):
             .collect()
         }
 
-    left, right = toks.limit(5), toks.subtract(spark.createDataFrame([], "tok string")).exceptAll(toks.limit(5))
     whole = grid(toks)
-    a, b = grid(toks.limit(5)), grid(toks.exceptAll(toks.limit(5)))
+    # deterministic value split (limit() would be partition-order luck)
+    a = grid(toks.filter(F.col("tok") <= "c"))
+    b = grid(toks.filter(F.col("tok") > "c"))
     merged: dict = {}
     for g in (a, b):
         for k, v in g.items():
