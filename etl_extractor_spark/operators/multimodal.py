@@ -304,8 +304,16 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, int]:
         width, height, channels, _ = decode_bmp(payload)
         return width, height, channels
     if fmt == "jpeg":
-        width, height, channels, _ = decode_jpeg_gray(payload)
-        return width, height, channels
+        try:
+            width, height, channels, _ = decode_jpeg_gray(payload)
+            return width, height, channels
+        except NotImplementedError:
+            # real decoder covers baseline grayscale only; a color or
+            # progressive JPEG takes the deterministic fake when the
+            # caller allows it (contract: NotImplementedError only
+            # when the fake is NOT requested)
+            if not fake:
+                raise
     if not fake:
         raise NotImplementedError(
             f"no real decoder for format '{fmt}' in this build (decodable: "
@@ -642,40 +650,6 @@ def encode_jpeg_gray(
     return out + b"\xff\xd9"  # EOI
 
 
-class _BitReader:
-    def __init__(self, buf: bytes, pos: int) -> None:
-        self.buf = buf
-        self.pos = pos
-        self.acc = 0
-        self.n = 0
-
-    def bit(self) -> int:
-        if self.n == 0:
-            byte = self.buf[self.pos]
-            self.pos += 1
-            if byte == 0xFF:
-                nxt = self.buf[self.pos]
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed byte
-                else:
-                    raise ValueError(f"unexpected marker 0xFF{nxt:02x} in scan")
-            self.acc = byte
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
-
-    def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
-
-
-def _jpeg_extend(bits: int, size: int) -> int:
-    if size == 0:
-        return 0
-    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
-
 
 _HUFF_LOOKUP_CACHE: dict = {}
 
@@ -703,17 +677,6 @@ def _huff_lookup16(bits: tuple, vals: tuple) -> list:
         code <<= 1
     _HUFF_LOOKUP_CACHE[key] = table
     return table
-
-
-def _huff_decode(r: "_BitReader", table: dict) -> int:
-    code, length = 0, 0
-    while length < 17:
-        code = (code << 1) | r.bit()
-        length += 1
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in scan")
 
 
 def decode_jpeg_gray(payload: bytes) -> tuple[int, int, int, bytes]:
@@ -1233,7 +1196,7 @@ def decode_warc(payload: bytes) -> list:
     pos = 0
     out = []
     while pos < len(buf):
-        if buf[pos : pos + 5] == b"\r\n\r\n":
+        if buf[pos : pos + 4] == b"\r\n\r\n":
             pos += 4
             continue
         end = buf.find(b"\r\n\r\n", pos)

@@ -331,12 +331,10 @@ def maxsim_ivf_topk(
     q_cl = reps.filter(F.col("grp") % qmod == 0).select(
         F.col("grp").alias("q_grp"), F.explode("probes").alias("qc")
     )
-    # fan_out BEFORE the candidate join: doc_cl is broadcast-small, so
-    # without it the interaction stage would inherit the raw file's
+    # fan_out BEFORE the candidate join too: doc_cl is broadcast-small,
+    # so without it the interaction stage would inherit the raw file's
     # (often single) partitioning and serialize the heavy compute
-    from etl_extractor_spark.operators.common import fan_out
-
-    g = fan_out(grouped).join(doc_cl, "grp")
+    g = _fan(grouped).join(doc_cl, "grp")
     q = F.broadcast(
         grouped.filter(
             (F.col("grp") % qmod == 0) & (F.col("vec_id") % group < qvecs)

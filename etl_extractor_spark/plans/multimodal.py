@@ -657,6 +657,9 @@ QUERIES["multimodal_wav_features"] = multimodal_wav_features
 ORACLES["multimodal_wav_features"] = MULTIMODAL_WAV_SQL
 
 
+GIF_ROUNDTRIP_CAP = 512  # bytes per doc -> constant per-row LZW cost
+
+
 def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fourth REAL image decode round-trip (r5): each document's UTF-8
     bytes become palette indices of a genuine GIF89a (identity-gray
@@ -666,7 +669,10 @@ def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     must equal the zero-padded input — the same arithmetic oracle as
     the PNG/BMP round-trips, proving a THIRD independent entropy
     coder (deflate, none, LZW) agrees byte-for-byte on the same pixel
-    contract. ``decode_gif`` is called directly (the BMP pattern):
+    contract. Same scale contract as the JPEG/WAV queries: the
+    pure-Python LZW loop is bounded to the first 512 bytes per doc
+    (cost ∝ doc count, ~0.8 ms/row), with the oracle truncating
+    identically. ``decode_gif`` is called directly (the BMP pattern):
     'gif' stays out of decode_image's DECODABLE_FORMATS because its
     all-ASCII magic can't be structurally distinguished from text (see
     operators/multimodal.py)."""
@@ -694,7 +700,7 @@ def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for did, blob in zip(pdf["doc_id"], pdf["blob"]):
-                data = bytes(blob)
+                data = bytes(blob)[:GIF_ROUNDTRIP_CAP]
                 w = 16
                 h = max(1, -(-len(data) // w))
                 gif = M.encode_gif(w, h, data)
@@ -716,8 +722,24 @@ def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blobs.mapInPandas(fn, schema)
 
 
+MULTIMODAL_GIF_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         unhex(substr(hex(encode(text)), 1, {2 * GIF_ROUNDTRIP_CAP})) AS bytes
+  FROM documents
+)
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(greatest(1, ceil(octet_length(bytes) / 16.0)) AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS channels,
+       md5(lower(hex(bytes || repeat('\\x00'::BLOB,
+           CAST(greatest(1, ceil(octet_length(bytes) / 16.0)) * 16
+                - octet_length(bytes) AS INTEGER))))) AS px_md5
+FROM b
+"""
+
 QUERIES["multimodal_gif_roundtrip"] = multimodal_gif_roundtrip
-ORACLES["multimodal_gif_roundtrip"] = MULTIMODAL_PNG_SQL  # same pixel contract
+ORACLES["multimodal_gif_roundtrip"] = MULTIMODAL_GIF_SQL
 
 
 def shard_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,8 +756,6 @@ def shard_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     content digest per document, so a mis-padded block, a checksum
     slip or a size-field error shifts every subsequent member and
     hash-fails."""
-    from collections.abc import Iterator
-
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -796,8 +816,6 @@ def shard_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas per shard, one shuffle; the oracle re-derives record
     id, target URI and content digest per document — a framing error
     shifts every subsequent record and hash-fails."""
-    from collections.abc import Iterator
-
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -861,8 +879,6 @@ def shard_avro_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary round-trip exactly — a varint off-by-one or a block-size
     slip breaks every subsequent row and hash-fails against the
     oracle's direct re-derivation."""
-    from collections.abc import Iterator
-
     import pandas as pd
     from pyspark.sql import types as T
 
