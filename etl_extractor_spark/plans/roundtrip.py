@@ -465,3 +465,88 @@ FROM supplier GROUP BY s_nationkey
 
 QUERIES["compaction_roundtrip"] = compaction_roundtrip
 ORACLES["compaction_roundtrip"] = COMPACTION_SQL
+
+
+def manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Iceberg-lite table layer under the driver contract: commit
+    per-priority revenue for pre-1998 orders as snapshot 1
+    (``sinks/manifest.write_with_manifest``, per-file min/max stats),
+    APPEND the 1998+ slice as snapshot 2, then time-travel —
+    ``read_snapshot`` plans snapshot 1 from the manifest alone (no
+    file listing) while ``read_table`` reads the current table with
+    its committed schema. Emits (version, n_groups, sum_orders,
+    sum_cents) for both views; the oracle re-derives each from the raw
+    orders, so a manifest that plans the wrong file set for either
+    version changes a checksum and hash-fails. DECIMAL cents keep the
+    money sums exact in both engines."""
+    import os
+    import tempfile
+
+    from etl_extractor_spark.sinks import manifest as MF
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("d"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+
+    def agg(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_time_travel_{os.getpid()}"
+    )
+    MF.write_with_manifest(
+        spark, agg(o.filter(F.col("d") < "1998-01-01")), path,
+        stats_cols=["n_orders"], mode="overwrite",
+    )
+    MF.write_with_manifest(
+        spark, agg(o.filter(F.col("d") >= "1998-01-01")), path,
+        stats_cols=["n_orders"], mode="append",
+    )
+    ids = [h["id"] for h in MF.table_history(path)]
+    v1 = MF.read_snapshot(spark, path, ids[0])
+    v2 = MF.read_table(spark, path)
+
+    def summarize(df, version):
+        return df.agg(
+            F.lit(version).cast("long").alias("version"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.coalesce(F.sum("n_orders"), F.lit(0)).cast("long").alias("sum_orders"),
+            F.coalesce(F.sum("sum_cents"), F.lit(0)).cast("long").alias("sum_cents"),
+        )
+
+    return summarize(v1, 1).unionByName(summarize(v2, 2))
+
+
+MANIFEST_TIME_TRAVEL_SQL = """
+WITH base AS (
+  SELECT o_orderpriority, o_orderdate AS d,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), v1 AS (
+  SELECT o_orderpriority, count(*) AS n, CAST(sum(cents) AS BIGINT) AS c
+  FROM base WHERE d < DATE '1998-01-01' GROUP BY 1
+), v2 AS (
+  SELECT o_orderpriority, count(*) AS n, CAST(sum(cents) AS BIGINT) AS c
+  FROM base WHERE d >= DATE '1998-01-01' GROUP BY 1
+)
+SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_groups,
+       CAST(coalesce(sum(n), 0) AS BIGINT) AS sum_orders,
+       CAST(coalesce(sum(c), 0) AS BIGINT) AS sum_cents
+FROM v1
+UNION ALL
+SELECT CAST(2 AS BIGINT), (SELECT count(*) FROM v1) + (SELECT count(*) FROM v2),
+       (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM v1)
+         + (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM v2),
+       (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM v1)
+         + (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM v2)
+"""
+
+QUERIES["manifest_time_travel"] = manifest_time_travel
+ORACLES["manifest_time_travel"] = MANIFEST_TIME_TRAVEL_SQL

@@ -568,3 +568,47 @@ ORDER BY p.exact_count DESC, p.tok ASC
 
 QUERIES["cms_heavy_hitters"] = cms_heavy_hitters
 ORACLES["cms_heavy_hitters"] = CMS_SQL
+
+
+def streaming_cms_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow replay of the STREAMING count-min sketch
+    (``streaming/events_stream.streaming_cms_grid``: per-seed
+    width-long counter-array state, folded per micro-batch with one
+    bincount): the final grid must equal the batch sketch cell for
+    cell, so this query shares the batch grid's oracle arithmetic.
+    Final-state selection is algebraic — cells only grow, so max per
+    (seed, bucket) IS the last emission across however many
+    micro-batches availableNow produced. Sixth driver-certified
+    streaming query; proves the MERGEABLE-sketch state contract (the
+    100 TB shape: constant-size state per key, merge-any-time) live
+    under the driver, not just in pytest."""
+    from etl_extractor_spark.streaming import events_stream as SE
+
+    emitted = SE.run_to_memory(
+        SE.streaming_cms_grid(SE.documents_stream(spark, sf_dir)),
+        "t_cms_replay",
+        output_mode="update",
+    )
+    return (
+        emitted.groupBy("seed", "bucket")
+        .agg(F.max("cell").alias("cell"))
+        .orderBy("seed", "bucket")
+    )
+
+
+STREAMING_CMS_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_TOKS}) AS tok FROM documents
+)
+SELECT s.seed,
+       CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || tok), 1, 12))
+            AS BIGINT) % {CMS_WIDTH} AS bucket,
+       count(*) AS cell
+FROM toks, (SELECT unnest(range({CMS_DEPTH})) AS seed) s
+WHERE len(tok) > 0
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+QUERIES["streaming_cms_replay"] = streaming_cms_replay
+ORACLES["streaming_cms_replay"] = STREAMING_CMS_SQL

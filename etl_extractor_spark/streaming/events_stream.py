@@ -869,3 +869,74 @@ def streaming_kmv_reach(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_CMS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("seed", T.LongType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("cell", T.LongType()),
+    ]
+)
+_CMS_STATE_SCHEMA = T.StructType(
+    [T.StructField("cells", T.ArrayType(T.LongType()))]
+)
+
+
+def _cms_state(key, pdfs, state: GroupState):
+    """Count-min row as streaming state: the per-seed state is the
+    width-long counter array — constant size forever, merged into by
+    each micro-batch with one bincount. The batch twin
+    (plans/training_eval.cms_heavy_hitters) certifies the same grid
+    algebra; this is its live form: keep a sketch online, answer
+    point-estimate queries without rescanning history."""
+    import numpy as np
+    import pandas as _pd
+
+    from etl_extractor_spark.plans.training_eval import CMS_WIDTH
+
+    (seed,) = key
+    cells = (
+        np.array(state.get[0], dtype=np.int64)
+        if state.exists
+        else np.zeros(CMS_WIDTH, dtype=np.int64)
+    )
+    for pdf in pdfs:
+        cells += np.bincount(
+            pdf["bucket"].to_numpy(dtype="int64"), minlength=CMS_WIDTH
+        )
+    state.update((cells.tolist(),))
+    nz = np.nonzero(cells)[0]
+    yield _pd.DataFrame(
+        {
+            "seed": np.full(len(nz), seed, dtype="int64"),
+            "bucket": nz.astype("int64"),
+            "cell": cells[nz],
+        }
+    )
+
+
+def streaming_cms_grid(stream: DataFrame) -> DataFrame:
+    """Streaming count-min sketch: tokens explode against the seed
+    range, the Catalyst bucket hash (shared with the batch twin) runs
+    BEFORE the stateful op, and each of the CMS_DEPTH groups folds its
+    micro-batch into a width-long counter array. Update mode emits the
+    current nonzero grid; after an availableNow replay the final grid
+    equals the batch sketch cell for cell."""
+    from etl_extractor_spark.functions import textstats as ts
+    from etl_extractor_spark.plans.training_eval import CMS_DEPTH, _cms_bucket_expr
+
+    toks = stream.select(F.explode(ts.tokens("text")).alias("tok")).filter(
+        F.length("tok") > 0
+    )
+    seeded = toks.select(
+        "tok",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("seed"),
+    ).select("seed", _cms_bucket_expr("seed", "tok").alias("bucket"))
+    return seeded.groupBy("seed").applyInPandasWithState(
+        _cms_state,
+        outputStructType=_CMS_OUT_SCHEMA,
+        stateStructType=_CMS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
