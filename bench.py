@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "maxsim_ivf_np",
     "multimodal_jpeg_roundtrip",
     "ngram_novelty_score",
+    # shard-container ingestion path (applyInPandas pack→parse per
+    # 8-doc shard — the tar/WARC corpus-shard pattern)
+    "shard_warc_records",
 ]
 
 
