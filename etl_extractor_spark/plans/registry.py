@@ -42,6 +42,10 @@ _MODULES = (
     "etl_extractor_spark.plans.tpch3",
     "etl_extractor_spark.plans.tpch4",
     "etl_extractor_spark.plans.training_eval",
+    # LAST on purpose: never-checked names here sort behind the whole
+    # existing never-checked backlog, so late additions cannot displace
+    # a first-time check from the capped sweep window.
+    "etl_extractor_spark.plans.pipeline_ops",
 )
 
 

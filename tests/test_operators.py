@@ -630,3 +630,56 @@ def test_cms_grid_is_mergeable(spark):
         for k, v in g.items():
             merged[k] = merged.get(k, 0) + v
     assert merged == whole
+
+
+def test_zip_codec_stdlib_cross_validation():
+    """Our PKZIP writer must be readable by stdlib zipfile and our
+    central-directory reader must parse stdlib archives, for both
+    DEFLATE and STORED members; CRC corruption must be detected."""
+    import io
+    import zipfile
+
+    import pytest
+
+    from etl_extractor_spark.operators import multimodal as M
+
+    mem = [("a.txt", b"hello zip" * 50), ("dir/b.bin", bytes(range(256)) * 3), ("empty", b"")]
+    for method in (8, 0):
+        z = M.encode_zip(mem, method=method)
+        assert M.decode_zip(z) == mem
+        zf = zipfile.ZipFile(io.BytesIO(z))
+        assert [(i.filename, zf.read(i)) for i in zf.infolist()] == mem
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as w:
+        for n, d in mem:
+            w.writestr(n, d)
+    assert M.decode_zip(buf.getvalue()) == mem
+    # flip a payload byte inside the first member -> CRC mismatch
+    z = bytearray(M.encode_zip(mem, method=0))
+    z[30 + len("a.txt")] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        M.decode_zip(bytes(z))
+    with pytest.raises(ValueError, match="end-of-central"):
+        M.decode_zip(b"not a zip at all")
+
+
+def test_gzip_member_codec_stdlib_cross_validation():
+    """Hand-framed gzip members: stdlib gzip must inflate our
+    concatenated stream, we must split stdlib-compressed members, and
+    truncation / bad magic must raise."""
+    import gzip
+
+    import pytest
+
+    from etl_extractor_spark.operators import multimodal as M
+
+    blobs = [b"record one", b"", b"x" * 10000, bytes(range(256))]
+    cat = b"".join(M.encode_gzip_member(b) for b in blobs)
+    assert M.decode_gzip_members(cat) == blobs
+    assert gzip.decompress(cat) == b"".join(blobs)
+    std = b"".join(gzip.compress(b, mtime=0) for b in blobs)
+    assert M.decode_gzip_members(std) == blobs
+    with pytest.raises(ValueError, match="magic"):
+        M.decode_gzip_members(b"\x00\x00junk")
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_gzip_members(cat[:-6])
