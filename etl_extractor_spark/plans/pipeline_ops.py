@@ -31,6 +31,7 @@ are the at-scale generalizations its pipeline would need at 100 TB.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -173,3 +174,561 @@ FROM documents
 
 QUERIES["shard_warc_gzip"] = shard_warc_gzip
 ORACLES["shard_warc_gzip"] = SHARD_WARC_GZIP_SQL
+
+
+# --- Bloom-prefilter decontamination ----------------------------------
+
+BLOOM_M = 1 << 16          # bits in the filter (1024 longs)
+BLOOM_K = 4                # hash functions
+EVAL_MOD = 97              # doc_id % EVAL_MOD == 0 -> "eval benchmark" doc
+
+
+def _norm_toks(text):
+    return F.split(
+        F.lower(F.trim(F.regexp_replace(text.cast("string"), r"\s+", " "))), " "
+    )
+
+
+def _trigram_col(toks):
+    """Distinct word-3-gram array; empty for docs under 3 tokens (the
+    sequence guard avoids Spark's descending-sequence surprise)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    return F.when(F.size(toks) >= 3, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def bloom_prefilter_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination with a broadcast Bloom prefilter — the
+    standard 100 TB shape: the benchmark/eval n-gram set is a small
+    bounded artifact, so its Bloom bitmap (m=2^16 bits, k=4, built
+    DISTRIBUTED via bit_or and collected as <=1024 longs — constant
+    size regardless of SF) ships to every executor as a literal and
+    the corpus-side membership test is MAP-ONLY: no shuffle touches
+    the full corpus gram set. Only grams surviving the filter (true
+    hits + ~m/16-rate false positives) reach the exact verify join, so
+    the shuffled volume is O(contamination), not O(corpus). Bloom has
+    no false negatives by construction (same xxhash64 seeds build and
+    probe), and the exact verify removes false positives — the result
+    is EXACT, which is what lets the straight semi-join oracle pin it.
+    Output: per contaminated corpus doc, distinct-3-gram contamination
+    count and rate (4-decimal half-up)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _trigram_col(_norm_toks(F.col("text"))).alias("grams")
+    )
+    evl = (
+        d.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    # distributed bitmap build: constant-bounded collect (<= m/64 rows)
+    seeds = F.array(*[F.lit(i) for i in range(BLOOM_K)])
+    pos = F.pmod(F.xxhash64("gram", F.col("seed")), F.lit(BLOOM_M))
+    words = (
+        evl.select(F.explode(seeds).alias("seed"), "gram")
+        .select(
+            (pos / F.lit(64)).cast("long").alias("w"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * (BLOOM_M // 64)
+    for r in words:
+        bitmap[int(r["w"])] = int(r["bits"])
+    bits_lit = F.lit(bitmap)
+
+    corpus = d.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+        "doc_id", F.explode(F.array_distinct("grams")).alias("gram")
+    )
+    member = None
+    for i in range(BLOOM_K):
+        p = F.pmod(F.xxhash64("gram", F.lit(i)), F.lit(BLOOM_M))
+        hit = (
+            F.element_at(bits_lit, (p / F.lit(64)).cast("int") + 1).bitwiseAND(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+                )
+            )
+            != 0
+        )
+        member = hit if member is None else (member & hit)
+    n_grams = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        corpus.filter(member)                      # map-only Bloom gate
+        .join(F.broadcast(evl), "gram")            # exact verify
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    rate = F.col("n_contaminated") / F.col("n_grams")
+    return (
+        hits.join(n_grams, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            (F.floor(rate * 10000 + F.lit(0.5)) / 10000).alias("contamination_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BLOOM_DECONTAMINATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(CAST(text AS VARCHAR), '\\s+', ' ', 'g'))), ' ') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+  WHERE len(t) >= 3
+), evl AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {EVAL_MOD} = 0
+), corpus AS (
+  SELECT doc_id, gram FROM grams WHERE doc_id % {EVAL_MOD} <> 0
+), ng AS (
+  SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1
+), hits AS (
+  SELECT c.doc_id, count(*) AS n_contaminated
+  FROM corpus c JOIN evl e USING (gram)
+  GROUP BY 1
+)
+SELECT h.doc_id,
+       ng.n_grams,
+       h.n_contaminated,
+       floor(h.n_contaminated * 10000.0 / ng.n_grams + 0.5) / 10000
+         AS contamination_rate
+FROM hits h JOIN ng USING (doc_id)
+ORDER BY doc_id
+"""
+
+QUERIES["bloom_prefilter_decontaminate"] = bloom_prefilter_decontaminate
+ORACLES["bloom_prefilter_decontaminate"] = BLOOM_DECONTAMINATE_SQL
+
+
+# --- PPJoin-style prefix-filtered set-similarity self-join ------------
+
+PFX_THRESHOLD = 0.8
+
+
+def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-token Jaccard self-join >= 0.8 via PREFIX FILTERING
+    (Chaudhuri et al. SSJoin / Bayardo et al. All-Pairs): order every
+    doc's distinct tokens by a global rarity rank (document frequency
+    asc, token asc), keep only the first n - ceil(t*n) + 1 tokens as
+    the candidate-generating prefix — J(A,B) >= t forces the two
+    prefixes to share a token under ANY consistent global order, so
+    recall is guaranteed while the self-join touches prefix tokens
+    (the RAREST ones) instead of all tokens, and never goes all-pairs.
+    Candidates are verified EXACTLY with array_intersect over the full
+    token sets, so false candidates die and the quadratic oracle pins
+    the result. Word-token sets complement dedup_ngram_jaccard's
+    char-shingle space.
+    100 TB: the explode/join volume is sum(prefix lengths), dominated
+    by rare tokens with tiny postings lists; both exploded sides carry
+    merge hints against the pre-explode size misestimate."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(_norm_toks(F.col("text")), lambda t: t != "")
+        ).alias("toks"),
+    ).filter(F.size("toks") > 0)
+
+    # Global order = (document frequency asc, token asc) — used as a
+    # sort KEY directly (no global row_number: a single-partition rank
+    # window would bottleneck the vocabulary at scale, and prefix
+    # filtering only needs SOME consistent total order).
+    tok = d.select("doc_id", F.explode("toks").alias("tok"))
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        tok.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "tok"))).alias("ordered"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    pfx_len = (F.col("n") - F.ceil(F.col("n") * PFX_THRESHOLD) + 1).cast("int")
+    prefixes = ranked.select(
+        "doc_id", F.explode(F.slice("ordered", 1, pfx_len).tok).alias("tok")
+    )
+    cands = (
+        prefixes.alias("a")
+        .hint("merge")
+        .join(prefixes.alias("b").hint("merge"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sets_a = d.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    sets_b = d.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    jac = inter / (F.size("ta") + F.size("tb") - inter)
+    return (
+        cands.join(sets_a.hint("merge"), "id_a")
+        .join(sets_b.hint("merge"), "id_b")
+        .filter(jac >= PFX_THRESHOLD)
+        .select(
+            "id_a",
+            "id_b",
+            (F.floor(jac * 10000 + F.lit(0.5)) / 10000).alias("jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+JACCARD_PFX_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           string_split(lower(trim(regexp_replace(CAST(text AS VARCHAR), '\\s+', ' ', 'g'))), ' '),
+           t -> t <> '')) AS t
+  FROM documents
+), nz AS (
+  SELECT doc_id, t FROM toks WHERE len(t) > 0
+), tk AS (
+  SELECT doc_id, unnest(t) AS tok FROM nz
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       floor(c * 10000.0 / (len(sa.t) + len(sb.t) - c) + 0.5) / 10000 AS jaccard
+FROM pairs
+JOIN nz sa ON id_a = sa.doc_id
+JOIN nz sb ON id_b = sb.doc_id
+WHERE c * 1.0 / (len(sa.t) + len(sb.t) - c) >= {PFX_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+QUERIES["jaccard_prefix_filter_join"] = jaccard_prefix_filter_join
+ORACLES["jaccard_prefix_filter_join"] = JACCARD_PFX_SQL
+
+
+# --- Unicode NFC normalization parity ---------------------------------
+
+
+def unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization — the text-pipeline step every multi-
+    source 100 TB corpus needs before hashing/dedup, since NFC and NFD
+    spellings of the same word hash differently. The corpus is ASCII,
+    so the query first DECOMPOSES deterministically (every 'e' gains a
+    combining acute U+0301 — regexp on both engines), then normalizes
+    back to NFC with an Arrow-batched pandas UDF over stdlib
+    ``unicodedata`` and emits byte/codepoint lengths plus the digest of
+    the normalized text. DuckDB's native nfc_normalize() recomputes
+    the identical transform, so the UDF's normalization is pinned
+    cross-engine, not self-referential. Map-only: no shuffle, no
+    collect; Python cost is one Arrow batch stream."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: unicodedata.normalize("NFC", v))
+
+    d = load_table(spark, sf_dir, "documents")
+    decomposed = F.regexp_replace(F.col("text").cast("string"), "e", "é")
+    nfc_text = nfc(decomposed)
+    return d.select(
+        "doc_id",
+        F.octet_length(decomposed).alias("bytes_decomposed"),
+        F.octet_length(nfc_text).alias("bytes_nfc"),
+        F.length(nfc_text).alias("chars_nfc"),
+        F.md5(F.encode(nfc_text, "UTF-8")).alias("nfc_md5"),
+    ).orderBy("doc_id")
+
+
+UNICODE_NFC_SQL = """
+WITH x AS (
+  SELECT doc_id,
+         regexp_replace(CAST(text AS VARCHAR), 'e', 'e' || chr(769), 'g') AS dec,
+         nfc_normalize(regexp_replace(CAST(text AS VARCHAR), 'e', 'e' || chr(769), 'g')) AS nfc
+  FROM documents
+)
+SELECT doc_id,
+       CAST(strlen(dec) AS BIGINT) AS bytes_decomposed,
+       CAST(strlen(nfc) AS BIGINT) AS bytes_nfc,
+       CAST(length(nfc) AS BIGINT) AS chars_nfc,
+       md5(nfc) AS nfc_md5
+FROM x
+ORDER BY doc_id
+"""
+
+QUERIES["unicode_nfc_dedup"] = unicode_nfc_dedup
+ORACLES["unicode_nfc_dedup"] = UNICODE_NFC_SQL
+
+
+# --- Mojibake / encoding-damage detection -----------------------------
+
+
+def mojibake_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-style encoding-damage triage: UTF-8 bytes mis-decoded as
+    Latin-1 leave the unmistakable 'Ã?' digraphs ('á'→'Ã¡',
+    'ó'→'Ã³'). A deterministic corruption rule (docs with
+    doc_id%7==0 get 'a'→'Ã¡', 'o'→'Ã³') simulates the damage on both
+    engines; the DETECTOR — what a real pipeline runs — is a pure-
+    Catalyst regexp count of mojibake digraphs per doc, scored per
+    10k bytes. Map-only, whole-stage-codegen; the oracle applies the
+    identical corruption + detector, so a detector that over- or
+    under-matches hash-fails. At 100 TB this is a scan-rate filter:
+    no shuffle, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    corrupted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.regexp_replace(
+            F.regexp_replace(F.col("text").cast("string"), "a", "Ã¡"),
+            "o",
+            "Ã³",
+        ),
+    ).otherwise(F.col("text").cast("string"))
+    hits = F.regexp_count(corrupted, F.lit("Ã[¡³]"))
+    return d.select(
+        "doc_id",
+        hits.alias("n_mojibake"),
+        F.octet_length(corrupted).alias("n_bytes"),
+        (
+            F.floor(
+                hits.cast("long") * 10000 * 10000 / F.octet_length(corrupted)
+            )
+            / 10000
+        ).alias("per_10k_bytes"),
+        (hits > 0).alias("damaged"),
+    ).orderBy("doc_id")
+
+
+MOJIBAKE_SQL = """
+WITH x AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN regexp_replace(regexp_replace(CAST(text AS VARCHAR), 'a', chr(195) || chr(225), 'g'),
+                                  'o', chr(195) || chr(243), 'g')
+              ELSE CAST(text AS VARCHAR) END AS t
+  FROM documents
+), c AS (
+  SELECT doc_id, t,
+         CAST(len(regexp_extract_all(t, chr(195) || '[' || chr(225) || chr(243) || ']', 0)) AS BIGINT) AS n_mojibake
+  FROM x
+)
+SELECT doc_id,
+       n_mojibake,
+       CAST(strlen(t) AS BIGINT) AS n_bytes,
+       floor(n_mojibake * 10000 * 10000 / strlen(t)) / 10000 AS per_10k_bytes,
+       n_mojibake > 0 AS damaged
+FROM c
+ORDER BY doc_id
+"""
+
+QUERIES["mojibake_score"] = mojibake_score
+ORACLES["mojibake_score"] = MOJIBAKE_SQL
+
+
+# --- Incremental aggregation via manifest snapshot deltas -------------
+
+
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE 100 TB pattern: never recompute an aggregate over the whole
+    table when a commit only ADDED files. Raw orders are committed in
+    two manifest snapshots (pre-1997-07 overwrite, then the remainder
+    appended); the incremental reader aggregates snapshot 1 once, then
+    aggregates ONLY the delta files (snapshot-2 file set minus
+    snapshot-1 file set — a pure manifest-metadata diff, no listing,
+    no re-scan of old data) and merges the two partial aggregates
+    algebraically (count/sum are commutative monoids). The oracle
+    recomputes the same aggregate from ALL raw orders, so a wrong
+    delta file set, a double-counted file or a non-algebraic merge
+    hash-fails. Money stays DECIMAL-cents-exact end to end."""
+    import os
+    import tempfile
+
+    from etl_extractor_spark.sinks import manifest as MF
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("d"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_incr_agg_{os.getpid()}"
+    )
+    MF.write_with_manifest(
+        spark, o.filter(F.col("d") < "1997-07-01"), path,
+        stats_cols=["cents"], mode="overwrite",
+    )
+    MF.write_with_manifest(
+        spark, o.filter(F.col("d") >= "1997-07-01"), path,
+        stats_cols=["cents"], mode="append",
+    )
+
+    m = MF.read_manifest(path)
+    snaps = {s["id"]: set(s["files"]) for s in m["snapshots"]}
+    v1, v2 = sorted(snaps)
+    delta_files = sorted(snaps[v2] - snaps[v1])
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+
+    base = partial(MF.read_snapshot(spark, path, v1))
+    delta = partial(
+        spark.read.parquet(*[os.path.join(path, f) for f in delta_files])
+    )
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+INCR_AGG_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES["incremental_agg_merge"] = incremental_agg_merge
+ORACLES["incremental_agg_merge"] = INCR_AGG_SQL
+
+
+# --- Closed-form OLS from integer sufficient statistics ---------------
+
+
+def ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature ordinary least squares per l_returnflag — price
+    (cents) regressed on quantity and discount (bps) — solved in
+    CLOSED FORM from sufficient statistics: the map-side reduces the
+    whole table to nine INTEGER sums per group (n, Σx1, Σx2, Σy,
+    Σx1², Σx2², Σx1x2, Σx1y, Σx2y — all exact BIGINTs, so no float
+    sum-order drift can touch the hash), and the 2×2 normal-equation
+    solve happens on those scalars. This is the at-scale shape for
+    any moment-based model: one aggregation pass, partial (map-side)
+    combine, O(groups) driver-free math, identical in SQL for the
+    oracle. Slopes/intercept/R² are floor-quantized to 1e-6 on both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("x1"),
+        (F.col("l_discount").cast("decimal(12,4)") * 10000)
+        .cast("long")
+        .alias("x2"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("y"),
+    )
+    # Exact, order-independent accumulation: per-row products stay in
+    # long range (y <= ~1e7 cents so y*y <= ~1e14) but their SUMS can
+    # pass 2^63 at sf1+, so each sum runs in DECIMAL(38,0) — a
+    # commutative exact integer monoid; the sums convert to double
+    # identically on both engines (one IEEE round-to-nearest of the
+    # same exact integer) before the closed-form solve.
+    def dsum(c):
+        return F.sum(c.cast("decimal(38,0)"))
+
+    s = li.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x1")).alias("s1"),
+        dsum(F.col("x2")).alias("s2"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x1") * F.col("x1")).alias("s11"),
+        dsum(F.col("x2") * F.col("x2")).alias("s22"),
+        dsum(F.col("x1") * F.col("x2")).alias("s12"),
+        dsum(F.col("x1") * F.col("y")).alias("s1y"),
+        dsum(F.col("x2") * F.col("y")).alias("s2y"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+
+    def d(name):
+        return F.col(name).cast("double")
+
+    c11 = d("s11") - d("s1") * d("s1") / n
+    c22 = d("s22") - d("s2") * d("s2") / n
+    c12 = d("s12") - d("s1") * d("s2") / n
+    c1y = d("s1y") - d("s1") * d("sy") / n
+    c2y = d("s2y") - d("s2") * d("sy") / n
+    cyy = d("syy") - d("sy") * d("sy") / n
+    det = c11 * c22 - c12 * c12
+    b1 = (c22 * c1y - c12 * c2y) / det
+    b2 = (c11 * c2y - c12 * c1y) / det
+    b0 = (d("sy") - b1 * d("s1") - b2 * d("s2")) / n
+    r2 = (b1 * c1y + b2 * c2y) / cyy
+
+    def q6(c):
+        return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+
+    return s.select(
+        "flag",
+        F.col("n").cast("long").alias("n"),
+        q6(b1).alias("slope_qty"),
+        q6(b2).alias("slope_disc_bps"),
+        q6(b0).alias("intercept_cents"),
+        q6(r2).alias("r2"),
+    ).orderBy("flag")
+
+
+OLS_SQL = """
+WITH x AS (
+  SELECT l_returnflag AS flag,
+         CAST(l_quantity AS BIGINT) AS x1,
+         CAST(CAST(l_discount AS DECIMAL(12,4)) * 10000 AS BIGINT) AS x2,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT flag, count(*) AS n,
+         CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x1*x1) AS DOUBLE) AS s11, CAST(sum(x2*x2) AS DOUBLE) AS s22,
+         CAST(sum(x1*x2) AS DOUBLE) AS s12, CAST(sum(x1*y) AS DOUBLE) AS s1y,
+         CAST(sum(x2*y) AS DOUBLE) AS s2y, CAST(sum(y*y) AS DOUBLE) AS syy
+  FROM x GROUP BY 1
+), c AS (
+  SELECT flag, n,
+         s11 - s1*s1 / CAST(n AS DOUBLE) AS c11,
+         s22 - s2*s2 / CAST(n AS DOUBLE) AS c22,
+         s12 - s1*s2 / CAST(n AS DOUBLE) AS c12,
+         s1y - s1*sy / CAST(n AS DOUBLE) AS c1y,
+         s2y - s2*sy / CAST(n AS DOUBLE) AS c2y,
+         syy - sy*sy / CAST(n AS DOUBLE) AS cyy,
+         s1, s2, sy
+  FROM s
+), b AS (
+  SELECT flag, n, s1, s2, sy, c1y, c2y, cyy,
+         (c22*c1y - c12*c2y) / (c11*c22 - c12*c12) AS b1,
+         (c11*c2y - c12*c1y) / (c11*c22 - c12*c12) AS b2
+  FROM c
+)
+SELECT flag,
+       CAST(n AS BIGINT) AS n,
+       floor(b1 * 1000000 + 0.5) / 1000000 AS slope_qty,
+       floor(b2 * 1000000 + 0.5) / 1000000 AS slope_disc_bps,
+       floor((sy - b1*s1 - b2*s2) / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000
+         AS intercept_cents,
+       floor((b1*c1y + b2*c2y) / cyy * 1000000 + 0.5) / 1000000 AS r2
+FROM b
+ORDER BY flag
+"""
+
+QUERIES["ols_price_model"] = ols_price_model
+ORACLES["ols_price_model"] = OLS_SQL
