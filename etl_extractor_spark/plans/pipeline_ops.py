@@ -732,3 +732,289 @@ ORDER BY flag
 
 QUERIES["ols_price_model"] = ols_price_model
 ORACLES["ols_price_model"] = OLS_SQL
+
+
+# --- Content-defined chunking (FastCDC/Rabin-style) -------------------
+
+CDC_CAP = 256        # chars of text hashed (capped-payload scale contract)
+CDC_WINDOW = 16      # rolling window
+CDC_BASE = 31        # polynomial base
+CDC_MOD = 1 << 20    # hash modulus
+CDC_MASK = 64        # boundary when h % CDC_MASK == 0 (expected ~64-char chunks)
+
+
+def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking — the storage-dedup primitive (Rabin
+    fingerprinting / LBFS, FastCDC) that makes near-identical documents
+    share chunk digests even after insertions shift every byte offset:
+    a W=16 rolling polynomial hash over the character stream cuts a
+    chunk wherever h % 64 == 0, so boundaries depend only on LOCAL
+    content. Everything is Catalyst HOFs — the char-code array is
+    materialized ONCE behind a projection boundary (repeated HOF trees
+    are not collapsed by subexpression elimination), then one
+    transform/aggregate pass computes all window hashes; map-only, no
+    UDF, no shuffle. The oracle replays the identical fold in DuckDB
+    (list_reduce's first-element seed == aggregate's zero seed since
+    0*B+c = c), so one wrong rolling term shifts every boundary and
+    hash-fails. Payload capped at 256 chars so per-row cost is bounded
+    by the CONTRACT, not corpus bytes (the codec-query scale rule)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.substring(F.col("text").cast("string"), 1, CDC_CAP)
+    n = F.length(t)
+    codes = F.transform(
+        F.sequence(F.lit(1), n), lambda p: F.ascii(t.substr(p, F.lit(1)))
+    )
+    base = d.select("doc_id", t.alias("t"), n.alias("n"), codes.alias("codes"))
+    h = lambda i: F.aggregate(  # noqa: E731
+        F.slice("codes", i - CDC_WINDOW + 1, CDC_WINDOW),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * CDC_BASE + c.cast("long")) % CDC_MOD,
+    )
+    bounds = F.when(
+        F.col("n") >= CDC_WINDOW,
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(CDC_WINDOW), F.col("n")),
+                lambda i: F.when(h(i) % CDC_MASK == 0, i).otherwise(F.lit(-1)),
+            ),
+            lambda x: x != -1,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    withb = base.select("doc_id", "n", bounds.alias("b"))
+    return withb.select(
+        "doc_id",
+        F.size("b").alias("n_boundaries"),
+        (F.size("b") + 1).alias("n_chunks"),
+        F.coalesce(F.try_element_at("b", F.lit(1)), F.col("n"))
+        .cast("long")
+        .alias("first_cut"),
+        F.md5(F.concat_ws(",", F.col("b").cast("array<string>"))).alias("bounds_md5"),
+    ).orderBy("doc_id")
+
+
+CDC_SQL = f"""
+WITH x AS (
+  SELECT doc_id, substr(CAST(text AS VARCHAR), 1, {CDC_CAP}) AS t
+  FROM documents
+), c AS (
+  SELECT doc_id, len(t) AS n,
+         list_transform(generate_series(1, len(t)), p -> ascii(substr(t, p, 1))) AS codes
+  FROM x
+), b AS (
+  SELECT doc_id, n,
+         CASE WHEN n >= {CDC_WINDOW} THEN
+           list_filter(
+             list_transform(generate_series({CDC_WINDOW}, n),
+               i -> CASE WHEN list_reduce(codes[i-{CDC_WINDOW - 1}:i],
+                                          (acc, cc) -> (acc * {CDC_BASE} + cc) % {CDC_MOD})
+                              % {CDC_MASK} = 0
+                         THEN i ELSE -1 END),
+             v -> v <> -1)
+         ELSE [] END AS bl
+  FROM c
+)
+SELECT doc_id,
+       CAST(len(bl) AS INTEGER) AS n_boundaries,
+       CAST(len(bl) + 1 AS INTEGER) AS n_chunks,
+       CAST(coalesce(bl[1], n) AS BIGINT) AS first_cut,
+       md5(coalesce(array_to_string(bl, ','), '')) AS bounds_md5
+FROM b
+ORDER BY doc_id
+"""
+
+QUERIES["content_defined_chunks"] = content_defined_chunks
+ORACLES["content_defined_chunks"] = CDC_SQL
+
+
+# --- Embedding centroid drift between snapshots -----------------------
+
+
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor for embedding pipelines: split the
+    corpus into two pseudo-snapshots (vec_id parity = "yesterday vs
+    today"), compute each label's centroid in BOTH and report the
+    cosine between them. Components are fixed-point quantized
+    (floor(x*1e4), one identical IEEE op per element) so the per-dim
+    sums are exact integers in DECIMAL(38,0) — no float sum-order
+    sensitivity anywhere; and since cos(mean_a, mean_b) ==
+    cos(sum_a, sum_b), the count divisions cancel and the cosine is
+    computed straight from the exact sum vectors with one double
+    conversion per scalar. Shape at 100 TB: posexplode → one
+    (label, half, dim)-keyed partial agg (map-side combine), then an
+    O(labels × dims) join — never a vector on the driver."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        e.select(
+            "label",
+            (F.col("vec_id") % 2).alias("half"),
+            F.posexplode("embedding").alias("dim", "x"),
+        )
+        .select(
+            "label",
+            "half",
+            "dim",
+            F.floor(F.col("x").cast("double") * 10000)
+            .cast("decimal(38,0)")
+            .alias("xq"),
+        )
+        .groupBy("label", "half", "dim")
+        .agg(F.sum("xq").alias("s"))
+    )
+    a = q.filter(F.col("half") == 0).select("label", "dim", F.col("s").alias("sa"))
+    b = q.filter(F.col("half") == 1).select("label", "dim", F.col("s").alias("sb"))
+    j = a.join(b, ["label", "dim"]).groupBy("label").agg(
+        F.sum(F.col("sa") * F.col("sb")).alias("dot"),
+        F.sum(F.col("sa") * F.col("sa")).alias("naa"),
+        F.sum(F.col("sb") * F.col("sb")).alias("nbb"),
+    )
+    counts = (
+        e.select("label", (F.col("vec_id") % 2).alias("half"))
+        .groupBy("label")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        )
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("naa").cast("double") * F.col("nbb").cast("double")
+    )
+    return (
+        j.join(counts, "label")
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            (F.floor(cos * 1000000 + F.lit(0.5)) / 1000000).alias("centroid_cosine"),
+        )
+        .orderBy("label")
+    )
+
+
+EMB_DRIFT_SQL = """
+WITH q AS (
+  SELECT label, vec_id % 2 AS half, i AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS HUGEINT) AS xq
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+), s AS (
+  SELECT label, half, dim, sum(xq) AS s FROM q GROUP BY 1, 2, 3
+), j AS (
+  SELECT a.label,
+         sum(a.s * b.s) AS dot,
+         sum(a.s * a.s) AS naa,
+         sum(b.s * b.s) AS nbb
+  FROM (SELECT * FROM s WHERE half = 0) a
+  JOIN (SELECT * FROM s WHERE half = 1) b USING (label, dim)
+  GROUP BY 1
+), c AS (
+  SELECT label,
+         CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM embeddings GROUP BY 1
+)
+SELECT j.label, c.n_a, c.n_b,
+       floor(CAST(dot AS DOUBLE) / sqrt(CAST(naa AS DOUBLE) * CAST(nbb AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS centroid_cosine
+FROM j JOIN c USING (label)
+ORDER BY label
+"""
+
+QUERIES["embedding_centroid_drift"] = embedding_centroid_drift
+ORACLES["embedding_centroid_drift"] = EMB_DRIFT_SQL
+
+
+# --- Pearson correlation matrix from the same sufficient statistics ---
+
+
+def feature_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations (quantity, discount, price) per
+    l_returnflag from the SAME one-pass integer sufficient statistics
+    as ols_price_model — the feature-screening step before any model
+    fit. One map-side-combined aggregation; r = c_xy/sqrt(c_xx*c_yy)
+    on O(groups) scalars; 1e-6 floor-quantized on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("x1"),
+        (F.col("l_discount").cast("decimal(12,4)") * 10000)
+        .cast("long")
+        .alias("x2"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("y"),
+    )
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(38,0)"))
+
+    s = li.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x1")).alias("s1"),
+        dsum(F.col("x2")).alias("s2"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x1") * F.col("x1")).alias("s11"),
+        dsum(F.col("x2") * F.col("x2")).alias("s22"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+        dsum(F.col("x1") * F.col("x2")).alias("s12"),
+        dsum(F.col("x1") * F.col("y")).alias("s1y"),
+        dsum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    n = F.col("n").cast("double")
+
+    def d(name):
+        return F.col(name).cast("double")
+
+    c11 = d("s11") - d("s1") * d("s1") / n
+    c22 = d("s22") - d("s2") * d("s2") / n
+    cyy = d("syy") - d("sy") * d("sy") / n
+    c12 = d("s12") - d("s1") * d("s2") / n
+    c1y = d("s1y") - d("s1") * d("sy") / n
+    c2y = d("s2y") - d("s2") * d("sy") / n
+
+    def q6(c):
+        return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+
+    return s.select(
+        "flag",
+        F.col("n").cast("long").alias("n"),
+        q6(c12 / F.sqrt(c11 * c22)).alias("r_qty_disc"),
+        q6(c1y / F.sqrt(c11 * cyy)).alias("r_qty_price"),
+        q6(c2y / F.sqrt(c22 * cyy)).alias("r_disc_price"),
+    ).orderBy("flag")
+
+
+CORR_SQL = """
+WITH x AS (
+  SELECT l_returnflag AS flag,
+         CAST(l_quantity AS BIGINT) AS x1,
+         CAST(CAST(l_discount AS DECIMAL(12,4)) * 10000 AS BIGINT) AS x2,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT flag, count(*) AS n,
+         CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x1*x1) AS DOUBLE) AS s11, CAST(sum(x2*x2) AS DOUBLE) AS s22,
+         CAST(sum(y*y) AS DOUBLE) AS syy,
+         CAST(sum(x1*x2) AS DOUBLE) AS s12, CAST(sum(x1*y) AS DOUBLE) AS s1y,
+         CAST(sum(x2*y) AS DOUBLE) AS s2y
+  FROM x GROUP BY 1
+), c AS (
+  SELECT flag, n,
+         s11 - s1*s1 / CAST(n AS DOUBLE) AS c11,
+         s22 - s2*s2 / CAST(n AS DOUBLE) AS c22,
+         syy - sy*sy / CAST(n AS DOUBLE) AS cyy,
+         s12 - s1*s2 / CAST(n AS DOUBLE) AS c12,
+         s1y - s1*sy / CAST(n AS DOUBLE) AS c1y,
+         s2y - s2*sy / CAST(n AS DOUBLE) AS c2y
+  FROM s
+)
+SELECT flag,
+       CAST(n AS BIGINT) AS n,
+       floor(c12 / sqrt(c11*c22) * 1000000 + 0.5) / 1000000 AS r_qty_disc,
+       floor(c1y / sqrt(c11*cyy) * 1000000 + 0.5) / 1000000 AS r_qty_price,
+       floor(c2y / sqrt(c22*cyy) * 1000000 + 0.5) / 1000000 AS r_disc_price
+FROM c
+ORDER BY flag
+"""
+
+QUERIES["feature_correlation_matrix"] = feature_correlation_matrix
+ORACLES["feature_correlation_matrix"] = CORR_SQL
