@@ -215,8 +215,13 @@ def bloom_prefilter_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
     probe), and the exact verify removes false positives — the result
     is EXACT, which is what lets the straight semi-join oracle pin it.
     Output: per contaminated corpus doc, distinct-3-gram contamination
-    count and rate (4-decimal half-up)."""
-    d = load_table(spark, sf_dir, "documents").select(
+    count and rate (4-decimal half-up). The scan is fanned out before
+    the trigram HOFs — the per-row normalize/split/shingle compute is
+    the dominant cost and a small parquet input arrives few-
+    partitioned (sf1: 46 s on 2 partitions → ~8 s on 32)."""
+    from etl_extractor_spark.operators.common import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id", _trigram_col(_norm_toks(F.col("text"))).alias("grams")
     )
     evl = (
@@ -332,8 +337,11 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     char-shingle space.
     100 TB: the explode/join volume is sum(prefix lengths), dominated
     by rare tokens with tiny postings lists; both exploded sides carry
-    merge hints against the pre-explode size misestimate."""
-    d = load_table(spark, sf_dir, "documents").select(
+    merge hints against the pre-explode size misestimate; the scan is
+    fanned out before tokenization (few-partition parquet input)."""
+    from etl_extractor_spark.operators.common import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         F.array_distinct(
             F.filter(_norm_toks(F.col("text")), lambda t: t != "")
@@ -757,8 +765,11 @@ def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (list_reduce's first-element seed == aggregate's zero seed since
     0*B+c = c), so one wrong rolling term shifts every boundary and
     hash-fails. Payload capped at 256 chars so per-row cost is bounded
-    by the CONTRACT, not corpus bytes (the codec-query scale rule)."""
-    d = load_table(spark, sf_dir, "documents")
+    by the CONTRACT, not corpus bytes (the codec-query scale rule);
+    the scan fans out before the per-char HOF work."""
+    from etl_extractor_spark.operators.common import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     t = F.substring(F.col("text").cast("string"), 1, CDC_CAP)
     n = F.length(t)
     codes = F.transform(
