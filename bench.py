@@ -77,6 +77,13 @@ BENCH_QUERIES = [
     # shard-container ingestion path (applyInPandas pack→parse per
     # 8-doc shard — the tar/WARC corpus-shard pattern)
     "shard_warc_records",
+    # round-5-late wave: per-record-gzip .warc.gz shards (the
+    # CommonCrawl compression path), broadcast-Bloom eval-set
+    # decontamination (map-only gate + exact verify), and FastCDC-style
+    # content-defined chunking in pure Catalyst HOFs
+    "shard_warc_gzip",
+    "bloom_prefilter_decontaminate",
+    "content_defined_chunks",
 ]
 
 

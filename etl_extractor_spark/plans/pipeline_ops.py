@@ -249,8 +249,14 @@ def bloom_prefilter_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
         bitmap[int(r["w"])] = int(r["bits"])
     bits_lit = F.lit(bitmap)
 
-    corpus = d.filter(F.col("doc_id") % EVAL_MOD != 0).select(
-        "doc_id", F.explode(F.array_distinct("grams")).alias("gram")
+    # The corpus gram relation feeds BOTH the per-doc denominator and
+    # the Bloom-gated verify branch; persist it so the trigram HOF pass
+    # (the dominant cost) runs once, not once per branch. At cluster
+    # scale this is the same decision as checkpointing a shared scan.
+    corpus = (
+        d.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .select("doc_id", F.explode(F.array_distinct("grams")).alias("gram"))
+        .persist()
     )
     member = None
     for i in range(BLOOM_K):
@@ -323,32 +329,42 @@ PFX_THRESHOLD = 0.8
 
 
 def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-token Jaccard self-join >= 0.8 via PREFIX FILTERING
+    """Exact word-3-gram Jaccard self-join >= 0.8 via PREFIX FILTERING
     (Chaudhuri et al. SSJoin / Bayardo et al. All-Pairs): order every
-    doc's distinct tokens by a global rarity rank (document frequency
-    asc, token asc), keep only the first n - ceil(t*n) + 1 tokens as
-    the candidate-generating prefix — J(A,B) >= t forces the two
-    prefixes to share a token under ANY consistent global order, so
-    recall is guaranteed while the self-join touches prefix tokens
-    (the RAREST ones) instead of all tokens, and never goes all-pairs.
-    Candidates are verified EXACTLY with array_intersect over the full
-    token sets, so false candidates die and the quadratic oracle pins
-    the result. Word-token sets complement dedup_ngram_jaccard's
-    char-shingle space.
-    100 TB: the explode/join volume is sum(prefix lengths), dominated
-    by rare tokens with tiny postings lists; both exploded sides carry
-    merge hints against the pre-explode size misestimate; the scan is
-    fanned out before tokenization (few-partition parquet input)."""
+    doc's distinct trigram set by a global rarity rank (document
+    frequency asc, gram asc), keep only the first n - ceil(t*n) + 1
+    grams as the candidate-generating prefix — J(A,B) >= t forces the
+    two prefixes to share an element under ANY consistent global
+    order, so recall is guaranteed while the self-join touches prefix
+    grams (the RAREST ones) instead of all grams, and never goes
+    all-pairs. Candidates are verified EXACTLY with array_intersect
+    over the full gram sets, so false candidates die and the quadratic
+    oracle pins the result.
+    The set space is word TRIGRAMS, not unigram tokens, by a measured
+    scale argument: this corpus's token vocabulary is tiny (235 words
+    at sf1, median posting 3885 docs), so token-set prefix postings
+    degenerate to O(corpus) and the join exploded (>9 min at sf1);
+    trigram vocabulary is 255k with median posting 10 — prefix
+    filtering's rare-element assumption holds by construction since
+    gram space grows with content diversity.
+    100 TB: the explode/join volume is sum(prefix lengths) weighted by
+    posting size; both exploded sides carry merge hints against the
+    pre-explode size misestimate; the scan is fanned out before
+    shingling (few-partition parquet input)."""
     from etl_extractor_spark.operators.common import fan_out
 
-    d = fan_out(load_table(spark, sf_dir, "documents")).select(
-        "doc_id",
-        F.array_distinct(
-            F.filter(_norm_toks(F.col("text")), lambda t: t != "")
-        ).alias("toks"),
-    ).filter(F.size("toks") > 0)
+    d = (
+        fan_out(load_table(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                _trigram_col(_norm_toks(F.col("text")))
+            ).alias("toks"),
+        )
+        .filter(F.size("toks") > 0)
+    )
 
-    # Global order = (document frequency asc, token asc) — used as a
+    # Global order = (document frequency asc, gram asc) — used as a
     # sort KEY directly (no global row_number: a single-partition rank
     # window would bottleneck the vocabulary at scale, and prefix
     # filtering only needs SOME consistent total order).
@@ -394,16 +410,18 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JACCARD_PFX_SQL = f"""
-WITH toks AS (
+WITH rawtoks AS (
   SELECT doc_id,
-         list_distinct(list_filter(
-           string_split(lower(trim(regexp_replace(CAST(text AS VARCHAR), '\\s+', ' ', 'g'))), ' '),
-           t -> t <> '')) AS t
+         string_split(lower(trim(regexp_replace(CAST(text AS VARCHAR), '\\s+', ' ', 'g'))), ' ') AS w
   FROM documents
+), g3 AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+  FROM rawtoks, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)
+  WHERE len(w) >= 3
 ), nz AS (
-  SELECT doc_id, t FROM toks WHERE len(t) > 0
+  SELECT doc_id, list(g) AS t FROM g3 GROUP BY doc_id
 ), tk AS (
-  SELECT doc_id, unnest(t) AS tok FROM nz
+  SELECT doc_id, g AS tok FROM g3
 ), pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
   FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id < b.doc_id
