@@ -1047,3 +1047,59 @@ ORDER BY flag
 
 QUERIES["feature_correlation_matrix"] = feature_correlation_matrix
 ORACLES["feature_correlation_matrix"] = CORR_SQL
+
+
+# --- Streaming rate-limit replay (7th driver-certified stream) --------
+
+
+def streaming_rate_limit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow replay of the stateful streaming token-bucket
+    throttle (``streaming/events_stream.streaming_rate_limit``:
+    applyInPandasWithState, O(1) (bucket, count) state per user,
+    watermark-expired buckets dropped) registered under the driver's
+    oracle contract. The kept (user_id, event_id) SET is compared
+    event-for-event against the batch specification's window oracle —
+    valid because a single availableNow batch processes each user's
+    events in (ev_us, event_id) order, the same total order the batch
+    row_number uses (pinned by
+    tests/test_streaming.py::test_streaming_rate_limit_matches_batch).
+    Registered here (module is LAST in the registry) so the new name
+    queues behind the r5 sweep window. Lives in append mode: emitted
+    rows are final — no final-state selection problem at all."""
+    from etl_extractor_spark.streaming import events_stream as SE
+
+    kept = SE.streaming_rate_limit(SE.events_stream(spark, sf_dir))
+    return (
+        SE.run_to_memory(kept, "t_rate_limit_replay", output_mode="append")
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_id").cast("long").alias("event_id"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def _streaming_rl_sql() -> str:
+    # single-sourced quota constant (operators/events.RL_MAX), same
+    # daily bucket arithmetic as the batch events_rate_limit oracle
+    from etl_extractor_spark.operators.events import RL_MAX
+
+    return f"""
+WITH ranked AS (
+  SELECT user_id, event_id,
+         row_number() OVER (
+           PARTITION BY user_id, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+           ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id
+FROM ranked WHERE rn <= {RL_MAX}
+ORDER BY user_id, event_id
+"""
+
+
+STREAMING_RL_SQL = _streaming_rl_sql()
+
+QUERIES["streaming_rate_limit_replay"] = streaming_rate_limit_replay
+ORACLES["streaming_rate_limit_replay"] = STREAMING_RL_SQL
