@@ -1388,6 +1388,10 @@ def encode_zip(members: list, method: int = 8) -> bytes:
     offsets = []
     for name, data in members:
         nb = name.encode()
+        # APPNOTE: flag-0 names are cp437; set the language-encoding
+        # flag (general-purpose bit 11) for UTF-8 names so spec-
+        # conforming readers decode non-ASCII members correctly.
+        flags = 0 if name.isascii() else 0x800
         crc = zlib.crc32(data) & 0xFFFFFFFF
         if method == 8:
             co = zlib.compressobj(6, zlib.DEFLATED, -15)
@@ -1396,12 +1400,12 @@ def encode_zip(members: list, method: int = 8) -> bytes:
             comp = data
         offsets.append(len(out))
         out += struct.pack(
-            "<IHHHHHIIIHH", 0x04034B50, 20, 0, method, 0, _ZIP_DOSDATE,
+            "<IHHHHHIIIHH", 0x04034B50, 20, flags, method, 0, _ZIP_DOSDATE,
             crc, len(comp), len(data), len(nb), 0,
         )
         out += nb + comp
         central += struct.pack(
-            "<IHHHHHHIIIHHHHHII", 0x02014B50, 20, 20, 0, method, 0,
+            "<IHHHHHHIIIHHHHHII", 0x02014B50, 20, 20, flags, method, 0,
             _ZIP_DOSDATE, crc, len(comp), len(data), len(nb), 0, 0, 0, 0,
             0, offsets[-1],
         )

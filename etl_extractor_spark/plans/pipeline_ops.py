@@ -163,17 +163,13 @@ def shard_warc_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SHARD_WARC_GZIP_SQL = """
-SELECT doc_id // 8 AS shard_id,
-       'doc-' || doc_id AS record_id,
-       'corpus://' || source || '/' || doc_id AS target_uri,
-       CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
-       md5(text) AS content_md5
-FROM documents
-"""
-
 QUERIES["shard_warc_gzip"] = shard_warc_gzip
-ORACLES["shard_warc_gzip"] = SHARD_WARC_GZIP_SQL
+# Same record identity/framing contract as the uncompressed WARC query
+# — the gzip wrap must be TRANSPARENT, so sharing plans/multimodal's
+# oracle verbatim is the point (one source of truth, review catch).
+from etl_extractor_spark.plans.multimodal import SHARD_WARC_SQL as _WARC_SQL  # noqa: E402
+
+ORACLES["shard_warc_gzip"] = _WARC_SQL
 
 
 # --- Bloom-prefilter decontamination ----------------------------------
@@ -184,9 +180,14 @@ EVAL_MOD = 97              # doc_id % EVAL_MOD == 0 -> "eval benchmark" doc
 
 
 def _norm_toks(text):
-    return F.split(
-        F.lower(F.trim(F.regexp_replace(text.cast("string"), r"\s+", " "))), " "
-    )
+    """Lowercased whitespace tokens on the shared F1 normalization
+    (``functions/text.normalize_text`` — the same cast/collapse/trim
+    every corpus-side oracle in this repo mirrors); lower() commutes
+    with whitespace handling, so the SQL twin is
+    ``string_split(lower(trim(regexp_replace(...))), ' ')``."""
+    from etl_extractor_spark.functions.text import normalize_text
+
+    return F.split(F.lower(normalize_text(text)), " ")
 
 
 def _trigram_col(toks):
@@ -277,14 +278,20 @@ def bloom_prefilter_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
-    rate = F.col("n_contaminated") / F.col("n_grams")
+    # Quantization mirrors the oracle's op ORDER exactly (multiply
+    # before divide): floor((c/n)*1e4+0.5) and floor(c*1e4/n+0.5)
+    # differ by one ulp for real count pairs (e.g. 57/800) — the
+    # order-dependent-float hash-mismatch class (review catch).
+    rate_q = F.floor(
+        F.col("n_contaminated") * F.lit(10000.0) / F.col("n_grams") + F.lit(0.5)
+    )
     return (
         hits.join(n_grams, "doc_id")
         .select(
             "doc_id",
             "n_grams",
             "n_contaminated",
-            (F.floor(rate * 10000 + F.lit(0.5)) / 10000).alias("contamination_rate"),
+            (rate_q / 10000).alias("contamination_rate"),
         )
         .orderBy("doc_id")
     )
@@ -353,6 +360,9 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingling (few-partition parquet input)."""
     from etl_extractor_spark.operators.common import fan_out
 
+    # persist: the shingling pass (the dominant cost) feeds THREE
+    # branches (postings, sets_a, sets_b) — repeated HOF trees are not
+    # collapsed by subexpression elimination (gotcha list).
     d = (
         fan_out(load_table(spark, sf_dir, "documents"))
         .select(
@@ -362,6 +372,7 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("toks"),
         )
         .filter(F.size("toks") > 0)
+        .persist()
     )
 
     # Global order = (document frequency asc, gram asc) — used as a
@@ -395,16 +406,18 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets_a = d.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
     sets_b = d.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
     inter = F.size(F.array_intersect("ta", "tb"))
-    jac = inter / (F.size("ta") + F.size("tb") - inter)
+    union = F.size("ta") + F.size("tb") - inter
+    jac = inter / union
+    # multiply-before-divide mirrors the oracle's floor(c*1e4/u+0.5)
+    # op order — (c/u)*1e4 rounds differently by one ulp for real
+    # pairs (e.g. 16017/20000); the filter uses plain c/u on both
+    # sides, which IS order-identical.
+    jac_q = F.floor(inter * F.lit(10000.0) / union + F.lit(0.5))
     return (
         cands.join(sets_a.hint("merge"), "id_a")
         .join(sets_b.hint("merge"), "id_b")
         .filter(jac >= PFX_THRESHOLD)
-        .select(
-            "id_a",
-            "id_b",
-            (F.floor(jac * 10000 + F.lit(0.5)) / 10000).alias("jaccard"),
-        )
+        .select("id_a", "id_b", (jac_q / 10000).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
 

@@ -654,6 +654,13 @@ def test_zip_codec_stdlib_cross_validation():
         for n, d in mem:
             w.writestr(n, d)
     assert M.decode_zip(buf.getvalue()) == mem
+    # non-ASCII member name: the UTF-8 language-encoding flag (bit 11)
+    # must be set or spec-conforming readers decode the name as cp437
+    uni = [("résumé.txt", b"unicode name")]
+    zu = M.encode_zip(uni)
+    assert M.decode_zip(zu) == uni
+    zf = zipfile.ZipFile(io.BytesIO(zu))
+    assert [(i.filename, zf.read(i)) for i in zf.infolist()] == uni
     # flip a payload byte inside the first member -> CRC mismatch
     z = bytearray(M.encode_zip(mem, method=0))
     z[30 + len("a.txt")] ^= 0xFF
