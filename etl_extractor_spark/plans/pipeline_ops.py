@@ -1116,3 +1116,176 @@ STREAMING_RL_SQL = _streaming_rl_sql()
 
 QUERIES["streaming_rate_limit_replay"] = streaming_rate_limit_replay
 ORACLES["streaming_rate_limit_replay"] = STREAMING_RL_SQL
+
+
+# --- Differential-privacy style noisy release (deterministic twin) ----
+
+DP_EPS = 0.5          # epsilon: Laplace scale b = 1/eps for count queries
+DP_SEED = 0xD9        # release-batch seed folded into the noise hash
+
+
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism,
+    sensitivity 1, b = 1/ε) with the repo's deterministic-twin
+    discipline: the per-group noise draw comes from a SEEDED md5
+    uniform (hash of group key + release seed → 48-bit fixed-point u ∈
+    (0,1)) pushed through the Laplace inverse CDF
+    -b·sgn(u-½)·ln(1-2|u-½|) — every arithmetic step is an identical
+    IEEE double op in both engines, so the released (noisy) counts are
+    exactly oracle-checkable while keeping the real mechanism's shape
+    (per-release seed rotation = fresh independent draws). The
+    privacy-accounting view: one release, ε per group, counts have
+    sensitivity 1 under add/remove-one-row adjacency. Map-side
+    combined count + O(groups) scalar math — nothing leaves the
+    aggregate layer.
+    u is clamped away from 1 (48-bit grid) so ln(1-2|u-½|) is finite;
+    released values are floor-quantized to 1e-4."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("o_orderpriority"), F.lit(f"#{DP_SEED}"))), 1, 12),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        / F.lit(float(1 << 48))
+    )
+    # centered uniform in (-1/2, 1/2]; |c|<1/2 strictly except the
+    # unreachable exact-zero hash, so the log argument stays positive
+    c = u - F.lit(0.5)
+    b = F.lit(1.0 / DP_EPS)
+    noise = -b * F.signum(c) * F.log(1 - 2 * F.abs(c))
+    released = F.col("n") + noise
+    return g.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("true_n"),
+        (F.floor(released * 10000) / 10000).alias("released_n"),
+    ).orderBy("o_orderpriority")
+
+
+DP_NOISY_SQL = f"""
+WITH g AS (
+  SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1
+), u AS (
+  SELECT o_orderpriority, n,
+         CAST(('0x' || substr(md5(o_orderpriority || '#{DP_SEED}'), 1, 12)) AS BIGINT)
+           / CAST({1 << 48} AS DOUBLE) - 0.5 AS c
+  FROM g
+)
+SELECT o_orderpriority,
+       CAST(n AS BIGINT) AS true_n,
+       floor((n + -(1.0 / {DP_EPS}) * sign(c) * ln(1 - 2 * abs(c))) * 10000) / 10000
+         AS released_n
+FROM u
+ORDER BY o_orderpriority
+"""
+
+QUERIES["dp_noisy_counts"] = dp_noisy_counts
+ORACLES["dp_noisy_counts"] = DP_NOISY_SQL
+
+
+# --- Quantile normalization across sources ----------------------------
+
+
+def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-source document-length
+    distributions — the batch-effect correction that makes quality
+    thresholds comparable across crawl sources (every source's k-th
+    order statistic maps to the GLOBAL k-th-quantile value). Pure
+    rank arithmetic, exact in integers: rank within source (ties by
+    doc_id), target global rank = the integer-scaled position
+    ceil(rank_in_src * N_global / N_src), and the mapped value is the
+    global order statistic at that rank — no interpolation, no
+    floats.
+    BOTH ranks are DISTRIBUTED two-phase (the shuffle_deterministic /
+    pack_sequences pattern — never a single-partition global window):
+    rows bucket by an order-aligned value prefix (v div 64, so every
+    row in bucket i sorts before bucket i+1), rank within
+    (partition-key, bucket) by a partitioned window, and the tiny
+    bucket-size cumsum broadcasts back as offsets. Emits per doc:
+    source, raw length, normalized length."""
+    from pyspark.sql.window import Window
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").alias("v"),
+            F.expr("n_chars div 64").alias("b"),
+        )
+        .persist()
+    )
+
+    def two_phase_rank(df, part_cols):
+        """row_number over (part_cols ORDER BY v, doc_id) without a
+        global window: rank within (part, bucket), plus broadcast
+        per-part cumulative bucket offsets."""
+        wb = Window.partitionBy(*(part_cols + ["b"])).orderBy("v", "doc_id")
+        ranked = df.withColumn("rb", F.row_number().over(wb))
+        sizes = df.groupBy(*(part_cols + ["b"])).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        wo = (
+            Window.partitionBy(*part_cols).orderBy("b")
+            if part_cols
+            else Window.orderBy("b")
+        ).rowsBetween(Window.unboundedPreceding, -1)
+        offsets = sizes.select(
+            *(part_cols + ["b"]),
+            F.coalesce(F.sum("n").over(wo), F.lit(0)).alias("off"),
+        )
+        return ranked.join(F.broadcast(offsets), part_cols + ["b"]).withColumn(
+            "rk", F.col("off") + F.col("rb")
+        )
+
+    ranked = two_phase_rank(d, ["source"]).select("doc_id", "source", "v", "rk")
+    n_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    n_all = d.agg(F.count(F.lit(1)).alias("na"))
+    glob = two_phase_rank(d, []).select(
+        F.col("rk").alias("gr"), F.col("v").alias("gv")
+    )
+    target = (
+        ranked.join(F.broadcast(n_src), "source")
+        .join(F.broadcast(n_all), F.lit(True), "left")
+        .select(
+            "doc_id",
+            "source",
+            "v",
+            # integer ceil division: (r*na + ns - 1) div ns
+            F.expr("(rk * na + ns - 1) div ns").alias("gr"),
+        )
+    )
+    return (
+        target.join(glob, "gr")
+        .select("doc_id", "source", F.col("v").alias("raw_len"),
+                F.col("gv").alias("norm_len"))
+        .orderBy("doc_id")
+    )
+
+
+QUANTILE_NORM_SQL = """
+WITH d AS (
+  SELECT doc_id, source, n_chars AS v FROM documents
+), ranked AS (
+  SELECT doc_id, source, v,
+         row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS r
+  FROM d
+), ns AS (
+  SELECT source, count(*) AS ns FROM d GROUP BY 1
+), na AS (
+  SELECT count(*) AS na FROM d
+), gq AS (
+  SELECT row_number() OVER (ORDER BY v, doc_id) AS gr, v AS gv FROM d
+)
+SELECT ranked.doc_id, ranked.source, ranked.v AS raw_len, gq.gv AS norm_len
+FROM ranked
+JOIN ns USING (source)
+CROSS JOIN na
+JOIN gq ON gq.gr = (ranked.r * na.na + ns.ns - 1) // ns.ns
+ORDER BY ranked.doc_id
+"""
+
+QUERIES["quantile_normalize_sources"] = quantile_normalize_sources
+ORACLES["quantile_normalize_sources"] = QUANTILE_NORM_SQL
