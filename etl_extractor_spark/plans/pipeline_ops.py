@@ -23,6 +23,19 @@ Queries (each oracle-backed):
                           with a prior partial == full recompute
 - ols_price_model       : closed-form 2-feature OLS via sufficient
                           statistics
+- content_defined_chunks : FastCDC/Rabin-style rolling-hash chunk
+                          boundaries, pure Catalyst HOFs
+- embedding_centroid_drift : per-label centroid cosine between two
+                          pseudo-snapshots, exact integer sums
+- feature_correlation_matrix : Pearson r matrix from one-pass integer
+                          sufficient statistics
+- streaming_rate_limit_replay : 7th driver-certified streaming query —
+                          stateful token-bucket throttle, availableNow
+                          replay vs the batch window oracle
+- dp_noisy_counts       : Laplace-mechanism count release with a
+                          seeded deterministic draw (exact oracle)
+- quantile_normalize_sources : per-source → global order-statistic
+                          mapping, distributed two-phase ranks
 
 Reference parity: nilfredb/ETL-Extractor has no shard/dedup/stats
 layer (core is extractors/*.py + transformers/*.py, 828 LoC); these
