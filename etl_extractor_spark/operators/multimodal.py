@@ -1505,3 +1505,35 @@ def decode_gzip_members(payload: bytes) -> list:
         out.append(data)
         rest = d.unused_data
     return out
+
+
+# --- bz2 multistream members ------------------------------------------
+#
+# Concatenated independent bz2 streams — the Wikipedia-dump
+# "multistream" convention: each member decompresses independently, so
+# a reader can fan members out as work units without inflating the
+# whole shard serially. Split by chasing BZ2Decompressor.unused_data
+# across stream boundaries (same contract as the gzip member splitter).
+
+
+def encode_bz2_member(data: bytes) -> bytes:
+    import bz2
+
+    return bz2.compress(data, 9)
+
+
+def decode_bz2_members(payload: bytes) -> list:
+    import bz2
+
+    out = []
+    rest = payload
+    while rest:
+        if rest[:3] != b"BZh":
+            raise ValueError("bz2: bad magic at member boundary")
+        d = bz2.BZ2Decompressor()
+        data = d.decompress(rest)
+        if not d.eof:
+            raise ValueError("bz2: truncated member")
+        out.append(data)
+        rest = d.unused_data
+    return out

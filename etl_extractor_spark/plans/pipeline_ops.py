@@ -1302,3 +1302,68 @@ ORDER BY ranked.doc_id
 
 QUERIES["quantile_normalize_sources"] = quantile_normalize_sources
 ORACLES["quantile_normalize_sources"] = QUANTILE_NORM_SQL
+
+
+# --- bz2 multistream shard (the Wikipedia-dump shape) -----------------
+
+
+def shard_bz2_multistream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multistream bz2 shard ingestion — the Wikipedia-dump layout:
+    each member is an INDEPENDENT bz2 stream (here one document per
+    member, id-tagged), members are concatenated, and the reader
+    splits members by chasing ``BZ2Decompressor.unused_data`` — the
+    same member-boundary contract as the .warc.gz splitter, with a
+    second real compressor (BWT entropy coder vs DEFLATE). Per-member
+    independence is what lets a 100 TB dump fan out as per-member work
+    units with no serial inflate. applyInPandas per 8-doc shard; the
+    oracle re-derives the id tag, payload size and digest per
+    document, so a member split one byte off hash-fails the tail."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = load_table(spark, sf_dir, "documents")
+    schema = T.StructType(
+        [
+            T.StructField("shard_id", T.LongType()),
+            T.StructField("member_tag", T.StringType()),
+            T.StructField("size_bytes", T.LongType()),
+            T.StructField("content_md5", T.StringType()),
+        ]
+    )
+
+    def pack_and_unpack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        pdf = pdf.sort_values("doc_id")
+        shard = int(pdf["shard_id"].iloc[0])
+        shard_bytes = b"".join(
+            M.encode_bz2_member(f"doc{int(did)}\t{text}".encode())
+            for did, text in zip(pdf["doc_id"], pdf["text"])
+        )
+        rows = []
+        for member in M.decode_bz2_members(shard_bytes):
+            tag, _, body = member.partition(b"\t")
+            rows.append(
+                (shard, tag.decode(), len(body), hashlib.md5(body).hexdigest())
+            )
+        return pd.DataFrame(
+            rows, columns=["shard_id", "member_tag", "size_bytes", "content_md5"]
+        )
+
+    return (
+        d.select(F.expr("doc_id div 8").alias("shard_id"), "doc_id", "text")
+        .groupBy("shard_id")
+        .applyInPandas(pack_and_unpack, schema)
+    )
+
+
+SHARD_BZ2_SQL = """
+SELECT doc_id // 8 AS shard_id,
+       'doc' || doc_id AS member_tag,
+       CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+QUERIES["shard_bz2_multistream"] = shard_bz2_multistream
+ORACLES["shard_bz2_multistream"] = SHARD_BZ2_SQL

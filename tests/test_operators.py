@@ -690,3 +690,25 @@ def test_gzip_member_codec_stdlib_cross_validation():
         M.decode_gzip_members(b"\x00\x00junk")
     with pytest.raises(ValueError, match="truncated"):
         M.decode_gzip_members(cat[:-6])
+
+
+def test_bz2_member_codec_stdlib_cross_validation():
+    """Concatenated independent bz2 streams (Wikipedia multistream):
+    stdlib bz2 must inflate our stream, we must split stdlib members,
+    and truncation / bad magic must raise."""
+    import bz2
+
+    import pytest
+
+    from etl_extractor_spark.operators import multimodal as M
+
+    blobs = [b"alpha", b"", b"x" * 5000, bytes(range(256))]
+    cat = b"".join(M.encode_bz2_member(b) for b in blobs)
+    assert M.decode_bz2_members(cat) == blobs
+    assert bz2.decompress(cat) == b"".join(blobs)
+    std = b"".join(bz2.compress(b) for b in blobs)
+    assert M.decode_bz2_members(std) == blobs
+    with pytest.raises(ValueError, match="magic"):
+        M.decode_bz2_members(b"\x00junk")
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_bz2_members(cat[:-4])
