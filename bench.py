@@ -84,6 +84,10 @@ BENCH_QUERIES = [
     "shard_warc_gzip",
     "bloom_prefilter_decontaminate",
     "content_defined_chunks",
+    # prefix-filtered set-similarity join (the trigram-space SSJoin)
+    # and the two-phase-rank quantile normalization
+    "jaccard_prefix_filter_join",
+    "quantile_normalize_sources",
 ]
 
 
