@@ -1151,17 +1151,29 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sensitivity 1 under add/remove-one-row adjacency. Map-side
     combined count + O(groups) scalar math — nothing leaves the
     aggregate layer.
-    u is clamped away from 1 (48-bit grid) so ln(1-2|u-½|) is finite;
-    released values are floor-quantized to 1e-4."""
+    u = (h+½)/2^48 sits strictly inside (0,1) so ln(1-2|u-½|) is
+    always finite on both engines; released values are floor-quantized
+    to 1e-4."""
     o = load_table(spark, sf_dir, "orders")
     g = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    # (h + 0.5)/2^48 keeps u STRICTLY inside (0,1): the exact-zero
+    # hash (p = 2^-48) would otherwise hit ln(0), where Spark returns
+    # null but DuckDB returns -inf — a cross-engine landmine.
     u = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.col("o_orderpriority"), F.lit(f"#{DP_SEED}"))), 1, 12),
-            16,
-            10,
-        ).cast("long")
-        .cast("double")
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("o_orderpriority"), F.lit(f"#{DP_SEED}"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .cast("double")
+            + F.lit(0.5)
+        )
         / F.lit(float(1 << 48))
     )
     # centered uniform in (-1/2, 1/2]; |c|<1/2 strictly except the
@@ -1182,8 +1194,8 @@ WITH g AS (
   SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1
 ), u AS (
   SELECT o_orderpriority, n,
-         CAST(('0x' || substr(md5(o_orderpriority || '#{DP_SEED}'), 1, 12)) AS BIGINT)
-           / CAST({1 << 48} AS DOUBLE) - 0.5 AS c
+         (CAST(('0x' || substr(md5(o_orderpriority || '#{DP_SEED}'), 1, 12)) AS BIGINT)
+            + 0.5) / CAST({1 << 48} AS DOUBLE) - 0.5 AS c
   FROM g
 )
 SELECT o_orderpriority,
