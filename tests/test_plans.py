@@ -753,3 +753,48 @@ def test_jpeg_roundtrip_fans_out_before_python(spark, sf_dir):
     plan = _plan(multimodal_jpeg_roundtrip(spark, sf_dir))
     assert "MapInPandas" in plan
     assert "RoundRobinPartitioning" in plan
+
+
+def test_bloom_gate_is_map_only_before_verify(spark, sf_dir):
+    """The Bloom membership test must be a FILTER on the scan side —
+    no join, no exchange between the corpus gram explode and the gate
+    (the property that makes the prefilter O(corpus) map work instead
+    of an O(corpus) shuffle)."""
+    from etl_extractor_spark.plans.pipeline_ops import (
+        bloom_prefilter_decontaminate,
+    )
+
+    plan = _plan(bloom_prefilter_decontaminate(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the verify join against the eval gram set is broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_jaccard_prefix_join_is_merge_pinned(spark, sf_dir):
+    """Both exploded prefix sides and both set sides carry merge-join
+    pins (the pre-explode size-misestimate guard): no broadcast of a
+    corpus-scaled side may appear."""
+    from etl_extractor_spark.plans.pipeline_ops import (
+        jaccard_prefix_filter_join,
+    )
+
+    plan = _plan(jaccard_prefix_filter_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") >= 3
+
+
+def test_quantile_normalize_has_no_single_partition_window(spark, sf_dir):
+    """The two-phase rank must never plan a global (SinglePartition)
+    window over the corpus — only the tiny bucket-size cumsum may."""
+    from etl_extractor_spark.plans.pipeline_ops import (
+        quantile_normalize_sources,
+    )
+
+    df = quantile_normalize_sources(spark, sf_dir)
+    plan = _plan(df)
+    # every corpus-sized Window partitions by (source and/or bucket);
+    # count windows that run over SinglePartition exchanges: they must
+    # all sit above the O(buckets) sizes aggregate, which is bounded —
+    # detectable because the offsets frame is built from a groupBy
+    # aggregate, so the single-partition exchange count stays <= 2.
+    assert plan.count("Exchange SinglePartition") <= 2
