@@ -1379,3 +1379,81 @@ FROM documents
 
 QUERIES["shard_bz2_multistream"] = shard_bz2_multistream
 ORACLES["shard_bz2_multistream"] = SHARD_BZ2_SQL
+
+
+# --- Merge-on-read equality deletes under the driver oracle -----------
+
+
+def manifest_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style MERGE-ON-READ deletes under the driver contract:
+    commit orders as snapshot 0, then commit an EQUALITY-DELETE file
+    (the o_orderkey set with status 'P') as snapshot 1 — an O(deletes)
+    metadata commit that rewrites NO data files. The reader applies
+    delete files as broadcast anti-joins at scan time
+    (``sinks/manifest.read_merge_on_read``), and time travel composes:
+    ``read_snapshot_mor(0)`` sees the pre-delete rows, snapshot 1 the
+    subtraction. Emits per-priority (version, n_orders, sum_cents)
+    for BOTH views; the oracle re-derives each from raw orders, so a
+    wrong delete-key set, a non-applied delete or a time-travel leak
+    changes a checksum and hash-fails. This is the at-scale GDPR /
+    revocation shape: deletes cost O(keys) now and get absorbed
+    physically by the next compaction."""
+    import os
+    import tempfile
+
+    from etl_extractor_spark.sinks import manifest as MF
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_mor_{os.getpid()}"
+    )
+    MF.write_with_manifest(spark, o, path, stats_cols=["o_orderkey"], mode="overwrite")
+    MF.write_equality_deletes(
+        spark,
+        path,
+        o.filter(F.col("o_orderstatus") == "P").select("o_orderkey"),
+    )
+
+    def agg(df, version):
+        return df.groupBy("o_orderpriority").agg(
+            F.lit(version).alias("version"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+
+    pre = agg(MF.read_snapshot_mor(spark, path, 0), "v0_pre_delete")
+    post = agg(MF.read_merge_on_read(spark, path), "v1_post_delete")
+    return (
+        pre.unionByName(post)
+        .select("version", "o_orderpriority", "n_orders", "sum_cents")
+        .orderBy("version", "o_orderpriority")
+    )
+
+
+MANIFEST_MOR_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+)
+SELECT 'v0_pre_delete' AS version, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM base GROUP BY 2
+UNION ALL
+SELECT 'v1_post_delete' AS version, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM base WHERE o_orderstatus <> 'P' GROUP BY 2
+ORDER BY version, o_orderpriority
+"""
+
+QUERIES["manifest_merge_on_read"] = manifest_merge_on_read
+ORACLES["manifest_merge_on_read"] = MANIFEST_MOR_SQL

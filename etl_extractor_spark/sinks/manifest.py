@@ -455,3 +455,95 @@ def read_with_skipping_multi(
         spark.read.parquet(*[os.path.join(path, n) for n in sorted(keep)]).filter(cond),
         info,
     )
+
+
+# ----------------------------- merge-on-read equality deletes ---------
+
+
+def write_equality_deletes(
+    spark: SparkSession, path: str, keys_df: DataFrame
+) -> dict[str, Any]:
+    """Iceberg-style MERGE-ON-READ equality deletes: instead of
+    rewriting data files to remove rows (copy-on-write — O(table) for
+    an O(deletes) change), commit a DELETE FILE holding the key tuples
+    to subtract, and let readers anti-join it at scan time. The
+    delete commit is a new snapshot that keeps the SAME data-file set
+    and records the cumulative delete-file list, so:
+
+    - the delete costs O(deleted keys), never O(table);
+    - time travel still works — ``read_snapshot`` before the delete
+      commit sees the undeleted rows, after it sees the subtraction;
+    - a later compaction (overwrite) absorbs the deletes physically.
+
+    Delete files live under ``_deletes/`` (invisible to the data-file
+    harvester) as plain parquet of the key columns."""
+    m = read_manifest(path)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path} — commit data first")
+    dels: list[dict[str, Any]] = list(m.get("delete_files", []))
+    name = f"delete-{len(dels)}"
+    dpath = os.path.join(path, "_deletes", name)
+    keys_df = keys_df.distinct()
+    keys_df.write.mode("overwrite").parquet(dpath)
+    n_keys = spark.read.parquet(dpath).count()
+    dels.append(
+        {"name": name, "rows": n_keys, "key_cols": list(keys_df.columns)}
+    )
+    snapshots = list(m.get("snapshots", []))
+    last = snapshots[-1]
+    snapshots.append(
+        {
+            "id": last["id"] + 1,
+            "files": list(last["files"]),
+            "total_rows": last["total_rows"],
+            "delete_files": [d["name"] for d in dels],
+        }
+    )
+    m["delete_files"] = dels
+    m["snapshots"] = snapshots
+    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
+        json.dump(m, fh, indent=1, default=str)
+    return m
+
+
+def _apply_deletes(
+    spark: SparkSession, path: str, df: DataFrame, names: list[str], m: dict[str, Any]
+) -> DataFrame:
+    by_name = {d["name"]: d for d in m.get("delete_files", [])}
+    for name in names:
+        d = by_name[name]
+        keys = spark.read.parquet(os.path.join(path, "_deletes", name))
+        # delete sets are O(deletes) — broadcast the anti-join build side
+        df = df.join(F.broadcast(keys), d["key_cols"], "left_anti")
+    return df
+
+
+def read_merge_on_read(spark: SparkSession, path: str) -> DataFrame:
+    """Current table view with every committed delete file applied
+    (the merge-on-read contract: readers pay one broadcast anti-join
+    per delete file until a compaction absorbs them)."""
+    m = read_manifest(path)
+    if m is None:
+        return spark.read.parquet(path)
+    snaps = m.get("snapshots", [])
+    names = snaps[-1].get("delete_files", []) if snaps else []
+    return _apply_deletes(spark, path, read_table(spark, path), names, m)
+
+
+def read_snapshot_mor(
+    spark: SparkSession, path: str, snapshot_id: int
+) -> DataFrame:
+    """Time travel across delete commits: plan the snapshot's data-file
+    set from the manifest AND apply exactly the delete files that
+    snapshot had recorded (none for pre-delete snapshots)."""
+    m = read_manifest(path)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path}")
+    by_id = {s["id"]: s for s in m.get("snapshots", [])}
+    if snapshot_id not in by_id:
+        raise KeyError(f"snapshot {snapshot_id} not in history {sorted(by_id)}")
+    snap = by_id[snapshot_id]
+    df = spark.read.parquet(
+        *[os.path.join(path, n) for n in snap["files"]]
+    )
+    return _apply_deletes(spark, path, df, snap.get("delete_files", []), m)

@@ -370,3 +370,56 @@ def test_null_count_skipping(spark, sf_dir, tmp_path):
     want_nn, info_nn = read_null_skipping(spark, path, "o_orderpriority", False)
     assert info_nn["files_read"] < info_nn["files_total"]  # all-null file skipped
     assert want_nn.count() == full.filter("o_orderpriority IS NOT NULL").count()
+
+
+def test_merge_on_read_equality_deletes(spark, tmp_path):
+    """Delete commits are O(keys) metadata: data files unchanged, a new
+    snapshot records the cumulative delete list; readers subtract via
+    anti-join; time travel composes across the delete commit; a second
+    delete stacks; an overwrite (compaction) absorbs everything."""
+    import os
+
+    from etl_extractor_spark.sinks import manifest as MF
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "g" if i % 2 else "h", i * 10) for i in range(1, 21)],
+        "k long, g string, v long",
+    )
+    MF.write_with_manifest(spark, df, path, stats_cols=["k"], mode="overwrite")
+    files_before = sorted(os.listdir(path))
+
+    MF.write_equality_deletes(
+        spark, path, spark.createDataFrame([(2,), (4,), (6,)], "k long")
+    )
+    # data files untouched (only the manifest changed and _deletes/ grew)
+    assert [
+        f for f in sorted(os.listdir(path)) if f.endswith(".parquet")
+    ] == [f for f in files_before if f.endswith(".parquet")]
+
+    got = {r["k"] for r in MF.read_merge_on_read(spark, path).collect()}
+    assert got == set(range(1, 21)) - {2, 4, 6}
+    # time travel: snapshot 0 predates the delete
+    pre = {r["k"] for r in MF.read_snapshot_mor(spark, path, 0).collect()}
+    assert pre == set(range(1, 21))
+    post = {r["k"] for r in MF.read_snapshot_mor(spark, path, 1).collect()}
+    assert post == got
+
+    # second delete file stacks cumulatively
+    MF.write_equality_deletes(spark, path, spark.createDataFrame([(1,)], "k long"))
+    got2 = {r["k"] for r in MF.read_merge_on_read(spark, path).collect()}
+    assert got2 == set(range(1, 21)) - {1, 2, 4, 6}
+    m = MF.read_manifest(path)
+    assert [d["name"] for d in m["delete_files"]] == ["delete-0", "delete-1"]
+    assert m["snapshots"][-1]["delete_files"] == ["delete-0", "delete-1"]
+
+    # compaction absorbs: overwrite with the merged view resets history
+    # (materialize first — a lazy self-overwrite would read deleted
+    # files; real compactions stage to a new location)
+    merged_rows = MF.read_merge_on_read(spark, path)
+    merged = spark.createDataFrame(merged_rows.collect(), merged_rows.schema)
+    MF.write_with_manifest(spark, merged, path, stats_cols=["k"], mode="overwrite")
+    m2 = MF.read_manifest(path)
+    assert len(m2["snapshots"]) == 1
+    clean = {r["k"] for r in MF.read_table(spark, path).collect()}
+    assert clean == got2
