@@ -1457,3 +1457,186 @@ ORDER BY version, o_orderpriority
 
 QUERIES["manifest_merge_on_read"] = manifest_merge_on_read
 ORACLES["manifest_merge_on_read"] = MANIFEST_MOR_SQL
+
+
+# --- Unigram-LM Viterbi segmentation (SentencePiece-style) ------------
+
+ULM_WORD_CAP = 10     # chars per word fed to the DP (cost contract)
+ULM_WORDS_CAP = 20    # words per doc (cost contract)
+ULM_PIECE_MAX = 3     # max piece length
+ULM_TOP_GRAMS = 100   # bigram/trigram vocabulary per class
+ULM_MISS = 50_000_000  # cost for out-of-vocab pieces (finite fallback)
+
+
+def unigram_lm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM Viterbi segmentation, pure
+    Catalyst: induce a piece vocabulary from the corpus (every
+    observed character + the top-100 char bigrams and trigrams, cost
+    = floor(-ln(count/total)·1e6)), then segment each word by exact
+    dynamic programming — combined_i = min over piece lengths L of
+    combined_{i-L} + cost(piece)·1024 + 1, a SINGLE positive-integer
+    DP whose low 10 bits count pieces and high bits carry the score,
+    so (min cost, then fewest pieces) tie-breaking is lexicographic in
+    one integer and every step is exact on both engines. The DP is
+    unrolled over the 10-char word cap as plain chained column
+    expressions — whole-stage-codegen arithmetic, no UDF, no loop.
+    The vocabulary collect is bounded by CONSTANT caps (charset +
+    2×100 grams), never by SF. The oracle replays the identical
+    induction + DP in chained SQL CTEs with a map_from_entries
+    literal; one wrong cost or step order breaks every segmentation
+    downstream and hash-fails. Per doc: word count, total Viterbi
+    cost (micro-nats), total piece count — the tokenizer-fertility
+    metric a training pipeline tracks per source."""
+    from etl_extractor_spark.operators.common import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = F.filter(_norm_toks(F.col("text")), lambda t: F.length(t) >= 1)
+    words = d.select(
+        "doc_id",
+        F.explode(F.slice(toks, 1, ULM_WORDS_CAP)).alias("w0"),
+    ).select(
+        "doc_id", F.substring("w0", 1, ULM_WORD_CAP).alias("w")
+    ).persist()
+
+    # vocabulary induction over the SAME capped word stream
+    def grams(length):
+        return words.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length("w") - (length - 1), F.lit(0))),
+                    lambda i: F.col("w").substr(i, F.lit(length)),
+                )
+            ).alias("g")
+        ).filter(F.length("g") == length)
+
+    chars = grams(1).groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql.window import Window
+
+    def topk(df):
+        return (
+            df.withColumn(
+                "rk", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("g")))
+            )
+            .filter(F.col("rk") <= ULM_TOP_GRAMS)
+            .drop("rk")
+        )
+
+    bi = topk(grams(2).groupBy("g").agg(F.count(F.lit(1)).alias("c")))
+    tri = topk(grams(3).groupBy("g").agg(F.count(F.lit(1)).alias("c")))
+    vocab = chars.unionByName(bi).unionByName(tri)
+    rows = vocab.collect()  # bounded: charset + 200 entries by cap
+    total = sum(r["c"] for r in rows)
+    import math
+
+    cost = {
+        r["g"]: int(math.floor(-math.log(r["c"] * 1.0 / total) * 1000000))
+        for r in rows
+    }
+    pairs = []
+    for k in sorted(cost):
+        pairs += [F.lit(k), F.lit(cost[k])]
+    cmap = F.create_map(*pairs)
+
+    def c_of(piece):
+        # long from the start: cost*1024 exceeds int32 (15e6 * 1024)
+        return F.coalesce(
+            F.element_at(cmap, piece), F.lit(ULM_MISS)
+        ).cast("long")
+
+    cur = words.withColumn("n", F.length("w")).withColumn(
+        "b0", F.lit(0).cast("long")
+    )
+    for i in range(1, ULM_WORD_CAP + 1):
+        cands = []
+        for L in range(1, min(ULM_PIECE_MAX, i) + 1):
+            piece = F.col("w").substr(i - L + 1, L)
+            cands.append(
+                F.col(f"b{i - L}") + c_of(piece) * 1024 + 1
+            )
+        step = cands[0] if len(cands) == 1 else F.least(*cands)
+        cur = cur.withColumn(
+            f"b{i}", F.when(F.col("n") >= i, step)
+        )
+    final = F.element_at(
+        F.array(*[F.col(f"b{i}") for i in range(1, ULM_WORD_CAP + 1)]), F.col("n")
+    )
+    return (
+        cur.select("doc_id", final.alias("f"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.expr("f div 1024")).cast("long").alias("total_cost_micro"),
+            F.sum(F.col("f") % 1024).cast("long").alias("total_pieces"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _ulm_sql() -> str:
+    steps = []
+    for i in range(1, ULM_WORD_CAP + 1):
+        cands = []
+        for L in range(1, min(ULM_PIECE_MAX, i) + 1):
+            cands.append(
+                f"b{i - L} + coalesce(m[substr(w,{i - L + 1},{L})][1], {ULM_MISS})*1024 + 1"
+            )
+        expr = cands[0] if len(cands) == 1 else "least(" + ", ".join(cands) + ")"
+        steps.append(
+            f", s{i} AS (SELECT *, CASE WHEN n >= {i} THEN {expr} END AS b{i} FROM s{i - 1})"
+        )
+    bsel = ", ".join(f"b{i}" for i in range(1, ULM_WORD_CAP + 1))
+    return f"""
+WITH toksrc AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(CAST(text AS VARCHAR), '\\s+', ' ', 'g'))), ' '),
+                     t -> len(t) >= 1) AS t
+  FROM documents
+), words AS (
+  SELECT doc_id, substr(t[i], 1, {ULM_WORD_CAP}) AS w
+  FROM toksrc, LATERAL (SELECT unnest(generate_series(1, least({ULM_WORDS_CAP}, len(t)))) AS i)
+), g1 AS (
+  SELECT substr(w, i, 1) AS g FROM words,
+       LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)
+), g2 AS (
+  SELECT substr(w, i, 2) AS g FROM words,
+       LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+  WHERE len(w) >= 2
+), g3 AS (
+  SELECT substr(w, i, 3) AS g FROM words,
+       LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)
+  WHERE len(w) >= 3
+), v1 AS (
+  SELECT g, count(*) AS c FROM g1 GROUP BY 1
+), v2 AS (
+  SELECT g, c FROM (
+    SELECT g, count(*) AS c,
+           row_number() OVER (ORDER BY count(*) DESC, g ASC) AS rk
+    FROM g2 GROUP BY g) WHERE rk <= {ULM_TOP_GRAMS}
+), v3 AS (
+  SELECT g, c FROM (
+    SELECT g, count(*) AS c,
+           row_number() OVER (ORDER BY count(*) DESC, g ASC) AS rk
+    FROM g3 GROUP BY g) WHERE rk <= {ULM_TOP_GRAMS}
+), vocab AS (
+  SELECT g, c FROM v1 UNION ALL SELECT g, c FROM v2 UNION ALL SELECT g, c FROM v3
+), tot AS (
+  SELECT sum(c) AS total FROM vocab
+), vm AS (
+  SELECT map_from_entries(list({{'k': g, 'v': CAST(floor(-ln(c * 1.0 / total) * 1000000) AS BIGINT)}})) AS m
+  FROM vocab CROSS JOIN tot
+), s0 AS (
+  SELECT doc_id, w, len(w) AS n, m, CAST(0 AS BIGINT) AS b0
+  FROM words CROSS JOIN vm
+){''.join(steps)}
+SELECT doc_id,
+       count(*) AS n_words,
+       CAST(sum(list_value({bsel})[n] // 1024) AS BIGINT) AS total_cost_micro,
+       CAST(sum(list_value({bsel})[n] % 1024) AS BIGINT) AS total_pieces
+FROM s{ULM_WORD_CAP}
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+QUERIES["unigram_lm_segment"] = unigram_lm_segment
+ORACLES["unigram_lm_segment"] = _ulm_sql()
