@@ -190,13 +190,16 @@ def harvest_manifest(
     snapshots: list[dict[str, Any]] = (
         list(prior.get("snapshots", [])) if prior is not None else []
     )
-    snapshots.append(
-        {
-            "id": (snapshots[-1]["id"] + 1) if snapshots else 0,
-            "files": [e["file"] for e in all_entries],
-            "total_rows": sum(e["rows"] for e in all_entries),
-        }
-    )
+    snap: dict[str, Any] = {
+        "id": (snapshots[-1]["id"] + 1) if snapshots else 0,
+        "files": [e["file"] for e in all_entries],
+        "total_rows": sum(e["rows"] for e in all_entries),
+    }
+    # appends inherit the prior snapshot's delete-file set: adding data
+    # files never un-deletes rows (merge-on-read invariant)
+    if snapshots and snapshots[-1].get("delete_files"):
+        snap["delete_files"] = list(snapshots[-1]["delete_files"])
+    snapshots.append(snap)
 
     manifest = {
         "version": 2,
@@ -207,6 +210,11 @@ def harvest_manifest(
         "files": all_entries,
         "snapshots": snapshots,
     }
+    # sink/delete state survives appends (harvest rebuilds the dict)
+    if prior is not None:
+        for carry in ("delete_files", "batch_ids"):
+            if prior.get(carry):
+                manifest[carry] = prior[carry]
     with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
         json.dump(manifest, fh, indent=1, default=str)
     return manifest
@@ -547,3 +555,78 @@ def read_snapshot_mor(
         *[os.path.join(path, n) for n in snap["files"]]
     )
     return _apply_deletes(spark, path, df, snap.get("delete_files", []), m)
+
+
+# ------------------------- exactly-once streaming commits -------------
+
+
+def commit_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    path: str,
+    batch_id: int,
+    stats_cols: list[str],
+) -> bool:
+    """Exactly-once foreachBatch → manifest-table commit: the
+    micro-batch stages to ``_staging/batch-<id>``, data files MOVE
+    into the table directory with batch-tagged names (rename is the
+    atomic primitive — the same temp→rename discipline as the Python
+    Data Source sink), and the manifest commit records ``batch_id`` in
+    its committed set. A redelivered batch (restart after the write
+    but before the checkpoint advanced — the window Structured
+    Streaming's at-least-once foreachBatch contract leaves open) finds
+    its id already committed and returns False without touching the
+    table, upgrading the pipeline to exactly-once. Returns True when
+    the batch committed."""
+    import shutil
+
+    m = read_manifest(path)
+    committed = set((m or {}).get("batch_ids", []))
+    if batch_id in committed:
+        return False
+    stage = os.path.join(path, "_staging", f"batch-{batch_id}")
+    batch_df.write.mode("overwrite").parquet(stage)
+    os.makedirs(path, exist_ok=True)
+    moved = []
+    for i, f in enumerate(sorted(os.listdir(stage))):
+        if not f.endswith(".parquet") or f.startswith(("_", ".")):
+            continue
+        dst = f"batch-{batch_id}-{i:05d}.parquet"
+        shutil.move(os.path.join(stage, f), os.path.join(path, dst))
+        moved.append(dst)
+    shutil.rmtree(stage, ignore_errors=True)
+    m2 = harvest_manifest(spark, path, stats_cols, prior=m)
+    m2["batch_ids"] = sorted(committed | {batch_id})
+    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
+        json.dump(m2, fh, indent=1, default=str)
+    return bool(moved) or True
+
+
+def run_streaming_manifest_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    stats_cols: list[str],
+) -> int:
+    """Streaming → manifest-table sink via foreachBatch + commit_batch
+    (availableNow). Returns the number of batches COMMITTED this run
+    (redelivered ids skip)."""
+    n = {"b": 0}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if commit_batch(
+            batch_df.sparkSession, batch_df, path, batch_id, stats_cols
+        ):
+            n["b"] += 1
+
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n["b"]

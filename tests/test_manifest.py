@@ -423,3 +423,57 @@ def test_merge_on_read_equality_deletes(spark, tmp_path):
     assert len(m2["snapshots"]) == 1
     clean = {r["k"] for r in MF.read_table(spark, path).collect()}
     assert clean == got2
+
+
+def test_streaming_manifest_sink_exactly_once(spark, tmp_path, sf_dir):
+    """foreachBatch → manifest commits are exactly-once: a replayed
+    batch id is a no-op (the at-least-once redelivery window closes),
+    batch files land with deterministic batch-tagged names, and the
+    committed table equals the batch-mode write."""
+    from etl_extractor_spark.sinks import manifest as MF
+    from etl_extractor_spark.streaming import events_stream as SE
+
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ck")
+    stream = SE.documents_stream(spark, sf_dir).select("doc_id", "n_chars")
+    n = MF.run_streaming_manifest_sink(stream, path, ckpt, stats_cols=["doc_id"])
+    assert n >= 1
+    total = MF.read_table(spark, path).count()
+    batch_total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert total == batch_total
+
+    # redeliver batch 0 by hand: same id -> refused, table unchanged
+    redelivered = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    assert (
+        MF.commit_batch(spark, redelivered, path, 0, stats_cols=["doc_id"])
+        is False
+    )
+    assert MF.read_table(spark, path).count() == total
+    # a NEW batch id commits and appends
+    assert MF.commit_batch(
+        spark, redelivered.limit(5), path, 999, stats_cols=["doc_id"]
+    )
+    assert MF.read_table(spark, path).count() == total + 5
+    m = MF.read_manifest(path)
+    assert 999 in m["batch_ids"] and 0 in m["batch_ids"]
+
+
+def test_append_preserves_delete_state(spark, tmp_path):
+    """Adding data files never un-deletes rows: an append after a
+    delete commit inherits the delete-file set in both the manifest
+    and the new snapshot."""
+    from etl_extractor_spark.sinks import manifest as MF
+
+    path = str(tmp_path / "t")
+    a = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, v long")
+    MF.write_with_manifest(spark, a, path, stats_cols=["k"], mode="overwrite")
+    MF.write_equality_deletes(spark, path, spark.createDataFrame([(2,)], "k long"))
+    b = spark.createDataFrame([(4, 40)], "k long, v long")
+    MF.write_with_manifest(spark, b, path, stats_cols=["k"], mode="append")
+    got = {r["k"] for r in MF.read_merge_on_read(spark, path).collect()}
+    assert got == {1, 3, 4}
+    m = MF.read_manifest(path)
+    assert [d["name"] for d in m["delete_files"]] == ["delete-0"]
+    assert m["snapshots"][-1]["delete_files"] == ["delete-0"]
