@@ -1513,8 +1513,22 @@ def unigram_lm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     def topk(df):
+        """Two-phase top-K: per-hash-bucket top-K (parallel windows)
+        then a final window over the <= 16·K survivors — the global
+        top-K never funnels the full gram vocabulary through one
+        partition (the gram space grows with charset², not a constant).
+        Same result set as a global window: the true top-K is a subset
+        of the per-bucket top-Ks, so the ORACLE's plain global window
+        is unchanged."""
+        wb = Window.partitionBy("b").orderBy(F.desc("c"), F.asc("g"))
+        survivors = (
+            df.withColumn("b", F.pmod(F.xxhash64("g"), F.lit(16)))
+            .withColumn("rk", F.row_number().over(wb))
+            .filter(F.col("rk") <= ULM_TOP_GRAMS)
+            .drop("rk", "b")
+        )
         return (
-            df.withColumn(
+            survivors.withColumn(
                 "rk", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("g")))
             )
             .filter(F.col("rk") <= ULM_TOP_GRAMS)

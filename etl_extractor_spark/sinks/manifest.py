@@ -323,6 +323,14 @@ def read_snapshot(
     preserve old files so every recorded snapshot stays readable;
     overwrites reset history (see write_with_manifest).
     """
+    m, snap = _resolve_snapshot(path, snapshot_id)
+    return spark.read.parquet(
+        *[os.path.join(path, n) for n in snap["files"]]
+    )
+
+
+def _resolve_snapshot(path: str, snapshot_id: int):
+    """Shared manifest + snapshot lookup for the time-travel readers."""
     m = read_manifest(path)
     if m is None:
         raise FileNotFoundError(f"no manifest at {path}")
@@ -332,8 +340,7 @@ def read_snapshot(
             f"snapshot {snapshot_id} not in history {sorted(by_id)} "
             "(overwritten tables keep only post-overwrite snapshots)"
         )
-    names = by_id[snapshot_id]["files"]
-    return spark.read.parquet(*[os.path.join(path, n) for n in names])
+    return m, by_id[snapshot_id]
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
@@ -544,13 +551,7 @@ def read_snapshot_mor(
     """Time travel across delete commits: plan the snapshot's data-file
     set from the manifest AND apply exactly the delete files that
     snapshot had recorded (none for pre-delete snapshots)."""
-    m = read_manifest(path)
-    if m is None:
-        raise FileNotFoundError(f"no manifest at {path}")
-    by_id = {s["id"]: s for s in m.get("snapshots", [])}
-    if snapshot_id not in by_id:
-        raise KeyError(f"snapshot {snapshot_id} not in history {sorted(by_id)}")
-    snap = by_id[snapshot_id]
+    m, snap = _resolve_snapshot(path, snapshot_id)
     df = spark.read.parquet(
         *[os.path.join(path, n) for n in snap["files"]]
     )
@@ -576,30 +577,55 @@ def commit_batch(
     but before the checkpoint advanced — the window Structured
     Streaming's at-least-once foreachBatch contract leaves open) finds
     its id already committed and returns False without touching the
-    table, upgrading the pipeline to exactly-once. Returns True when
-    the batch committed."""
+    table, upgrading the pipeline to exactly-once.
+
+    Crash safety: the id enters the committed set ONLY in the final
+    manifest write, and a redelivery first PURGES any files (and any
+    snapshot entries referencing them) left by a half-finished prior
+    attempt for this id — so however the first attempt died (between
+    file moves, after the harvest, before the id was recorded), the
+    retry converges to exactly one copy of the batch. Returns True
+    when the batch committed."""
     import shutil
 
     m = read_manifest(path)
     committed = set((m or {}).get("batch_ids", []))
     if batch_id in committed:
         return False
+    # redelivery cleanup: a prior attempt for this id crashed mid-commit
+    # (its id is absent, but its files may already sit in the table and
+    # may even appear in an interim snapshot) — remove both before
+    # re-staging, or the retry would duplicate rows.
+    prefix = f"batch-{batch_id}-"
+    if os.path.isdir(path):
+        stale = [f for f in os.listdir(path) if f.startswith(prefix)]
+        for f in stale:
+            os.remove(os.path.join(path, f))
+        if stale and m is not None:
+            m["files"] = [e for e in m["files"] if not e["file"].startswith(prefix)]
+            m["snapshots"] = [
+                s
+                for s in m.get("snapshots", [])
+                if not any(n.startswith(prefix) for n in s["files"])
+            ]
     stage = os.path.join(path, "_staging", f"batch-{batch_id}")
     batch_df.write.mode("overwrite").parquet(stage)
     os.makedirs(path, exist_ok=True)
-    moved = []
-    for i, f in enumerate(sorted(os.listdir(stage))):
-        if not f.endswith(".parquet") or f.startswith(("_", ".")):
-            continue
-        dst = f"batch-{batch_id}-{i:05d}.parquet"
-        shutil.move(os.path.join(stage, f), os.path.join(path, dst))
-        moved.append(dst)
+    parts = [
+        f
+        for f in sorted(os.listdir(stage))
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    for i, f in enumerate(parts):
+        shutil.move(
+            os.path.join(stage, f), os.path.join(path, f"{prefix}{i:05d}.parquet")
+        )
     shutil.rmtree(stage, ignore_errors=True)
     m2 = harvest_manifest(spark, path, stats_cols, prior=m)
     m2["batch_ids"] = sorted(committed | {batch_id})
     with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
         json.dump(m2, fh, indent=1, default=str)
-    return bool(moved) or True
+    return True
 
 
 def run_streaming_manifest_sink(

@@ -477,3 +477,45 @@ def test_append_preserves_delete_state(spark, tmp_path):
     m = MF.read_manifest(path)
     assert [d["name"] for d in m["delete_files"]] == ["delete-0"]
     assert m["snapshots"][-1]["delete_files"] == ["delete-0"]
+
+
+def test_commit_batch_recovers_from_half_finished_attempt(spark, tmp_path):
+    """Crash window closed: files moved in by a prior attempt whose id
+    never entered the committed set are purged on redelivery, so the
+    retry lands exactly one copy (no duplicate rows, no orphan
+    batch files)."""
+    import os
+    import shutil
+
+    from etl_extractor_spark.sinks import manifest as MF
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    MF.write_with_manifest(spark, base, path, stats_cols=["k"], mode="overwrite")
+    batch = spark.createDataFrame([(3, 30), (4, 40)], "k long, v long")
+
+    # simulate attempt #1 dying after the file moves AND an interim
+    # harvest, but before batch_id 7 was recorded
+    stage = str(tmp_path / "stage")
+    batch.write.mode("overwrite").parquet(stage)
+    parts = [
+        f
+        for f in sorted(os.listdir(stage))
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    for i, f in enumerate(parts):
+        shutil.move(
+            os.path.join(stage, f), os.path.join(path, f"batch-7-{i:05d}.parquet")
+        )
+    MF.harvest_manifest(spark, path, ["k"], prior=MF.read_manifest(path))
+    assert MF.read_table(spark, path).count() == 4  # duplicates pending
+
+    # redelivery of batch 7: purge + recommit -> exactly one copy
+    assert MF.commit_batch(spark, batch, path, 7, stats_cols=["k"]) is True
+    got = sorted(r["k"] for r in MF.read_table(spark, path).collect())
+    assert got == [1, 2, 3, 4]
+    m = MF.read_manifest(path)
+    assert 7 in m["batch_ids"]
+    # a second redelivery is now a committed no-op
+    assert MF.commit_batch(spark, batch, path, 7, stats_cols=["k"]) is False
+    assert MF.read_table(spark, path).count() == 4
