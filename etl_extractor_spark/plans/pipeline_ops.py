@@ -1654,3 +1654,94 @@ ORDER BY doc_id
 
 QUERIES["unigram_lm_segment"] = unigram_lm_segment
 ORACLES["unigram_lm_segment"] = _ulm_sql()
+
+
+# --- Classical seasonal decomposition (trend / weekday / residual) ----
+
+SD_OFF = 10_000_000_000_000  # positivity offset: truncation == floor
+
+
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue —
+    trend = 7-day centered moving average, seasonal = per-weekday mean
+    of the detrended series, residual = remainder — the decomposition
+    behind anomaly alerts and seasonality-aware forecasts. EXACT in
+    integers: money stays DECIMAL cents, the centered MA is carried as
+    (window sum, window count) and every mean is a SHIFTED floor
+    division — detrended values can be negative, where Spark's `div`
+    truncates toward zero but DuckDB's `//` floors, so both sides add
+    a positivity offset C first (floor((s + n*C)/n) = floor(s/n) + C
+    exactly, since n*C divides evenly) and subtract C after. One
+    date-grain aggregation, one ordered window, one weekday rollup —
+    the windows partition naturally at scale by year if ever needed.
+    Emits per weekday: day count and the seasonal index in micro-cent
+    units."""
+    from pyspark.sql.window import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    t = daily.select(
+        "d",
+        "cents",
+        F.sum("cents").over(w).alias("s7"),
+        F.count(F.lit(1)).over(w).alias("n7"),
+    )
+    # trend_micro = floor(s7*1e6 / n7) via the positive-shift trick
+    trend = F.expr(f"(s7 * 1000000 + n7 * {SD_OFF}) div n7 - {SD_OFF}")
+    det = t.select(
+        "d",
+        (F.col("cents") * 1000000 - trend).alias("det_micro"),
+        F.dayofweek("d").alias("dow"),
+    )
+    return (
+        det.groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.expr(
+                f"(sum(det_micro) + count(*) * {SD_OFF}) div count(*) - {SD_OFF}"
+            )
+            .cast("long")
+            .alias("seasonal_micro"),
+        )
+        .orderBy("dow")
+    )
+
+
+SEASONAL_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT d, cents,
+         CAST(sum(cents) OVER w AS BIGINT) AS s7,
+         CAST(count(*) OVER w AS BIGINT) AS n7
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), det AS (
+  SELECT d,
+         cents * 1000000 - ((s7 * 1000000 + n7 * {SD_OFF}) // n7 - {SD_OFF}) AS det_micro,
+         dayofweek(d) + 1 AS dow
+  FROM t
+)
+SELECT dow,
+       count(*) AS n_days,
+       CAST((sum(det_micro) + count(*) * {SD_OFF}) // count(*) - {SD_OFF} AS BIGINT)
+         AS seasonal_micro
+FROM det
+GROUP BY dow
+ORDER BY dow
+"""
+
+QUERIES["seasonal_decompose_daily"] = seasonal_decompose_daily
+ORACLES["seasonal_decompose_daily"] = SEASONAL_SQL
