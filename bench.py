@@ -88,6 +88,10 @@ BENCH_QUERIES = [
     # and the two-phase-rank quantile normalization
     "jaccard_prefix_filter_join",
     "quantile_normalize_sources",
+    # unrolled-DP Viterbi segmentation and the merge-on-read delete
+    # path (write + delete-commit + both time-travel reads)
+    "unigram_lm_segment",
+    "manifest_merge_on_read",
 ]
 
 
