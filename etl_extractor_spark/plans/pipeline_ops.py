@@ -1745,3 +1745,142 @@ ORDER BY dow
 
 QUERIES["seasonal_decompose_daily"] = seasonal_decompose_daily
 ORACLES["seasonal_decompose_daily"] = SEASONAL_SQL
+
+
+# --- CUPED variance-reduced A/B readout -------------------------------
+
+
+def cuped_ab_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+    al. WSDM'13) — the industry-standard variance-reduction readout:
+    θ = cov(X,Y)/var(X) over pre-period covariate X (1996 spend) and
+    experiment metric Y (1997 spend), Y_adj = Y - θ(X - mean X), which
+    preserves the treatment-effect estimate while shrinking variance
+    by the squared X-Y correlation. Variant assignment is the
+    engine-identical md5-48bit hash parity; every moment is an exact
+    DECIMAL(38,0) integer sum (customers with no orders count as zero
+    spend — intent-to-treat), so θ, the per-variant adjusted means and
+    the variance-reduction ratio are each ONE identical double
+    computation from identical integers. One aggregation pass over a
+    customer-grain join; O(variants) scalar math; oracle replays the
+    algebra verbatim."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year(F.to_date("o_orderdate")).alias("yr"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("yr") == 1996, F.col("cents"))), F.lit(0)
+            ).cast("long").alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("yr") == 1997, F.col("cents"))), F.lit(0)
+            ).cast("long").alias("y"),
+        )
+        .withColumn(
+            "variant",
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 12),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(2),
+            ),
+        )
+    )
+
+    def dsum(col):
+        return F.sum(col.cast("decimal(38,0)"))
+
+    g = spend.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    v = spend.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("nv"),
+        dsum(F.col("x")).alias("svx"),
+        dsum(F.col("y")).alias("svy"),
+    )
+    j = v.join(F.broadcast(g), F.lit(True), "left")
+
+    def d(name):
+        return F.col(name).cast("double")
+
+    n = d("n")
+    cxx = d("sxx") - d("sx") * d("sx") / n
+    cxy = d("sxy") - d("sx") * d("sy") / n
+    cyy = d("syy") - d("sy") * d("sy") / n
+    theta = cxy / cxx
+    mean_x = d("sx") / n
+    mean_y_v = d("svy") / d("nv")
+    mean_adj_v = mean_y_v - theta * (d("svx") / d("nv") - mean_x)
+    var_red = (cxy * cxy) / (cxx * cyy)
+
+    def q6(c):
+        return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+
+    return j.select(
+        F.col("variant").cast("long").alias("variant"),
+        F.col("nv").cast("long").alias("n_units"),
+        q6(mean_y_v / 100).alias("mean_y"),
+        q6(mean_adj_v / 100).alias("mean_y_cuped"),
+        q6(theta).alias("theta"),
+        q6(var_red).alias("variance_reduction"),
+    ).orderBy("variant")
+
+
+CUPED_SQL = """
+WITH spend AS (
+  SELECT c.c_custkey,
+         CAST(coalesce(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+              THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0) AS BIGINT) AS x,
+         CAST(coalesce(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997
+              THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0) AS BIGINT) AS y
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+), sv AS (
+  SELECT c_custkey, x, y,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12)) AS BIGINT) % 2 AS variant
+  FROM spend
+), g AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(x*y) AS DOUBLE) AS sxy,
+         CAST(sum(y*y) AS DOUBLE) AS syy
+  FROM sv
+), v AS (
+  SELECT variant, count(*) AS nv,
+         CAST(sum(x) AS DOUBLE) AS svx, CAST(sum(y) AS DOUBLE) AS svy
+  FROM sv GROUP BY 1
+), c2 AS (
+  SELECT v.*, g.*,
+         g.sxx - g.sx*g.sx / CAST(g.n AS DOUBLE) AS cxx,
+         g.sxy - g.sx*g.sy / CAST(g.n AS DOUBLE) AS cxy,
+         g.syy - g.sy*g.sy / CAST(g.n AS DOUBLE) AS cyy
+  FROM v CROSS JOIN g
+)
+SELECT CAST(variant AS BIGINT) AS variant,
+       CAST(nv AS BIGINT) AS n_units,
+       floor(svy / CAST(nv AS DOUBLE) / 100 * 1000000 + 0.5) / 1000000 AS mean_y,
+       floor((svy / CAST(nv AS DOUBLE)
+              - cxy / cxx * (svx / CAST(nv AS DOUBLE) - sx / CAST(n AS DOUBLE)))
+             / 100 * 1000000 + 0.5) / 1000000 AS mean_y_cuped,
+       floor(cxy / cxx * 1000000 + 0.5) / 1000000 AS theta,
+       floor(cxy * cxy / (cxx * cyy) * 1000000 + 0.5) / 1000000 AS variance_reduction
+FROM c2
+ORDER BY variant
+"""
+
+QUERIES["cuped_ab_adjustment"] = cuped_ab_adjustment
+ORACLES["cuped_ab_adjustment"] = CUPED_SQL
