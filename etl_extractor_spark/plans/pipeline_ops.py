@@ -36,6 +36,15 @@ Queries (each oracle-backed):
                           seeded deterministic draw (exact oracle)
 - quantile_normalize_sources : per-source → global order-statistic
                           mapping, distributed two-phase ranks
+- shard_bz2_multistream : Wikipedia-dump multistream bz2 members
+- manifest_merge_on_read : Iceberg-style equality deletes + time
+                          travel across delete commits
+- unigram_lm_segment    : SentencePiece-style Viterbi DP as unrolled
+                          codegen columns
+- seasonal_decompose_daily : exact integer trend/weekday decomposition
+- cuped_ab_adjustment   : CUPED variance-reduced A/B readout
+- did_estimator         : difference-in-differences from the same
+                          sufficient-stats machinery
 
 Reference parity: nilfredb/ETL-Extractor has no shard/dedup/stats
 layer (core is extractors/*.py + transformers/*.py, 828 LoC); these
@@ -1884,3 +1893,113 @@ ORDER BY variant
 
 QUERIES["cuped_ab_adjustment"] = cuped_ab_adjustment
 ORACLES["cuped_ab_adjustment"] = CUPED_SQL
+
+
+# --- Difference-in-differences ----------------------------------------
+
+
+def did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the quasi-experimental counterpart
+    to cuped_ab_adjustment when assignment is not randomized: the
+    2×2 (group × period) mean grid over integer cents, with
+    DiD = (treat_post - treat_pre) - (control_post - control_pre).
+    Group = md5-parity of custkey, periods = 1996 (pre) / 1997 (post);
+    intent-to-treat zero-fill at customer grain. One aggregation pass,
+    four exact integer sums, O(1) scalar math; the oracle replays the
+    grid verbatim. Emits one row: the four cell means plus the DiD
+    estimate (cents → currency units, 1e-6-quantized)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year(F.to_date("o_orderdate")).alias("yr"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("yr") == 1996, F.col("cents"))), F.lit(0)
+            ).cast("long").alias("pre"),
+            F.coalesce(
+                F.sum(F.when(F.col("yr") == 1997, F.col("cents"))), F.lit(0)
+            ).cast("long").alias("post"),
+        )
+        .withColumn(
+            "treat",
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 12),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(2),
+            ),
+        )
+    )
+
+    def dsum(col):
+        return F.sum(col.cast("decimal(38,0)"))
+
+    g = spend.groupBy("treat").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("pre")).alias("sp"),
+        dsum(F.col("post")).alias("so"),
+    )
+    t = g.filter(F.col("treat") == 1).select(
+        F.col("n").alias("nt"), F.col("sp").alias("tp"), F.col("so").alias("to")
+    )
+    ctl = g.filter(F.col("treat") == 0).select(
+        F.col("n").alias("nc"), F.col("sp").alias("cp"), F.col("so").alias("co")
+    )
+    j = t.crossJoin(ctl)
+
+    def m(s, n):
+        return F.col(s).cast("double") / F.col(n).cast("double") / 100
+
+    def q6(c):
+        return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+
+    did = (m("to", "nt") - m("tp", "nt")) - (m("co", "nc") - m("cp", "nc"))
+    return j.select(
+        q6(m("tp", "nt")).alias("treat_pre"),
+        q6(m("to", "nt")).alias("treat_post"),
+        q6(m("cp", "nc")).alias("control_pre"),
+        q6(m("co", "nc")).alias("control_post"),
+        q6(did).alias("did"),
+    )
+
+
+DID_SQL = """
+WITH spend AS (
+  SELECT c.c_custkey,
+         CAST(coalesce(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+              THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0) AS BIGINT) AS pre,
+         CAST(coalesce(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997
+              THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0) AS BIGINT) AS post
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+), sv AS (
+  SELECT pre, post,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12)) AS BIGINT) % 2 AS treat
+  FROM spend
+), g AS (
+  SELECT treat, count(*) AS n,
+         CAST(sum(pre) AS DOUBLE) AS sp, CAST(sum(post) AS DOUBLE) AS so
+  FROM sv GROUP BY 1
+), t AS (SELECT n AS nt, sp AS tp, so AS "to" FROM g WHERE treat = 1),
+c2 AS (SELECT n AS nc, sp AS cp, so AS co FROM g WHERE treat = 0)
+SELECT floor(tp / CAST(nt AS DOUBLE) / 100 * 1000000 + 0.5) / 1000000 AS treat_pre,
+       floor("to" / CAST(nt AS DOUBLE) / 100 * 1000000 + 0.5) / 1000000 AS treat_post,
+       floor(cp / CAST(nc AS DOUBLE) / 100 * 1000000 + 0.5) / 1000000 AS control_pre,
+       floor(co / CAST(nc AS DOUBLE) / 100 * 1000000 + 0.5) / 1000000 AS control_post,
+       floor(((\"to\" / CAST(nt AS DOUBLE) / 100 - tp / CAST(nt AS DOUBLE) / 100)
+              - (co / CAST(nc AS DOUBLE) / 100 - cp / CAST(nc AS DOUBLE) / 100))
+             * 1000000 + 0.5) / 1000000 AS did
+FROM t CROSS JOIN c2
+"""
+
+QUERIES["did_estimator"] = did_estimator
+ORACLES["did_estimator"] = DID_SQL
