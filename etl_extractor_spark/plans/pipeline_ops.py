@@ -2003,3 +2003,117 @@ FROM t CROSS JOIN c2
 
 QUERIES["did_estimator"] = did_estimator
 ORACLES["did_estimator"] = DID_SQL
+
+
+# --- Mann-Whitney U (nonparametric two-sample test) -------------------
+
+
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test on order value between two
+    hash-assigned variants — the nonparametric two-sample test the
+    stats suite lacked (robust where the t/z tests assume normality).
+    EXACT pair counting without pairs: per distinct value v, with
+    group counts na(v), nb(v) and the cumulative count CB<(v) of B
+    values below v, 2·U_A = Σ_v na(v)·(2·CB<(v) + nb(v)) — ties
+    contribute the half unit exactly in doubled-integer space, so U is
+    an exact BIGINT however many ties exist. The cumulative walk runs
+    over the DISTINCT-value relation, which is order-scaled, so it
+    uses the two-phase bucket-cumsum (order-aligned v-buckets,
+    broadcast offsets) — never a single-partition window over data
+    that grows with SF. The normal-approximation z uses the no-tie
+    variance na·nb·(n+1)/12 — a REPORTING convention pinned
+    identically in the oracle. One row: na, nb, 2U_A, z (1e-6)."""
+    from pyspark.sql.window import Window
+
+    v = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v"),
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(2),
+        ).alias("grp"),
+    )
+    per_v = v.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("nb"),
+    ).withColumn("b", F.expr("v div 1000000"))
+    # two-phase cumulative nb strictly below v: within-bucket running
+    # sum (exclusive) + broadcast per-bucket offsets
+    wv = (
+        Window.partitionBy("b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sizes = per_v.groupBy("b").agg(F.sum("nb").alias("nbb"))
+    wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "b", F.coalesce(F.sum("nbb").over(wo), F.lit(0)).alias("off")
+    )
+    cum = (
+        per_v.withColumn("cb_in", F.coalesce(F.sum("nb").over(wv), F.lit(0)))
+        .join(F.broadcast(offsets), "b")
+        .select(
+            "v",
+            "na",
+            "nb",
+            (F.col("cb_in") + F.col("off")).alias("cb_less"),
+        )
+    )
+    agg = cum.agg(
+        F.sum("na").cast("long").alias("n_a"),
+        F.sum("nb").cast("long").alias("n_b"),
+        F.sum(
+            (F.col("na") * (2 * F.col("cb_less") + F.col("nb"))).cast("decimal(38,0)")
+        ).alias("u2"),
+    )
+
+    def d(name):
+        return F.col(name).cast("double")
+
+    mu2 = d("n_a") * d("n_b")                       # 2·E[U] = na·nb
+    sd2 = F.sqrt(d("n_a") * d("n_b") * (d("n_a") + d("n_b") + 1) / 3.0)
+    z = (d("u2") - mu2) / sd2                       # doubled space: var×4
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.col("u2").cast("long").alias("two_u_a"),
+        (F.floor(z * 1000000 + F.lit(0.5)) / 1000000).alias("z"),
+    )
+
+
+MWU_SQL = """
+WITH x AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12)) AS BIGINT) % 2 AS grp
+  FROM orders
+), per_v AS (
+  SELECT v,
+         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM x GROUP BY 1
+), cum AS (
+  SELECT v, na, nb,
+         CAST(coalesce(sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb_less
+  FROM per_v
+), agg AS (
+  SELECT CAST(sum(na) AS BIGINT) AS n_a,
+         CAST(sum(nb) AS BIGINT) AS n_b,
+         CAST(sum(na * (2 * cb_less + nb)) AS DOUBLE) AS u2d,
+         CAST(sum(na * (2 * cb_less + nb)) AS BIGINT) AS u2
+  FROM cum
+)
+SELECT n_a, n_b, u2 AS two_u_a,
+       floor((u2d - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+             / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                    * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1) / 3.0)
+             * 1000000 + 0.5) / 1000000 AS z
+FROM agg
+"""
+
+QUERIES["mann_whitney_u"] = mann_whitney_u
+ORACLES["mann_whitney_u"] = MWU_SQL
