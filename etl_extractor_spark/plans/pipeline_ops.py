@@ -45,6 +45,8 @@ Queries (each oracle-backed):
 - cuped_ab_adjustment   : CUPED variance-reduced A/B readout
 - did_estimator         : difference-in-differences from the same
                           sufficient-stats machinery
+- mann_whitney_u        : tie-exact doubled-integer rank-sum test,
+                          two-phase cumulative counts
 
 Reference parity: nilfredb/ETL-Extractor has no shard/dedup/stats
 layer (core is extractors/*.py + transformers/*.py, 828 LoC); these
