@@ -47,6 +47,8 @@ Queries (each oracle-backed):
                           sufficient-stats machinery
 - mann_whitney_u        : tie-exact doubled-integer rank-sum test,
                           two-phase cumulative counts
+- km_survival_curve     : right-censored Kaplan-Meier churn curve,
+                          integer log-sum product limit
 
 Reference parity: nilfredb/ETL-Extractor has no shard/dedup/stats
 layer (core is extractors/*.py + transformers/*.py, 828 LoC); these
@@ -2119,3 +2121,123 @@ FROM agg
 
 QUERIES["mann_whitney_u"] = mann_whitney_u
 ORACLES["mann_whitney_u"] = MWU_SQL
+
+
+# --- Kaplan-Meier survival estimator ----------------------------------
+
+KM_CENSOR_CUTOFF = "1998-03-01"  # last-order after this => censored
+
+
+def km_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimation — the censoring-aware
+    time-to-event family (retention/churn curves) the stats suite
+    lacked. Per customer: duration = days between first and last
+    order; customers still ordering near the dataset horizon (last
+    order past the cutoff) are right-CENSORED — they contribute to
+    the at-risk set without registering an event, the estimator's
+    whole point. S(t) = Π_{t_j<=t} (1 - d_j/n_j) is carried in LOG
+    space as a cumulative sum of per-time terms floor-quantized to
+    integer micro-units BEFORE summation — products of rationals
+    become order-independent integer sums (the repo's float-sum
+    idiom), and each ln runs on the identical (n-d)/n double both
+    engines derive from identical integer counts. The per-event-time
+    walk is calendar-bounded (distinct durations ≤ dataset span in
+    days), so its ordered window is O(days), never O(customers).
+    Emits per event time: at-risk count, events, censored-at-t, the
+    exact integer log-survival and the 1e-6-quantized KM curve."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    span = o.groupBy("o_custkey").agg(
+        F.min("d").alias("first_d"), F.max("d").alias("last_d")
+    )
+    per_c = span.select(
+        F.datediff("last_d", "first_d").alias("t"),
+        (F.col("last_d") < F.lit(KM_CENSOR_CUTOFF)).cast("long").alias("event"),
+    )
+    total = per_c.agg(F.count(F.lit(1)).alias("n_total"))
+    by_t = per_c.groupBy("t").agg(
+        F.sum("event").cast("long").alias("d_events"),
+        F.sum(1 - F.col("event")).cast("long").alias("censored"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        by_t.join(F.broadcast(total), F.lit(True), "left")
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("d_events") + F.col("censored")).over(w), F.lit(0)
+            ),
+        )
+    )
+    term = F.when(
+        F.col("d_events") > 0,
+        F.floor(
+            F.log(
+                (F.col("n_risk") - F.col("d_events")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * 1000000
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    curve = risk.withColumn("log_s_micro", F.sum(term).over(wc))
+    km = F.floor(
+        F.exp(F.col("log_s_micro").cast("double") / 1000000) * 1000000 + F.lit(0.5)
+    ) / 1000000
+    return curve.select(
+        F.col("t").cast("long").alias("duration_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        "d_events",
+        "censored",
+        F.col("log_s_micro").cast("long").alias("log_surv_micro"),
+        km.alias("km_survival"),
+    ).orderBy("duration_days")
+
+
+KM_SQL = f"""
+WITH span AS (
+  SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS first_d,
+         max(CAST(o_orderdate AS DATE)) AS last_d
+  FROM orders GROUP BY 1
+), per_c AS (
+  SELECT datediff('day', first_d, last_d) AS t,
+         CAST(last_d < DATE '{KM_CENSOR_CUTOFF}' AS BIGINT) AS event
+  FROM span
+), tot AS (
+  SELECT count(*) AS n_total FROM per_c
+), by_t AS (
+  SELECT t, CAST(sum(event) AS BIGINT) AS d_events,
+         CAST(sum(1 - event) AS BIGINT) AS censored
+  FROM per_c GROUP BY 1
+), risk AS (
+  SELECT t, d_events, censored,
+         n_total - CAST(coalesce(sum(d_events + censored) OVER
+           (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_risk
+  FROM by_t CROSS JOIN tot
+), terms AS (
+  SELECT *, CASE WHEN d_events > 0
+                 THEN CAST(floor(ln(CAST(n_risk - d_events AS DOUBLE)
+                                    / CAST(n_risk AS DOUBLE)) * 1000000) AS BIGINT)
+                 ELSE 0 END AS term
+  FROM risk
+), curve AS (
+  SELECT *, CAST(sum(term) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS log_s_micro
+  FROM terms
+)
+SELECT CAST(t AS BIGINT) AS duration_days,
+       n_risk, d_events, censored,
+       log_s_micro AS log_surv_micro,
+       floor(exp(CAST(log_s_micro AS DOUBLE) / 1000000) * 1000000 + 0.5) / 1000000
+         AS km_survival
+FROM curve
+ORDER BY duration_days
+"""
+
+QUERIES["km_survival_curve"] = km_survival_curve
+ORACLES["km_survival_curve"] = KM_SQL
