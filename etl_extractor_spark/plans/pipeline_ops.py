@@ -49,6 +49,8 @@ Queries (each oracle-backed):
                           two-phase cumulative counts
 - km_survival_curve     : right-censored Kaplan-Meier churn curve,
                           integer log-sum product limit
+- logrank_test          : two-group survival comparison, exact O-E
+                          sums
 
 Reference parity: nilfredb/ETL-Extractor has no shard/dedup/stats
 layer (core is extractors/*.py + transformers/*.py, 828 LoC); these
@@ -2241,3 +2243,155 @@ ORDER BY duration_days
 
 QUERIES["km_survival_curve"] = km_survival_curve
 ORACLES["km_survival_curve"] = KM_SQL
+
+
+# --- Log-rank test (two-group survival comparison) --------------------
+
+
+def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test — does survival differ between two customer
+    groups? (The hypothesis-test companion to km_survival_curve, and
+    with it the standard churn-analysis pair.) Durations and horizon
+    censoring as in the KM query; groups by the engine-identical md5
+    parity. At each event time t: observed events in group 1 vs the
+    hypergeometric expectation E = d_t·n1_t/n_t and variance
+    V = d_t·(n1_t/n_t)·(1-n1_t/n_t)·(n_t-d_t)/(n_t-1). The at-risk
+    walks are the same calendar-bounded cumulative windows as KM; the
+    per-time E and V are each ONE double expression from identical
+    integer counts, floor-quantized to micro-units BEFORE the final
+    sums so the accumulations are order-independent integers; the
+    chi-square statistic (O-E)²/V computes from those exact sums.
+    Emits one row: totals, O, E (micro), V (micro), chi2 (1e-6)."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    span = o.groupBy("o_custkey").agg(
+        F.min("d").alias("first_d"), F.max("d").alias("last_d")
+    )
+    per_c = span.select(
+        "o_custkey",
+        F.datediff("last_d", "first_d").alias("t"),
+        (F.col("last_d") < F.lit(KM_CENSOR_CUTOFF)).cast("long").alias("event"),
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(2),
+        ).alias("grp"),
+    )
+    by_t = per_c.groupBy("t").agg(
+        F.sum("event").cast("long").alias("d_all"),
+        F.sum(F.when(F.col("grp") == 1, F.col("event")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.count(F.lit(1)).cast("long").alias("leave_all"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("leave1"),
+    )
+    totals = per_c.agg(
+        F.count(F.lit(1)).alias("n_all_tot"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("n1_tot"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = by_t.join(F.broadcast(totals), F.lit(True), "left").select(
+        "t",
+        "d_all",
+        "d1",
+        (F.col("n_all_tot") - F.coalesce(F.sum("leave_all").over(w), F.lit(0))).alias(
+            "n_all"
+        ),
+        (F.col("n1_tot") - F.coalesce(F.sum("leave1").over(w), F.lit(0))).alias("n1"),
+    ).filter(F.col("d_all") > 0)
+
+    def d(name):
+        return F.col(name).cast("double")
+
+    e_micro = F.floor(d("d_all") * d("n1") / d("n_all") * 1000000).cast("long")
+    p1 = d("n1") / d("n_all")
+    v_micro = F.when(
+        F.col("n_all") > 1,
+        F.floor(
+            d("d_all") * p1 * (1 - p1) * (d("n_all") - d("d_all"))
+            / (d("n_all") - 1)
+            * 1000000
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    agg = risk.agg(
+        F.sum("d_all").cast("long").alias("events_total"),
+        F.sum("d1").cast("long").alias("observed_g1"),
+        F.sum(e_micro).cast("long").alias("expected_g1_micro"),
+        F.sum(v_micro).cast("long").alias("variance_micro"),
+    )
+    chi2 = (
+        (F.col("observed_g1") * 1000000 - F.col("expected_g1_micro")).cast("double")
+        / 1000000
+    ) ** 2 / (F.col("variance_micro").cast("double") / 1000000)
+    return agg.select(
+        "events_total",
+        "observed_g1",
+        "expected_g1_micro",
+        "variance_micro",
+        (F.floor(chi2 * 1000000 + F.lit(0.5)) / 1000000).alias("chi2"),
+    )
+
+
+LOGRANK_SQL = f"""
+WITH span AS (
+  SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS first_d,
+         max(CAST(o_orderdate AS DATE)) AS last_d
+  FROM orders GROUP BY 1
+), per_c AS (
+  SELECT datediff('day', first_d, last_d) AS t,
+         CAST(last_d < DATE '{KM_CENSOR_CUTOFF}' AS BIGINT) AS event,
+         CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT) % 2 AS grp
+  FROM span
+), by_t AS (
+  SELECT t,
+         CAST(sum(event) AS BIGINT) AS d_all,
+         CAST(sum(CASE WHEN grp = 1 THEN event ELSE 0 END) AS BIGINT) AS d1,
+         CAST(count(*) AS BIGINT) AS leave_all,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS leave1
+  FROM per_c GROUP BY 1
+), tot AS (
+  SELECT count(*) AS n_all_tot,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1_tot
+  FROM per_c
+), risk AS (
+  SELECT t, d_all, d1,
+         n_all_tot - CAST(coalesce(sum(leave_all) OVER
+           (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_all,
+         n1_tot - CAST(coalesce(sum(leave1) OVER
+           (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n1
+  FROM by_t CROSS JOIN tot
+), f AS (
+  SELECT * FROM risk WHERE d_all > 0
+), terms AS (
+  SELECT d_all, d1,
+         CAST(floor(CAST(d_all AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n_all AS DOUBLE) * 1000000) AS BIGINT) AS e_micro,
+         CASE WHEN n_all > 1 THEN
+           CAST(floor(CAST(d_all AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n_all AS DOUBLE))
+                      * (1 - CAST(n1 AS DOUBLE) / CAST(n_all AS DOUBLE))
+                      * (CAST(n_all AS DOUBLE) - CAST(d_all AS DOUBLE))
+                      / (CAST(n_all AS DOUBLE) - 1) * 1000000) AS BIGINT)
+         ELSE 0 END AS v_micro
+  FROM f
+), agg AS (
+  SELECT CAST(sum(d_all) AS BIGINT) AS events_total,
+         CAST(sum(d1) AS BIGINT) AS observed_g1,
+         CAST(sum(e_micro) AS BIGINT) AS expected_g1_micro,
+         CAST(sum(v_micro) AS BIGINT) AS variance_micro
+  FROM terms
+)
+SELECT events_total, observed_g1, expected_g1_micro, variance_micro,
+       floor(pow(CAST(observed_g1 * 1000000 - expected_g1_micro AS DOUBLE) / 1000000, 2)
+             / (CAST(variance_micro AS DOUBLE) / 1000000) * 1000000 + 0.5) / 1000000 AS chi2
+FROM agg
+"""
+
+QUERIES["logrank_test"] = logrank_test
+ORACLES["logrank_test"] = LOGRANK_SQL
