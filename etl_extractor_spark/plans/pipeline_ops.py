@@ -1673,8 +1673,6 @@ ORACLES["unigram_lm_segment"] = _ulm_sql()
 
 # --- Classical seasonal decomposition (trend / weekday / residual) ----
 
-SD_OFF = 10_000_000_000_000  # positivity offset: truncation == floor
-
 
 def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive seasonal decomposition of daily revenue —
@@ -1682,15 +1680,17 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the detrended series, residual = remainder — the decomposition
     behind anomaly alerts and seasonality-aware forecasts. EXACT in
     integers: money stays DECIMAL cents, the centered MA is carried as
-    (window sum, window count) and every mean is a SHIFTED floor
-    division — detrended values can be negative, where Spark's `div`
-    truncates toward zero but DuckDB's `//` floors, so both sides add
-    a positivity offset C first (floor((s + n*C)/n) = floor(s/n) + C
-    exactly, since n*C divides evenly) and subtract C after. One
-    date-grain aggregation, one ordered window, one weekday rollup —
-    the windows partition naturally at scale by year if ever needed.
-    Emits per weekday: day count and the seasonal index in micro-cent
-    units."""
+    (window sum, window count), and the possibly-NEGATIVE seasonal
+    mean uses the SIGN-SAFE floor division
+    (s - ((s % n) + n) % n) div n — the numerator becomes exactly
+    divisible, where truncation and floor agree, so the idiom is
+    engine-version-proof (both engines' % is C-style truncating; an
+    additive positivity offset was NOT safe: the per-weekday detrended
+    SUM scales with the data and outgrew any fixed constant at sf1 —
+    review catch, verified negative for 4 of 7 weekday groups). One
+    date-grain aggregation, one ordered window, one weekday rollup;
+    the windows are calendar-bounded. Emits per weekday: day count
+    and the seasonal index in micro-cent units."""
     from pyspark.sql.window import Window
 
     daily = (
@@ -1711,8 +1711,8 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(w).alias("s7"),
         F.count(F.lit(1)).over(w).alias("n7"),
     )
-    # trend_micro = floor(s7*1e6 / n7) via the positive-shift trick
-    trend = F.expr(f"(s7 * 1000000 + n7 * {SD_OFF}) div n7 - {SD_OFF}")
+    # trend sums are non-negative: plain integer division IS floor
+    trend = F.expr("(s7 * 1000000) div n7")
     det = t.select(
         "d",
         (F.col("cents") * 1000000 - trend).alias("det_micro"),
@@ -1723,7 +1723,8 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_days"),
             F.expr(
-                f"(sum(det_micro) + count(*) * {SD_OFF}) div count(*) - {SD_OFF}"
+                "(sum(det_micro) - ((sum(det_micro) % count(*)) + count(*))"
+                " % count(*)) div count(*)"
             )
             .cast("long")
             .alias("seasonal_micro"),
@@ -1732,7 +1733,7 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SEASONAL_SQL = f"""
+SEASONAL_SQL = """
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS d,
          CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
@@ -1745,14 +1746,14 @@ WITH daily AS (
   WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
 ), det AS (
   SELECT d,
-         cents * 1000000 - ((s7 * 1000000 + n7 * {SD_OFF}) // n7 - {SD_OFF}) AS det_micro,
+         cents * 1000000 - ((s7 * 1000000) // n7) AS det_micro,
          dayofweek(d) + 1 AS dow
   FROM t
 )
 SELECT dow,
        count(*) AS n_days,
-       CAST((sum(det_micro) + count(*) * {SD_OFF}) // count(*) - {SD_OFF} AS BIGINT)
-         AS seasonal_micro
+       CAST((sum(det_micro) - ((sum(det_micro) % count(*)) + count(*)) % count(*))
+            // count(*) AS BIGINT) AS seasonal_micro
 FROM det
 GROUP BY dow
 ORDER BY dow
@@ -1760,6 +1761,59 @@ ORDER BY dow
 
 QUERIES["seasonal_decompose_daily"] = seasonal_decompose_daily
 ORACLES["seasonal_decompose_daily"] = SEASONAL_SQL
+
+
+# --- shared derivations for the experimentation / survival suites -----
+
+
+def _hash_parity(col):
+    """Engine-identical md5-48bit parity assignment (the repo's
+    standard deterministic unit-randomization idiom)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 12), 16, 10).cast(
+            "long"
+        ),
+        F.lit(2),
+    )
+
+
+def _spend_by_customer(spark: SparkSession, sf_dir: str, grp_name: str) -> DataFrame:
+    """Customer-grain 1996 (pre) / 1997 (post) spend in exact integer
+    cents with intent-to-treat zero-fill, plus the hash-parity group
+    column — shared by cuped_ab_adjustment and did_estimator so the
+    paired estimators can never drift apart (review catch)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year(F.to_date("o_orderdate")).alias("yr"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("yr") == 1996, F.col("cents"))), F.lit(0)
+            ).cast("long").alias("pre"),
+            F.coalesce(
+                F.sum(F.when(F.col("yr") == 1997, F.col("cents"))), F.lit(0)
+            ).cast("long").alias("post"),
+        )
+        .withColumn(grp_name, _hash_parity(F.col("c_custkey")))
+    )
+
+
+_SPEND_CTE = """
+  SELECT c.c_custkey,
+         CAST(coalesce(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+              THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0) AS BIGINT) AS pre,
+         CAST(coalesce(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997
+              THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0) AS BIGINT) AS post
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+"""
 
 
 # --- CUPED variance-reduced A/B readout -------------------------------
@@ -1779,36 +1833,8 @@ def cuped_ab_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     computation from identical integers. One aggregation pass over a
     customer-grain join; O(variants) scalar math; oracle replays the
     algebra verbatim."""
-    c = load_table(spark, sf_dir, "customer").select("c_custkey")
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_custkey",
-        F.year(F.to_date("o_orderdate")).alias("yr"),
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long")
-        .alias("cents"),
-    )
-    spend = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("yr") == 1996, F.col("cents"))), F.lit(0)
-            ).cast("long").alias("x"),
-            F.coalesce(
-                F.sum(F.when(F.col("yr") == 1997, F.col("cents"))), F.lit(0)
-            ).cast("long").alias("y"),
-        )
-        .withColumn(
-            "variant",
-            F.pmod(
-                F.conv(
-                    F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 12),
-                    16,
-                    10,
-                ).cast("long"),
-                F.lit(2),
-            ),
-        )
+    spend = _spend_by_customer(spark, sf_dir, "variant").select(
+        F.col("pre").alias("x"), F.col("post").alias("y"), "variant"
     )
 
     def dsum(col):
@@ -1855,15 +1881,9 @@ def cuped_ab_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("variant")
 
 
-CUPED_SQL = """
-WITH spend AS (
-  SELECT c.c_custkey,
-         CAST(coalesce(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
-              THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0) AS BIGINT) AS x,
-         CAST(coalesce(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997
-              THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0) AS BIGINT) AS y
-  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-  GROUP BY 1
+CUPED_SQL = f"""
+WITH spend0 AS ({_SPEND_CTE}), spend AS (
+  SELECT c_custkey, pre AS x, post AS y FROM spend0
 ), sv AS (
   SELECT c_custkey, x, y,
          CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12)) AS BIGINT) % 2 AS variant
@@ -1914,37 +1934,7 @@ def did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     four exact integer sums, O(1) scalar math; the oracle replays the
     grid verbatim. Emits one row: the four cell means plus the DiD
     estimate (cents → currency units, 1e-6-quantized)."""
-    c = load_table(spark, sf_dir, "customer").select("c_custkey")
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_custkey",
-        F.year(F.to_date("o_orderdate")).alias("yr"),
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long")
-        .alias("cents"),
-    )
-    spend = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("yr") == 1996, F.col("cents"))), F.lit(0)
-            ).cast("long").alias("pre"),
-            F.coalesce(
-                F.sum(F.when(F.col("yr") == 1997, F.col("cents"))), F.lit(0)
-            ).cast("long").alias("post"),
-        )
-        .withColumn(
-            "treat",
-            F.pmod(
-                F.conv(
-                    F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 12),
-                    16,
-                    10,
-                ).cast("long"),
-                F.lit(2),
-            ),
-        )
-    )
+    spend = _spend_by_customer(spark, sf_dir, "treat")
 
     def dsum(col):
         return F.sum(col.cast("decimal(38,0)"))
@@ -1978,16 +1968,8 @@ def did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DID_SQL = """
-WITH spend AS (
-  SELECT c.c_custkey,
-         CAST(coalesce(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
-              THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0) AS BIGINT) AS pre,
-         CAST(coalesce(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997
-              THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0) AS BIGINT) AS post
-  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-  GROUP BY 1
-), sv AS (
+DID_SQL = f"""
+WITH spend AS ({_SPEND_CTE}), sv AS (
   SELECT pre, post,
          CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12)) AS BIGINT) % 2 AS treat
   FROM spend
@@ -2125,6 +2107,37 @@ QUERIES["mann_whitney_u"] = mann_whitney_u
 ORACLES["mann_whitney_u"] = MWU_SQL
 
 
+# --- shared survival derivation ---------------------------------------
+
+
+def _survival_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer (custkey, duration days, event flag) with horizon
+    censoring — shared by km_survival_curve and logrank_test so the
+    paired estimators use one censoring definition (review catch)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.min("d").alias("first_d"), F.max("d").alias("last_d"))
+        .select(
+            "o_custkey",
+            F.datediff("last_d", "first_d").alias("t"),
+            (F.col("last_d") < F.lit(KM_CENSOR_CUTOFF)).cast("long").alias("event"),
+        )
+    )
+
+
+def _survival_cte() -> str:
+    return f"""
+  SELECT o_custkey, datediff('day', first_d, last_d) AS t,
+         CAST(last_d < DATE '{KM_CENSOR_CUTOFF}' AS BIGINT) AS event
+  FROM (SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS first_d,
+               max(CAST(o_orderdate AS DATE)) AS last_d
+        FROM orders GROUP BY 1)
+"""
+
+
 # --- Kaplan-Meier survival estimator ----------------------------------
 
 KM_CENSOR_CUTOFF = "1998-03-01"  # last-order after this => censored
@@ -2149,16 +2162,7 @@ def km_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer log-survival and the 1e-6-quantized KM curve."""
     from pyspark.sql.window import Window
 
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", F.to_date("o_orderdate").alias("d")
-    )
-    span = o.groupBy("o_custkey").agg(
-        F.min("d").alias("first_d"), F.max("d").alias("last_d")
-    )
-    per_c = span.select(
-        F.datediff("last_d", "first_d").alias("t"),
-        (F.col("last_d") < F.lit(KM_CENSOR_CUTOFF)).cast("long").alias("event"),
-    )
+    per_c = _survival_spans(spark, sf_dir).drop("o_custkey")
     total = per_c.agg(F.count(F.lit(1)).alias("n_total"))
     by_t = per_c.groupBy("t").agg(
         F.sum("event").cast("long").alias("d_events"),
@@ -2175,8 +2179,13 @@ def km_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # n_risk == d_events (everyone at risk churns at t) sends the true
+    # term to ln(0) = -inf — where Spark log() yields NULL (silently
+    # dropped by sum) but DuckDB ln() RAISES. Pin an explicit floor
+    # sentinel of -1e8 micro (exp(-100) ~ 4e-44 -> KM quantizes to 0)
+    # identically on both engines (the dp_noisy_counts landmine class).
     term = F.when(
-        F.col("d_events") > 0,
+        (F.col("d_events") > 0) & (F.col("n_risk") > F.col("d_events")),
         F.floor(
             F.log(
                 (F.col("n_risk") - F.col("d_events")).cast("double")
@@ -2184,7 +2193,7 @@ def km_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             * 1000000
         ),
-    ).otherwise(F.lit(0)).cast("long")
+    ).when(F.col("d_events") > 0, F.lit(-100000000)).otherwise(F.lit(0)).cast("long")
     wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
     curve = risk.withColumn("log_s_micro", F.sum(term).over(wc))
     km = F.floor(
@@ -2201,15 +2210,7 @@ def km_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KM_SQL = f"""
-WITH span AS (
-  SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS first_d,
-         max(CAST(o_orderdate AS DATE)) AS last_d
-  FROM orders GROUP BY 1
-), per_c AS (
-  SELECT datediff('day', first_d, last_d) AS t,
-         CAST(last_d < DATE '{KM_CENSOR_CUTOFF}' AS BIGINT) AS event
-  FROM span
-), tot AS (
+WITH per_c AS ({_survival_cte()}), tot AS (
   SELECT count(*) AS n_total FROM per_c
 ), by_t AS (
   SELECT t, CAST(sum(event) AS BIGINT) AS d_events,
@@ -2222,9 +2223,10 @@ WITH span AS (
            AS n_risk
   FROM by_t CROSS JOIN tot
 ), terms AS (
-  SELECT *, CASE WHEN d_events > 0
+  SELECT *, CASE WHEN d_events > 0 AND n_risk > d_events
                  THEN CAST(floor(ln(CAST(n_risk - d_events AS DOUBLE)
                                     / CAST(n_risk AS DOUBLE)) * 1000000) AS BIGINT)
+                 WHEN d_events > 0 THEN CAST(-100000000 AS BIGINT)
                  ELSE 0 END AS term
   FROM risk
 ), curve AS (
@@ -2264,24 +2266,8 @@ def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits one row: totals, O, E (micro), V (micro), chi2 (1e-6)."""
     from pyspark.sql.window import Window
 
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", F.to_date("o_orderdate").alias("d")
-    )
-    span = o.groupBy("o_custkey").agg(
-        F.min("d").alias("first_d"), F.max("d").alias("last_d")
-    )
-    per_c = span.select(
-        "o_custkey",
-        F.datediff("last_d", "first_d").alias("t"),
-        (F.col("last_d") < F.lit(KM_CENSOR_CUTOFF)).cast("long").alias("event"),
-        F.pmod(
-            F.conv(
-                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(2),
-        ).alias("grp"),
+    per_c = _survival_spans(spark, sf_dir).withColumn(
+        "grp", _hash_parity(F.col("o_custkey"))
     )
     by_t = per_c.groupBy("t").agg(
         F.sum("event").cast("long").alias("d_all"),
@@ -2341,15 +2327,10 @@ def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LOGRANK_SQL = f"""
-WITH span AS (
-  SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS first_d,
-         max(CAST(o_orderdate AS DATE)) AS last_d
-  FROM orders GROUP BY 1
-), per_c AS (
-  SELECT datediff('day', first_d, last_d) AS t,
-         CAST(last_d < DATE '{KM_CENSOR_CUTOFF}' AS BIGINT) AS event,
+WITH per_c0 AS ({_survival_cte()}), per_c AS (
+  SELECT t, event,
          CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT) % 2 AS grp
-  FROM span
+  FROM per_c0
 ), by_t AS (
   SELECT t,
          CAST(sum(event) AS BIGINT) AS d_all,
