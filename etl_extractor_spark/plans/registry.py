@@ -46,6 +46,11 @@ _MODULES = (
     # existing never-checked backlog, so late additions cannot displace
     # a first-time check from the capped sweep window.
     "etl_extractor_spark.plans.pipeline_ops",
+    # Round-5 third-session additions — appended after pipeline_ops for
+    # the same window-stability reason.
+    "etl_extractor_spark.plans.geo",
+    "etl_extractor_spark.plans.inference",
+    "etl_extractor_spark.plans.pipeline_ops2",
 )
 
 

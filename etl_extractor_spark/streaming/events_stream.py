@@ -940,3 +940,77 @@ def streaming_cms_grid(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------- streaming funnel
+
+_FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+_FUNNEL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("stage", T.IntegerType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+_FUNNEL_STATE_SCHEMA = T.StructType(
+    [T.StructField("stage", T.IntegerType()), T.StructField("last_us", T.LongType())]
+)
+
+
+def _funnel_state(key, pdfs, state: GroupState):
+    """Per-user ordered-funnel state machine: advance to stage k+1 on
+    the first stage-(k+1) event STRICTLY after the stage-k time (first
+    signup unconditioned). State is two scalars — O(1) per key, like
+    the rate limiter. Greedy advance over (ev_us, event_id)-sorted
+    rows equals the batch min-chain definition (plans/analytics3.
+    event_funnel): the first qualifying event in time order IS
+    min(ts > prev), and a same-µs next-stage event is rejected by the
+    strict inequality exactly as the batch `>` is."""
+    import pandas as _pd
+
+    (user_id,) = key
+    if state.exists:
+        stage, last_us = state.get
+    else:
+        stage, last_us = 0, -1
+    rows = _pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ev_us", "event_id"], kind="mergesort")
+    for etype, ev_us in zip(rows["event_type"], rows["ev_us"]):
+        if stage >= len(_FUNNEL_STAGES):
+            break
+        if etype == _FUNNEL_STAGES[stage] and (stage == 0 or int(ev_us) > last_us):
+            stage += 1
+            last_us = int(ev_us)
+    state.update((stage, last_us))
+    yield _pd.DataFrame(
+        [(user_id, stage, last_us)], columns=["user_id", "stage", "last_us"]
+    )
+
+
+def streaming_funnel(stream: DataFrame) -> DataFrame:
+    """Streaming twin of the batch 4-stage funnel — per-user stateful
+    stage machine in update mode; stage is monotone non-decreasing so
+    the final state per user is the algebraic max(struct(stage,
+    last_us)) over emissions, even when availableNow splits the replay
+    into several micro-batches (within-user event-time order across
+    batches is the file source's per-file order here; a production
+    deployment keys the same guarantee off watermark-ordered
+    ingestion)."""
+    from etl_extractor_spark.functions.dates import ntz_epoch_micros
+
+    return (
+        stream.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            ntz_epoch_micros("ts_ntz").alias("ev_us"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_state,
+            outputStructType=_FUNNEL_OUT_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
