@@ -92,6 +92,15 @@ BENCH_QUERIES = [
     # path (write + delete-commit + both time-travel reads)
     "unigram_lm_segment",
     "manifest_merge_on_read",
+    # round-5 session-3 wave: grid-blocked spatial radius join, the
+    # two-phase as-of covariate-matching estimator, level-synchronous
+    # BFS (bounded iterative joins), token-distribution KL drift, and
+    # the stateful streaming funnel replay (8th certified stream)
+    "geo_grid_distance_join",
+    "nn_matching_att",
+    "bfs_shortest_hops",
+    "kl_source_divergence",
+    "streaming_funnel_replay",
 ]
 
 

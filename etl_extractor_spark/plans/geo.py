@@ -159,8 +159,14 @@ def geo_knn_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: no global sort and no window; the broadcast side is the
     supplier dim (bounded), and the map-side combine makes the shuffle
-    O(customers), independent of the candidate fan-out."""
-    cust = _customers_xy(spark, sf_dir)
+    O(customers), independent of the candidate fan-out. The customer
+    side is fan_out-repartitioned first: the O(customers × suppliers)
+    broadcast-join work must not inherit the scan's single-file
+    partitioning (one task evaluated the whole sf1 pair space before
+    this — the round-5 codec lesson applied to joins)."""
+    from etl_extractor_spark.operators.common import fan_out
+
+    cust = fan_out(_customers_xy(spark, sf_dir))
     supp = _suppliers_xy(spark, sf_dir)
     d2 = (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx")) + (
         F.col("cy") - F.col("sy")

@@ -569,3 +569,538 @@ ORACLES["rendezvous_shard_assign"] = f"""
     FROM assigned
     GROUP BY shard10
 """
+
+
+# --- 8. weighted median / weighted quantiles ------------------------------------
+def weighted_median_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median and lower p90 of the discount per
+    returnflag — the weighted-quantile operator (price indices, fair
+    sampling thresholds) done exactly: discounts collapse to integer
+    basis points, weights sum per (flag, bp), and the quantile is the
+    smallest bp whose doubled/10× cumulative weight crosses the total
+    (lower weighted median convention, pinned identically in the
+    oracle). No sort of the fact table — the window runs over the
+    (flag, bp) relation, bounded by the discount DOMAIN (11 values).
+
+    100 TB: one map-side-combinable aggregation; everything after is
+    O(groups × domain)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long").alias("bp"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    per = li.groupBy("l_returnflag", "bp").agg(F.sum("w").alias("wsum"))
+    wc = Window.partitionBy("l_returnflag").orderBy("bp").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = per.groupBy("l_returnflag").agg(F.sum("wsum").alias("tot"))
+    cum = per.withColumn("cum", F.sum("wsum").over(wc)).join(
+        F.broadcast(tot), "l_returnflag"
+    )
+    med = (
+        cum.where(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("bp").alias("wmedian_bp"))
+    )
+    p90 = (
+        cum.where(10 * F.col("cum") >= 9 * F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("bp").alias("wp90_bp"))
+    )
+    return med.join(p90, "l_returnflag").join(tot, "l_returnflag").select(
+        "l_returnflag", "wmedian_bp", "wp90_bp", F.col("tot").alias("total_qty")
+    )
+
+
+QUERIES["weighted_median_discount"] = weighted_median_discount
+ORACLES["weighted_median_discount"] = """
+    WITH li AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS bp,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ),
+    per AS (
+        SELECT l_returnflag, bp, SUM(w)::BIGINT AS wsum
+        FROM li GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT l_returnflag, bp, wsum,
+               SUM(wsum) OVER (PARTITION BY l_returnflag ORDER BY bp)::BIGINT AS cum,
+               SUM(wsum) OVER (PARTITION BY l_returnflag)::BIGINT AS tot
+        FROM per
+    ),
+    med AS (
+        SELECT l_returnflag, MIN(bp) AS wmedian_bp
+        FROM cum WHERE 2 * cum >= tot GROUP BY 1
+    ),
+    p90 AS (
+        SELECT l_returnflag, MIN(bp) AS wp90_bp
+        FROM cum WHERE 10 * cum >= 9 * tot GROUP BY 1
+    ),
+    tot AS (SELECT l_returnflag, SUM(w)::BIGINT AS total_qty FROM li GROUP BY 1)
+    SELECT m.l_returnflag, m.wmedian_bp, p.wp90_bp, t.total_qty
+    FROM med m JOIN p90 p ON m.l_returnflag = p.l_returnflag
+               JOIN tot t ON m.l_returnflag = t.l_returnflag
+"""
+
+
+# --- 9. KL divergence between source and corpus token distributions -------------
+def kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-shift readout: KL(P_source ‖ P_corpus) over whitespace
+    unigrams — the standard check that one ingest source's token
+    distribution has drifted from the mixture (the language-data
+    sibling of the price-drift PSI, plans/stats.psi_price_drift). Each
+    term's contribution c·ln((c·N)/(N_s·C)) is quantized to integer
+    micro-nats per TERM before summing (order-independent); c>0 and
+    C≥c>0 by construction, so the log argument is never 0 and no
+    sentinel is needed. Exact integers everywhere else.
+
+    100 TB: one token explode feeding two hash aggregations
+    ((source, token) then token), a vocab-sized broadcast-ish join,
+    and an O(sources) output."""
+    from etl_extractor_spark.functions import textstats as ts
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(ts.tokens("text")).alias("token")
+    ).filter(F.length("token") > 0)
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    gt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cg"))
+    ns = st.groupBy("source").agg(F.sum("c").alias("n_s"))
+    n = tok.agg(F.count(F.lit(1)).alias("n_tot"))
+    j = (
+        st.join(gt, "token")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n))
+    )
+    term = F.floor(
+        F.log(
+            (F.col("c") * F.col("n_tot")).cast("double")
+            / (F.col("n_s") * F.col("cg")).cast("double")
+        )
+        * F.col("c").cast("double")
+        * 1000000
+    ).cast("long")
+    agg = j.groupBy("source").agg(
+        F.max("n_s").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(term).cast("long").alias("kl_micro_sum"),
+    )
+    return agg.select(
+        "source", "n_tokens", "n_terms", "kl_micro_sum",
+        _q6(
+            F.col("kl_micro_sum").cast("double")
+            / F.col("n_tokens").cast("double") / 1000000
+        ).alias("kl_nats"),
+    )
+
+
+QUERIES["kl_source_divergence"] = kl_source_divergence
+ORACLES["kl_source_divergence"] = r"""
+    WITH tok AS (
+        SELECT source, token
+        FROM (
+            SELECT source,
+                   unnest(string_split(trim(regexp_replace(CAST(text AS VARCHAR),
+                       '\s+', ' ', 'g')), ' ')) AS token
+            FROM documents
+        )
+        WHERE length(token) > 0
+    ),
+    st AS (SELECT source, token, COUNT(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+    gt AS (SELECT token, COUNT(*)::BIGINT AS cg FROM tok GROUP BY 1),
+    ns AS (SELECT source, SUM(c)::BIGINT AS n_s FROM st GROUP BY 1),
+    n AS (SELECT COUNT(*)::BIGINT AS n_tot FROM tok),
+    j AS (
+        SELECT st.source, st.c, gt.cg, ns.n_s, n.n_tot
+        FROM st JOIN gt USING (token) JOIN ns USING (source) CROSS JOIN n
+    ),
+    agg AS (
+        SELECT source,
+               MAX(n_s) AS n_tokens,
+               COUNT(*)::BIGINT AS n_terms,
+               SUM(CAST(FLOOR(ln(CAST(c * n_tot AS DOUBLE) / CAST(n_s * cg AS DOUBLE))
+                   * CAST(c AS DOUBLE) * 1000000) AS BIGINT))::BIGINT AS kl_micro_sum
+        FROM j GROUP BY source
+    )
+    SELECT source, n_tokens, n_terms, kl_micro_sum,
+           FLOOR(CAST(kl_micro_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 / 1000000 * 1000000 + 0.5) / 1000000 AS kl_nats
+    FROM agg
+"""
+
+
+# --- 10. embedding dimension variance audit --------------------------------------
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance of the embedding corpus — the embedding
+    QA pass that finds dead/degenerate dimensions before they poison
+    ANN recall (a dim with ~zero variance wastes index bits; one with
+    huge variance dominates unnormalized distances). Components are
+    fixed-point quantized (floor(x·1e4), the centroid-drift idiom) so
+    n, Σq, Σq² are exact integers, and the variance numerator
+    n·Σq² − (Σq)² is exact BIGINT; one double division at the end.
+    Top-16 dims by variance (desc, dim asc).
+
+    100 TB: posexplode → one (dim)-keyed partial-agg (map-side
+    combine) — O(dims) output rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(F.posexplode("embedding").alias("dim0", "x")).select(
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * 10000).cast("long").alias("xq"),
+    )
+    s = q.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("s"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("ss"),
+    )
+    var_num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    out = s.select(
+        "dim", "n", var_num.alias("var_num"),
+        _q6(
+            var_num.cast("double")
+            / (F.col("n").cast("double") * F.col("n").cast("double"))
+            / 100000000.0
+        ).alias("variance"),
+    )
+    return out.orderBy(F.desc("var_num"), "dim").limit(16)
+
+
+QUERIES["embedding_dim_variance"] = embedding_dim_variance
+ORACLES["embedding_dim_variance"] = """
+    WITH q AS (
+        SELECT i AS dim,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS xq
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+    ),
+    s AS (
+        SELECT dim, COUNT(*)::BIGINT AS n, SUM(xq)::BIGINT AS s,
+               SUM(xq * xq)::BIGINT AS ss
+        FROM q GROUP BY dim
+    )
+    SELECT dim, n, (n * ss - s * s)::BIGINT AS var_num,
+           FLOOR(CAST(n * ss - s * s AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 100000000.0
+                 * 1000000 + 0.5) / 1000000 AS variance
+    FROM s
+    ORDER BY var_num DESC, dim
+    LIMIT 16
+"""
+
+
+# --- 11. provenance fingerprint rollup --------------------------------------------
+def provenance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent integrity fingerprint per source: each row
+    contributes hash48('prov-' ‖ doc_id ‖ ':' ‖ md5(text)) mod 2³²,
+    and the per-source SUM + MIN/MAX + count form the replication-
+    audit record — two replicas (or a pre/post-migration pair) match
+    iff their fingerprints match, with no row ordering or partitioning
+    assumptions (commutative sum). The 2³² fold keeps the sf-scale sum
+    in BIGINT and oracle-exact; a production deployment sums the full
+    64-bit hash and lets it wrap mod 2⁶⁴ — same commutative-monoid
+    property, same plan.
+
+    100 TB: map-only hashing + one aggregation; this is the cheap
+    always-on check that a 100 TB copy job moved every byte."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("prov-"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.md5(F.col("text")),
+                    )
+                ),
+                1, 12,
+            ),
+            16, 10,
+        ).cast("long")
+        % F.lit(4294967296)
+    )
+    return (
+        d.select("source", fp.alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("fp").cast("long").alias("fp_sum"),
+            F.min("fp").alias("fp_min"),
+            F.max("fp").alias("fp_max"),
+        )
+    )
+
+
+QUERIES["provenance_rollup"] = provenance_rollup
+ORACLES["provenance_rollup"] = """
+    WITH f AS (
+        SELECT source,
+               CAST(('0x' || substr(md5('prov-' || CAST(doc_id AS VARCHAR) || ':'
+                    || md5(text)), 1, 12)) AS BIGINT) % 4294967296 AS fp
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*)::BIGINT AS n_rows,
+           SUM(fp)::BIGINT AS fp_sum,
+           MIN(fp) AS fp_min,
+           MAX(fp) AS fp_max
+    FROM f
+    GROUP BY source
+"""
+
+
+# --- 12. decision-stump split finding ---------------------------------------------
+def decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact best-split search for a decision stump — the inner loop of
+    every distributed tree learner (GBDT/random forest): over ALL
+    distinct thresholds of the order value, find the split x ≤ t
+    minimizing weighted Gini impurity of the label (order finalized,
+    o_orderstatus = 'F'). Per distinct value the cumulative
+    (count, positives) run as the two-phase bucket cumsum (the
+    Mann-Whitney machinery); the impurity of each candidate is ONE
+    double formula over six exact BIGINTs, micro-quantized, and the
+    argmin is a top-1 sort with a smallest-threshold tie-break.
+
+    100 TB: no per-row candidate loop — candidates ARE the distinct
+    values; everything before the O(distinct) scoring is
+    map-side-combinable aggregation, and the argmin is TakeOrdered(1),
+    not a global sort."""
+    x = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("v"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+    )
+    per_v = x.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("p"),
+    ).withColumn("b", F.expr("v div 1000000"))
+    wv = Window.partitionBy("b").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    sizes = per_v.groupBy("b").agg(
+        F.sum("n").alias("nb"), F.sum("p").alias("pb")
+    )
+    wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "b",
+        F.coalesce(F.sum("nb").over(wo), F.lit(0)).alias("noff"),
+        F.coalesce(F.sum("pb").over(wo), F.lit(0)).alias("poff"),
+    )
+    tot = per_v.agg(
+        F.sum("n").alias("nt"), F.sum("p").alias("pt")
+    )
+    cum = (
+        per_v.withColumn("cn_in", F.sum("n").over(wv))
+        .withColumn("cp_in", F.sum("p").over(wv))
+        .join(F.broadcast(offsets), "b")
+        .select(
+            "v",
+            (F.col("cn_in") + F.col("noff")).alias("nl"),
+            (F.col("cp_in") + F.col("poff")).alias("pl"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("nl") < F.col("nt"))  # right side must be non-empty
+    )
+    ql = F.col("nl") - F.col("pl")
+    nr = F.col("nt") - F.col("nl")
+    pr = F.col("pt") - F.col("pl")
+    qr = nr - pr
+    metric = (
+        F.col("nl").cast("double")
+        - (F.col("pl") * F.col("pl") + ql * ql).cast("double") / F.col("nl").cast("double")
+        + nr.cast("double")
+        - (pr * pr + qr * qr).cast("double") / nr.cast("double")
+    ) / F.col("nt").cast("double")
+    scored = cum.select(
+        F.col("v").alias("threshold_cents"),
+        F.floor(metric * 1000000).cast("long").alias("gini_micro"),
+        F.col("nl").alias("n_left"),
+        nr.alias("n_right"),
+        F.col("pl").alias("pos_left"),
+        pr.alias("pos_right"),
+    )
+    return scored.orderBy("gini_micro", "threshold_cents").limit(1)
+
+
+QUERIES["decision_stump_split"] = decision_stump_split
+ORACLES["decision_stump_split"] = """
+    WITH x AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    per_v AS (
+        SELECT v, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS p
+        FROM x GROUP BY v
+    ),
+    tot AS (SELECT SUM(n)::BIGINT AS nt, SUM(p)::BIGINT AS pt FROM per_v),
+    cum AS (
+        SELECT v,
+               SUM(n) OVER (ORDER BY v)::BIGINT AS nl,
+               SUM(p) OVER (ORDER BY v)::BIGINT AS pl
+        FROM per_v
+    ),
+    scored AS (
+        SELECT v AS threshold_cents,
+               CAST(FLOOR((
+                   CAST(nl AS DOUBLE)
+                   - CAST(pl * pl + (nl - pl) * (nl - pl) AS DOUBLE) / CAST(nl AS DOUBLE)
+                   + CAST(nt - nl AS DOUBLE)
+                   - CAST((pt - pl) * (pt - pl)
+                          + ((nt - nl) - (pt - pl)) * ((nt - nl) - (pt - pl)) AS DOUBLE)
+                     / CAST(nt - nl AS DOUBLE)
+               ) / CAST(nt AS DOUBLE) * 1000000) AS BIGINT) AS gini_micro,
+               nl AS n_left, (nt - nl) AS n_right,
+               pl AS pos_left, (pt - pl) AS pos_right
+        FROM cum CROSS JOIN tot
+        WHERE nl < nt
+    )
+    SELECT * FROM scored ORDER BY gini_micro, threshold_cents LIMIT 1
+"""
+
+
+# --- 13. leave-one-out target encoding ----------------------------------------------
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the market segment against
+    customer lifetime spend — the leakage-safe categorical encoder
+    (each row's encoding excludes its own target: (S_c − y_i)/(n_c−1)).
+    ENTIRELY integer: spend is exact cents, and the per-row encoding
+    uses integer floor division (numerator provably non-negative), so
+    the per-segment rollups (sum/min/max of encodings) are exact
+    BIGINTs with no float anywhere.
+
+    100 TB: two aggregations on the same key (segment stats, then the
+    per-row map + rollup) — the second pass re-joins a 5-row broadcast
+    frame; nothing data-scaled is sorted or windowed."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    y = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("y"))
+    )
+    seg = y.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    enc = y.join(F.broadcast(seg), "c_mktsegment").select(
+        "c_mktsegment",
+        F.expr("(s - y) div (n - 1)").alias("loo"),
+    )
+    return enc.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("loo").cast("long").alias("sum_loo_cents"),
+        F.min("loo").alias("min_loo_cents"),
+        F.max("loo").alias("max_loo_cents"),
+    )
+
+
+QUERIES["target_encoding_loo"] = target_encoding_loo
+ORACLES["target_encoding_loo"] = """
+    WITH y AS (
+        SELECT c.c_custkey, c.c_mktsegment,
+               CAST(COALESCE(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)), 0) AS BIGINT) AS y
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    seg AS (
+        SELECT c_mktsegment, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS s
+        FROM y GROUP BY 1
+    ),
+    enc AS (
+        SELECT y.c_mktsegment, (s.s - y.y) // (s.n - 1) AS loo
+        FROM y JOIN seg s ON y.c_mktsegment = s.c_mktsegment
+    )
+    SELECT c_mktsegment,
+           COUNT(*)::BIGINT AS n,
+           SUM(loo)::BIGINT AS sum_loo_cents,
+           MIN(loo) AS min_loo_cents,
+           MAX(loo) AS max_loo_cents
+    FROM enc
+    GROUP BY c_mktsegment
+"""
+
+
+# --- 14. bounded k-core peeling -----------------------------------------------------
+_KCORE_K = 4
+_KCORE_ROUNDS = 3
+
+
+def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of k-core peeling (k=4) on the purchase graph:
+    each round drops nodes of degree < k and the edges touching them —
+    the standard preprocessing that strips the low-degree fringe
+    before community/centrality passes (full k-core iterates to a
+    fixpoint; the bounded 3-round peel is deterministic and
+    oracle-unrollable, and each extra round is the same plan). Output:
+    survivors and edge count per round with min/max node fingerprints.
+
+    100 TB: per round one degree aggregation + two semi-joins, all
+    hash-partitioned on node id; rounds are bounded so lineage is
+    static."""
+    from etl_extractor_spark.plans.graph import _purchase_edges
+
+    edges = _purchase_edges(spark, sf_dir)
+    rows = []
+    cur = edges
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= _KCORE_K).select("src")
+        cur = (
+            cur.join(keep, "src")
+            .join(keep.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        stat = cur.agg(
+            F.lit(r).alias("round"),
+            F.countDistinct("src").cast("long").alias("n_nodes"),
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.min("src").alias("min_node"),
+            F.max("src").alias("max_node"),
+        )
+        rows.append(stat)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _kcore_round_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+        SELECT e.src, e.dst
+        FROM {prev} e
+        JOIN (SELECT src FROM {prev} GROUP BY src HAVING COUNT(*) >= {_KCORE_K}) ks
+          ON e.src = ks.src
+        JOIN (SELECT src AS dst FROM {prev} GROUP BY src HAVING COUNT(*) >= {_KCORE_K}) kd
+          ON e.dst = kd.dst
+    )"""
+
+
+QUERIES["kcore_peel_rounds"] = kcore_peel_rounds
+ORACLES["kcore_peel_rounds"] = f"""
+    WITH pairs AS (
+        SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS c,
+                        'S' || CAST(l_suppkey AS VARCHAR) AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    e0 AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+    ),
+    {_kcore_round_sql('e0', 'e1')},
+    {_kcore_round_sql('e1', 'e2')},
+    {_kcore_round_sql('e2', 'e3')}
+    SELECT 1 AS round, COUNT(DISTINCT src)::BIGINT AS n_nodes,
+           COUNT(*)::BIGINT AS n_edges, MIN(src) AS min_node, MAX(src) AS max_node
+    FROM e1
+    UNION ALL
+    SELECT 2, COUNT(DISTINCT src)::BIGINT, COUNT(*)::BIGINT, MIN(src), MAX(src) FROM e2
+    UNION ALL
+    SELECT 3, COUNT(DISTINCT src)::BIGINT, COUNT(*)::BIGINT, MIN(src), MAX(src) FROM e3
+"""
