@@ -298,16 +298,17 @@ _SCORED_SQL = """
 # --- 3. calibration / reliability diagram -----------------------------------
 def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram for the deterministic English-ness score:
-    decile bins over the score, per bin the exact count, positive
-    count, and score mass — mean predicted vs observed rate is then
-    one division per bin. The model-eval primitive every trained
-    filter (quality classifier, lang-ID) gets audited with before a
-    100 TB filtering run.
+    2%-wide bins over the score (fine enough to resolve this corpus's
+    concentrated alpha-ratio distribution), per bin the exact count,
+    positive count, and score mass — mean predicted vs observed rate
+    is then one division per bin. The model-eval primitive every
+    trained filter (quality classifier, lang-ID) gets audited with
+    before a 100 TB filtering run.
 
-    100 TB: map-only scoring + a 10-key hash aggregation."""
+    100 TB: map-only scoring + a ≤50-key hash aggregation."""
     s = _scored_docs(spark, sf_dir)
     return (
-        s.groupBy(F.expr("score_micro div 100000").alias("bin"))
+        s.groupBy(F.expr("score_micro div 20000").alias("bin"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("label").cast("long").alias("n_pos"),
@@ -327,7 +328,7 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["calibration_bins"] = calibration_bins
 ORACLES["calibration_bins"] = f"""
     WITH s AS ({_SCORED_SQL})
-    SELECT score_micro // 100000 AS bin,
+    SELECT score_micro // 20000 AS bin,
            COUNT(*)::BIGINT AS n,
            SUM(label)::BIGINT AS n_pos,
            SUM(score_micro)::BIGINT AS sum_score_micro,

@@ -1104,3 +1104,328 @@ ORACLES["kcore_peel_rounds"] = f"""
     UNION ALL
     SELECT 3, COUNT(DISTINCT src)::BIGINT, COUNT(*)::BIGINT, MIN(src), MAX(src) FROM e3
 """
+
+
+# --- 15. interval union coverage ----------------------------------------------------
+_IUC_SPAN_US = 30 * 60 * 1_000_000  # each event covers [ts, ts+30min)
+
+
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals per user — the SLA/uptime/activity-coverage
+    primitive: every event opens a 30-minute presence interval and
+    overlapping intervals must be merged before their lengths count
+    (double-counting overlap is the classic bug this operator exists
+    to prevent). Islands form with the running-max-of-end trick: a row
+    starts a new island iff its start exceeds the max end among all
+    earlier rows of that user; the island id is then a cumulative sum
+    of start flags, and island length is max(end) − min(start). Top-20
+    users by covered time (exact integer µs).
+
+    100 TB: all three windows share one (user_id)-partitioned
+    (ts, event_id) order — one shuffle, key-partitioned, no global
+    sort; island state is O(1) per row."""
+    from etl_extractor_spark.functions.dates import ntz_epoch_micros
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", ntz_epoch_micros("ts").alias("s")
+    ).withColumn("e", F.col("s") + F.lit(_IUC_SPAN_US))
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = e.select(
+        "user_id", "event_id", "s", "e",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
+        ).otherwise(0).alias("new_island"),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    islands = flagged.groupBy("user_id", "island").agg(
+        F.min("s").alias("lo"), F.max("e").alias("hi")
+    )
+    per_user = islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("hi") - F.col("lo")).cast("long").alias("covered_us"),
+    )
+    return per_user.orderBy(F.desc("covered_us"), "user_id").limit(20)
+
+
+QUERIES["interval_union_coverage"] = interval_union_coverage
+ORACLES["interval_union_coverage"] = f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS s,
+               epoch_us(ts) + {_IUC_SPAN_US} AS e
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM e
+    ),
+    numbered AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flagged
+    ),
+    islands AS (
+        SELECT user_id, island, MIN(s) AS lo, MAX(e) AS hi
+        FROM numbered GROUP BY 1, 2
+    ),
+    per_user AS (
+        SELECT user_id, COUNT(*)::BIGINT AS n_islands,
+               SUM(hi - lo)::BIGINT AS covered_us
+        FROM islands GROUP BY 1
+    )
+    SELECT * FROM per_user ORDER BY covered_us DESC, user_id LIMIT 20
+"""
+
+
+# --- 16. cohort LTV curve -------------------------------------------------------------
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value curve by acquisition cohort: cohort =
+    month of first order, age = months since cohort, cell = cumulative
+    spend of the cohort through that age (exact cents) with the cohort
+    size alongside — the standard LTV payback readout. The cumulative
+    runs over the (cohort, age) GRID (calendar-bounded, ≤ 84×84), not
+    the fact table.
+
+    100 TB: one customer-keyed aggregation for cohorts, one grid
+    aggregation, one O(grid) window."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year(F.to_date("o_orderdate")) * 12 + F.month(F.to_date("o_orderdate")) - 1)
+        .alias("ym"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    cohort = o.groupBy("o_custkey").agg(F.min("ym").alias("cm"))
+    sized = cohort.groupBy("cm").agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    grid = (
+        o.join(cohort, "o_custkey")
+        .groupBy("cm", (F.col("ym") - F.col("cm")).alias("age"))
+        .agg(F.sum("cents").cast("long").alias("spend_cents"))
+    )
+    w = Window.partitionBy("cm").orderBy("age").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grid.withColumn("cum_spend_cents", F.sum("spend_cents").over(w).cast("long"))
+        .join(F.broadcast(sized), "cm")
+        .select(
+            F.format_string("%04d-%02d", F.expr("cm div 12"), F.col("cm") % 12 + 1)
+            .alias("cohort_month"),
+            "age", "n_customers", "spend_cents", "cum_spend_cents",
+        )
+    )
+
+
+QUERIES["cohort_ltv_curve"] = cohort_ltv_curve
+ORACLES["cohort_ltv_curve"] = """
+    WITH o AS (
+        SELECT o_custkey,
+               year(CAST(o_orderdate AS DATE)) * 12
+                   + month(CAST(o_orderdate AS DATE)) - 1 AS ym,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+    ),
+    cohort AS (SELECT o_custkey, MIN(ym) AS cm FROM o GROUP BY 1),
+    sized AS (SELECT cm, COUNT(*)::BIGINT AS n_customers FROM cohort GROUP BY 1),
+    grid AS (
+        SELECT c.cm, o.ym - c.cm AS age, SUM(cents)::BIGINT AS spend_cents
+        FROM o JOIN cohort c ON o.o_custkey = c.o_custkey
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cm, age, spend_cents,
+               SUM(spend_cents) OVER (PARTITION BY cm ORDER BY age
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                   AS cum_spend_cents
+        FROM grid
+    )
+    SELECT printf('%04d-%02d', cm // 12, cm % 12 + 1) AS cohort_month,
+           age, n_customers, spend_cents, cum_spend_cents
+    FROM cum JOIN sized USING (cm)
+"""
+
+
+# --- 17. two-sample Poisson rate test ---------------------------------------------------
+def poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional two-sample Poisson rate test on purchase events
+    between the hash-parity variants: with equal exposure, under H₀
+    the split of n = c₀+c₁ purchases is Binomial(n, ½), so
+    z = (2c₀ − n)/√n — exact integers plus one square root. The count-
+    metric sibling of the mean-metric z/CUPED readouts (conversions,
+    error rates, events per user).
+
+    100 TB: one filtered aggregation; O(1) scalar math."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    g = e.select(
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+            .cast("long"),
+            F.lit(2),
+        ).alias("grp")
+    )
+    agg = g.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("c0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+    )
+    n = F.col("c0") + F.col("c1")
+    z = (2 * F.col("c0") - n).cast("double") / F.sqrt(n.cast("double"))
+    return agg.select(
+        "c0", "c1", n.alias("n"), _q6(z).alias("z")
+    )
+
+
+QUERIES["poisson_rate_test"] = poisson_rate_test
+ORACLES["poisson_rate_test"] = """
+    WITH g AS (
+        SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT)
+               % 2 AS grp
+        FROM events WHERE event_type = 'purchase'
+    ),
+    agg AS (
+        SELECT SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END)::BIGINT AS c0,
+               SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::BIGINT AS c1
+        FROM g
+    )
+    SELECT c0, c1, (c0 + c1) AS n,
+           FLOOR(CAST(2 * c0 - (c0 + c1) AS DOUBLE)
+                 / SQRT(CAST(c0 + c1 AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS z
+    FROM agg
+"""
+
+
+# --- 18. median with order-statistic confidence interval --------------------------------
+def median_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median of order value per priority WITH its distribution-
+    free 95% confidence interval — the binomial order-statistic CI
+    (lo = ⌊(n − 1.96√n)/2⌋, hi = ⌈1 + (n + 1.96√n)/2⌉, clamped),
+    selecting all three order statistics DISTRIBUTED: per-distinct-
+    value cumulative counts via the two-phase bucket cumsum, then each
+    target rank picks the smallest value whose cumulative count
+    reaches it. No global sort, no per-group collect.
+
+    100 TB: the rank walk runs over the distinct-value relation
+    (domain-scaled); rank targets are O(groups) scalar math from
+    identical integers."""
+    x = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("v"),
+    )
+    per_v = x.groupBy("o_orderpriority", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).withColumn("b", F.expr("v div 1000000"))
+    wv = (
+        Window.partitionBy("o_orderpriority", "b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sizes = per_v.groupBy("o_orderpriority", "b").agg(F.sum("c").alias("cb"))
+    wo = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "o_orderpriority", "b",
+        F.coalesce(F.sum("cb").over(wo), F.lit(0)).alias("off"),
+    )
+    cum = (
+        per_v.withColumn("c_in", F.sum("c").over(wv))
+        .join(F.broadcast(offsets), ["o_orderpriority", "b"])
+        .select(
+            "o_orderpriority", "v", (F.col("c_in") + F.col("off")).alias("cum")
+        )
+    )
+    nd = F.col("n").cast("double")
+    stats = x.groupBy("o_orderpriority").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranks = stats.select(
+        "o_orderpriority", "n",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor((nd - 1.959964 * F.sqrt(nd)) / 2).cast("long"),
+        ).alias("lo_rank"),
+        F.expr("(n + 1) div 2").alias("med_rank"),
+        F.least(
+            F.col("n"),
+            F.ceil(1 + (nd + 1.959964 * F.sqrt(nd)) / 2).cast("long"),
+        ).alias("hi_rank"),
+    )
+    j = cum.join(F.broadcast(ranks), "o_orderpriority")
+
+    def pick(rank_col: str, out: str):
+        return (
+            j.where(F.col("cum") >= F.col(rank_col))
+            .groupBy("o_orderpriority")
+            .agg(F.min("v").alias(out))
+        )
+
+    out = (
+        ranks.join(pick("med_rank", "med_cents"), "o_orderpriority")
+        .join(pick("lo_rank", "lo_cents"), "o_orderpriority")
+        .join(pick("hi_rank", "hi_cents"), "o_orderpriority")
+        .select(
+            "o_orderpriority", "n", "lo_rank", "med_rank", "hi_rank",
+            "lo_cents", "med_cents", "hi_cents",
+        )
+    )
+    return out
+
+
+QUERIES["median_ci_orders"] = median_ci_orders
+ORACLES["median_ci_orders"] = """
+    WITH x AS (
+        SELECT o_orderpriority,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM orders
+    ),
+    per_v AS (
+        SELECT o_orderpriority, v, COUNT(*)::BIGINT AS c
+        FROM x GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT o_orderpriority, v,
+               SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY v)::BIGINT AS cum
+        FROM per_v
+    ),
+    stats AS (
+        SELECT o_orderpriority, COUNT(*)::BIGINT AS n FROM x GROUP BY 1
+    ),
+    ranks AS (
+        SELECT o_orderpriority, n,
+               GREATEST(1, CAST(FLOOR((CAST(n AS DOUBLE)
+                   - 1.959964 * SQRT(CAST(n AS DOUBLE))) / 2) AS BIGINT)) AS lo_rank,
+               (n + 1) // 2 AS med_rank,
+               LEAST(n, CAST(CEIL(1 + (CAST(n AS DOUBLE)
+                   + 1.959964 * SQRT(CAST(n AS DOUBLE))) / 2) AS BIGINT)) AS hi_rank
+        FROM stats
+    ),
+    med AS (
+        SELECT c.o_orderpriority, MIN(v) AS med_cents
+        FROM cum c JOIN ranks r USING (o_orderpriority)
+        WHERE c.cum >= r.med_rank GROUP BY 1
+    ),
+    lo AS (
+        SELECT c.o_orderpriority, MIN(v) AS lo_cents
+        FROM cum c JOIN ranks r USING (o_orderpriority)
+        WHERE c.cum >= r.lo_rank GROUP BY 1
+    ),
+    hi AS (
+        SELECT c.o_orderpriority, MIN(v) AS hi_cents
+        FROM cum c JOIN ranks r USING (o_orderpriority)
+        WHERE c.cum >= r.hi_rank GROUP BY 1
+    )
+    SELECT r.o_orderpriority, r.n, r.lo_rank, r.med_rank, r.hi_rank,
+           l.lo_cents, m.med_cents, h.hi_cents
+    FROM ranks r JOIN med m USING (o_orderpriority)
+                 JOIN lo l USING (o_orderpriority)
+                 JOIN hi h USING (o_orderpriority)
+"""
