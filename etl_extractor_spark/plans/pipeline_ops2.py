@@ -456,7 +456,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
 
 def _lp_round_sql(prev: str, out: str) -> str:
     return f"""
-    {out} AS (
+    {out} AS MATERIALIZED (
         SELECT n.node,
                LEAST(n.label, COALESCE(m.ml, n.label)) AS label
         FROM {prev} n LEFT JOIN (
@@ -469,12 +469,12 @@ def _lp_round_sql(prev: str, out: str) -> str:
 
 QUERIES["label_propagation_communities"] = label_propagation_communities
 ORACLES["label_propagation_communities"] = f"""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
         SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS c,
                         'S' || CAST(l_suppkey AS VARCHAR) AS s
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     ),
-    pedges AS (
+    pedges AS MATERIALIZED (
         SELECT c AS src, s AS dst FROM pairs
         UNION ALL
         SELECT s AS src, c AS dst FROM pairs
@@ -1071,7 +1071,7 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kcore_round_sql(prev: str, out: str) -> str:
     return f"""
-    {out} AS (
+    {out} AS MATERIALIZED (
         SELECT e.src, e.dst
         FROM {prev} e
         JOIN (SELECT src FROM {prev} GROUP BY src HAVING COUNT(*) >= {_KCORE_K}) ks
@@ -1083,12 +1083,12 @@ def _kcore_round_sql(prev: str, out: str) -> str:
 
 QUERIES["kcore_peel_rounds"] = kcore_peel_rounds
 ORACLES["kcore_peel_rounds"] = f"""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
         SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS c,
                         'S' || CAST(l_suppkey AS VARCHAR) AS s
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     ),
-    e0 AS (
+    e0 AS MATERIALIZED (
         SELECT c AS src, s AS dst FROM pairs
         UNION ALL
         SELECT s AS src, c AS dst FROM pairs
@@ -1428,4 +1428,110 @@ ORACLES["median_ci_orders"] = """
     FROM ranks r JOIN med m USING (o_orderpriority)
                  JOIN lo l USING (o_orderpriority)
                  JOIN hi h USING (o_orderpriority)
+"""
+
+
+# --- 19. Neyman-allocation stratified sampling -------------------------------------------
+_NEYMAN_BUDGET = 1000
+_H48 = 1 << 48
+
+
+def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal (Neyman) allocation of a fixed sampling budget across
+    strata — n_h ∝ N_h·σ_h, the survey-sampling rule that beats
+    proportional allocation whenever strata variances differ — then a
+    deterministic hash-gate draw at each stratum's rate. Exactness
+    chain: N_h·σ_h = √(N_h·ΣX² − S_h²) (ONE double sqrt over an exact
+    DECIMAL(38,0)), floored to an integer weight; allocations are
+    integer floor division of the budget; each stratum's keep
+    threshold is (n_h·2⁴⁸) div N_h against the md5-48bit key hash —
+    the repo's exact-oracle sampling idiom, so the realized sample is
+    bit-reproducible under any partitioning or resharding.
+
+    100 TB: two aggregations (stratum moments, then realized sample
+    stats) + O(strata) scalar math; the gate is map-only."""
+    x = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("v"),
+    )
+    mom = x.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("ss"),
+    )
+    q = (
+        F.col("nh").cast("decimal(38,0)") * F.col("ss")
+        - F.col("s") * F.col("s")
+    )
+    w = mom.select(
+        "o_orderpriority", "nh",
+        F.floor(F.sqrt(q.cast("double"))).cast("long").alias("wh"),
+    )
+    tot = w.agg(F.sum("wh").alias("wtot"))
+    alloc = w.crossJoin(F.broadcast(tot)).select(
+        "o_orderpriority", "nh", "wh",
+        F.expr(f"({_NEYMAN_BUDGET} * wh) div wtot").alias("alloc_n"),
+    ).withColumn("thr", F.expr(f"(alloc_n * {_H48}) div nh"))
+    kept = (
+        x.join(F.broadcast(alloc), "o_orderpriority")
+        .where(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("ney-"), F.col("o_orderkey").cast("string"))), 1, 12),
+                16, 10,
+            ).cast("long")
+            < F.col("thr")
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("realized_n"),
+            F.sum("v").cast("long").alias("realized_sum_cents"),
+        )
+    )
+    return alloc.join(kept, "o_orderpriority", "left").select(
+        "o_orderpriority", "nh", "wh", "alloc_n",
+        F.coalesce("realized_n", F.lit(0)).cast("long").alias("realized_n"),
+        F.coalesce("realized_sum_cents", F.lit(0)).cast("long").alias("realized_sum_cents"),
+    )
+
+
+QUERIES["neyman_allocation_sample"] = neyman_allocation_sample
+ORACLES["neyman_allocation_sample"] = f"""
+    WITH x AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM orders
+    ),
+    mom AS (
+        SELECT o_orderpriority, COUNT(*)::BIGINT AS nh,
+               SUM(CAST(v AS HUGEINT)) AS s,
+               SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS ss
+        FROM x GROUP BY 1
+    ),
+    w AS (
+        SELECT o_orderpriority, nh,
+               CAST(FLOOR(SQRT(CAST(CAST(nh AS HUGEINT) * ss - s * s AS DOUBLE)))
+                    AS BIGINT) AS wh
+        FROM mom
+    ),
+    tot AS (SELECT SUM(wh)::BIGINT AS wtot FROM w),
+    alloc AS (
+        SELECT o_orderpriority, nh, wh,
+               ({_NEYMAN_BUDGET} * wh) // wtot AS alloc_n,
+               ((({_NEYMAN_BUDGET} * wh) // wtot) * {_H48}::BIGINT) // nh AS thr
+        FROM w CROSS JOIN tot
+    ),
+    kept AS (
+        SELECT x.o_orderpriority,
+               COUNT(*)::BIGINT AS realized_n,
+               SUM(v)::BIGINT AS realized_sum_cents
+        FROM x JOIN alloc a ON x.o_orderpriority = a.o_orderpriority
+        WHERE CAST(('0x' || substr(md5('ney-' || CAST(o_orderkey AS VARCHAR)), 1, 12))
+                   AS BIGINT) < a.thr
+        GROUP BY 1
+    )
+    SELECT a.o_orderpriority, a.nh, a.wh, a.alloc_n,
+           COALESCE(k.realized_n, 0)::BIGINT AS realized_n,
+           COALESCE(k.realized_sum_cents, 0)::BIGINT AS realized_sum_cents
+    FROM alloc a LEFT JOIN kept k ON a.o_orderpriority = k.o_orderpriority
 """

@@ -108,3 +108,65 @@ def test_kcore_rounds_monotone(spark, sf_dir):
     for r in range(2, 4):
         assert rows[r]["n_nodes"] <= rows[r - 1]["n_nodes"]
         assert rows[r]["n_edges"] <= rows[r - 1]["n_edges"]
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_geo_grid_join_is_hash_equi_join(spark, sf_dir):
+    """The radius join must compile to an EQUI join on cell id (the
+    blocking working as designed) — never a cartesian/BNLJ pair scan."""
+    from etl_extractor_spark.plans.geo import geo_grid_distance_join
+
+    plan = _plan(geo_grid_distance_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # equi join on the cell key is present
+
+
+def test_geo_knn_partial_agg_before_shuffle(spark, sf_dir):
+    """The argmin must partial-aggregate map-side: a HashAggregate
+    below the exchange, so the shuffle carries one row per customer,
+    not the pair space."""
+    from etl_extractor_spark.plans.geo import geo_knn_nearest_supplier
+
+    plan = _plan(geo_knn_nearest_supplier(spark, sf_dir))
+    below_exchange = plan.split("Exchange hashpartitioning")[-1]
+    # struct-min compiles to a sort-based aggregate; the partial pass
+    # must sit BELOW the exchange so it combines map-side
+    assert "partial_min" in below_exchange
+    assert plan.count("Exchange") <= 3  # fan_out RR + one agg exchange
+
+
+def test_stump_argmin_is_take_ordered(spark, sf_dir):
+    """The best-split argmin must be TakeOrdered(1), not a global
+    sort of every candidate threshold."""
+    from etl_extractor_spark.plans.pipeline_ops2 import decision_stump_split
+
+    plan = _plan(decision_stump_split(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [gini_micro" not in plan  # no full sort of candidates
+
+
+def test_interval_union_single_user_partitioning(spark, sf_dir):
+    """All three island windows must share ONE user_id hash
+    partitioning — the query is allowed exactly one window exchange
+    plus the island-group aggregation exchanges on the same key."""
+    from etl_extractor_spark.plans.pipeline_ops2 import interval_union_coverage
+
+    plan = _plan(interval_union_coverage(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
+    assert "Exchange SinglePartition" not in plan.split("TakeOrdered")[0].split(
+        "CollectLimit"
+    )[0]
+
+
+def test_median_ci_no_global_sort(spark, sf_dir):
+    """Order statistics must come from the two-phase rank walk — the
+    fact table is never globally sorted (only bounded per-bucket
+    windows and broadcast frames)."""
+    from etl_extractor_spark.plans.pipeline_ops2 import median_ci_orders
+
+    plan = _plan(median_ci_orders(spark, sf_dir))
+    assert "Exchange rangepartitioning" not in plan
