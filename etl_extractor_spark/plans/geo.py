@@ -21,9 +21,10 @@ Queries (all oracle-backed):
                              (map-side combine, no global sort)
 - geo_morton_hotspots      : Morton/Z-order cell ids by pure bit
                              interleave; top occupancy cells
-- geo_haversine_nation_span: real great-circle meters (floor-quantized
-                             per row before the integer sum) from each
-                             customer to its nation centroid
+- geo_haversine_nation_span: real great-circle distance (floor-
+                             quantized to hectometers per row before
+                             the integer sum) from each customer to
+                             its nation centroid
 
 100 TB notes are in each docstring; the common theme is that the only
 shuffles are on cell ids or group keys, and the only explode is 9× on
@@ -111,8 +112,10 @@ def geo_grid_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH dedup operators.
 
     100 TB: candidate count is density-bounded per cell, not O(n·m);
-    the big side shuffles once on cell id (or not at all when the
-    exploded dim broadcasts, as here); skewed cells are ordinary AQE
+    both sides hash-shuffle once on cell id (the dim side is NOT
+    broadcast-hinted — the planner broadcasts it while it fits and AQE
+    demotes to a shuffle join when the dim is SF-scaled, which a hard
+    hint would forbid; review catch); skewed cells are ordinary AQE
     skew splits since the join is a plain equi-join."""
     cust = _customers_xy(spark, sf_dir).withColumn(
         "cell", F.floor(F.col("cx") / _GRID) * 1000 + F.floor(F.col("cy") / _GRID)
@@ -132,7 +135,7 @@ def geo_grid_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cy") - F.col("sy")
     ) * (F.col("cy") - F.col("sy"))
     return (
-        cust.join(F.broadcast(supp), "cell")
+        cust.join(supp, "cell")
         .where(d2 <= F.lit(_RADIUS * _RADIUS))
         .select("c_custkey", "s_suppkey", d2.alias("dist2"))
     )
@@ -157,8 +160,11 @@ def geo_knn_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the per-customer reduction happens map-side inside the scan
     task and the one shuffle carries a single row per customer.
 
-    100 TB: no global sort and no window; the broadcast side is the
-    supplier dim (bounded), and the map-side combine makes the shuffle
+    100 TB: no global sort and no window; the hinted broadcast side
+    is the supplier dim — this brute-force variant's CONTRACT is a
+    broadcastable dim (it is the exact-baseline sibling of the pruned
+    kNN paths; an SF-scaled dim belongs on geo_grid_distance_join or
+    the IVF operators instead). Map-side combine keeps the shuffle
     O(customers), independent of the candidate fan-out. The customer
     side is fan_out-repartitioned first: the O(customers × suppliers)
     broadcast-join work must not inherit the scan's single-file
@@ -261,12 +267,18 @@ ORACLES["geo_morton_hotspots"] = f"""
 
 # --- 4. haversine span to nation centroid -----------------------------------
 def geo_haversine_nation_span(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Great-circle meters from each customer to its nation centroid
-    (both points hash-derived: lat ∈ [-60, 60), lon ∈ [-180, 180)),
-    rolled up per nation. The haversine runs in doubles but every
-    per-row distance is floor-quantized to integer meters BEFORE the
-    sum (the repo's standard order-independence idiom), so the
-    per-nation aggregates are exact integers.
+    """Great-circle distance from each customer to its nation
+    centroid (both points hash-derived: lat ∈ [-60, 60), lon ∈ [-180,
+    180)), rolled up per nation. The haversine runs in doubles but
+    every per-row distance is floor-quantized BEFORE the sum (the
+    repo's order-independence idiom), so the per-nation aggregates are
+    exact integers. Quantum = 1 hectometer, NOT meters: sin/cos/asin
+    are the repo's only transcendentals and are not IEEE-exactly
+    specified, so JVM and DuckDB libm may differ by ~1 ulp (~1e-8 m
+    here); at a 100 m quantum a per-row floor flip needs the true
+    distance within ~1e-10 of a boundary — ~1e-5 odds per 150k-row
+    sweep, vs ~1e-3 at meters (review catch; the residual risk is
+    documented, not zero).
 
     100 TB: map-only trig + one 25-key aggregation; the nation
     centroid frame broadcasts."""
@@ -286,15 +298,15 @@ def geo_haversine_nation_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = F.sin(dphi) * F.sin(dphi) + F.cos(F.radians("clat")) * F.cos(
         F.radians("nlat")
     ) * F.sin(dlmb) * F.sin(dlmb)
-    meters = F.floor(2 * 6371000.0 * F.asin(F.sqrt(a)))
+    hm = F.floor(2 * 6371000.0 * F.asin(F.sqrt(a)) / 100)
     return (
-        pts.select("n_nationkey", meters.alias("m"))
+        pts.select("n_nationkey", hm.alias("m"))
         .groupBy("n_nationkey")
         .agg(
             F.count("*").alias("n_customers"),
-            F.sum("m").alias("sum_m"),
-            F.min("m").alias("min_m"),
-            F.max("m").alias("max_m"),
+            F.sum("m").alias("sum_hm"),
+            F.min("m").alias("min_hm"),
+            F.max("m").alias("max_hm"),
         )
     )
 
@@ -321,14 +333,14 @@ ORACLES["geo_haversine_nation_span"] = f"""
                    SIN(RADIANS(nlat - clat) / 2) * SIN(RADIANS(nlat - clat) / 2)
                    + COS(RADIANS(clat)) * COS(RADIANS(nlat))
                      * SIN(RADIANS(nlon - clon) / 2) * SIN(RADIANS(nlon - clon) / 2)
-               )))::BIGINT AS m
+               )) / 100)::BIGINT AS m
         FROM pts
     )
     SELECT n_nationkey,
            COUNT(*) AS n_customers,
-           SUM(m)::BIGINT AS sum_m,
-           MIN(m) AS min_m,
-           MAX(m) AS max_m
+           SUM(m)::BIGINT AS sum_hm,
+           MIN(m) AS min_hm,
+           MAX(m) AS max_hm
     FROM dist
     GROUP BY n_nationkey
 """

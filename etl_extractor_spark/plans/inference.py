@@ -9,8 +9,8 @@ estimators a measurement team runs daily on a 100 TB event store:
                        nearest-control match on account balance via
                        the two-phase bucketed as-of scheme
 - jackknife_mean_se  : leave-one-out jackknife SE of group means in
-                       ONE pass (Q = n²·Σx² − n·S² algebra, exact
-                       DECIMAL(38,0) integers)
+                       ONE pass (Q = n·Σx'² − S'² algebra over
+                       pinned-centered values, exact DECIMAL(38,0))
 - calibration_bins   : reliability diagram — decile-binned mean score
                        vs observed label rate, exact integer sums
 - roc_auc_exact      : tie-corrected exact AUC via the doubled-integer
@@ -35,18 +35,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl_extractor_spark.plans.pipeline_ops import _hash_parity, _SPEND_CTE, _spend_by_customer
+from etl_extractor_spark.functions.quantize import q6 as _q6
+from etl_extractor_spark.plans.pipeline_ops import _SPEND_CTE, _spend_by_customer
 from etl_extractor_spark.sources.parquet import load_table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
-
-
-def _q6(col):
-    """Final-scalar quantization: half-up at 1e-6, identical on both
-    engines because the input double is itself one IEEE op sequence
-    over identical exact integers."""
-    return F.floor(col * 1000000 + F.lit(0.5)) / 1000000
 
 
 # --- 1. nearest-neighbor covariate matching ATT -----------------------------
@@ -212,21 +206,33 @@ ORACLES["nn_matching_att"] = f"""
 
 
 # --- 2. one-pass jackknife SE of group means --------------------------------
+# Pinned centering constant (cents) — order values cluster ~1.5e5
+# dollars; centering shrinks Σx'² by ~1e2 and guards the suff-stats
+# cancellation (recorded gotcha). PINNED, never data-derived.
+_JACK_CENTER = 15_000_000
+
+
 def jackknife_mean_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out jackknife standard error of mean order value per
-    priority, in ONE aggregation pass: with S = Σx and SS = Σx² (exact
-    DECIMAL(38,0) cents), Σᵢ(S − n·xᵢ)² expands to Q = n²·SS − n·S²,
-    and jack_se = √(Q / (n³(n−1))) — no second pass, no per-row
-    leave-one-out frame. The jackknife equals s²/n for the mean (a
-    textbook identity), which makes it an oracle-checkable exact
-    derivation rather than a resampling loop.
+    priority, in ONE aggregation pass: with x' = x − C (C a PINNED
+    centering constant, the repo's cancellation guard), S' = Σx' and
+    SS' = Σx'² in exact DECIMAL(38,0), Σᵢ(S − n·xᵢ)² equals
+    n·(n·SS' − S'²), so jack_se = √((n·SS' − S'²) / (n²(n−1))) — no
+    second pass, no per-row leave-one-out frame. The jackknife equals
+    s²/n for the mean (a textbook identity), which makes it an
+    oracle-checkable exact derivation rather than a resampling loop.
+    The n·SS' − S'² form (not n²·SS − n·S², a review catch) keeps the
+    exact integer under ~6e31 even at sf5000 — DECIMAL(38,0)/HUGEINT
+    headroom at any realistic scale, identical overflow behavior on
+    both engines.
 
     100 TB: a single map-side-combinable groupBy; every data-scaled
     quantity is an exact integer; the √ runs once per group over
     identical integers on both engines."""
     x = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority",
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("x"),
+        ((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+         - F.lit(_JACK_CENTER)).alias("x"),
     )
     s = x.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -234,16 +240,12 @@ def jackknife_mean_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("ss"),
     )
     nd = F.col("n").cast("double")
-    q = (
-        F.col("n").cast("decimal(38,0)") * F.col("n").cast("decimal(38,0)") * F.col("ss")
-        - F.col("n").cast("decimal(38,0)") * F.col("s") * F.col("s")
-    )
-    jse = F.sqrt(q.cast("double") / (nd * nd * nd * (nd - 1)))
-    mean = F.col("s").cast("double") / nd
+    q1 = F.col("n").cast("decimal(38,0)") * F.col("ss") - F.col("s") * F.col("s")
+    jse = F.sqrt(q1.cast("double") / (nd * nd * (nd - 1)))
+    mean = F.col("s").cast("double") / nd + F.lit(float(_JACK_CENTER))
     return s.select(
         "o_orderpriority",
         "n",
-        F.col("s").cast("long").alias("sum_cents"),
         _q6(mean / 100).alias("mean_dollars"),
         _q6(jse / 100).alias("jack_se_dollars"),
     )
@@ -251,20 +253,24 @@ def jackknife_mean_se(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["jackknife_mean_se"] = jackknife_mean_se
 ORACLES["jackknife_mean_se"] = """
-    WITH s AS (
+    WITH x AS (
+        SELECT o_orderpriority,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   - 15000000 AS x
+        FROM orders
+    ),
+    s AS (
         SELECT o_orderpriority,
                COUNT(*)::BIGINT AS n,
-               SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)) AS s,
-               SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-                   * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)) AS ss
-        FROM orders GROUP BY 1
+               SUM(CAST(x AS HUGEINT)) AS s,
+               SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS ss
+        FROM x GROUP BY 1
     )
-    SELECT o_orderpriority, n, s::BIGINT AS sum_cents,
-           FLOOR((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 100 * 1000000 + 0.5) / 1000000
-               AS mean_dollars,
-           FLOOR(SQRT(CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * ss
-                           - CAST(n AS HUGEINT) * s * s AS DOUBLE)
-                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+    SELECT o_orderpriority, n,
+           FLOOR((CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 15000000.0) / 100
+                 * 1000000 + 0.5) / 1000000 AS mean_dollars,
+           FLOOR(SQRT(CAST(CAST(n AS HUGEINT) * ss - s * s AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
                          * (CAST(n AS DOUBLE) - 1))) / 100 * 1000000 + 0.5) / 1000000
                AS jack_se_dollars
     FROM s

@@ -742,8 +742,7 @@ def ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     b0 = (d("sy") - b1 * d("s1") - b2 * d("s2")) / n
     r2 = (b1 * c1y + b2 * c2y) / cyy
 
-    def q6(c):
-        return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+    from etl_extractor_spark.functions.quantize import q6
 
     return s.select(
         "flag",
@@ -1039,8 +1038,7 @@ def feature_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1y = d("s1y") - d("s1") * d("sy") / n
     c2y = d("s2y") - d("s2") * d("sy") / n
 
-    def q6(c):
-        return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+    from etl_extractor_spark.functions.quantize import q6
 
     return s.select(
         "flag",
@@ -1868,8 +1866,7 @@ def cuped_ab_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_adj_v = mean_y_v - theta * (d("svx") / d("nv") - mean_x)
     var_red = (cxy * cxy) / (cxx * cyy)
 
-    def q6(c):
-        return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+    from etl_extractor_spark.functions.quantize import q6
 
     return j.select(
         F.col("variant").cast("long").alias("variant"),
@@ -1955,8 +1952,7 @@ def did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     def m(s, n):
         return F.col(s).cast("double") / F.col(n).cast("double") / 100
 
-    def q6(c):
-        return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+    from etl_extractor_spark.functions.quantize import q6
 
     did = (m("to", "nt") - m("tp", "nt")) - (m("co", "nc") - m("cp", "nc"))
     return j.select(

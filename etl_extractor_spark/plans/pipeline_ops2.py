@@ -37,14 +37,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_extractor_spark.functions.quantize import q6 as _q6
 from etl_extractor_spark.sources.parquet import load_table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
-
-
-def _q6(col):
-    return F.floor(col * 1000000 + F.lit(0.5)) / 1000000
 
 
 # --- 1. XML ingestion via from_xml ------------------------------------------
@@ -176,7 +173,9 @@ def merge_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
     update set is order-derived — customers with 1997 orders get their
     balance restated to (balance + 1997 spend) and segment 'RESTATED';
     customers above a spend bar also spawn an INSERT of a synthetic
-    household entity (custkey + 10M). The merge is the standard
+    household entity (custkey + 10^12 — a key space the TPC-H customer
+    domain cannot reach below sf ~7e6, so synthetic and real keys can
+    never collide; review catch). The merge is the standard
     update-wins resolution: base ∪ updates, one row per key by source
     priority — an algebraic max(struct(priority, …)) per key, NOT a
     positional window, so the per-key reduction is map-side
@@ -208,7 +207,7 @@ def merge_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spend",
     )
     inserts = upd.where(F.col("spend") > 30_000_000).select(
-        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        (F.col("c_custkey") + 1_000_000_000_000).alias("c_custkey"),
         F.lit("HOUSEHOLD").alias("c_mktsegment"),
         F.lit(0).cast("long").alias("bal"),
     )
@@ -256,7 +255,7 @@ ORACLES["merge_upsert_scd1"] = """
         FROM spend97 s JOIN c ON s.c_custkey = c.c_custkey
     ),
     ins AS (
-        SELECT c_custkey + 10000000 AS c_custkey, 'HOUSEHOLD' AS c_mktsegment,
+        SELECT c_custkey + 1000000000000 AS c_custkey, 'HOUSEHOLD' AS c_mktsegment,
                0::BIGINT AS bal
         FROM upd WHERE spend > 30000000
     ),
@@ -376,7 +375,6 @@ def streaming_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch ``event_funnel`` exactly — this query shares its oracle
     verbatim. At 100 TB the same plan tails a live source: O(1) state
     per user, no per-user event buffering."""
-    from etl_extractor_spark.plans.analytics3 import EVENT_FUNNEL_SQL as _  # noqa: F401
     from etl_extractor_spark.streaming import events_stream as SE
 
     emitted = SE.run_to_memory(
@@ -738,9 +736,11 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN recall (a dim with ~zero variance wastes index bits; one with
     huge variance dominates unnormalized distances). Components are
     fixed-point quantized (floor(x·1e4), the centroid-drift idiom) so
-    n, Σq, Σq² are exact integers, and the variance numerator
-    n·Σq² − (Σq)² is exact BIGINT; one double division at the end.
-    Top-16 dims by variance (desc, dim asc).
+    n, Σq, Σq² are exact integers in DECIMAL(38,0) — widened like the
+    sibling estimators, so the numerator n·Σq² − (Σq)² stays exact to
+    ~1e15 rows (review catch: plain BIGINT wrapped at ~3e6 rows).
+    One double division at the end. Top-16 dims by variance (desc,
+    dim asc), ordered on the exact integer numerator.
 
     100 TB: posexplode → one (dim)-keyed partial-agg (map-side
     combine) — O(dims) output rows."""
@@ -751,40 +751,41 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = q.groupBy("dim").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("xq").cast("long").alias("s"),
-        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("ss"),
+        F.sum(F.col("xq").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("xq") * F.col("xq")).cast("decimal(38,0)")).alias("ss"),
     )
-    var_num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    var_num = F.col("n").cast("decimal(38,0)") * F.col("ss") - F.col("s") * F.col("s")
     out = s.select(
-        "dim", "n", var_num.alias("var_num"),
+        "dim", "n",
+        var_num.alias("vn"),
         _q6(
             var_num.cast("double")
             / (F.col("n").cast("double") * F.col("n").cast("double"))
             / 100000000.0
         ).alias("variance"),
     )
-    return out.orderBy(F.desc("var_num"), "dim").limit(16)
+    return out.orderBy(F.desc("vn"), "dim").limit(16).drop("vn")
 
 
 QUERIES["embedding_dim_variance"] = embedding_dim_variance
 ORACLES["embedding_dim_variance"] = """
     WITH q AS (
         SELECT i AS dim,
-               CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS xq
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS HUGEINT) AS xq
         FROM embeddings,
              LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
     ),
     s AS (
-        SELECT dim, COUNT(*)::BIGINT AS n, SUM(xq)::BIGINT AS s,
-               SUM(xq * xq)::BIGINT AS ss
+        SELECT dim, COUNT(*)::BIGINT AS n, SUM(xq) AS s,
+               SUM(xq * xq) AS ss
         FROM q GROUP BY dim
     )
-    SELECT dim, n, (n * ss - s * s)::BIGINT AS var_num,
-           FLOOR(CAST(n * ss - s * s AS DOUBLE)
+    SELECT dim, n,
+           FLOOR(CAST(CAST(n AS HUGEINT) * ss - s * s AS DOUBLE)
                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 100000000.0
                  * 1000000 + 0.5) / 1000000 AS variance
     FROM s
-    ORDER BY var_num DESC, dim
+    ORDER BY CAST(n AS HUGEINT) * ss - s * s DESC, dim
     LIMIT 16
 """
 
@@ -1266,13 +1267,9 @@ def poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: one filtered aggregation; O(1) scalar math."""
     e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
-    g = e.select(
-        F.pmod(
-            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
-            .cast("long"),
-            F.lit(2),
-        ).alias("grp")
-    )
+    from etl_extractor_spark.plans.pipeline_ops import _hash_parity
+
+    g = e.select(_hash_parity(F.col("user_id")).alias("grp"))
     agg = g.agg(
         F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("c0"),
         F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("c1"),
