@@ -1532,3 +1532,310 @@ ORACLES["neyman_allocation_sample"] = f"""
            COALESCE(k.realized_sum_cents, 0)::BIGINT AS realized_sum_cents
     FROM alloc a LEFT JOIN kept k ON a.o_orderpriority = k.o_orderpriority
 """
+
+
+# --- 20. streaming interval-union replay ---------------------------------------------
+def streaming_interval_union_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """9th driver-certified streaming query: per-user union-of-
+    intervals coverage as a stateful stream (one open island + closed
+    totals = O(1) state per user, streaming/events_stream.
+    streaming_interval_union), replayed with availableNow. Coverage
+    and island count are monotone non-decreasing, so the final state
+    per user is the algebraic max(struct) over emissions; the top-20
+    then equals the batch interval_union_coverage, whose oracle this
+    query shares verbatim."""
+    from etl_extractor_spark.streaming import events_stream as SE
+
+    emitted = SE.run_to_memory(
+        SE.streaming_interval_union(SE.events_stream(spark, sf_dir)),
+        "t_interval_union_replay",
+        output_mode="update",
+    )
+    final = (
+        emitted.groupBy("user_id")
+        .agg(F.max(F.struct("covered_us", "n_islands")).alias("r"))
+        .select(
+            "user_id",
+            F.col("r.n_islands").alias("n_islands"),
+            F.col("r.covered_us").alias("covered_us"),
+        )
+    )
+    return final.orderBy(F.desc("covered_us"), "user_id").limit(20)
+
+
+QUERIES["streaming_interval_union_replay"] = streaming_interval_union_replay
+ORACLES["streaming_interval_union_replay"] = ORACLES["interval_union_coverage"]
+
+
+# --- 21. fixed-width record roundtrip ---------------------------------------------------
+# Layout: orderkey[0:12) custkey[12:24) status[24:25) cents[25:39)
+#         yyyymmdd[39:47) priority[47:62)   (62-byte records)
+def fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (mainframe/COBOL-copybook-style) record ingestion —
+    the one classic ETL text format the source layer lacked: orders
+    serialize to 62-byte zero/space-padded records, then the PARSE
+    path recovers every field by byte position (substring + trim +
+    cast) and aggregates per status. The oracle aggregates the BASE
+    table, so any off-by-one in a column's byte range, a padding
+    overflow, or a lost sign hash-fails. Serialization is pure
+    Catalyst (lpad/rpad/concat); so is the parse — no UDF.
+
+    100 TB: map-only serialize+parse fused into the scan; byte-offset
+    parsing is the cheapest decode Spark can run (no quoting/escape
+    state like CSV)."""
+    o = load_table(spark, sf_dir, "orders")
+    rec = F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+        F.lpad(F.col("o_custkey").cast("string"), 12, "0"),
+        F.col("o_orderstatus"),
+        F.lpad(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").cast("string"),
+            14, "0",
+        ),
+        F.date_format(F.to_date("o_orderdate"), "yyyyMMdd"),
+        F.rpad(F.col("o_orderpriority"), 15, " "),
+    )
+    lines = o.select(rec.alias("line"))
+    parsed = lines.select(
+        F.substring("line", 1, 12).cast("long").alias("orderkey"),
+        F.substring("line", 13, 12).cast("long").alias("custkey"),
+        F.substring("line", 25, 1).alias("status"),
+        F.substring("line", 26, 14).cast("long").alias("cents"),
+        F.substring("line", 40, 8).cast("long").alias("ymd"),
+        F.rtrim(F.substring("line", 48, 15)).alias("priority"),
+    )
+    return parsed.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.min("ymd").alias("min_ymd"),
+        F.max("ymd").alias("max_ymd"),
+        F.count_distinct(F.col("priority")).cast("long").alias("n_priorities"),
+        F.sum("orderkey").cast("long").alias("sum_orderkey"),
+        F.sum("custkey").cast("long").alias("sum_custkey"),
+    )
+
+
+QUERIES["fixedwidth_roundtrip"] = fixedwidth_roundtrip
+ORACLES["fixedwidth_roundtrip"] = """
+    SELECT o_orderstatus AS status,
+           COUNT(*)::BIGINT AS n,
+           SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT
+               AS sum_cents,
+           MIN(CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS BIGINT)) AS min_ymd,
+           MAX(CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS BIGINT)) AS max_ymd,
+           COUNT(DISTINCT o_orderpriority)::BIGINT AS n_priorities,
+           SUM(o_orderkey)::BIGINT AS sum_orderkey,
+           SUM(o_custkey)::BIGINT AS sum_custkey
+    FROM orders
+    GROUP BY o_orderstatus
+"""
+
+
+# --- 22. DAU/MAU stickiness via delta intervals ------------------------------------------
+_MAU_WINDOW = 30
+
+
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU, trailing-30-day MAU and the DAU/MAU stickiness ratio per
+    day — computed WITHOUT a sliding distinct: per user, consecutive
+    active days emit +1/−1 boundary deltas (+1 at the active day, −1
+    where its 30-day influence ends or the next active day takes
+    over, whichever is first), which are DISJOINT by construction, so
+    MAU(d) is just the running sum of per-day delta totals over the
+    calendar-bounded grid. The oracle certifies the algebra
+    INDEPENDENTLY with a brute-force 30-day range join + COUNT
+    (DISTINCT) — the two must agree exactly.
+
+    100 TB: one distinct user-day aggregation, one per-user lead()
+    window (key-partitioned), one O(days) grid cumsum. The classic
+    trap — COUNT(DISTINCT) OVER a 30-day range frame — never appears."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+    ).distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    w = Window.partitionBy("user_id").orderBy("d")
+    spans = ud.withColumn("nxt", F.lead("d").over(w)).select(
+        "d",
+        F.least(
+            F.col("d") + _MAU_WINDOW,
+            F.coalesce(F.col("nxt"), F.col("d") + _MAU_WINDOW),
+        ).alias("end"),
+    )
+    deltas = (
+        spans.select(F.col("d").alias("day"), F.lit(1).alias("delta"))
+        .unionByName(spans.select(F.col("end").alias("day"), F.lit(-1).alias("delta")))
+        .groupBy("day")
+        .agg(F.sum("delta").alias("net"))
+    )
+    wg = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    mau = deltas.withColumn("mau", F.sum("net").over(wg).cast("long")).select(
+        F.col("day").alias("d"), "mau"
+    )
+    return (
+        dau.join(mau, "d")
+        .select(
+            "d", "dau", "mau",
+            _q6(F.col("dau").cast("double") / F.col("mau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+QUERIES["dau_mau_stickiness"] = dau_mau_stickiness
+ORACLES["dau_mau_stickiness"] = f"""
+    WITH ud AS MATERIALIZED (
+        SELECT DISTINCT user_id,
+               CAST(ts AS DATE) - DATE '1970-01-01' AS d
+        FROM events
+    ),
+    dau AS (SELECT d, COUNT(*)::BIGINT AS dau FROM ud GROUP BY d),
+    mau AS (
+        SELECT g.d, COUNT(DISTINCT u.user_id)::BIGINT AS mau
+        FROM (SELECT DISTINCT d FROM ud) g
+        JOIN ud u ON u.d BETWEEN g.d - {_MAU_WINDOW - 1} AND g.d
+        GROUP BY g.d
+    )
+    SELECT d, dau, mau,
+           FLOOR(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) * 1000000 + 0.5) / 1000000
+               AS stickiness
+    FROM dau JOIN mau USING (d)
+"""
+
+
+# --- 23. mean reciprocal rank over the BM25 pool ------------------------------------------
+def mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank of the first relevant document per query term
+    over the certified BM25 top-20 pool (relevant = the doc contains
+    the term) — MRR's per-query readout, completing the retrieval-eval
+    trio beside nDCG and RRF. Derives entirely from already-certified
+    rankings: one explode-filter, one min() per term.
+
+    100 TB: the pool is top-k (constant); the containment probe is one
+    token-match aggregation."""
+    from etl_extractor_spark.functions import textstats as ts
+    from etl_extractor_spark.plans.training_prep import BM25_TERMS, bm25_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    top = bm25_scores(spark, sf_dir)
+    hits = (
+        top.join(d, "doc_id")
+        .select("rank", F.explode(ts.tokens("text")).alias("term"))
+        .filter(F.col("term").isin(*BM25_TERMS))
+    )
+    first = hits.groupBy("term").agg(F.min("rank").alias("first_rank"))
+    return first.select(
+        "term",
+        F.col("first_rank").cast("long").alias("first_rank"),
+        _q6(F.lit(1.0) / F.col("first_rank").cast("double")).alias("rr"),
+    )
+
+
+QUERIES["mrr_eval"] = mrr_eval
+from etl_extractor_spark.plans.training_prep import BM25_SQL as _BM25_SQL
+
+ORACLES["mrr_eval"] = rf"""
+    WITH pool AS MATERIALIZED ({_BM25_SQL}),
+    hits AS (
+        SELECT p.rank, t.term
+        FROM pool p
+        JOIN (
+            SELECT doc_id,
+                   unnest(string_split(trim(regexp_replace(CAST(text AS VARCHAR),
+                       '\s+', ' ', 'g')), ' ')) AS term
+            FROM documents
+        ) t ON p.doc_id = t.doc_id
+        WHERE t.term IN ('spark', 'order', 'batch')
+    )
+    SELECT term, MIN(rank)::BIGINT AS first_rank,
+           FLOOR(1.0 / CAST(MIN(rank) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS rr
+    FROM hits
+    GROUP BY term
+"""
+
+
+# --- 24. vocabulary coverage curve ---------------------------------------------------------
+_VOCAB_TOPS = (10, 50, 200)
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass coverage of the top-N vocabulary types for N ∈
+    {10, 50, 200} — the tokenizer-budget readout (how small a vocab
+    still covers X% of the stream; the empirical face of Zipf's law
+    next to zipf_fit_tokens). Types rank by (freq desc, token); the
+    cumulative mass runs over the VOCAB relation (domain-bounded), and
+    each N reports the realized cut (min(N, |vocab|)).
+
+    100 TB: one token count aggregation; everything after is
+    vocab-sized."""
+    from etl_extractor_spark.functions import textstats as ts
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(ts.tokens("text")).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    ranked = tf.select(
+        "freq", F.row_number().over(w).alias("rnk")
+    ).withColumn(
+        "cum", F.sum("freq").over(Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0))
+    )
+    tot = ranked.agg(
+        F.max("rnk").cast("long").alias("vocab_size"),
+        F.sum("freq").cast("long").alias("total_tokens"),
+    )
+    cuts = None
+    for n in _VOCAB_TOPS:
+        cut = (
+            ranked.crossJoin(F.broadcast(tot))
+            .where(F.col("rnk") == F.least(F.lit(n), F.col("vocab_size")))
+            .select(
+                F.lit(n).alias("n_top"),
+                "vocab_size",
+                F.col("cum").cast("long").alias("covered_tokens"),
+                "total_tokens",
+                _q6(
+                    F.col("cum").cast("double") / F.col("total_tokens").cast("double")
+                ).alias("coverage"),
+            )
+        )
+        cuts = cut if cuts is None else cuts.unionByName(cut)
+    return cuts
+
+
+QUERIES["vocab_coverage_curve"] = vocab_coverage_curve
+ORACLES["vocab_coverage_curve"] = r"""
+    WITH tf AS MATERIALIZED (
+        SELECT token, COUNT(*)::BIGINT AS freq
+        FROM (
+            SELECT unnest(string_split(trim(regexp_replace(CAST(text AS VARCHAR),
+                '\s+', ' ', 'g')), ' ')) AS token
+            FROM documents
+        )
+        WHERE length(token) > 0
+        GROUP BY token
+    ),
+    ranked AS (
+        SELECT freq,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rnk,
+               SUM(freq) OVER (ORDER BY freq DESC, token
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        FROM tf
+    ),
+    tot AS (
+        SELECT MAX(rnk)::BIGINT AS vocab_size, SUM(freq)::BIGINT AS total_tokens
+        FROM ranked
+    ),
+    tops AS (SELECT unnest([10, 50, 200]) AS n_top)
+    SELECT t.n_top, o.vocab_size, r.cum AS covered_tokens, o.total_tokens,
+           FLOOR(CAST(r.cum AS DOUBLE) / CAST(o.total_tokens AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS coverage
+    FROM tops t
+    CROSS JOIN tot o
+    JOIN ranked r ON r.rnk = LEAST(t.n_top, o.vocab_size)
+"""

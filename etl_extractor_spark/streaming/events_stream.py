@@ -1014,3 +1014,85 @@ def streaming_funnel(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------------------- streaming interval union
+
+_IVU_SPAN_US = 30 * 60 * 1_000_000
+_IVU_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("covered_us", T.LongType()),
+        T.StructField("n_islands", T.LongType()),
+    ]
+)
+_IVU_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cur_lo", T.LongType()),
+        T.StructField("cur_hi", T.LongType()),
+        T.StructField("closed_us", T.LongType()),
+        T.StructField("closed_islands", T.LongType()),
+    ]
+)
+
+
+def _interval_union_state(key, pdfs, state: GroupState):
+    """Per-user union-of-intervals accumulator: state is one OPEN
+    island (lo, hi) plus the closed total — O(1) per key. Each event
+    opens [t, t+30min); overlapping/touching-at-a-point-in-time events
+    extend the open island, a gap closes it. Emits the user's total
+    coverage INCLUDING the open island — monotone non-decreasing
+    across micro-batches, so the final state is the algebraic
+    max(struct(covered_us, n_islands))."""
+    import pandas as _pd
+
+    (user_id,) = key
+    if state.exists:
+        cur_lo, cur_hi, closed_us, closed_n = state.get
+    else:
+        cur_lo, cur_hi, closed_us, closed_n = -1, -1, 0, 0
+    rows = _pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["s", "event_id"], kind="mergesort")
+    for s in rows["s"]:
+        s = int(s)
+        e = s + _IVU_SPAN_US
+        if cur_lo < 0:
+            cur_lo, cur_hi = s, e
+        elif s > cur_hi:  # strict gap: close the island (batch parity)
+            closed_us += cur_hi - cur_lo
+            closed_n += 1
+            cur_lo, cur_hi = s, e
+        else:
+            cur_hi = max(cur_hi, e)
+    state.update((cur_lo, cur_hi, closed_us, closed_n))
+    open_us = (cur_hi - cur_lo) if cur_lo >= 0 else 0
+    open_n = 1 if cur_lo >= 0 else 0
+    yield _pd.DataFrame(
+        [(user_id, closed_us + open_us, closed_n + open_n)],
+        columns=["user_id", "covered_us", "n_islands"],
+    )
+
+
+def streaming_interval_union(stream: DataFrame) -> DataFrame:
+    """Streaming twin of the batch interval-union coverage
+    (plans/pipeline_ops2.interval_union_coverage): the batch island
+    rule starts a new island iff s > max(end) among earlier rows —
+    exactly the strict-gap close here, so the replayed final state
+    equals the batch per-user coverage event for event."""
+    from etl_extractor_spark.functions.dates import ntz_epoch_micros
+
+    return (
+        stream.select(
+            "user_id",
+            "event_id",
+            ntz_epoch_micros("ts_ntz").alias("s"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _interval_union_state,
+            outputStructType=_IVU_OUT_SCHEMA,
+            stateStructType=_IVU_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
