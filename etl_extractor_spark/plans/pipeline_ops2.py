@@ -1839,3 +1839,125 @@ ORACLES["vocab_coverage_curve"] = r"""
     CROSS JOIN tot o
     JOIN ranked r ON r.rnk = LEAST(t.n_top, o.vocab_size)
 """
+
+
+# --- 25. keyed pseudonymization with referential integrity --------------------------------
+def pseudonymize_join_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-grade keyed pseudonymization: customer keys are replaced by
+    deterministic keyed tokens (md5 over a pinned release key — the
+    HMAC shape with the repo's engine-identical hash idiom) in BOTH the
+    dim and the fact table, and the query proves REFERENTIAL INTEGRITY
+    SURVIVES: the pseudonymized join reproduces exactly the per-segment
+    order counts and value sums of the raw-key join (which is what the
+    oracle computes). A token collision, a key-derivation mismatch
+    between tables, or a dropped row all hash-fail.
+
+    100 TB: tokenization is map-only; the join is the same key-hash
+    join it replaced (tokens distribute like keys — md5 is uniform, so
+    pseudonymization cannot introduce skew)."""
+    tok = lambda c: F.md5(F.concat(F.lit("pseudo-v1:"), c.cast("string")))
+    c = load_table(spark, sf_dir, "customer").select(
+        tok(F.col("c_custkey")).alias("ctok"), "c_mktsegment"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        tok(F.col("o_custkey")).alias("otok"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    return (
+        c.join(o, c.ctok == o.otok)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.count_distinct("ctok").cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+QUERIES["pseudonymize_join_integrity"] = pseudonymize_join_integrity
+ORACLES["pseudonymize_join_integrity"] = """
+    SELECT c_mktsegment,
+           COUNT(*)::BIGINT AS n_orders,
+           COUNT(DISTINCT c_custkey)::BIGINT AS n_customers,
+           SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT
+               AS sum_cents
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+"""
+
+
+# --- 26. DP counts with per-user contribution bounding --------------------------------------
+_DPB_CAP = 3       # max events one user may contribute per group
+_DPB_EPS = 0.5
+_DPB_SEED = 0xB7
+
+
+def dp_bounded_contribution_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private event counts per type with PER-USER
+    CONTRIBUTION BOUNDING — the step dp_noisy_counts abstracts away:
+    user-level DP requires capping each user's contribution (here ≤3
+    events per type, via a deterministic (ts, event_id)-ordered rank)
+    BEFORE adding Laplace(Δ/ε) noise with Δ = the cap. Noise is the
+    repo's seeded-md5 inverse-CDF draw (engine-identical IEEE ops,
+    strictly inside (0,1)), so the released counts stay exactly
+    oracle-checkable while modeling the real user-level mechanism.
+
+    100 TB: the cap is one key-partitioned row_number window; the
+    release is O(groups) scalar math on a map-side-combined count."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    capped = (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _DPB_CAP)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_capped"))
+    )
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("event_type"), F.lit(f"#b{_DPB_SEED}"))),
+                    1, 12,
+                ),
+                16, 10,
+            )
+            .cast("long")
+            .cast("double")
+            + F.lit(0.5)
+        )
+        / F.lit(float(1 << 48))
+    )
+    cc = u - F.lit(0.5)
+    b = F.lit(float(_DPB_CAP) / _DPB_EPS)  # sensitivity = the cap
+    noise = -b * F.signum(cc) * F.log(1 - 2 * F.abs(cc))
+    released = F.col("n_capped") + noise
+    return capped.select(
+        "event_type",
+        "n_capped",
+        (F.floor(released * 10000) / 10000).alias("released"),
+    )
+
+
+QUERIES["dp_bounded_contribution_counts"] = dp_bounded_contribution_counts
+ORACLES["dp_bounded_contribution_counts"] = f"""
+    WITH capped AS (
+        SELECT event_type, COUNT(*)::BIGINT AS n_capped
+        FROM (
+            SELECT event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        )
+        WHERE rn <= {_DPB_CAP}
+        GROUP BY event_type
+    )
+    SELECT event_type, n_capped,
+           FLOOR((CAST(n_capped AS DOUBLE)
+                  + (-({_DPB_CAP}.0 / {_DPB_EPS})
+                     * SIGN((CAST(('0x' || substr(md5(event_type || '#b{_DPB_SEED}'), 1, 12))
+                             AS BIGINT) + 0.5) / {float(1 << 48)} - 0.5)
+                     * LN(1 - 2 * ABS((CAST(('0x' || substr(md5(event_type || '#b{_DPB_SEED}'), 1, 12))
+                             AS BIGINT) + 0.5) / {float(1 << 48)} - 0.5))))
+                 * 10000) / 10000 AS released
+    FROM capped
+"""
