@@ -1961,3 +1961,110 @@ ORACLES["dp_bounded_contribution_counts"] = f"""
                  * 10000) / 10000 AS released
     FROM capped
 """
+
+
+# --- 27. EWMA control chart -------------------------------------------------------------
+_EWMA_H = 10  # truncated window; lambda = 1/2 -> power-of-two weights
+_EWMA_DEN = (1 << _EWMA_H) - 1
+
+
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (SPC) over daily order counts: the smoothed
+    statistic is the λ=½ truncated EWMA — integer power-of-two weights
+    Σ c_{t−i}·2^(H−1−i) over the last H=10 days (the SES idiom, exact
+    BIGINT numerator) — charted against ±3σ_EWMA limits derived from
+    the exact global sufficient statistics (σ_EWMA² = σ²·λ/(2−λ)
+    asymptotically). Output: every full-window day with its count,
+    smoothed value and an out-of-control flag. The process-drift
+    monitor that pages before CUSUM's offline argmax runs.
+
+    100 TB: one daily aggregation; the H-lag fold and the limits are
+    O(days) window math over the calendar-bounded grid."""
+    from etl_extractor_spark.plans.inference import _daily_counts
+
+    daily = _daily_counts(spark, sf_dir)
+    w = Window.orderBy("d")
+    lags = daily.select(
+        "d", "c",
+        F.row_number().over(w).alias("rn"),
+        *[F.lag("c", i).over(w).alias(f"l{i}") for i in range(1, _EWMA_H)],
+    )
+    num = F.col("c") * F.lit(1 << (_EWMA_H - 1))
+    for i in range(1, _EWMA_H):
+        num = num + F.coalesce(F.col(f"l{i}"), F.lit(0)) * F.lit(1 << (_EWMA_H - 1 - i))
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    full = lags.where(F.col("rn") >= _EWMA_H).select(
+        "d", "c", num.alias("ewma_num")
+    ).crossJoin(F.broadcast(stats))
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    sigma = F.sqrt(
+        (F.col("n").cast("double") * F.col("ss").cast("double")
+         - F.col("s").cast("double") * F.col("s").cast("double"))
+        / (nd * nd)
+    )
+    half = 3.0 * sigma * F.sqrt(F.lit(1.0 / 3.0))  # lambda/(2-lambda) = 1/3
+    ewma = F.col("ewma_num").cast("double") / F.lit(float(_EWMA_DEN))
+    return full.select(
+        "d", "c", "ewma_num",
+        _q6(ewma).alias("ewma"),
+        _q6(mean - half).alias("lcl"),
+        _q6(mean + half).alias("ucl"),
+        ((ewma < mean - half) | (ewma > mean + half)).alias("out_of_control"),
+    )
+
+
+QUERIES["ewma_control_chart"] = ewma_control_chart
+from etl_extractor_spark.plans.inference import _DAILY_SQL as _EWMA_DAILY_SQL
+
+ORACLES["ewma_control_chart"] = f"""
+    WITH daily AS ({_EWMA_DAILY_SQL}),
+    lags AS (
+        SELECT d, c,
+               ROW_NUMBER() OVER (ORDER BY d) AS rn,
+               {', '.join(f'LAG(c, {i}) OVER (ORDER BY d) AS l{i}' for i in range(1, _EWMA_H))}
+        FROM daily
+    ),
+    stats AS (
+        SELECT COUNT(*)::BIGINT AS n, SUM(c)::BIGINT AS s,
+               SUM(c * c)::BIGINT AS ss
+        FROM daily
+    ),
+    fullw AS (
+        SELECT d, c,
+               (c * {1 << (_EWMA_H - 1)}
+                {' '.join(f'+ COALESCE(l{i}, 0) * {1 << (_EWMA_H - 1 - i)}' for i in range(1, _EWMA_H))}
+               )::BIGINT AS ewma_num
+        FROM lags WHERE rn >= {_EWMA_H}
+    )
+    SELECT d, c, ewma_num,
+           FLOOR(CAST(ewma_num AS DOUBLE) / {float(_EWMA_DEN)} * 1000000 + 0.5) / 1000000
+               AS ewma,
+           FLOOR((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                  - 3.0 * SQRT((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                        * SQRT(1.0 / 3.0)) * 1000000 + 0.5) / 1000000 AS lcl,
+           FLOOR((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                  + 3.0 * SQRT((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                        * SQRT(1.0 / 3.0)) * 1000000 + 0.5) / 1000000 AS ucl,
+           (CAST(ewma_num AS DOUBLE) / {float(_EWMA_DEN)}
+                < CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                  - 3.0 * SQRT((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                        * SQRT(1.0 / 3.0))
+           OR (CAST(ewma_num AS DOUBLE) / {float(_EWMA_DEN)}
+                > CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                  + 3.0 * SQRT((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                        * SQRT(1.0 / 3.0)) AS out_of_control
+    FROM fullw CROSS JOIN stats
+"""
