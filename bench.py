@@ -101,6 +101,12 @@ BENCH_QUERIES = [
     "bfs_shortest_hops",
     "kl_source_divergence",
     "streaming_funnel_replay",
+    # session-3 closers: sliding-distinct-free DAU/MAU, interval-union
+    # coverage, exact order-statistic CI, GBDT split finding
+    "dau_mau_stickiness",
+    "interval_union_coverage",
+    "median_ci_orders",
+    "decision_stump_split",
 ]
 
 
