@@ -2068,3 +2068,150 @@ ORACLES["ewma_control_chart"] = f"""
                         * SQRT(1.0 / 3.0)) AS out_of_control
     FROM fullw CROSS JOIN stats
 """
+
+
+# --- 28. conversion-time quantiles ---------------------------------------------------------
+def conversion_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion-lag distribution: per user, the lag
+    from first signup to the first STRICTLY-later purchase (the funnel
+    pair's timing face), with exact p50/p90/min/max in seconds via the
+    two-phase bucketed rank walk — per-user lags are data-scaled, so
+    the cumulative never runs as one global window.
+
+    100 TB: two user-keyed aggregations + the domain-bucketed rank
+    walk; rank targets are O(1) scalar math."""
+    from etl_extractor_spark.functions.dates import ntz_epoch_micros
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", ntz_epoch_micros("ts").alias("us")
+    )
+    s1 = e.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("us").alias("t_signup")
+    )
+    p1 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .where(F.col("us") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase"), F.min("t_signup").alias("t_signup2"))
+    )
+    durs = p1.select(
+        F.expr("(t_purchase - t_signup2) div 1000000").alias("dur_s")
+    )
+    per_v = durs.groupBy("dur_s").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    per_v = per_v.withColumn("b", F.expr("dur_s div 100000"))
+    wv = Window.partitionBy("b").orderBy("dur_s").rowsBetween(Window.unboundedPreceding, 0)
+    sizes = per_v.groupBy("b").agg(F.sum("c").alias("cb"))
+    wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select("b", F.coalesce(F.sum("cb").over(wo), F.lit(0)).alias("off"))
+    cum = (
+        per_v.withColumn("c_in", F.sum("c").over(wv))
+        .join(F.broadcast(offsets), "b")
+        .select("dur_s", (F.col("c_in") + F.col("off")).alias("cum"))
+    )
+    tot = durs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = cum.crossJoin(F.broadcast(tot))
+    p50 = j.where(F.col("cum") >= F.expr("(n + 1) div 2")).agg(
+        F.min("dur_s").alias("p50_s")
+    )
+    p90 = j.where(F.col("cum") >= F.expr("(9 * n + 9) div 10")).agg(
+        F.min("dur_s").alias("p90_s")
+    )
+    ext = durs.agg(F.min("dur_s").alias("min_s"), F.max("dur_s").alias("max_s"))
+    return tot.crossJoin(p50).crossJoin(p90).crossJoin(ext)
+
+
+QUERIES["conversion_time_quantiles"] = conversion_time_quantiles
+ORACLES["conversion_time_quantiles"] = """
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    s1 AS (
+        SELECT user_id, MIN(us) AS t_signup
+        FROM e WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p1 AS (
+        SELECT e.user_id, MIN(e.us) AS t_purchase, MIN(s1.t_signup) AS t_signup2
+        FROM e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.us > s1.t_signup
+        GROUP BY e.user_id
+    ),
+    durs AS (SELECT (t_purchase - t_signup2) // 1000000 AS dur_s FROM p1),
+    per_v AS (SELECT dur_s, COUNT(*)::BIGINT AS c FROM durs GROUP BY dur_s),
+    cum AS (
+        SELECT dur_s, SUM(c) OVER (ORDER BY dur_s)::BIGINT AS cum FROM per_v
+    ),
+    tot AS (SELECT COUNT(*)::BIGINT AS n FROM durs),
+    p50 AS (
+        SELECT MIN(dur_s) AS p50_s FROM cum CROSS JOIN tot
+        WHERE cum >= (n + 1) // 2
+    ),
+    p90 AS (
+        SELECT MIN(dur_s) AS p90_s FROM cum CROSS JOIN tot
+        WHERE cum >= (9 * n + 9) // 10
+    ),
+    ext AS (SELECT MIN(dur_s) AS min_s, MAX(dur_s) AS max_s FROM durs)
+    SELECT n, p50_s, p90_s, min_s, max_s
+    FROM tot CROSS JOIN p50 CROSS JOIN p90 CROSS JOIN ext
+"""
+
+
+# --- 29. join-cardinality estimation by key sampling ------------------------------------------
+_JCE_RATE_BITS = 8  # sample keys where hash48 < 2^48 / 2^8  (p = 1/256)
+
+
+def join_cardinality_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-style join-size estimation: |lineitem ⋈ lineitem on
+    l_partkey| = Σ_k c(k)² (the skew-sensitive self-join a cost model
+    must not guess at) estimated from a deterministic 1/256 KEY sample
+    (md5 hash gate — every occurrence of a sampled key is kept, the
+    end-biased sampling join estimators use), scaled by 256, and
+    reported NEXT TO the exact cardinality with the relative error.
+    Everything is exact integers — the estimate itself is a
+    deterministic statistic, so the oracle replays it bit-for-bit.
+
+    100 TB: two key-count aggregations (one on the sampled keys);
+    never materializes the join."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    per_k = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    exact = per_k.agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_card"))
+    gate = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("jce-"), F.col("l_partkey").cast("string"))), 1, 12),
+            16, 10,
+        ).cast("long")
+        < F.lit((1 << 48) >> _JCE_RATE_BITS)
+    )
+    samp = per_k.where(gate).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled_keys"),
+        (F.sum(F.col("c") * F.col("c")) * F.lit(1 << _JCE_RATE_BITS))
+        .cast("long")
+        .alias("est_card"),
+    )
+    out = exact.crossJoin(samp)
+    rel = (F.col("est_card") - F.col("exact_card")).cast("double") / F.col(
+        "exact_card"
+    ).cast("double")
+    return out.select(
+        "exact_card", "est_card", "n_sampled_keys", _q6(rel).alias("rel_err")
+    )
+
+
+QUERIES["join_cardinality_kmv"] = join_cardinality_kmv
+ORACLES["join_cardinality_kmv"] = f"""
+    WITH per_k AS (
+        SELECT l_partkey, COUNT(*)::BIGINT AS c FROM lineitem GROUP BY l_partkey
+    ),
+    exact AS (SELECT SUM(c * c)::BIGINT AS exact_card FROM per_k),
+    samp AS (
+        SELECT COUNT(*)::BIGINT AS n_sampled_keys,
+               (SUM(c * c) * {1 << _JCE_RATE_BITS})::BIGINT AS est_card
+        FROM per_k
+        WHERE CAST(('0x' || substr(md5('jce-' || CAST(l_partkey AS VARCHAR)), 1, 12))
+                   AS BIGINT) < {(1 << 48) >> _JCE_RATE_BITS}
+    )
+    SELECT exact_card, est_card, n_sampled_keys,
+           FLOOR(CAST(est_card - exact_card AS DOUBLE) / CAST(exact_card AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS rel_err
+    FROM exact CROSS JOIN samp
+"""
