@@ -6,29 +6,54 @@ names registered here sort behind the whole existing backlog.
 
 Queries (all oracle-backed):
 
-- xml_events_parse   : real XML ingestion through Spark's native
-                       ``from_xml`` — events serialized to XML then
-                       parsed back and aggregated; the oracle computes
-                       ground truth from the base table, so a parser
-                       slip (wrong tag, lost sign, truncation) is a
-                       hash miss
-- readability_flesch : Flesch reading-ease per document from exact
-                       regex token/sentence/vowel-group counts,
-                       micro-unit-quantized per doc before the
-                       per-source integer rollup
-- merge_upsert_scd1  : MERGE INTO semantics (SCD type 1): update-wins
-                       upsert of an order-derived update set into the
-                       customer dim + inserted synthetic entities,
-                       with per-action audit counts and a
-                       deterministic row slice as evidence
-- bfs_shortest_hops  : breadth-first shortest hops from seed suppliers
-                       over the bipartite purchase graph — bounded
-                       iterative frontier joins in Spark vs a
-                       recursive CTE in the oracle
+ingestion / formats
+- xml_events_parse        : native ``from_xml`` round-trip vs a
+                            base-table oracle
+- fixedwidth_roundtrip    : copybook-style byte-position records
+
+warehouse ops
+- merge_upsert_scd1       : MERGE INTO / SCD-1 update-wins upsert
+- pseudonymize_join_integrity : keyed tokens in dim+fact, referential
+                            integrity proven by the raw-key oracle
+- dp_bounded_contribution_counts : user-level DP (cap then Laplace)
+- provenance_rollup       : commutative hash-sum integrity records
+- rendezvous_shard_assign : HRW sharding, minimal-disruption proof
+- join_cardinality_kmv    : optimizer join-size estimate by key sample
+
+graph
+- bfs_shortest_hops       : level-synchronous BFS vs recursive CTE
+- label_propagation_communities : 3 unrolled min-label rounds
+- kcore_peel_rounds       : bounded degree peeling (MATERIALIZED CTEs)
+
+streams (certified replays 8-9)
+- streaming_funnel_replay         : stateful per-user funnel machine
+- streaming_interval_union_replay : O(1)-state coverage accumulator
+
+text / eval
+- readability_flesch      : exact regex Flesch scoring
+- kl_source_divergence    : per-source token-distribution drift
+- vocab_coverage_curve    : top-N token-mass coverage
+- mrr_eval                : reciprocal rank over the BM25 pool
+
+stats / ML
+- weighted_median_discount: weighted quantiles over the value domain
+- decision_stump_split    : exact Gini split search (GBDT inner loop)
+- target_encoding_loo     : leakage-safe LOO encoding, pure integers
+- median_ci_orders        : order-statistic CIs by two-phase ranks
+- neyman_allocation_sample: optimal stratified budget + hash-gate draw
+- poisson_rate_test       : conditional binomial z on count metrics
+- ewma_control_chart      : SPC drift monitor, power-of-two weights
+
+time series / product analytics
+- interval_union_coverage : SLA/uptime island merge
+- cohort_ltv_curve        : cumulative spend by cohort age
+- dau_mau_stickiness      : MAU w/o sliding distincts (delta algebra)
+- conversion_time_quantiles : signup→purchase lag p50/p90
+- embedding_dim_variance  : dead/degenerate-dimension audit
 
 Reference parity: nilfredb/ETL-Extractor reads CSV/JDBC/REST only
-(extractors/*.py); XML ingestion, dim upserts and graph reach are the
-adjacent asks the same pipeline hits in production.
+(extractors/*.py); these are the adjacent asks the same pipeline hits
+in production at 100 TB.
 """
 
 from __future__ import annotations
