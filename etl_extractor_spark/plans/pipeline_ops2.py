@@ -2240,3 +2240,226 @@ ORACLES["join_cardinality_kmv"] = f"""
                  * 1000000 + 0.5) / 1000000 AS rel_err
     FROM exact CROSS JOIN samp
 """
+
+
+# --- 30. classifier confusion metrics --------------------------------------------------------
+_CCM_THRESHOLD = 996_000  # score_micro >= this => predict "en" (splits near the corpus median)
+
+
+def classifier_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full thresholded-classifier evaluation of the English-ness score
+    (shared with calibration_bins / roc_auc_exact, so the eval suite
+    reads one model three ways): confusion counts tp/fp/fn/tn at a
+    pinned threshold, then precision, recall, F1, Matthews correlation
+    and Cohen's κ — each ONE double formula over the four exact
+    integers (MCC's denominator in √ of an exact ≤4e19… product kept
+    in double, identical op order both engines).
+
+    100 TB: a single map-side-combinable aggregation; O(1) scalars."""
+    s = _ccm_scored(spark, sf_dir)
+    agg = s.agg(
+        F.sum(((F.col("pred") == 1) & (F.col("label") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("pred") == 1) & (F.col("label") == 0)).cast("long")).alias("fp"),
+        F.sum(((F.col("pred") == 0) & (F.col("label") == 1)).cast("long")).alias("fn"),
+        F.sum(((F.col("pred") == 0) & (F.col("label") == 0)).cast("long")).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c).cast("double") for c in ("tp", "fp", "fn", "tn"))
+    n = tp + fp + fn + tn
+    prec = tp / (tp + fp)
+    rec = tp / (tp + fn)
+    f1 = 2.0 * tp / (2.0 * tp + fp + fn)
+    mcc = (tp * tn - fp * fn) / F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    po = (tp + tn) / n
+    pe = ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / (n * n)
+    kappa = (po - pe) / (1.0 - pe)
+    return agg.select(
+        "tp", "fp", "fn", "tn",
+        _q6(prec).alias("precision"),
+        _q6(rec).alias("recall"),
+        _q6(f1).alias("f1"),
+        _q6(mcc).alias("mcc"),
+        _q6(kappa).alias("kappa"),
+    )
+
+
+def _ccm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_extractor_spark.plans.inference import _scored_docs
+
+    s = _scored_docs(spark, sf_dir)
+    return s.select(
+        (F.col("score_micro") >= _CCM_THRESHOLD).cast("int").alias("pred"), "label"
+    )
+
+
+_CCM_SQL_BODY = """
+        SELECT CASE WHEN score_micro >= {thr} THEN 1 ELSE 0 END AS pred, label
+        FROM ({scored})
+"""
+
+QUERIES["classifier_confusion_metrics"] = classifier_confusion_metrics
+
+
+# --- 31. log-loss evaluation -------------------------------------------------------------------
+def log_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean cross-entropy (log loss) of the clamped English-ness score
+    against the label — the proper-scoring-rule counterpart of AUC
+    (AUC sees only the ordering; log loss punishes calibration). The
+    probability clamps to [1e-4, 1−1e-4] so ln never sees 0 (the
+    recorded ln(0) cross-engine landmine), each per-row term is
+    floor-quantized to integer micro-nats, and the sum is exact.
+
+    100 TB: map-only scoring + one aggregation."""
+    from etl_extractor_spark.plans.inference import _scored_docs
+
+    s = _scored_docs(spark, sf_dir)
+    p = F.least(F.greatest(F.col("score_micro").cast("double") / 1000000.0, F.lit(1e-4)),
+                F.lit(1.0 - 1e-4))
+    term = F.floor(
+        (F.when(F.col("label") == 1, F.log(p)).otherwise(F.log(1.0 - p))) * 1000000
+    ).cast("long")
+    agg = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(term).cast("long").alias("sum_ll_micro"),
+    )
+    return agg.select(
+        "n", "sum_ll_micro",
+        _q6(-F.col("sum_ll_micro").cast("double") / F.col("n").cast("double") / 1000000)
+        .alias("log_loss"),
+    )
+
+
+QUERIES["log_loss_eval"] = log_loss_eval
+
+
+# --- 32. Grubbs' outlier test --------------------------------------------------------------------
+def grubbs_outlier_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' test for a single outlier in daily order counts: G =
+    max|cᵢ − c̄| / s with the candidate day. The argmax runs in exact
+    integers (|n·cᵢ − S| — the mean never materializes; earliest-day
+    tie-break), and G is one double formula over (n, S, SS, the argmax
+    count). The one-shot outlier gate run before a control chart is
+    trusted.
+
+    100 TB: one daily aggregation + an O(days) argmax + O(1) scalars."""
+    from etl_extractor_spark.plans.inference import _daily_counts
+
+    daily = _daily_counts(spark, sf_dir)
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "d", "c", "n", "s", "ss",
+        F.abs(F.col("n") * F.col("c") - F.col("s")).alias("absdev_scaled"),
+    )
+    top = dev.orderBy(F.desc("absdev_scaled"), "d").limit(1)
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    sd = F.sqrt(
+        (nd * F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s").cast("double"))
+        / (nd * (nd - 1.0))
+    )
+    g = F.abs(F.col("c").cast("double") - mean) / sd
+    return top.select(
+        F.col("d").alias("outlier_day"), "c", "n",
+        _q6(mean).alias("mean"),
+        _q6(sd).alias("sd"),
+        _q6(g).alias("g_stat"),
+    )
+
+
+QUERIES["grubbs_outlier_test"] = grubbs_outlier_test
+
+
+from etl_extractor_spark.plans.inference import _SCORED_SQL as _CCM_SCORED_SQL
+
+ORACLES["classifier_confusion_metrics"] = f"""
+    WITH p AS (
+        SELECT CASE WHEN score_micro >= {_CCM_THRESHOLD} THEN 1 ELSE 0 END AS pred,
+               label
+        FROM ({_CCM_SCORED_SQL})
+    ),
+    agg AS (
+        SELECT SUM(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+               SUM(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+               SUM(CASE WHEN pred = 0 AND label = 1 THEN 1 ELSE 0 END)::BIGINT AS fn,
+               SUM(CASE WHEN pred = 0 AND label = 0 THEN 1 ELSE 0 END)::BIGINT AS tn
+        FROM p
+    )
+    SELECT tp, fp, fn, tn,
+           FLOOR(CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS precision,
+           FLOOR(CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS recall,
+           FLOOR(2.0 * CAST(tp AS DOUBLE)
+                 / (2.0 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS f1,
+           FLOOR((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+                  - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+                 / SQRT((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+                        * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+                        * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+                        * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000 AS mcc,
+           FLOOR((
+               (CAST(tp AS DOUBLE) + CAST(tn AS DOUBLE))
+                   / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE) + CAST(tn AS DOUBLE))
+               - ((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)) * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+                  + (CAST(fn AS DOUBLE) + CAST(tn AS DOUBLE)) * (CAST(fp AS DOUBLE) + CAST(tn AS DOUBLE)))
+                 / ((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE) + CAST(tn AS DOUBLE))
+                    * (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE) + CAST(tn AS DOUBLE)))
+           ) / (1.0 - ((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)) * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+                  + (CAST(fn AS DOUBLE) + CAST(tn AS DOUBLE)) * (CAST(fp AS DOUBLE) + CAST(tn AS DOUBLE)))
+                 / ((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE) + CAST(tn AS DOUBLE))
+                    * (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE) + CAST(tn AS DOUBLE))))
+           * 1000000 + 0.5) / 1000000 AS kappa
+    FROM agg
+"""
+
+ORACLES["log_loss_eval"] = f"""
+    WITH s AS ({_CCM_SCORED_SQL}),
+    t AS (
+        SELECT CAST(FLOOR(
+                   CASE WHEN label = 1
+                        THEN LN(LEAST(GREATEST(CAST(score_micro AS DOUBLE) / 1000000.0,
+                                               0.0001), 0.9999))
+                        ELSE LN(1.0 - LEAST(GREATEST(CAST(score_micro AS DOUBLE) / 1000000.0,
+                                                     0.0001), 0.9999))
+                   END * 1000000) AS BIGINT) AS term
+        FROM s
+    )
+    SELECT COUNT(*)::BIGINT AS n,
+           SUM(term)::BIGINT AS sum_ll_micro,
+           FLOOR(-CAST(SUM(term) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000
+                 * 1000000 + 0.5) / 1000000 AS log_loss
+    FROM t
+"""
+
+from etl_extractor_spark.plans.inference import _DAILY_SQL as _GRUBBS_DAILY_SQL
+
+ORACLES["grubbs_outlier_test"] = f"""
+    WITH daily AS ({_GRUBBS_DAILY_SQL}),
+    tot AS (
+        SELECT COUNT(*)::BIGINT AS n, SUM(c)::BIGINT AS s, SUM(c * c)::BIGINT AS ss
+        FROM daily
+    ),
+    top AS (
+        SELECT d, c, n, s, ss
+        FROM daily CROSS JOIN tot
+        ORDER BY ABS(n * c - s) DESC, d
+        LIMIT 1
+    )
+    SELECT d AS outlier_day, c, n,
+           FLOOR(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean,
+           FLOOR(SQRT((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                 * 1000000 + 0.5) / 1000000 AS sd,
+           FLOOR(ABS(CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 / SQRT((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                 * 1000000 + 0.5) / 1000000 AS g_stat
+    FROM top
+"""
