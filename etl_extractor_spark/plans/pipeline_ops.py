@@ -63,6 +63,7 @@ import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_extractor_spark.functions.quantize import q6
 from etl_extractor_spark.operators import multimodal as M
 from etl_extractor_spark.sources.parquet import load_table
 
@@ -742,8 +743,6 @@ def ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     b0 = (d("sy") - b1 * d("s1") - b2 * d("s2")) / n
     r2 = (b1 * c1y + b2 * c2y) / cyy
 
-    from etl_extractor_spark.functions.quantize import q6
-
     return s.select(
         "flag",
         F.col("n").cast("long").alias("n"),
@@ -1037,8 +1036,6 @@ def feature_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     c12 = d("s12") - d("s1") * d("s2") / n
     c1y = d("s1y") - d("s1") * d("sy") / n
     c2y = d("s2y") - d("s2") * d("sy") / n
-
-    from etl_extractor_spark.functions.quantize import q6
 
     return s.select(
         "flag",
@@ -1866,8 +1863,6 @@ def cuped_ab_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_adj_v = mean_y_v - theta * (d("svx") / d("nv") - mean_x)
     var_red = (cxy * cxy) / (cxx * cyy)
 
-    from etl_extractor_spark.functions.quantize import q6
-
     return j.select(
         F.col("variant").cast("long").alias("variant"),
         F.col("nv").cast("long").alias("n_units"),
@@ -1951,8 +1946,6 @@ def did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def m(s, n):
         return F.col(s).cast("double") / F.col(n).cast("double") / 100
-
-    from etl_extractor_spark.functions.quantize import q6
 
     did = (m("to", "nt") - m("tp", "nt")) - (m("co", "nc") - m("cp", "nc"))
     return j.select(

@@ -1133,7 +1133,9 @@ ORACLES["kcore_peel_rounds"] = f"""
 
 
 # --- 15. interval union coverage ----------------------------------------------------
-_IUC_SPAN_US = 30 * 60 * 1_000_000  # each event covers [ts, ts+30min)
+# single-sourced with the streaming twin: the replay shares this batch
+# query's oracle, so the two spans must be the same constant
+from etl_extractor_spark.streaming.events_stream import _IVU_SPAN_US as _IUC_SPAN_US
 
 
 def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1629,14 +1631,18 @@ def fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("line", 40, 8).cast("long").alias("ymd"),
         F.rtrim(F.substring("line", 48, 15)).alias("priority"),
     )
+    # the three checksums are data-scaled sums of data-scaled values —
+    # DECIMAL(38,0)/HUGEINT-widened and emitted as digit strings so the
+    # roundtrip proof holds at any SF (review catch: plain BIGINT wraps
+    # silently in Spark / raises in DuckDB from ~sf2000)
     return parsed.groupBy("status").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("cents").cast("long").alias("sum_cents"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).cast("string").alias("sum_cents"),
         F.min("ymd").alias("min_ymd"),
         F.max("ymd").alias("max_ymd"),
         F.count_distinct(F.col("priority")).cast("long").alias("n_priorities"),
-        F.sum("orderkey").cast("long").alias("sum_orderkey"),
-        F.sum("custkey").cast("long").alias("sum_custkey"),
+        F.sum(F.col("orderkey").cast("decimal(38,0)")).cast("string").alias("sum_orderkey"),
+        F.sum(F.col("custkey").cast("decimal(38,0)")).cast("string").alias("sum_custkey"),
     )
 
 
@@ -1644,13 +1650,13 @@ QUERIES["fixedwidth_roundtrip"] = fixedwidth_roundtrip
 ORACLES["fixedwidth_roundtrip"] = """
     SELECT o_orderstatus AS status,
            COUNT(*)::BIGINT AS n,
-           SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT
-               AS sum_cents,
+           CAST(SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS HUGEINT)) AS VARCHAR) AS sum_cents,
            MIN(CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS BIGINT)) AS min_ymd,
            MAX(CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS BIGINT)) AS max_ymd,
            COUNT(DISTINCT o_orderpriority)::BIGINT AS n_priorities,
-           SUM(o_orderkey)::BIGINT AS sum_orderkey,
-           SUM(o_custkey)::BIGINT AS sum_custkey
+           CAST(SUM(CAST(o_orderkey AS HUGEINT)) AS VARCHAR) AS sum_orderkey,
+           CAST(SUM(CAST(o_custkey AS HUGEINT)) AS VARCHAR) AS sum_custkey
     FROM orders
     GROUP BY o_orderstatus
 """
@@ -1814,23 +1820,23 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("rnk").cast("long").alias("vocab_size"),
         F.sum("freq").cast("long").alias("total_tokens"),
     )
-    cuts = None
-    for n in _VOCAB_TOPS:
-        cut = (
-            ranked.crossJoin(F.broadcast(tot))
-            .where(F.col("rnk") == F.least(F.lit(n), F.col("vocab_size")))
-            .select(
-                F.lit(n).alias("n_top"),
-                "vocab_size",
-                F.col("cum").cast("long").alias("covered_tokens"),
-                "total_tokens",
-                _q6(
-                    F.col("cum").cast("double") / F.col("total_tokens").cast("double")
-                ).alias("coverage"),
-            )
+    tops = spark.createDataFrame([(n,) for n in _VOCAB_TOPS], "n_top int")
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(tops),
+            F.col("rnk") == F.least(F.col("n_top").cast("long"), F.col("vocab_size")),
         )
-        cuts = cut if cuts is None else cuts.unionByName(cut)
-    return cuts
+        .select(
+            "n_top",
+            "vocab_size",
+            F.col("cum").cast("long").alias("covered_tokens"),
+            "total_tokens",
+            _q6(
+                F.col("cum").cast("double") / F.col("total_tokens").cast("double")
+            ).alias("coverage"),
+        )
+    )
 
 
 QUERIES["vocab_coverage_curve"] = vocab_coverage_curve
@@ -1920,17 +1926,21 @@ _DPB_SEED = 0xB7
 def dp_bounded_contribution_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Differentially-private event counts per type with PER-USER
     CONTRIBUTION BOUNDING — the step dp_noisy_counts abstracts away:
-    user-level DP requires capping each user's contribution (here ≤3
-    events per type, via a deterministic (ts, event_id)-ordered rank)
-    BEFORE adding Laplace(Δ/ε) noise with Δ = the cap. Noise is the
-    repo's seeded-md5 inverse-CDF draw (engine-identical IEEE ops,
-    strictly inside (0,1)), so the released counts stay exactly
-    oracle-checkable while modeling the real user-level mechanism.
+    user-level DP requires capping each user's TOTAL contribution
+    (here ≤3 events ACROSS ALL types, via a deterministic
+    (ts, event_id)-ordered rank) BEFORE adding Laplace(Δ/ε) noise.
+    Capping across types (not per type — review catch) is what makes
+    the released vector's user-level L1 sensitivity equal the cap:
+    removing one user changes the across-type counts by ≤3 in total,
+    so Δ = 3 and the ε=0.5 guarantee holds for the whole release, not
+    ε·n_types. Noise is the repo's seeded-md5 inverse-CDF draw
+    (engine-identical IEEE ops, strictly inside (0,1)), so the
+    released counts stay exactly oracle-checkable.
 
-    100 TB: the cap is one key-partitioned row_number window; the
-    release is O(groups) scalar math on a map-side-combined count."""
+    100 TB: the cap is one user-keyed row_number window; the release
+    is O(groups) scalar math on a map-side-combined count."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     capped = (
         e.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _DPB_CAP)
@@ -1969,7 +1979,7 @@ ORACLES["dp_bounded_contribution_counts"] = f"""
         SELECT event_type, COUNT(*)::BIGINT AS n_capped
         FROM (
             SELECT event_type,
-                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                   ROW_NUMBER() OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS rn
             FROM events
         )
@@ -2020,7 +2030,7 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = daily.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("c").alias("s"),
-        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("ss"),
     )
     full = lags.where(F.col("rn") >= _EWMA_H).select(
         "d", "c", num.alias("ewma_num")
@@ -2056,7 +2066,7 @@ ORACLES["ewma_control_chart"] = f"""
     ),
     stats AS (
         SELECT COUNT(*)::BIGINT AS n, SUM(c)::BIGINT AS s,
-               SUM(c * c)::BIGINT AS ss
+               SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS ss
         FROM daily
     ),
     fullw AS (
@@ -2291,11 +2301,6 @@ def _ccm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CCM_SQL_BODY = """
-        SELECT CASE WHEN score_micro >= {thr} THEN 1 ELSE 0 END AS pred, label
-        FROM ({scored})
-"""
-
 QUERIES["classifier_confusion_metrics"] = classifier_confusion_metrics
 
 
@@ -2347,7 +2352,7 @@ def grubbs_outlier_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = daily.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("c").alias("s"),
-        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("ss"),
     )
     dev = daily.crossJoin(F.broadcast(tot)).select(
         "d", "c", "n", "s", "ss",
@@ -2441,7 +2446,8 @@ from etl_extractor_spark.plans.inference import _DAILY_SQL as _GRUBBS_DAILY_SQL
 ORACLES["grubbs_outlier_test"] = f"""
     WITH daily AS ({_GRUBBS_DAILY_SQL}),
     tot AS (
-        SELECT COUNT(*)::BIGINT AS n, SUM(c)::BIGINT AS s, SUM(c * c)::BIGINT AS ss
+        SELECT COUNT(*)::BIGINT AS n, SUM(c)::BIGINT AS s,
+               SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS ss
         FROM daily
     ),
     top AS (
