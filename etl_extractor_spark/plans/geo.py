@@ -172,7 +172,12 @@ def geo_knn_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     this — the round-5 codec lesson applied to joins)."""
     from etl_extractor_spark.operators.common import fan_out
 
-    cust = fan_out(_customers_xy(spark, sf_dir))
+    # multiple=4: with the dim broadcast, each task materializes
+    # |task rows| × |dim| candidate structs through the sort-aggregate;
+    # 4× the core count keeps that per-task pair block small enough to
+    # survive a loaded long-lived JVM (a 1× fan-out OOMed task 24 of
+    # the full sf1 sweep while passing standalone)
+    cust = fan_out(_customers_xy(spark, sf_dir), multiple=4)
     supp = _suppliers_xy(spark, sf_dir)
     d2 = (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx")) + (
         F.col("cy") - F.col("sy")
