@@ -2469,3 +2469,168 @@ ORACLES["grubbs_outlier_test"] = f"""
                  * 1000000 + 0.5) / 1000000 AS g_stat
     FROM top
 """
+
+
+# --- 33. Pareto skyline ------------------------------------------------------------------------
+def pareto_front_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (maximal-vector) query: the orders not dominated in the
+    (value, recency) plane — b dominates a iff b is ≥ in both
+    dimensions and > in at least one. On DISTINCT (price, date) pairs
+    sorted by (price desc, date desc), a pair survives iff its date
+    strictly exceeds every preceding date — one running max, NOT a
+    quadratic dominance join — and the running max distributes as the
+    standard two-phase: per-bucket window + a broadcast frame of
+    higher-bucket maxima. Exact integers (cents, yyyymmdd keys);
+    equal-in-both-dimensions pairs are mutually non-dominating and
+    both survive, pinned identically in the oracle.
+
+    100 TB: one distinct aggregation, bucket-bounded windows, an
+    O(buckets) broadcast — the skyline itself is output-sized."""
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("p"),
+        (F.year(F.to_date("o_orderdate")) * 10000
+         + F.month(F.to_date("o_orderdate")) * 100
+         + F.dayofmonth(F.to_date("o_orderdate"))).alias("d"),
+    )
+    pairs = o.groupBy("p", "d").agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    pairs = pairs.withColumn("b", F.expr("p div 1000000"))
+    wv = (
+        Window.partitionBy("b")
+        .orderBy(F.desc("p"), F.desc("d"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bmax = pairs.groupBy("b").agg(F.max("d").alias("bd"))
+    wo = Window.orderBy(F.desc("b")).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bmax.select(
+        "b", F.coalesce(F.max("bd").over(wo), F.lit(-1)).alias("off")
+    )
+    scored = (
+        pairs.withColumn("prev_in", F.coalesce(F.max("d").over(wv), F.lit(-1)))
+        .join(F.broadcast(offsets), "b")
+        .where(F.col("d") > F.greatest(F.col("prev_in"), F.col("off")))
+    )
+    return scored.select(
+        F.col("p").alias("price_cents"), F.col("d").alias("date_key"), "n_orders"
+    )
+
+
+QUERIES["pareto_front_orders"] = pareto_front_orders
+ORACLES["pareto_front_orders"] = """
+    WITH o AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p,
+               year(CAST(o_orderdate AS DATE)) * 10000
+                   + month(CAST(o_orderdate AS DATE)) * 100
+                   + day(CAST(o_orderdate AS DATE)) AS d
+        FROM orders
+    ),
+    pairs AS (SELECT p, d, COUNT(*)::BIGINT AS n_orders FROM o GROUP BY p, d),
+    scored AS (
+        SELECT p, d, n_orders,
+               COALESCE(MAX(d) OVER (ORDER BY p DESC, d DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS prev_max
+        FROM pairs
+    )
+    SELECT p AS price_cents, d AS date_key, n_orders
+    FROM scored WHERE d > prev_max
+"""
+
+
+# --- 34. group-median imputation -----------------------------------------------------------------
+def median_impute_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value repair by group statistics: customers with
+    negative balances (the corpus's 'unknown' convention) are imputed
+    to their segment's exact median of the VALID balances — the median
+    found by the two-phase rank walk, never a sort — and the query
+    reports, per segment, the valid/imputed split and the exact sums
+    before and after repair (integer cents end to end). The standard
+    cleaning op ahead of any model consuming the column.
+
+    100 TB: a distinct-value rank walk per segment (domain-bounded) +
+    two aggregations."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").alias("bal"),
+    )
+    valid = c.where(F.col("bal") >= 0)
+    per_v = valid.groupBy("c_mktsegment", "bal").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).withColumn("bk", F.expr("bal div 100000"))
+    wv = (
+        Window.partitionBy("c_mktsegment", "bk")
+        .orderBy("bal")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sizes = per_v.groupBy("c_mktsegment", "bk").agg(F.sum("cnt").alias("cb"))
+    wo = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "c_mktsegment", "bk",
+        F.coalesce(F.sum("cb").over(wo), F.lit(0)).alias("off"),
+    )
+    cum = (
+        per_v.withColumn("c_in", F.sum("cnt").over(wv))
+        .join(F.broadcast(offsets), ["c_mktsegment", "bk"])
+        .select("c_mktsegment", "bal", (F.col("c_in") + F.col("off")).alias("cum"))
+    )
+    nv = valid.groupBy("c_mktsegment").agg(F.count(F.lit(1)).cast("long").alias("n_valid"))
+    med = (
+        cum.join(F.broadcast(nv), "c_mktsegment")
+        .where(2 * F.col("cum") >= F.col("n_valid"))
+        .groupBy("c_mktsegment")
+        .agg(F.min("bal").alias("median_cents"))
+    )
+    rep = (
+        c.join(F.broadcast(med), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("bal") < 0).cast("long")).alias("n_imputed"),
+            F.sum("bal").cast("long").alias("sum_before_cents"),
+            F.sum(
+                F.when(F.col("bal") < 0, F.col("median_cents")).otherwise(F.col("bal"))
+            ).cast("long").alias("sum_after_cents"),
+        )
+    )
+    return rep.join(F.broadcast(med), "c_mktsegment").select(
+        "c_mktsegment", "n", "n_imputed", "median_cents",
+        "sum_before_cents", "sum_after_cents",
+    )
+
+
+QUERIES["median_impute_acctbal"] = median_impute_acctbal
+ORACLES["median_impute_acctbal"] = """
+    WITH c AS (
+        SELECT c_mktsegment,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal
+        FROM customer
+    ),
+    valid AS (SELECT * FROM c WHERE bal >= 0),
+    per_v AS (
+        SELECT c_mktsegment, bal, COUNT(*)::BIGINT AS cnt
+        FROM valid GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT c_mktsegment, bal,
+               SUM(cnt) OVER (PARTITION BY c_mktsegment ORDER BY bal)::BIGINT AS cum
+        FROM per_v
+    ),
+    nv AS (SELECT c_mktsegment, COUNT(*)::BIGINT AS n_valid FROM valid GROUP BY 1),
+    med AS (
+        SELECT cum.c_mktsegment, MIN(bal) AS median_cents
+        FROM cum JOIN nv USING (c_mktsegment)
+        WHERE 2 * cum >= n_valid
+        GROUP BY 1
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*)::BIGINT AS n,
+           SUM(CASE WHEN bal < 0 THEN 1 ELSE 0 END)::BIGINT AS n_imputed,
+           MIN(m.median_cents) AS median_cents,
+           SUM(bal)::BIGINT AS sum_before_cents,
+           SUM(CASE WHEN bal < 0 THEN m.median_cents ELSE bal END)::BIGINT
+               AS sum_after_cents
+    FROM c JOIN med m ON c.c_mktsegment = m.c_mktsegment
+    GROUP BY c.c_mktsegment
+"""
