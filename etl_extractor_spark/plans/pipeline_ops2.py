@@ -2634,3 +2634,261 @@ ORACLES["median_impute_acctbal"] = """
     FROM c JOIN med m ON c.c_mktsegment = m.c_mktsegment
     GROUP BY c.c_mktsegment
 """
+
+
+# --- 35. trimmed mean ---------------------------------------------------------------------------
+def trimmed_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided trimmed mean of order value per priority — the
+    robust location estimate between the mean and the median — EXACT
+    via order-statistic range sums: with k = ⌊n/10⌋, the trimmed sum
+    is S(n−k) − S(k) where S(r) = Σ of the r smallest values, computed
+    from the distinct-value cumulative (count, value·count) pair as
+    S(r) = valsum(v_r) − (cum(v_r) − r)·v_r (v_r = the value whose
+    cumulative count first reaches r — the tied-run overshoot
+    correction). Two-phase bucketed cumsums; integers end to end.
+
+    100 TB: the rank walk runs over the distinct-value relation; the
+    boundary picks are two O(groups) lookups."""
+    x = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("v"),
+    )
+    per_v = x.groupBy("o_orderpriority", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).withColumn("b", F.expr("v div 1000000"))
+    wv = (
+        Window.partitionBy("o_orderpriority", "b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sizes = per_v.groupBy("o_orderpriority", "b").agg(
+        F.sum("c").alias("cb"),
+        F.sum(F.col("v") * F.col("c")).alias("sb"),
+    )
+    wo = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "o_orderpriority", "b",
+        F.coalesce(F.sum("cb").over(wo), F.lit(0)).alias("coff"),
+        F.coalesce(F.sum("sb").over(wo), F.lit(0)).alias("soff"),
+    )
+    cum = (
+        per_v.withColumn("c_in", F.sum("c").over(wv))
+        .withColumn("s_in", F.sum(F.col("v") * F.col("c")).over(wv))
+        .join(F.broadcast(offsets), ["o_orderpriority", "b"])
+        .select(
+            "o_orderpriority", "v",
+            (F.col("c_in") + F.col("coff")).alias("cum"),
+            (F.col("s_in") + F.col("soff")).alias("vsum"),
+        )
+    )
+    stats = x.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).withColumn("k", F.expr("n div 10"))
+    j = cum.join(F.broadcast(stats), "o_orderpriority")
+
+    def boundary(frame, rank_col: str, out: str):
+        """The (v_r, cum, vsum) triple at v_r = min v with cum ≥ r —
+        the inputs of S(r) = vsum − (cum − r)·v_r."""
+        picked = (
+            frame.where(F.col("cum") >= F.col(rank_col))
+            .groupBy("o_orderpriority")
+            .agg(F.min(F.struct("v", "cum", "vsum")).alias("r"))
+        )
+        return picked.select(
+            "o_orderpriority",
+            F.col("r.vsum").alias(out + "_vsum"),
+            F.col("r.cum").alias(out + "_cum"),
+            F.col("r.v").alias(out + "_v"),
+        )
+
+    lo = boundary(j, "k", "lo")
+    hi_rank = stats.select("o_orderpriority", (F.col("n") - F.col("k")).alias("hk"))
+    hi = boundary(cum.join(F.broadcast(hi_rank), "o_orderpriority"), "hk", "hi")
+    out = (
+        stats.join(lo, "o_orderpriority").join(hi, "o_orderpriority")
+        .select(
+            "o_orderpriority", "n", "k",
+            (
+                (F.col("hi_vsum") - (F.col("hi_cum") - (F.col("n") - F.col("k"))) * F.col("hi_v"))
+                - (F.col("lo_vsum") - (F.col("lo_cum") - F.col("k")) * F.col("lo_v"))
+            ).alias("trimmed_sum_cents"),
+        )
+    )
+    tm = F.col("trimmed_sum_cents").cast("double") / (
+        (F.col("n") - 2 * F.col("k")).cast("double")
+    )
+    return out.select(
+        "o_orderpriority", "n", "k", "trimmed_sum_cents",
+        _q6(tm / 100).alias("trimmed_mean_dollars"),
+    )
+
+
+QUERIES["trimmed_mean_orders"] = trimmed_mean_orders
+ORACLES["trimmed_mean_orders"] = """
+    WITH x AS (
+        SELECT o_orderpriority,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM orders
+    ),
+    per_v AS (
+        SELECT o_orderpriority, v, COUNT(*)::BIGINT AS c FROM x GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT o_orderpriority, v,
+               SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY v)::BIGINT AS cum,
+               SUM(v * c) OVER (PARTITION BY o_orderpriority ORDER BY v)::BIGINT AS vsum
+        FROM per_v
+    ),
+    stats AS (
+        SELECT o_orderpriority, COUNT(*)::BIGINT AS n, COUNT(*) // 10 AS k
+        FROM x GROUP BY 1
+    ),
+    lo AS (
+        SELECT c.o_orderpriority,
+               arg_min(vsum, v) - (arg_min(cum, v) - MIN(s.k)) * MIN(v) AS s_lo
+        FROM cum c JOIN stats s USING (o_orderpriority)
+        WHERE c.cum >= s.k
+        GROUP BY c.o_orderpriority
+    ),
+    hi AS (
+        SELECT c.o_orderpriority,
+               arg_min(vsum, v) - (arg_min(cum, v) - MIN(s.n - s.k)) * MIN(v) AS s_hi
+        FROM cum c JOIN stats s USING (o_orderpriority)
+        WHERE c.cum >= s.n - s.k
+        GROUP BY c.o_orderpriority
+    )
+    SELECT s.o_orderpriority, s.n, s.k,
+           (h.s_hi - l.s_lo)::BIGINT AS trimmed_sum_cents,
+           FLOOR(CAST(h.s_hi - l.s_lo AS DOUBLE)
+                 / CAST(s.n - 2 * s.k AS DOUBLE) / 100 * 1000000 + 0.5) / 1000000
+               AS trimmed_mean_dollars
+    FROM stats s JOIN lo l USING (o_orderpriority) JOIN hi h USING (o_orderpriority)
+"""
+
+
+# --- 36. binary-segmentation changepoints ---------------------------------------------------------
+def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary segmentation — the classic multiple-changepoint search:
+    the CUSUM argmax splits the daily series once (level 0), then the
+    same statistic runs INSIDE each half (level 1), giving up to three
+    ordered changepoints from two rounds. Everything is the exact
+    integer statistic |n_seg·P_t − t·S_seg| with earliest-day
+    tie-breaks; the oracle recomputes both levels, so the recursion is
+    hash-certified, not just the first split.
+
+    100 TB: the series is the calendar-bounded daily aggregate;
+    level-1 windows partition by segment id — each level is O(days)
+    window math, and deeper levels would reuse the same plan."""
+    from etl_extractor_spark.plans.inference import _daily_counts
+
+    daily = _daily_counts(spark, sf_dir)
+    w = Window.orderBy("d")
+    base = daily.select(
+        "d", "c",
+        F.row_number().over(w).alias("rn"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("pfx"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("c").alias("s")
+    )
+    l0 = (
+        base.crossJoin(F.broadcast(tot))
+        .where(F.col("rn") < F.col("n"))
+        .select(
+            "d", "rn",
+            F.abs(F.col("n") * F.col("pfx") - F.col("rn") * F.col("s")).alias("abs_t"),
+        )
+        .orderBy(F.desc("abs_t"), "d")
+        .limit(1)
+    )
+    t1 = l0.select(F.col("rn").alias("t1"))
+    segged = base.crossJoin(F.broadcast(t1)).withColumn(
+        "seg", F.when(F.col("rn") <= F.col("t1"), F.lit("A")).otherwise(F.lit("B"))
+    )
+    seg_stats = segged.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("ns"),
+        F.sum("c").alias("ss"),
+        F.min("rn").alias("rn0"),
+    )
+    ws = (
+        Window.partitionBy("seg")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    l1 = (
+        segged.withColumn("pfx_s", F.sum("c").over(ws))
+        .join(F.broadcast(seg_stats), "seg")
+        .withColumn("t_loc", F.col("rn") - F.col("rn0") + 1)
+        .where(F.col("t_loc") < F.col("ns"))
+        .select(
+            "seg", "d", "t_loc",
+            F.abs(F.col("ns") * F.col("pfx_s") - F.col("t_loc") * F.col("ss")).alias(
+                "abs_t"
+            ),
+        )
+    )
+    wpick = Window.partitionBy("seg").orderBy(F.desc("abs_t"), "d")
+    l1_top = (
+        l1.withColumn("pk", F.row_number().over(wpick))
+        .where(F.col("pk") == 1)
+        .select(
+            F.concat(F.lit("1"), F.col("seg")).alias("level"),
+            "d",
+            F.col("t_loc").alias("t"),
+            "abs_t",
+        )
+    )
+    l0_row = l0.select(
+        F.lit("0").alias("level"), "d", F.col("rn").alias("t"), "abs_t"
+    )
+    return l0_row.unionByName(l1_top)
+
+
+QUERIES["binseg_changepoints"] = binseg_changepoints
+ORACLES["binseg_changepoints"] = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*)::BIGINT AS c
+        FROM orders GROUP BY 1
+    ),
+    base AS (
+        SELECT d, c,
+               ROW_NUMBER() OVER (ORDER BY d)::BIGINT AS rn,
+               SUM(c) OVER (ORDER BY d)::BIGINT AS pfx
+        FROM daily
+    ),
+    tot AS (SELECT COUNT(*)::BIGINT AS n, SUM(c)::BIGINT AS s FROM daily),
+    l0 AS (
+        SELECT d, rn, ABS(n * pfx - rn * s)::BIGINT AS abs_t
+        FROM base CROSS JOIN tot
+        WHERE rn < n
+        ORDER BY abs_t DESC, d
+        LIMIT 1
+    ),
+    segged AS (
+        SELECT b.*, CASE WHEN b.rn <= l0.rn THEN 'A' ELSE 'B' END AS seg
+        FROM base b CROSS JOIN l0
+    ),
+    seg_stats AS (
+        SELECT seg, COUNT(*)::BIGINT AS ns, SUM(c)::BIGINT AS ss,
+               MIN(rn)::BIGINT AS rn0
+        FROM segged GROUP BY seg
+    ),
+    l1 AS (
+        SELECT g.seg, g.d, g.rn - st.rn0 + 1 AS t_loc,
+               ABS(st.ns * SUM(g.c) OVER (PARTITION BY g.seg ORDER BY g.rn)
+                   - (g.rn - st.rn0 + 1) * st.ss)::BIGINT AS abs_t
+        FROM segged g JOIN seg_stats st USING (seg)
+    ),
+    l1_top AS (
+        SELECT '1' || seg AS level, d, t_loc AS t, abs_t,
+               ROW_NUMBER() OVER (PARTITION BY seg ORDER BY abs_t DESC, d) AS pk
+        FROM l1 WHERE t_loc < (SELECT ns FROM seg_stats s2 WHERE s2.seg = l1.seg)
+    )
+    SELECT '0' AS level, d, rn AS t, abs_t FROM l0
+    UNION ALL
+    SELECT level, d, t, abs_t FROM l1_top WHERE pk = 1
+"""
