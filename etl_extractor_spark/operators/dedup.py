@@ -595,22 +595,14 @@ def connected_components_star(
             out = moved.unionByName(self_edge)
         return out.filter(F.col("u") != F.col("v")).distinct()
 
-    def _ckpt(df: DataFrame) -> DataFrame:
-        # RELIABLE (disk) checkpoint after every round: each round's
-        # plan references the previous round's twice per star, so
-        # lineage (and Catalyst re-optimization time) grows
-        # exponentially without a hard plan-truncation point.
-        # checkpoint() over localCheckpoint(): blocks go to the
-        # checkpoint dir on disk, not executor memory, so the loop
-        # survives a default-sized driver-harness JVM and executor
-        # loss (at cluster scale, localCheckpoint blocks die with
-        # their executor mid-iteration).
-        sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() is None:
-            import tempfile
-
-            sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark_cc_ckpt_"))
-        return df.checkpoint(eager=True)
+    # RELIABLE (disk) checkpoint after every round: each round's plan
+    # references the previous round's twice per star, so lineage (and
+    # Catalyst re-optimization time) grows exponentially without a hard
+    # plan-truncation point. The shared helper carries the rest of the
+    # rationale (survives executor loss, unlike localCheckpoint).
+    from etl_extractor_spark.operators.checkpoints import (
+        reliable_checkpoint as _ckpt,
+    )
 
     e = _ckpt(
         edges.selectExpr("id_a AS u", "id_b AS v")

@@ -38,6 +38,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_extractor_spark.operators.checkpoints import reliable_checkpoint
 from etl_extractor_spark.operators.dedup import (
     band_frame_arr,
     doc_shingle_hashes,
@@ -138,8 +139,8 @@ def ingest_batch(
     pairs = (
         joined.select("id_a", "id_b", F.round(inter / union, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
-        .localCheckpoint(eager=True)
     )
+    pairs = reliable_checkpoint(pairs)
 
     new_bands.write.mode("append").parquet(bands_dir)
     hashed.write.mode("append").parquet(shingles_dir)

@@ -16,7 +16,7 @@ accumulate summation-order noise and could not be oracle-checked.
 
 Scale notes: the per-iteration join is on the edge src key; with the
 edge list bucketed by src the rank exchange is the only shuffle per
-round. Lineage is cut with ``localCheckpoint(eager=True)`` each round
+round. Lineage is cut with a reliable ``checkpoint(eager=True)`` each round
 (without it Catalyst re-optimization cost doubles per iteration —
 measured in the connected-components work, see operators/dedup.py).
 Iteration count is bounded and explicit: PageRank's use here is a
@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from etl_extractor_spark.operators.checkpoints import reliable_checkpoint
 
 
 def pagerank_integer(
@@ -70,6 +71,7 @@ def pagerank_integer(
             .cast("long")
             .alias("rank_micro"),
         )
-        # cut lineage: iterative plans re-optimize exponentially otherwise
-        r = r.localCheckpoint(eager=True)
+        # cut lineage (iterative plans re-optimize exponentially
+        # otherwise) with a RELIABLE checkpoint: survives executor loss
+        r = reliable_checkpoint(r)
     return r

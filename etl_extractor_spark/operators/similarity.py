@@ -287,7 +287,9 @@ def maxsim_ivf_topk(
     oracle). ``centroids`` is a trained coarse codebook (any k_coarse;
     the 100 TB path trains it offline on a sample and broadcasts it);
     each multi-vector group is assigned by its REPRESENTATIVE vector
-    (vec_id % group == 0) to its argmax-cosine cluster, queries probe
+    (min(vec_id) within the group — well-defined for ANY id layout,
+    not just contiguous ids where min == the vec_id % group == 0
+    member) to its argmax-cosine cluster, queries probe
     their top-``nprobe`` clusters, and late interaction runs only on
     same-cluster pairs — the interaction pair space divides by
     ~k_coarse/nprobe. Docs carry ONE cluster, so a (query, doc) pair
@@ -324,9 +326,13 @@ def maxsim_ivf_topk(
 
     from etl_extractor_spark.operators.common import fan_out as _fan
 
-    reps = _fan(grouped.filter(F.col("vec_id") % group == 0)).select(
-        "grp", _probe("v").alias("probes")
-    )
+    # Representative = min(vec_id) per group (min_by: one partial-
+    # aggregable pass, map-side combined). The earlier vec_id % group
+    # == 0 filter silently DROPPED any group missing that exact id from
+    # both join sides — correct only under a contiguous-id layout.
+    reps = _fan(
+        grouped.groupBy("grp").agg(F.min_by("v", "vec_id").alias("v"))
+    ).select("grp", _probe("v").alias("probes"))
     doc_cl = reps.select("grp", F.element_at("probes", 1).alias("cluster_id"))
     q_cl = reps.filter(F.col("grp") % qmod == 0).select(
         F.col("grp").alias("q_grp"), F.explode("probes").alias("qc")

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_extractor_spark.operators.similarity import as_double, cosine
+from etl_extractor_spark.operators.checkpoints import reliable_checkpoint
 
 _META = "_ivf_meta.json"
 
@@ -118,7 +119,7 @@ def ingest_vectors(
     vecs = batch.select(
         F.col(id_col).alias("vec_id"), as_double(vec_col).alias("arr")
     )
-    assigned = _assign(vecs, centroids).localCheckpoint(eager=True)
+    assigned = reliable_checkpoint(_assign(vecs, centroids))
     n = assigned.count()
     assigned.write.mode("append").parquet(os.path.join(index_path, "vectors"))
     meta = json.load(open(os.path.join(index_path, _META)))

@@ -1163,7 +1163,16 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate layer.
     u = (h+½)/2^48 sits strictly inside (0,1) so ln(1-2|u-½|) is
     always finite on both engines; released values are floor-quantized
-    to 1e-4."""
+    to 1e-4.
+
+    NOT a real privacy mechanism — oracle-checkable twin ONLY. The
+    "noise" is a deterministic function of the PUBLIC group key plus a
+    constant in-repo seed (anyone can recompute and subtract it), and
+    the output co-emits the true count next to the released one. A
+    real ε-DP release needs true randomness (or a secret key), must
+    not publish true_n, and needs composition accounting across
+    releases. The query exists to pin the mechanism's exact arithmetic
+    shape cross-engine, not to provide privacy."""
     o = load_table(spark, sf_dir, "orders")
     g = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
     # (h + 0.5)/2^48 keeps u STRICTLY inside (0,1): the exact-zero

@@ -57,6 +57,7 @@ in production at 100 TB.
 """
 
 from __future__ import annotations
+from etl_extractor_spark.operators.checkpoints import reliable_checkpoint
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -344,7 +345,7 @@ def bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hop", F.lit(k))
         )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = reliable_checkpoint(visited.unionByName(nxt))
         frontier = visited.where(F.col("hop") == k)
     return (
         visited.groupBy("hop")
@@ -467,8 +468,8 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
                     F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
+        labels = reliable_checkpoint(labels)
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
@@ -992,7 +993,10 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     ENTIRELY integer: spend is exact cents, and the per-row encoding
     uses integer floor division (numerator provably non-negative), so
     the per-segment rollups (sum/min/max of encodings) are exact
-    BIGINTs with no float anywhere.
+    BIGINTs with no float anywhere. Singleton segments (n = 1) have no
+    leave-one-out encoding — they are excluded by the n > 1 guard on
+    BOTH engines (without it the engines diverge on degenerate data:
+    Spark's ``div`` by zero returns NULL, DuckDB's ``//`` raises).
 
     100 TB: two aggregations on the same key (segment stats, then the
     per-row map + rollup) — the second pass re-joins a 5-row broadcast
@@ -1011,9 +1015,13 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").cast("long").alias("s"),
     )
-    enc = y.join(F.broadcast(seg), "c_mktsegment").select(
-        "c_mktsegment",
-        F.expr("(s - y) div (n - 1)").alias("loo"),
+    enc = (
+        y.join(F.broadcast(seg), "c_mktsegment")
+        .where(F.col("n") > 1)
+        .select(
+            "c_mktsegment",
+            F.expr("(s - y) div (n - 1)").alias("loo"),
+        )
     )
     return enc.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -1039,6 +1047,7 @@ ORACLES["target_encoding_loo"] = """
     enc AS (
         SELECT y.c_mktsegment, (s.s - y.y) // (s.n - 1) AS loo
         FROM y JOIN seg s ON y.c_mktsegment = s.c_mktsegment
+        WHERE s.n > 1
     )
     SELECT c_mktsegment,
            COUNT(*)::BIGINT AS n,
@@ -1079,8 +1088,8 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur.join(keep, "src")
             .join(keep.select(F.col("src").alias("dst")), "dst")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
         )
+        cur = reliable_checkpoint(cur)
         stat = cur.agg(
             F.lit(r).alias("round"),
             F.countDistinct("src").cast("long").alias("n_nodes"),
@@ -1936,6 +1945,13 @@ def dp_bounded_contribution_counts(spark: SparkSession, sf_dir: str) -> DataFram
     ε·n_types. Noise is the repo's seeded-md5 inverse-CDF draw
     (engine-identical IEEE ops, strictly inside (0,1)), so the
     released counts stay exactly oracle-checkable.
+
+    NOT a real privacy mechanism — oracle-checkable twin ONLY (same
+    caveat as dp_noisy_counts): the noise is recomputable from the
+    public group key + an in-repo seed, and n_capped is co-emitted, so
+    the ε guarantee describes the mechanism's SHAPE, not this output.
+    A real release needs true randomness/secret key and must not
+    publish the un-noised counts.
 
     100 TB: the cap is one user-keyed row_number window; the release
     is O(groups) scalar math on a map-side-combined count."""

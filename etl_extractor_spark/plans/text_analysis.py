@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from etl_extractor_spark.functions import textstats as ts
 from etl_extractor_spark.functions.text import normalize_text
 from etl_extractor_spark.sources.parquet import load_table
+from etl_extractor_spark.operators.checkpoints import reliable_checkpoint
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -772,7 +773,7 @@ def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
       (tail, x) == (a, b) — exactly BPE's canonical leftmost-first
       non-overlapping fuse (runs like ``A A A`` merge once).
     - the winning pair rides a broadcast 1-row join into the fuse
-      (no driver collect); the vocab is localCheckpoint'ed each round
+      (no driver collect); the vocab is reliably checkpointed each round
       so the plan stays flat (lineage discipline proven by the
       PageRank/components operators).
 
@@ -843,8 +844,8 @@ def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("syms"),
                 "freq",
             )
-            .localCheckpoint(eager=True)
         )
+        vocab = reliable_checkpoint(vocab)
     out = rounds[0]
     for t in rounds[1:]:
         out = out.unionByName(t)
@@ -1025,8 +1026,8 @@ def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("s"),
                 "freq",
             )
-            .localCheckpoint(eager=True)
         )
+        vocab = reliable_checkpoint(vocab)
     # APPLY once: per-doc corpus built a single time, merges chained as
     # broadcast 1-row joins — map-only, no per-round materialization
     corpus = d.select(

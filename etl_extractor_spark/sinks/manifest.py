@@ -215,9 +215,26 @@ def harvest_manifest(
         for carry in ("delete_files", "batch_ids"):
             if prior.get(carry):
                 manifest[carry] = prior[carry]
-    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
-        json.dump(manifest, fh, indent=1, default=str)
+    _write_manifest(path, manifest)
     return manifest
+
+
+def _write_manifest(path: str, manifest: dict[str, Any]) -> None:
+    """ATOMIC manifest commit: write to a temp name in the same
+    directory, fsync, then ``os.replace`` over ``_manifest.json`` —
+    the same temp-then-rename discipline the data files use. A crash
+    mid-write leaves the previous manifest intact (the temp file is
+    garbage, never truncated committed state), so crash-retry
+    convergence (commit_batch's exactly-once contract) actually holds:
+    the retry's first read_manifest sees a complete manifest, old or
+    new, never a JSONDecodeError."""
+    final = os.path.join(path, MANIFEST_NAME)
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, default=str)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, final)
 
 
 def read_manifest(path: str) -> dict[str, Any] | None:
@@ -225,7 +242,19 @@ def read_manifest(path: str) -> dict[str, Any] | None:
     if not os.path.exists(p):
         return None
     with open(p) as fh:
-        return json.load(fh)
+        try:
+            return json.load(fh)
+        except json.JSONDecodeError as exc:
+            # With _write_manifest's atomic replace this cannot come
+            # from a crashed writer — it means out-of-band corruption.
+            # Name the file so the failure is actionable, and make the
+            # error type explicit rather than a bare parser traceback.
+            raise ValueError(
+                f"corrupt manifest at {p}: {exc}. Manifests are committed "
+                "atomically (temp + os.replace), so this indicates "
+                "external modification; restore from a snapshot or "
+                "re-harvest with harvest_manifest()."
+            ) from exc
 
 
 def _coerce(v: Any) -> Any:
@@ -322,8 +351,20 @@ def read_snapshot(
     the scan touches only the files that snapshot committed. Appends
     preserve old files so every recorded snapshot stays readable;
     overwrites reset history (see write_with_manifest).
+
+    Data files ONLY: a snapshot that carries merge-on-read delete
+    files cannot be represented by this reader — returning the raw
+    data files would silently resurrect deleted rows (a GDPR-shaped
+    footgun), so it raises and points at ``read_snapshot_mor``.
     """
     m, snap = _resolve_snapshot(path, snapshot_id)
+    if snap.get("delete_files"):
+        raise ValueError(
+            f"snapshot {snapshot_id} at {path} carries equality delete "
+            "files; read_snapshot would silently return un-deleted rows "
+            "— use read_snapshot_mor (or read_merge_on_read for the "
+            "current view) to apply them."
+        )
     return spark.read.parquet(
         *[os.path.join(path, n) for n in snap["files"]]
     )
@@ -486,8 +527,12 @@ def write_equality_deletes(
     and records the cumulative delete-file list, so:
 
     - the delete costs O(deleted keys), never O(table);
-    - time travel still works — ``read_snapshot`` before the delete
-      commit sees the undeleted rows, after it sees the subtraction;
+    - time travel still works via the MOR readers: ``read_snapshot_mor``
+      (or ``read_merge_on_read`` for the current view) before the
+      delete commit sees the undeleted rows, after it sees the
+      subtraction. Plain ``read_snapshot`` plans data files only and
+      NEVER applies delete files — reading a delete-bearing snapshot
+      with it silently returns un-deleted rows, so it raises instead;
     - a later compaction (overwrite) absorbs the deletes physically.
 
     Delete files live under ``_deletes/`` (invisible to the data-file
@@ -516,8 +561,7 @@ def write_equality_deletes(
     )
     m["delete_files"] = dels
     m["snapshots"] = snapshots
-    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
-        json.dump(m, fh, indent=1, default=str)
+    _write_manifest(path, m)
     return m
 
 
@@ -623,8 +667,7 @@ def commit_batch(
     shutil.rmtree(stage, ignore_errors=True)
     m2 = harvest_manifest(spark, path, stats_cols, prior=m)
     m2["batch_ids"] = sorted(committed | {batch_id})
-    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
-        json.dump(m2, fh, indent=1, default=str)
+    _write_manifest(path, m2)
     return True
 
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from etl_extractor_spark.operators.checkpoints import reliable_checkpoint
 
 
 def merge_upsert_partitioned(
@@ -61,7 +62,7 @@ def merge_upsert_partitioned(
     merged = survivors.unionByName(updates.select(*survivors.columns))
     # Break lineage before overwriting the path we just read — a lazy
     # plan reading its own output directory mid-overwrite is undefined.
-    merged = merged.localCheckpoint(eager=True)
+    merged = reliable_checkpoint(merged)
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
     return len(touched)
 
@@ -100,6 +101,6 @@ def merge_cdc_apply(
     )
     upserts = latest.filter(F.col(op_col) != "D").drop(op_col, seq_col)
     merged = survivors.unionByName(upserts.select(*survivors.columns))
-    merged = merged.localCheckpoint(eager=True)
+    merged = reliable_checkpoint(merged)
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
     return len(touched)
