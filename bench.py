@@ -107,6 +107,13 @@ BENCH_QUERIES = [
     "interval_union_coverage",
     "median_ci_orders",
     "decision_stump_split",
+    # round-6 surface (judge task 4): the heavy iterative-graph class
+    # (99 s-at-sf1 k-core pre-fix, 3-round label propagation) and one
+    # container shard codec, so regressions in the slowest registered
+    # families surface per-round instead of only in an sf1 sweep
+    "kcore_peel_rounds",
+    "label_propagation_communities",
+    "shard_zip_members",
 ]
 
 

@@ -51,6 +51,9 @@ _MODULES = (
     "etl_extractor_spark.plans.geo",
     "etl_extractor_spark.plans.inference",
     "etl_extractor_spark.plans.pipeline_ops2",
+    # Round-6 additions — appended last so the 28 pipeline-ops2-era
+    # names still queued for the r7 window keep their slots.
+    "etl_extractor_spark.plans.pipeline_ops3",
 )
 
 
