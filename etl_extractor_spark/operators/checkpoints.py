@@ -23,16 +23,40 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Checkpoint-file lifecycle (review catch): Spark deletes reliable-
+# checkpoint files only under spark.cleaner.referenceTracking.
+# cleanCheckpoints=true (a SparkConf — session.get_spark sets it, so
+# repo-managed sessions reclaim files as the checkpointed RDDs are
+# GC'd). Under a VANILLA session (the driver's) that conf is absent,
+# so files accumulate for the process lifetime — bounded by the
+# session, not unbounded: when THIS helper created the default temp
+# dir, it registers an atexit rmtree so nothing outlives the process.
+# On a real cluster, point setCheckpointDir at a fault-tolerant path
+# with a storage lifecycle policy (checkpoints are job-scoped scratch).
+_ATEXIT_DIRS: list[str] = []
+
+
+def _cleanup_dirs() -> None:
+    import shutil
+
+    for d in _ATEXIT_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
 
 def reliable_checkpoint(df: DataFrame) -> DataFrame:
     """Eagerly checkpoint ``df`` to the session's checkpoint dir,
     creating a temp-dir default when none is configured (local mode /
-    tests). On a cluster, set ``spark.sparkContext.setCheckpointDir``
-    to a fault-tolerant path once at startup and this helper uses it.
-    """
+    tests; removed at process exit — see module note). On a cluster,
+    set ``spark.sparkContext.setCheckpointDir`` to a fault-tolerant
+    path once at startup and this helper uses it."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
+        import atexit
         import tempfile
 
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark_reliable_ckpt_"))
+        d = tempfile.mkdtemp(prefix="spark_reliable_ckpt_")
+        sc.setCheckpointDir(d)
+        if not _ATEXIT_DIRS:
+            atexit.register(_cleanup_dirs)
+        _ATEXIT_DIRS.append(d)
     return df.checkpoint(eager=True)

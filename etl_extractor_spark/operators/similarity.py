@@ -287,9 +287,12 @@ def maxsim_ivf_topk(
     oracle). ``centroids`` is a trained coarse codebook (any k_coarse;
     the 100 TB path trains it offline on a sample and broadcasts it);
     each multi-vector group is assigned by its REPRESENTATIVE vector
-    (min(vec_id) within the group — well-defined for ANY id layout,
-    not just contiguous ids where min == the vec_id % group == 0
-    member) to its argmax-cosine cluster, queries probe
+    (min(vec_id) within the group) to its argmax-cosine cluster, and
+    its query vectors are the ``qvecs`` smallest vec_ids — BOTH
+    selections well-defined for ANY id layout, not just contiguous
+    ids (where they coincide with the vec_id % group == 0 /
+    % group < qvecs forms the pinned HOF reference
+    ``plans/similarity.maxsim_ivf_pruned`` uses). Queries probe
     their top-``nprobe`` clusters, and late interaction runs only on
     same-cluster pairs — the interaction pair space divides by
     ~k_coarse/nprobe. Docs carry ONE cluster, so a (query, doc) pair
@@ -341,10 +344,19 @@ def maxsim_ivf_topk(
     # so without it the interaction stage would inherit the raw file's
     # (often single) partitioning and serialize the heavy compute
     g = _fan(grouped).join(doc_cl, "grp")
+    # Query vectors = the qvecs SMALLEST vec_ids within each query
+    # group (rank window over the contract-small query subset), not
+    # vec_id % group < qvecs — the same layout-independence fix as the
+    # min_by representative: a gap layout must not silently produce
+    # zero query vectors (review catch; under contiguous ids the two
+    # selections coincide).
+    from pyspark.sql import Window as _W
+
+    qrank = F.row_number().over(_W.partitionBy("grp").orderBy("vec_id"))
     q = F.broadcast(
-        grouped.filter(
-            (F.col("grp") % qmod == 0) & (F.col("vec_id") % group < qvecs)
-        )
+        grouped.filter(F.col("grp") % qmod == 0)
+        .withColumn("qr", qrank)
+        .filter(F.col("qr") <= qvecs)
         .select(
             F.col("grp").alias("q_grp"),
             F.col("vec_id").alias("q_vec"),

@@ -1082,9 +1082,13 @@ def maxsim_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MaxSim with IVF coarse pruning — the 100 TB composition the
     brute variant's docstring promises: each multi-vector group gets a
     coarse cluster from its REPRESENTATIVE vector (the group's first,
-    argmax cosine over the pinned SEMDEDUP centroids, exactly the
-    knn_ivf_fixed quantizer), and late interaction runs only against
-    same-cluster doc groups. Per-query candidate count drops by
+    i.e. vec_id % group == 0 — this pinned HOF reference DEFINES its
+    spec on the contiguous-id embeddings layout; the parameterized
+    production operator ``operators/similarity.maxsim_ivf_topk`` uses
+    the layout-independent min(vec_id)/rank forms, which coincide
+    here; argmax cosine over the pinned SEMDEDUP centroids, exactly
+    the knn_ivf_fixed quantizer), and late interaction runs only
+    against same-cluster doc groups. Per-query candidate count drops by
     ~k_coarse (brute probe at 200k vectors: 425 s; pruning divides the
     interaction pair space by the cluster count), and both stages stay
     oracle-certified — DuckDB re-derives assignment + MaxSim from the
@@ -1215,11 +1219,17 @@ def maxsim_ivf_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas_udf codebook assignment — one numpy matmul per batch — the
     form the r5 coarse-k probe measured at 129× over brute with 93.6%
     recall@3 at k_coarse=256; BASELINE.md) instantiated on the SAME
-    pinned SEMDEDUP centroids and literals as ``maxsim_ivf_pruned``,
-    sharing its DuckDB oracle verbatim. Hash-equality certifies the
-    vectorized assignment agrees with the HOF-expression reference
-    cluster for cluster and score for score — the expression twin is
-    the declarative-semantics reference, this is the hot path."""
+    pinned SEMDEDUP centroids and literals as ``maxsim_ivf_pruned``.
+    Its oracle is the layout-independent spec the operator actually
+    implements — representative = min(vec_id) per group (arg_min),
+    query vectors = the qvecs smallest vec_ids per query group — so
+    plan and SQL state the SAME contract on any id layout (review
+    catch: sharing the pruned twin's modulo-form SQL verbatim was
+    correct only under contiguous ids). On this dataset the two specs
+    coincide, so hash-equality ALSO certifies the vectorized
+    assignment agrees with the HOF-expression reference cluster for
+    cluster and score for score — the expression twin is the
+    declarative-semantics reference, this is the hot path."""
     from etl_extractor_spark.operators.similarity import maxsim_ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -1235,4 +1245,57 @@ def maxsim_ivf_np(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["maxsim_ivf_np"] = maxsim_ivf_np
-ORACLES["maxsim_ivf_np"] = MAXSIM_IVF_SQL
+# Layout-independent spec: arg_min representative + rank-based query
+# vectors (matches maxsim_ivf_topk exactly; coincides with the
+# modulo-form MAXSIM_IVF_SQL on this contiguous-id dataset).
+MAXSIM_IVF_MINREP_SQL = (
+    f"""
+WITH g AS (
+  SELECT vec_id // {MAXSIM_GROUP} AS grp, vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), reps AS (
+  SELECT grp, arg_min(v, vec_id) AS v FROM g GROUP BY grp
+), repdots AS (
+  SELECT grp, """
+    + ", ".join(
+        f"list_dot_product(v, {_centroid_sql(k)}) / "
+        f"{_math.sqrt(sum(x * x for x in SEMDEDUP_CENTROIDS[k]))!r} AS d{k}"
+        for k in range(SEMDEDUP_K)
+    )
+    + f"""
+  FROM reps
+), clusters AS (
+  SELECT grp, CASE """
+    + " ".join(
+        f"WHEN d{k} = greatest(d0, d1, d2, d3) THEN {k}"
+        for k in range(SEMDEDUP_K)
+    )
+    + f""" END AS cluster_id
+  FROM repdots
+), gc AS (
+  SELECT g.grp, g.vec_id, g.v, c.cluster_id FROM g JOIN clusters c USING (grp)
+), q AS (
+  SELECT q_grp, q_vec, qv, qc FROM (
+    SELECT grp AS q_grp, vec_id AS q_vec, v AS qv, cluster_id AS qc,
+           row_number() OVER (PARTITION BY grp ORDER BY vec_id) AS qr
+    FROM gc WHERE grp % {MAXSIM_QMOD} = 0
+  ) WHERE qr <= {MAXSIM_QVECS}
+), per_qvec AS (
+  SELECT q.q_grp, gc.grp AS d_grp, q.q_vec,
+         max(list_cosine_similarity(q.qv, gc.v)) AS best
+  FROM gc JOIN q ON gc.cluster_id = q.qc AND gc.grp <> q.q_grp
+  GROUP BY 1, 2, 3
+), scored AS (
+  SELECT q_grp, d_grp, sum(best) AS maxsim FROM per_qvec GROUP BY 1, 2
+), ranked AS (
+  SELECT q_grp, d_grp, maxsim,
+         CAST(row_number() OVER (PARTITION BY q_grp
+                                 ORDER BY maxsim DESC, d_grp ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT q_grp AS query_group, d_grp AS doc_group, round(maxsim, 4) AS maxsim, rank
+FROM ranked WHERE rank <= {MAXSIM_K}
+"""
+)
+ORACLES["maxsim_ivf_np"] = MAXSIM_IVF_MINREP_SQL

@@ -43,6 +43,10 @@ def get_spark(
         .config("spark.sql.codegen.maxFields", "256")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # reclaim reliable-checkpoint files as their RDDs are GC'd —
+        # without it checkpoint dirs grow for the process lifetime
+        # (operators/checkpoints.py carries the vanilla-session story)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -220,21 +220,37 @@ def harvest_manifest(
 
 
 def _write_manifest(path: str, manifest: dict[str, Any]) -> None:
-    """ATOMIC manifest commit: write to a temp name in the same
-    directory, fsync, then ``os.replace`` over ``_manifest.json`` —
-    the same temp-then-rename discipline the data files use. A crash
-    mid-write leaves the previous manifest intact (the temp file is
-    garbage, never truncated committed state), so crash-retry
-    convergence (commit_batch's exactly-once contract) actually holds:
-    the retry's first read_manifest sees a complete manifest, old or
-    new, never a JSONDecodeError."""
+    """ATOMIC manifest commit: write to a UNIQUE temp name in the same
+    directory (mkstemp — a fixed '.tmp' name would let two concurrent
+    committers truncate each other's in-progress temp and publish a
+    half-written file through the survivor's rename; review catch),
+    fsync, then ``os.replace`` over ``_manifest.json`` — the same
+    temp-then-rename discipline the data files use. A crash mid-write
+    leaves the previous manifest intact (the temp file is garbage,
+    never truncated committed state), so crash-retry convergence
+    (commit_batch's exactly-once contract) actually holds: the retry's
+    first read_manifest sees a complete manifest, old or new, never a
+    JSONDecodeError. Concurrent committers remain last-writer-wins at
+    the manifest level (single-writer-per-table is the contract, as
+    for every file-listing-free table format without a lock service);
+    what the unique temp guarantees is that the loser can only lose
+    WHOLE, never publish torn bytes."""
+    import tempfile
+
     final = os.path.join(path, MANIFEST_NAME)
-    tmp = final + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=1, default=str)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, final)
+    fd, tmp = tempfile.mkstemp(prefix=MANIFEST_NAME + ".", dir=path)
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump(manifest, fh, indent=1, default=str)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, final)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def read_manifest(path: str) -> dict[str, Any] | None:

@@ -519,3 +519,47 @@ def test_commit_batch_recovers_from_half_finished_attempt(spark, tmp_path):
     # a second redelivery is now a committed no-op
     assert MF.commit_batch(spark, batch, path, 7, stats_cols=["k"]) is False
     assert MF.read_table(spark, path).count() == 4
+
+
+def test_manifest_commit_is_atomic_and_snapshot_guard(spark, tmp_path):
+    """Round-6 hardening: (a) manifest commits go through temp +
+    os.replace — a crash mid-write can never leave truncated JSON over
+    the committed manifest; (b) plain read_snapshot REFUSES a
+    delete-bearing snapshot (it would silently resurrect deleted rows)
+    and points at read_snapshot_mor; (c) out-of-band corruption raises
+    an actionable ValueError, not a bare JSONDecodeError."""
+    import os
+
+    import pytest as _pytest
+
+    from etl_extractor_spark.sinks import manifest as MF
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 11)], "k long, v long"
+    )
+    MF.write_with_manifest(spark, df, path, stats_cols=["k"], mode="overwrite")
+    # no temp residue after a successful commit (mkstemp names start
+    # with the manifest name + '.')
+    assert not [
+        f for f in os.listdir(path) if f.startswith(MF.MANIFEST_NAME + ".")
+    ]
+
+    # pre-delete snapshot reads fine with the plain reader
+    assert MF.read_snapshot(spark, path, 0).count() == 10
+
+    MF.write_equality_deletes(spark, path, spark.createDataFrame([(3,)], "k long"))
+    # snapshot 1 carries a delete file: the plain reader must refuse
+    with _pytest.raises(ValueError, match="read_snapshot_mor"):
+        MF.read_snapshot(spark, path, 1)
+    # the MOR reader applies it
+    assert MF.read_snapshot_mor(spark, path, 1).count() == 9
+    # snapshot 0 stays readable by both
+    assert MF.read_snapshot(spark, path, 0).count() == 10
+
+    # simulated out-of-band corruption -> explicit error naming the file
+    p = os.path.join(path, MF.MANIFEST_NAME)
+    with open(p, "w") as fh:
+        fh.write('{"version": 2, "files": [')  # truncated JSON
+    with _pytest.raises(ValueError, match="corrupt manifest"):
+        MF.read_manifest(path)
