@@ -685,3 +685,231 @@ ORACLES["stratified_kfold_audit"] = f"""
            p.n * 1000000 // t.n_stratum AS share_micro
     FROM per p JOIN tot t USING (c_mktsegment)
 """
+
+
+# --- 9. t-closeness audit -------------------------------------------------------
+_TCLOSE_T_MICRO = 200_000  # t = 0.2
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness (Li, Li & Venkatasubramanian, ICDE'07) — the third
+    rung of the anonymity ladder after k_anonymity_audit and
+    l_diversity_audit: an equivalence class can be k-anonymous and
+    l-diverse yet still leak if its SENSITIVE-attribute distribution
+    skews far from the table's. For categorical attributes the EMD
+    reduces to total variation distance; here QI group = nation,
+    sensitive = market segment, and tvd(g) = ½ Σ_s |p_g(s) − p(s)| is
+    computed ENTIRELY in integers — |n_gs·n − n_s·n_g| summed, then one
+    floor division to micro-units (multiply-before-divide; the
+    numerator stays ≤ 2·n_g·n ~ 3e11 at sf1, ×1e6 far under 2⁶³).
+    meets_t flags groups within t = 0.2.
+
+    100 TB: two hash aggregations on bounded key domains + broadcast
+    joins of the O(segments) and O(1) total frames; no sort."""
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    gs = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gs")
+    )
+    g = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).cast("long").alias("n_g"))
+    s = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+    tot = c.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    num = (
+        gs.join(F.broadcast(g), "c_nationkey")
+        .join(F.broadcast(s), "c_mktsegment")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("c_nationkey")
+        .agg(
+            F.max("n_g").alias("n_g"),
+            F.max("n").alias("n"),
+            F.sum(
+                F.abs(F.col("n_gs") * F.col("n") - F.col("n_s") * F.col("n_g"))
+            ).alias("num"),
+        )
+    )
+    tvd = F.expr("num * 1000000 div (2 * n_g * n)")
+    return num.select(
+        "c_nationkey",
+        F.col("n_g").alias("n_group"),
+        tvd.alias("tvd_micro"),
+        (tvd <= F.lit(_TCLOSE_T_MICRO)).cast("long").alias("meets_t"),
+    )
+
+
+QUERIES["t_closeness_audit"] = t_closeness_audit
+ORACLES["t_closeness_audit"] = f"""
+    WITH gs AS (
+        SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n_gs
+        FROM customer GROUP BY 1, 2
+    ),
+    g AS (SELECT c_nationkey, count(*)::BIGINT AS n_g FROM customer GROUP BY 1),
+    s AS (SELECT c_mktsegment, count(*)::BIGINT AS n_s FROM customer GROUP BY 1),
+    tot AS (SELECT count(*)::BIGINT AS n FROM customer),
+    agg AS (
+        SELECT gs.c_nationkey,
+               max(g.n_g) AS n_g, max(tot.n) AS n,
+               sum(abs(gs.n_gs * tot.n - s.n_s * g.n_g))::BIGINT AS num
+        FROM gs
+        JOIN g USING (c_nationkey)
+        JOIN s USING (c_mktsegment)
+        CROSS JOIN tot
+        GROUP BY 1
+    )
+    SELECT c_nationkey,
+           n_g AS n_group,
+           num * 1000000 // (2 * n_g * n) AS tvd_micro,
+           CAST(CASE WHEN num * 1000000 // (2 * n_g * n) <= {_TCLOSE_T_MICRO}
+                     THEN 1 ELSE 0 END AS BIGINT) AS meets_t
+    FROM agg
+"""
+
+
+# --- 10. two-sample Kolmogorov-Smirnov statistic --------------------------------
+_KS_SEG_A, _KS_SEG_B = "BUILDING", "MACHINERY"
+_KS_BUCKET = 100_000  # cents per CDF bucket (price bands for phase 1)
+
+
+def ks_two_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    BUILDING and MACHINERY segments' order-value distributions:
+    D = sup_x |F_a(x) − F_b(x)|, the sup-of-CDF-difference test that
+    detects ANY distributional shift (location, scale, shape) where
+    the rank-sum (mann_whitney) sees only location. Evaluated at the
+    distinct value grid (CDFs jump jointly at ties — the correct
+    tie handling); D is exact integers throughout: max |cum_a·n_b −
+    cum_b·n_a| then one floor division to micro-units.
+
+    100 TB: the running CDF is TWO-PHASE — per-value counts roll up
+    into bounded price-band buckets (value div 1e5 cents), a tiny
+    window ranks the O(bands) bucket prefix, and the within-bucket
+    cumsum is a (bucket)-PARTITIONED window — no data-scaled global
+    sort anywhere (the quantile_normalize_sources discipline). The
+    statistic is reported without a p-value by repo convention
+    (no erf/K-S CDF on either engine); n_a·n_b-scaled D_micro is the
+    decision quantity."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    x = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("c_mktsegment").isin(_KS_SEG_A, _KS_SEG_B))
+        .select(
+            "cents",
+            (F.col("c_mktsegment") == _KS_SEG_A).cast("long").alias("ia"),
+            (F.col("c_mktsegment") == _KS_SEG_B).cast("long").alias("ib"),
+        )
+    )
+    per_val = x.groupBy("cents").agg(
+        F.sum("ia").alias("a"), F.sum("ib").alias("b")
+    )
+    per_val = per_val.withColumn("bkt", F.expr(f"cents div {_KS_BUCKET}"))
+    # phase 1: bucket totals (bounded domain: price bands)
+    from pyspark.sql import Window as W
+
+    bkt = per_val.groupBy("bkt").agg(
+        F.sum("a").alias("ba"), F.sum("b").alias("bb")
+    )
+    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    prefix = bkt.select(
+        "bkt",
+        F.coalesce(F.sum("ba").over(wb), F.lit(0)).alias("pa"),
+        F.coalesce(F.sum("bb").over(wb), F.lit(0)).alias("pb"),
+    )
+    # phase 2: within-bucket running sums + the broadcast bucket prefix
+    wv = W.partitionBy("bkt").orderBy("cents").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = per_val.join(F.broadcast(prefix), "bkt").select(
+        (F.sum("a").over(wv) + F.col("pa")).alias("ca"),
+        (F.sum("b").over(wv) + F.col("pb")).alias("cb"),
+    )
+    tot = x.agg(
+        F.sum("ia").cast("long").alias("n_a"), F.sum("ib").cast("long").alias("n_b")
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max(
+                F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+            ).alias("dnum"),
+        )
+    )
+    return d.select(
+        "n_a", "n_b", F.expr("dnum * 1000000 div (n_a * n_b)").alias("d_micro")
+    )
+
+
+QUERIES["ks_two_sample_orders"] = ks_two_sample_orders
+ORACLES["ks_two_sample_orders"] = f"""
+    WITH x AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               CASE WHEN c_mktsegment = '{_KS_SEG_A}' THEN 1 ELSE 0 END AS ia,
+               CASE WHEN c_mktsegment = '{_KS_SEG_B}' THEN 1 ELSE 0 END AS ib
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('{_KS_SEG_A}', '{_KS_SEG_B}')
+    ),
+    per_val AS (
+        SELECT cents, sum(ia)::BIGINT AS a, sum(ib)::BIGINT AS b
+        FROM x GROUP BY 1
+    ),
+    cum AS (
+        SELECT sum(a) OVER (ORDER BY cents)::BIGINT AS ca,
+               sum(b) OVER (ORDER BY cents)::BIGINT AS cb
+        FROM per_val
+    ),
+    tot AS (
+        SELECT sum(ia)::BIGINT AS n_a, sum(ib)::BIGINT AS n_b FROM x
+    )
+    SELECT n_a, n_b,
+           max(abs(ca * n_b - cb * n_a)) * 1000000 // (n_a * n_b) AS d_micro
+    FROM cum CROSS JOIN tot
+    GROUP BY n_a, n_b
+"""
+
+
+# --- 11. streaming stream-static join replay -------------------------------------
+def streaming_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10th driver-certified streaming query, covering the STREAM-
+    STATIC JOIN class (the one Structured Streaming join family not
+    yet under the driver — stream-stream interval joins are; this is
+    the per-micro-batch dimension-enrichment shape every production
+    stream uses): the event stream inner-joins a static customer-tier
+    dim, then a watermarked tumbling aggregation per tier
+    (``streaming/events_stream.streaming_enriched_totals``, complete
+    mode, availableNow). The oracle re-derives the same join +
+    hour-bucket rollup in batch SQL, so a hash match certifies the
+    micro-batch join + windowed state converge to the batch answer.
+    At 100 TB the static side re-broadcasts per micro-batch (which is
+    also how slowly-changing dims get picked up mid-stream)."""
+    from etl_extractor_spark.streaming import events_stream as SE
+
+    return SE.run_to_memory(
+        SE.streaming_enriched_totals(spark, sf_dir),
+        "t_enrich_replay",
+        output_mode="complete",
+    )
+
+
+QUERIES["streaming_enrich_replay"] = streaming_enrich_replay
+ORACLES["streaming_enrich_replay"] = """
+    WITH tiers AS (
+        SELECT c_custkey AS user_id,
+               CASE WHEN c_acctbal >= 5000 THEN 'high'
+                    WHEN c_acctbal >= 0 THEN 'mid'
+                    ELSE 'low' END AS tier
+        FROM customer
+    )
+    SELECT strftime(make_timestamp(CAST(floor(epoch_us(e.ts) / 3600000000) AS BIGINT)
+                                   * 3600000000),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           t.tier,
+           count(*) AS n_events,
+           round(sum(e.value), 4) AS sum_value
+    FROM events e JOIN tiers t ON e.user_id = t.user_id
+    GROUP BY 1, 2
+"""
