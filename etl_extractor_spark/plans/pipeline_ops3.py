@@ -710,12 +710,15 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     gs = c.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count(F.lit(1)).cast("long").alias("n_gs")
     )
-    g = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).cast("long").alias("n_g"))
-    s = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+    # grp/seg/tot are O(nations)/O(segments)/1-row aggregates — fixed
+    # cardinality at any SF, so the broadcast hints are safe (the
+    # plan-guard test bans hints on SF-scaled aliases only)
+    grp = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).cast("long").alias("n_g"))
+    seg = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).cast("long").alias("n_s"))
     tot = c.agg(F.count(F.lit(1)).cast("long").alias("n"))
     num = (
-        gs.join(F.broadcast(g), "c_nationkey")
-        .join(F.broadcast(s), "c_mktsegment")
+        gs.join(F.broadcast(grp), "c_nationkey")
+        .join(F.broadcast(seg), "c_mktsegment")
         .crossJoin(F.broadcast(tot))
         .groupBy("c_nationkey")
         .agg(
