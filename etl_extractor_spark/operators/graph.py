@@ -44,6 +44,11 @@ def pagerank_integer(
     new rank = (1-d)·unit + (d·Σ contributions) DIV 100. Nodes with no
     in-edges keep the base term via the left join. Returns
     (node, rank_micro)."""
+    # Materialize the edge list ONCE: the loop references it every
+    # round (contribution join) and the plan otherwise re-executes the
+    # caller's full edge derivation (orders⋈lineitem at sf1) per
+    # iteration — one checkpoint write buys `iterations` cheap reads.
+    edges = reliable_checkpoint(edges)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = (
         edges.select(F.col("src").alias("node"))

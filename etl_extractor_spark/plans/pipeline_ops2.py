@@ -311,29 +311,66 @@ ORACLES["merge_upsert_scd1"] = """
 _BFS_HOPS = 4
 
 
+def _purchase_edges_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bipartite purchase graph with INTEGER-ENCODED node ids
+    (customer k → 2k, supplier k → 2k+1 — a bijection with the
+    'C'||k / 'S'||k string domain of plans/graph._purchase_edges), so
+    iterative queries shuffle/checkpoint 8-byte longs instead of
+    ~10-char strings (~3× fewer bytes at sf1's 11.7 M edges). Shared
+    by the set-semantics graph loops (BFS, k-core); NOT usable by
+    min-label algorithms (LPA) whose ordering is defined over the
+    string domain — the encoding does not preserve string order."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            (F.col("o_custkey").cast("long") * 2).alias("c"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    return pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+
+
+def _node_str(c: str):
+    """Reconstruct the 'C'||k / 'S'||k string form from an int-encoded
+    node id — used ONLY in final stat projections so min/max
+    fingerprints keep the string ordering the oracles pin."""
+    return F.concat(
+        F.when(F.col(c) % 2 == 0, F.lit("C")).otherwise(F.lit("S")),
+        F.expr(f"CAST({c} DIV 2 AS STRING)"),
+    )
+
+
 def bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shortest-hop distances from seed suppliers (s_suppkey ≤ 2) over
-    the bipartite purchase graph (plans/graph._purchase_edges), BFS to
-    4 hops: the frontier is the set of nodes first reached at hop k;
-    each round is one frontier⋈edges join + an anti-join against the
-    visited set, then a distinct — level-synchronous BFS, the
-    join-based Pregel shape shared with PageRank/connected components.
-    Output: nodes-per-hop histogram with a min/max node fingerprint
-    per level (order-free evidence of WHICH nodes, not just how many).
-    The oracle walks the same levels with a recursive CTE (UNION
-    dedup), so the level sets must match exactly.
+    the bipartite purchase graph, BFS to 4 hops: the frontier is the
+    set of nodes first reached at hop k; each round is one
+    frontier⋈edges join + an anti-join against the visited set, then a
+    distinct — level-synchronous BFS, the join-based Pregel shape
+    shared with PageRank/connected components. Output: nodes-per-hop
+    histogram with a min/max node fingerprint per level (order-free
+    evidence of WHICH nodes, not just how many). The oracle walks the
+    same levels with a recursive CTE (UNION dedup), so the level sets
+    must match exactly.
 
     100 TB: visited/frontier stay key-partitioned; 4 bounded rounds;
     the per-round dedup is the only wide op and it is hash-partitioned
-    on node id. For unbounded diameters the CC operator's checkpoint
-    discipline applies (operators/dedup.py)."""
-    from etl_extractor_spark.plans.graph import _purchase_edges
-
-    edges = _purchase_edges(spark, sf_dir)
+    on node id. The iteration runs on INT-ENCODED node ids
+    (_purchase_edges_int — BFS is set-semantics, so the encoding is
+    free; strings are reconstructed only in the final stats), and the
+    edge list is checkpointed ONCE so the four rounds read it instead
+    of re-executing the orders⋈lineitem build per hop. For unbounded
+    diameters the CC operator's checkpoint discipline applies
+    (operators/dedup.py)."""
+    edges = reliable_checkpoint(_purchase_edges_int(spark, sf_dir))
     seeds = (
         load_table(spark, sf_dir, "supplier")
         .where(F.col("s_suppkey") <= 2)
-        .select(F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("node"))
+        .select((F.col("s_suppkey").cast("long") * 2 + 1).alias("node"))
     )
     visited = seeds.withColumn("hop", F.lit(0))
     frontier = visited
@@ -348,11 +385,12 @@ def bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = reliable_checkpoint(visited.unionByName(nxt))
         frontier = visited.where(F.col("hop") == k)
     return (
-        visited.groupBy("hop")
+        visited.select("hop", _node_str("node").alias("node_s"))
+        .groupBy("hop")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_nodes"),
-            F.min("node").alias("min_node"),
-            F.max("node").alias("max_node"),
+            F.min("node_s").alias("min_node"),
+            F.max("node_s").alias("max_node"),
         )
     )
 
@@ -447,10 +485,14 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
 
     100 TB: each round is one src-keyed join + one dst-keyed min
     aggregation — the PageRank exchange shape; labels checkpoint per
-    round to keep lineage linear."""
+    round to keep lineage linear, and the edge list is checkpointed
+    ONCE so the rounds read it instead of re-executing the
+    orders⋈lineitem build. Labels stay in the STRING domain — the
+    min-label ordering is defined over it, so the int encoding the
+    set-semantics loops use (_purchase_edges_int) does not apply."""
     from etl_extractor_spark.plans.graph import _purchase_edges
 
-    edges = _purchase_edges(spark, sf_dir)
+    edges = reliable_checkpoint(_purchase_edges(spark, sf_dir))
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -1095,25 +1137,8 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-count probe and the peel join share one degree aggregation.
     The per-round stats row is collected (1 row — contract-small) and
     the output assembled as a literal frame."""
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        o.join(l, o["o_orderkey"] == l["l_orderkey"])
-        .select(
-            (F.col("o_custkey").cast("long") * 2).alias("c"),
-            (F.col("l_suppkey").cast("long") * 2 + 1).alias("s"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
-
-    def node_str(c: str):
-        return F.concat(
-            F.when(F.col(c) % 2 == 0, F.lit("C")).otherwise(F.lit("S")),
-            F.expr(f"CAST({c} DIV 2 AS STRING)"),
-        )
+    edges = _purchase_edges_int(spark, sf_dir)
+    node_str = _node_str
 
     rows: list[tuple] = []
     cur = reliable_checkpoint(edges)  # round 1 references it 3× (deg + 2 joins)
