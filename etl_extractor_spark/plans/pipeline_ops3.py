@@ -916,3 +916,91 @@ ORACLES["streaming_enrich_replay"] = """
     FROM events e JOIN tiers t ON e.user_id = t.user_id
     GROUP BY 1, 2
 """
+
+
+# --- 12. HLL reach: driver-certifiable error contract ----------------------------
+def hll_reach_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certifiable HLL contract row (completes the sketch-
+    certification set with kll_quantile_contract /
+    theta_sketch_contract): the merged per-day HLL sketches'
+    distinct-user estimate per event_type (the exact merge pipeline of
+    the rows-only ``hll_user_reach``) must land within max(5, 5% of
+    exact) of the true COUNT(DISTINCT) — lgK=12 HLL has ~1.6% RSE and
+    is exact below its dense threshold, so the 5% bit is stable at
+    every SF. At 100 TB the exact side is the one-off audit; the
+    sketch side is the persisted per-partition state a reach dashboard
+    actually serves from."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    est = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    ok = (
+        F.abs(F.col("est") - F.col("n_users"))
+        <= F.greatest(F.lit(5.0), F.col("n_users") * 0.05)
+    ).cast("long")
+    return exact.join(F.broadcast(est), "event_type").select(
+        "event_type", "n_users", ok.alias("ok_reach")
+    )
+
+
+QUERIES["hll_reach_contract"] = hll_reach_contract
+ORACLES["hll_reach_contract"] = """
+    SELECT event_type,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           1::BIGINT AS ok_reach
+    FROM events GROUP BY event_type
+"""
+
+
+# --- 13. seeded stratified sampling: rate contract --------------------------------
+_SSC_FRACS = {"F": 0.2, "O": 0.1, "P": 0.5}
+
+
+def stratified_sample_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certifiable contract for the engine-specific Bernoulli
+    draw (``orders_stratified_sample`` stays rows-only; its
+    deterministic md5 twin pins exact behavior — THIS row certifies
+    the native sampleBy draw's statistics): per stratum, the sampled
+    count must sit within 4σ + 5 of p·n (binomial σ = √(np(1−p));
+    miss probability < 1e-4 per stratum per draw, and the slack
+    absorbs partitioning-dependent draws across sessions). The oracle
+    pins the exact stratum totals and the bit as literal 1 — a hash
+    match certifies the sampler's rates on this data."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderstatus")
+    totals = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    sampled = (
+        o.sampleBy("o_orderstatus", _SSC_FRACS, seed=42)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    p = F.when(F.col("o_orderstatus") == "F", F.lit(0.2)).when(
+        F.col("o_orderstatus") == "O", F.lit(0.1)
+    ).otherwise(F.lit(0.5))
+    nd = F.col("n_total").cast("double")
+    bound = 4.0 * F.sqrt(nd * p * (1 - p)) + 5.0
+    ok = (
+        F.abs(F.coalesce(F.col("k"), F.lit(0)).cast("double") - p * nd) <= bound
+    ).cast("long")
+    return (
+        totals.join(F.broadcast(sampled), "o_orderstatus", "left")
+        .select("o_orderstatus", "n_total", ok.alias("ok_rate"))
+    )
+
+
+QUERIES["stratified_sample_contract"] = stratified_sample_contract
+ORACLES["stratified_sample_contract"] = """
+    SELECT o_orderstatus,
+           count(*)::BIGINT AS n_total,
+           1::BIGINT AS ok_rate
+    FROM orders GROUP BY o_orderstatus
+"""
