@@ -31,10 +31,29 @@ TABLES = (
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Point DuckDB's spill at a per-process temp dir (atexit-removed).
+    # The default is ./.tmp in the cwd: heavy oracles (unrolled graph
+    # CTEs at sf1) spill tens of GB there, and a killed process leaves
+    # the files behind — a 337-oracle sweep accumulated 71 GB of
+    # orphaned duckdb_temp_storage-*.tmp and exhausted the disk, which
+    # then surfaced as Spark SPILL failures in UNRELATED queries
+    # (round-6 incident, BASELINE.md).
+    global _TMP
+    if _TMP is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _TMP = tempfile.mkdtemp(prefix="duckdb_oracle_spill_")
+        atexit.register(shutil.rmtree, _TMP, ignore_errors=True)
+    con.execute(f"SET temp_directory = '{_TMP}'")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
+
+
+_TMP: str | None = None
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
