@@ -699,13 +699,22 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     skews far from the table's. For categorical attributes the EMD
     reduces to total variation distance; here QI group = nation,
     sensitive = market segment, and tvd(g) = ½ Σ_s |p_g(s) − p(s)| is
-    computed ENTIRELY in integers — |n_gs·n − n_s·n_g| summed, then one
-    floor division to micro-units (multiply-before-divide; the
-    numerator stays ≤ 2·n_g·n ~ 3e11 at sf1, ×1e6 far under 2⁶³).
-    meets_t flags groups within t = 0.2.
+    computed ENTIRELY in integers — |n_gs·n − n_s·n_g| summed over the
+    FULL nation × segment grid (a segment ABSENT from a group is
+    maximal skew and must contribute its n_s·n_g term — an inner join
+    on observed (nation, segment) pairs would silently drop it and
+    under-report the distance; review catch), then ONE final-scalar
+    IEEE step shared verbatim by both engines:
+    floor(num/(2·n_g·n) · 1e6) over doubles. Integer ×1e6 would wrap
+    int64 once num > 9.2e12 (≈ sf100 — second review catch), and
+    Spark's DIV on DECIMAL operands silently casts to long and wraps
+    (measured), so the double form — two correctly-rounded IEEE ops on
+    identical exact integers, identical on both engines — is the
+    repo's standard no-ceiling final-scalar recipe. meets_t flags
+    groups within t = 0.2.
 
     100 TB: two hash aggregations on bounded key domains + broadcast
-    joins of the O(segments) and O(1) total frames; no sort."""
+    joins of the O(nations × segments) grid; no sort."""
     c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
     gs = c.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count(F.lit(1)).cast("long").alias("n_gs")
@@ -716,10 +725,10 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).cast("long").alias("n_g"))
     seg = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).cast("long").alias("n_s"))
     tot = c.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    grid = grp.crossJoin(F.broadcast(seg)).crossJoin(F.broadcast(tot))
     num = (
-        gs.join(F.broadcast(grp), "c_nationkey")
-        .join(F.broadcast(seg), "c_mktsegment")
-        .crossJoin(F.broadcast(tot))
+        grid.join(F.broadcast(gs), ["c_nationkey", "c_mktsegment"], "left")
+        .withColumn("n_gs", F.coalesce(F.col("n_gs"), F.lit(0)))
         .groupBy("c_nationkey")
         .agg(
             F.max("n_g").alias("n_g"),
@@ -729,7 +738,10 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("num"),
         )
     )
-    tvd = F.expr("num * 1000000 div (2 * n_g * n)")
+    tvd = F.expr(
+        "CAST(FLOOR(CAST(num AS DOUBLE) / CAST(2 * n_g * n AS DOUBLE)"
+        " * 1000000) AS BIGINT)"
+    )
     return num.select(
         "c_nationkey",
         F.col("n_g").alias("n_group"),
@@ -748,19 +760,23 @@ ORACLES["t_closeness_audit"] = f"""
     s AS (SELECT c_mktsegment, count(*)::BIGINT AS n_s FROM customer GROUP BY 1),
     tot AS (SELECT count(*)::BIGINT AS n FROM customer),
     agg AS (
-        SELECT gs.c_nationkey,
+        SELECT g.c_nationkey,
                max(g.n_g) AS n_g, max(tot.n) AS n,
-               sum(abs(gs.n_gs * tot.n - s.n_s * g.n_g))::BIGINT AS num
-        FROM gs
-        JOIN g USING (c_nationkey)
-        JOIN s USING (c_mktsegment)
+               sum(abs(COALESCE(gs.n_gs, 0) * tot.n - s.n_s * g.n_g))::BIGINT
+                   AS num
+        FROM g
+        CROSS JOIN s
         CROSS JOIN tot
+        LEFT JOIN gs ON gs.c_nationkey = g.c_nationkey
+                    AND gs.c_mktsegment = s.c_mktsegment
         GROUP BY 1
     )
     SELECT c_nationkey,
            n_g AS n_group,
-           num * 1000000 // (2 * n_g * n) AS tvd_micro,
-           CAST(CASE WHEN num * 1000000 // (2 * n_g * n) <= {_TCLOSE_T_MICRO}
+           CAST(FLOOR(CAST(num AS DOUBLE) / CAST(2 * n_g * n AS DOUBLE)
+                      * 1000000) AS BIGINT) AS tvd_micro,
+           CAST(CASE WHEN FLOOR(CAST(num AS DOUBLE) / CAST(2 * n_g * n AS DOUBLE)
+                               * 1000000) <= {_TCLOSE_T_MICRO}
                      THEN 1 ELSE 0 END AS BIGINT) AS meets_t
     FROM agg
 """
@@ -778,8 +794,12 @@ def ks_two_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     detects ANY distributional shift (location, scale, shape) where
     the rank-sum (mann_whitney) sees only location. Evaluated at the
     distinct value grid (CDFs jump jointly at ties — the correct
-    tie handling); D is exact integers throughout: max |cum_a·n_b −
-    cum_b·n_a| then one floor division to micro-units.
+    tie handling); the sup numerator is exact integers: max |cum_a·n_b
+    − cum_b·n_a| (int64-safe through ~sf3000: every term is ≤
+    n_a·n_b), then ONE shared final-scalar IEEE step —
+    floor(dnum/(n_a·n_b) · 1e6) over doubles, identical op sequence on
+    both engines (an integer ×1e6 would wrap int64 by ~sf100, and
+    Spark DIV on DECIMAL wraps — review catch).
 
     100 TB: the running CDF is TWO-PHASE — per-value counts roll up
     into bounded price-band buckets (value div 1e5 cents), a tiny
@@ -809,28 +829,30 @@ def ks_two_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ia").alias("a"), F.sum("ib").alias("b")
     )
     per_val = per_val.withColumn("bkt", F.expr(f"cents div {_KS_BUCKET}"))
-    # phase 1: bucket totals (bounded domain: price bands)
-    from pyspark.sql import Window as W
-
+    # phase 1: bucket totals (bounded domain: price bands). Every
+    # downstream branch (bucket prefix, within-bucket cumsum, totals)
+    # derives from the SAME per_val aggregate, so the orders⋈customer
+    # join executes once under exchange reuse (review catch: a
+    # separate totals branch over the raw join re-executed it).
     bkt = per_val.groupBy("bkt").agg(
         F.sum("a").alias("ba"), F.sum("b").alias("bb")
     )
-    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     prefix = bkt.select(
         "bkt",
         F.coalesce(F.sum("ba").over(wb), F.lit(0)).alias("pa"),
         F.coalesce(F.sum("bb").over(wb), F.lit(0)).alias("pb"),
     )
     # phase 2: within-bucket running sums + the broadcast bucket prefix
-    wv = W.partitionBy("bkt").orderBy("cents").rowsBetween(
-        W.unboundedPreceding, 0
+    wv = Window.partitionBy("bkt").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
     )
     cum = per_val.join(F.broadcast(prefix), "bkt").select(
         (F.sum("a").over(wv) + F.col("pa")).alias("ca"),
         (F.sum("b").over(wv) + F.col("pb")).alias("cb"),
     )
-    tot = x.agg(
-        F.sum("ia").cast("long").alias("n_a"), F.sum("ib").cast("long").alias("n_b")
+    tot = per_val.agg(
+        F.sum("a").cast("long").alias("n_a"), F.sum("b").cast("long").alias("n_b")
     )
     d = (
         cum.crossJoin(F.broadcast(tot))
@@ -843,7 +865,12 @@ def ks_two_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return d.select(
-        "n_a", "n_b", F.expr("dnum * 1000000 div (n_a * n_b)").alias("d_micro")
+        "n_a",
+        "n_b",
+        F.expr(
+            "CAST(FLOOR(CAST(dnum AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)"
+            " * 1000000) AS BIGINT)"
+        ).alias("d_micro"),
     )
 
 
@@ -866,10 +893,12 @@ ORACLES["ks_two_sample_orders"] = f"""
         FROM per_val
     ),
     tot AS (
-        SELECT sum(ia)::BIGINT AS n_a, sum(ib)::BIGINT AS n_b FROM x
+        SELECT sum(a)::BIGINT AS n_a, sum(b)::BIGINT AS n_b FROM per_val
     )
     SELECT n_a, n_b,
-           max(abs(ca * n_b - cb * n_a)) * 1000000 // (n_a * n_b) AS d_micro
+           CAST(FLOOR(CAST(max(abs(ca * n_b - cb * n_a)) AS DOUBLE)
+                      / CAST(n_a * n_b AS DOUBLE) * 1000000) AS BIGINT)
+               AS d_micro
     FROM cum CROSS JOIN tot
     GROUP BY n_a, n_b
 """
@@ -983,9 +1012,13 @@ def stratified_sample_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).cast("long").alias("k"))
     )
-    p = F.when(F.col("o_orderstatus") == "F", F.lit(0.2)).when(
-        F.col("o_orderstatus") == "O", F.lit(0.1)
-    ).otherwise(F.lit(0.5))
+    # ONE source of truth for the rates: build the p expression from
+    # the same dict sampleBy draws from (review catch — a hardcoded
+    # when-chain could silently desync from a tuned _SSC_FRACS).
+    statuses = list(_SSC_FRACS)
+    p = F.lit(_SSC_FRACS[statuses[-1]])
+    for st in statuses[:-1]:
+        p = F.when(F.col("o_orderstatus") == st, F.lit(_SSC_FRACS[st])).otherwise(p)
     nd = F.col("n_total").cast("double")
     bound = 4.0 * F.sqrt(nd * p * (1 - p)) + 5.0
     ok = (
