@@ -798,3 +798,47 @@ def test_quantile_normalize_has_no_single_partition_window(spark, sf_dir):
     # detectable because the offsets frame is built from a groupBy
     # aggregate, so the single-partition exchange count stays <= 2.
     assert plan.count("Exchange SinglePartition") <= 2
+
+
+def test_tfidf_cosine_postings_join_is_merge_pinned(spark, sf_dir):
+    """The df-capped postings self-join (the corpus-scaled pair space)
+    must be a SortMergeJoin via its explicit hints — the pre-explode
+    size misestimate would otherwise broadcast a corpus-scaled side.
+    Broadcast joins may appear only for the bounded frames (idf'd
+    feature set, 1-row doc count, top-k norms lookups under AQE)."""
+    from etl_extractor_spark.plans.pipeline_ops3 import tfidf_cosine_topk
+
+    plan = _plan(tfidf_cosine_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") >= 1
+
+
+def test_ks_two_sample_windows_are_two_phase(spark, sf_dir):
+    """The KS running CDF must stay two-phase: the only global
+    (SinglePartition) exchanges allowed are the O(price-band) bucket
+    prefix and the final 1-row aggregate — no data-scaled frame may
+    funnel through a partition-less window."""
+    from etl_extractor_spark.plans.pipeline_ops3 import ks_two_sample_orders
+
+    plan = _plan(ks_two_sample_orders(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # bucket-prefix window + final scalar agg + broadcast-exchange prep
+    assert plan.count("Exchange SinglePartition") <= 3
+
+
+def test_t_closeness_covers_full_grid(spark, sf_dir):
+    """Every (nation, segment) cell must contribute — including
+    ABSENT segments (maximal skew; the review-caught inner-join form
+    silently dropped them). The nation count in the output must equal
+    the full nation domain even if some nation lacks some segment."""
+    from etl_extractor_spark.plans.pipeline_ops3 import t_closeness_audit
+    from etl_extractor_spark.sources.parquet import load_table
+
+    out = t_closeness_audit(spark, sf_dir)
+    n_nations = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_nationkey")
+        .distinct()
+        .count()
+    )
+    assert out.count() == n_nations
