@@ -114,6 +114,14 @@ BENCH_QUERIES = [
     "kcore_peel_rounds",
     "label_propagation_communities",
     "shard_zip_members",
+    # round-6 wave heads: the df-capped inverted-index cosine join (the
+    # sparse-similarity flagship), the two-phase KS statistic, the
+    # sketch-contract audit (KLL rank audit is the costliest of the
+    # four), and the 10th certified stream (stream-static join replay)
+    "tfidf_cosine_topk",
+    "ks_two_sample_orders",
+    "kll_quantile_contract",
+    "streaming_enrich_replay",
 ]
 
 
