@@ -1037,3 +1037,139 @@ ORACLES["stratified_sample_contract"] = """
            1::BIGINT AS ok_rate
     FROM orders GROUP BY o_orderstatus
 """
+
+
+# --- 14. empirical-Bayes shrunk segment means -------------------------------------
+_EB_K = 100  # pseudo-count prior strength
+
+
+def eb_shrunk_segment_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (James-Stein-style) shrinkage of per-segment
+    mean order value toward the global mean with weight
+    w = n_g / (n_g + K), K = 100 pseudo-counts — the smoothing every
+    small-cell dashboard applies so a 10-order segment doesn't swing
+    the report (distinct from target_encoding_loo: shrinkage blends
+    toward the prior, LOO excludes self). Sufficient statistics are
+    exact BIGINT cents; the blend is ONE shared IEEE double sequence
+    (±·/ only, no transcendentals) floored to integer cents on both
+    engines — the repo's no-ceiling final-scalar recipe.
+
+    100 TB: one map-side-combined aggregation + a 1-row broadcast;
+    O(segments) scalar math."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+        )
+    )
+    tot = seg.agg(
+        F.sum("n").cast("long").alias("nt"), F.sum("s").cast("long").alias("st")
+    )
+    nd, sd = F.col("n").cast("double"), F.col("s").cast("double")
+    ntd, std = F.col("nt").cast("double"), F.col("st").cast("double")
+    shrunk = (nd / (nd + _EB_K)) * (sd / nd) + (_EB_K / (nd + _EB_K)) * (std / ntd)
+    return seg.crossJoin(F.broadcast(tot)).select(
+        "c_mktsegment",
+        F.col("n").alias("n_orders"),
+        F.expr("s div n").alias("mean_cents"),
+        F.floor(shrunk).cast("long").alias("shrunk_mean_cents"),
+    )
+
+
+QUERIES["eb_shrunk_segment_means"] = eb_shrunk_segment_means
+ORACLES["eb_shrunk_segment_means"] = f"""
+    WITH seg AS (
+        SELECT c_mktsegment,
+               count(*)::BIGINT AS n,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS s
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    ),
+    tot AS (SELECT sum(n)::BIGINT AS nt, sum(s)::BIGINT AS st FROM seg)
+    SELECT c_mktsegment,
+           n AS n_orders,
+           s // n AS mean_cents,
+           CAST(FLOOR(
+               (CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) + {_EB_K}))
+                   * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               + ({_EB_K} / (CAST(n AS DOUBLE) + {_EB_K}))
+                   * (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))
+           ) AS BIGINT) AS shrunk_mean_cents
+    FROM seg CROSS JOIN tot
+"""
+
+
+# --- 15. per-user behavioral entropy ----------------------------------------------
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity feature (bots spike one type → H ≈ 0; organic
+    users spread → H near ln(n_types)), rolled up as a deci-nat
+    histogram with min/max user fingerprints per bucket. Per the
+    repo's order-independence idiom, each −p·ln(p) term is quantized
+    to integer micro-nats BEFORE the per-user sum (identical IEEE
+    ln/·// sequence over exact integer counts on both engines), so the
+    per-user H_micro is an order-free integer and the histogram is
+    hash-exact.
+
+    100 TB: two hash aggregations — (user, type) counts, then the
+    per-user term sum — and an O(buckets) rollup; no sort, no
+    collect."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    ut = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n_u = ut.groupBy("user_id").agg(F.sum("c").cast("long").alias("n"))
+    term = F.floor(
+        F.log(F.col("n").cast("double") / F.col("c").cast("double"))
+        * F.col("c").cast("double")
+        / F.col("n").cast("double")
+        * 1000000
+    ).cast("long")
+    h = (
+        ut.join(n_u, "user_id")
+        .select("user_id", term.alias("t"))
+        .groupBy("user_id")
+        .agg(F.sum("t").cast("long").alias("h_micro"))
+    )
+    return (
+        h.select("user_id", F.expr("h_micro div 100000").alias("decinat"))
+        .groupBy("decinat")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+        )
+    )
+
+
+QUERIES["user_event_entropy"] = user_event_entropy
+ORACLES["user_event_entropy"] = """
+    WITH ut AS (
+        SELECT user_id, event_type, count(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2
+    ),
+    nu AS (SELECT user_id, sum(c)::BIGINT AS n FROM ut GROUP BY 1),
+    terms AS (
+        SELECT ut.user_id,
+               CAST(FLOOR(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
+                          * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                          * 1000000) AS BIGINT) AS t
+        FROM ut JOIN nu USING (user_id)
+    ),
+    h AS (SELECT user_id, sum(t)::BIGINT AS h_micro FROM terms GROUP BY 1)
+    SELECT h_micro // 100000 AS decinat,
+           count(*)::BIGINT AS n_users,
+           min(user_id) AS min_user,
+           max(user_id) AS max_user
+    FROM h GROUP BY 1
+"""
