@@ -738,8 +738,12 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("num"),
         )
     )
+    # denominator multiplies AFTER the double casts: 2*n_g*n in int64
+    # would itself wrap around sf~70k, and Spark wraps silently where
+    # DuckDB raises (review catch) — the double product never wraps
     tvd = F.expr(
-        "CAST(FLOOR(CAST(num AS DOUBLE) / CAST(2 * n_g * n AS DOUBLE)"
+        "CAST(FLOOR(CAST(num AS DOUBLE)"
+        " / (2 * CAST(n_g AS DOUBLE) * CAST(n AS DOUBLE))"
         " * 1000000) AS BIGINT)"
     )
     return num.select(
@@ -773,9 +777,9 @@ ORACLES["t_closeness_audit"] = f"""
     )
     SELECT c_nationkey,
            n_g AS n_group,
-           CAST(FLOOR(CAST(num AS DOUBLE) / CAST(2 * n_g * n AS DOUBLE)
+           CAST(FLOOR(CAST(num AS DOUBLE) / (2 * CAST(n_g AS DOUBLE) * CAST(n AS DOUBLE))
                       * 1000000) AS BIGINT) AS tvd_micro,
-           CAST(CASE WHEN FLOOR(CAST(num AS DOUBLE) / CAST(2 * n_g * n AS DOUBLE)
+           CAST(CASE WHEN FLOOR(CAST(num AS DOUBLE) / (2 * CAST(n_g AS DOUBLE) * CAST(n AS DOUBLE))
                                * 1000000) <= {_TCLOSE_T_MICRO}
                      THEN 1 ELSE 0 END AS BIGINT) AS meets_t
     FROM agg
@@ -868,7 +872,8 @@ def ks_two_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
         F.expr(
-            "CAST(FLOOR(CAST(dnum AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)"
+            "CAST(FLOOR(CAST(dnum AS DOUBLE)"
+            " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
             " * 1000000) AS BIGINT)"
         ).alias("d_micro"),
     )
@@ -897,7 +902,7 @@ ORACLES["ks_two_sample_orders"] = f"""
     )
     SELECT n_a, n_b,
            CAST(FLOOR(CAST(max(abs(ca * n_b - cb * n_a)) AS DOUBLE)
-                      / CAST(n_a * n_b AS DOUBLE) * 1000000) AS BIGINT)
+                      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) * 1000000) AS BIGINT)
                AS d_micro
     FROM cum CROSS JOIN tot
     GROUP BY n_a, n_b
@@ -1015,10 +1020,13 @@ def stratified_sample_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE source of truth for the rates: build the p expression from
     # the same dict sampleBy draws from (review catch — a hardcoded
     # when-chain could silently desync from a tuned _SSC_FRACS).
-    statuses = list(_SSC_FRACS)
-    p = F.lit(_SSC_FRACS[statuses[-1]])
-    for st in statuses[:-1]:
-        p = F.when(F.col("o_orderstatus") == st, F.lit(_SSC_FRACS[st])).otherwise(p)
+    # sampleBy semantics for a stratum NOT in the dict is fraction 0.0
+    # — the default must be 0.0, not any listed fraction, or dropping a
+    # stratum from _SSC_FRACS would flag a false sampler failure
+    # (review catch); every listed stratum gets its own when() arm.
+    p = F.lit(0.0)
+    for st, frac in _SSC_FRACS.items():
+        p = F.when(F.col("o_orderstatus") == st, F.lit(frac)).otherwise(p)
     nd = F.col("n_total").cast("double")
     bound = 4.0 * F.sqrt(nd * p * (1 - p)) + 5.0
     ok = (
@@ -1116,10 +1124,16 @@ def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     users spread → H near ln(n_types)), rolled up as a deci-nat
     histogram with min/max user fingerprints per bucket. Per the
     repo's order-independence idiom, each −p·ln(p) term is quantized
-    to integer micro-nats BEFORE the per-user sum (identical IEEE
-    ln/·// sequence over exact integer counts on both engines), so the
-    per-user H_micro is an order-free integer and the histogram is
-    hash-exact.
+    to integer micro-nats BEFORE the per-user sum, so H_micro is an
+    order-free integer. RESIDUAL (documented, same class as the
+    haversine hectometer note): ln is a transcendental — neither
+    engine guarantees correct rounding — so a term landing within
+    ~1 ulp (~1e-10 relative) of a micro-nat floor boundary could
+    quantize differently per engine; over the sandbox's ~1e5
+    (user, type) terms the flip odds are ~1e-5 per sweep, and a 100 TB
+    release (1e12 terms) would coarsen the quantum (milli-nats) to
+    keep the same odds, exactly as the other log-term queries
+    (kl_source_divergence, bigram_lm) document.
 
     100 TB: two hash aggregations — (user, type) counts, then the
     per-user term sum — and an O(buckets) rollup; no sort, no

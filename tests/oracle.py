@@ -41,10 +41,29 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     global _TMP
     if _TMP is None:
         import atexit
+        import glob
+        import re
         import shutil
         import tempfile
 
-        _TMP = tempfile.mkdtemp(prefix="duckdb_oracle_spill_")
+        # SELF-HEAL first (review catch: atexit never runs when a
+        # sweep chunk is killed by timeout/SIGTERM, so orphans would
+        # just move from cwd to the system temp dir): the pid is
+        # encoded in each spill dir's name — reap any whose owner is
+        # dead before creating ours.
+        for d in glob.glob(
+            os.path.join(tempfile.gettempdir(), "duckdb_oracle_spill_*")
+        ):
+            m = re.search(r"duckdb_oracle_spill_(\d+)_", d)
+            if not m:
+                continue
+            try:
+                os.kill(int(m.group(1)), 0)  # alive? leave it
+            except ProcessLookupError:
+                shutil.rmtree(d, ignore_errors=True)
+            except PermissionError:
+                pass  # alive under another uid
+        _TMP = tempfile.mkdtemp(prefix=f"duckdb_oracle_spill_{os.getpid()}_")
         atexit.register(shutil.rmtree, _TMP, ignore_errors=True)
     con.execute(f"SET temp_directory = '{_TMP}'")
     for t in TABLES:

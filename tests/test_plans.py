@@ -827,18 +827,46 @@ def test_ks_two_sample_windows_are_two_phase(spark, sf_dir):
 
 
 def test_t_closeness_covers_full_grid(spark, sf_dir):
-    """Every (nation, segment) cell must contribute — including
-    ABSENT segments (maximal skew; the review-caught inner-join form
-    silently dropped them). The nation count in the output must equal
-    the full nation domain even if some nation lacks some segment."""
+    """The full-grid TVD guard, made non-vacuous (review catch: a row
+    count alone also passed under the buggy inner-join form). Two
+    assertions: (a) the TEST DATA actually exercises the absent-
+    segment path — at least one (nation, segment) cell is empty — so
+    the parametrized oracle hash-compare (which pins the full-grid
+    value including the n_s*n_g terms of empty cells) is the real
+    value guard; (b) for one nation with an absent segment, the Spark
+    tvd strictly exceeds what the buggy observed-pairs-only formula
+    would give, recomputed here independently."""
+    import math
+
     from etl_extractor_spark.plans.pipeline_ops3 import t_closeness_audit
     from etl_extractor_spark.sources.parquet import load_table
 
-    out = t_closeness_audit(spark, sf_dir)
-    n_nations = (
-        load_table(spark, sf_dir, "customer")
-        .select("c_nationkey")
-        .distinct()
-        .count()
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment"
     )
-    assert out.count() == n_nations
+    n_nations = c.select("c_nationkey").distinct().count()
+    n_segments = c.select("c_mktsegment").distinct().count()
+    pairs = c.groupBy("c_nationkey", "c_mktsegment").count().collect()
+    # (a) precondition: the absent-segment path is exercised
+    assert len(pairs) < n_nations * n_segments, "grid fully covered; fixture lost its empty cells"
+
+    out = t_closeness_audit(spark, sf_dir).collect()
+    assert len(out) == n_nations
+    # (b) recompute the BUGGY observed-pairs-only TVD for a nation
+    # with a missing segment; the fixed value must be strictly larger
+    rows = {r["c_nationkey"]: r for r in out}
+    seg_tot: dict = {}
+    nat_tot: dict = {}
+    by_nation: dict = {}
+    for r in pairs:
+        seg_tot[r["c_mktsegment"]] = seg_tot.get(r["c_mktsegment"], 0) + r["count"]
+        nat_tot[r["c_nationkey"]] = nat_tot.get(r["c_nationkey"], 0) + r["count"]
+        by_nation.setdefault(r["c_nationkey"], {})[r["c_mktsegment"]] = r["count"]
+    n = sum(seg_tot.values())
+    target = next(k for k, segs in by_nation.items() if len(segs) < n_segments)
+    buggy_num = sum(
+        abs(cnt * n - seg_tot[s] * nat_tot[target])
+        for s, cnt in by_nation[target].items()
+    )
+    buggy_tvd = math.floor(buggy_num / (2.0 * nat_tot[target] * n) * 1000000)
+    assert rows[target]["tvd_micro"] > buggy_tvd
