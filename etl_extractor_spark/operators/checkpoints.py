@@ -43,14 +43,34 @@ def _cleanup_dirs() -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
+# One-time adoption latch for sessions that arrive with a checkpoint
+# dir already configured (see reliable_checkpoint).
+_ADOPTED = False
+
+
 def reliable_checkpoint(df: DataFrame) -> DataFrame:
     """Eagerly checkpoint ``df`` to the session's checkpoint dir,
     creating a temp-dir default when none is configured (local mode /
     tests; removed at process exit — see module note). On a cluster,
     set ``spark.sparkContext.setCheckpointDir`` to a fault-tolerant
-    path once at startup and this helper uses it."""
+    path once at startup and this helper uses it.
+
+    Pre-existing-dir lifecycle (advice r6): when the session ALREADY
+    has a checkpoint dir but lacks
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``, files
+    this helper writes there would accumulate for the process lifetime
+    with neither GC-driven cleanup nor our atexit rmtree — per-round
+    checkpoints of multi-million-row frames can exhaust disk in a long
+    driver sweep. So on first use we redirect to a pid-named SUBDIR of
+    the configured local dir (same fault-tolerance domain the operator
+    chose) and atexit-rmtree only that subdir; for non-local URIs
+    (hdfs:/s3:) we can't reach the files from here — warn once and
+    leave lifecycle to the cluster's storage policy, as the module
+    note prescribes."""
+    global _ADOPTED
     sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is None:
+    cur = sc.getCheckpointDir()
+    if cur is None:
         import atexit
         import tempfile
 
@@ -59,4 +79,43 @@ def reliable_checkpoint(df: DataFrame) -> DataFrame:
         if not _ATEXIT_DIRS:
             atexit.register(_cleanup_dirs)
         _ATEXIT_DIRS.append(d)
+        _ADOPTED = True
+    elif not _ADOPTED:
+        _ADOPTED = True
+        clean = df.sparkSession.conf.get(
+            "spark.cleaner.referenceTracking.cleanCheckpoints", "false"
+        )
+        sub = _adopt_subdir(cur, str(clean))
+        if sub is not None:
+            import atexit
+
+            sc.setCheckpointDir(sub)
+            if not _ATEXIT_DIRS:
+                atexit.register(_cleanup_dirs)
+            _ATEXIT_DIRS.append(sub)
     return df.checkpoint(eager=True)
+
+
+def _adopt_subdir(cur: str, clean_conf: str) -> str | None:
+    """Decide the lifecycle action for a pre-existing checkpoint dir:
+    a pid-named local subdir to redirect into (and atexit-remove), or
+    None when either GC cleanup is already on (cleanCheckpoints=true)
+    or the dir is a non-local URI we can't reach (warns once)."""
+    import os
+    from urllib.parse import urlparse
+
+    if clean_conf.lower() == "true":
+        return None  # GC reclaims files as checkpointed RDDs are collected
+    u = urlparse(cur)
+    if u.scheme in ("", "file"):
+        return os.path.join(u.path or cur, "reliable-ckpt-%d" % os.getpid())
+    import warnings
+
+    warnings.warn(
+        "reliable_checkpoint: session checkpoint dir %r has no "
+        "cleanCheckpoints conf and is not local — checkpoint files "
+        "will accumulate until the cluster's storage lifecycle "
+        "policy reclaims them" % cur,
+        stacklevel=3,
+    )
+    return None

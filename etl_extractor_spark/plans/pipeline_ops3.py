@@ -177,32 +177,29 @@ _TFIDF_DF_MIN, _TFIDF_DF_MAX = 2, 32
 _TFIDF_TOPK = 20
 
 
-def tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 most TF-IDF-cosine-similar document pairs. Exact under
-    the DEFINED feature space (trigrams, 2 <= df <= 32; weights
-    tf * floor(ln(N/df)*1000) — integer milli-idf per the repo's
-    log-quantization convention, so dot products and norms are exact
-    BIGINT sums and the final cosine is one identical IEEE
-    multiply-divide-sqrt sequence on both engines).
-
-    100 TB: the only O(corpus) passes are the shingle explode (fanned
-    out) and two hash aggregations; the pair space is sum(df²) <= 32 ×
-    sum(df) — df-capped postings, never all-pairs; exploded join sides
-    carry merge hints against the pre-explode size misestimate."""
+def _doc_trigram_tf(d: DataFrame) -> DataFrame:
+    """Per-(doc, trigram) term frequencies — the ONLY corpus-scale text
+    pass of the TF-IDF family (fanned out ahead of the explode).
+    Shared by the batch flagship and the r7 incremental-maintenance
+    twin so the feature space cannot drift between them."""
     from etl_extractor_spark.operators.common import fan_out
     from etl_extractor_spark.plans.pipeline_ops import _norm_toks, _trigram_col
 
-    d = load_table(spark, sf_dir, "documents")
-    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    tf = (
+    return (
         fan_out(d)
         .select(
             "doc_id", F.explode(_trigram_col(_norm_toks(F.col("text")))).alias("g")
         )
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .persist()  # feeds df-counts, postings and norms
     )
+
+
+def _tfidf_topk_pairs(tf: DataFrame, n_docs: DataFrame) -> DataFrame:
+    """df-cap → integer milli-idf → postings self-join → top-k cosine,
+    all from a materialized (doc_id, g, tf) postings frame. Index-
+    scale arithmetic only: no pass over raw text happens here, which
+    is what makes the incremental twin's merge-then-requery cheap."""
     dfreq = tf.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("df"))
     kept = (
         dfreq.filter(F.col("df").between(_TFIDF_DF_MIN, _TFIDF_DF_MAX))
@@ -243,6 +240,32 @@ def tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most TF-IDF-cosine-similar document pairs. Exact under
+    the DEFINED feature space (trigrams, 2 <= df <= 32; weights
+    tf * floor(ln(N/df)*1000) — integer milli-idf per the repo's
+    log-quantization convention, so dot products and norms are exact
+    BIGINT sums and the final cosine is one identical IEEE
+    multiply-divide-sqrt sequence on both engines).
+
+    100 TB: the only O(corpus) passes are the shingle explode (fanned
+    out) and two hash aggregations; the pair space is sum(df²) <= 32 ×
+    sum(df) — df-capped postings, never all-pairs; exploded join sides
+    carry merge hints against the pre-explode size misestimate."""
+    from etl_extractor_spark.operators.checkpoints import reliable_checkpoint
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    # Materialized once (feeds df-counts, postings and norms) via a
+    # reliable checkpoint, NOT .persist(): a persisted corpus-scale
+    # frame stays pinned in executor storage for the session (advisor
+    # catch -- it adds up across a 339-query sweep), while checkpoint
+    # storage is reclaimed by the checkpoint-lifecycle discipline
+    # (cleanCheckpoints in repo sessions; atexit/pid cleanup otherwise).
+    tf = reliable_checkpoint(_doc_trigram_tf(d))
+    return _tfidf_topk_pairs(tf, n_docs)
+
+
 QUERIES["tfidf_cosine_topk"] = tfidf_cosine_topk
 ORACLES["tfidf_cosine_topk"] = f"""
     WITH rawtoks AS (
@@ -258,8 +281,14 @@ ORACLES["tfidf_cosine_topk"] = f"""
     ), dfreq AS (
       SELECT g, count(*)::BIGINT AS df FROM tf GROUP BY 1
     ), kept AS (
+      -- CAST before the joins/sums: DuckDB floor() returns DOUBLE, so
+      -- without it w and the dot/norm sums would accumulate in floating
+      -- point (exact only below 2^53) while Spark sums exact BIGINTs —
+      -- the advisor-caught divergence risk at large SF. With the cast
+      -- both engines sum exact integers (advice r6).
       SELECT g,
-             floor(ln((SELECT count(*) FROM documents) * 1.0 / df) * 1000) AS idf
+             CAST(floor(ln((SELECT count(*) FROM documents) * 1.0 / df) * 1000)
+                  AS BIGINT) AS idf
       FROM dfreq WHERE df BETWEEN {_TFIDF_DF_MIN} AND {_TFIDF_DF_MAX}
     ), wt AS (
       SELECT tf.doc_id, tf.g, tf.tf * kept.idf AS w

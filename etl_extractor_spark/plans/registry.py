@@ -54,6 +54,15 @@ _MODULES = (
     # Round-6 additions — appended last so the 28 pipeline-ops2-era
     # names still queued for the r7 window keep their slots.
     "etl_extractor_spark.plans.pipeline_ops3",
+    # Round-7 additions — appended last AND defer-tiered (see
+    # _DEFER_AS_STALE): the never-checked backlog (41 names) is now
+    # SMALLER than the ~50-slot sweep window, so a plain append would
+    # land new names in slots 42+ and displace the 9 oldest-r1 stale
+    # re-checks that round 7 is scheduled to exercise (the staleness
+    # tier's first real rotation). Deferred names join the rotation as
+    # pseudo-r1-stale instead: behind every real never-checked name
+    # and behind the real r1 anchors, so they enter the window in r8.
+    "etl_extractor_spark.plans.pipeline_ops4",
 )
 
 
@@ -150,6 +159,21 @@ def _driver_checked() -> dict:
     return latest
 
 
+# Names registered AFTER the never-checked backlog shrank below the
+# sweep-window cap (round-7 additions onward). While never-checked,
+# these sort as if checked in round 1 — i.e. in the STALENESS tier,
+# behind every genuinely never-checked name and (by stable module
+# order) behind the real r1-checked anchors — so a late registration
+# can no longer displace a scheduled stale re-check from the capped
+# window. The pseudo-round applies ONLY until the driver actually
+# checks the name; from then on its real round governs like any other.
+# Populated by the deferred modules themselves at import time
+# (``_registry._DEFER_AS_STALE |= frozenset(QUERIES)`` at the foot of
+# pipeline_ops4 and successors) so every import path — driver _load,
+# dry-run rigs, tests — sees the same ordering.
+_DEFER_AS_STALE: frozenset = frozenset()
+
+
 def _ordered(out: dict, oracles: dict | None = None) -> dict:
     """Never-driver-checked names first (priority head order, then
     module order), then already-checked names STALEST-FIRST (lowest
@@ -158,16 +182,23 @@ def _ordered(out: dict, oracles: dict | None = None) -> dict:
     r1-era anchors before re-touching last round's greens), with
     oracle-backed before rows-only within each class (a rows-only name
     inside the capped window burns a sweep slot as ``no_oracle``), and
-    the canary last."""
+    the canary last. Names in _DEFER_AS_STALE rank as round-1 stale
+    while never-checked (see its note)."""
     checked = _driver_checked()
     ranked = list(_PRIORITY) + [k for k in out if k not in set(_PRIORITY)]
 
     def key(k: str):
+        if k in checked:
+            tier, rnd = True, checked[k]
+        elif k in _DEFER_AS_STALE:
+            tier, rnd = True, 1  # pseudo-stale: waits its turn in the rotation
+        else:
+            tier, rnd = False, 0
         return (
             k in _CANARY,  # canary at the very end
             (oracles is not None) and (k not in oracles),  # rows-only behind
-            k in checked,  # never-checked first
-            checked.get(k, 0),  # staleness tier: oldest-checked first
+            tier,  # never-checked first
+            rnd,  # staleness tier: oldest-checked first
         )
 
     ordered = sorted((k for k in ranked if k in out), key=key)  # stable

@@ -240,6 +240,14 @@ def _write_manifest(path: str, manifest: dict[str, Any]) -> None:
     final = os.path.join(path, MANIFEST_NAME)
     fd, tmp = tempfile.mkstemp(prefix=MANIFEST_NAME + ".", dir=path)
     try:
+        # mkstemp creates 0600 and os.replace preserves the temp's mode,
+        # so without this the committed manifest silently tightens from
+        # the umask default to owner-only and non-owner readers of a
+        # shared table start getting PermissionError (advice r6). Grant
+        # the same mode a plain open() would: 0666 masked by the umask.
+        umask = os.umask(0)
+        os.umask(umask)
+        os.fchmod(fd, 0o666 & ~umask)
         with os.fdopen(fd, "w") as fh:
             json.dump(manifest, fh, indent=1, default=str)
             fh.flush()

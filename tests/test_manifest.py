@@ -563,3 +563,18 @@ def test_manifest_commit_is_atomic_and_snapshot_guard(spark, tmp_path):
         fh.write('{"version": 2, "files": [')  # truncated JSON
     with _pytest.raises(ValueError, match="corrupt manifest"):
         MF.read_manifest(path)
+
+
+def test_manifest_mode_is_umask_default_not_0600(spark, tmp_path):
+    """Advice r6: mkstemp creates the temp 0600 and os.replace keeps
+    the temp's mode, so without the fchmod the committed manifest
+    silently tightened to owner-only after the first commit and any
+    non-owner reader of a shared table got PermissionError. The commit
+    must grant what a plain open() would: 0666 masked by the umask."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10)], "k long, v long")
+    M.write_with_manifest(spark, df, path, stats_cols=["k"], mode="overwrite")
+    umask = os.umask(0)
+    os.umask(umask)
+    mode = os.stat(os.path.join(path, M.MANIFEST_NAME)).st_mode & 0o777
+    assert mode == (0o666 & ~umask), oct(mode)

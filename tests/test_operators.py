@@ -712,3 +712,31 @@ def test_bz2_member_codec_stdlib_cross_validation():
         M.decode_bz2_members(b"\x00junk")
     with pytest.raises(ValueError, match="truncated"):
         M.decode_bz2_members(cat[:-4])
+
+
+def test_checkpoint_adoption_of_preexisting_dir():
+    """Advice r6: a session arriving with a checkpoint dir already set
+    and no cleanCheckpoints conf must not accumulate files there for
+    the process lifetime — the helper redirects to a pid-named local
+    subdir it can atexit-remove, leaves GC-managed sessions alone, and
+    only warns (can't reach the files) for non-local URIs."""
+    import os
+    import warnings
+
+    from etl_extractor_spark.operators.checkpoints import _adopt_subdir
+
+    pid = os.getpid()
+    # GC cleanup already on -> leave the operator's dir in place
+    assert _adopt_subdir("/ckpt", "true") is None
+    assert _adopt_subdir("hdfs://nn/ckpt", "TRUE") is None
+    # local (bare path and file: URI) -> pid-named subdir
+    assert _adopt_subdir("/ckpt", "false") == "/ckpt/reliable-ckpt-%d" % pid
+    assert (
+        _adopt_subdir("file:/ckpt/uuid", "false")
+        == "/ckpt/uuid/reliable-ckpt-%d" % pid
+    )
+    # non-local URI -> no redirect, one warning
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _adopt_subdir("hdfs://nn/ckpt", "false") is None
+    assert any("accumulate" in str(x.message) for x in w)
