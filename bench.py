@@ -122,6 +122,15 @@ BENCH_QUERIES = [
     "ks_two_sample_orders",
     "kll_quantile_contract",
     "streaming_enrich_replay",
+    # round-7 wave heads: incremental index maintenance (write + append
+    # + re-query — the maintainable form of the tfidf flagship), the
+    # quantized-HITS iterative-graph line, the 11th certified stream
+    # (vocab-sized streaming counter state), and the sweep-line
+    # interval-concurrency representative
+    "tfidf_incremental_postings",
+    "hits_hub_authority",
+    "streaming_unigram_counts_replay",
+    "max_concurrent_orders",
 ]
 
 
