@@ -307,7 +307,7 @@ def max_concurrent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the oracle shared the bug — same window formulation).
     spans = (
         o.join(last_ship, o["o_orderkey"] == last_ship["l_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])  # SF-scaled: AQE decides
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .select("n_name", "d0", F.greatest("d0", "d1_raw").alias("d1"))
     )
@@ -389,7 +389,7 @@ def revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     daily = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])  # SF-scaled: AQE decides
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("n_name", "d")
         .agg(F.sum("cents").cast("long").alias("rev"))
