@@ -43,9 +43,9 @@ def _cleanup_dirs() -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
-# One-time adoption latch for sessions that arrive with a checkpoint
-# dir already configured (see reliable_checkpoint).
-_ADOPTED = False
+# Per-SparkContext adoption latch for sessions that arrive with a
+# checkpoint dir already configured (see reliable_checkpoint).
+_ADOPTED_APPS: set = set()
 
 
 def reliable_checkpoint(df: DataFrame) -> DataFrame:
@@ -67,7 +67,6 @@ def reliable_checkpoint(df: DataFrame) -> DataFrame:
     (hdfs:/s3:) we can't reach the files from here — warn once and
     leave lifecycle to the cluster's storage policy, as the module
     note prescribes."""
-    global _ADOPTED
     sc = df.sparkSession.sparkContext
     cur = sc.getCheckpointDir()
     if cur is None:
@@ -79,28 +78,38 @@ def reliable_checkpoint(df: DataFrame) -> DataFrame:
         if not _ATEXIT_DIRS:
             atexit.register(_cleanup_dirs)
         _ATEXIT_DIRS.append(d)
-        _ADOPTED = True
-    elif not _ADOPTED:
-        _ADOPTED = True
+        _ADOPTED_APPS.add(sc.applicationId)
+    elif sc.applicationId not in _ADOPTED_APPS:
+        # per-CONTEXT latch (review catch: a process-global bool would
+        # silently skip adoption for a second SparkContext created
+        # after the first one took the temp-dir branch — the
+        # stop-and-restart session pattern drivers and tests use)
+        _ADOPTED_APPS.add(sc.applicationId)
         clean = df.sparkSession.conf.get(
             "spark.cleaner.referenceTracking.cleanCheckpoints", "false"
         )
-        sub = _adopt_subdir(cur, str(clean))
-        if sub is not None:
+        adopted = _adopt_subdir(cur, str(clean))
+        if adopted is not None:
             import atexit
 
-            sc.setCheckpointDir(sub)
+            uri, local = adopted
+            sc.setCheckpointDir(uri)
             if not _ATEXIT_DIRS:
                 atexit.register(_cleanup_dirs)
-            _ATEXIT_DIRS.append(sub)
+            _ATEXIT_DIRS.append(local)
     return df.checkpoint(eager=True)
 
 
-def _adopt_subdir(cur: str, clean_conf: str) -> str | None:
+def _adopt_subdir(cur: str, clean_conf: str) -> tuple[str, str] | None:
     """Decide the lifecycle action for a pre-existing checkpoint dir:
-    a pid-named local subdir to redirect into (and atexit-remove), or
-    None when either GC cleanup is already on (cleanCheckpoints=true)
-    or the dir is a non-local URI we can't reach (warns once)."""
+    a (spark_uri, local_path) pair — a pid-named local subdir to
+    redirect into (and atexit-remove) — or None when either GC cleanup
+    is already on (cleanCheckpoints=true) or the dir is a non-local
+    URI we can't reach (warns once). The spark_uri carries an explicit
+    ``file:`` scheme (review catch: a bare path is resolved against
+    fs.defaultFS, so on an HDFS-default cluster a scheme-less redirect
+    would silently relocate checkpoints to HDFS while the atexit
+    rmtree cleaned an empty local dir)."""
     import os
     from urllib.parse import urlparse
 
@@ -108,7 +117,8 @@ def _adopt_subdir(cur: str, clean_conf: str) -> str | None:
         return None  # GC reclaims files as checkpointed RDDs are collected
     u = urlparse(cur)
     if u.scheme in ("", "file"):
-        return os.path.join(u.path or cur, "reliable-ckpt-%d" % os.getpid())
+        local = os.path.join(u.path or cur, "reliable-ckpt-%d" % os.getpid())
+        return "file:" + local, local
     import warnings
 
     warnings.warn(

@@ -712,12 +712,21 @@ def simhash_signatures(
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, hash_fn=None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    hash_fn=None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs at hamming distance ≤ max_hamming via 16-bit band
     blocking (pigeonhole: ≤3 differing bits over 4 bands ⇒ ≥1 equal
-    band) + exact bit_count verification."""
-    sigs = simhash_signatures(df, id_col, text_col, hash_fn=hash_fn)
+    band) + exact bit_count verification. Pass a precomputed
+    ``sigs`` (doc_id, simhash) frame to reuse the corpus-scale
+    signature pass — callers that also need the signatures directly
+    (the contract audit) would otherwise execute it twice."""
+    if sigs is None:
+        sigs = simhash_signatures(df, id_col, text_col, hash_fn=hash_fn)
     bands = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF))

@@ -66,6 +66,7 @@ from pyspark.sql import functions as F
 from etl_extractor_spark.functions.quantize import q6
 from etl_extractor_spark.operators import multimodal as M
 from etl_extractor_spark.sources.parquet import load_table
+from etl_extractor_spark.operators.common import pid_scratch_dir
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -628,9 +629,7 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_incr_agg_{os.getpid()}"
-    )
+    path = pid_scratch_dir("spark_graft_incr_agg_")
     MF.write_with_manifest(
         spark, o.filter(F.col("d") < "1997-07-01"), path,
         stats_cols=["cents"], mode="overwrite",
@@ -1430,9 +1429,7 @@ def manifest_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_mor_{os.getpid()}"
-    )
+    path = pid_scratch_dir("spark_graft_mor_")
     MF.write_with_manifest(spark, o, path, stats_cols=["o_orderkey"], mode="overwrite")
     MF.write_equality_deletes(
         spark,

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_extractor_spark.sources.parquet import load_table
+from etl_extractor_spark.operators.common import pid_scratch_dir
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -65,9 +66,6 @@ def tfidf_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     df-capped pair join are index-scale — the same sum(df²) ≤ 32·sum(df)
     bound as the batch flagship. Min/max doc_id file stats on the
     postings table keep per-doc delete/requery pruned."""
-    import os
-    import tempfile
-
     from etl_extractor_spark.plans.pipeline_ops3 import (
         _doc_trigram_tf,
         _tfidf_topk_pairs,
@@ -77,9 +75,7 @@ def tfidf_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = d.filter(F.col("doc_id") % _TIP_MOD != 0)
     delta = d.filter(F.col("doc_id") % _TIP_MOD == 0)
-    path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_tfidf_idx_{os.getpid()}"
-    )
+    path = pid_scratch_dir("spark_graft_tfidf_idx_")
     # snapshot 1: the standing index; snapshot 2: delta postings appended
     MF.write_with_manifest(
         spark, _doc_trigram_tf(base), path, stats_cols=["doc_id"],
@@ -136,7 +132,11 @@ def simhash_pair_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
         .cast("long") % _SIMHASH_AUDIT_MOD == 0
     )
-    sigs = D.simhash_signatures(d, "doc_id", "text")
+    from etl_extractor_spark.operators.checkpoints import reliable_checkpoint
+
+    # one corpus-scale signature pass, materialized — it feeds the
+    # brute-force side, the subset ids AND the banded operator
+    sigs = reliable_checkpoint(D.simhash_signatures(d, "doc_id", "text"))
     sub = sigs.join(
         d.filter(gate).select("doc_id"), "doc_id", "left_semi"
     ).select("doc_id", "simhash")
@@ -158,7 +158,10 @@ def simhash_pair_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sub_ids = sub.select("doc_id")
     rep = (
-        D.simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
+        # reuse the signature pass computed above (review catch: the
+        # operator recomputes the corpus-scale signature aggregation
+        # internally unless handed the frame)
+        D.simhash_near_pairs(d, "doc_id", "text", max_hamming=3, sigs=sigs)
         .join(sub_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi")
         .join(sub_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
         .select("id_a", "id_b", F.lit(1).alias("in_rep"))
@@ -215,9 +218,13 @@ def approx_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("token").cast("long").alias("exact_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
     )
+    # the documented bound is max(5, 5% of exact) — spelled with
+    # greatest, not 5%·exact + 5, which is strictly looser for every
+    # exact > 0 (review catch: code must enforce the bound the
+    # contract documents)
     ok = (
         100 * F.abs(F.col("est") - F.col("exact_tokens"))
-        <= 5 * F.col("exact_tokens") + 500
+        <= F.greatest(F.lit(500), 5 * F.col("exact_tokens"))
     )
     return agg.select("exact_tokens", "n_tokens", ok.cast("long").alias("ok_hll"))
 
@@ -557,8 +564,14 @@ def rbo_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = top_a.join(top_b, "doc_id").select(
         F.greatest("ra", "rb").alias("dmin")
     )
+    # coalesce: when the two top-10s are DISJOINT the join is empty and
+    # a bare sum would publish NULL for every column (both engines —
+    # the hash would stay green on the wrong row); RBO of disjoint
+    # rankings is 0 (review catch)
     inters = [
-        F.sum((F.col("dmin") <= d_).cast("long")).alias(f"inter_{d_}")
+        F.coalesce(F.sum((F.col("dmin") <= d_).cast("long")), F.lit(0))
+        .cast("long")
+        .alias(f"inter_{d_}")
         for d_ in range(1, _RBO_DEPTH + 1)
     ]
     agg = j.agg(*inters)
@@ -576,11 +589,13 @@ def rbo_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["rbo_rank_overlap"] = rbo_rank_overlap
 _RBO_INTER_SQL = ",\n           ".join(
-    f"CAST(sum(CASE WHEN dmin <= {d_} THEN 1 ELSE 0 END) AS BIGINT) AS inter_{d_}"
+    f"CAST(coalesce(sum(CASE WHEN dmin <= {d_} THEN 1 ELSE 0 END), 0) AS BIGINT)"
+    f" AS inter_{d_}"
     for d_ in range(1, _RBO_DEPTH + 1)
 )
 _RBO_WSUM_SQL = " + ".join(
-    f"({_RBO_W[d_ - 1]} * sum(CASE WHEN dmin <= {d_} THEN 1 ELSE 0 END) * 10 // {d_})"
+    f"({_RBO_W[d_ - 1]} * coalesce(sum(CASE WHEN dmin <= {d_} THEN 1 ELSE 0 END), 0)"
+    f" * 10 // {d_})"
     for d_ in range(1, _RBO_DEPTH + 1)
 )
 ORACLES["rbo_rank_overlap"] = f"""
@@ -625,6 +640,8 @@ def cumulative_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern): a bounded score-band bucket prefix (101 buckets over the
     [0, 1e6] score domain) plus a within-bucket row_number, windows
     partitioned per bucket."""
+    from etl_extractor_spark.operators.checkpoints import reliable_checkpoint
+
     d = load_table(spark, sf_dir, "documents")
     alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z ]", ""))
     score = F.floor(
@@ -635,15 +652,30 @@ def cumulative_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # two-phase exact global rank over (s DESC, doc_id ASC): bucket by
     # score band, prefix-count the rows in HIGHER bands (bounded —
-    # ≤101 buckets), then row_number only within each band
-    bucketed = scored.withColumn("b", F.expr("CAST(s div 10000 AS BIGINT)"))
-    bcounts = bucketed.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("bn"))
+    # ≤101 buckets), then row_number only within each band.
+    # MATERIALIZED once: the first cut re-executed the corpus regexp
+    # pass ~5× through the bcounts/offsets/tot/deciles branches and
+    # went 12.7× superlinear at the 500k-doc decade probe (147 s);
+    # with the checkpoint + bucket-derived totals it is one text pass.
+    bucketed = reliable_checkpoint(
+        scored.select("doc_id", "s", "y", F.expr("CAST(s div 10000 AS BIGINT)").alias("b"))
+    )
+    bstats = bucketed.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("bn"),
+        F.sum("y").cast("long").alias("bpos"),
+    )
     wpfx = (
         Window.orderBy(F.desc("b"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = bcounts.select(
+    offsets = bstats.select(
         "b", F.coalesce(F.sum("bn").over(wpfx), F.lit(0)).cast("long").alias("off")
+    )
+    # global totals from the bucket stats (bounded), never a second
+    # pass over the ranked corpus
+    tot = bstats.agg(
+        F.sum("bn").cast("long").alias("n"),
+        F.sum("bpos").cast("long").alias("pos"),
     )
     win_b = Window.partitionBy("b").orderBy(F.desc("s"), F.asc("doc_id"))
     ranked = (
@@ -652,10 +684,6 @@ def cumulative_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y",
             (F.col("off") + F.row_number().over(win_b)).cast("long").alias("rn"),
         )
-    )
-    tot = ranked.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("y").cast("long").alias("pos"),
     )
     deciles = (
         ranked.crossJoin(F.broadcast(tot))
@@ -672,6 +700,14 @@ def cumulative_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    # pos = 0 guard (review catch): Spark div would return NULL while
+    # DuckDB // raises — the divergent-failure-mode class; an
+    # all-negative corpus legitimately has gains/lift = 0
+    gains = "CAST(CASE WHEN pos = 0 THEN 0 ELSE cum_pos * 1000 div pos END AS BIGINT)"
+    lift = (
+        "CAST(CASE WHEN pos = 0 THEN 0 "
+        "ELSE cum_pos * n * 1000 div (pos * cum_n) END AS BIGINT)"
+    )
     return (
         deciles.withColumn("cum_n", F.sum("n_rows").over(wc).cast("long"))
         .withColumn("cum_pos", F.sum("d_pos").over(wc).cast("long"))
@@ -679,10 +715,8 @@ def cumulative_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile",
             "n_rows",
             "cum_pos",
-            F.expr("CAST(cum_pos * 1000 div pos AS BIGINT)").alias("gains_milli"),
-            F.expr("CAST(cum_pos * n * 1000 div (pos * cum_n) AS BIGINT)").alias(
-                "lift_milli"
-            ),
+            F.expr(gains).alias("gains_milli"),
+            F.expr(lift).alias("lift_milli"),
         )
         .orderBy("decile")
     )
@@ -707,9 +741,11 @@ ORACLES["cumulative_gains_deciles"] = """
     )
     SELECT CAST(decile AS BIGINT) AS decile, n_rows,
            CAST(sum(d_pos) OVER wc AS BIGINT) AS cum_pos,
-           CAST(sum(d_pos) OVER wc * 1000 // pos AS BIGINT) AS gains_milli,
-           CAST(sum(d_pos) OVER wc * n * 1000
-                // (pos * sum(n_rows) OVER wc) AS BIGINT) AS lift_milli
+           CAST(CASE WHEN pos = 0 THEN 0
+                ELSE sum(d_pos) OVER wc * 1000 // pos END AS BIGINT) AS gains_milli,
+           CAST(CASE WHEN pos = 0 THEN 0
+                ELSE sum(d_pos) OVER wc * n * 1000
+                     // (pos * sum(n_rows) OVER wc) END AS BIGINT) AS lift_milli
     FROM deciles
     WINDOW wc AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ORDER BY decile

@@ -34,6 +34,7 @@ from etl_extractor_spark.sources.csv import read_csv
 from etl_extractor_spark.sources.jdbc import read_jdbc, write_jdbc
 from etl_extractor_spark.sources.json_api import records_to_df
 from etl_extractor_spark.sources.parquet import load_table
+from etl_extractor_spark.operators.common import pid_scratch_dir
 
 _DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
@@ -52,9 +53,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # fixed per-process path, overwritten each run — repeated driver
     # sweeps must not leak a new temp dir per invocation
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_csv_roundtrip_{os.getpid()}"
-    )
+    out_dir = pid_scratch_dir("spark_graft_csv_roundtrip_")
     nation.unionByName(extra).coalesce(1).write.mode("overwrite").option(
         "header", True
     ).csv(out_dir)
@@ -119,9 +118,7 @@ def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # fixed per-process Derby database, tables overwritten each run
     # (embedded Derby allows re-boot of the same db within one JVM)
-    db = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_jdbc_roundtrip_{os.getpid()}", "db"
-    )
+    db = os.path.join(pid_scratch_dir("spark_graft_jdbc_roundtrip_"), "db")
     url = f"jdbc:derby:{db};create=true"
     write_jdbc(region, url, "t_round", mode="overwrite", driver=_DERBY_DRIVER)
     extra = spark.createDataFrame(
@@ -171,9 +168,7 @@ def pyds_envelope_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey", "n_name", "n_regionkey")
         .collect()
     )
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_pyds_roundtrip_{os.getpid()}"
-    )
+    out_dir = pid_scratch_dir("spark_graft_pyds_roundtrip_")
     os.makedirs(out_dir, exist_ok=True)
     for shard in range(3):
         recs = [
@@ -222,9 +217,7 @@ def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is unchanged.
     """
     d = load_table(spark, sf_dir, "documents")
-    base = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_schema_evo_{os.getpid()}"
-    )
+    base = pid_scratch_dir("spark_graft_schema_evo_")
     d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
         "overwrite"
     ).parquet(os.path.join(base, "gen=1"))
@@ -272,9 +265,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_orc_roundtrip_{os.getpid()}"
-    )
+    out_dir = pid_scratch_dir("spark_graft_orc_roundtrip_")
     s.write.mode("overwrite").orc(out_dir)
     back = spark.read.orc(out_dir)
     return back.filter(F.col("s_acctbal") > 0).select(
@@ -311,7 +302,7 @@ def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
         F.year(F.to_date("o_orderdate")).alias("yr"),
     )
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_dpp_{os.getpid()}")
+    base = pid_scratch_dir("spark_graft_dpp_")
     o.write.mode("overwrite").partitionBy("yr").parquet(base)
     fact = spark.read.parquet(base)
     years = (
@@ -353,7 +344,7 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the single largest shuffle saving available. The database
     LOCATION is explicit (temp dir), so a vanilla driver session's
     in-memory catalog works and nothing lands in the driver's cwd."""
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_bkt_{os.getpid()}")
+    base = pid_scratch_dir("spark_graft_bkt_")
     spark.sql(
         f"CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION '{base}'"
     )
@@ -397,9 +388,7 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     inferred — inference is a second full scan and a type lottery on
     big data). Value-certified by the hash gate."""
     r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_jsonl_roundtrip_{os.getpid()}"
-    )
+    out_dir = pid_scratch_dir("spark_graft_jsonl_roundtrip_")
     r.write.mode("overwrite").json(out_dir)
     schema = T.StructType(
         [
@@ -432,9 +421,7 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey", F.round("s_acctbal", 2).alias("bal")
     )
-    path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_compact_{os.getpid()}"
-    )
+    path = pid_scratch_dir("spark_graft_compact_")
     s.repartition(8).write.mode("overwrite").parquet(path)
     # pin the compactor's CONTRACT, not a literal file count: expected
     # = ceil(fragment_bytes / target). A hardcoded `1` broke the oracle
@@ -498,9 +485,7 @@ def manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("sum_cents"),
         )
 
-    path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_time_travel_{os.getpid()}"
-    )
+    path = pid_scratch_dir("spark_graft_time_travel_")
     MF.write_with_manifest(
         spark, agg(o.filter(F.col("d") < "1998-01-01")), path,
         stats_cols=["n_orders"], mode="overwrite",

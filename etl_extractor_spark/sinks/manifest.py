@@ -41,6 +41,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST_NAME = "_manifest.json"
+
+# Process umask, probed ONCE at import (single-threaded moment): the
+# os.umask(0)/restore dance is process-global and would race any
+# concurrent file creation if done per commit.
+_UMASK = os.umask(0)
+os.umask(_UMASK)
 DISTRIBUTE_THRESHOLD = 64  # files; above this, harvest footers on executors
 
 
@@ -244,10 +250,11 @@ def _write_manifest(path: str, manifest: dict[str, Any]) -> None:
         # so without this the committed manifest silently tightens from
         # the umask default to owner-only and non-owner readers of a
         # shared table start getting PermissionError (advice r6). Grant
-        # the same mode a plain open() would: 0666 masked by the umask.
-        umask = os.umask(0)
-        os.umask(umask)
-        os.fchmod(fd, 0o666 & ~umask)
+        # the same mode a plain open() would: 0666 masked by the umask
+        # (probed once at import — see _UMASK; toggling os.umask per
+        # commit would race concurrent file creation in other driver
+        # threads, review catch).
+        os.fchmod(fd, 0o666 & ~_UMASK)
         with os.fdopen(fd, "w") as fh:
             json.dump(manifest, fh, indent=1, default=str)
             fh.flush()

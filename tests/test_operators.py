@@ -729,12 +729,14 @@ def test_checkpoint_adoption_of_preexisting_dir():
     # GC cleanup already on -> leave the operator's dir in place
     assert _adopt_subdir("/ckpt", "true") is None
     assert _adopt_subdir("hdfs://nn/ckpt", "TRUE") is None
-    # local (bare path and file: URI) -> pid-named subdir
-    assert _adopt_subdir("/ckpt", "false") == "/ckpt/reliable-ckpt-%d" % pid
-    assert (
-        _adopt_subdir("file:/ckpt/uuid", "false")
-        == "/ckpt/uuid/reliable-ckpt-%d" % pid
-    )
+    # local (bare path and file: URI) -> pid-named subdir; the spark
+    # URI must carry an explicit file: scheme (a bare path resolves
+    # against fs.defaultFS on a cluster) while cleanup gets the bare
+    # local path
+    sub = "/ckpt/reliable-ckpt-%d" % pid
+    assert _adopt_subdir("/ckpt", "false") == ("file:" + sub, sub)
+    sub2 = "/ckpt/uuid/reliable-ckpt-%d" % pid
+    assert _adopt_subdir("file:/ckpt/uuid", "false") == ("file:" + sub2, sub2)
     # non-local URI -> no redirect, one warning
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
