@@ -967,6 +967,360 @@ QUERIES["streaming_unigram_counts_replay"] = streaming_unigram_counts_replay
 ORACLES["streaming_unigram_counts_replay"] = ORACLES["good_turing_smoothing"]
 
 
+# --- 13. Isotonic calibration via the PAVA closed form -------------------------
+# score_micro div 5000 -> <=201 bins (runs lattice <=201² — bounded).
+# Width chosen by MEASUREMENT (the set-space rule): this corpus's
+# alpha-ratio scores all land in [975k, 1000k], so a 50k-wide bin put
+# the whole corpus in ONE bin at every SF (vacuous PAVA); 5k-wide bins
+# give 5+ bins with genuinely non-monotone rates (bin 195 runs ~0.73
+# positive rate vs ~0.41 above it at sf1 — real violators to pool).
+_ISO_BINS_DIV = 5000
+
+
+def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of the
+    alpha-ratio score against the lang='en' label, via the pool-
+    adjacent-violators CLOSED FORM over score bins: iso(b) =
+    max_{i≤b} min_{j≥i} rate(i..j), where rate is the pooled positive
+    rate of bins i..j. PAVA itself is sequential; the max-min form is
+    a bounded O(B²) computation over B ≤ 21 bins — the distributable
+    shape (one corpus pass to bin, then constant-size arithmetic).
+    Rates are milli-quantized with multiply-before-divide floor
+    division on both engines BEFORE the min/max lattice, so the whole
+    row is integer-exact (a floor-quantized PAVA variant — the
+    max_{i≤b} structure guarantees monotonicity regardless of inner
+    quantization). The eval-suite calibration closer next to
+    calibration_reliability (binned) and the stump/LOO encoders."""
+    d = load_table(spark, sf_dir, "documents")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z ]", ""))
+    score = F.floor(
+        alpha.cast("double") / (F.length("text").cast("double") + 1.0) * 1000000
+    ).cast("long")
+    bins = (
+        d.select(
+            score.alias("s"), (F.col("lang") == "en").cast("long").alias("y")
+        )
+        .select(F.expr(f"CAST(s div {_ISO_BINS_DIV} AS BIGINT)").alias("b"), "y")
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_b"),
+            F.sum("y").cast("long").alias("pos_b"),
+        )
+    )
+    wpf = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    pref = bins.select(
+        "b",
+        "n_b",
+        "pos_b",
+        F.sum("n_b").over(wpf).cast("long").alias("cn"),
+        F.sum("pos_b").over(wpf).cast("long").alias("cp"),
+    )
+    i = pref.select(
+        F.col("b").alias("i"),
+        (F.col("cn") - F.col("n_b")).alias("cn0"),
+        (F.col("cp") - F.col("pos_b")).alias("cp0"),
+    )
+    j = pref.select(
+        F.col("b").alias("j"), F.col("cn").alias("cnj"), F.col("cp").alias("cpj")
+    )
+    # pooled milli-rate for every i<=j bin run (<=231 rows), then the
+    # min-over-suffix / max-over-prefix lattice
+    runs = (
+        i.join(j, F.col("i") <= F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.expr(
+                "CAST((cpj - cp0) * 1000 div (cnj - cn0) AS BIGINT)"
+            ).alias("rate_milli"),
+        )
+    )
+    minj = runs.groupBy("i").agg(F.min("rate_milli").alias("mi"))
+    iso = (
+        pref.select("b", "n_b", "pos_b")
+        .join(minj, F.col("i") <= F.col("b"))
+        .groupBy("b", "n_b", "pos_b")
+        .agg(F.max("mi").cast("long").alias("iso_milli"))
+    )
+    return iso.orderBy("b")
+
+
+QUERIES["isotonic_calibration_bins"] = isotonic_calibration_bins
+ORACLES["isotonic_calibration_bins"] = f"""
+    WITH scored AS (
+      SELECT CAST(FLOOR(CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+                 / (CAST(length(text) AS DOUBLE) + 1.0) * 1000000) AS BIGINT)
+                 // {_ISO_BINS_DIV} AS b,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ), bins AS (
+      SELECT b, count(*)::BIGINT AS n_b, CAST(sum(y) AS BIGINT) AS pos_b
+      FROM scored GROUP BY b
+    ), pref AS (
+      SELECT b, n_b, pos_b,
+             CAST(sum(n_b) OVER w AS BIGINT) AS cn,
+             CAST(sum(pos_b) OVER w AS BIGINT) AS cp
+      FROM bins
+      WINDOW w AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), runs AS (
+      SELECT i.b AS i, jj.b AS j,
+             CAST((jj.cp - (i.cp - i.pos_b)) * 1000
+                  // (jj.cn - (i.cn - i.n_b)) AS BIGINT) AS rate_milli
+      FROM pref i JOIN pref jj ON i.b <= jj.b
+    ), minj AS (
+      SELECT i, min(rate_milli) AS mi FROM runs GROUP BY i
+    )
+    SELECT p.b, p.n_b, p.pos_b,
+           CAST(max(m.mi) AS BIGINT) AS iso_milli
+    FROM pref p JOIN minj m ON m.i <= p.b
+    GROUP BY p.b, p.n_b, p.pos_b
+    ORDER BY p.b
+"""
+
+
+# --- 14. percentile_approx (GK) rank-audit contract ----------------------------
+def percentile_approx_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certifiable rank audit of Spark's ``percentile_approx``
+    (the Greenwald-Khanna-style sketch behind most production
+    percentile dashboards — a DIFFERENT sketch from the KLL family
+    already certified by kll_quantile_contract): per event_type, the
+    p50/p95/p99 estimates at accuracy=10000 must sit at an exact
+    normalized rank within 1% of target — |100·rank − p·n| ≤ 1·n, all
+    BIGINT (GK guarantees ≤ 1/accuracy = 0.01% rank error, so the 1%
+    bit is stable with two orders of margin). Completes the
+    every-approx-function-certified story: approx_count_distinct,
+    sampleBy, HLL/KLL/Theta, now percentile_approx."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    est = e.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", [p / 100.0 for p in (50, 95, 99)], 10000
+        ).alias("q"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).select(
+        "event_type",
+        "n",
+        *[F.element_at("q", k + 1).alias(f"e{p}") for k, p in enumerate((50, 95, 99))],
+    )
+    joined = e.join(F.broadcast(est), "event_type")
+
+    def ok(p: int):
+        rank = F.sum((F.col("value") <= F.col(f"e{p}")).cast("long"))
+        return (
+            (F.abs(rank * 100 - F.lit(p) * F.max("n")) <= F.max("n"))
+            .cast("long")
+            .alias(f"ok_p{p}")
+        )
+
+    return joined.groupBy("event_type").agg(
+        F.max("n").alias("n_events"), ok(50), ok(95), ok(99)
+    )
+
+
+QUERIES["percentile_approx_contract"] = percentile_approx_contract
+ORACLES["percentile_approx_contract"] = """
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n_events,
+           1::BIGINT AS ok_p50, 1::BIGINT AS ok_p95, 1::BIGINT AS ok_p99
+    FROM events GROUP BY event_type
+"""
+
+
+# --- 15. Bellman-Ford weighted shortest paths (bounded rounds) -----------------
+_BF_ROUNDS = 3
+
+
+def bellman_ford_cheapest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-COST paths over the weighted purchase graph (edge weight =
+    the cheapest order total in cents between a customer and a
+    supplier), 3 synchronous Bellman-Ford relaxation rounds from the
+    min-custkey source — the min-plus twin of bfs_shortest_hops
+    (which counts hops; this minimizes summed cost, so a 3-hop cheap
+    path CAN beat a 1-hop expensive edge). Top-20 reached nodes by
+    (cost, node). All integer cents; the oracle unrolls the same
+    rounds as MATERIALIZED CTEs, so a hash match certifies every
+    relaxation.
+
+    100 TB: each round is one edge⋈dist join + one dst-keyed min —
+    the PageRank exchange shape; edges and per-round frontiers go
+    through reliable checkpoints; costs stay BIGINT (≤ rounds ×
+    max-edge-cents ≪ 2^63)."""
+    from etl_extractor_spark.operators.checkpoints import reliable_checkpoint
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy(
+            (F.col("o_custkey").cast("long") * 2).alias("c"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("s"),
+        )
+        .agg(F.min("cents").cast("long").alias("w"))
+    )
+    edges = reliable_checkpoint(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"), "w").union(
+            pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
+        )
+    )
+    src = (
+        o.agg(F.min(F.col("o_custkey").cast("long") * 2).alias("node"))
+        .withColumn("cost", F.lit(0).cast("long"))
+    )
+    dist = src
+    for _ in range(_BF_ROUNDS):
+        relaxed = (
+            edges.join(dist, edges["src"] == dist["node"])
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min(F.col("cost") + F.col("w")).alias("nc"))
+        )
+        dist = reliable_checkpoint(
+            dist.join(relaxed, dist["node"] == relaxed["node2"], "full_outer")
+            .select(
+                F.coalesce("node", "node2").alias("node"),
+                F.least(
+                    F.coalesce("cost", F.lit(2**62)),
+                    F.coalesce("nc", F.lit(2**62)),
+                ).alias("cost"),
+            )
+        )
+    from etl_extractor_spark.plans.pipeline_ops2 import _node_str
+
+    return (
+        dist.orderBy("cost", "node")
+        .limit(20)
+        .select(
+            _node_str("node").alias("node"),
+            "cost",
+            F.row_number()
+            .over(Window.orderBy("cost", "node"))
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+
+
+QUERIES["bellman_ford_cheapest_hops"] = bellman_ford_cheapest_hops
+
+
+def _bf_round_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS MATERIALIZED (
+        SELECT coalesce(d.node, r.node2) AS node,
+               least(coalesce(d.cost, 4611686018427387904),
+                     coalesce(r.nc, 4611686018427387904)) AS cost
+        FROM {prev} d FULL OUTER JOIN (
+            SELECT e.dst AS node2, min(d2.cost + e.w) AS nc
+            FROM wedges e JOIN {prev} d2 ON e.src = d2.node
+            GROUP BY e.dst
+        ) r ON d.node = r.node2
+    )"""
+
+
+ORACLES["bellman_ford_cheapest_hops"] = f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+             CAST(min(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    ),
+    wedges AS MATERIALIZED (
+      SELECT c AS src, s AS dst, w FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst, w FROM pairs
+    ),
+    d0 AS (SELECT (SELECT min(o_custkey) * 2 FROM orders) AS node, 0::BIGINT AS cost),
+    {_bf_round_sql('d0', 'd1')},
+    {_bf_round_sql('d1', 'd2')},
+    {_bf_round_sql('d2', 'd3')}
+    SELECT CASE WHEN node % 2 = 0 THEN 'C' || CAST(node // 2 AS VARCHAR)
+                ELSE 'S' || CAST(node // 2 AS VARCHAR) END AS node,
+           CAST(cost AS BIGINT) AS cost,
+           CAST(row_number() OVER (ORDER BY cost, node) AS BIGINT) AS rank
+    FROM d3 ORDER BY cost, node LIMIT 20
+"""
+
+
+# --- 16. Join-key skew report ---------------------------------------------------
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-join skew diagnostic that decides salting / AQE skew
+    handling: for the orders.o_custkey join key, exact key-frequency
+    statistics — key count, row count, the heaviest key's share, the
+    exact MEDIAN key frequency (via the bounded counts-of-counts walk,
+    never a sort over keys), and the max/mean skew ratio, all integer
+    milli. At 100 TB this one-row report is what tells you whether
+    the big join needs salting BEFORE you burn a shuffle discovering
+    it — frequencies aggregate with map-side combine, and the
+    counts-of-counts domain is tiny."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    freq = o.groupBy("o_custkey").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    coc = freq.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("nk"))
+    wpf = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = coc.select("c", F.sum("nk").over(wpf).cast("long").alias("ck"))
+    tot = freq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("max_c"),
+    )
+    # exact median key frequency: smallest c whose cumulative key
+    # count reaches ceil(n_keys / 2) — the repo's order-statistic rank
+    # convention, walked over the bounded counts-of-counts domain
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("ck") * 2 >= F.col("n_keys"))
+        .agg(F.min("c").cast("long").alias("median_c"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(med))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_c",
+            "median_c",
+            F.expr("CAST(max_c * 1000 div median_c AS BIGINT)").alias(
+                "max_over_median_milli"
+            ),
+            F.expr("CAST(max_c * n_keys * 1000 div n_rows AS BIGINT)").alias(
+                "max_over_mean_milli"
+            ),
+            F.expr("CAST(max_c * 1000 div n_rows AS BIGINT)").alias(
+                "top_key_share_milli"
+            ),
+        )
+    )
+
+
+QUERIES["join_key_skew_report"] = join_key_skew_report
+ORACLES["join_key_skew_report"] = """
+    WITH freq AS (
+      SELECT o_custkey, count(*)::BIGINT AS c FROM orders GROUP BY o_custkey
+    ), coc AS (
+      SELECT c, count(*)::BIGINT AS nk FROM freq GROUP BY c
+    ), cum AS (
+      SELECT c, CAST(sum(nk) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS ck
+      FROM coc
+    ), tot AS (
+      SELECT count(*)::BIGINT AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(max(c) AS BIGINT) AS max_c
+      FROM freq
+    ), med AS (
+      SELECT CAST(min(c) AS BIGINT) AS median_c
+      FROM cum, tot WHERE ck * 2 >= n_keys
+    )
+    SELECT n_keys, n_rows, max_c, median_c,
+           CAST(max_c * 1000 // median_c AS BIGINT) AS max_over_median_milli,
+           CAST(max_c * n_keys * 1000 // n_rows AS BIGINT) AS max_over_mean_milli,
+           CAST(max_c * 1000 // n_rows AS BIGINT) AS top_key_share_milli
+    FROM tot, med
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-stale
     (see module docstring). Must run AFTER every QUERIES[...] binding."""

@@ -212,3 +212,23 @@ def test_defer_tier_keeps_window_and_drains_next_round():
         if n not in checked and n not in R._DEFER_AS_STALE and n in oracles
     )
     assert first_deferred > last_never
+
+
+def test_isotonic_pava_is_nonvacuous_and_monotone(spark, sf_dir):
+    """The binning must actually exercise PAVA: multiple bins, at
+    least one adjacent rate violator (so pooling changes a value),
+    and the output must be monotone non-decreasing in the bin order
+    — the defining isotonic property."""
+    from etl_extractor_spark.plans.pipeline_ops4 import isotonic_calibration_bins
+
+    rows = sorted(
+        isotonic_calibration_bins(spark, sf_dir).collect(), key=lambda r: r["b"]
+    )
+    assert len(rows) >= 2, "single bin: PAVA is vacuous — rebin"
+    raw = [(r["pos_b"] * 1000) // r["n_b"] for r in rows]
+    iso = [r["iso_milli"] for r in rows]
+    assert any(a > b for a, b in zip(raw, raw[1:])), (
+        "raw rates already monotone: pooling untested by this fixture"
+    )
+    assert all(a <= b for a, b in zip(iso, iso[1:])), "iso output not monotone"
+    assert iso != raw, "PAVA changed nothing despite violators"
