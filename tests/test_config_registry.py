@@ -94,27 +94,31 @@ def test_registry_scan_is_cached_and_fast():
 def test_registry_self_rotation():
     """The sweep window rotates itself: once a name appears in a
     CORRECTNESS_r*.json, it must sort behind every never-checked
-    oracle-backed name; rows-only names sort behind ALL oracle-backed
-    names; the canary stays last regardless."""
+    oracle-backed name; DEFERRED never-checked names (the round-7
+    mechanism for additions made after the backlog shrank below the
+    window) rank with the checked band as pseudo-r1-stale; rows-only
+    names sort behind ALL oracle-backed names; the canary stays last
+    regardless."""
     from etl_extractor_spark.plans import registry as R
 
     oracles = R.all_oracles()
     checked = R._driver_checked()
     names = list(R.all_queries())
     # partition points must be monotone: never-checked oracle-backed,
-    # checked oracle-backed, rows-only, canary
+    # checked-or-deferred oracle-backed, rows-only, canary
     def cls(n):
         if n in R._CANARY:
             return 3
         if n not in oracles:
             return 2
-        return 1 if n in checked else 0
+        return 1 if (n in checked or n in R._DEFER_AS_STALE) else 0
 
     classes = [cls(n) for n in names]
     assert classes == sorted(classes), "registry order violates rotation classes"
     # simulate the next round: marking the current window as checked
-    # must pull every remaining never-checked oracle-backed name into
-    # the front of the order
+    # must pull every remaining NON-deferred never-checked oracle-backed
+    # name into the front of the order (deferred names wait their turn
+    # inside the staleness rotation instead)
     win = set(names[:50])
     orig = R._driver_checked
     try:
@@ -122,7 +126,12 @@ def test_registry_self_rotation():
         R._CACHE.clear()
         nxt = list(R.all_queries())
         remaining = [
-            n for n in names if n in oracles and n not in checked and n not in win
+            n
+            for n in names
+            if n in oracles
+            and n not in checked
+            and n not in win
+            and n not in R._DEFER_AS_STALE
         ]
         assert nxt[: len(remaining)] == sorted(
             remaining, key=lambda n: nxt.index(n)
