@@ -85,7 +85,14 @@ def tfidf_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _doc_trigram_tf(delta), path, stats_cols=["doc_id"],
         mode="append",
     )
-    tf = MF.read_table(spark, path)
+    from etl_extractor_spark.operators.checkpoints import reliable_checkpoint
+
+    # one materialization of the merged index, exactly like the batch
+    # flagship checkpoints its tf frame: the pair join's tail reads the
+    # postings 4× (dfreq, both self-join sides, norms), and re-decoding
+    # parquet each time measured 61.0 s vs 42.3 s checkpointed at 500k
+    # docs (rig: /tmp/tip_requery_exp.py)
+    tf = reliable_checkpoint(MF.read_table(spark, path))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     return _tfidf_topk_pairs(tf, n_docs)
 
