@@ -2138,6 +2138,31 @@ def _survival_cte() -> str:
 KM_CENSOR_CUTOFF = "1998-03-01"  # last-order after this => censored
 
 
+def _risk_table(spark: SparkSession, sf_dir: str):
+    """The per-event-time risk table (t, d_events, censored, n_risk)
+    every survival estimator hangs off — shared by km_survival_curve
+    and nelson_aalen_hazard exactly like _survival_spans shares the
+    censoring definition (the r5 review lesson: paired estimators on
+    duplicated machinery drift silently; the r7 review caught the NA
+    copy and prompted this extraction)."""
+    from pyspark.sql.window import Window
+
+    per_c = _survival_spans(spark, sf_dir).drop("o_custkey")
+    total = per_c.agg(F.count(F.lit(1)).alias("n_total"))
+    by_t = per_c.groupBy("t").agg(
+        F.sum("event").cast("long").alias("d_events"),
+        F.sum(1 - F.col("event")).cast("long").alias("censored"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    return by_t.join(F.broadcast(total), F.lit(True), "left").withColumn(
+        "n_risk",
+        F.col("n_total")
+        - F.coalesce(
+            F.sum(F.col("d_events") + F.col("censored")).over(w), F.lit(0)
+        ),
+    )
+
+
 def km_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival estimation — the censoring-aware
     time-to-event family (retention/churn curves) the stats suite
@@ -2157,23 +2182,7 @@ def km_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer log-survival and the 1e-6-quantized KM curve."""
     from pyspark.sql.window import Window
 
-    per_c = _survival_spans(spark, sf_dir).drop("o_custkey")
-    total = per_c.agg(F.count(F.lit(1)).alias("n_total"))
-    by_t = per_c.groupBy("t").agg(
-        F.sum("event").cast("long").alias("d_events"),
-        F.sum(1 - F.col("event")).cast("long").alias("censored"),
-    )
-    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
-    risk = (
-        by_t.join(F.broadcast(total), F.lit(True), "left")
-        .withColumn(
-            "n_risk",
-            F.col("n_total")
-            - F.coalesce(
-                F.sum(F.col("d_events") + F.col("censored")).over(w), F.lit(0)
-            ),
-        )
-    )
+    risk = _risk_table(spark, sf_dir)
     # n_risk == d_events (everyone at risk churns at t) sends the true
     # term to ln(0) = -inf — where Spark log() yields NULL (silently
     # dropped by sum) but DuckDB ln() RAISES. Pin an explicit floor

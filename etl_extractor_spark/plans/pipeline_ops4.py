@@ -990,7 +990,7 @@ def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacent-violators CLOSED FORM over score bins: iso(b) =
     max_{i≤b} min_{j≥i} rate(i..j), where rate is the pooled positive
     rate of bins i..j. PAVA itself is sequential; the max-min form is
-    a bounded O(B²) computation over B ≤ 21 bins — the distributable
+    a bounded O(B²) computation over B ≤ 201 bins — the distributable
     shape (one corpus pass to bin, then constant-size arithmetic).
     Rates are milli-quantized with multiply-before-divide floor
     division on both engines BEFORE the min/max lattice, so the whole
@@ -1030,7 +1030,8 @@ def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = pref.select(
         F.col("b").alias("j"), F.col("cn").alias("cnj"), F.col("cp").alias("cpj")
     )
-    # pooled milli-rate for every i<=j bin run (<=231 rows), then the
+    # pooled milli-rate for every i<=j bin run (<=20301 rows at the
+    # 201-bin cap), then the
     # min-over-suffix / max-over-prefix lattice
     runs = (
         i.join(j, F.col("i") <= F.col("j"))
@@ -1092,9 +1093,13 @@ def percentile_approx_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile dashboards — a DIFFERENT sketch from the KLL family
     already certified by kll_quantile_contract): per event_type, the
     p50/p95/p99 estimates at accuracy=10000 must sit at an exact
-    normalized rank within 1% of target — |100·rank − p·n| ≤ 1·n, all
-    BIGINT (GK guarantees ≤ 1/accuracy = 0.01% rank error, so the 1%
-    bit is stable with two orders of margin). Completes the
+    normalized rank within 1% of target, in the tie-robust INTERVAL
+    form: the estimate's tie group spans ranks [lt+1, le], and the
+    contract holds iff that span intersects [p·n − 1%·n, p·n + 1%·n]
+    — all BIGINT (GK guarantees ≤ 1/accuracy = 0.01% rank error for
+    SOME rank of the returned value, which with duplicated values is
+    any rank inside the tie group, hence the interval test; a
+    max-rank-only audit false-fails on a boundary tie). Completes the
     every-approx-function-certified story: approx_count_distinct,
     sampleBy, HLL/KLL/Theta, now percentile_approx."""
     e = load_table(spark, sf_dir, "events").select("event_type", "value")
@@ -1111,9 +1116,18 @@ def percentile_approx_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = e.join(F.broadcast(est), "event_type")
 
     def ok(p: int):
-        rank = F.sum((F.col("value") <= F.col(f"e{p}")).cast("long"))
+        # The estimate's TIE GROUP occupies ranks [lt+1, le]; GK
+        # guarantees some rank in that span is within ε·n of p·n, so
+        # the contract is INTERVAL intersection — auditing only the
+        # max-rank (value <= est) breaks whenever a duplicated value
+        # with multiplicity near the tolerance sits at the boundary
+        # (review catch: 'view' already has a 1.06% tie at sf0.001 vs
+        # the 1% tolerance).
+        le = F.sum((F.col("value") <= F.col(f"e{p}")).cast("long"))
+        lt = F.sum((F.col("value") < F.col(f"e{p}")).cast("long"))
+        n = F.max("n")
         return (
-            (F.abs(rank * 100 - F.lit(p) * F.max("n")) <= F.max("n"))
+            ((100 * le >= (p - 1) * n) & (100 * (lt + 1) <= (p + 1) * n))
             .cast("long")
             .alias(f"ok_p{p}")
         )
@@ -1247,9 +1261,19 @@ ORACLES["bellman_ford_cheapest_hops"] = f"""
     {_bf_round_sql('d2', 'd3')}
     SELECT CASE WHEN node % 2 = 0 THEN 'C' || CAST(node // 2 AS VARCHAR)
                 ELSE 'S' || CAST(node // 2 AS VARCHAR) END AS node,
-           CAST(cost AS BIGINT) AS cost,
-           CAST(row_number() OVER (ORDER BY cost, node) AS BIGINT) AS rank
-    FROM d3 ORDER BY cost, node LIMIT 20
+           cost, rank
+    FROM (
+      -- rank AND cut on the INTEGER node before projecting the string
+      -- form: a statement-level ORDER BY after the CASE alias would
+      -- bind ties to STRING order while the window binds to the base
+      -- BIGINT column — divergent tie-breaks vs the Spark side once a
+      -- digit-length crossing (S9 vs S10) straddles the cutoff
+      -- (review catch, reproduced in DuckDB)
+      SELECT node, CAST(cost AS BIGINT) AS cost,
+             CAST(row_number() OVER (ORDER BY cost, node) AS BIGINT) AS rank
+      FROM d3 ORDER BY cost, node LIMIT 20
+    )
+    ORDER BY rank
 """
 
 
@@ -1334,33 +1358,22 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_j/n_j over the customer-churn spans — the hazard-scale
     companion to km_survival_curve (KM estimates survival as a
     product; NA estimates cumulative hazard as a SUM, the form
-    additive-risk models and hazard plots consume). Shares
-    _survival_spans so the censoring definition cannot drift from the
-    KM/log-rank pair (the r5 review lesson). ENTIRELY integer — each
-    d_j/n_j term is floor-quantized to micro-units before the
-    cumulative sum (no ln anywhere, so unlike KM there is no sentinel
-    class at all).
+    additive-risk models and hazard plots consume). Hangs off the
+    SHARED _risk_table (which itself builds on _survival_spans), so
+    neither the censoring definition nor the (t, d_events, censored,
+    n_risk) machinery can drift from the KM/log-rank pair (the r5
+    review lesson; the r7 review caught the first-cut copy and this
+    now uses the extracted helper). ENTIRELY integer — each d_j/n_j
+    term is floor-quantized to micro-units before the cumulative sum
+    (no ln anywhere, so unlike KM there is no sentinel class at all).
 
     100 TB: one groupBy(customer), one bounded per-event-time walk
     (distinct durations ≤ dataset span in days — O(days) window, never
     O(customers))."""
-    from etl_extractor_spark.plans.pipeline_ops import _survival_spans
+    from etl_extractor_spark.plans.pipeline_ops import _risk_table
 
-    per_c = _survival_spans(spark, sf_dir).drop("o_custkey")
-    total = per_c.agg(F.count(F.lit(1)).alias("n_total"))
-    by_t = per_c.groupBy("t").agg(
-        F.sum("event").cast("long").alias("d_events"),
-        F.sum(1 - F.col("event")).cast("long").alias("censored"),
-    )
-    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    risk = by_t.join(F.broadcast(total), F.lit(True), "left").withColumn(
-        "n_risk",
-        F.col("n_total")
-        - F.coalesce(
-            F.sum(F.col("d_events") + F.col("censored")).over(w), F.lit(0)
-        ),
-    )
+    risk = _risk_table(spark, sf_dir)
     term = F.expr("CAST(d_events * 1000000 div n_risk AS BIGINT)")
     return (
         risk.withColumn("term_micro", term)

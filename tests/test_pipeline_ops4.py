@@ -250,20 +250,42 @@ def test_sprt_reaches_a_decision(spark, sf_dir):
 
 
 def test_nelson_aalen_vs_km_consistency(spark, sf_dir):
-    """NA cumulative hazard and the KM log-survival walk the same
-    (t, n_risk, d_events) table: exp(-H(t)) ≥ KM S(t) (Jensen: the
-    NA product bound), and H must be non-decreasing. Independent
-    cross-estimator check on shared machinery."""
+    """NA cumulative hazard and the KM curve walk the same shared
+    _risk_table: (a) their (t, n_risk, d_events) tables must be
+    IDENTICAL row for row (the anti-drift guarantee the extraction
+    exists for), (b) exp(-H(t)) ≥ KM S(t) at every event time
+    (Jensen: the Fleming-Harrington bound — each NA term −d/n bounds
+    the KM term ln(1−d/n) from above), with slack only for the two
+    estimators' micro-quantization, and (c) H is non-decreasing."""
     import math
 
+    from etl_extractor_spark.plans.pipeline_ops import km_survival_curve
     from etl_extractor_spark.plans.pipeline_ops4 import nelson_aalen_hazard
 
-    rows = sorted(
-        nelson_aalen_hazard(spark, sf_dir).collect(), key=lambda r: r["t"]
-    )
-    assert rows, "no event times"
-    hz = [r["na_hazard_micro"] for r in rows]
+    na = {
+        r["t"]: r
+        for r in nelson_aalen_hazard(spark, sf_dir).collect()
+    }
+    km = {
+        r["duration_days"]: r
+        for r in km_survival_curve(spark, sf_dir).collect()
+        if r["d_events"] > 0
+    }
+    assert na, "no event times"
+    # (a) identical risk tables on the shared event times
+    assert set(na) == set(km)
+    for t in na:
+        assert (na[t]["n_risk"], na[t]["d_events"]) == (
+            km[t]["n_risk"],
+            km[t]["d_events"],
+        ), t
+    # (b) the Jensen bound, with quantization slack (both curves carry
+    # <= 1 micro-unit floor error per event time)
+    for t in na:
+        slack = 2e-6 * len(na)
+        assert math.exp(-na[t]["na_hazard_micro"] / 1e6) >= km[t][
+            "km_survival"
+        ] - slack, t
+    # (c) monotone hazard
+    hz = [na[t]["na_hazard_micro"] for t in sorted(na)]
     assert all(a <= b for a, b in zip(hz, hz[1:])), "hazard not monotone"
-    # exp(-H) in (0, 1], and the greenwood-free sanity: H >= d1/n1
-    assert hz[0] >= rows[0]["d_events"] * 1_000_000 // rows[0]["n_risk"]
-    assert 0 < math.exp(-hz[-1] / 1e6) <= 1.0
