@@ -131,6 +131,9 @@ BENCH_QUERIES = [
     "hits_hub_authority",
     "streaming_unigram_counts_replay",
     "max_concurrent_orders",
+    # round-7 closers: the weighted-path iterative-graph line (min-plus
+    # BFS twin, 3 checkpointed relaxation rounds)
+    "bellman_ford_cheapest_hops",
 ]
 
 
