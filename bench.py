@@ -129,11 +129,21 @@ BENCH_QUERIES = [
     # interval-concurrency representative
     "tfidf_incremental_postings",
     "hits_hub_authority",
-    "streaming_unigram_counts_replay",
+    "streaming_ngram_counts_replay",
     "max_concurrent_orders",
     # round-7 closers: the weighted-path iterative-graph line (min-plus
     # BFS twin, 3 checkpointed relaxation rounds)
     "bellman_ford_cheapest_hops",
+    # round-8 (r7 verdict task 5): the remaining r7 families get a
+    # driver-visible sf0.1 line — the counts-of-counts skew diagnostic,
+    # the survival-table walk, the sequential-test trace, and the
+    # shared-scan eval pair (isotonic PAVA + gains deciles, the line
+    # that caught the 12.7× superlinear re-execution at 500k docs)
+    "join_key_skew_report",
+    "nelson_aalen_hazard",
+    "sprt_sequential_test",
+    "isotonic_calibration_bins",
+    "cumulative_gains_deciles",
 ]
 
 

@@ -43,9 +43,11 @@ def _cleanup_dirs() -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
-# Per-SparkContext adoption latch for sessions that arrive with a
-# checkpoint dir already configured (see reliable_checkpoint).
-_ADOPTED_APPS: set = set()
+# Per-SparkContext adoption decision for sessions that arrive with a
+# checkpoint dir already configured: applicationId → pid-subdir URI to
+# checkpoint into, or None to use the session dir as-is (see
+# reliable_checkpoint).
+_ADOPT_DECISION: dict = {}
 
 
 def reliable_checkpoint(df: DataFrame) -> DataFrame:
@@ -55,18 +57,30 @@ def reliable_checkpoint(df: DataFrame) -> DataFrame:
     set ``spark.sparkContext.setCheckpointDir`` to a fault-tolerant
     path once at startup and this helper uses it.
 
-    Pre-existing-dir lifecycle (advice r6): when the session ALREADY
-    has a checkpoint dir but lacks
+    Pre-existing-dir lifecycle (advice r6, scoping per advice r7):
+    when the session ALREADY has a checkpoint dir but lacks
     ``spark.cleaner.referenceTracking.cleanCheckpoints=true``, files
     this helper writes there would accumulate for the process lifetime
     with neither GC-driven cleanup nor our atexit rmtree — per-round
     checkpoints of multi-million-row frames can exhaust disk in a long
-    driver sweep. So on first use we redirect to a pid-named SUBDIR of
-    the configured local dir (same fault-tolerance domain the operator
-    chose) and atexit-rmtree only that subdir; for non-local URIs
+    driver sweep. So this helper's OWN checkpoints go to a pid-named
+    SUBDIR of the configured local dir (same fault-tolerance domain
+    the operator chose), atexit-rmtree'd; the redirect is scoped to
+    each call — setCheckpointDir around df.checkpoint, restored in a
+    finally — so OTHER code calling df.checkpoint() still targets the
+    operator-configured durable dir and keeps its files (the r7 advice
+    catch: a permanent redirect silently subjected every checkpoint in
+    the process to our exit-time rmtree). For non-local URIs
     (hdfs:/s3:) we can't reach the files from here — warn once and
     leave lifecycle to the cluster's storage policy, as the module
-    note prescribes."""
+    note prescribes.
+
+    The cleanCheckpoints conf is read from the STARTUP SparkConf
+    (``sc.getConf()``), not the runtime session conf: ContextCleaner
+    captures the value at context construction, so a runtime
+    ``spark.conf.set`` never turns GC cleanup on — honoring it here
+    would skip adoption while nothing ever reclaimed the files (the
+    other r7 advice catch)."""
     sc = df.sparkSession.sparkContext
     cur = sc.getCheckpointDir()
     if cur is None:
@@ -78,14 +92,14 @@ def reliable_checkpoint(df: DataFrame) -> DataFrame:
         if not _ATEXIT_DIRS:
             atexit.register(_cleanup_dirs)
         _ATEXIT_DIRS.append(d)
-        _ADOPTED_APPS.add(sc.applicationId)
-    elif sc.applicationId not in _ADOPTED_APPS:
-        # per-CONTEXT latch (review catch: a process-global bool would
-        # silently skip adoption for a second SparkContext created
-        # after the first one took the temp-dir branch — the
+        _ADOPT_DECISION[sc.applicationId] = None  # we own the dir now
+        return df.checkpoint(eager=True)
+    if sc.applicationId not in _ADOPT_DECISION:
+        # per-CONTEXT decision cache (review catch: a process-global
+        # bool would silently skip adoption for a second SparkContext
+        # created after the first one took the temp-dir branch — the
         # stop-and-restart session pattern drivers and tests use)
-        _ADOPTED_APPS.add(sc.applicationId)
-        clean = df.sparkSession.conf.get(
+        clean = sc.getConf().get(
             "spark.cleaner.referenceTracking.cleanCheckpoints", "false"
         )
         adopted = _adopt_subdir(cur, str(clean))
@@ -93,11 +107,60 @@ def reliable_checkpoint(df: DataFrame) -> DataFrame:
             import atexit
 
             uri, local = adopted
-            sc.setCheckpointDir(uri)
             if not _ATEXIT_DIRS:
                 atexit.register(_cleanup_dirs)
             _ATEXIT_DIRS.append(local)
-    return df.checkpoint(eager=True)
+            # resolve ONCE through the public API (creates the pid dir
+            # + one UUID subdir); per-call scoping then swaps the
+            # RESOLVED strings so no further dirs are ever created
+            sc.setCheckpointDir(uri)
+            _ADOPT_DECISION[sc.applicationId] = sc.getCheckpointDir()
+            if not _restore_dir(sc, cur):
+                # no internal setter on this Spark build: the public
+                # API would mint a fresh UUID dir per call, so fall
+                # back to the documented session-wide takeover, loudly
+                import warnings
+
+                warnings.warn(
+                    "reliable_checkpoint: adopted a pid-scoped checkpoint "
+                    "subdir SESSION-WIDE (%r): this Spark build exposes no "
+                    "way to scope the redirect per call, so ALL "
+                    "df.checkpoint() files in this process are removed at "
+                    "exit. Set spark.cleaner.referenceTracking."
+                    "cleanCheckpoints=true at startup to keep the "
+                    "configured dir instead."
+                    % _ADOPT_DECISION[sc.applicationId],
+                    stacklevel=2,
+                )
+                _ADOPT_DECISION[sc.applicationId] = False  # takeover mode
+        else:
+            _ADOPT_DECISION[sc.applicationId] = None
+    uri = _ADOPT_DECISION[sc.applicationId]
+    if not uri:  # None (use session dir) or False (takeover already set)
+        return df.checkpoint(eager=True)
+    cur = sc.getCheckpointDir()
+    _restore_dir(sc, uri)
+    try:
+        return df.checkpoint(eager=True)
+    finally:
+        _restore_dir(sc, cur)
+
+
+def _restore_dir(sc, resolved: str) -> bool:
+    """Point the context at an already-RESOLVED checkpoint URI without
+    the public ``setCheckpointDir``'s side effect of minting a fresh
+    UUID subdir per call (which would litter one empty dir per
+    checkpoint and, worse, re-nest the resolved path one level per
+    set/restore cycle — unbounded depth over a long sweep). Uses the
+    SparkContext's internal ``checkpointDir`` var; returns False if
+    this Spark build doesn't expose it (caller falls back)."""
+    try:
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(resolved)
+        )
+        return sc.getCheckpointDir() == resolved
+    except Exception:
+        return False
 
 
 def _adopt_subdir(cur: str, clean_conf: str) -> tuple[str, str] | None:

@@ -36,6 +36,14 @@ def _pid_alive(pid: int) -> bool:
 
 
 _SCRATCH_REGISTERED: set = set()
+_REAPED_PREFIXES: set = set()
+
+# mtime-age fallback for PID-REUSED orphans (advice r7): a dead sweep's
+# pid can be recycled by an unrelated live process, making the orphan
+# look alive forever on a long-lived host. Any same-prefix dir untouched
+# for this long is reaped regardless — far beyond any real session here
+# (sweeps run minutes-to-hours), so a live owner is never raced.
+_ORPHAN_MAX_AGE_S = 7 * 24 * 3600
 
 
 def pid_scratch_dir(prefix: str) -> str:
@@ -46,18 +54,39 @@ def pid_scratch_dir(prefix: str) -> str:
     exactly how chunked driver sweeps die, so without reaping every
     killed sweep leaks one corpus-scale scratch table per process
     (tests/oracle.py applies the same discipline to DuckDB spill).
-    Returns the path WITHOUT creating it (writers mkdir as needed)."""
+    Reaping runs ONCE per process per prefix (advice r7: the temp-dir
+    scan + per-pid probe on every query invocation was O(tempdir) work
+    repeated hundreds of times per sweep for nothing — orphans only
+    need collecting once), with an mtime-age fallback so pid-reused
+    orphans are reclaimed too. Returns the path WITHOUT creating it
+    (writers mkdir as needed)."""
     import atexit
     import os
     import shutil
     import tempfile
+    import time
 
     base = tempfile.gettempdir()
-    for name in os.listdir(base):
-        if name.startswith(prefix):
+    if prefix not in _REAPED_PREFIXES:
+        _REAPED_PREFIXES.add(prefix)
+        now = time.time()
+        for name in os.listdir(base):
+            if not name.startswith(prefix):
+                continue
             tail = name[len(prefix):]
-            if tail.isdigit() and int(tail) != os.getpid() and not _pid_alive(int(tail)):
-                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+            if not tail.isdigit() or int(tail) == os.getpid():
+                continue
+            p = os.path.join(base, name)
+            stale = False
+            if not _pid_alive(int(tail)):
+                stale = True
+            else:
+                try:
+                    stale = now - os.stat(p).st_mtime > _ORPHAN_MAX_AGE_S
+                except OSError:
+                    pass
+            if stale:
+                shutil.rmtree(p, ignore_errors=True)
     d = os.path.join(base, f"{prefix}{os.getpid()}")
     if d not in _SCRATCH_REGISTERED:
         _SCRATCH_REGISTERED.add(d)

@@ -117,27 +117,51 @@ ORACLES["tfidf_incremental_postings"] = _p3.ORACLES["tfidf_cosine_topk"]
 # restricted to the same subset. The subset is rate-gated here so the
 # audit scales with the test corpus; at 100 TB the audit set is a
 # fixed-size benchmark artifact (the gate modulus grows with the
-# corpus), keeping the brute-force side constant.
-# ~1/4 of docs: chosen by measurement (the set-space lesson — check
-# the real stats before sizing a blocked/gated space): at mod 8 the
-# sf0.001 subset holds ZERO near-dup pairs and the completeness audit
-# is vacuous; mod 4 keeps qualifying pairs at every SF (2 at sf0.001),
-# enforced by the non-vacuity test.
-_SIMHASH_AUDIT_MOD = 4
+# corpus), keeping the brute-force side a vanishing fraction of one
+# corpus scan.
+# CORPUS-ADAPTIVE gate (r7 verdict task 3 — the pinned mod 4 made the
+# brute side corpus-quadratic): subset size targets 8·√n docs, i.e.
+# modulus m = max(4, n div (8·⌊√n⌋)). Sizing by measurement (the
+# set-space lesson, probe /tmp/simhash_gate2.py):
+#   · expected in-subset pair yield is ≈ c·s²/n with measured
+#     c ∈ [0.065, 0.13] on this corpus — so a FIXED audit-set size is
+#     provably vacuous one decade up (a 1210-doc subset at 500k docs
+#     holds ZERO qualifying pairs, measured), while s = 8√n keeps the
+#     expected yield constant at c·64 ≈ 4–8 pairs: measured 2/2/6/3/16
+#     pairs at n = 500/500/5k/50k/500k, all ≥ the non-vacuity floor.
+#   · audit cost: s²/2 = 32·n pair-evals — the SAME asymptotic as the
+#     banded operator's O(n) signature pass, so the audit stays a
+#     constant fraction of the operator it certifies (at 10^10 docs:
+#     an ~13 MB signature broadcast + 3.2e11 distributed codegen
+#     evals), instead of the (n/4)² blow-up the pinned gate had.
+# The floor of 4 preserves the measured mod-4 behavior at the driver's
+# compare scales (n = 500 → mod 4 → 2 pairs, unchanged since r7).
+# sqrt is IEEE-754 correctly rounded (NOT in the sin/cos/ln
+# never-floor class), so Python's math.floor(math.sqrt(n)) and
+# DuckDB's floor(sqrt(n)) agree bit-for-bit; the derived modulus is
+# published as an output column so the driver hash cross-certifies it.
+
+
+def _simhash_audit_mod(n_docs: int) -> int:
+    import math
+
+    return max(4, n_docs // (8 * math.floor(math.sqrt(n_docs))))
 
 
 def simhash_pair_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-certifiable audit of dedup_simhash's banding: over the
     md5-gated subset, banded-pairs == brute-force-pairs exactly
     (ok_recall: none missed; ok_precision: none spurious). The gate
-    count and corpus count are oracle-exact (hex→int md5 idiom); the
-    oracle pins both bits at literal 1."""
+    count, corpus count and derived modulus are oracle-exact (hex→int
+    md5 idiom + integer floor division); the oracle pins both ok bits
+    at literal 1."""
     from etl_extractor_spark.operators import dedup as D
 
     d = load_table(spark, sf_dir, "documents")
+    audit_mod = _simhash_audit_mod(d.count())
     gate = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
-        .cast("long") % _SIMHASH_AUDIT_MOD == 0
+        .cast("long") % audit_mod == 0
     )
     from etl_extractor_spark.operators.checkpoints import reliable_checkpoint
 
@@ -184,6 +208,7 @@ def simhash_pair_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(F.broadcast(diff)).select(
         "n_docs",
         "n_audit_docs",
+        F.lit(audit_mod).cast("long").alias("audit_mod"),
         (F.coalesce(F.col("missed"), F.lit(0)) == 0).cast("long").alias("ok_recall"),
         (F.coalesce(F.col("spurious"), F.lit(0)) == 0)
         .cast("long")
@@ -192,11 +217,20 @@ def simhash_pair_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["simhash_pair_contract"] = simhash_pair_contract
-ORACLES["simhash_pair_contract"] = f"""
+# The oracle re-derives the corpus-adaptive modulus with the same
+# integer formula (greatest/floor-div; IEEE-exact sqrt), so the hash
+# match certifies the gate itself, not just the counts under it.
+ORACLES["simhash_pair_contract"] = """
+    WITH p AS (
+      SELECT greatest(4, count(*) // (8 * CAST(floor(sqrt(CAST(count(*) AS DOUBLE)))
+                                              AS BIGINT))) AS m
+      FROM documents
+    )
     SELECT count(*)::BIGINT AS n_docs,
            CAST(sum(CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
-                                   AS BIGINT) % {_SIMHASH_AUDIT_MOD} = 0
+                                   AS BIGINT) % (SELECT m FROM p) = 0
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_audit_docs,
+           (SELECT m FROM p)::BIGINT AS audit_mod,
            1::BIGINT AS ok_recall,
            1::BIGINT AS ok_precision
     FROM documents
@@ -451,6 +485,31 @@ ORACLES["revenue_max_drawdown"] = """
 _GT_MAX_R = 10
 
 
+def _gt_table(counts: DataFrame) -> DataFrame:
+    """Good-Turing N_r / r* derivation from a (g, r) type-count frame —
+    shared verbatim by the batch query and the streaming-counter replay
+    so the two stay hash-identical by construction (the anti-drift
+    extraction pattern, like inference's _risk_table)."""
+    coc = (
+        counts.groupBy("r")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+        .filter(F.col("r") <= _GT_MAX_R + 1)
+    )
+    nxt = coc.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
+    return (
+        coc.filter(F.col("r") <= _GT_MAX_R)
+        .join(F.broadcast(nxt), "r", "left")
+        .select(
+            "r",
+            "n_r",
+            F.expr(
+                "CAST((r + 1) * coalesce(n_r1, 0) * 1000 div n_r AS BIGINT)"
+            ).alias("gt_star_milli"),
+        )
+        .orderBy("r")
+    )
+
+
 def good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Good-Turing frequency smoothing over the word-TRIGRAM counts:
     for r = 1..10, N_r (how many trigram types occur exactly r times)
@@ -480,24 +539,7 @@ def good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g")
         .agg(F.count(F.lit(1)).cast("long").alias("r"))
     )
-    coc = (
-        counts.groupBy("r")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_r"))
-        .filter(F.col("r") <= _GT_MAX_R + 1)
-    )
-    nxt = coc.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
-    return (
-        coc.filter(F.col("r") <= _GT_MAX_R)
-        .join(F.broadcast(nxt), "r", "left")
-        .select(
-            "r",
-            "n_r",
-            F.expr(
-                "CAST((r + 1) * coalesce(n_r1, 0) * 1000 div n_r AS BIGINT)"
-            ).alias("gt_star_milli"),
-        )
-        .orderBy("r")
-    )
+    return _gt_table(counts)
 
 
 QUERIES["good_turing_smoothing"] = good_turing_smoothing
@@ -924,54 +966,65 @@ ORACLES["hits_hub_authority"] = """
 """
 
 
-# --- 12. Streaming unigram-counter replay (11th certified stream) --------------
-def streaming_unigram_counts_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """availableNow replay of a streaming-maintained n-gram counter:
-    documents stream → trigram explode → complete-mode trigram counts
-    (the state is the TYPE-space-sized counter — ~255k trigram types
-    at sf1, bounded by vocabulary, not the corpus), then the
+# --- 12. Streaming n-gram-counter replay (11th certified stream) ---------------
+#
+# Renamed from streaming_unigram_counts_replay before the name entered
+# CORRECTNESS history (advice r7): it counts word TRIGRAMS (it shares
+# good_turing_smoothing's trigram oracle — the unigram space is empty
+# at sf1), so the old name misled bench/registry/driver output.
+def streaming_ngram_counts_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow replay of a streaming-maintained n-gram (word
+    trigram) counter: documents stream → trigram explode →
+    ``foreachBatch`` into the incremental-aggregate sink
+    (sinks/incremental.apply_batch) — each micro-batch PARTIAL-counts
+    itself (map-side combine, shuffle O(types-in-batch)) and merges
+    into a persistent parquet state table keyed by trigram. The
     registered projection derives the Good-Turing counts-of-counts
-    table from the final state. Shares ``good_turing_smoothing``'s
-    oracle (same trigram space, chosen by the measured posting stats)
-    — a hash match certifies the streaming counter replay ≡ the batch
-    n-gram pass, through the full N_r / r* derivation.
+    table from that state table. Shares ``good_turing_smoothing``'s
+    oracle — a hash match certifies the streaming counter replay ≡
+    the batch n-gram pass, through the full N_r / r* derivation.
 
-    100 TB: per-microbatch updates are map-side-combined partial
-    counts into type-sized state; the GT derivation reads only that
-    state. This is the live-corpus form of the batch query: the
-    counter absorbs new documents incrementally."""
+    100 TB (r7 verdict task 4 — the first cut used a complete-mode
+    memory sink, which restates the full type space through DRIVER
+    memory every trigger; trigram type spaces grow Heaps-law with real
+    corpora, so that sink is a multi-GB driver collect at 100×): state
+    now lives in an executor-written parquet table bounded by the type
+    space, no streaming state store (the groupBy happens per batch,
+    inside foreachBatch, as a batch plan), and nothing routes through
+    the driver. The batch-id watermark makes a replayed uncommitted
+    batch a no-op (exactly-once), and the GT derivation reads only the
+    state table. This is the live-corpus form of the batch query: the
+    counter absorbs new documents incrementally at per-batch cost."""
+    import shutil
+
     from etl_extractor_spark.plans.pipeline_ops import _norm_toks, _trigram_col
+    from etl_extractor_spark.sinks.incremental import read_state
     from etl_extractor_spark.streaming import events_stream as SE
 
-    stream = SE.documents_stream(spark, sf_dir)
-    counts = (
-        stream.select(F.explode(_trigram_col(_norm_toks(F.col("text")))).alias("g"))
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).cast("long").alias("r"))
+    base = pid_scratch_dir("spark_graft_ngram_replay_")
+    # fresh replay per invocation: the query certifies a deterministic
+    # rebuild, so stale state/offsets from a prior sf_dir must not leak
+    shutil.rmtree(base, ignore_errors=True)
+    state_path = f"{base}/state"
+    # streaming analog of operators/common.fan_out: a one-file micro-
+    # batch arrives as ONE partition, which would serialize the
+    # row-multiplying trigram explode on a single core (measured 47 s
+    # vs ~11 s batch at sf1); repartition the stream BEFORE the explode
+    grams = (
+        SE.documents_stream(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(_trigram_col(_norm_toks(F.col("text")))).alias("g"))
     )
-    final = SE.run_to_memory(counts, "t_unigram_replay", output_mode="complete")
-    coc = (
-        final.groupBy("r")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_r"))
-        .filter(F.col("r") <= _GT_MAX_R + 1)
+    SE.run_streaming_incremental_agg(
+        grams, state_path, f"{base}/ckpt", keys=["g"],
+        measures={"r": ("count", "*")},
     )
-    nxt = coc.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
-    return (
-        coc.filter(F.col("r") <= _GT_MAX_R)
-        .join(F.broadcast(nxt), "r", "left")
-        .select(
-            "r",
-            "n_r",
-            F.expr(
-                "CAST((r + 1) * coalesce(n_r1, 0) * 1000 div n_r AS BIGINT)"
-            ).alias("gt_star_milli"),
-        )
-        .orderBy("r")
-    )
+    counts = read_state(spark, state_path).select("g", F.col("r").cast("long"))
+    return _gt_table(counts)
 
 
-QUERIES["streaming_unigram_counts_replay"] = streaming_unigram_counts_replay
-ORACLES["streaming_unigram_counts_replay"] = ORACLES["good_turing_smoothing"]
+QUERIES["streaming_ngram_counts_replay"] = streaming_ngram_counts_replay
+ORACLES["streaming_ngram_counts_replay"] = ORACLES["good_turing_smoothing"]
 
 
 # --- 13. Isotonic calibration via the PAVA closed form -------------------------

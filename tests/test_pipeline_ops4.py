@@ -66,14 +66,14 @@ def test_simhash_contract_audit_is_nonvacuous(spark, sf_dir):
     trivially true. Recomputed independently from the signatures."""
     from etl_extractor_spark.operators import dedup as D
     from etl_extractor_spark.plans.pipeline_ops4 import (
-        _SIMHASH_AUDIT_MOD,
+        _simhash_audit_mod,
         simhash_pair_contract,
     )
 
     d = load_table(spark, sf_dir, "documents")
     gate = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
-        .cast("long") % _SIMHASH_AUDIT_MOD == 0
+        .cast("long") % _simhash_audit_mod(d.count()) == 0
     )
     sub = D.simhash_signatures(d.filter(gate), "doc_id", "text")
     n_pairs = (
