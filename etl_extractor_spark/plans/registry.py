@@ -63,6 +63,12 @@ _MODULES = (
     # pseudo-r1-stale instead: behind every real never-checked name
     # and behind the real r1 anchors, so they enter the window in r8.
     "etl_extractor_spark.plans.pipeline_ops4",
+    # Round-8 additions — appended last AND defer-tiered like
+    # pipeline_ops4: the r8 window is fully booked (36 oldest-r1 stale
+    # + 14 deferred r7 names), so r8 additions rank as pseudo-r1-stale
+    # BEHIND the 4 spilled r7 closers (stable module order) and enter
+    # the window from round 9.
+    "etl_extractor_spark.plans.pipeline_ops5",
 )
 
 
