@@ -523,6 +523,328 @@ ORACLES["tukey_fences_outliers"] = """
 """
 
 
+# --- 7. Misra-Gries heavy-hitters contract ------------------------------------------
+#
+# The frequent-items summary every shuffle-free "top keys" pass uses at
+# 100 TB: k counters per partition, one pass, no global state. The
+# MERGE form (Agarwal et al. 2012, "Mergeable Summaries"): add the two
+# count maps, subtract the (k+1)-st largest combined count from every
+# counter, drop the non-positive — undercount stays ≤ n_p/(k+1) per
+# partition. Pigeonhole: any key with GLOBAL frequency > n/(k+1)
+# exceeds n_p/(k+1) in at least one partition, so the union of
+# per-partition candidate sets contains every true heavy hitter — the
+# guarantee this contract audits against an exact count.
+_MG_K = 8
+
+
+def _mg_partition_candidates(df: DataFrame, col: str) -> DataFrame:
+    """Per-partition Misra-Gries sketch over ``col`` (k = _MG_K
+    counters), emitting each partition's surviving candidate keys.
+    Arrow-batched: per batch a vectorized value_counts merges into the
+    running counter map; the (k+1)-st-largest subtraction keeps the
+    map at ≤ k entries. One pass, O(k) state per partition, no
+    shuffle."""
+    import pandas as pd
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf[col].value_counts()
+            for key, cnt in vc.items():
+                counters[key] = counters.get(key, 0) + int(cnt)
+            if len(counters) > _MG_K:
+                cut = sorted(counters.values(), reverse=True)[_MG_K]
+                counters = {
+                    key: c - cut for key, c in counters.items() if c > cut
+                }
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    return df.select(col).mapInPandas(mg, schema=f"{col} long")
+
+
+def heavy_hitters_mg_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certifiable Misra-Gries guarantee audit on the skewed
+    lineitem key (the salted-join fixture: one key holds ~95% of
+    rows): every key with exact frequency > n/(k+1) must appear in
+    the union of per-partition MG candidate sets. n_rows / n_keys /
+    n_heavy are oracle-exact; the oracle pins ok_contained at
+    literal 1 (the candidate union itself is partitioning-dependent
+    and deliberately NOT published).
+
+    100 TB: the sketch side is one map-only pass with O(k) state —
+    the shape you run INSTEAD of a full groupBy when only the heavy
+    tail matters; the exact side here is the audit, not the
+    production path."""
+    from etl_extractor_spark.operators.common import fan_out
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fk = F.when(F.col("l_orderkey") % 20 != 0, F.lit(0)).otherwise(
+        F.col("l_orderkey")
+    )
+    keys = fan_out(li.select(fk.cast("long").alias("k")))
+    cand = _mg_partition_candidates(keys, "k").distinct()
+    freq = keys.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = freq.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    heavy = freq.crossJoin(F.broadcast(tot)).filter(
+        F.col("c") * (_MG_K + 1) > F.col("n_rows")
+    )
+    missed = heavy.join(cand, "k", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_missed")
+    )
+    n_heavy = heavy.agg(F.count(F.lit(1)).cast("long").alias("n_heavy"))
+    return (
+        tot.crossJoin(F.broadcast(n_heavy))
+        .crossJoin(F.broadcast(missed))
+        .select(
+            "n_rows",
+            "n_keys",
+            "n_heavy",
+            (F.col("n_missed") == 0).cast("long").alias("ok_contained"),
+        )
+    )
+
+
+QUERIES["heavy_hitters_mg_contract"] = heavy_hitters_mg_contract
+ORACLES["heavy_hitters_mg_contract"] = f"""
+    WITH f AS (
+      SELECT CASE WHEN l_orderkey % 20 != 0 THEN 0 ELSE l_orderkey END AS k
+      FROM lineitem
+    ), g AS (
+      SELECT k, count(*)::BIGINT AS c FROM f GROUP BY k
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*)::BIGINT AS n_keys
+      FROM g
+    )
+    SELECT n_rows, n_keys,
+           (SELECT count(*)::BIGINT FROM g, tot
+            WHERE c * {_MG_K + 1} > n_rows) AS n_heavy,
+           1::BIGINT AS ok_contained
+    FROM tot
+"""
+
+
+# --- 8. Distributed PCA: top-principal-component contract -----------------------------
+#
+# The missing dimensionality-reduction family: top principal component
+# of the embedding table via ONE map-side-combined sufficient-
+# statistics pass (Gram matrix + mean: d² + d integers) and a driver-
+# side d×d eigensolve — the textbook distributed-PCA split (the data
+# pass is O(n·d²) distributed; the 64×64 eigensolve is driver-
+# trivial). Elements are micro-quantized to integers BEFORE summation
+# (floor(x·1000): float·1000 has ≤34 mantissa bits — exact in double
+# on both engines), so the Gram stats are order-independent BIGINTs
+# and the published trace is oracle-exact. Power iteration was
+# MEASURED OUT: these embeddings have a near-degenerate spectrum
+# (λ₁/λ₂ ≈ 1.01–1.07 at every SF), so 50 bounded iterations stall at
+# residual ~1e-2·λ — a fixed-iteration contract would certify noise.
+# The driver-side eigensolve is residual ~1e-15 at every SF; at d too
+# large to materialize d², you switch to distributed per-iteration
+# matvec passes instead (documented boundary, not this query's shape).
+
+
+def pca_top_component_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-component contract over the embeddings table:
+    exact integer Gram/mean/count sufficient statistics (one
+    distributed pass, ≤32 partial rows collected — metadata-scale),
+    driver-side symmetric eigensolve on the 64×64 covariance, then
+    two audited bits: ok_residual (‖Cv − λv‖ ≤ 10⁻⁸·λ) and
+    ok_dominates (λ₁ ≥ max_j C_jj — the symmetric-PSD bound any
+    correct top eigenvalue must satisfy). n_vecs / d / trace_q are
+    oracle-exact; the oracle pins both bits at 1."""
+    import numpy as np
+    import pandas as pd
+
+    d_tbl = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def partials(batches):
+        g = None
+        s = None
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1000.0
+            ).astype(np.int64)
+            g = m.T @ m if g is None else g + m.T @ m
+            s = m.sum(axis=0) if s is None else s + m.sum(axis=0)
+            n += len(pdf)
+        if n == 0:
+            return
+        yield pd.DataFrame(
+            {"g": [g.ravel().tolist()], "s": [s.tolist()], "n": [n]}
+        )
+
+    rows = d_tbl.mapInPandas(
+        partials, schema="g array<long>, s array<long>, n long"
+    ).collect()
+    g = sum(np.array(r["g"], dtype=np.int64) for r in rows)
+    s = sum(np.array(r["s"], dtype=np.int64) for r in rows)
+    n = int(sum(r["n"] for r in rows))
+    dim = int(np.sqrt(len(g)))
+    gm = g.reshape(dim, dim).astype(np.float64)
+    sv = s.astype(np.float64)
+    cov = (gm - np.outer(sv, sv) / n) / n
+    evals, evecs = np.linalg.eigh(cov)
+    lam, v = float(evals[-1]), evecs[:, -1]
+    resid = float(np.linalg.norm(cov @ v - lam * v))
+    ok_res = resid <= 1e-8 * lam
+    ok_dom = lam >= float(np.max(np.diag(cov))) - 1e-9 * lam
+    trace_q = int(np.trace(gm))
+    return spark.createDataFrame(
+        [(n, dim, trace_q, int(ok_res), int(ok_dom))],
+        schema="n_vecs long, d long, trace_q long, ok_residual long, "
+        "ok_dominates long",
+    )
+
+
+QUERIES["pca_top_component_contract"] = pca_top_component_contract
+ORACLES["pca_top_component_contract"] = """
+    SELECT (SELECT count(*)::BIGINT FROM embeddings) AS n_vecs,
+           (SELECT CAST(max(len(embedding)) AS BIGINT) FROM embeddings) AS d,
+           (SELECT CAST(sum(CAST(floor(e * 1000) AS BIGINT)
+                            * CAST(floor(e * 1000) AS BIGINT)) AS BIGINT)
+            FROM (SELECT unnest(embedding) AS e FROM embeddings) t) AS trace_q,
+           1::BIGINT AS ok_residual,
+           1::BIGINT AS ok_dominates
+"""
+
+
+# --- 9. Cramér's V association strength ----------------------------------------------
+def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between customer market segment and order status —
+    the [0,1]-normalized effect size on top of the chi² independence
+    statistic (chi2_segment_status publishes the raw statistic; V is
+    what makes it comparable across tables): V = √(χ²/(n·min(r−1,
+    c−1))). Same contingency shape (exact integer counts, double
+    margins, round-4 readout).
+
+    100 TB: one grouped count (map-side combined) + constant-size
+    margin arithmetic."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    obs = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_t = F.sum("n").over(Window.partitionBy("c_mktsegment"))
+    col_t = F.sum("n").over(Window.partitionBy("o_orderstatus"))
+    grand = F.sum("n").over(Window.partitionBy())
+    cells = obs.select(
+        "c_mktsegment",
+        "o_orderstatus",
+        "n",
+        (row_t.cast("double") * col_t.cast("double") / grand.cast("double")).alias(
+            "expected"
+        ),
+    )
+    agg = cells.agg(
+        F.countDistinct("c_mktsegment").cast("long").alias("r"),
+        F.countDistinct("o_orderstatus").cast("long").alias("c"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum(
+            (F.col("n") - F.col("expected"))
+            * (F.col("n") - F.col("expected"))
+            / F.col("expected")
+        ).alias("chi2"),
+    )
+    return agg.select(
+        "n_rows",
+        "r",
+        "c",
+        F.round("chi2", 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n_rows").cast("double")
+                    * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+                )
+            ),
+            4,
+        ).alias("cramers_v"),
+    )
+
+
+QUERIES["cramers_v_association"] = cramers_v_association
+ORACLES["cramers_v_association"] = """
+    WITH obs AS (
+      SELECT c_mktsegment, o_orderstatus, count(*) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), cells AS (
+      SELECT n,
+             sum(n) OVER (PARTITION BY c_mktsegment) * 1.0
+               * sum(n) OVER (PARTITION BY o_orderstatus)
+               / sum(n) OVER () AS expected,
+             c_mktsegment, o_orderstatus
+      FROM obs
+    ), agg AS (
+      SELECT count(DISTINCT c_mktsegment)::BIGINT AS r,
+             count(DISTINCT o_orderstatus)::BIGINT AS c,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             sum((n - expected) * (n - expected) / expected) AS chi2
+      FROM cells
+    )
+    SELECT n_rows, r, c, round(chi2, 4) AS chi2,
+           round(sqrt(chi2 / (n_rows * least(r - 1, c - 1))), 4) AS cramers_v
+    FROM agg
+"""
+
+
+# --- 10. Mode (most frequent value) per group -----------------------------------------
+def mode_priority_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MODE aggregate (most frequent o_orderpriority per market
+    segment, deterministic lexicographic tie-break) — the last of the
+    basic descriptive statistics not yet in the surface. Counts are
+    exact; the winner is a rank-1 window pick over the grouped counts
+    (never a driver-side value scan).
+
+    100 TB: one grouped count (map-side combined, |segments ×
+    priorities| cells) + a window over the tiny cell table."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        cells.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+QUERIES["mode_priority_by_segment"] = mode_priority_by_segment
+ORACLES["mode_priority_by_segment"] = """
+    WITH cells AS (
+      SELECT c_mktsegment, o_orderpriority, count(*)::BIGINT AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT c_mktsegment, o_orderpriority, n,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY n DESC, o_orderpriority ASC) AS rk
+      FROM cells
+    )
+    SELECT c_mktsegment, o_orderpriority AS mode_priority, n AS mode_count
+    FROM ranked WHERE rk = 1 ORDER BY c_mktsegment
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-stale
     (see module docstring). Must run AFTER every QUERIES[...] binding."""

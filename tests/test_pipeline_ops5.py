@@ -210,6 +210,109 @@ def test_tukey_fences_fire_on_the_tail(spark, sf_dir):
         )
 
 
+def test_mg_guarantee_and_sketch_bound(spark, sf_dir):
+    """(a) the per-partition sketches each hold ≤ k candidates, (b)
+    the exact heavy set (freq·(k+1) > n, recomputed independently) is
+    contained in the candidate union, and (c) the fixture has exactly
+    one heavy hitter (the 95% key) so the guarantee is exercised on a
+    real skew case."""
+    from etl_extractor_spark.operators.common import fan_out
+    from etl_extractor_spark.plans.pipeline_ops5 import (
+        _MG_K,
+        _mg_partition_candidates,
+        heavy_hitters_mg_contract,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fk = F.when(F.col("l_orderkey") % 20 != 0, F.lit(0)).otherwise(
+        F.col("l_orderkey")
+    )
+    keys = fan_out(li.select(fk.cast("long").alias("k")))
+    # (a) every partition emits at most k rows
+    per_part = (
+        _mg_partition_candidates(keys, "k")
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= _MG_K for r in per_part)
+    # (b) exact containment, recomputed from a plain count
+    freqs = {r["k"]: r["c"] for r in keys.groupBy("k").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    n = sum(freqs.values())
+    heavy = {k for k, c in freqs.items() if c * (_MG_K + 1) > n}
+    cands = {r["k"] for r in _mg_partition_candidates(keys, "k").collect()}
+    assert heavy <= cands
+    # (c) the published contract row agrees
+    row = heavy_hitters_mg_contract(spark, sf_dir).collect()[0]
+    assert row["ok_contained"] == 1
+    assert row["n_heavy"] == len(heavy) == 1
+    assert row["n_keys"] == len(freqs)
+
+
+def test_pca_sufficient_stats_match_numpy(spark, sf_dir):
+    """The distributed Gram/trace must equal a single-machine numpy
+    recomputation over the collected embeddings (bit-exact: integer
+    quantization before summation), and both audited bits must hold."""
+    import numpy as np
+
+    from etl_extractor_spark.plans.pipeline_ops5 import (
+        pca_top_component_contract,
+    )
+
+    rows = load_table(spark, sf_dir, "embeddings").select("embedding").collect()
+    m = np.floor(
+        np.array([r["embedding"] for r in rows], dtype=np.float64) * 1000.0
+    ).astype(np.int64)
+    got = pca_top_component_contract(spark, sf_dir).collect()[0]
+    assert got["n_vecs"] == len(rows)
+    assert got["d"] == m.shape[1]
+    assert got["trace_q"] == int((m * m).sum())
+    assert got["ok_residual"] == 1 and got["ok_dominates"] == 1
+
+
+def test_cramers_v_is_consistent_and_bounded(spark, sf_dir):
+    """V recomputed from the published chi2/n/r/c must match, and V
+    must land in [0, 1]."""
+    import math
+
+    from etl_extractor_spark.plans.pipeline_ops5 import cramers_v_association
+
+    r = cramers_v_association(spark, sf_dir).collect()[0]
+    want = round(
+        math.sqrt(r["chi2"] / (r["n_rows"] * min(r["r"] - 1, r["c"] - 1))), 4
+    )
+    assert abs(r["cramers_v"] - want) <= 1e-4
+    assert 0.0 <= r["cramers_v"] <= 1.0
+
+
+def test_mode_matches_bruteforce(spark, sf_dir):
+    """Mode per segment recomputed from collected cell counts with the
+    same (count desc, priority asc) tie-break."""
+    from etl_extractor_spark.plans.pipeline_ops5 import mode_priority_by_segment
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .count()
+        .collect()
+    )
+    best: dict = {}
+    for r in cells:
+        key = r["c_mktsegment"]
+        cand = (-r["count"], r["o_orderpriority"])
+        if key not in best or cand < best[key]:
+            best[key] = cand
+    got = {
+        r["c_mktsegment"]: (r["mode_priority"], r["mode_count"])
+        for r in mode_priority_by_segment(spark, sf_dir).collect()
+    }
+    assert got == {k: (p, -nc) for k, (nc, p) in best.items()}
+
+
 def test_pipeline_ops5_is_defer_tiered():
     """Round-8 names must sit in the defer tier AND rank behind the
     four spilled round-7 closers (stable module order keeps the r9
