@@ -845,6 +845,226 @@ ORACLES["mode_priority_by_segment"] = """
 """
 
 
+# --- 11. Edit-distance similarity join (q-gram count filter + verify) -----------------
+#
+# The missing string-similarity class: the repo's set-similarity joins
+# (jaccard_prefix_filter_join, minhash, trigram containment) treat
+# strings as SETS; this is the EDIT-DISTANCE join (record linkage /
+# near-duplicate product names) with the classic Gravano count filter:
+# ed(a,b) ≤ k ⇒ the q-gram MULTISETS share ≥ max(|a|,|b|) − q + 1 − k·q
+# grams — so a q-gram inverted-index join + count threshold finds
+# every qualifying pair without the quadratic scan, and an exact
+# levenshtein pass verifies the survivors. Blocking on (brand, size)
+# is the spec (same-product near-dup names), which also bounds the
+# oracle's brute force.
+_ED_K = 2  # edit-distance threshold
+_ED_Q = 2  # bigrams
+
+
+def _editdist_pairs(p: DataFrame, block_cols: list) -> DataFrame:
+    """(ka, kb, p_brand, ed) pairs with ed ≤ _ED_K inside the given
+    blocking columns, via the q-gram count-filtered plan (multiset
+    bigrams with per-part occurrence numbering, inverted-index
+    self-join, count ≥ max(L_a, L_b) − 1 − k·q, exact levenshtein on
+    survivors). Shared by the registered (brand, size)-blocked query
+    and the brand-only-blocked no-drop test, so the filter the test
+    certifies is the filter production runs."""
+    grams = p.select(
+        "p_partkey",
+        "p_brand",
+        *[c for c in block_cols if c != "p_brand"],
+        "ln",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(p_name) - {_ED_Q - 1}),"
+                f" i -> substring(p_name, i, {_ED_Q}))"
+            )
+        ).alias("g"),
+    ).withColumn(
+        "occ",
+        F.row_number().over(
+            Window.partitionBy("p_partkey", "g").orderBy(F.lit(1))
+        ),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    on = (
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.occ") == F.col("b.occ"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+    )
+    for c in block_cols:
+        on = on & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cand = (
+        a.join(b, on)
+        .groupBy(
+            F.col("a.p_partkey").alias("ka"),
+            F.col("b.p_partkey").alias("kb"),
+            F.col("a.p_brand").alias("p_brand"),
+            F.col("a.ln").alias("la"),
+            F.col("b.ln").alias("lb"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(
+            F.col("common")
+            >= F.greatest("la", "lb") - (_ED_Q - 1) - _ED_K * _ED_Q
+        )
+    )
+    names = p.select("p_partkey", "p_name")
+    return (
+        cand.join(names.withColumnRenamed("p_partkey", "ka")
+                  .withColumnRenamed("p_name", "name_a"), "ka")
+        .join(names.withColumnRenamed("p_partkey", "kb")
+              .withColumnRenamed("p_name", "name_b"), "kb")
+        .select(
+            "ka", "kb", "p_brand",
+            F.levenshtein("name_a", "name_b").alias("ed"),
+        )
+        .filter(F.col("ed") <= _ED_K)
+    )
+
+
+def editdist_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand counts of duplicate (ed = 0) and near-duplicate
+    (1 ≤ ed ≤ 2) part names within (brand, size) blocks — the entity-
+    resolution shape. Spark executes the q-gram count-filtered plan
+    (see _editdist_pairs); the oracle brute-forces every block pair —
+    a hash match certifies the filter dropped NOTHING (the Gravano
+    bound holding on real data, the same certify-the-filter pattern
+    as jaccard_prefix_filter_join).
+
+    100 TB: the gram join touches only gram-sharing pairs inside
+    blocks (measured: candidates ≈ 7% of block pairs on this corpus),
+    levenshtein runs on survivors only, and blocks bound the worst
+    case; the brute-force side lives in the ORACLE, not the plan."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size",
+        F.length("p_name").alias("ln"),
+    )
+    verified = _editdist_pairs(p, ["p_brand", "p_size"])
+    return (
+        verified.groupBy("p_brand")
+        .agg(
+            F.sum((F.col("ed") == 0).cast("long")).cast("long").alias("n_dup_names"),
+            F.sum((F.col("ed") > 0).cast("long")).cast("long").alias("n_near_dups"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+QUERIES["editdist_name_join"] = editdist_name_join
+ORACLES["editdist_name_join"] = f"""
+    WITH pairs AS (
+      SELECT a.p_brand, levenshtein(a.p_name, b.p_name) AS ed
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
+    )
+    SELECT p_brand,
+           CAST(sum(CASE WHEN ed = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_names,
+           CAST(sum(CASE WHEN ed > 0 AND ed <= {_ED_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_near_dups
+    FROM pairs
+    GROUP BY p_brand
+    HAVING sum(CASE WHEN ed <= {_ED_K} THEN 1 ELSE 0 END) > 0
+    ORDER BY p_brand
+"""
+
+
+# --- 12. Data-quality expectations report ---------------------------------------------
+#
+# The declarative DQ suite every ingestion layer runs before publishing
+# (the reference's ETL surface validated nothing — SURVEY §4; this is
+# the check it should have shipped): one report over the warehouse
+# tables with per-rule violation and checked counts. Rule 5 FIRES on
+# this corpus by construction (the r7 inverted-span discovery: line
+# items shipping before their order date — 2,815 rows at sf0.001),
+# so the machinery is certified on real violations, not only on
+# all-zero rows.
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five data-quality expectations in one report: primary-key
+    uniqueness (orders.o_orderkey), referential integrity
+    (orders.o_custkey → customer), positivity (o_totalprice > 0),
+    domain membership (o_orderstatus ∈ {F,O,P}), and cross-table
+    temporal consistency (l_shipdate ≥ o_orderdate).
+
+    100 TB: uniqueness is one map-side-combined groupBy on the key;
+    RI is a shuffle anti-join (the key domains co-partition); the
+    scalar rules are map-only; the temporal rule is the fact join the
+    warehouse runs anyway. Each rule reports (n_violations,
+    n_checked) so a sampled or partition-pruned run stays auditable."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    n_orders = o.count()
+    dup = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
+            .cast("long")
+            .alias("v")
+        )
+        .collect()[0]["v"]
+    )
+    orphan = (
+        o.select("o_custkey").join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+    ).count()
+    nonpos = o.filter(F.col("o_totalprice") <= 0).count()
+    baddom = o.filter(~F.col("o_orderstatus").isin("F", "O", "P")).count()
+    temporal = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == o["o_orderkey"],
+    )
+    n_li = temporal.count()
+    shipb = temporal.filter(
+        F.to_date("l_shipdate") < F.to_date("o_orderdate")
+    ).count()
+    rows = [
+        ("pk_unique_orderkey", int(dup), int(n_orders)),
+        ("fk_orders_customer", int(orphan), int(n_orders)),
+        ("positive_totalprice", int(nonpos), int(n_orders)),
+        ("status_in_domain", int(baddom), int(n_orders)),
+        ("ship_on_or_after_order", int(shipb), int(n_li)),
+    ]
+    return spark.createDataFrame(
+        rows, schema="rule string, n_violations long, n_checked long"
+    ).orderBy("rule")
+
+
+QUERIES["dq_expectations_report"] = dq_expectations_report
+ORACLES["dq_expectations_report"] = """
+    SELECT * FROM (
+      SELECT 'pk_unique_orderkey' AS rule,
+             CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+                  AS BIGINT) AS n_violations,
+             (SELECT count(*)::BIGINT FROM orders) AS n_checked
+      UNION ALL
+      SELECT 'fk_orders_customer',
+             CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+                     (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+                  AS BIGINT),
+             (SELECT count(*)::BIGINT FROM orders)
+      UNION ALL
+      SELECT 'positive_totalprice',
+             CAST((SELECT count(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT),
+             (SELECT count(*)::BIGINT FROM orders)
+      UNION ALL
+      SELECT 'status_in_domain',
+             CAST((SELECT count(*) FROM orders
+                   WHERE o_orderstatus NOT IN ('F','O','P')) AS BIGINT),
+             (SELECT count(*)::BIGINT FROM orders)
+      UNION ALL
+      SELECT 'ship_on_or_after_order',
+             CAST((SELECT count(*) FROM lineitem l JOIN orders o
+                     ON l.l_orderkey = o.o_orderkey
+                   WHERE CAST(l.l_shipdate AS DATE) < CAST(o.o_orderdate AS DATE))
+                  AS BIGINT),
+             CAST((SELECT count(*) FROM lineitem l JOIN orders o
+                     ON l.l_orderkey = o.o_orderkey) AS BIGINT)
+    ) ORDER BY rule
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-stale
     (see module docstring). Must run AFTER every QUERIES[...] binding."""

@@ -313,6 +313,84 @@ def test_mode_matches_bruteforce(spark, sf_dir):
     assert got == {k: (p, -nc) for k, (nc, p) in best.items()}
 
 
+def _py_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_editdist_filter_drops_nothing(spark, sf_dir):
+    """The Gravano count filter's no-drop guarantee, certified against
+    a pure-Python brute force on the brand-only block space (denser
+    than the registered (brand, size) blocks, so it is NON-EMPTY at
+    the smallest SF where (brand, size) yields zero pairs): the
+    q-gram-filtered pipeline must return exactly the pairs the DP
+    brute force finds."""
+    from etl_extractor_spark.plans.pipeline_ops5 import _ED_K, _editdist_pairs
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size",
+        F.length("p_name").alias("ln"),
+    )
+    got = {
+        (r["ka"], r["kb"]): r["ed"]
+        for r in _editdist_pairs(p, ["p_brand"]).collect()
+    }
+    rows = p.select("p_partkey", "p_name", "p_brand").collect()
+    from collections import defaultdict
+
+    by_brand = defaultdict(list)
+    for r in rows:
+        by_brand[r["p_brand"]].append((r["p_partkey"], r["p_name"]))
+    want = {}
+    for members in by_brand.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                ed = _py_levenshtein(members[i][1], members[j][1])
+                if ed <= _ED_K:
+                    want[(members[i][0], members[j][0])] = ed
+    assert got == want
+    assert want, "brand-only block space has no near-dup names; vacuous"
+
+
+def test_dq_report_rules_and_counts(spark, sf_dir):
+    """The temporal rule must FIRE on this corpus (the r7 inverted-span
+    discovery), the clean rules must report zero with full coverage,
+    and the firing count must match an independent recomputation."""
+    from etl_extractor_spark.plans.pipeline_ops5 import dq_expectations_report
+
+    rows = {r["rule"]: r for r in dq_expectations_report(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "pk_unique_orderkey",
+        "fk_orders_customer",
+        "positive_totalprice",
+        "status_in_domain",
+        "ship_on_or_after_order",
+    }
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    for rule in (
+        "pk_unique_orderkey",
+        "fk_orders_customer",
+        "positive_totalprice",
+        "status_in_domain",
+    ):
+        assert rows[rule]["n_violations"] == 0
+        assert rows[rule]["n_checked"] == n_orders
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    want = j.filter(F.to_date("l_shipdate") < F.to_date("o_orderdate")).count()
+    assert rows["ship_on_or_after_order"]["n_violations"] == want > 0
+    assert rows["ship_on_or_after_order"]["n_checked"] == j.count()
+
+
 def test_pipeline_ops5_is_defer_tiered():
     """Round-8 names must sit in the defer tier AND rank behind the
     four spilled round-7 closers (stable module order keeps the r9
