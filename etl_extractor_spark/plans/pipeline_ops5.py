@@ -46,12 +46,37 @@ ORACLES: dict = {}
 _SKEW_RATIO_GATE_MILLI = 4000  # salt when max key ≥ 4× the mean key
 
 
+def _skew_key(col: str):
+    """The module's synthetic skewed-key fixture (95% of rows collapse
+    onto key 0), shared by salted_skew_join_revenue and
+    heavy_hitters_mg_contract so the two queries provably audit the
+    SAME fixture (the _gt_table anti-drift extraction pattern)."""
+    return (
+        F.when(F.col(col) % 20 != 0, F.lit(0))
+        .otherwise(F.col(col))
+        .cast("long")
+    )
+
+
+def _skew_key_sql(col: str) -> str:
+    return f"CASE WHEN {col} % 20 != 0 THEN 0 ELSE {col} END"
+
+
 def _skew_salt_factor(fact: DataFrame, key: str) -> int:
     """The skew decision, computed the way join_key_skew_report
     publishes it: exact key frequencies (one map-side-combined pass),
     max/mean ratio in integer milli. Below the gate → 1 (don't salt);
     above → the session's core count (split the heavy key across every
-    slot). Driver-side collect of ONE metadata row."""
+    slot). Driver-side collect of ONE metadata row.
+
+    Overflow discipline (review catch): max_c·n_keys·1000 is SF² —
+    it wraps int64 around SF ≈ 150 on this fixture, silently returning
+    a negative ratio and DISABLING the remediation at exactly the
+    scale it exists for. The max/mean ratio is therefore computed as
+    max_c·1000 div floor(mean) — one SF-linear product (max_c·1000
+    wraps only past ~9e15 rows on one key), with the floor'd mean a
+    decision-grade approximation (ratio is a heuristic gate, not a
+    published statistic)."""
     stats = (
         fact.groupBy(key)
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -61,9 +86,10 @@ def _skew_salt_factor(fact: DataFrame, key: str) -> int:
             F.max("c").cast("long").alias("max_c"),
         )
         .select(
-            F.expr("CAST(max_c * n_keys * 1000 div n_rows AS BIGINT)").alias(
-                "ratio_milli"
-            )
+            F.expr(
+                "CAST(max_c * 1000 div greatest(1, n_rows div n_keys) "
+                "AS BIGINT)"
+            ).alias("ratio_milli")
         )
         .collect()[0]
     )
@@ -94,22 +120,16 @@ def salted_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 60M-row synthetic decade probe: see BASELINE.md round-8 row."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    fk = F.when(F.col("l_orderkey") % 20 != 0, F.lit(0)).otherwise(
-        F.col("l_orderkey")
-    )
     fact = li.select(
-        fk.cast("long").alias("k"),
+        _skew_key("l_orderkey").alias("k"),
         (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
         .cast("long")
         .alias("cents"),
         "l_orderkey",
         "l_linenumber",
     )
-    dk = F.when(F.col("o_orderkey") % 20 != 0, F.lit(0)).otherwise(
-        F.col("o_orderkey")
-    )
     dim = (
-        o.select(dk.cast("long").alias("k"))
+        o.select(_skew_key("o_orderkey").alias("k"))
         .distinct()
         .select("k", (F.col("k") % 7).cast("long").alias("seg"))
     )
@@ -135,13 +155,13 @@ def salted_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["salted_skew_join_revenue"] = salted_skew_join_revenue
-ORACLES["salted_skew_join_revenue"] = """
+ORACLES["salted_skew_join_revenue"] = f"""
     WITH f AS (
-      SELECT CASE WHEN l_orderkey % 20 != 0 THEN 0 ELSE l_orderkey END AS k,
+      SELECT {_skew_key_sql('l_orderkey')} AS k,
              CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       FROM lineitem
     ), d AS (
-      SELECT DISTINCT CASE WHEN o_orderkey % 20 != 0 THEN 0 ELSE o_orderkey END AS k
+      SELECT DISTINCT {_skew_key_sql('o_orderkey')} AS k
       FROM orders
     )
     SELECT CAST(d.k % 7 AS BIGINT) AS seg,
@@ -198,9 +218,16 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: the day domain is CALENDAR-bounded — the pair self-join is
     ~3M rows regardless of corpus size; only the daily rollup
-    underneath scales, and it is one map-side-combined aggregation."""
-    daily = _daily_revenue(spark, sf_dir).select(
-        "d", F.expr("CAST(rev div 10000000 AS BIGINT)").alias("rev")
+    underneath scales, and it runs ONCE: the ~2,400-row daily frame is
+    checkpointed because four plan branches reference it (pair a/b
+    sides, n, ties) and Spark re-executes a shared subtree per branch
+    (the r7 gains-deciles 12.7× lesson)."""
+    from etl_extractor_spark.operators.checkpoints import reliable_checkpoint
+
+    daily = reliable_checkpoint(
+        _daily_revenue(spark, sf_dir).select(
+            "d", F.expr("CAST(rev div 10000000 AS BIGINT)").alias("rev")
+        )
     )
     pairs = (
         daily.alias("a")
@@ -282,8 +309,11 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: the day domain is calendar-bounded (~2,400 rows) — the
     self-join and the error table are tiny; the daily rollup is the
-    only corpus-scale pass."""
-    daily = _daily_revenue(spark, sf_dir)
+    only corpus-scale pass and runs ONCE (checkpointed: both join
+    sides reference it)."""
+    from etl_extractor_spark.operators.checkpoints import reliable_checkpoint
+
+    daily = reliable_checkpoint(_daily_revenue(spark, sf_dir))
     fc = daily.select(
         F.date_add(F.col("d"), 7).alias("d"), F.col("rev").alias("fc")
     )
@@ -578,10 +608,7 @@ def heavy_hitters_mg_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_extractor_spark.operators.common import fan_out
 
     li = load_table(spark, sf_dir, "lineitem")
-    fk = F.when(F.col("l_orderkey") % 20 != 0, F.lit(0)).otherwise(
-        F.col("l_orderkey")
-    )
-    keys = fan_out(li.select(fk.cast("long").alias("k")))
+    keys = fan_out(li.select(_skew_key("l_orderkey").alias("k")))
     cand = _mg_partition_candidates(keys, "k").distinct()
     freq = keys.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("c"))
     tot = freq.agg(
@@ -610,7 +637,7 @@ def heavy_hitters_mg_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["heavy_hitters_mg_contract"] = heavy_hitters_mg_contract
 ORACLES["heavy_hitters_mg_contract"] = f"""
     WITH f AS (
-      SELECT CASE WHEN l_orderkey % 20 != 0 THEN 0 ELSE l_orderkey END AS k
+      SELECT {_skew_key_sql('l_orderkey')} AS k
       FROM lineitem
     ), g AS (
       SELECT k, count(*)::BIGINT AS c FROM f GROUP BY k
@@ -685,6 +712,11 @@ def pca_top_component_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = sum(np.array(r["s"], dtype=np.int64) for r in rows)
     n = int(sum(r["n"] for r in rows))
     dim = int(np.sqrt(len(g)))
+    # exact integer trace BEFORE any float conversion (review catch:
+    # float64 rounds Gram diagonals past 2^53, breaking the
+    # oracle-exact claim at the query's own stated scale); Python ints
+    # are arbitrary-precision so the sum never wraps
+    trace_q = sum(int(g[i * dim + i]) for i in range(dim))
     gm = g.reshape(dim, dim).astype(np.float64)
     sv = s.astype(np.float64)
     cov = (gm - np.outer(sv, sv) / n) / n
@@ -693,7 +725,6 @@ def pca_top_component_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     resid = float(np.linalg.norm(cov @ v - lam * v))
     ok_res = resid <= 1e-8 * lam
     ok_dom = lam >= float(np.max(np.diag(cov))) - 1e-9 * lam
-    trace_q = int(np.trace(gm))
     return spark.createDataFrame(
         [(n, dim, trace_q, int(ok_res), int(ok_dom))],
         schema="n_vecs long, d long, trace_q long, ok_residual long, "
@@ -995,7 +1026,20 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    n_orders = o.count()
+    # one multi-conditional pass over orders for the three scalar rules
+    # (review catch: four independent actions scanned orders four
+    # times; at the scale this report targets each extra pass is the
+    # dominant cost)
+    srow = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long"))
+        .cast("long")
+        .alias("nonpos"),
+        F.sum((~F.col("o_orderstatus").isin("F", "O", "P")).cast("long"))
+        .cast("long")
+        .alias("baddom"),
+    ).collect()[0]
+    n_orders, nonpos, baddom = srow["n_orders"], srow["nonpos"], srow["baddom"]
     dup = (
         o.groupBy("o_orderkey")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1009,16 +1053,23 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     orphan = (
         o.select("o_custkey").join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
     ).count()
-    nonpos = o.filter(F.col("o_totalprice") <= 0).count()
-    baddom = o.filter(~F.col("o_orderstatus").isin("F", "O", "P")).count()
-    temporal = li.join(
-        o.select("o_orderkey", "o_orderdate"),
-        li["l_orderkey"] == o["o_orderkey"],
+    # one pass over the corpus-scale fact join for both temporal counts
+    trow = (
+        li.join(
+            o.select("o_orderkey", "o_orderdate"),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_li"),
+            F.sum(
+                (F.to_date("l_shipdate") < F.to_date("o_orderdate")).cast("long")
+            )
+            .cast("long")
+            .alias("shipb"),
+        )
+        .collect()[0]
     )
-    n_li = temporal.count()
-    shipb = temporal.filter(
-        F.to_date("l_shipdate") < F.to_date("o_orderdate")
-    ).count()
+    n_li, shipb = trow["n_li"], trow["shipb"]
     rows = [
         ("pk_unique_orderkey", int(dup), int(n_orders)),
         ("fk_orders_customer", int(orphan), int(n_orders)),

@@ -196,9 +196,13 @@ def test_defer_tier_keeps_window_and_drains_next_round():
         oracles.update(getattr(mod, "ORACLES", {}))
     assert R._DEFER_AS_STALE, "deferred modules did not register their defer set"
 
-    # pinned snapshot: committed r1–r6 driver history only (immutable
-    # files, so this simulation never drifts as later rounds land)
-    pinned = {n: r for n, r in R._driver_checked().items() if r <= 6}
+    # pinned snapshot: parsed from ONLY the committed r1–r6 files
+    # (immutable, so this simulation never drifts as later rounds
+    # land — filtering the live latest-round map by r <= 6 instead
+    # would silently drop any name re-checked in r7+: review catch)
+    from conftest import pinned_driver_checked
+
+    pinned = pinned_driver_checked(6)
     assert pinned, "committed CORRECTNESS r1-r6 history missing from the repo"
     orig = R._driver_checked
     try:
