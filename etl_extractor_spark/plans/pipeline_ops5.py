@@ -1116,6 +1116,248 @@ ORACLES["dq_expectations_report"] = """
 """
 
 
+# --- 13. Inverse-propensity-scored offline policy evaluation ---------------------------
+#
+# Off-policy evaluation — the counterfactual question every logged-
+# interaction corpus answers before an online test: "what value would
+# TARGET policy π have collected, given data logged under policy μ?"
+# IPS estimator (Horvitz-Thompson): V̂ = (1/n) Σ 1[π(x_i) = a_i] ·
+# r_i / μ(a_i). Here μ is the empirical global action distribution
+# (exactly computable on both engines) and π is a deterministic
+# context rule (even user → 'click', odd user → 'purchase'), so the
+# whole estimate is integer-exact: rewards milli-quantized per row,
+# inverse propensities as (n·1000) div n_a milli-weights.
+def ips_offline_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPS offline evaluation of a deterministic target policy over
+    the logged events table. Per-row term = floor(value·1000) ·
+    ((n·1000) div n_action) for rows where the logged action matches
+    the target rule; published as the exact BIGINT term sum plus the
+    micro-mean (sum·1000 div n — two milli factors = micro total).
+
+    100 TB: one map-side-combined action-count pass (the propensity
+    table, |actions| rows, broadcast back), one map-only scoring pass
+    with map-side partial sums. Term sums stay under int64 to ~1e12
+    logged events at this reward scale (documented ceiling — beyond
+    that, re-quantize rewards coarser)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", (F.floor(F.col("value") * 1000)).cast("long").alias("r_q")
+    )
+    counts = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_a")
+    )
+    tot = e.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        F.expr("CAST(n * 1000 div n_a AS BIGINT)").alias("w_milli"),
+    )
+    target = F.when(F.col("user_id") % 2 == 0, F.lit("click")).otherwise(
+        F.lit("purchase")
+    )
+    scored = (
+        e.join(F.broadcast(w), "event_type")
+        .select(
+            "n",
+            (F.col("event_type") == target).cast("long").alias("m"),
+            (F.col("r_q") * F.col("w_milli")).alias("term"),
+        )
+    )
+    return scored.agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.sum("m").cast("long").alias("n_matched"),
+        F.sum(F.col("m") * F.col("term")).cast("long").alias("ips_term_sum"),
+        F.expr(
+            "CAST(sum(m * term) * 1000 div max(n) AS BIGINT)"
+        ).alias("ips_value_micro"),
+    )
+
+
+QUERIES["ips_offline_policy_eval"] = ips_offline_policy_eval
+ORACLES["ips_offline_policy_eval"] = """
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(floor(value * 1000) AS BIGINT) AS r_q
+      FROM events
+    ), tot AS (
+      SELECT count(*)::BIGINT AS n FROM e
+    ), w AS (
+      SELECT event_type, CAST((SELECT n FROM tot) * 1000 // count(*) AS BIGINT)
+                 AS w_milli
+      FROM e GROUP BY event_type
+    ), scored AS (
+      SELECT (SELECT n FROM tot) AS n,
+             CASE WHEN e.event_type = (CASE WHEN e.user_id % 2 = 0
+                                            THEN 'click' ELSE 'purchase' END)
+                  THEN 1 ELSE 0 END AS m,
+             e.r_q * w.w_milli AS term
+      FROM e JOIN w ON e.event_type = w.event_type
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_events,
+           CAST(sum(m) AS BIGINT) AS n_matched,
+           CAST(sum(m * term) AS BIGINT) AS ips_term_sum,
+           CAST(sum(m * term) * 1000 // max(n) AS BIGINT) AS ips_value_micro
+    FROM scored
+"""
+
+
+# --- 14. Count-Min sketch contract ------------------------------------------------------
+#
+# Completes the mergeable-sketch certification family (KLL, Theta,
+# HLL, GK, KMV, Bloom, Misra-Gries → CMS): a d×w Count-Min sketch is
+# just a grouped count over (hash-row, bucket) — trivially mergeable
+# by addition, the shape a 100 TB streaming counter actually keeps.
+# Deterministic guarantee audited here: est(key) = min_row
+# bucket_count ≥ true(key) ALWAYS (counts only ever add). The ε-bound
+# (est ≤ true + ε·n w.h.p.) is probabilistic per key; with pinned
+# hash rows and this corpus it is measured to hold at every SF for
+# the audited keys and pinned as a second bit.
+_CMS_W = 256  # buckets per row
+_CMS_D = 4  # hash rows (independent via seed-mixed xxhash64)
+
+
+def count_min_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS over the skewed lineitem key space, audited on the heavy
+    key (k = 0, ~95% of rows): the sketch estimate must be ≥ the exact
+    count (deterministic lower-bound property) and within ε·n = n/w·d
+    slack of it (measured to hold here; both bits oracle-pinned).
+    n_rows and the exact heavy count are oracle-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = li.select(_skew_key("l_orderkey").alias("k"))
+    rows = []
+    for seed in range(_CMS_D):
+        rows.append(
+            keys.select(
+                F.lit(seed).alias("row"),
+                (
+                    F.abs(F.xxhash64(F.col("k"), F.lit(seed))) % _CMS_W
+                ).alias("bucket"),
+                F.col("k"),
+            )
+        )
+    grams = rows[0]
+    for r in rows[1:]:
+        grams = grams.unionByName(r)
+    cms = grams.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    # the audited key's buckets (heavy key 0), computed with the SAME
+    # seed-mixed hash engine-side
+    probe_df = (
+        keys.sparkSession.range(_CMS_D)
+        .select(
+            F.col("id").cast("int").alias("row"),
+            (F.abs(F.xxhash64(F.lit(0).cast("long"), F.col("id").cast("int"))) % _CMS_W).alias(
+                "bucket"
+            ),
+        )
+    )
+    est = (
+        probe_df.join(cms, ["row", "bucket"], "left")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est"))
+    )
+    truth = keys.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((F.col("k") == 0).cast("long")).cast("long").alias("true_heavy"),
+    )
+    return truth.crossJoin(F.broadcast(est)).select(
+        "n_rows",
+        "true_heavy",
+        (F.col("est") >= F.col("true_heavy")).cast("long").alias("ok_lower"),
+        (
+            (F.col("est") - F.col("true_heavy")) * _CMS_W
+            <= F.col("n_rows") * _CMS_D
+        )
+        .cast("long")
+        .alias("ok_eps"),
+    )
+
+
+QUERIES["count_min_contract"] = count_min_contract
+ORACLES["count_min_contract"] = f"""
+    WITH f AS (
+      SELECT {_skew_key_sql('l_orderkey')} AS k FROM lineitem
+    )
+    SELECT count(*)::BIGINT AS n_rows,
+           CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS true_heavy,
+           1::BIGINT AS ok_lower,
+           1::BIGINT AS ok_eps
+    FROM f
+"""
+
+
+# --- 15. Streaming Misra-Gries replay (12th certified stream) ---------------------------
+def streaming_heavy_hitters_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12th driver-certified stream and the STREAMING-SKETCH class:
+    the lineitem skew keys replayed as a file stream, each micro-batch
+    reduced to a Misra-Gries summary (mergeable form) and merged into
+    a persistent candidate-state table via foreachBatch — then the
+    batch contract's audit runs against the streamed candidate union.
+    Shares heavy_hitters_mg_contract's oracle: a hash match certifies
+    the streamed sketch preserves the containment guarantee the batch
+    pass certifies (the replay ≡ batch pattern, applied to sketch
+    state instead of counts).
+
+    100 TB: per-batch state is O(k·partitions) rows appended to the
+    candidate table; no streaming state store, nothing driver-side."""
+    import shutil
+
+    from etl_extractor_spark.operators.common import fan_out, pid_scratch_dir
+
+    base = pid_scratch_dir("spark_graft_mg_replay_")
+    shutil.rmtree(base, ignore_errors=True)
+    out_dir = f"{base}/cands"
+    stream = (
+        spark.readStream.schema("l_orderkey long")
+        .parquet(f"{sf_dir}/lineitem.[p]arquet")
+        .select(_skew_key("l_orderkey").alias("k"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _mg_partition_candidates(batch_df, "k").write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cand = spark.read.parquet(out_dir).distinct()
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = fan_out(li.select(_skew_key("l_orderkey").alias("k")))
+    freq = keys.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = freq.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    heavy = freq.crossJoin(F.broadcast(tot)).filter(
+        F.col("c") * (_MG_K + 1) > F.col("n_rows")
+    )
+    missed = heavy.join(cand, "k", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_missed")
+    )
+    n_heavy = heavy.agg(F.count(F.lit(1)).cast("long").alias("n_heavy"))
+    return (
+        tot.crossJoin(F.broadcast(n_heavy))
+        .crossJoin(F.broadcast(missed))
+        .select(
+            "n_rows",
+            "n_keys",
+            "n_heavy",
+            (F.col("n_missed") == 0).cast("long").alias("ok_contained"),
+        )
+    )
+
+
+QUERIES["streaming_heavy_hitters_replay"] = streaming_heavy_hitters_replay
+ORACLES["streaming_heavy_hitters_replay"] = ORACLES["heavy_hitters_mg_contract"]
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-stale
     (see module docstring). Must run AFTER every QUERIES[...] binding."""

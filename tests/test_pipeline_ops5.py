@@ -313,6 +313,69 @@ def test_mode_matches_bruteforce(spark, sf_dir):
     assert got == {k: (p, -nc) for k, (nc, p) in best.items()}
 
 
+def test_ips_matches_bruteforce(spark, sf_dir):
+    """IPS value recomputed in plain Python from the collected events
+    (empirical propensities, milli weights, integer term sum)."""
+    from etl_extractor_spark.plans.pipeline_ops5 import ips_offline_policy_eval
+
+    rows = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    ).collect()
+    import math
+    from collections import Counter
+
+    n = len(rows)
+    n_a = Counter(r["event_type"] for r in rows)
+    w = {a: n * 1000 // c for a, c in n_a.items()}
+    matched = term_sum = 0
+    for r in rows:
+        target = "click" if r["user_id"] % 2 == 0 else "purchase"
+        if r["event_type"] == target:
+            matched += 1
+            term_sum += math.floor(r["value"] * 1000) * w[r["event_type"]]
+    got = ips_offline_policy_eval(spark, sf_dir).collect()[0]
+    assert got["n_events"] == n
+    assert got["n_matched"] == matched
+    assert got["ips_term_sum"] == term_sum
+    assert got["ips_value_micro"] == term_sum * 1000 // n
+    assert matched > 0, "target policy never matches; IPS vacuous"
+
+
+def test_cms_contract_bits_and_truth(spark, sf_dir):
+    """Both contract bits must hold, the exact counts must match an
+    independent recomputation, and the fixture's heavy key must
+    dominate (so the audited estimate is a real heavy count, not a
+    noise bucket)."""
+    from etl_extractor_spark.plans.pipeline_ops5 import (
+        _skew_key,
+        count_min_contract,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = li.select(_skew_key("l_orderkey").alias("k"))
+    n = keys.count()
+    true_heavy = keys.filter(F.col("k") == 0).count()
+    got = count_min_contract(spark, sf_dir).collect()[0]
+    assert (got["n_rows"], got["true_heavy"]) == (n, true_heavy)
+    assert got["ok_lower"] == 1 and got["ok_eps"] == 1
+    assert true_heavy * 10 > n * 9, "fixture lost its 90%+ heavy key"
+
+
+def test_streaming_mg_replay_equals_batch_contract(spark, sf_dir):
+    """The streamed Misra-Gries candidate state must certify the same
+    containment row the batch contract publishes (replay ≡ batch on
+    the audited guarantee)."""
+    from etl_extractor_spark.plans.pipeline_ops5 import (
+        heavy_hitters_mg_contract,
+        streaming_heavy_hitters_replay,
+    )
+
+    batch = heavy_hitters_mg_contract(spark, sf_dir).collect()[0]
+    stream = streaming_heavy_hitters_replay(spark, sf_dir).collect()[0]
+    assert tuple(stream) == tuple(batch)
+    assert stream["ok_contained"] == 1
+
+
 def _py_levenshtein(a: str, b: str) -> int:
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
