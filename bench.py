@@ -144,6 +144,16 @@ BENCH_QUERIES = [
     "sprt_sequential_test",
     "isotonic_calibration_bins",
     "cumulative_gains_deciles",
+    # round-8 wave heads: the skew remediation (salted shuffle join on
+    # the 95%-skew fixture), the edit-distance similarity join (q-gram
+    # count filter), the streaming-sketch replay (12th certified
+    # stream), the delete-maintained postings index (write + delete
+    # commit + re-query), and the distributed-PCA suff-stats pass
+    "salted_skew_join_revenue",
+    "editdist_name_join",
+    "streaming_heavy_hitters_replay",
+    "tfidf_incremental_deletes",
+    "pca_top_component_contract",
 ]
 
 
