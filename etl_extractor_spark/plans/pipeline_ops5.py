@@ -1430,6 +1430,115 @@ ORACLES["tfidf_incremental_deletes"] = _p3_del.ORACLES[
 )
 
 
+# --- 17. Sequence packing for training batches -------------------------------------------
+#
+# The LLM-pretraining batch-prep op the surface still lacked: pack
+# documents into fixed-capacity context windows (bins) with bounded
+# waste. True first-fit/next-fit packing is inherently sequential; the
+# distributed shape used in practice is STRIPE packing over the
+# length-sorted order: docs sorted (len desc, id), each doc assigned
+# to bin = floor(global_tokens_before / C). Every bin's fill lands in
+# [C − max_len, C + max_len], so waste is bounded by the longest doc —
+# and the global running sum is computed with the repo's two-phase
+# exact-rank machinery (per-length-bucket windows + a ≤91-row bucket-
+# prefix table), never a single-partition global window.
+_PACK_C = 512  # context-window token capacity
+
+
+def sequence_packing_stripes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stripe-pack the corpus into 512-token training windows and
+    report the packing quality: bin count, total tokens, min/max bin
+    fill and the average fill ratio in exact milli (total·1000 div
+    (n_bins·C)). Token counts use the oracle-identical whitespace
+    split.
+
+    100 TB: token counting is map-only; the 'global' cumulative sum
+    decomposes into a ≤91-row token-count-bucket prefix table plus
+    per-bucket windows (docs sharing a length are interchangeable, so
+    cum_before = bucket_offset + (rank_within − 1)·len) — the
+    ks_two_sample two-phase pattern; bin stats are one grouped
+    aggregation on the bin id."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+        )
+        .cast("long")
+        .alias("tok"),
+    )
+    btot = d.groupBy("tok").agg(
+        (F.count(F.lit(1)) * F.col("tok")).cast("long").alias("bucket_tokens")
+    )
+    woff = Window.orderBy(F.desc("tok")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = btot.select(
+        "tok",
+        F.coalesce(F.sum("bucket_tokens").over(woff), F.lit(0))
+        .cast("long")
+        .alias("offset"),
+    )
+    wrk = Window.partitionBy("tok").orderBy("doc_id")
+    assigned = (
+        d.withColumn("rk", F.row_number().over(wrk))
+        .join(F.broadcast(off), "tok")
+        .select(
+            "tok",
+            F.expr(f"CAST((offset + (rk - 1) * tok) div {_PACK_C} AS BIGINT)")
+            .alias("bin"),
+        )
+    )
+    fills = assigned.groupBy("bin").agg(
+        F.sum("tok").cast("long").alias("fill")
+    )
+    return fills.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("fill").cast("long").alias("total_tokens"),
+        F.min("fill").cast("long").alias("min_fill"),
+        F.max("fill").cast("long").alias("max_fill"),
+        F.expr(
+            f"CAST(sum(fill) * 1000 div (count(1) * {_PACK_C}) AS BIGINT)"
+        ).alias("avg_fill_milli"),
+    )
+
+
+QUERIES["sequence_packing_stripes"] = sequence_packing_stripes
+ORACLES["sequence_packing_stripes"] = rf"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(trim(regexp_replace(CAST(text AS VARCHAR),
+                                                       '\s+', ' ', 'g')), ' '))
+                  AS BIGINT) AS tok
+      FROM documents
+    ), btot AS (
+      SELECT tok, CAST(count(*) * tok AS BIGINT) AS bucket_tokens
+      FROM d GROUP BY tok
+    ), off AS (
+      SELECT tok,
+             CAST(coalesce(sum(bucket_tokens) OVER (
+                 ORDER BY tok DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS off
+      FROM btot
+    ), assigned AS (
+      SELECT d.tok,
+             CAST((off.off + (row_number() OVER (PARTITION BY d.tok
+                                                 ORDER BY d.doc_id) - 1)
+                   * d.tok) // {_PACK_C} AS BIGINT) AS bin
+      FROM d JOIN off ON d.tok = off.tok
+    ), fills AS (
+      SELECT bin, CAST(sum(tok) AS BIGINT) AS fill FROM assigned GROUP BY bin
+    )
+    SELECT count(*)::BIGINT AS n_bins,
+           CAST(sum(fill) AS BIGINT) AS total_tokens,
+           CAST(min(fill) AS BIGINT) AS min_fill,
+           CAST(max(fill) AS BIGINT) AS max_fill,
+           CAST(sum(fill) * 1000 // (count(*) * {_PACK_C}) AS BIGINT)
+               AS avg_fill_milli
+    FROM fills
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-stale
     (see module docstring). Must run AFTER every QUERIES[...] binding."""

@@ -403,6 +403,45 @@ def test_tfidf_deletes_equals_filtered_rebuild(spark, sf_dir):
     assert got == want
 
 
+def test_sequence_packing_matches_bruteforce(spark, sf_dir):
+    """Stripe packing recomputed in plain Python (sorted cumsum, bin =
+    prefix div C), plus the bounded-waste property: every bin except
+    possibly the last partial one fills within [C − max_len,
+    C + max_len]."""
+    import re
+
+    from etl_extractor_spark.plans.pipeline_ops5 import (
+        _PACK_C,
+        sequence_packing_stripes,
+    )
+
+    rows = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    toks = sorted(
+        (len(re.sub(r"\s+", " ", r["text"].strip()).split(" ")), r["doc_id"])
+        for r in rows
+    )
+    toks = [(t, i) for t, i in toks]
+    toks.sort(key=lambda p: (-p[0], p[1]))
+    fills: dict = {}
+    cum = 0
+    for t, _ in toks:
+        fills[cum // _PACK_C] = fills.get(cum // _PACK_C, 0) + t
+        cum += t
+    got = sequence_packing_stripes(spark, sf_dir).collect()[0]
+    assert got["n_bins"] == len(fills)
+    assert got["total_tokens"] == sum(fills.values()) == cum
+    assert got["min_fill"] == min(fills.values())
+    assert got["max_fill"] == max(fills.values())
+    assert got["avg_fill_milli"] == cum * 1000 // (len(fills) * _PACK_C)
+    max_len = max(t for t, _ in toks)
+    last_bin = max(fills)
+    for b, f in fills.items():
+        assert f <= _PACK_C + max_len
+        if b != last_bin:
+            assert f >= _PACK_C - max_len
+    assert len(fills) > 1, "single bin: packing untested at this SF"
+
+
 def _py_levenshtein(a: str, b: str) -> int:
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
