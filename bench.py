@@ -154,6 +154,9 @@ BENCH_QUERIES = [
     "streaming_heavy_hitters_replay",
     "tfidf_incremental_deletes",
     "pca_top_component_contract",
+    # batch-5 closer: the two-phase stripe-packing pass (review catch:
+    # every other round-8 query has a bench line + plan section)
+    "sequence_packing_stripes",
 ]
 
 

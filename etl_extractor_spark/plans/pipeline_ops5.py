@@ -1166,9 +1166,9 @@ def ips_offline_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("n_events"),
         F.sum("m").cast("long").alias("n_matched"),
         F.sum(F.col("m") * F.col("term")).cast("long").alias("ips_term_sum"),
-        F.expr(
-            "CAST(sum(m * term) * 1000 div max(n) AS BIGINT)"
-        ).alias("ips_value_micro"),
+        F.expr("CAST(sum(m * term) div max(n) AS BIGINT)").alias(
+            "ips_value_micro"
+        ),
     )
 
 
@@ -1195,7 +1195,7 @@ ORACLES["ips_offline_policy_eval"] = """
     SELECT CAST(max(n) AS BIGINT) AS n_events,
            CAST(sum(m) AS BIGINT) AS n_matched,
            CAST(sum(m * term) AS BIGINT) AS ips_term_sum,
-           CAST(sum(m * term) * 1000 // max(n) AS BIGINT) AS ips_value_micro
+           CAST(sum(m * term) // max(n) AS BIGINT) AS ips_value_micro
     FROM scored
 """
 
@@ -1223,22 +1223,24 @@ def count_min_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_rows and the exact heavy count are oracle-exact."""
     li = load_table(spark, sf_dir, "lineitem")
     keys = li.select(_skew_key("l_orderkey").alias("k"))
-    rows = []
-    for seed in range(_CMS_D):
-        rows.append(
-            keys.select(
-                F.lit(seed).alias("row"),
-                (
-                    F.abs(F.xxhash64(F.col("k"), F.lit(seed))) % _CMS_W
-                ).alias("bucket"),
-                F.col("k"),
-            )
+    # ONE corpus scan fanned out to the d hash rows (the
+    # bloom_prefilter seed-explode pattern — review catch: a d-way
+    # union re-read the key column d times)
+    cms = (
+        keys.select(
+            "k",
+            F.explode(
+                F.array(*[F.lit(seed) for seed in range(_CMS_D)])
+            ).alias("row"),
         )
-    grams = rows[0]
-    for r in rows[1:]:
-        grams = grams.unionByName(r)
-    cms = grams.groupBy("row", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+        .select(
+            "row",
+            (F.abs(F.xxhash64(F.col("k"), F.col("row"))) % _CMS_W).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     # the audited key's buckets (heavy key 0), computed with the SAME
     # seed-mixed hash engine-side
@@ -1458,13 +1460,10 @@ def sequence_packing_stripes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum_before = bucket_offset + (rank_within − 1)·len) — the
     ks_two_sample two-phase pattern; bin stats are one grouped
     aggregation on the bin id."""
+    from etl_extractor_spark.functions import textstats as ts
+
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.size(
-            F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
-        )
-        .cast("long")
-        .alias("tok"),
+        "doc_id", ts.token_count("text").alias("tok")
     )
     btot = d.groupBy("tok").agg(
         (F.count(F.lit(1)) * F.col("tok")).cast("long").alias("bucket_tokens")

@@ -337,7 +337,8 @@ def test_ips_matches_bruteforce(spark, sf_dir):
     assert got["n_events"] == n
     assert got["n_matched"] == matched
     assert got["ips_term_sum"] == term_sum
-    assert got["ips_value_micro"] == term_sum * 1000 // n
+    # terms are milli-reward x milli-weight = micro-scaled already
+    assert got["ips_value_micro"] == term_sum // n
     assert matched > 0, "target policy never matches; IPS vacuous"
 
 
@@ -417,11 +418,12 @@ def test_sequence_packing_matches_bruteforce(spark, sf_dir):
 
     rows = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
     toks = sorted(
-        (len(re.sub(r"\s+", " ", r["text"].strip()).split(" ")), r["doc_id"])
-        for r in rows
+        (
+            (len(re.sub(r"\s+", " ", r["text"].strip()).split(" ")), r["doc_id"])
+            for r in rows
+        ),
+        key=lambda p: (-p[0], p[1]),
     )
-    toks = [(t, i) for t, i in toks]
-    toks.sort(key=lambda p: (-p[0], p[1]))
     fills: dict = {}
     cum = 0
     for t, _ in toks:
