@@ -444,6 +444,24 @@ def test_sequence_packing_matches_bruteforce(spark, sf_dir):
     assert len(fills) > 1, "single bin: packing untested at this SF"
 
 
+def test_sequence_packing_plan_is_two_phase(spark, sf_dir):
+    """The global cumulative sum must come from the per-length-bucket
+    window + bucket-prefix composition: the corpus-scale row_number
+    window is PARTITIONED by tok, and the only SinglePartition
+    funnels are the ≤91-row bucket-offset window and the final 1-row
+    aggregate — never the document frame (the gains-deciles plan-guard
+    pattern)."""
+    from etl_extractor_spark.plans.pipeline_ops5 import sequence_packing_stripes
+
+    plan = _plan(sequence_packing_stripes(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    key = plan.replace("#", "")
+    assert "windowspecdefinition(tok" in key, (
+        "corpus rank window lost its length-bucket partitioning"
+    )
+    assert plan.count("Exchange SinglePartition") <= 2
+
+
 def _py_levenshtein(a: str, b: str) -> int:
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
