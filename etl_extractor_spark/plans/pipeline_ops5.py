@@ -1538,6 +1538,82 @@ ORACLES["sequence_packing_stripes"] = rf"""
 """
 
 
+# --- 18. Partition-spec evolution ---------------------------------------------------------
+#
+# The lakehouse feature the table layer still lacked a certified query
+# for: a table whose OLD files are partitioned by year and whose NEW
+# files are partitioned by (year, month) — the Iceberg
+# partition-evolution shape (specs change as tables grow; data is
+# never rewritten). Spark's single-root partition discovery refuses
+# mixed layouts ("conflicting directory structures"), so the reader
+# plans each spec's subtree separately — recovering that spec's
+# partition columns from its own paths — and unions by name, exactly
+# how spec-aware table formats execute it. Partition PRUNING keeps
+# working per spec: a year predicate prunes year=... directories in
+# BOTH subtrees (plan-guarded in pytest).
+def partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per year for 1996–1999 over a two-spec table: orders
+    through 1997 live under spec-0 (partitionBy year), 1998+ under
+    spec-1 (partitionBy year, month — the evolved spec; boundaries by
+    the corpus's measured 1995–2001 date range). The filter
+    straddles the spec boundary, so a correct read must plan BOTH
+    layouts and prune BOTH by the year predicate. Oracle: the plain
+    aggregate over orders — a hash match certifies spec evolution is
+    invisible to query results.
+
+    100 TB: old files are never rewritten when the spec evolves (the
+    whole point — a re-partition of 100 TB is the alternative);
+    per-spec planning adds one metadata pass per spec, and pruning
+    efficiency follows each spec's own granularity."""
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.year(F.to_date("o_orderdate")).alias("p_year"),
+        F.month(F.to_date("o_orderdate")).alias("p_month"),
+    )
+    base = pid_scratch_dir("spark_graft_part_evo_")
+    shutil.rmtree(base, ignore_errors=True)
+    o.filter(F.col("p_year") <= 1997).write.partitionBy("p_year").parquet(
+        f"{base}/spec=0"
+    )
+    o.filter(F.col("p_year") >= 1998).write.partitionBy(
+        "p_year", "p_month"
+    ).parquet(f"{base}/spec=1")
+    r0 = spark.read.parquet(f"{base}/spec=0")
+    r1 = spark.read.parquet(f"{base}/spec=1")
+    merged = r0.select("o_orderkey", "cents", "p_year", "p_month").unionByName(
+        r1.select("o_orderkey", "cents", "p_year", "p_month")
+    )
+    return (
+        merged.filter(F.col("p_year").between(1996, 1999))
+        .groupBy("p_year")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .select(F.col("p_year").cast("long").alias("p_year"), "n_orders", "revenue_cents")
+        .orderBy("p_year")
+    )
+
+
+QUERIES["partition_evolution_scan"] = partition_evolution_scan
+ORACLES["partition_evolution_scan"] = """
+    SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS p_year,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders
+    WHERE year(CAST(o_orderdate AS DATE)) BETWEEN 1996 AND 1999
+    GROUP BY 1 ORDER BY 1
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-stale
     (see module docstring). Must run AFTER every QUERIES[...] binding."""

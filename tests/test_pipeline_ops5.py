@@ -462,6 +462,48 @@ def test_sequence_packing_plan_is_two_phase(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") <= 2
 
 
+def test_partition_evolution_prunes_both_specs(spark, sf_dir):
+    """The year predicate must reach BOTH layout subtrees as a
+    partition filter (spec-0: year-partitioned; spec-1: the evolved
+    year/month layout), the fixture must actually have rows under both
+    specs inside the filter band, and the result must match a plain
+    recomputation from the source table."""
+    from etl_extractor_spark.plans.pipeline_ops5 import partition_evolution_scan
+
+    df = partition_evolution_scan(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    import re
+
+    pfs = [
+        m
+        for m in re.findall(r"PartitionFilters: \[[^\]]*\]", plan)
+        if "p_year" in m
+    ]
+    assert len(pfs) >= 2, (
+        "year predicate did not prune both partition layouts: %s" % pfs
+    )
+    rows = {r["p_year"]: (r["n_orders"], r["revenue_cents"]) for r in df.collect()}
+    assert {1996, 1997} & set(rows) and {1998, 1999} & set(rows), (
+        "filter band does not straddle the spec boundary on this fixture"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year(F.to_date("o_orderdate")).cast("long").alias("y"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    want = {
+        r["y"]: (r["n"], r["rev"])
+        for r in o.filter(F.col("y").between(1996, 1999))
+        .groupBy("y")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("rev"))
+        .collect()
+    }
+    assert rows == want
+
+
 def _py_levenshtein(a: str, b: str) -> int:
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
