@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     # batch-5 closer: the two-phase stripe-packing pass (review catch:
     # every other round-8 query has a bench line + plan section)
     "sequence_packing_stripes",
+    # spec-evolution scan (same sibling convention)
+    "partition_evolution_scan",
 ]
 
 

@@ -1585,8 +1585,17 @@ def partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.filter(F.col("p_year") >= 1998).write.partitionBy(
         "p_year", "p_month"
     ).parquet(f"{base}/spec=1")
-    r0 = spark.read.parquet(f"{base}/spec=0")
-    r1 = spark.read.parquet(f"{base}/spec=1")
+    # declared schemas per spec (each spec stores different columns in
+    # its data files vs its paths): an EMPTY spec band then reads as an
+    # empty frame instead of crashing schema inference on a directory
+    # holding only _SUCCESS (review catch — a corpus ending before the
+    # boundary would error instead of returning the one-spec answer)
+    r0 = spark.read.schema(
+        "o_orderkey long, cents long, p_month int, p_year int"
+    ).parquet(f"{base}/spec=0")
+    r1 = spark.read.schema(
+        "o_orderkey long, cents long, p_year int, p_month int"
+    ).parquet(f"{base}/spec=1")
     merged = r0.select("o_orderkey", "cents", "p_year", "p_month").unionByName(
         r1.select("o_orderkey", "cents", "p_year", "p_month")
     )

@@ -453,10 +453,17 @@ def test_sequence_packing_plan_is_two_phase(spark, sf_dir):
     pattern)."""
     from etl_extractor_spark.plans.pipeline_ops5 import sequence_packing_stripes
 
+    import re
+
     plan = _plan(sequence_packing_stripes(spark, sf_dir))
     assert "CartesianProduct" not in plan
     key = plan.replace("#", "")
-    assert "windowspecdefinition(tok" in key, (
+    # the PARTITIONED spec prints "tok<id>, doc_id<id> ASC" (partition
+    # col carries no sort marker); the one-phase regression prints
+    # "tok<id> DESC NULLS LAST, doc_id..." — a bare
+    # "windowspecdefinition(tok" prefix matches BOTH (review catch:
+    # the guard must anchor the partition spec, not the first column)
+    assert re.search(r"windowspecdefinition\(tok\d*L?, doc_id\d*L? ASC", key), (
         "corpus rank window lost its length-bucket partitioning"
     )
     assert plan.count("Exchange SinglePartition") <= 2
@@ -471,9 +478,7 @@ def test_partition_evolution_prunes_both_specs(spark, sf_dir):
     from etl_extractor_spark.plans.pipeline_ops5 import partition_evolution_scan
 
     df = partition_evolution_scan(spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString().split(
-        "== Initial Plan =="
-    )[0]
+    plan = _plan(df)
     import re
 
     pfs = [
