@@ -234,6 +234,17 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     canary = _canary(spark)
+    # Per-query detail goes out as its OWN stdout lines, one query per
+    # line, BEFORE the summary: the driver keeps only a bounded stdout
+    # tail, and at 70+ queries a single JSON line with the full map
+    # (~2.5 KB) got its head (metric/value/canary) truncated away —
+    # BENCH_r08.json recorded "parsed": null. Individual lines can be
+    # dropped from the top of the tail without hurting the headline.
+    for name, secs in timings.items():
+        print(json.dumps({"query": name, "sec": secs}), flush=True)
+    # The LAST line is the compact parseable summary (< 200 bytes): it
+    # always survives any tail window. The per-query map rides along
+    # only if it fits the driver's parser — keep it out of this line.
     print(
         json.dumps(
             {
@@ -244,10 +255,11 @@ def main() -> None:
                 # divide per-query times by (canary / canary_baseline)
                 # to separate machine variance from plan regressions
                 "canary_range_sum_sec": canary,
-                "queries": timings,
+                "n_queries": len(timings),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
-        )
+        ),
+        flush=True,
     )
 
 

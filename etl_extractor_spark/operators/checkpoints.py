@@ -21,7 +21,24 @@ round 4 after a real OOM):
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
+
+# Serializes the scoped checkpoint-dir swap (advice r8): the swap
+# mutates process-global SparkContext state, so two concurrent
+# reliable_checkpoint calls could interleave — B captures ``cur`` while
+# A has already swapped to the pid dir, and B's finally then "restores"
+# the session to the exit-rmtree'd pid subdir permanently. One lock
+# around swap→checkpoint→restore makes the sequence atomic (concurrent
+# callers serialize; the checkpoint write itself dominates, so the
+# serialization cost is the honest price of a process-global knob).
+# Known residual, by design: a FOREIGN thread calling df.checkpoint()
+# directly (not through this helper) during the window still lands in
+# the pid dir — that is unscopable without a per-plan checkpoint API,
+# which Spark does not expose; such files are cleaned at exit rather
+# than leaked, the benign direction.
+_SWAP_LOCK = threading.Lock()
 
 # Checkpoint-file lifecycle (review catch): Spark deletes reliable-
 # checkpoint files only under spark.cleaner.referenceTracking.
@@ -98,52 +115,71 @@ def reliable_checkpoint(df: DataFrame) -> DataFrame:
         # per-CONTEXT decision cache (review catch: a process-global
         # bool would silently skip adoption for a second SparkContext
         # created after the first one took the temp-dir branch — the
-        # stop-and-restart session pattern drivers and tests use)
-        clean = sc.getConf().get(
-            "spark.cleaner.referenceTracking.cleanCheckpoints", "false"
-        )
-        adopted = _adopt_subdir(cur, str(clean))
-        if adopted is not None:
-            import atexit
-
-            uri, local = adopted
-            if not _ATEXIT_DIRS:
-                atexit.register(_cleanup_dirs)
-            _ATEXIT_DIRS.append(local)
-            # resolve ONCE through the public API (creates the pid dir
-            # + one UUID subdir); per-call scoping then swaps the
-            # RESOLVED strings so no further dirs are ever created
-            sc.setCheckpointDir(uri)
-            _ADOPT_DECISION[sc.applicationId] = sc.getCheckpointDir()
-            if not _restore_dir(sc, cur):
-                # no internal setter on this Spark build: the public
-                # API would mint a fresh UUID dir per call, so fall
-                # back to the documented session-wide takeover, loudly
-                import warnings
-
-                warnings.warn(
-                    "reliable_checkpoint: adopted a pid-scoped checkpoint "
-                    "subdir SESSION-WIDE (%r): this Spark build exposes no "
-                    "way to scope the redirect per call, so ALL "
-                    "df.checkpoint() files in this process are removed at "
-                    "exit. Set spark.cleaner.referenceTracking."
-                    "cleanCheckpoints=true at startup to keep the "
-                    "configured dir instead."
-                    % _ADOPT_DECISION[sc.applicationId],
-                    stacklevel=2,
-                )
-                _ADOPT_DECISION[sc.applicationId] = False  # takeover mode
-        else:
-            _ADOPT_DECISION[sc.applicationId] = None
+        # stop-and-restart session pattern drivers and tests use).
+        # Decided under the swap lock: the adoption itself performs a
+        # set/restore sequence, and two racing first-callers would
+        # otherwise both resolve (two pid... same pid, but two UUID
+        # subdirs) and one of the restores would strand the session.
+        with _SWAP_LOCK:
+            if sc.applicationId not in _ADOPT_DECISION:
+                _decide_adoption(sc, cur)
     uri = _ADOPT_DECISION[sc.applicationId]
     if not uri:  # None (use session dir) or False (takeover already set)
         return df.checkpoint(eager=True)
-    cur = sc.getCheckpointDir()
-    _restore_dir(sc, uri)
-    try:
-        return df.checkpoint(eager=True)
-    finally:
-        _restore_dir(sc, cur)
+    with _SWAP_LOCK:
+        cur = sc.getCheckpointDir()
+        _restore_dir(sc, uri)
+        try:
+            return df.checkpoint(eager=True)
+        finally:
+            # compare-and-swap: restore only if the dir is still OUR
+            # uri — if a foreign thread re-pointed the context mid-
+            # checkpoint (it can: the var is process-global), honoring
+            # its choice beats clobbering it with our stale capture
+            if sc.getCheckpointDir() == uri:
+                _restore_dir(sc, cur)
+
+
+def _decide_adoption(sc, cur: str) -> None:
+    """One-time (per SparkContext) lifecycle decision for a session
+    that arrived with a checkpoint dir already configured. Caller holds
+    _SWAP_LOCK and has verified the applicationId is undecided."""
+    clean = sc.getConf().get(
+        "spark.cleaner.referenceTracking.cleanCheckpoints", "false"
+    )
+    adopted = _adopt_subdir(cur, str(clean))
+    if adopted is None:
+        _ADOPT_DECISION[sc.applicationId] = None
+        return
+    import atexit
+
+    uri, local = adopted
+    if not _ATEXIT_DIRS:
+        atexit.register(_cleanup_dirs)
+    _ATEXIT_DIRS.append(local)
+    # resolve ONCE through the public API (creates the pid dir
+    # + one UUID subdir); per-call scoping then swaps the
+    # RESOLVED strings so no further dirs are ever created
+    sc.setCheckpointDir(uri)
+    _ADOPT_DECISION[sc.applicationId] = sc.getCheckpointDir()
+    if not _restore_dir(sc, cur):
+        # no internal setter on this Spark build: the public
+        # API would mint a fresh UUID dir per call, so fall
+        # back to the documented session-wide takeover, loudly
+        import warnings
+
+        warnings.warn(
+            "reliable_checkpoint: adopted a pid-scoped checkpoint "
+            "subdir SESSION-WIDE (%r): this Spark build exposes no "
+            "way to scope the redirect per call, so ALL "
+            "df.checkpoint() files in this process are removed at "
+            "exit. Set spark.cleaner.referenceTracking."
+            "cleanCheckpoints=true at startup to keep the "
+            "configured dir instead."
+            % _ADOPT_DECISION[sc.applicationId],
+            stacklevel=2,
+        )
+        _ADOPT_DECISION[sc.applicationId] = False  # takeover mode
 
 
 def _restore_dir(sc, resolved: str) -> bool:

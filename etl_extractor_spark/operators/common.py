@@ -81,8 +81,23 @@ def pid_scratch_dir(prefix: str) -> str:
             if not _pid_alive(int(tail)):
                 stale = True
             else:
+                # pid is alive but may be an unrelated process that
+                # recycled the number. Age test uses the NEWEST mtime
+                # among the dir and its direct children (advice r8):
+                # writes land in nested subdirs and don't bump the
+                # root's mtime, so a genuinely live long-running owner
+                # with a reused-looking pid would otherwise be reaped
+                # out from under itself. One extra listdir per
+                # candidate, and only on the once-per-process scan.
                 try:
-                    stale = now - os.stat(p).st_mtime > _ORPHAN_MAX_AGE_S
+                    newest = os.stat(p).st_mtime
+                    for child in os.listdir(p):
+                        try:
+                            m = os.stat(os.path.join(p, child)).st_mtime
+                        except OSError:
+                            continue
+                        newest = max(newest, m)
+                    stale = now - newest > _ORPHAN_MAX_AGE_S
                 except OSError:
                     pass
             if stale:

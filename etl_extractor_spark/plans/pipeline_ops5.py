@@ -753,6 +753,17 @@ def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     c−1))). Same contingency shape (exact integer counts, double
     margins, round-4 readout).
 
+    Exact-arithmetic convention (advice r8): the per-cell
+    (n−expected)²/expected terms are quantized to integer micro-units
+    BEFORE the sum — a double sum's partial order differs between
+    Spark partitions and DuckDB's sequential scan, and round(,4) only
+    masks non-boundary cases. Each cell's term is bit-identical on
+    both engines (same double expression tree: margin product, divide,
+    square, divide), so floor(term·1e6) is too, and a BIGINT sum is
+    order-free. Headroom: χ²·1e6 ≤ n·min(r−1,c−1)·1e6 — int64-safe to
+    n ≈ 9e12 rows (SF ≈ 6×10⁶), and the decision arithmetic stays
+    SF-linear per the r8 overflow lesson.
+
     100 TB: one grouped count (map-side combined) + constant-size
     margin arithmetic."""
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
@@ -773,24 +784,26 @@ def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
             "expected"
         ),
     )
+    term = (
+        (F.col("n") - F.col("expected"))
+        * (F.col("n") - F.col("expected"))
+        / F.col("expected")
+    )
     agg = cells.agg(
         F.countDistinct("c_mktsegment").cast("long").alias("r"),
         F.countDistinct("o_orderstatus").cast("long").alias("c"),
         F.sum("n").cast("long").alias("n_rows"),
-        F.sum(
-            (F.col("n") - F.col("expected"))
-            * (F.col("n") - F.col("expected"))
-            / F.col("expected")
-        ).alias("chi2"),
+        F.sum(F.floor(term * F.lit(1e6)).cast("long")).cast("long").alias("chi2_u"),
     )
+    chi2 = F.col("chi2_u").cast("double") / F.lit(1e6)
     return agg.select(
         "n_rows",
         "r",
         "c",
-        F.round("chi2", 4).alias("chi2"),
+        F.round(chi2, 4).alias("chi2"),
         F.round(
             F.sqrt(
-                F.col("chi2")
+                chi2
                 / (
                     F.col("n_rows").cast("double")
                     * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
@@ -809,20 +822,26 @@ ORACLES["cramers_v_association"] = """
       GROUP BY 1, 2
     ), cells AS (
       SELECT n,
-             sum(n) OVER (PARTITION BY c_mktsegment) * 1.0
-               * sum(n) OVER (PARTITION BY o_orderstatus)
-               / sum(n) OVER () AS expected,
+             CAST(sum(n) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+               * CAST(sum(n) OVER (PARTITION BY o_orderstatus) AS DOUBLE)
+               / CAST(sum(n) OVER () AS DOUBLE) AS expected,
              c_mktsegment, o_orderstatus
       FROM obs
     ), agg AS (
+      -- per-cell micro-unit quantization before the sum (see the
+      -- Spark docstring): floor leaves an integral double, so the
+      -- rounding CAST is exact
       SELECT count(DISTINCT c_mktsegment)::BIGINT AS r,
              count(DISTINCT o_orderstatus)::BIGINT AS c,
              CAST(sum(n) AS BIGINT) AS n_rows,
-             sum((n - expected) * (n - expected) / expected) AS chi2
+             sum(CAST(floor((n - expected) * (n - expected) / expected * 1e6)
+                      AS BIGINT)) AS chi2_u
       FROM cells
     )
-    SELECT n_rows, r, c, round(chi2, 4) AS chi2,
-           round(sqrt(chi2 / (n_rows * least(r - 1, c - 1))), 4) AS cramers_v
+    SELECT n_rows, r, c,
+           round(CAST(chi2_u AS DOUBLE) / 1e6, 4) AS chi2,
+           round(sqrt(CAST(chi2_u AS DOUBLE) / 1e6
+                      / (n_rows * least(r - 1, c - 1))), 4) AS cramers_v
     FROM agg
 """
 
@@ -899,7 +918,21 @@ def _editdist_pairs(p: DataFrame, block_cols: list) -> DataFrame:
     self-join, count ≥ max(L_a, L_b) − 1 − k·q, exact levenshtein on
     survivors). Shared by the registered (brand, size)-blocked query
     and the brand-only-blocked no-drop test, so the filter the test
-    certifies is the filter production runs."""
+    certifies is the filter production runs.
+
+    Short-name completeness (advice r8): the count bound is vacuous
+    when max(L_a, L_b) ≤ (q−1) + k·q — a qualifying pair may then
+    share ZERO q-grams, and the inverted-index join (which needs ≥ 1
+    shared gram to even form a candidate group) would drop it. Only
+    pairs where BOTH names are that short can hit this (one long name
+    forces a positive bound), so such names take an exact in-block
+    levenshtein self-join instead, and the gram path keeps only
+    groups with greatest(la, lb) above the threshold — disjoint by
+    construction, unioned at the end. Short names are a vanishing
+    fraction of any real corpus (none at all in this fixture, min
+    p_name length 7), so the exact path's quadratic-in-block cost is
+    bounded by the shortness itself."""
+    short_max = (_ED_Q - 1) + _ED_K * _ED_Q  # bound ≤ 0 ⟺ max len ≤ this
     grams = p.select(
         "p_partkey",
         "p_brand",
@@ -939,9 +972,12 @@ def _editdist_pairs(p: DataFrame, block_cols: list) -> DataFrame:
             F.col("common")
             >= F.greatest("la", "lb") - (_ED_Q - 1) - _ED_K * _ED_Q
         )
+        # gram path owns only the pairs its bound is non-vacuous for;
+        # both-short pairs come from the exact path below
+        .filter(F.greatest("la", "lb") > F.lit(short_max))
     )
     names = p.select("p_partkey", "p_name")
-    return (
+    gram_pairs = (
         cand.join(names.withColumnRenamed("p_partkey", "ka")
                   .withColumnRenamed("p_name", "name_a"), "ka")
         .join(names.withColumnRenamed("p_partkey", "kb")
@@ -952,6 +988,22 @@ def _editdist_pairs(p: DataFrame, block_cols: list) -> DataFrame:
         )
         .filter(F.col("ed") <= _ED_K)
     )
+    s = p.filter(F.col("ln") <= short_max)
+    sa, sb = s.alias("sa"), s.alias("sb")
+    s_on = F.col("sa.p_partkey") < F.col("sb.p_partkey")
+    for c in block_cols:
+        s_on = s_on & (F.col(f"sa.{c}") == F.col(f"sb.{c}"))
+    short_pairs = (
+        sa.join(sb, s_on)
+        .select(
+            F.col("sa.p_partkey").alias("ka"),
+            F.col("sb.p_partkey").alias("kb"),
+            F.col("sa.p_brand").alias("p_brand"),
+            F.levenshtein("sa.p_name", "sb.p_name").alias("ed"),
+        )
+        .filter(F.col("ed") <= _ED_K)
+    )
+    return gram_pairs.unionByName(short_pairs)
 
 
 def editdist_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:

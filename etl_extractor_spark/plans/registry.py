@@ -69,6 +69,15 @@ _MODULES = (
     # BEHIND the 4 spilled r7 closers (stable module order) and enter
     # the window from round 9.
     "etl_extractor_spark.plans.pipeline_ops5",
+    # Round-9 additions — appended last and defer-tiered at pseudo-
+    # ROUND-2 (_DEFER_RANK), not pseudo-r1: the r9 window is fully
+    # booked (22 deferred ops4/ops5 first-times + the 28 oldest-r2
+    # stale re-checks), and a pseudo-r1 defer would outrank the r2
+    # tier and displace those re-checks. Pseudo-r2 names tie with the
+    # real r2-era names and sort BEHIND all of them (stable module
+    # order), so they stay out of the r9 window and enter the rotation
+    # in round 10 after the 15 remaining real-r2 names.
+    "etl_extractor_spark.plans.pipeline_ops6",
 )
 
 
@@ -179,6 +188,16 @@ def _driver_checked() -> dict:
 # dry-run rigs, tests — sees the same ordering.
 _DEFER_AS_STALE: frozenset = frozenset()
 
+# Rank-parameterized defer tier (round-9 onward): name → pseudo-round.
+# _DEFER_AS_STALE hardcodes pseudo-round 1, which was right while the
+# rotation's oldest tier WAS r1 — but once the r1 era drains (after
+# r9), a new module deferred at rank 1 would OUTRANK the oldest real
+# stale tier and displace its scheduled re-checks. Modules register
+# here with the rank that puts them exactly behind the current oldest
+# real tier (``_registry._DEFER_RANK.update({k: 2 for k in QUERIES})``
+# at the module foot). Checked names always use their real round.
+_DEFER_RANK: dict = {}
+
 
 def _ordered(out: dict, oracles: dict | None = None) -> dict:
     """Never-driver-checked names first (priority head order, then
@@ -198,6 +217,8 @@ def _ordered(out: dict, oracles: dict | None = None) -> dict:
             tier, rnd = True, checked[k]
         elif k in _DEFER_AS_STALE:
             tier, rnd = True, 1  # pseudo-stale: waits its turn in the rotation
+        elif k in _DEFER_RANK:
+            tier, rnd = True, _DEFER_RANK[k]  # pseudo-stale at the given rank
         else:
             tier, rnd = False, 0
         return (

@@ -72,12 +72,29 @@ def compact_with_manifest(
     appends destroyed. ``zcols`` instead re-clusters on the Morton
     curve of several columns (the OPTIMIZE ZORDER BY analog) so the
     repaired layout prunes on all of them.
+
+    Merge-on-read deletes are ABSORBED (round 9): a delete-bearing
+    table is read through ``read_merge_on_read`` — the one reader that
+    applies the committed delete files — so the rewrite materializes
+    the subtraction physically; the swap then removes ``_deletes/``
+    with the old data files and the fresh manifest records no delete
+    files. Reading raw data files here instead (the pre-r9 form) would
+    silently RESURRECT every deleted row in the compacted table — the
+    classic compaction/delete-file race, caught by the
+    tfidf_postings_compaction certification (post-compaction read must
+    hash-match the pre-compaction MOR read). Post-compaction reads pay
+    zero anti-joins: the per-delete-file read tax is gone.
     """
-    from etl_extractor_spark.sinks.manifest import harvest_manifest, read_manifest
+    from etl_extractor_spark.sinks.manifest import (
+        harvest_manifest,
+        read_manifest,
+        read_merge_on_read,
+    )
 
     m = read_manifest(path)
     stats_cols = m["stats_cols"] if m else []
-    df = spark.read.parquet(path)
+    has_deletes = bool(m and m.get("delete_files"))
+    df = read_merge_on_read(spark, path) if has_deletes else spark.read.parquet(path)
     if n_files is None:
         n_files = max(1, math.ceil(dir_bytes(path) / (target_file_mb * 1024 * 1024)))
     tmp = path.rstrip("/") + "__compacting"
