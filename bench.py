@@ -159,6 +159,21 @@ BENCH_QUERIES = [
     "sequence_packing_stripes",
     # spec-evolution scan (same sibling convention)
     "partition_evolution_scan",
+    # round-9 (r8 verdict task 6): the r8 wave heads that still lacked
+    # a line — the rule-report DQ pass, the off-policy IPS estimate,
+    # and the Count-Min error-contract audit
+    "dq_expectations_report",
+    "ips_offline_policy_eval",
+    "count_min_contract",
+    # round-9 wave heads: both halves of the aggregation-skew story on
+    # the 95%-hot-key fixture (the two-phase algebraic form and the
+    # exact-median class where two-phase wins 2×), incremental MV
+    # maintenance (write + delta merge + re-read), and the per-column
+    # entropy profile
+    "salted_skew_agg_totals",
+    "skewed_exact_median_value",
+    "mv_incremental_daily_revenue",
+    "column_entropy_profile",
 ]
 
 

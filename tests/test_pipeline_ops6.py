@@ -171,6 +171,55 @@ def test_editdist_short_names_not_dropped(spark):
     assert got == want  # nothing dropped, nothing invented
 
 
+def test_column_entropy_limits(spark):
+    """Entropy readout sanity at the closed-form corners: a constant
+    column has H = 0 exactly (ln(1) terms vanish), a uniform two-value
+    column has H = ln 2 (micro-nats 693147 ± 1 for the floor)."""
+    from etl_extractor_spark.plans.pipeline_ops6 import _col_entropy
+
+    const = spark.createDataFrame([("x",)] * 64, "v string")
+    row = _col_entropy(const, "v").collect()[0]
+    assert row["entropy_micronat"] == 0 and row["n_distinct"] == 1
+
+    uni = spark.createDataFrame([("a",), ("b",)] * 32, "v string")
+    row = _col_entropy(uni, "v").collect()[0]
+    assert abs(row["entropy_micronat"] - 693147) <= 1
+
+
+def test_mv_incremental_equals_rebuild(spark, sf_dir):
+    """The MV maintenance contract at the day level (the registered
+    query rolls up to years; this pins the finer grain): merged MV
+    rows == full-rebuild rows, day for day."""
+    from etl_extractor_spark.plans.pipeline_ops6 import (
+        mv_incremental_daily_revenue,
+    )
+    from etl_extractor_spark.sources.parquet import load_table
+
+    # run the maintenance path (writes + merges the scratch MV)
+    mv_incremental_daily_revenue(spark, sf_dir).collect()
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.sinks import manifest as MF
+
+    path = pid_scratch_dir("spark_graft_mv_daily_")
+    got = {
+        r["o_orderdate"]: (r["n_orders"], r["revenue_cents"])
+        for r in MF.read_table(spark, path).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    want = {
+        r["o_orderdate"]: (r["n"], r["cents"])
+        for r in o.groupBy("o_orderdate")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            ).cast("long").alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_r9_window_protected_from_ops6():
     """Invariant the round hangs on: with the committed CORRECTNESS
     files through r8 pinned, the 50-slot window is exactly 22 deferred
