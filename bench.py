@@ -174,6 +174,10 @@ BENCH_QUERIES = [
     "skewed_exact_median_value",
     "mv_incremental_daily_revenue",
     "column_entropy_profile",
+    # round-9 closers: CUPED covariate adjustment and the schema-
+    # evolution scan (the lakehouse sibling of partition evolution)
+    "cuped_adjusted_lift",
+    "schema_evolution_scan",
 ]
 
 

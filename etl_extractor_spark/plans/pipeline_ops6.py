@@ -666,6 +666,73 @@ ORACLES["cuped_adjusted_lift"] = f"""
 """
 
 
+# --- 8. Schema evolution on read ---------------------------------------------------
+
+
+def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution, the sibling of round-8's partition-spec
+    evolution: old files were written BEFORE a column existed (v1 =
+    key + price), new files carry the added column (v2 = + status) —
+    data is never rewritten when a column is added; readers widen old
+    files with nulls and apply the column default. The scan uses
+    parquet mergeSchema (footer-union, no data pass) and a
+    coalesce-to-default projection; the oracle re-derives the same
+    default rule from the base table, so the driver hash certifies
+    widen + default semantics end to end.
+
+    100 TB: mergeSchema unions FOOTERS (per-file metadata, not data);
+    the default fill is a map-side coalesce. The v1/v2 split is
+    deterministic (key parity) so every run writes the same two file
+    generations to the pid-scratch table."""
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        "o_orderstatus",
+    )
+    path = pid_scratch_dir("spark_graft_schema_evo_")
+    shutil.rmtree(path, ignore_errors=True)  # deterministic rebuild per run
+    o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "cents").write.mode(
+        "overwrite"
+    ).parquet(path + "/gen=v1")
+    o.filter(F.col("o_orderkey") % 2 == 1).write.mode("overwrite").parquet(
+        path + "/gen=v2"
+    )
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "false")
+        .parquet(path)
+        .select(
+            F.coalesce("o_orderstatus", F.lit("NA")).alias("status"),
+            "cents",
+        )
+    )
+    return (
+        merged.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("status")
+    )
+
+
+QUERIES["schema_evolution_scan"] = schema_evolution_scan
+ORACLES["schema_evolution_scan"] = """
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'NA' ELSE o_orderstatus END AS status,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders
+    GROUP BY 1 ORDER BY status
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-round-2
     stale (see module docstring — pseudo-r1 would displace the r9
