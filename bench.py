@@ -174,10 +174,18 @@ BENCH_QUERIES = [
     "skewed_exact_median_value",
     "mv_incremental_daily_revenue",
     "column_entropy_profile",
-    # round-9 closers: CUPED covariate adjustment and the schema-
-    # evolution scan (the lakehouse sibling of partition evolution)
+    # round-9 closers: CUPED covariate adjustment, the schema-
+    # evolution scan (the lakehouse sibling of partition evolution),
+    # the delete-compaction lifecycle (write + delete + compact +
+    # re-query — the cost is dominated by the same bootstrap the
+    # deletes flagship pays; the compaction read path is the part
+    # this line guards), and the 13th certified stream (stream-stream
+    # LEFT OUTER join — review catch: every certified stream has a
+    # line)
     "cuped_adjusted_lift",
     "schema_evolution_scan",
+    "tfidf_postings_compaction",
+    "streaming_outer_join_replay",
 ]
 
 

@@ -101,16 +101,25 @@ def reliable_checkpoint(df: DataFrame) -> DataFrame:
     sc = df.sparkSession.sparkContext
     cur = sc.getCheckpointDir()
     if cur is None:
-        import atexit
-        import tempfile
+        # first-call branch under the lock too (review catch on the
+        # r8-advice fix): two concurrent first callers would both
+        # mkdtemp + setCheckpointDir — the loser's dir sits unused
+        # until exit and the decision cache is written twice. Double-
+        # checked so the winner's dir is adopted by the loser.
+        with _SWAP_LOCK:
+            cur = sc.getCheckpointDir()
+            if cur is None:
+                import atexit
+                import tempfile
 
-        d = tempfile.mkdtemp(prefix="spark_reliable_ckpt_")
-        sc.setCheckpointDir(d)
-        if not _ATEXIT_DIRS:
-            atexit.register(_cleanup_dirs)
-        _ATEXIT_DIRS.append(d)
-        _ADOPT_DECISION[sc.applicationId] = None  # we own the dir now
-        return df.checkpoint(eager=True)
+                d = tempfile.mkdtemp(prefix="spark_reliable_ckpt_")
+                sc.setCheckpointDir(d)
+                if not _ATEXIT_DIRS:
+                    atexit.register(_cleanup_dirs)
+                _ATEXIT_DIRS.append(d)
+                _ADOPT_DECISION[sc.applicationId] = None  # we own the dir now
+        if cur is None:
+            return df.checkpoint(eager=True)
     if sc.applicationId not in _ADOPT_DECISION:
         # per-CONTEXT decision cache (review catch: a process-global
         # bool would silently skip adoption for a second SparkContext

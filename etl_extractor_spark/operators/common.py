@@ -83,20 +83,24 @@ def pid_scratch_dir(prefix: str) -> str:
             else:
                 # pid is alive but may be an unrelated process that
                 # recycled the number. Age test uses the NEWEST mtime
-                # among the dir and its direct children (advice r8):
-                # writes land in nested subdirs and don't bump the
-                # root's mtime, so a genuinely live long-running owner
-                # with a reused-looking pid would otherwise be reaped
-                # out from under itself. One extra listdir per
-                # candidate, and only on the once-per-process scan.
+                # in the ENTIRE tree (advice r8 + review catch on the
+                # first fix): writes land in nested subdirs — possibly
+                # depth-2+ partition leaves (path/year=X/month=Y/) —
+                # and bump only their immediate parent's mtime, so a
+                # genuinely live long-running owner with a
+                # reused-looking pid would otherwise be reaped out
+                # from under itself. The walk is bounded by the
+                # candidate scratch dir's own tree and runs only on
+                # the once-per-process scan.
                 try:
                     newest = os.stat(p).st_mtime
-                    for child in os.listdir(p):
-                        try:
-                            m = os.stat(os.path.join(p, child)).st_mtime
-                        except OSError:
-                            continue
-                        newest = max(newest, m)
+                    for root_, dirs_, files_ in os.walk(p):
+                        for entry in dirs_ + files_:
+                            try:
+                                m = os.stat(os.path.join(root_, entry)).st_mtime
+                            except OSError:
+                                continue
+                            newest = max(newest, m)
                     stale = now - newest > _ORPHAN_MAX_AGE_S
                 except OSError:
                     pass

@@ -288,10 +288,20 @@ def _col_entropy(df: DataFrame, col: str) -> DataFrame:
     """One column's profile row: n, n_distinct, Shannon entropy in
     integer micro-nats. H = ln(n) − (1/n)·Σ c·ln(c) over the value
     counts c; the per-value ln is floored to micro-units BEFORE the
-    (exact, order-free) integer sum — the repo's standard treatment of
+    (exact, order-free) sum — the repo's standard treatment of
     transcendental terms (ln is not IEEE-specified cross-engine; flip
     odds ~1e-9 per distinct value, and categorical columns have few).
-    ln(1) = 0 exactly on both engines, so singleton values are safe."""
+    ln(1) = 0 exactly on both engines, so singleton values are safe.
+
+    Headroom (review catch): the summed term is c·ln(c)·1e6 ≈ 26e6·c
+    at corpus scale, so a BIGINT sum would wrap around SF 2.4e5 — and
+    Spark wraps SILENTLY while DuckDB's HUGEINT stays exact, the
+    engines-diverge failure mode. The sum is therefore DECIMAL(38,0)/
+    HUGEINT (exact to ~1e38), and the final S/n division is ONE
+    identical floor(double(S)/double(n)) sequence on both engines
+    (S ≥ 0 so floor ≡ the old truncating div; the double conversion's
+    relative error ~1e-16 adds flip odds far below the ln terms'
+    own ~1e-9)."""
     vc = df.groupBy(F.col(col).alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
@@ -302,8 +312,9 @@ def _col_entropy(df: DataFrame, col: str) -> DataFrame:
         (
             F.floor(F.log(F.sum("c").cast("double")) * F.lit(1e6)).cast("long")
             - F.expr(
-                "CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)) "
-                "div sum(c) AS BIGINT)"
+                "CAST(floor(CAST(sum(CAST(c AS DECIMAL(38,0))"
+                " * floor(ln(CAST(c AS DOUBLE)) * 1e6)) AS DOUBLE)"
+                " / CAST(sum(c) AS DOUBLE)) AS BIGINT)"
             )
         ).alias("entropy_micronat"),
     )
@@ -340,8 +351,9 @@ _ENTROPY_COL_SQL = """
            CAST(sum(c) AS BIGINT) AS n_rows,
            count(*)::BIGINT AS n_distinct,
            CAST(floor(ln(CAST(sum(c) AS DOUBLE)) * 1e6) AS BIGINT)
-             - CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT))
-                    // sum(c) AS BIGINT) AS entropy_micronat
+             - CAST(floor(CAST(sum(CAST(c AS HUGEINT)
+                 * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)) AS DOUBLE)
+                 / CAST(sum(c) AS DOUBLE)) AS BIGINT) AS entropy_micronat
     FROM (SELECT {name} AS v, count(*)::BIGINT AS c FROM {table} GROUP BY 1)
 """
 

@@ -408,15 +408,15 @@ ORACLES["jsonl_roundtrip"] = JSONL_ROUNDTRIP_SQL
 def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-family small-file compaction under the hash gate: supplier is
     deliberately written as 8 fragment files (the streaming-ingest
-    disease), compacted with the engine's compactor (coalesce rewrite
-    — narrow, no shuffle), and read back; output = the per-nation
-    rollup PLUS a ``compaction_ok`` contract bit (post-compaction file
-    count == ceil(fragment_bytes / target), computed Spark-side), so
-    the oracle pins both the content (unchanged) and the layout claim
-    at ANY scale factor. Small files are the #1
+    disease), compacted with the engine's compactor, and read back;
+    output = the per-nation rollup PLUS a ``compaction_ok`` contract
+    bit (post-compaction file count == the compactor's shared
+    plan_file_count rule, computed Spark-side), so the oracle pins
+    both the content (unchanged) and the layout claim at ANY scale
+    factor. Small files are the #1
     silent performance killer of long-lived 100 TB tables — this makes
     the repair operation itself driver-verifiable."""
-    from etl_extractor_spark.sinks.compact import compact_parquet
+    from etl_extractor_spark.sinks.compact import compact_parquet, plan_file_count
 
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey", F.round("s_acctbal", 2).alias("bal")
@@ -424,15 +424,18 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = pid_scratch_dir("spark_graft_compact_")
     s.repartition(8).write.mode("overwrite").parquet(path)
     # pin the compactor's CONTRACT, not a literal file count: expected
-    # = ceil(fragment_bytes / target). A hardcoded `1` broke the oracle
-    # the moment the table outgrew one target file (ADVICE r3) — this
-    # form is scale-factor-independent and still fails if the
-    # compactor mis-sizes its output.
-    import math
-
-    from etl_extractor_spark.sinks.compact import dir_bytes
-
-    expected = max(1, math.ceil(dir_bytes(path) / (128 * 1024 * 1024)))
+    # comes from the compactor's OWN shared sizing rule
+    # (plan_file_count — ceil(bytes/target) floored at parallelism).
+    # A hardcoded `1` broke the oracle the moment the table outgrew
+    # one target file (ADVICE r3); an inline COPY of the rule broke
+    # again when round 9 added the parallelism floor and only the
+    # compactor changed (review catch — the copy silently pinned the
+    # old rule, flipping compaction_ok at the SF where floor > size
+    # term). Sharing the function makes expected-vs-achieved drift
+    # structurally impossible; the bit still fails if the compactor
+    # cannot ACHIEVE its plan (the review-confirmed coalesce-can't-
+    # grow bug was exactly that failure, now fixed + tested).
+    expected = plan_file_count(spark, path, target_file_mb=128)
     n_after = compact_parquet(spark, path, target_file_mb=128)
     back = spark.read.parquet(path)
     return back.groupBy("s_nationkey").agg(

@@ -34,24 +34,52 @@ def dir_bytes(path: str) -> int:
     )
 
 
+def plan_file_count(spark: SparkSession, path: str, target_file_mb: int = 128) -> int:
+    """The compactor's target file count — ONE shared rule (review
+    catch: two inline copies had already started to drift from the
+    contract query's third copy): ceil(size / target), FLOORED at the
+    session's parallelism for small tables (round-9 measurement: the
+    pure size rule compacted a ~400 MB table to 3 files = 3 scan
+    splits on a 32-core box, and post-compaction reads ran 1.9×
+    SLOWER than the 32-file layout they replaced — 5.55 s vs 2.92 s;
+    32 files restored 3.5 s and still removed the delete-file tax).
+    The floor is capped at one file per 16 MB so tiny tables never
+    shatter (a 32 000-core cluster must not turn 400 MB into 32 000
+    files); at 100 TB the size term dominates and the floor is inert.
+    One dir walk total."""
+    b = dir_bytes(path)
+    by_size = math.ceil(b / (target_file_mb * 1024 * 1024))
+    floor = min(
+        spark.sparkContext.defaultParallelism,
+        math.ceil(b / (16 * 1024 * 1024)),
+    )
+    return max(1, by_size, floor)
+
+
+def _exactly_n_files(df, n_files: int):
+    """Repartition ``df`` to EXACTLY n_files output partitions.
+    coalesce only ever DECREASES partition count (review catch,
+    empirically confirmed: a 16-file table scanning as 7 partitions
+    wrote 7 files where the floor targeted 14 — the parallelism floor
+    was silently unreachable on the narrow path), so when the scan
+    arrives with fewer partitions than the target the rewrite pays
+    the full shuffle — that IS the price of raising a table's read
+    parallelism."""
+    current = df.rdd.getNumPartitions()
+    return df.coalesce(n_files) if current >= n_files else df.repartition(n_files)
+
+
 def compact_parquet(
     spark: SparkSession, path: str, target_file_mb: int = 128
 ) -> int:
-    """Rewrite ``path`` into ceil(size / target) files; returns the new
-    file count. coalesce (narrow, no shuffle) — row order within files
-    changes, content doesn't. File count floored at the session's
-    parallelism for small tables (capped at 16 MB/file) — see the
-    compact_with_manifest note for the measured read-parallelism
-    regression the pure size rule caused."""
-    by_size = math.ceil(dir_bytes(path) / (target_file_mb * 1024 * 1024))
-    floor = min(
-        spark.sparkContext.defaultParallelism,
-        math.ceil(dir_bytes(path) / (16 * 1024 * 1024)),
-    )
-    n_files = max(1, by_size, floor)
+    """Rewrite ``path`` into plan_file_count(...) files; returns the
+    new file count. Narrow coalesce when shrinking (row order within
+    files changes, content doesn't); a shuffle repartition when the
+    parallelism floor needs MORE files than the scan has partitions."""
+    n_files = plan_file_count(spark, path, target_file_mb)
     tmp = path.rstrip("/") + "__compacting"
     df = spark.read.parquet(path)
-    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    _exactly_n_files(df, n_files).write.mode("overwrite").parquet(tmp)
     shutil.rmtree(path)
     os.rename(tmp, path)
     return parquet_file_count(path)
@@ -104,23 +132,7 @@ def compact_with_manifest(
     has_deletes = bool(m and m.get("delete_files"))
     df = read_merge_on_read(spark, path) if has_deletes else spark.read.parquet(path)
     if n_files is None:
-        # Size-based target, FLOORED at the session's parallelism for
-        # small tables (round-9 measurement, 500 k-doc postings probe):
-        # the pure ceil(bytes/128 MB) rule compacted a ~400 MB table to
-        # 3 files — 3 scan splits on a 32-core box — and post-
-        # compaction reads ran ~1.9× SLOWER than the 32-file layout
-        # they replaced (5.55 s vs 2.92 s); re-compacting at 32 files
-        # restored 3.5 s and still removed the delete-file tax. The
-        # floor is capped so tiny tables never shatter into sub-16 MB
-        # files (a 32 000-core cluster must not turn a 400 MB table
-        # into 32 000 files); at 100 TB the size-based term dominates
-        # and the floor is inert.
-        by_size = math.ceil(dir_bytes(path) / (target_file_mb * 1024 * 1024))
-        floor = min(
-            spark.sparkContext.defaultParallelism,
-            math.ceil(dir_bytes(path) / (16 * 1024 * 1024)),
-        )
-        n_files = max(1, by_size, floor)
+        n_files = plan_file_count(spark, path, target_file_mb)
     tmp = path.rstrip("/") + "__compacting"
     if zcols:
         from etl_extractor_spark.sinks.zorder import zvalue
@@ -134,7 +146,7 @@ def compact_with_manifest(
     elif sort_col:
         laid = df.repartitionByRange(n_files, sort_col).sortWithinPartitions(sort_col)
     else:
-        laid = df.coalesce(n_files)
+        laid = _exactly_n_files(df, n_files)
     laid.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(path)
     os.rename(tmp, path)

@@ -70,6 +70,40 @@ def test_compact_without_deletes_unchanged(spark, tmp_path):
     assert got == list(range(100))
 
 
+def test_exactly_n_files_grows_and_shrinks(spark):
+    """Review catch, empirically confirmed before the fix: coalesce
+    never INCREASES partition count, so the parallelism floor was
+    silently unreachable whenever the scan arrived with fewer
+    partitions than the target (a 16-file table scanning as 7
+    partitions wrote 7 files where the floor said 14). The helper
+    must hit the exact target in both directions."""
+    from etl_extractor_spark.sinks.compact import _exactly_n_files
+
+    df = spark.range(1000).repartition(2)
+    assert _exactly_n_files(df, 5).rdd.getNumPartitions() == 5  # grow
+    df8 = spark.range(1000).repartition(8)
+    assert _exactly_n_files(df8, 3).rdd.getNumPartitions() == 3  # shrink
+    assert _exactly_n_files(df8, 8).rdd.getNumPartitions() == 8  # equal
+
+
+def test_compaction_contract_shares_sizing_rule(spark, tmp_path):
+    """compact_parquet must ACHIEVE plan_file_count's target exactly —
+    the contract bit in compaction_roundtrip compares these two, and
+    they must agree by construction, not by accident."""
+    from etl_extractor_spark.sinks.compact import (
+        compact_parquet,
+        plan_file_count,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(100_000).selectExpr("id", "id * 2 AS v").repartition(
+        16
+    ).write.mode("overwrite").parquet(path)
+    expected = plan_file_count(spark, path, target_file_mb=128)
+    got = compact_parquet(spark, path, target_file_mb=128)
+    assert got == expected
+
+
 def test_lower_median_formula_matches_quantile_disc():
     """The two-phase median's 1-based pick position ((n−1) div 2 + 1)
     must equal DuckDB quantile_disc(·, 0.5) — re-asserted here at the
