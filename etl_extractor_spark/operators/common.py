@@ -93,14 +93,23 @@ def pid_scratch_dir(prefix: str) -> str:
                 # candidate scratch dir's own tree and runs only on
                 # the once-per-process scan.
                 try:
+                    # early exit on the FIRST fresh entry (review
+                    # catch: a live neighbor's corpus-scale scratch
+                    # tree is O(10⁴) files — one fresh mtime already
+                    # proves liveness, no need to stat the rest)
+                    fresh_cut = now - _ORPHAN_MAX_AGE_S
                     newest = os.stat(p).st_mtime
                     for root_, dirs_, files_ in os.walk(p):
+                        if newest > fresh_cut:
+                            break
                         for entry in dirs_ + files_:
                             try:
                                 m = os.stat(os.path.join(root_, entry)).st_mtime
                             except OSError:
                                 continue
                             newest = max(newest, m)
+                            if newest > fresh_cut:
+                                break
                     stale = now - newest > _ORPHAN_MAX_AGE_S
                 except OSError:
                     pass

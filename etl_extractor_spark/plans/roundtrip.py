@@ -434,9 +434,13 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # term). Sharing the function makes expected-vs-achieved drift
     # structurally impossible; the bit still fails if the compactor
     # cannot ACHIEVE its plan (the review-confirmed coalesce-can't-
-    # grow bug was exactly that failure, now fixed + tested).
+    # grow bug was exactly that failure, now fixed + tested). The
+    # plan is evaluated ONCE and passed through (second review catch:
+    # two independent evaluations read defaultParallelism at two
+    # instants — dynamic executor allocation could move the floor
+    # between them and flip the bit on a correct compaction).
     expected = plan_file_count(spark, path, target_file_mb=128)
-    n_after = compact_parquet(spark, path, target_file_mb=128)
+    n_after = compact_parquet(spark, path, target_file_mb=128, n_files=expected)
     back = spark.read.parquet(path)
     return back.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("n_suppliers"),

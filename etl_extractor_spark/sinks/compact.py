@@ -16,22 +16,27 @@ import shutil
 from pyspark.sql import SparkSession
 
 
+def _data_files(path: str):
+    """Yield the table's DATA parquet files — skipping underscore-
+    prefixed metadata subtrees (_deletes/, _staging/, _SUCCESS-style
+    markers), the same convention Spark's own readers apply. Review
+    catch: sizing a delete-bearing MOR table from a walk that counts
+    _deletes/*.parquet (and docstring-level: the deleted rows' data
+    bytes too — a second-order overshoot documented at the call site)
+    skews the compaction file-count plan."""
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith("_")]
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                yield os.path.join(root, f)
+
+
 def parquet_file_count(path: str) -> int:
-    return sum(
-        1
-        for root, _, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    return sum(1 for _ in _data_files(path))
 
 
 def dir_bytes(path: str) -> int:
-    return sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    return sum(os.path.getsize(f) for f in _data_files(path))
 
 
 def plan_file_count(spark: SparkSession, path: str, target_file_mb: int = 128) -> int:
@@ -56,7 +61,7 @@ def plan_file_count(spark: SparkSession, path: str, target_file_mb: int = 128) -
     return max(1, by_size, floor)
 
 
-def _exactly_n_files(df, n_files: int):
+def _exactly_n_files(df, n_files: int, probe: bool = True):
     """Repartition ``df`` to EXACTLY n_files output partitions.
     coalesce only ever DECREASES partition count (review catch,
     empirically confirmed: a 16-file table scanning as 7 partitions
@@ -64,19 +69,42 @@ def _exactly_n_files(df, n_files: int):
     was silently unreachable on the narrow path), so when the scan
     arrives with fewer partitions than the target the rewrite pays
     the full shuffle — that IS the price of raising a table's read
-    parallelism."""
+    parallelism.
+
+    ``probe=False`` skips the partition-count probe and always
+    shuffles (second review catch: ``df.rdd`` under AQE finalizes the
+    plan, EXECUTING upstream query stages once before the write runs
+    them again — on a merge-on-read plan that means every delete-file
+    broadcast anti-join runs twice per compaction; callers with
+    non-trivial plans pass probe=False and accept one shuffle
+    instead)."""
+    if not probe:
+        return df.repartition(n_files)
     current = df.rdd.getNumPartitions()
     return df.coalesce(n_files) if current >= n_files else df.repartition(n_files)
 
 
 def compact_parquet(
-    spark: SparkSession, path: str, target_file_mb: int = 128
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    n_files: int | None = None,
 ) -> int:
-    """Rewrite ``path`` into plan_file_count(...) files; returns the
-    new file count. Narrow coalesce when shrinking (row order within
-    files changes, content doesn't); a shuffle repartition when the
-    parallelism floor needs MORE files than the scan has partitions."""
-    n_files = plan_file_count(spark, path, target_file_mb)
+    """Rewrite ``path`` into plan_file_count(...) files (or an
+    explicit ``n_files``); returns the new file count. Narrow coalesce
+    when shrinking (row order within files changes, content doesn't);
+    a shuffle repartition when the parallelism floor needs MORE files
+    than the scan has partitions. The probe is safe here: the plan is
+    a bare parquet scan, so AQE finalization executes nothing.
+
+    ``n_files`` exists so a contract that compares planned-vs-achieved
+    counts can evaluate the sizing rule ONCE and pass it through
+    (second review catch: two independent plan_file_count calls read
+    defaultParallelism at two instants — under dynamic executor
+    allocation the floor can move between them and a correct
+    compaction reads as a broken contract)."""
+    if n_files is None:
+        n_files = plan_file_count(spark, path, target_file_mb)
     tmp = path.rstrip("/") + "__compacting"
     df = spark.read.parquet(path)
     _exactly_n_files(df, n_files).write.mode("overwrite").parquet(tmp)
@@ -132,6 +160,13 @@ def compact_with_manifest(
     has_deletes = bool(m and m.get("delete_files"))
     df = read_merge_on_read(spark, path) if has_deletes else spark.read.parquet(path)
     if n_files is None:
+        # Sizing reads pre-compaction DATA bytes (the _deletes/ subtree
+        # is excluded by _data_files). Known second-order overshoot: on
+        # a heavily-deleted table the soon-to-be-removed rows' bytes
+        # still count, so by_size overshoots by the deleted fraction —
+        # acceptable at the ≤ a-few-percent delete rates MOR targets
+        # (a 40%-deleted table should be compacted long before this
+        # sizing nuance matters, and the floor usually dominates then).
         n_files = plan_file_count(spark, path, target_file_mb)
     tmp = path.rstrip("/") + "__compacting"
     if zcols:
@@ -146,7 +181,10 @@ def compact_with_manifest(
     elif sort_col:
         laid = df.repartitionByRange(n_files, sort_col).sortWithinPartitions(sort_col)
     else:
-        laid = _exactly_n_files(df, n_files)
+        # probe only when the plan is a bare scan: on a MOR plan the
+        # partition-count probe would execute the delete anti-joins
+        # twice (see _exactly_n_files)
+        laid = _exactly_n_files(df, n_files, probe=not has_deletes)
     laid.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(path)
     os.rename(tmp, path)
