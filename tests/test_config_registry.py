@@ -96,9 +96,10 @@ def test_registry_self_rotation():
     CORRECTNESS_r*.json, it must sort behind every never-checked
     oracle-backed name; DEFERRED never-checked names (the round-7
     mechanism for additions made after the backlog shrank below the
-    window) rank with the checked band as pseudo-r1-stale; rows-only
-    names sort behind ALL oracle-backed names; the canary stays last
-    regardless."""
+    window) rank with the checked band as pseudo-r1-stale; rank-deferred
+    names (the round-9 ``_DEFER_RANK`` generalization) likewise rank
+    inside the checked band at their pseudo-round; rows-only names sort
+    behind ALL oracle-backed names; the canary stays last regardless."""
     from etl_extractor_spark.plans import registry as R
 
     oracles = R.all_oracles()
@@ -111,7 +112,8 @@ def test_registry_self_rotation():
             return 3
         if n not in oracles:
             return 2
-        return 1 if (n in checked or n in R._DEFER_AS_STALE) else 0
+        deferred = n in R._DEFER_AS_STALE or n in R._DEFER_RANK
+        return 1 if (n in checked or deferred) else 0
 
     classes = [cls(n) for n in names]
     assert classes == sorted(classes), "registry order violates rotation classes"
@@ -132,6 +134,7 @@ def test_registry_self_rotation():
             and n not in checked
             and n not in win
             and n not in R._DEFER_AS_STALE
+            and n not in R._DEFER_RANK
         ]
         assert nxt[: len(remaining)] == sorted(
             remaining, key=lambda n: nxt.index(n)
