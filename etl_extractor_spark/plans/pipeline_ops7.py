@@ -1,0 +1,389 @@
+"""Round-9 second wave: mergeable exact-distinct bitmap rollup (the
+roaring-bitmap warehouse pattern, certified against plain COUNT
+DISTINCT), split-conformal prediction intervals (exact order-statistic
+calibration + held-out coverage), late-arriving-dimension backfill
+(the two-phase DW enrichment the reference's star loader would need
+the day its dim extract lags the fact extract), and — in later
+batches — IPF raking weights, graph modularity, Holt linear
+forecasting, and the 14th certified stream (conditional last-wins
+streaming upsert).
+
+Reference provenance: the reference pipeline (nilfredb/ETL-Extractor,
+extract/*.py + main.py:97-306) loads dims and facts in one shot with
+no late-arrival handling, no distinct-count rollups and no
+forecasting; these are the operators its DW surface grows into at
+100 TB, built Spark-first with the repo's cross-engine arithmetic
+conventions (integer sufficient statistics, multiply-before-divide,
+integer floor division, pinned constants over data-derived ones).
+
+Registry placement: appended AFTER pipeline_ops6 in
+plans/registry._MODULES AND defer-tiered at pseudo-round-2
+(``registry._DEFER_RANK``), exactly like pipeline_ops6: the r9 sweep
+window is fully booked (22 deferred ops4/ops5 first-times + the 28
+oldest-r2 stale re-checks); pseudo-r2 names tie with the real r2-era
+names and sort behind ALL of them (and behind ops6, by stable module
+order), so these names stay out of the r9 window and enter the r10
+rotation after the 15 remaining real-r2 names and the 8 ops6 names.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_extractor_spark.sources.parquet import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _md5_bucket_sql(key_expr: str, mod: int) -> str:
+    """DuckDB SQL for the repo's cross-engine md5 bucket (first 8 hex
+    digits of md5(CAST(key AS VARCHAR)) as a BIGINT, mod ``mod``) —
+    the same convention as training_prep._MD5_BUCKET, generalized to
+    any key expression."""
+    nibbles = " + ".join(
+        f"(CAST(strpos('0123456789abcdef', substr(md5(CAST({key_expr} AS VARCHAR)), {1 + j}, 1)) - 1 AS BIGINT) << {4 * (7 - j)})"
+        for j in range(8)
+    )
+    return f"(({nibbles}) % {mod})"
+
+
+def _md5_bucket_col(key: F.Column, mod: int) -> F.Column:
+    """Spark twin of _md5_bucket_sql (functions/dates-style column
+    builder): pmod(conv(md5(key)[:8], 16, 10), mod)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(mod),
+    )
+
+
+_CENTS = lambda c: (F.col(c).cast("decimal(18,2)") * 100).cast("long")  # noqa: E731
+
+
+# --- 1. Mergeable exact-distinct bitmap rollup ---------------------------------
+#
+# COUNT(DISTINCT key) GROUP BY g shuffles every raw (g, key) pair —
+# at 100 TB that is the full fact-table key traffic. The warehouse
+# fix (roaring bitmaps in Druid/ClickHouse/Snowflake) represents each
+# group's key set as a bitmap whose per-partition partials OR
+# together. This is that plan in pure Catalyst: key → (word, bit),
+# bit_or partial per (group, word) — map-side combinable, one 8-byte
+# word per 63-key block per group crosses the wire — then
+# sum(bit_count). 63-bit words keep every shift ≤ 62 (1<<63 overflows
+# DuckDB's BIGINT left shift and flips Spark's sign bit — measured,
+# see tests).
+
+_BM_WORD = 63
+
+
+def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct ordering customers per (nation, order-year) via the
+    mergeable-bitmap plan, certified against plain COUNT(DISTINCT):
+    c_custkey → (word = key div 63, bit = key % 63); partial
+    bit_or(1<<bit) per (nation, year, word) — Spark's partial
+    aggregation ORs each map partition's contribution before the
+    shuffle, so per (group, word-block) exactly one BIGINT crosses —
+    then sum(bit_count(word)) per group.
+
+    100 TB: the shuffle carries ≤ |groups|·⌈keyspace/63⌉ words
+    regardless of row count (vs every raw pair for COUNT DISTINCT);
+    for dense surrogate keys (this repo's dims are row_number-keyed,
+    operators/dims.py:43) occupancy is high and the bitmap is within
+    8·63/64 bits per key of information-optimal. Sparse/huge domains
+    want the KMV/HLL/Theta sketches already certified in
+    pipeline_ops3 — this is the EXACT member of that family."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").cast("int").alias("order_year")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rows = o.join(c, o["o_custkey"] == c["c_custkey"]).join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    )
+    words = (
+        rows.select(
+            "n_name",
+            "order_year",
+            F.expr(f"c_custkey div {_BM_WORD}").alias("word_idx"),
+            F.expr(
+                f"shiftleft(1L, CAST(c_custkey % {_BM_WORD} AS INT))"
+            ).alias("bit_val"),
+        )
+        .groupBy("n_name", "order_year", "word_idx")
+        .agg(F.expr("bit_or(bit_val)").alias("bm"))
+    )
+    return (
+        words.groupBy("n_name", "order_year")
+        .agg(
+            F.sum(F.expr("bit_count(bm)")).cast("long").alias("n_customers")
+        )
+        .select(
+            F.col("n_name").alias("nation"), "order_year", "n_customers"
+        )
+        .orderBy("nation", "order_year")
+    )
+
+
+QUERIES["bitmap_distinct_rollup"] = bitmap_distinct_rollup
+# The oracle is the SEMANTIC truth (plain COUNT DISTINCT), not the
+# bitmap SQL — the hash match certifies the bitmap decomposition.
+ORACLES["bitmap_distinct_rollup"] = """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2
+    ORDER BY nation, order_year
+"""
+
+
+# --- 2. Split-conformal prediction intervals ------------------------------------
+#
+# Distribution-free interval calibration (Vovk; Angelopoulos & Bates
+# 2021 survey): fit any predictor on a train split, take the
+# ⌈(n+1)(1−α)⌉-th smallest absolute residual on a disjoint
+# calibration split as the interval half-width q, and the marginal
+# coverage of ŷ ± q on fresh data is ≥ 1−α. Everything here is
+# integer-exact: cents, an exact order statistic (no interpolating
+# percentile), and the repo's md5 split so both engines agree on
+# membership.
+
+_CONF_ALPHA_NUM, _CONF_ALPHA_DEN = 1, 10  # alpha = 0.1 → 90% target
+
+
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-mktsegment split-conformal calibration of a per-segment
+    mean-cents predictor: md5(o_orderkey) % 4 → buckets 0,1 train /
+    2 calibration / 3 test. q_seg = k-th smallest |residual| on the
+    calibration split with k = min(n_cal, ceil((n_cal+1)·0.9));
+    coverage_bps counts test rows with |y − ŷ| ≤ q_seg. The oracle
+    re-derives the whole chain in SQL, so the hash match pins split
+    membership, the floor-divided predictor, the exact order
+    statistic, and the coverage count.
+
+    100 TB: one SF-scaled orders⋈customer join for segment labels
+    (shuffle on the join key), then per-segment aggregates; the order
+    statistic is a per-segment sort of the CALIBRATION split only
+    (25% of rows, grouped into 5 segments — skew-free since segments
+    are uniform); predictor and q are |segments|-row frames, joined
+    back broadcast-small."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", _CENTS("o_totalprice").alias("cents")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    rows = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            "cents",
+            _md5_bucket_col(F.col("o_orderkey"), 4).alias("bucket"),
+        )
+        .persist()
+    )
+    train = rows.filter(F.col("bucket") <= 1)
+    pred = train.groupBy("seg").agg(
+        F.expr("sum(cents) div count(1)").alias("pred_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_train"),
+    )
+    calib = (
+        rows.filter(F.col("bucket") == 2)
+        .join(F.broadcast(pred), "seg")
+        .select(
+            "seg",
+            "n_train",
+            F.abs(F.col("cents") - F.col("pred_cents")).alias("resid"),
+        )
+    )
+    w = Window.partitionBy("seg").orderBy("resid")
+    k_expr = (
+        f"least(n_cal, (9 * n_cal + 9 + {_CONF_ALPHA_DEN} - 1) div {_CONF_ALPHA_DEN})"
+    )
+    q = (
+        calib.withColumn("pos", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "n_cal", F.count(F.lit(1)).over(Window.partitionBy("seg"))
+        )
+        .filter(F.col("pos") == F.expr(k_expr))
+        .select(
+            "seg",
+            "n_train",
+            F.col("n_cal").cast("long").alias("n_cal"),
+            F.col("resid").alias("q_resid_cents"),
+        )
+    )
+    test = rows.filter(F.col("bucket") == 3).join(
+        F.broadcast(pred.select("seg", "pred_cents")), "seg"
+    )
+    cov = test.join(F.broadcast(q), "seg").groupBy(
+        "seg", "n_train", "n_cal", "q_resid_cents"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(
+            (
+                F.abs(F.col("cents") - F.col("pred_cents"))
+                <= F.col("q_resid_cents")
+            ).cast("long")
+        ).alias("n_covered"),
+    )
+    out = cov.select(
+        F.col("seg").alias("mktsegment"),
+        "n_train",
+        "n_cal",
+        "q_resid_cents",
+        "n_test",
+        "n_covered",
+        F.expr("n_covered * 10000 div n_test").alias("coverage_bps"),
+    ).orderBy("mktsegment")
+    rows.unpersist()
+    return out
+
+
+QUERIES["conformal_interval_coverage"] = conformal_interval_coverage
+ORACLES["conformal_interval_coverage"] = f"""
+    WITH rows_b AS (
+      SELECT c_mktsegment AS seg,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             {_md5_bucket_sql('o_orderkey', 4)} AS bucket
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), pred AS (
+      SELECT seg, CAST(sum(cents) // count(*) AS BIGINT) AS pred_cents,
+             count(*)::BIGINT AS n_train
+      FROM rows_b WHERE bucket <= 1 GROUP BY seg
+    ), calib AS (
+      SELECT r.seg, p.n_train, abs(r.cents - p.pred_cents) AS resid
+      FROM rows_b r JOIN pred p USING (seg) WHERE r.bucket = 2
+    ), q AS (
+      SELECT seg, n_train, n_cal, resid AS q_resid_cents
+      FROM (
+        SELECT seg, n_train, resid,
+               row_number() OVER (PARTITION BY seg ORDER BY resid) AS pos,
+               count(*) OVER (PARTITION BY seg)::BIGINT AS n_cal
+        FROM calib
+      )
+      WHERE pos = least(n_cal, (9 * n_cal + 9 + {_CONF_ALPHA_DEN} - 1) // {_CONF_ALPHA_DEN})
+    )
+    SELECT q.seg AS mktsegment, q.n_train, q.n_cal, q.q_resid_cents,
+           count(*)::BIGINT AS n_test,
+           CAST(sum(CASE WHEN abs(r.cents - p.pred_cents) <= q.q_resid_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           CAST(sum(CASE WHEN abs(r.cents - p.pred_cents) <= q.q_resid_cents
+                         THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+             AS coverage_bps
+    FROM rows_b r
+    JOIN pred p USING (seg) JOIN q ON q.seg = r.seg
+    WHERE r.bucket = 3
+    GROUP BY 1, 2, 3, 4
+    ORDER BY mktsegment
+"""
+
+
+# --- 3. Late-arriving-dimension backfill ----------------------------------------
+#
+# The reference's star loader (main.py:97-306) joins facts to dims in
+# one shot and would drop or mis-key facts whose dim row hasn't
+# landed yet. The standard DW fix: phase 1 enriches against the dim
+# snapshot and parks misses under a sentinel; when the late dim batch
+# arrives, phase 2 re-joins ONLY the parked rows. Fixture: the dim
+# snapshot is customers with c_custkey % 10 != 0 (a deterministic
+# "10% of the dim extract is late"); the late batch is the
+# complement.
+
+
+def late_arriving_dim_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase enrichment of orders against a customer dim whose
+    c_custkey % 10 == 0 rows arrive late: phase 1 left-joins the
+    snapshot (misses → sentinel nation -1, parked), phase 2 joins the
+    parked subset against the late batch and stamps was_backfilled=1.
+    Output: per (nation, was_backfilled) order counts + revenue. The
+    oracle is the one-shot full join with the backfill flag derived
+    arithmetically — a hash match certifies the two-phase plan loses
+    nothing, double-counts nothing, and routes exactly the late keys
+    through phase 2.
+
+    100 TB: phase 1 is the ordinary fact⋈dim shuffle join; phase 2
+    touches only the parked rows (the late fraction of the fact — a
+    filter on the phase-1 output that Catalyst pushes to the union
+    branch), joined against the late dim batch which is small by
+    construction (a day's dim churn, broadcastable in production; NOT
+    broadcast here because the fixture's late batch is SF-scaled).
+    Parked rows carry their fact columns, so phase 2 never re-reads
+    the fact table."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", _CENTS("o_totalprice").alias("cents")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    snap = cust.filter(F.col("c_custkey") % 10 != 0)
+    late = cust.filter(F.col("c_custkey") % 10 == 0)
+    ph1 = o.join(snap, o["o_custkey"] == snap["c_custkey"], "left").select(
+        "o_orderkey",
+        "o_custkey",
+        "cents",
+        F.coalesce(F.col("c_nationkey"), F.lit(-1)).alias("nationkey"),
+    )
+    matched = ph1.filter(F.col("nationkey") != -1).withColumn(
+        "was_backfilled", F.lit(0)
+    )
+    parked = ph1.filter(F.col("nationkey") == -1).drop("nationkey")
+    backfilled = (
+        parked.join(late, parked["o_custkey"] == late["c_custkey"], "left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "cents",
+            F.coalesce(F.col("c_nationkey"), F.lit(-1)).alias("nationkey"),
+        )
+        .withColumn("was_backfilled", F.lit(1))
+    )
+    enriched = matched.unionByName(backfilled)
+    return (
+        enriched.join(
+            F.broadcast(nat), enriched["nationkey"] == nat["n_nationkey"]
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("was_backfilled").cast("int").alias("was_backfilled"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("nation", "was_backfilled")
+    )
+
+
+QUERIES["late_arriving_dim_backfill"] = late_arriving_dim_backfill
+ORACLES["late_arriving_dim_backfill"] = """
+    SELECT n_name AS nation,
+           CAST(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END AS INTEGER)
+             AS was_backfilled,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2
+    ORDER BY nation, was_backfilled
+"""
+
+
+def _register_defer() -> None:
+    """Foot-of-module hook: rank this module's names as pseudo-round-2
+    stale (see module docstring). Must run AFTER every QUERIES[...]
+    binding."""
+    from etl_extractor_spark.plans import registry as _registry
+
+    _registry._DEFER_RANK.update({k: 2 for k in QUERIES})
+
+
+_register_defer()

@@ -78,6 +78,10 @@ _MODULES = (
     # order), so they stay out of the r9 window and enter the rotation
     # in round 10 after the 15 remaining real-r2 names.
     "etl_extractor_spark.plans.pipeline_ops6",
+    # Round-9 second wave — appended last and defer-tiered at pseudo-
+    # round-2 like pipeline_ops6 (ties with the real r2 names, sorts
+    # behind them AND behind ops6 by stable module order).
+    "etl_extractor_spark.plans.pipeline_ops7",
 )
 
 
