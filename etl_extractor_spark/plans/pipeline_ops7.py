@@ -241,7 +241,10 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_covered",
         F.expr("n_covered * 10000 div n_test").alias("coverage_bps"),
     ).orderBy("mktsegment")
-    rows.unpersist()
+    # NOTE: rows stays persisted across the caller's action (the
+    # repo-wide pattern) — unpersisting here would drop the cache
+    # before the lazy plan ever runs and the train/calib/test branches
+    # would each re-run the orders⋈customer join.
     return out
 
 
@@ -375,6 +378,314 @@ ORACLES["late_arriving_dim_backfill"] = """
     GROUP BY 1, 2
     ORDER BY nation, was_backfilled
 """
+
+
+# --- 4. Graph modularity of the nation partition --------------------------------
+#
+# Newman modularity Q = Σ_c [ e_c/m − (D_c/2m)² ] of the purchase
+# graph (distinct customer↔supplier edges — the same graph pagerank /
+# degrees / k-core certify) under the nation partition (customers AND
+# suppliers both carry nations). Fixture measured NON-degenerate
+# before building (house rule): m=1444 / internal=59 at sf0.001,
+# m=48518 / internal=1938 at sf0.01 — sparse (m ∝ SF) with ~4%
+# internal mass. The co-supplier projection was measured OUT: it is
+# the COMPLETE graph at every SF (C(n_supp, 2) edges — quadratic and
+# structureless).
+
+
+def graph_modularity_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation modularity contributions of the purchase graph:
+    internal edge count e_c, degree mass D_c, and q_contrib_micro =
+    floor((4·m·e_c − D_c²) / (4·m²) · 1e6). The division runs as ONE
+    identical exactly-rounded DOUBLE sequence over exact int64 inputs
+    on both engines (the repo's no-ceiling final-scalar recipe —
+    products are computed in double too, so there is no int64 4·m²
+    wrap to outgrow: every factor is exact and IEEE ops round
+    identically).
+
+    100 TB: the edge build is the ordinary fact⋈fact distinct (shuffle
+    on orderkey, then on the pair); degrees are two groupBys; the
+    per-nation rollup shuffles ≤ |nations| rows. m joins in as a
+    broadcast 1-row aggregate (the only crossJoin shape the repo
+    allows)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    e = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+        .persist()
+    )
+    m1 = e.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    labeled = (
+        e.join(cust, e["ck"] == cust["c_custkey"])
+        .join(supp, e["sk"] == supp["s_suppkey"])
+        .select("ck", "sk", "c_nationkey", "s_nationkey")
+    )
+    internal = (
+        labeled.filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("internal_edges"))
+    )
+    deg_c = (
+        e.groupBy("ck")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .join(cust, F.col("ck") == cust["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.sum("d").cast("long").alias("deg"),
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+        )
+    )
+    deg_s = (
+        e.groupBy("sk")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .join(supp, F.col("sk") == supp["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.sum("d").cast("long").alias("deg"),
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        )
+    )
+    per_nat = (
+        deg_c.select(
+            "nationkey", "deg", "n_customers", F.lit(0).cast("long").alias("n_suppliers")
+        )
+        .unionByName(
+            deg_s.select(
+                "nationkey",
+                "deg",
+                F.lit(0).cast("long").alias("n_customers"),
+                "n_suppliers",
+            )
+        )
+        .groupBy("nationkey")
+        .agg(
+            F.sum("deg").cast("long").alias("degree_sum"),
+            F.sum("n_customers").cast("long").alias("n_customers"),
+            F.sum("n_suppliers").cast("long").alias("n_suppliers"),
+        )
+        .join(internal, "nationkey", "left")
+        .na.fill({"internal_edges": 0})
+    )
+    return (
+        per_nat.crossJoin(F.broadcast(m1))
+        .join(F.broadcast(nat), F.col("nationkey") == nat["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_customers",
+            "n_suppliers",
+            "internal_edges",
+            "degree_sum",
+            F.floor(
+                (
+                    F.lit(4.0) * F.col("m").cast("double")
+                    * F.col("internal_edges").cast("double")
+                    - F.col("degree_sum").cast("double")
+                    * F.col("degree_sum").cast("double")
+                )
+                / (
+                    F.lit(4.0) * F.col("m").cast("double")
+                    * F.col("m").cast("double")
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("q_contrib_micro"),
+        )
+        .orderBy("nation")
+    )
+
+
+QUERIES["graph_modularity_nations"] = graph_modularity_nations
+ORACLES["graph_modularity_nations"] = """
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), m1 AS (
+      SELECT count(*)::BIGINT AS m FROM e
+    ), internal AS (
+      SELECT c_nationkey AS nationkey, count(*)::BIGINT AS internal_edges
+      FROM e
+      JOIN customer ON ck = c_custkey
+      JOIN supplier ON sk = s_suppkey
+      WHERE c_nationkey = s_nationkey
+      GROUP BY 1
+    ), deg_c AS (
+      SELECT c_nationkey AS nationkey, sum(d)::BIGINT AS deg,
+             count(*)::BIGINT AS n_customers
+      FROM (SELECT ck, count(*)::BIGINT AS d FROM e GROUP BY ck)
+      JOIN customer ON ck = c_custkey
+      GROUP BY 1
+    ), deg_s AS (
+      SELECT s_nationkey AS nationkey, sum(d)::BIGINT AS deg,
+             count(*)::BIGINT AS n_suppliers
+      FROM (SELECT sk, count(*)::BIGINT AS d FROM e GROUP BY sk)
+      JOIN supplier ON sk = s_suppkey
+      GROUP BY 1
+    ), per_nat AS (
+      SELECT nationkey, sum(deg)::BIGINT AS degree_sum,
+             sum(n_customers)::BIGINT AS n_customers,
+             sum(n_suppliers)::BIGINT AS n_suppliers
+      FROM (
+        SELECT nationkey, deg, n_customers, 0::BIGINT AS n_suppliers FROM deg_c
+        UNION ALL
+        SELECT nationkey, deg, 0::BIGINT AS n_customers, n_suppliers FROM deg_s
+      )
+      GROUP BY 1
+    )
+    SELECT n_name AS nation, p.n_customers, p.n_suppliers,
+           coalesce(i.internal_edges, 0)::BIGINT AS internal_edges,
+           p.degree_sum,
+           CAST(floor(
+             (4.0 * (SELECT m FROM m1)::DOUBLE * coalesce(i.internal_edges, 0)::DOUBLE
+              - p.degree_sum::DOUBLE * p.degree_sum::DOUBLE)
+             / (4.0 * (SELECT m FROM m1)::DOUBLE * (SELECT m FROM m1)::DOUBLE)
+             * 1000000.0) AS BIGINT) AS q_contrib_micro
+    FROM per_nat p
+    LEFT JOIN internal i USING (nationkey)
+    JOIN nation ON nationkey = n_nationkey
+    ORDER BY nation
+"""
+
+
+# --- 5. IPF raking weights (source-mix calibration) ------------------------------
+#
+# Iterative proportional fitting (Deming & Stephan 1940): reweight
+# the (lang × source) cells of the documents corpus so both marginal
+# mass vectors approach uniform targets — the calibration step a
+# training-data pipeline runs before source mixing when the crawl's
+# observed mix differs from the recipe's target mix. Two pinned
+# rounds (lang step then source step, twice), exactly unrolled in the
+# oracle. Each step publishes ONE micro-quantized integer factor per
+# margin value (floor(target/mass · 1e6) over exact int64 inputs as
+# an identical double sequence — the cuped-θ pattern), then applies
+# it in pure int64 (w·f div 1e6): both engines agree bit-for-bit at
+# every step, so drift cannot compound.
+
+_IPF_ROUNDS = 2
+
+
+def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) raking weights after _IPF_ROUNDS rounds of
+    IPF toward uniform lang and source margins. w starts at 1e6
+    micro-units per doc; each step scales every cell in a margin
+    group by that group's published micro-factor. Output: cell doc
+    count, final per-doc weight, and final cell mass.
+
+    100 TB: ONE corpus-scaled groupBy builds the (lang × source) cell
+    frame — |L|·|S| rows regardless of corpus size; the 4 scaling
+    steps are groupBy+join arithmetic on that constant-size frame
+    (persisted — lineage would otherwise re-run the corpus pass per
+    step). int64 headroom: w·f stays exact while w < 9.2e12 micro
+    (f ≈ 1e6); masses are ≤ N·1e6·max(w/1e6) — sums go through
+    DECIMAL(38) guards nothing here because n·w ≤ 5e11 per cell and
+    Σ ≤ 5e14 at sf1000 — documented, not load-bearing."""
+    d = load_table(spark, sf_dir, "documents").select("lang", "source")
+    cells = (
+        d.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        # |L|·|S| rows total: collapse to ONE partition so the 4
+        # scaling steps don't each schedule 200-partition micro-stages
+        # (the corpus-scaled work — the groupBy above — stays
+        # distributed; only the constant-size arithmetic serializes)
+        .coalesce(1)
+        .withColumn("w", F.lit(1_000_000).cast("long"))
+        .persist()
+    )
+    margins = cells.agg(
+        (F.sum("n_docs") * 1_000_000).cast("long").alias("total_mass"),
+        F.countDistinct("lang").cast("long").alias("n_lang"),
+        F.countDistinct("source").cast("long").alias("n_source"),
+    )
+    cur = cells.crossJoin(F.broadcast(margins)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "w",
+        F.expr("total_mass div n_lang").alias("t_lang"),
+        F.expr("total_mass div n_source").alias("t_source"),
+    )
+    for _ in range(_IPF_ROUNDS):
+        for dim, tgt in (("lang", "t_lang"), ("source", "t_source")):
+            grp = cur.groupBy(dim).agg(
+                F.sum(F.col("n_docs") * F.col("w")).cast("long").alias("mass")
+            )
+            cur = (
+                cur.join(F.broadcast(grp), dim)
+                .withColumn(
+                    "f",
+                    F.floor(
+                        F.col(tgt).cast("double")
+                        / F.col("mass").cast("double")
+                        * F.lit(1000000.0)
+                    ).cast("long"),
+                )
+                .withColumn("w", F.expr("w * f div 1000000"))
+                .drop("mass", "f")
+            )
+    return cur.select(
+        "lang",
+        "source",
+        "n_docs",
+        F.col("w").alias("w_micro"),
+        (F.col("n_docs") * F.col("w")).cast("long").alias("cell_mass_micro"),
+    ).orderBy("lang", "source")
+
+
+QUERIES["ipf_raking_weights"] = ipf_raking_weights
+
+
+def _ipf_oracle_sql() -> str:
+    """Unrolled CTE chain mirroring the Spark loop step-for-step."""
+    steps = []
+    prev = "c0"
+    idx = 0
+    for _ in range(_IPF_ROUNDS):
+        for dim, tgt in (("lang", "t_lang"), ("source", "t_source")):
+            idx += 1
+            steps.append(
+                f"""g{idx} AS MATERIALIZED (
+      SELECT {dim}, CAST(sum(n_docs * w) AS BIGINT) AS mass
+      FROM {prev} GROUP BY {dim}
+    ), c{idx} AS MATERIALIZED (
+      SELECT c.lang, c.source, c.n_docs,
+             (c.w * CAST(floor(CAST(c.{tgt} AS DOUBLE) / CAST(g.mass AS DOUBLE)
+                                * 1000000.0) AS BIGINT)) // 1000000 AS w,
+             c.t_lang, c.t_source
+      FROM {prev} c JOIN g{idx} g USING ({dim})
+    )"""
+            )
+            prev = f"c{idx}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH c0 AS MATERIALIZED (
+      SELECT lang, source, count(*)::BIGINT AS n_docs,
+             1000000::BIGINT AS w,
+             ((SELECT count(*) FROM documents) * 1000000)
+               // (SELECT count(DISTINCT lang) FROM documents) AS t_lang,
+             ((SELECT count(*) FROM documents) * 1000000)
+               // (SELECT count(DISTINCT source) FROM documents) AS t_source
+      FROM documents GROUP BY lang, source
+    ),
+    {chain}
+    SELECT lang, source, n_docs, w AS w_micro,
+           CAST(n_docs * w AS BIGINT) AS cell_mass_micro
+    FROM {prev}
+    ORDER BY lang, source
+"""
+
+
+ORACLES["ipf_raking_weights"] = _ipf_oracle_sql()
 
 
 def _register_defer() -> None:

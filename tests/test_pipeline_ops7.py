@@ -181,3 +181,133 @@ def test_ops7_names_enter_r10_behind_ops6():
     assert all(r10.index(n) < first_p7 for n in real_r2_left)
     for n in (set(r10) & set(p6.QUERIES)):
         assert r10.index(n) < first_p7
+
+
+def test_modularity_brute_force(spark, sf_dir):
+    """Engine-independent brute force: per-nation e_c, D_c and the
+    floor'd double contribution re-derived in pure Python from the
+    raw parquet."""
+    import math
+
+    import pandas as pd
+
+    from etl_extractor_spark.plans.pipeline_ops7 import (
+        graph_modularity_nations,
+    )
+
+    got = {
+        r["nation"]: r for r in graph_modularity_nations(spark, sf_dir).collect()
+    }
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")[["o_orderkey", "o_custkey"]]
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[["l_orderkey", "l_suppkey"]]
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")[["c_custkey", "c_nationkey"]]
+    s = pd.read_parquet(f"{sf_dir}/supplier.parquet")[["s_suppkey", "s_nationkey"]]
+    n = pd.read_parquet(f"{sf_dir}/nation.parquet")[["n_nationkey", "n_name"]]
+    nname = dict(zip(n["n_nationkey"], n["n_name"]))
+    e = (
+        o.merge(li, left_on="o_orderkey", right_on="l_orderkey")[
+            ["o_custkey", "l_suppkey"]
+        ]
+        .drop_duplicates()
+    )
+    m = len(e)
+    cn = dict(zip(c["c_custkey"], c["c_nationkey"]))
+    sn = dict(zip(s["s_suppkey"], s["s_nationkey"]))
+    ec: dict = {}
+    deg: dict = {}
+    nodes_c: dict = {}
+    nodes_s: dict = {}
+    for ck, sk in e.itertuples(index=False):
+        a, b = cn[ck], sn[sk]
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+        nodes_c.setdefault(a, set()).add(ck)
+        nodes_s.setdefault(b, set()).add(sk)
+        if a == b:
+            ec[a] = ec.get(a, 0) + 1
+    nats = set(deg)
+    assert set(got) == {nname[k] for k in nats}
+    for k in nats:
+        r = got[nname[k]]
+        assert r["internal_edges"] == ec.get(k, 0)
+        assert r["degree_sum"] == deg[k]
+        assert r["n_customers"] == len(nodes_c.get(k, set()))
+        assert r["n_suppliers"] == len(nodes_s.get(k, set()))
+        want = math.floor(
+            (4.0 * m * ec.get(k, 0) - float(deg[k]) * deg[k])
+            / (4.0 * m * m)
+            * 1000000.0
+        )
+        assert r["q_contrib_micro"] == want
+    # whole-graph sanity: sum of contributions is a valid modularity
+    q = sum(r["q_contrib_micro"] for r in got.values()) / 1e6
+    assert -1.0 <= q <= 1.0
+
+
+def test_ipf_margins_converge(spark, sf_dir):
+    """After the pinned rounds, every lang margin and every source
+    margin must be within 2% of its uniform target — IPF actually
+    rakes on this fixture (non-degenerate), and weights stay positive
+    and bounded."""
+    from collections import defaultdict
+
+    from etl_extractor_spark.plans.pipeline_ops7 import ipf_raking_weights
+
+    rows = ipf_raking_weights(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["cell_mass_micro"] for r in rows)
+    langs = defaultdict(int)
+    srcs = defaultdict(int)
+    for r in rows:
+        assert 0 < r["w_micro"] < 10**12
+        langs[r["lang"]] += r["cell_mass_micro"]
+        srcs[r["source"]] += r["cell_mass_micro"]
+    t_lang = total / len(langs)
+    t_src = total / len(srcs)
+    for v in langs.values():
+        assert abs(v - t_lang) / t_lang < 0.02, (v, t_lang)
+    for v in srcs.values():
+        assert abs(v - t_src) / t_src < 0.02, (v, t_src)
+    # the raw mix must NOT already be uniform (else raking is vacuous)
+    raw = defaultdict(int)
+    for r in rows:
+        raw[r["lang"]] += r["n_docs"]
+    rates = sorted(raw.values())
+    assert rates[-1] > rates[0], "raw lang mix already uniform - vacuous fixture"
+
+
+def test_ipf_brute_force_step_identity(spark, sf_dir):
+    """Bit-for-bit Python replay of the pinned factor/apply sequence
+    (float64 division exactly as both engines compute it)."""
+    import math
+
+    import pandas as pd
+
+    from etl_extractor_spark.plans.pipeline_ops7 import (
+        _IPF_ROUNDS,
+        ipf_raking_weights,
+    )
+
+    got = {
+        (r["lang"], r["source"]): r["w_micro"]
+        for r in ipf_raking_weights(spark, sf_dir).collect()
+    }
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")[["lang", "source"]]
+    cells = d.groupby(["lang", "source"]).size().to_dict()
+    n_docs = len(d)
+    t = {
+        "lang": (n_docs * 1_000_000) // d["lang"].nunique(),
+        "source": (n_docs * 1_000_000) // d["source"].nunique(),
+    }
+    w = {k: 1_000_000 for k in cells}
+    for _ in range(_IPF_ROUNDS):
+        for i, dim in enumerate(("lang", "source")):
+            mass: dict = {}
+            for (lg, sc), n in cells.items():
+                key = lg if dim == "lang" else sc
+                mass[key] = mass.get(key, 0) + n * w[(lg, sc)]
+            for (lg, sc) in cells:
+                key = lg if dim == "lang" else sc
+                f = math.floor(float(t[dim]) / float(mass[key]) * 1000000.0)
+                w[(lg, sc)] = (w[(lg, sc)] * f) // 1_000_000
+    assert got == w
