@@ -688,6 +688,349 @@ def _ipf_oracle_sql() -> str:
 ORACLES["ipf_raking_weights"] = _ipf_oracle_sql()
 
 
+# --- 6. Holt linear-trend forecast (per-nation weekly revenue) -------------------
+#
+# Holt's linear method (the trend member of the exponential-smoothing
+# family; ses_forecast_nation certified the level-only member). The
+# recurrence is inherently sequential IN TIME but embarrassingly
+# parallel ACROSS series — the distributable shape: one corpus pass
+# builds the per-nation weekly aggregate (≤ ~370 weeks per nation at
+# ANY scale factor — the calendar bounds it, not the row count), then
+# applyInPandas runs the bounded integer loop per nation. Pinned
+# smoothing constants; all state in int64 cents; TRUNCATING division
+# toward zero on both sides (DuckDB's // truncates — measured
+# (-7)//2 = -3 — while Python's // floors, so the Python loop uses
+# the explicit _tdiv; the trend term goes negative on this fixture,
+# making the distinction load-bearing) keeps both engines
+# bit-identical at every step, so drift cannot compound across the
+# ~360 iterations.
+
+_HOLT_A_NUM = 3  # alpha = 0.3
+_HOLT_B_NUM = 1  # beta  = 0.1
+_HOLT_DEN = 10
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero — DuckDB's ``//`` (and
+    Spark's ``div``) semantics, NOT Python's flooring ``//``."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Holt linear smoothing of weekly revenue cents:
+    l1 = y1, b1 = y2 − y1, then for t ≥ 2
+    l_t = (3·y_t + 7·(l+b)) // 10, b_t = ((l_t − l) + 9·b) // 10,
+    with the 1-step-ahead absolute-error sum accumulated from t = 2
+    (e_2 ≡ 0 under this init, documented). Output: final state, the
+    4-week-ahead forecast l + 4·b, and the SAE. Nations with a
+    single week are excluded on both sides (b is undefined).
+
+    100 TB: the only corpus-scaled work is the weekly groupBy; the
+    applyInPandas stage shuffles |nations|·|weeks| AGGREGATE rows and
+    loops over ≤ ~370 ints per group. The oracle unrolls the same
+    recurrence as a DuckDB recursive CTE (lockstep over nations,
+    ≤ ~370 iterations)."""
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("week", F.col("o_orderdate")).alias("wk"),
+        _CENTS("o_totalprice").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    weekly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), "wk")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+
+    def _holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("wk")
+        ys = [int(v) for v in pdf["y"]]  # Python ints: floor-div semantics
+        if len(ys) < 2:
+            return pd.DataFrame(
+                columns=[
+                    "nation",
+                    "n_weeks",
+                    "l_final_cents",
+                    "b_final_cents",
+                    "fc4_cents",
+                    "sae_cents",
+                ]
+            ).astype(
+                {
+                    "nation": "object",
+                    "n_weeks": "int64",
+                    "l_final_cents": "int64",
+                    "b_final_cents": "int64",
+                    "fc4_cents": "int64",
+                    "sae_cents": "int64",
+                }
+            )
+        level, trend = ys[0], ys[1] - ys[0]
+        sae = 0
+        for y in ys[1:]:
+            pred = level + trend
+            sae += abs(y - pred)
+            new_level = _tdiv(
+                _HOLT_A_NUM * y + (_HOLT_DEN - _HOLT_A_NUM) * pred, _HOLT_DEN
+            )
+            trend = _tdiv(
+                _HOLT_B_NUM * (new_level - level)
+                + (_HOLT_DEN - _HOLT_B_NUM) * trend,
+                _HOLT_DEN,
+            )
+            level = new_level
+        return pd.DataFrame(
+            {
+                "nation": [pdf["nation"].iloc[0]],
+                "n_weeks": [len(ys)],
+                "l_final_cents": [level],
+                "b_final_cents": [trend],
+                "fc4_cents": [level + 4 * trend],
+                "sae_cents": [sae],
+            }
+        )
+
+    out_schema = (
+        "nation string, n_weeks long, l_final_cents long, "
+        "b_final_cents long, fc4_cents long, sae_cents long"
+    )
+    return (
+        weekly.groupBy("nation")
+        .applyInPandas(_holt, out_schema)
+        .orderBy("nation")
+    )
+
+
+QUERIES["holt_linear_forecast"] = holt_linear_forecast
+ORACLES["holt_linear_forecast"] = f"""
+    WITH RECURSIVE s AS MATERIALIZED (
+      SELECT n_name AS nation, date_trunc('week', o_orderdate) AS wk,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), ord_s AS MATERIALIZED (
+      SELECT nation, y,
+             row_number() OVER (PARTITION BY nation ORDER BY wk) AS rn,
+             count(*) OVER (PARTITION BY nation)::BIGINT AS n
+      FROM s
+    ), rec AS (
+      SELECT a.nation, 2::BIGINT AS t, a.n,
+             a.y AS l, b.y - a.y AS b, 0::BIGINT AS sae,
+             b.y AS y_cur
+      FROM ord_s a JOIN ord_s b ON a.nation = b.nation AND b.rn = 2
+      WHERE a.rn = 1 AND a.n >= 2
+      UNION ALL
+      SELECT r.nation, r.t + 1, r.n,
+             ({_HOLT_A_NUM} * r.y_cur + {_HOLT_DEN - _HOLT_A_NUM} * (r.l + r.b)) // {_HOLT_DEN},
+             ({_HOLT_B_NUM} * ((({_HOLT_A_NUM} * r.y_cur + {_HOLT_DEN - _HOLT_A_NUM} * (r.l + r.b)) // {_HOLT_DEN}) - r.l)
+              + {_HOLT_DEN - _HOLT_B_NUM} * r.b) // {_HOLT_DEN},
+             r.sae + abs(r.y_cur - (r.l + r.b)),
+             nxt.y
+      FROM rec r LEFT JOIN ord_s nxt ON nxt.nation = r.nation AND nxt.rn = r.t + 1
+      WHERE r.t <= r.n
+    )
+    SELECT nation, n AS n_weeks, l AS l_final_cents, b AS b_final_cents,
+           l + 4 * b AS fc4_cents, sae AS sae_cents
+    FROM rec WHERE t = n + 1
+    ORDER BY nation
+"""
+
+
+# --- 7. Streaming SCD1 latest-state replay (14th certified stream) ---------------
+#
+# A streaming-maintained Type-1 dimension: the per-user LATEST event
+# (argmax by (ts_ntz, event_id) — a total order, so the reduction is
+# associative+commutative and the replay is batch-order independent).
+# The state is a struct-max — mergeable exactly like the counter
+# states of the other incremental streams, so the existing
+# foreachBatch incremental-agg sink applies unchanged: each
+# micro-batch partial-argmaxes itself, then merges into the standing
+# parquet state keyed by user.
+
+
+def streaming_scd1_latest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow replay of the streaming SCD1 dimension: events
+    stream → struct(ts_ntz, event_id, type, value) → incremental
+    max-merge per user_id (+ a lifetime event count). The oracle is
+    the batch argmax (row_number over ts DESC, event_id DESC) — a
+    hash match certifies last-wins resolution, the deterministic
+    tiebreak, and the count, independent of micro-batch boundaries.
+
+    100 TB: state is |users| rows in executor-written parquet — no
+    driver-memory sink, no streaming state store (the argmax happens
+    per batch as a batch plan inside foreachBatch); the batch-id
+    watermark makes replayed uncommitted batches no-ops. The struct
+    comparator never reaches the payload fields (event_id is unique),
+    so payload doubles ride along without affecting the order."""
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.sinks.incremental import read_state
+    from etl_extractor_spark.streaming import events_stream as SE
+
+    base = pid_scratch_dir("spark_graft_scd1_replay_")
+    shutil.rmtree(base, ignore_errors=True)
+    ev = SE.events_stream(spark, sf_dir).select(
+        "user_id",
+        F.struct(
+            F.col("ts_ntz").alias("ts"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("etype"),
+            F.col("value").alias("val"),
+        ).alias("latest"),
+    )
+    SE.run_streaming_incremental_agg(
+        ev,
+        f"{base}/state",
+        f"{base}/ckpt",
+        keys=["user_id"],
+        measures={"latest": ("max", "latest"), "n_events": ("count", "*")},
+    )
+    st = read_state(spark, f"{base}/state")
+    return st.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("latest.eid").cast("long").alias("last_event_id"),
+        F.col("latest.etype").alias("last_event_type"),
+        F.col("latest.val").alias("last_value"),
+        F.col("n_events").cast("long").alias("n_events"),
+    ).orderBy("user_id")
+
+
+QUERIES["streaming_scd1_latest_replay"] = streaming_scd1_latest_replay
+ORACLES["streaming_scd1_latest_replay"] = """
+    WITH r AS (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id)::BIGINT AS n
+      FROM events
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           event_id AS last_event_id,
+           event_type AS last_event_type,
+           value AS last_value,
+           n AS n_events
+    FROM r WHERE rn = 1
+    ORDER BY user_id
+"""
+
+
+# --- 8. Type-widening schema-evolution scan --------------------------------------
+#
+# The sibling of ops6's add-a-column scan and ops5's partition-spec
+# evolution: a column whose physical type WIDENED between file
+# generations (INT → BIGINT). Spark's parquet mergeSchema REFUSES
+# this (CANNOT_MERGE_SCHEMAS, measured — see tests), so the engine
+# supplies what the scanner won't: probe each generation's footer
+# schema, compute the widened target by rule (int ⊔ bigint = bigint,
+# float ⊔ double = double), read each generation with explicit casts,
+# and unionByName.
+
+_WIDEN_RANK = {"integer": 1, "long": 2, "float": 11, "double": 12}
+
+
+def _widened_type(a: str, b: str) -> str:
+    """Join of two physical types in the widening lattice; identical
+    types pass through, unknown pairs raise (no silent narrowing)."""
+    if a == b:
+        return a
+    fam_a = "f" if a in ("float", "double") else "i"
+    fam_b = "f" if b in ("float", "double") else "i"
+    if fam_a != fam_b or a not in _WIDEN_RANK or b not in _WIDEN_RANK:
+        raise ValueError(f"no widening rule for {a} vs {b}")
+    return a if _WIDEN_RANK[a] >= _WIDEN_RANK[b] else b
+
+
+def schema_widening_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan a two-generation table whose qty column widened INT →
+    BIGINT: gen v1 holds even orderkeys with cents as INT-truncated
+    kilocents (values < 2^31 by construction), gen v2 holds odd
+    orderkeys with full BIGINT cents. The widened read casts v1 to
+    the target BIGINT schema (kilocents × 1000 restores cents — the
+    generation carries coarser units, a real migration shape) and
+    unions. Certified against the base-table rule.
+
+    100 TB: per-generation reads are ordinary pruned parquet scans;
+    the footer probe reads ONE footer per generation, not per file
+    (generations share a schema by construction — the writer enforces
+    it). The cast is map-side."""
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", _CENTS("o_totalprice").alias("cents"), "o_orderstatus"
+    )
+    path = pid_scratch_dir("spark_graft_widen_scan_")
+    shutil.rmtree(path, ignore_errors=True)
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.expr("CAST(cents div 1000 AS INT)").alias("qty"),
+        "o_orderstatus",
+    ).write.mode("overwrite").parquet(path + "/gen=v1")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", F.col("cents").alias("qty"), "o_orderstatus"
+    ).write.mode("overwrite").parquet(path + "/gen=v2")
+
+    gens = ["v1", "v2"]
+    frames = [spark.read.parquet(f"{path}/gen={g}") for g in gens]
+    target: dict = {}
+    for fr in frames:
+        for fld in fr.schema.fields:
+            t = fld.dataType.simpleString()
+            t = {"int": "integer", "bigint": "long"}.get(t, t)
+            target[fld.name] = (
+                _widened_type(target[fld.name], t) if fld.name in target else t
+            )
+    widened = [
+        fr.select(
+            *[F.col(name).cast(target[name]).alias(name) for name in target]
+        )
+        for fr in frames
+    ]
+    merged = widened[0]
+    for fr in widened[1:]:
+        merged = merged.unionByName(fr)
+    # v1's qty is kilocents — restore units via the generation key
+    # (encoded in the orderkey parity, as the oracle derives it)
+    restored = merged.select(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 2 == 0, F.col("qty") * 1000)
+        .otherwise(F.col("qty"))
+        .alias("cents_restored"),
+    )
+    return (
+        restored.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents_restored").cast("long").alias("revenue_cents_approx"),
+        )
+        .orderBy("status")
+    )
+
+
+QUERIES["schema_widening_scan"] = schema_widening_scan
+ORACLES["schema_widening_scan"] = """
+    SELECT o_orderstatus AS status,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 0
+                    THEN (CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          // 1000) * 1000
+                    ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               END) AS BIGINT) AS revenue_cents_approx
+    FROM orders
+    GROUP BY 1 ORDER BY status
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-round-2
     stale (see module docstring). Must run AFTER every QUERIES[...]

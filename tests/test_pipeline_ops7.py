@@ -311,3 +311,135 @@ def test_ipf_brute_force_step_identity(spark, sf_dir):
                 f = math.floor(float(t[dim]) / float(mass[key]) * 1000000.0)
                 w[(lg, sc)] = (w[(lg, sc)] * f) // 1_000_000
     assert got == w
+
+
+def test_holt_brute_force(spark, sf_dir):
+    """Pure-Python replay of the Holt recurrence from the raw parquet
+    (Monday-start weeks, truncating division), independent of both
+    engines."""
+    import pandas as pd
+
+    from etl_extractor_spark.plans.pipeline_ops7 import (
+        _HOLT_A_NUM,
+        _HOLT_B_NUM,
+        _HOLT_DEN,
+        _tdiv,
+        holt_linear_forecast,
+    )
+
+    got = {r["nation"]: r for r in holt_linear_forecast(spark, sf_dir).collect()}
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    n = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey").merge(
+        n, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    j["cents"] = (j["o_totalprice"].round(2) * 100).round().astype("int64")
+    d = pd.to_datetime(j["o_orderdate"])
+    j["wk"] = d - pd.to_timedelta(d.dt.weekday, unit="D")
+    j["wk"] = j["wk"].dt.normalize()
+    weekly = j.groupby(["n_name", "wk"])["cents"].sum().reset_index()
+    for nat, grp in weekly.groupby("n_name"):
+        ys = [int(v) for v in grp.sort_values("wk")["cents"]]
+        if len(ys) < 2:
+            assert nat not in got
+            continue
+        level, trend, sae = ys[0], ys[1] - ys[0], 0
+        for y in ys[1:]:
+            pred = level + trend
+            sae += abs(y - pred)
+            nl = _tdiv(_HOLT_A_NUM * y + (_HOLT_DEN - _HOLT_A_NUM) * pred, _HOLT_DEN)
+            trend = _tdiv(
+                _HOLT_B_NUM * (nl - level) + (_HOLT_DEN - _HOLT_B_NUM) * trend,
+                _HOLT_DEN,
+            )
+            level = nl
+        r = got[nat]
+        assert (
+            r["n_weeks"],
+            r["l_final_cents"],
+            r["b_final_cents"],
+            r["fc4_cents"],
+            r["sae_cents"],
+        ) == (len(ys), level, trend, level + 4 * trend, sae)
+
+
+def test_tdiv_is_truncating():
+    from etl_extractor_spark.plans.pipeline_ops7 import _tdiv
+
+    assert _tdiv(-7, 2) == -3 and _tdiv(7, 2) == 3
+    assert _tdiv(-10, 10) == -1 and _tdiv(-9, 10) == 0
+    assert _tdiv(9, -10) == 0 and _tdiv(-9, -10) == 0
+
+
+def test_scd1_state_is_batch_order_independent(spark, sf_dir):
+    """The struct-max reduction must give the same state no matter how
+    the stream is split into micro-batches: apply the batch merge with
+    two different splits (and one shuffled order) and compare."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.sinks.incremental import apply_batch, read_state
+    from etl_extractor_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.col("ts").alias("ts"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("etype"),
+            F.col("value").alias("val"),
+        ).alias("latest"),
+        (F.col("event_id") % 3).alias("part"),
+    )
+    measures = {"latest": ("max", "latest"), "n_events": ("count", "*")}
+    states = []
+    for i, splits in enumerate(
+        ([0, 1, 2], [2, 0, 1], [0])  # 3 batches, reordered, single batch
+    ):
+        base = pid_scratch_dir(f"spark_graft_scd1_guard{i}_")
+        shutil.rmtree(base, ignore_errors=True)
+        sp = f"{base}/state"
+        for bid, s in enumerate(splits):
+            b = ev.filter(F.col("part") == s if len(splits) > 1 else F.lit(True))
+            apply_batch(spark, sp, b.drop("part"), ["user_id"], measures, bid)
+        st = read_state(spark, sp)
+        rows = sorted(
+            (r["user_id"], r["latest"]["eid"], r["n_events"] if len(splits) > 1 else r["n_events"])
+            for r in st.collect()
+        )
+        states.append([(u, e) for u, e, _ in rows])
+    assert states[0] == states[1] == states[2]
+
+
+def test_widening_merge_refusal_pinned(spark):
+    """The reason schema_widening_scan exists: Spark's mergeSchema
+    refuses INT vs BIGINT. If a future Spark version starts widening,
+    this pin fires and the operator can be simplified."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+
+    base = pid_scratch_dir("spark_graft_widen_pin_")
+    shutil.rmtree(base, ignore_errors=True)
+    spark.range(3).select(F.col("id").cast("int").alias("q")).write.parquet(
+        base + "/gen=v1"
+    )
+    spark.range(3).select(F.col("id").alias("q")).write.parquet(base + "/gen=v2")
+    with pytest.raises(Exception, match="CANNOT_MERGE_SCHEMAS|merge"):
+        spark.read.option("mergeSchema", "true").parquet(base).collect()
+
+
+def test_widened_type_lattice():
+    from etl_extractor_spark.plans.pipeline_ops7 import _widened_type
+
+    assert _widened_type("integer", "long") == "long"
+    assert _widened_type("long", "integer") == "long"
+    assert _widened_type("float", "double") == "double"
+    assert _widened_type("string", "string") == "string"
+    with pytest.raises(ValueError):
+        _widened_type("integer", "double")  # cross-family: no silent rule
