@@ -186,6 +186,20 @@ BENCH_QUERIES = [
     "schema_evolution_scan",
     "tfidf_postings_compaction",
     "streaming_outer_join_replay",
+    # round-9 second wave (pipeline_ops7): mergeable-bitmap exact
+    # distinct (the COUNT-DISTINCT shuffle killer), split-conformal
+    # calibration, the two-phase late-dim backfill, purchase-graph
+    # modularity, IPF raking, per-series Holt smoothing, the 14th
+    # certified stream (SCD1 latest-state), and the type-widening
+    # scan (write + dual-generation widened read)
+    "bitmap_distinct_rollup",
+    "conformal_interval_coverage",
+    "late_arriving_dim_backfill",
+    "graph_modularity_nations",
+    "ipf_raking_weights",
+    "holt_linear_forecast",
+    "streaming_scd1_latest_replay",
+    "schema_widening_scan",
 ]
 
 
