@@ -200,6 +200,20 @@ BENCH_QUERIES = [
     "holt_linear_forecast",
     "streaming_scd1_latest_replay",
     "schema_widening_scan",
+    # round-9 completeness: the remaining certified streams (the bench
+    # previously covered 6 of 14 despite the "every stream has a line"
+    # rule). The two stream-stream joins cost ~5.5 s each at sf0.1 —
+    # the CLASS cost (two stateful sides + watermark-finalization
+    # epochs; min-of-3 probed, BASELINE r9), a fixed overhead that
+    # amortizes at scale, not a plan flaw.
+    "streaming_dedup_replay",
+    "streaming_cms_replay",
+    "streaming_kmv_reach_replay",
+    "streaming_rate_limit_replay",
+    "streaming_sessionize_replay",
+    "streaming_tumbling_replay",
+    "streaming_interval_join_replay",
+    "streaming_interval_union_replay",
 ]
 
 
