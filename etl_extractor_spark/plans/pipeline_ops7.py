@@ -39,13 +39,14 @@ ORACLES: dict = {}
 
 def _md5_bucket_sql(key_expr: str, mod: int) -> str:
     """DuckDB SQL for the repo's cross-engine md5 bucket (first 8 hex
-    digits of md5(CAST(key AS VARCHAR)) as a BIGINT, mod ``mod``) —
-    the same convention as training_prep._MD5_BUCKET, generalized to
-    any key expression."""
-    nibbles = " + ".join(
-        f"(CAST(strpos('0123456789abcdef', substr(md5(CAST({key_expr} AS VARCHAR)), {1 + j}, 1)) - 1 AS BIGINT) << {4 * (7 - j)})"
-        for j in range(8)
-    )
+    digits of md5(CAST(key AS VARCHAR)) as a BIGINT, mod ``mod``).
+    The nibble fold itself comes from stats._hex8_to_int_sql — the
+    one canonical copy (review catch: this module's first cut was the
+    5th re-implementation; if the hash convention ever changes,
+    scattered copies silently diverge on split membership)."""
+    from etl_extractor_spark.plans.stats import _hex8_to_int_sql
+
+    nibbles = _hex8_to_int_sql(f"md5(CAST({key_expr} AS VARCHAR))")
     return f"(({nibbles}) % {mod})"
 
 
@@ -202,8 +203,14 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("seg").orderBy("resid")
+    # k = min(n, ceil((n+1)·(1−alpha))) derived from the PINNED alpha
+    # constants (review catch: the first cut hardcoded the 9, leaving
+    # _CONF_ALPHA_NUM decorative — a changed alpha would have silently
+    # certified the wrong quantile on BOTH engines)
+    _keep = _CONF_ALPHA_DEN - _CONF_ALPHA_NUM
     k_expr = (
-        f"least(n_cal, (9 * n_cal + 9 + {_CONF_ALPHA_DEN} - 1) div {_CONF_ALPHA_DEN})"
+        f"least(n_cal, ({_keep} * (n_cal + 1) + {_CONF_ALPHA_DEN} - 1)"
+        f" div {_CONF_ALPHA_DEN})"
     )
     q = (
         calib.withColumn("pos", F.row_number().over(w).cast("long"))
@@ -270,7 +277,7 @@ ORACLES["conformal_interval_coverage"] = f"""
                count(*) OVER (PARTITION BY seg)::BIGINT AS n_cal
         FROM calib
       )
-      WHERE pos = least(n_cal, (9 * n_cal + 9 + {_CONF_ALPHA_DEN} - 1) // {_CONF_ALPHA_DEN})
+      WHERE pos = least(n_cal, ({_CONF_ALPHA_DEN - _CONF_ALPHA_NUM} * (n_cal + 1) + {_CONF_ALPHA_DEN} - 1) // {_CONF_ALPHA_DEN})
     )
     SELECT q.seg AS mktsegment, q.n_train, q.n_cal, q.q_resid_cents,
            count(*)::BIGINT AS n_test,
@@ -908,8 +915,13 @@ QUERIES["streaming_scd1_latest_replay"] = streaming_scd1_latest_replay
 ORACLES["streaming_scd1_latest_replay"] = """
     WITH r AS (
       SELECT user_id, event_id, event_type, value,
+             -- epoch_us truncates TIMESTAMP_NS to the same microsecond
+             -- grid as the stream's ts_ntz (ts div 1000) — ordering on
+             -- raw ns would break ties differently than the Spark
+             -- struct-argmax on a nanos fixture (review catch; inert
+             -- on the committed µs files, load-bearing on ns ones)
              row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts DESC, event_id DESC) AS rn,
+                                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
              count(*) OVER (PARTITION BY user_id)::BIGINT AS n
       FROM events
     )
@@ -968,7 +980,7 @@ def schema_widening_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", _CENTS("o_totalprice").alias("cents"), "o_orderstatus"
-    )
+    ).persist()  # two generation writes below — one corpus pass, not two
     path = pid_scratch_dir("spark_graft_widen_scan_")
     shutil.rmtree(path, ignore_errors=True)
     o.filter(F.col("o_orderkey") % 2 == 0).select(

@@ -406,11 +406,15 @@ def test_scd1_state_is_batch_order_independent(spark, sf_dir):
             b = ev.filter(F.col("part") == s if len(splits) > 1 else F.lit(True))
             apply_batch(spark, sp, b.drop("part"), ["user_id"], measures, bid)
         st = read_state(spark, sp)
-        rows = sorted(
-            (r["user_id"], r["latest"]["eid"], r["n_events"] if len(splits) > 1 else r["n_events"])
-            for r in st.collect()
+        # compare the FULL state — argmax AND the count measure (review
+        # catch: the first cut stripped n_events before asserting, so a
+        # split-dependent count-merge regression would have passed)
+        states.append(
+            sorted(
+                (r["user_id"], r["latest"]["eid"], r["n_events"])
+                for r in st.collect()
+            )
         )
-        states.append([(u, e) for u, e, _ in rows])
     assert states[0] == states[1] == states[2]
 
 
