@@ -214,6 +214,14 @@ BENCH_QUERIES = [
     "streaming_tumbling_replay",
     "streaming_interval_join_replay",
     "streaming_interval_union_replay",
+    # round-9 wave 3: bitmap set-ops (intersection retention), the
+    # 15th certified stream (exact bitmap reach — OR-idempotent
+    # state), the sampled ER blocking audit, and the purged
+    # time-split audit
+    "bitmap_intersection_retention",
+    "streaming_bitmap_reach_replay",
+    "blocking_quality_audit",
+    "purged_time_split_audit",
 ]
 
 

@@ -1043,6 +1043,394 @@ ORACLES["schema_widening_scan"] = """
 """
 
 
+# --- 9. Bitmap intersection retention (bitmap set-ops) ---------------------------
+#
+# The second half of the bitmap family: intersection. Year-over-year
+# customer retention is COUNT(DISTINCT a ∩ b) per consecutive year
+# pair — as bitmaps it is word-aligned AND + popcount, with the same
+# one-word-per-63-key-block shuffle bound as the rollup. This is the
+# operation warehouse bitmap indexes exist for (funnel/retention
+# set-ops without re-shuffling raw keys).
+
+
+def bitmap_intersection_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year ordering-customer retention via bitmap AND:
+    build per-(year, word) customer bitmaps once, self-join on
+    word_idx for consecutive years, popcount the ANDed words. The
+    oracle is the plain distinct-key self-join — the hash match
+    certifies the set algebra (and that a customer absent from a
+    63-key block in either year contributes nothing: inner join on
+    word_idx is exactly bitmap AND's zero-absorption).
+
+    100 TB: the bitmaps are built in ONE corpus pass (same shuffle as
+    bitmap_distinct_rollup); the retention join touches
+    |years|·⌈keyspace/63⌉ word rows — independent of row count. The
+    raw-key alternative shuffles every (year, custkey) pair TWICE
+    (once per join side)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").cast("int").alias("yr")
+    )
+    words = (
+        o.select(
+            "yr",
+            F.expr(f"o_custkey div {_BM_WORD}").alias("word_idx"),
+            F.expr(
+                f"shiftleft(1L, CAST(o_custkey % {_BM_WORD} AS INT))"
+            ).alias("bit_val"),
+        )
+        .groupBy("yr", "word_idx")
+        .agg(F.expr("bit_or(bit_val)").alias("bm"))
+        .persist()
+    )
+    per_year = words.groupBy("yr").agg(
+        F.sum(F.expr("bit_count(bm)")).cast("long").alias("n_cust")
+    )
+    a, b = words.alias("a"), words.alias("b")
+    retained = (
+        a.join(
+            b,
+            (F.col("a.word_idx") == F.col("b.word_idx"))
+            & (F.col("b.yr") == F.col("a.yr") + 1),
+        )
+        .select(
+            F.col("a.yr").alias("year_from"),
+            F.expr("bit_count(a.bm & b.bm)").alias("pc"),
+        )
+        .groupBy("year_from")
+        .agg(F.sum("pc").cast("long").alias("n_retained"))
+    )
+    pa, pb = per_year.alias("pa"), per_year.alias("pb")
+    return (
+        retained.join(pa, F.col("pa.yr") == F.col("year_from"))
+        .join(pb, F.col("pb.yr") == F.col("year_from") + 1)
+        .select(
+            "year_from",
+            (F.col("year_from") + 1).cast("int").alias("year_to"),
+            F.col("pa.n_cust").alias("n_from"),
+            F.col("pb.n_cust").alias("n_to"),
+            "n_retained",
+            F.expr("n_retained * 10000 div pa.n_cust").alias("retention_bps"),
+        )
+        .orderBy("year_from")
+    )
+
+
+QUERIES["bitmap_intersection_retention"] = bitmap_intersection_retention
+ORACLES["bitmap_intersection_retention"] = """
+    WITH cy AS MATERIALIZED (
+      SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS y, o_custkey AS k
+      FROM orders
+    ), per AS (
+      SELECT y, count(*)::BIGINT AS n FROM cy GROUP BY y
+    ), ret AS (
+      SELECT a.y AS year_from, count(*)::BIGINT AS n_retained
+      FROM cy a JOIN cy b ON a.k = b.k AND b.y = a.y + 1
+      GROUP BY 1
+    )
+    SELECT r.year_from, CAST(r.year_from + 1 AS INTEGER) AS year_to,
+           pa.n AS n_from, pb.n AS n_to, r.n_retained,
+           r.n_retained * 10000 // pa.n AS retention_bps
+    FROM ret r
+    JOIN per pa ON pa.y = r.year_from
+    JOIN per pb ON pb.y = r.year_from + 1
+    ORDER BY year_from
+"""
+
+
+# --- 10. Streaming exact-reach bitmap replay (15th certified stream) -------------
+#
+# The EXACT twin of streaming_kmv_reach_replay: daily distinct-user
+# reach maintained as per-(day, word) bitmap state via the
+# incremental-agg sink's new bit_or measure (OR is associative,
+# commutative AND idempotent — the strongest replay-safety class in
+# _MERGEABLE; a re-delivered batch is a no-op even WITHOUT the
+# batch-id watermark, which still guards the count-style measures).
+
+
+def streaming_bitmap_reach_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow replay of streaming exact daily reach: events
+    stream → (day, user-word, bit) → foreachBatch bit_or-merge into
+    parquet state → read-time popcount rollup per day. Shares the
+    semantics of a plain per-day COUNT(DISTINCT user_id) — the oracle
+    IS that query, so the hash match certifies the streaming bitmap
+    maintenance end to end.
+
+    100 TB: state is |days|·⌈users/63⌉ words — bounded by the key
+    domain, not the event volume; each micro-batch partial-ORs itself
+    map-side before the merge. Day comes from ts_ntz (wall clock), so
+    the replay is session-timezone independent."""
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.sinks.incremental import read_state
+    from etl_extractor_spark.streaming import events_stream as SE
+
+    base = pid_scratch_dir("spark_graft_bmreach_replay_")
+    shutil.rmtree(base, ignore_errors=True)
+    ev = SE.events_stream(spark, sf_dir).select(
+        F.to_date("ts_ntz").cast("string").alias("day"),
+        F.expr(f"user_id div {_BM_WORD}").alias("word_idx"),
+        F.expr(f"shiftleft(1L, CAST(user_id % {_BM_WORD} AS INT))").alias(
+            "bit_val"
+        ),
+    )
+    SE.run_streaming_incremental_agg(
+        ev,
+        f"{base}/state",
+        f"{base}/ckpt",
+        keys=["day", "word_idx"],
+        measures={"bm": ("bit_or", "bit_val")},
+    )
+    st = read_state(spark, f"{base}/state")
+    return (
+        st.groupBy("day")
+        .agg(F.sum(F.expr("bit_count(bm)")).cast("long").alias("n_users"))
+        .orderBy("day")
+    )
+
+
+QUERIES["streaming_bitmap_reach_replay"] = streaming_bitmap_reach_replay
+ORACLES["streaming_bitmap_reach_replay"] = """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1 ORDER BY day
+"""
+
+
+# --- 11. Blocking-quality audit (sampled pair completeness / reduction ratio) ----
+#
+# The measurement the editdist blocking scheme (pipeline_ops5) rests
+# on: does (brand, size) blocking actually retain the true near-dup
+# pairs (pair completeness) while pruning the pair space (reduction
+# ratio)? Exact PC needs the TRUE match set — quadratic — so the
+# audit runs on a FIXED-SIZE deterministic sample (md5-ranked first
+# N parts): C(N,2) pairs at ANY scale factor, the standard production
+# ER-audit shape (Christen 2012, ch. 7).
+
+_BQ_SAMPLE_N = 300  # C(300,2) = 44 850 pairs — bounded at every SF
+
+
+def blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair completeness and reduction ratio of TWO blocking schemes
+    on the md5-ranked first _BQ_SAMPLE_N parts — true matches are
+    levenshtein(name_a, name_b) ≤ 2 over ALL sampled pairs (brute
+    force, bounded by the fixed sample):
+
+    - ``brand_size`` — pipeline_ops5's (p_brand, p_size) scheme.
+      MEASURED on this corpus: PC ≈ 0 bps (sf0.001) / 8 bps (sf0.01)
+      at RR ≈ 99.9% — the part-name vocabulary is tiny (64 distinct
+      names over 2000 parts at sf0.01), so near-dup names live in
+      DIFFERENT brands and brand blocking cannot see them. The
+      within-block dedup editdist_name_join certifies is real; this
+      audit prices what it does NOT cover (fixture honesty, same
+      convention as the CUPED ρ≈0 row).
+    - ``name_token`` — the standard ER key (first token of the
+      matched attribute). Measured PC 6112 bps at RR 8740 bps on
+      sf0.01 — the recall/pruning trade the metric exists to expose.
+
+    100 TB: the sample is a rank-N order statistic over md5(key) —
+    one corpus pass + a 300-row frame; the quadratic work is C(300,2)
+    regardless of SF (the standard production ER-audit shape,
+    Christen 2012 ch. 7)."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size"
+    )
+    ranked = (
+        p.withColumn("h", F.md5(F.col("p_partkey").cast("string")))
+        .withColumn(
+            "pos", F.row_number().over(Window.orderBy("h", "p_partkey"))
+        )
+        .filter(F.col("pos") <= _BQ_SAMPLE_N)
+        .select("p_partkey", "p_name", "p_brand", "p_size")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    flags = (
+        a.join(
+            F.broadcast(b), F.col("a.p_partkey") < F.col("b.p_partkey")
+        )  # bounded 300-row side: broadcast is size-safe at every SF
+        .select(
+            (
+                (F.col("a.p_brand") == F.col("b.p_brand"))
+                & (F.col("a.p_size") == F.col("b.p_size"))
+            ).cast("long").alias("b_brand"),
+            (
+                F.split_part(F.col("a.p_name"), F.lit(" "), F.lit(1))
+                == F.split_part(F.col("b.p_name"), F.lit(" "), F.lit(1))
+            ).cast("long").alias("b_token"),
+            (
+                F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2
+            ).cast("long").alias("is_true"),
+        )
+    )
+    pairs = flags.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("brand_size").alias("scheme"),
+                    F.col("b_brand").alias("blocked"),
+                ),
+                F.struct(
+                    F.lit("name_token").alias("scheme"),
+                    F.col("b_token").alias("blocked"),
+                ),
+            )
+        ).alias("s"),
+        "is_true",
+    ).select("s.scheme", "s.blocked", "is_true")
+    return (
+        pairs.groupBy("scheme")
+        .agg(
+            F.lit(_BQ_SAMPLE_N).cast("long").alias("n_sampled"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("is_true").cast("long").alias("n_true"),
+            F.sum("blocked").cast("long").alias("n_blocked"),
+            F.sum(F.col("blocked") * F.col("is_true")).cast("long").alias(
+                "n_true_blocked"
+            ),
+            F.expr(
+                "CASE WHEN sum(is_true) = 0 THEN -1 "
+                "ELSE sum(blocked * is_true) * 10000 div sum(is_true) END"
+            ).cast("long").alias("pc_bps"),
+            F.expr(
+                "(count(1) - sum(blocked)) * 10000 div count(1)"
+            ).cast("long").alias("rr_bps"),
+        )
+        .orderBy("scheme")
+    )
+
+
+QUERIES["blocking_quality_audit"] = blocking_quality_audit
+ORACLES["blocking_quality_audit"] = f"""
+    WITH ranked AS MATERIALIZED (
+      SELECT p_partkey, p_name, p_brand, p_size
+      FROM (
+        SELECT *, row_number() OVER (
+          ORDER BY md5(CAST(p_partkey AS VARCHAR)), p_partkey) AS pos
+        FROM part
+      ) WHERE pos <= {_BQ_SAMPLE_N}
+    ), flags AS (
+      SELECT CASE WHEN a.p_brand = b.p_brand AND a.p_size = b.p_size
+                  THEN 1 ELSE 0 END AS b_brand,
+             CASE WHEN split_part(a.p_name, ' ', 1)
+                       = split_part(b.p_name, ' ', 1)
+                  THEN 1 ELSE 0 END AS b_token,
+             CASE WHEN levenshtein(a.p_name, b.p_name) <= 2
+                  THEN 1 ELSE 0 END AS is_true
+      FROM ranked a JOIN ranked b ON a.p_partkey < b.p_partkey
+    ), pairs AS (
+      SELECT 'brand_size' AS scheme, b_brand AS blocked, is_true FROM flags
+      UNION ALL
+      SELECT 'name_token' AS scheme, b_token AS blocked, is_true FROM flags
+    )
+    SELECT scheme,
+           {_BQ_SAMPLE_N}::BIGINT AS n_sampled,
+           count(*)::BIGINT AS n_pairs,
+           CAST(sum(is_true) AS BIGINT) AS n_true,
+           CAST(sum(blocked) AS BIGINT) AS n_blocked,
+           CAST(sum(blocked * is_true) AS BIGINT) AS n_true_blocked,
+           CAST(CASE WHEN sum(is_true) = 0 THEN -1
+                ELSE sum(blocked * is_true) * 10000 // sum(is_true) END
+                AS BIGINT) AS pc_bps,
+           CAST((count(*) - sum(blocked)) * 10000 // count(*) AS BIGINT)
+             AS rr_bps
+    FROM pairs
+    GROUP BY scheme ORDER BY scheme
+"""
+
+
+# --- 12. Purged time-series split audit -------------------------------------------
+#
+# Purged K-fold with embargo (de Prado 2018 ch. 7): temporal CV where
+# train rows within G days of the test interval are PURGED so label
+# leakage across the boundary can't inflate eval metrics — the split
+# a forecasting pipeline (ses/holt/seasonal backtests above) should
+# be evaluated under. Folds = order years (the fixture's natural
+# bounded fold key); embargo pinned.
+
+_PURGE_EMBARGO_DAYS = 30
+
+
+def purged_time_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fold audit of the purged year-fold split on orders: each
+    fold's test set is its year, train is everything ≥ G days outside
+    the year's [min, max] test-date envelope, purged is the embargo
+    band. Output: sizes + the measured min train-to-test-envelope gap
+    (in days) — both engines compute it, and the guard test asserts
+    it is ≥ G everywhere (leakage-freedom as a measured value, not a
+    promise).
+
+    100 TB: folds are a ≤|years|-row broadcast; the classify pass is
+    one corpus scan per K (inherent to K-fold — every fold's train
+    set is distinct); per-fold aggregates shuffle |folds| rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    )
+    folds = (
+        o.groupBy(F.col("yr").alias("fold_year"))
+        .agg(F.min("d").alias("t_lo"), F.max("d").alias("t_hi"))
+    )
+    g = F.lit(_PURGE_EMBARGO_DAYS)
+    labeled = o.crossJoin(F.broadcast(folds)).select(
+        "fold_year",
+        F.when(F.col("yr") == F.col("fold_year"), F.lit("test"))
+        .when(
+            (F.datediff(F.col("t_lo"), F.col("d")) >= g)
+            | (F.datediff(F.col("d"), F.col("t_hi")) >= g),
+            F.lit("train"),
+        )
+        .otherwise(F.lit("purged"))
+        .alias("role"),
+        F.greatest(
+            F.datediff(F.col("t_lo"), F.col("d")),
+            F.datediff(F.col("d"), F.col("t_hi")),
+        ).alias("gap_days"),
+    )
+    return (
+        labeled.groupBy("fold_year")
+        .agg(
+            F.sum((F.col("role") == "test").cast("long")).cast("long").alias("n_test"),
+            F.sum((F.col("role") == "train").cast("long")).cast("long").alias("n_train"),
+            F.sum((F.col("role") == "purged").cast("long")).cast("long").alias("n_purged"),
+            F.min(
+                F.when(F.col("role") == "train", F.col("gap_days"))
+            ).cast("long").alias("min_train_gap_days"),
+        )
+        .orderBy("fold_year")
+    )
+
+
+QUERIES["purged_time_split_audit"] = purged_time_split_audit
+ORACLES["purged_time_split_audit"] = f"""
+    WITH o AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(year(o_orderdate) AS INTEGER) AS yr
+      FROM orders
+    ), folds AS (
+      SELECT yr AS fold_year, min(d) AS t_lo, max(d) AS t_hi
+      FROM o GROUP BY yr
+    ), labeled AS (
+      SELECT f.fold_year,
+             CASE WHEN o.yr = f.fold_year THEN 'test'
+                  WHEN datediff('day', o.d, f.t_lo) >= {_PURGE_EMBARGO_DAYS}
+                    OR datediff('day', f.t_hi, o.d) >= {_PURGE_EMBARGO_DAYS}
+                  THEN 'train' ELSE 'purged' END AS role,
+             greatest(datediff('day', o.d, f.t_lo),
+                      datediff('day', f.t_hi, o.d)) AS gap_days
+      FROM o CROSS JOIN folds f
+    )
+    SELECT fold_year,
+           CAST(sum(CASE WHEN role = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN role = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN role = 'purged' THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+           CAST(min(CASE WHEN role = 'train' THEN gap_days END) AS BIGINT)
+             AS min_train_gap_days
+    FROM labeled
+    GROUP BY fold_year ORDER BY fold_year
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-round-2
     stale (see module docstring). Must run AFTER every QUERIES[...]

@@ -39,6 +39,17 @@ _MERGEABLE = {
     "count": (lambda c: F.count(F.lit(1)), F.sum),
     "min": (F.min, F.min),
     "max": (F.max, F.max),
+    # bitwise-OR fold of 64-bit bitmap words — the mergeable state of
+    # the exact-distinct bitmap family (plans/pipeline_ops7): OR is
+    # associative + commutative + idempotent, so replayed batches and
+    # reordered micro-batches converge like every other measure here.
+    # Column-name based (F.expr) because pyspark exposes bit_or only
+    # as a SQL aggregate; callers pass source column NAMES, per this
+    # module's contract.
+    "bit_or": (
+        lambda c: F.expr(f"bit_or({c})"),
+        lambda c: F.expr(f"bit_or({c})"),
+    ),
 }
 
 

@@ -447,3 +447,94 @@ def test_widened_type_lattice():
     assert _widened_type("string", "string") == "string"
     with pytest.raises(ValueError):
         _widened_type("integer", "double")  # cross-family: no silent rule
+
+
+def test_bitmap_retention_brute_force(spark, sf_dir):
+    """Retention = |cust(y) ∩ cust(y+1)| re-derived with Python sets."""
+    import pandas as pd
+
+    from etl_extractor_spark.plans.pipeline_ops7 import (
+        bitmap_intersection_retention,
+    )
+
+    got = {
+        r["year_from"]: r
+        for r in bitmap_intersection_retention(spark, sf_dir).collect()
+    }
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")[["o_custkey", "o_orderdate"]]
+    o["y"] = pd.to_datetime(o["o_orderdate"]).dt.year
+    by_year = {y: set(g["o_custkey"]) for y, g in o.groupby("y")}
+    for y in sorted(by_year):
+        if y + 1 not in by_year:
+            assert y not in got
+            continue
+        inter = len(by_year[y] & by_year[y + 1])
+        r = got[y]
+        assert r["n_retained"] == inter
+        assert r["n_from"] == len(by_year[y]) and r["n_to"] == len(by_year[y + 1])
+        assert r["retention_bps"] == inter * 10000 // len(by_year[y])
+
+
+def test_bit_or_measure_is_mergeable_and_idempotent(spark):
+    """The new incremental-sink measure: OR-merging the same batch
+    twice (simulating a replayed batch that dodges the id watermark)
+    and merging in any split must give the same state as one pass."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.sinks.incremental import apply_batch, read_state
+
+    rows = [(i % 5, 1 << (i % 60)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, bit_val long")
+    measures = {"bm": ("bit_or", "bit_val")}
+    outs = []
+    for i, splits in enumerate(([0], [0, 1, 2], [0, 0, 1, 2])):
+        base = pid_scratch_dir(f"spark_graft_bitor_guard{i}_")
+        shutil.rmtree(base, ignore_errors=True)
+        sp = f"{base}/state"
+        for bid, s in enumerate(splits):
+            part = df.filter((F.col("k") % 3 == s) if len(splits) > 1 else F.lit(True))
+            # replay case: third scenario applies split 0 twice with
+            # DIFFERENT batch ids — idempotence must come from OR
+            # itself, not only the id watermark
+            apply_batch(spark, sp, part, ["k"], measures, bid)
+        outs.append(
+            sorted((r["k"], r["bm"]) for r in read_state(spark, sp).collect())
+        )
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_purged_split_has_no_leakage(spark, sf_dir):
+    """Leakage-freedom as a checked value: every fold's measured min
+    train gap is >= the pinned embargo, roles partition the corpus,
+    and purged bands are non-empty somewhere (the audit bites)."""
+    import pandas as pd
+
+    from etl_extractor_spark.plans.pipeline_ops7 import (
+        _PURGE_EMBARGO_DAYS,
+        purged_time_split_audit,
+    )
+
+    rows = purged_time_split_audit(spark, sf_dir).collect()
+    assert rows
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    n = len(o)
+    for r in rows:
+        assert r["n_test"] + r["n_train"] + r["n_purged"] == n
+        assert r["min_train_gap_days"] >= _PURGE_EMBARGO_DAYS
+    assert any(r["n_purged"] > 0 for r in rows), "embargo never bites"
+
+
+def test_blocking_audit_schemes_differ(spark, sf_dir):
+    """The two audited schemes must tell different stories (PC and RR
+    both ordered) — otherwise the comparison fixture is vacuous."""
+    from etl_extractor_spark.plans.pipeline_ops7 import blocking_quality_audit
+
+    rows = {r["scheme"]: r for r in blocking_quality_audit(spark, sf_dir).collect()}
+    assert set(rows) == {"brand_size", "name_token"}
+    bs, nt = rows["brand_size"], rows["name_token"]
+    assert nt["pc_bps"] > bs["pc_bps"], "token blocking should recall more"
+    assert bs["rr_bps"] > nt["rr_bps"], "brand blocking should prune more"
+    assert bs["n_pairs"] == nt["n_pairs"] > 0 and nt["n_true"] > 0
