@@ -222,6 +222,12 @@ BENCH_QUERIES = [
     "streaming_bitmap_reach_replay",
     "blocking_quality_audit",
     "purged_time_split_audit",
+    # round-9 wave 4: the retention lifecycle (write → append → MOR
+    # delete → copy-on-write compaction → expire_snapshots → read)
+    # and the bucket-pruned point lookup (SelectedBucketsCount 1/N,
+    # plan-guarded)
+    "manifest_snapshot_expiry",
+    "bucket_pruned_lookup",
 ]
 
 

@@ -1431,6 +1431,166 @@ ORACLES["purged_time_split_audit"] = f"""
 """
 
 
+# --- 13. Snapshot-expiry lifecycle (COW compaction + retention) -------------------
+#
+# Completes the manifest store's lifecycle: write → append → MOR
+# delete → COPY-ON-WRITE compaction (new snapshot, old files stay —
+# unlike the in-place compact_with_manifest, history survives) →
+# expire_snapshots (drop old snapshots, unlink files only they
+# reference) — the Iceberg rewrite_data_files + expire_snapshots
+# loop. The oracle certifies the CURRENT view is unchanged through
+# the whole lifecycle; the guard test pins the disk effects (old
+# files gone, expired time travel raises, idempotence).
+
+
+def manifest_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders through the full retention lifecycle: v0 = even
+    orderkeys, v1 = append odd, v2 = MOR-delete keys ≡ 0 (mod 97),
+    v3 = copy-on-write compaction, then expire to keep_last=1. The
+    returned rollup reads the post-expiry table; the oracle computes
+    the same rollup from the base table minus the deleted keys — a
+    hash match certifies deletes were absorbed (not resurrected) by
+    the COW rewrite AND that expiry removed no live data.
+
+    100 TB: every step is O(its own change) — the delete commit is
+    O(deleted keys), the COW rewrite is one pass of the CURRENT view
+    (the price of physical absorption, paid once per retention
+    window), expiry is manifest set-algebra + unlinks."""
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.sinks.compact import compact_copy_on_write
+    from etl_extractor_spark.sinks.manifest import (
+        expire_snapshots,
+        read_merge_on_read,
+        write_equality_deletes,
+        write_with_manifest,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        _CENTS("o_totalprice").alias("cents"),
+        "o_orderstatus",
+    ).persist()
+    path = pid_scratch_dir("spark_graft_snap_expiry_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_with_manifest(
+        spark, o.filter(F.col("o_orderkey") % 2 == 0), path, ["o_orderkey"]
+    )
+    write_with_manifest(
+        spark,
+        o.filter(F.col("o_orderkey") % 2 == 1),
+        path,
+        ["o_orderkey"],
+        mode="append",
+    )
+    write_equality_deletes(
+        spark,
+        path,
+        o.filter(F.col("o_orderkey") % 97 == 0).select("o_orderkey"),
+    )
+    compact_copy_on_write(spark, path)
+    expire_snapshots(path, keep_last=1)
+    cur = read_merge_on_read(spark, path)
+    return (
+        cur.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("status")
+    )
+
+
+QUERIES["manifest_snapshot_expiry"] = manifest_snapshot_expiry
+ORACLES["manifest_snapshot_expiry"] = """
+    SELECT o_orderstatus AS status,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders
+    WHERE o_orderkey % 97 <> 0
+    GROUP BY 1 ORDER BY status
+"""
+
+
+# --- 14. Bucket-pruned point lookup ------------------------------------------------
+#
+# The read-side payoff of bucketing that bucketed_join_colocated's
+# join shape doesn't show: an equality predicate on the bucket column
+# lets Spark's FileSourceStrategy plan ONLY the matching bucket
+# (SelectedBucketsCount: 1 out of N in the scan node — plan-guarded
+# in tests). The B-tree-index lookup analog for the reference's
+# staging-index DDL (reference load_to_staging.py:7-16), at lake
+# scale: a point read touches 1/N of the files with zero index
+# maintenance.
+
+
+_BPL_BUCKETS = 16
+
+
+def bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority order profile of ONE customer read from a table
+    bucketed on o_custkey: the scan plans only the key's bucket. The
+    probed key is the largest custkey ≡ 0 (mod 7) — data-derived but
+    deterministic on both engines. Oracle = the same profile from the
+    base table; the pruning itself is certified by the plan guard
+    (this query certifies values)."""
+    from etl_extractor_spark.operators.bucketing import write_bucketed
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+
+    base = pid_scratch_dir("spark_graft_bpl_")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS graft_bpl LOCATION '{base}'")
+    # Required for PRUNING: with autoBucketedScan on (default), Spark
+    # drops to a plain scan when bucketing avoids no exchange — and
+    # bucket pruning only applies to bucketed scans (measured:
+    # "Bucketed: false (disabled by query planner)", zero pruning).
+    # Left set for the session, like pyds.register's pushdown flag:
+    # the only bucketed tables in this engine WANT bucketed scans.
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", _CENTS("o_totalprice").alias("cents")
+    )
+    write_bucketed(o, "graft_bpl.orders_pt", "o_custkey", _BPL_BUCKETS)
+    # bounded collect of ONE scalar (the repo's justified-collect
+    # class): bucket pruning happens at PLAN time, so the probe key
+    # must be a literal in the filter — a broadcast-join key would
+    # read every bucket
+    key = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 7 == 0)
+        .agg(F.max("o_custkey"))
+        .collect()[0][0]
+    )
+    t = spark.table("graft_bpl.orders_pt")
+    return (
+        t.filter(F.col("o_custkey") == F.lit(int(key)))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("spend_cents"),
+        )
+        .orderBy("priority")
+    )
+
+
+QUERIES["bucket_pruned_lookup"] = bucket_pruned_lookup
+ORACLES["bucket_pruned_lookup"] = """
+    WITH k AS (
+      SELECT max(o_custkey) AS k FROM orders WHERE o_custkey % 7 = 0
+    )
+    SELECT o_orderpriority AS priority,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS spend_cents
+    FROM orders, k
+    WHERE o_custkey = k.k
+    GROUP BY 1 ORDER BY priority
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-round-2
     stale (see module docstring). Must run AFTER every QUERIES[...]

@@ -189,3 +189,71 @@ def compact_with_manifest(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return harvest_manifest(spark, path, stats_cols)
+
+
+def compact_copy_on_write(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    n_files: int | None = None,
+) -> dict:
+    """COPY-ON-WRITE compaction for manifest-tracked tables: rewrite
+    the current logical view (merge-on-read deletes applied) into new
+    files committed as a NEW snapshot, while the old data files stay
+    on disk referenced by the prior snapshots — time travel stays
+    intact, unlike compact_with_manifest's in-place swap (which
+    restarts history). Pair with ``manifest.expire_snapshots`` to
+    reclaim the superseded files once the retention window passes —
+    the Iceberg rewrite_data_files + expire_snapshots lifecycle.
+
+    The new files land beside the old ones (Spark's uuid part names
+    cannot collide); the manifest's CURRENT view ("files") switches to
+    the new set and its top-level delete list clears (the rewrite
+    materialized the subtraction), but older snapshots keep their
+    delete-file references, so MOR time travel to them still works
+    until expiry."""
+    from etl_extractor_spark.sinks.manifest import (
+        _file_stats,
+        _write_manifest,
+        read_manifest,
+        read_merge_on_read,
+    )
+
+    m = read_manifest(path)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path} — commit data first")
+    if n_files is None:
+        n_files = plan_file_count(spark, path, target_file_mb)
+    df = read_merge_on_read(spark, path)
+    tmp = path.rstrip("/") + "__cow"
+    shutil.rmtree(tmp, ignore_errors=True)
+    # probe=False: the MOR plan's anti-joins must not execute twice
+    _exactly_n_files(df, n_files, probe=False).write.mode("overwrite").parquet(tmp)
+    new_names = []
+    for f in sorted(os.listdir(tmp)):
+        if f.endswith(".parquet") and not f.startswith(("_", ".")):
+            os.rename(os.path.join(tmp, f), os.path.join(path, f))
+            new_names.append(f)
+    shutil.rmtree(tmp, ignore_errors=True)
+    entries = [
+        _file_stats(os.path.join(path, f), m["stats_cols"]) for f in new_names
+    ]
+    entries.sort(key=lambda e: e["file"])
+    snapshots = list(m.get("snapshots", []))
+    snapshots.append(
+        {
+            "id": (snapshots[-1]["id"] + 1) if snapshots else 0,
+            "files": [e["file"] for e in entries],
+            "total_rows": sum(e["rows"] for e in entries),
+        }
+    )
+    m2 = dict(m)
+    m2["files"] = entries
+    m2["n_files"] = len(entries)
+    m2["total_rows"] = sum(e["rows"] for e in entries)
+    m2["snapshots"] = snapshots
+    # current view absorbed the deletes; PRIOR snapshots keep their
+    # delete-file names and the _deletes/ dirs stay until expiry
+    m2.pop("delete_files", None)
+    _write_manifest(path, m2)
+    return m2

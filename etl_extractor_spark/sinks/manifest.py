@@ -419,14 +419,25 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Read a manifest-tracked table with its committed (evolved)
     schema — one metadata lookup, no mergeSchema footer sweep. Files
     predating a column yield nulls for it. Falls back to a plain
-    parquet read when no manifest/schema exists."""
+    parquet read when no manifest/schema exists.
+
+    Plans the manifest's CURRENT file list, not the directory (the
+    manifest IS the table — Iceberg semantics): after a copy-on-write
+    compaction the directory legitimately holds BOTH the new files
+    and the prior snapshots' files (kept for time travel until
+    expire_snapshots), and a directory listing would read every row
+    twice. Uncommitted stragglers from failed writes are likewise
+    invisible instead of silently joining the table."""
     m = read_manifest(path)
     if m is None or m.get("schema") is None:
         return spark.read.parquet(path)
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(m["schema"]))
-    return spark.read.schema(schema).parquet(path)
+    files = [os.path.join(path, e["file"]) for e in m["files"]]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
 
 
 def layout_report(path: str) -> dict[str, Any]:
@@ -730,3 +741,60 @@ def run_streaming_manifest_sink(
     )
     q.awaitTermination()
     return n["b"]
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> dict[str, Any]:
+    """Iceberg-style snapshot expiration: drop all but the newest
+    ``keep_last`` snapshots from the manifest and delete the data
+    files (and merge-on-read delete files) referenced ONLY by the
+    expired ones. The current view ("files") is never touched — a
+    kept snapshot's files and the current set are always live, so a
+    post-expiry read of the current table is bit-identical to the
+    pre-expiry read (certified by manifest_snapshot_expiry's oracle).
+
+    Metadata-scale planning (set algebra over the manifest's name
+    lists); the only I/O is unlinking dead files. Returns
+    {"expired": n, "removed_data": [...], "removed_deletes": [...]}.
+    Idempotent: a second call with the same keep_last removes
+    nothing."""
+    m = read_manifest(path)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path}")
+    snaps = list(m.get("snapshots", []))
+    if len(snaps) <= keep_last:
+        return {"expired": 0, "removed_data": [], "removed_deletes": []}
+    keep, expired = snaps[-keep_last:], snaps[:-keep_last]
+    live: set[str] = {e["file"] for e in m["files"]}
+    for s in keep:
+        live.update(s["files"])
+    live_del: set[str] = set()
+    for s in keep:
+        live_del.update(s.get("delete_files", []))
+    dead_data = sorted(
+        {f for s in expired for f in s["files"]} - live
+    )
+    dead_del = sorted(
+        {f for s in expired for f in s.get("delete_files", [])} - live_del
+    )
+    for name in dead_data:
+        p = os.path.join(path, name)
+        if os.path.exists(p):
+            os.remove(p)
+    import shutil as _shutil
+
+    for name in dead_del:
+        _shutil.rmtree(os.path.join(path, "_deletes", name), ignore_errors=True)
+    m2 = dict(m)
+    m2["snapshots"] = keep
+    if dead_del or m.get("delete_files"):
+        m2["delete_files"] = [
+            d for d in m.get("delete_files", []) if d["name"] in live_del
+        ]
+        if not m2["delete_files"]:
+            m2.pop("delete_files", None)
+    _write_manifest(path, m2)
+    return {
+        "expired": len(expired),
+        "removed_data": dead_data,
+        "removed_deletes": dead_del,
+    }

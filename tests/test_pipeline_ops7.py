@@ -538,3 +538,82 @@ def test_blocking_audit_schemes_differ(spark, sf_dir):
     assert nt["pc_bps"] > bs["pc_bps"], "token blocking should recall more"
     assert bs["rr_bps"] > nt["rr_bps"], "brand blocking should prune more"
     assert bs["n_pairs"] == nt["n_pairs"] > 0 and nt["n_true"] > 0
+
+
+def test_snapshot_expiry_lifecycle_disk_effects(spark, sf_dir):
+    """What the oracle can't see: after COW compaction the OLD files
+    and snapshots are still on disk/readable; after expiry the dead
+    files are unlinked, expired ids raise, the current view is
+    byte-identical, and expiry is idempotent."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.sinks.compact import compact_copy_on_write
+    from etl_extractor_spark.sinks.manifest import (
+        expire_snapshots,
+        read_manifest,
+        read_merge_on_read,
+        read_snapshot,
+        write_equality_deletes,
+        write_with_manifest,
+    )
+    from etl_extractor_spark.sources.parquet import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_totalprice") * 100).cast("long").alias("c")
+    )
+    path = pid_scratch_dir("spark_graft_expiry_guard_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_with_manifest(spark, o.filter("o_orderkey % 2 = 0"), path, ["o_orderkey"])
+    write_with_manifest(
+        spark, o.filter("o_orderkey % 2 = 1"), path, ["o_orderkey"], mode="append"
+    )
+    write_equality_deletes(
+        spark, path, o.filter("o_orderkey % 97 = 0").select("o_orderkey")
+    )
+    m = compact_copy_on_write(spark, path)
+    snaps = [s["id"] for s in m["snapshots"]]
+    assert len(snaps) == 4  # v0 write, v1 append, v2 delete, v3 COW
+    old_files = set(m["snapshots"][0]["files"]) | set(m["snapshots"][1]["files"])
+    new_files = set(m["snapshots"][-1]["files"])
+    assert old_files.isdisjoint(new_files)
+    for f in old_files | new_files:
+        assert os.path.exists(os.path.join(path, f)), f  # COW kept everything
+    # pre-expiry: snapshot 0 is still readable (COW preserved history)
+    assert read_snapshot(spark, path, 0).count() > 0
+    before = sorted(r["o_orderkey"] for r in read_merge_on_read(spark, path).collect())
+    res = expire_snapshots(path, keep_last=1)
+    assert res["expired"] == 3
+    assert set(res["removed_data"]) == old_files  # only superseded files die
+    assert res["removed_deletes"]  # the delete dir only v2 referenced dies
+    for f in old_files:
+        assert not os.path.exists(os.path.join(path, f))
+    for f in new_files:
+        assert os.path.exists(os.path.join(path, f))
+    after = sorted(r["o_orderkey"] for r in read_merge_on_read(spark, path).collect())
+    assert before == after  # current view untouched by expiry
+    with pytest.raises(KeyError):
+        read_snapshot(spark, path, 0)
+    assert expire_snapshots(path, keep_last=1) == {
+        "expired": 0, "removed_data": [], "removed_deletes": []
+    }
+    m2 = read_manifest(path)
+    assert "delete_files" not in m2 or not m2["delete_files"]
+
+
+def test_bucket_lookup_actually_prunes(spark, sf_dir):
+    """The query's reason to exist: the scan node must report
+    SelectedBucketsCount 1 out of N — without pruning the lookup
+    reads every bucket and the operator is a lie."""
+    from etl_extractor_spark.plans.pipeline_ops7 import (
+        _BPL_BUCKETS,
+        bucket_pruned_lookup,
+    )
+
+    df = bucket_pruned_lookup(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert f"SelectedBucketsCount: 1 out of {_BPL_BUCKETS}" in plan, plan[:2000]
