@@ -1098,6 +1098,12 @@ def bitmap_intersection_retention(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .groupBy("year_from")
         .agg(F.sum("pc").cast("long").alias("n_retained"))
+        # parity with the oracle's key-equality join, which emits NO
+        # group for a year pair with zero common customers — the
+        # word-level join can still match on shared 63-key BLOCKS and
+        # would emit n_retained=0 there (review catch; latent on this
+        # fixture's ~80% retention, divergent on disjoint year pairs)
+        .filter(F.col("n_retained") > 0)
     )
     pa, pb = per_year.alias("pa"), per_year.alias("pb")
     return (
@@ -1236,12 +1242,15 @@ def blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand", "p_size"
     )
+    # orderBy().limit() plans as TakeOrderedAndProject — a distributed
+    # top-K (review catch: the first cut used an UNPARTITIONED window
+    # row_number, which funnels the whole part table through one task
+    # — the exact single-partition shape the repo's plan guards exist
+    # to ban). Ties impossible: p_partkey is unique in the sort key.
     ranked = (
         p.withColumn("h", F.md5(F.col("p_partkey").cast("string")))
-        .withColumn(
-            "pos", F.row_number().over(Window.orderBy("h", "p_partkey"))
-        )
-        .filter(F.col("pos") <= _BQ_SAMPLE_N)
+        .orderBy("h", "p_partkey")
+        .limit(_BQ_SAMPLE_N)
         .select("p_partkey", "p_name", "p_brand", "p_size")
     )
     a, b = ranked.alias("a"), ranked.alias("b")
@@ -1529,35 +1538,29 @@ ORACLES["manifest_snapshot_expiry"] = """
 _BPL_BUCKETS = 16
 
 
-def bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-priority order profile of ONE customer read from a table
-    bucketed on o_custkey: the scan plans only the key's bucket. The
-    probed key is the largest custkey ≡ 0 (mod 7) — data-derived but
-    deterministic on both engines. Oracle = the same profile from the
-    base table; the pruning itself is certified by the plan guard
-    (this query certifies values)."""
+_BPL_SCAN_CONF = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+
+
+def _bucket_lookup_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy pruned-lookup plan: write the bucketed table, probe the
+    key (bounded ONE-scalar collect — bucket pruning happens at PLAN
+    time, so the key must be a literal in the filter; a broadcast-
+    join key would read every bucket), return the filtered rollup.
+    Callers must have _BPL_SCAN_CONF = false while the plan is
+    OPTIMIZED (i.e. at action time), else Spark drops to a plain
+    scan — with autoBucketedScan on (default) it disables bucketed
+    reads when no exchange is avoided, and pruning only applies to
+    bucketed scans (measured: "Bucketed: false (disabled by query
+    planner)", zero pruning)."""
     from etl_extractor_spark.operators.bucketing import write_bucketed
     from etl_extractor_spark.operators.common import pid_scratch_dir
 
     base = pid_scratch_dir("spark_graft_bpl_")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS graft_bpl LOCATION '{base}'")
-    # Required for PRUNING: with autoBucketedScan on (default), Spark
-    # drops to a plain scan when bucketing avoids no exchange — and
-    # bucket pruning only applies to bucketed scans (measured:
-    # "Bucketed: false (disabled by query planner)", zero pruning).
-    # Left set for the session, like pyds.register's pushdown flag:
-    # the only bucketed tables in this engine WANT bucketed scans.
-    spark.conf.set(
-        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
-    )
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderpriority", _CENTS("o_totalprice").alias("cents")
     )
     write_bucketed(o, "graft_bpl.orders_pt", "o_custkey", _BPL_BUCKETS)
-    # bounded collect of ONE scalar (the repo's justified-collect
-    # class): bucket pruning happens at PLAN time, so the probe key
-    # must be a literal in the filter — a broadcast-join key would
-    # read every bucket
     key = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_custkey") % 7 == 0)
@@ -1574,6 +1577,34 @@ def bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+def bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority order profile of ONE customer read from a table
+    bucketed on o_custkey: the scan plans only the key's bucket
+    (SelectedBucketsCount 1/_BPL_BUCKETS, plan-guarded in tests via
+    _bucket_lookup_df). The probed key is the largest custkey ≡ 0
+    (mod 7) — data-derived but deterministic on both engines. The
+    pruned plan EXECUTES inside this call (materialized to scratch)
+    while the scan conf is flipped, and the conf is restored before
+    returning — a registered query must not leave session-wide plan
+    state behind (review catch: the first cut left autoBucketedScan
+    off for the session, making every later bucketed query's plan
+    depend on bench execution order). Oracle = the same profile from
+    the base table."""
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+
+    prev = spark.conf.get(_BPL_SCAN_CONF, "true")
+    out = pid_scratch_dir("spark_graft_bpl_result_")
+    shutil.rmtree(out, ignore_errors=True)
+    spark.conf.set(_BPL_SCAN_CONF, "false")
+    try:
+        _bucket_lookup_df(spark, sf_dir).write.mode("overwrite").parquet(out)
+    finally:
+        spark.conf.set(_BPL_SCAN_CONF, prev)
+    return spark.read.parquet(out).orderBy("priority")
 
 
 QUERIES["bucket_pruned_lookup"] = bucket_pruned_lookup

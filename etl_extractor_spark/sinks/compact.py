@@ -252,8 +252,21 @@ def compact_copy_on_write(
     m2["n_files"] = len(entries)
     m2["total_rows"] = sum(e["rows"] for e in entries)
     m2["snapshots"] = snapshots
-    # current view absorbed the deletes; PRIOR snapshots keep their
-    # delete-file names and the _deletes/ dirs stay until expiry
-    m2.pop("delete_files", None)
+    # current view absorbed the deletes — the NEW snapshot carries no
+    # delete names — but the delete-file REGISTRY must keep every
+    # entry a surviving snapshot still references (review catch: the
+    # first cut popped the registry wholesale, so read_snapshot_mor
+    # on the prior delete-bearing snapshot crashed with KeyError —
+    # the exact time travel the docstring promises until expiry).
+    still_referenced = {
+        n for s in snapshots for n in s.get("delete_files", [])
+    }
+    live_dels = [
+        d for d in m.get("delete_files", []) if d["name"] in still_referenced
+    ]
+    if live_dels:
+        m2["delete_files"] = live_dels
+    else:
+        m2.pop("delete_files", None)
     _write_manifest(path, m2)
     return m2

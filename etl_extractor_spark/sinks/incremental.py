@@ -43,13 +43,7 @@ _MERGEABLE = {
     # the exact-distinct bitmap family (plans/pipeline_ops7): OR is
     # associative + commutative + idempotent, so replayed batches and
     # reordered micro-batches converge like every other measure here.
-    # Column-name based (F.expr) because pyspark exposes bit_or only
-    # as a SQL aggregate; callers pass source column NAMES, per this
-    # module's contract.
-    "bit_or": (
-        lambda c: F.expr(f"bit_or({c})"),
-        lambda c: F.expr(f"bit_or({c})"),
-    ),
+    "bit_or": (F.bit_or, F.bit_or),
 }
 
 

@@ -167,6 +167,26 @@ def harvest_manifest(
     if schema_json is None:
         schema_json = json.dumps(spark.read.parquet(path).schema.jsonValue())
     files = _part_files(path)
+    if prior is not None:
+        # An append commit extends the CURRENT view: current files +
+        # files no prior snapshot knows (the batch just written). A
+        # bare directory listing would also sweep in files that ARE
+        # referenced by older snapshots but not current — i.e. the
+        # generation a copy-on-write compaction superseded and is
+        # keeping on disk for time travel until expire_snapshots —
+        # silently resurrecting pre-compaction (and MOR-deleted) rows
+        # into the current view (review catch; read_table was fixed
+        # first, this is the write-side twin).
+        referenced = {e["file"] for e in prior["files"]}
+        for s in prior.get("snapshots", []):
+            referenced.update(s["files"])
+        current = {e["file"] for e in prior["files"]}
+        files = [
+            f
+            for f in files
+            if os.path.basename(f) in current
+            or os.path.basename(f) not in referenced
+        ]
 
     known: dict[str, dict[str, Any]] = {}
     if prior is not None and prior["stats_cols"] == sorted(stats_cols):
@@ -757,6 +777,11 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict[str, Any]:
     {"expired": n, "removed_data": [...], "removed_deletes": [...]}.
     Idempotent: a second call with the same keep_last removes
     nothing."""
+    if keep_last < 1:
+        # keep_last=0 would slice snaps[-0:] == everything (a silent
+        # no-op, the OPPOSITE of "expire all"); negatives expire from
+        # the wrong end. The current snapshot is never expirable.
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     m = read_manifest(path)
     if m is None:
         raise FileNotFoundError(f"no manifest at {path}")

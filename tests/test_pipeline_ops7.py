@@ -610,10 +610,77 @@ def test_bucket_lookup_actually_prunes(spark, sf_dir):
     reads every bucket and the operator is a lie."""
     from etl_extractor_spark.plans.pipeline_ops7 import (
         _BPL_BUCKETS,
-        bucket_pruned_lookup,
+        _BPL_SCAN_CONF,
+        _bucket_lookup_df,
     )
 
-    df = bucket_pruned_lookup(spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    prev = spark.conf.get(_BPL_SCAN_CONF, "true")
+    spark.conf.set(_BPL_SCAN_CONF, "false")
+    try:
+        df = _bucket_lookup_df(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(_BPL_SCAN_CONF, prev)
     plan = plan.split("== Initial Plan ==")[0]
     assert f"SelectedBucketsCount: 1 out of {_BPL_BUCKETS}" in plan, plan[:2000]
+    # and the registered wrapper restores the session conf
+    from etl_extractor_spark.plans.pipeline_ops7 import bucket_pruned_lookup
+
+    bucket_pruned_lookup(spark, sf_dir).collect()
+    assert spark.conf.get(_BPL_SCAN_CONF, "true") == prev
+
+
+def test_cow_preserves_mor_time_travel_and_appends(spark, sf_dir):
+    """The two second-review catches: (a) after COW compaction,
+    read_snapshot_mor on the prior delete-bearing snapshot still
+    works (the delete registry keeps entries referenced by surviving
+    snapshots); (b) an APPEND after COW extends only the current
+    view — the superseded generation on disk must not be re-harvested
+    (no resurrected or doubled rows)."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.sinks.compact import compact_copy_on_write
+    from etl_extractor_spark.sinks.manifest import (
+        read_merge_on_read,
+        read_snapshot_mor,
+        write_equality_deletes,
+        write_with_manifest,
+    )
+    from etl_extractor_spark.sources.parquet import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_totalprice") * 100).cast("long").alias("c")
+    )
+    path = pid_scratch_dir("spark_graft_cow_guard_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_with_manifest(spark, o.filter("o_orderkey % 2 = 0"), path, ["o_orderkey"])
+    write_equality_deletes(
+        spark, path, o.filter("o_orderkey % 10 = 0").select("o_orderkey")
+    )
+    compact_copy_on_write(spark, path)
+    # (a) MOR time travel to the delete-bearing snapshot 1
+    tt = read_snapshot_mor(spark, path, 1)
+    keys_tt = {r["o_orderkey"] for r in tt.collect()}
+    assert keys_tt and all(k % 2 == 0 and k % 10 != 0 for k in keys_tt)
+    # (b) append AFTER the COW: only new rows join the current view
+    write_with_manifest(
+        spark, o.filter("o_orderkey % 2 = 1"), path, ["o_orderkey"], mode="append"
+    )
+    cur = sorted(r["o_orderkey"] for r in read_merge_on_read(spark, path).collect())
+    assert len(cur) == len(set(cur)), "append after COW doubled rows"
+    want = sorted(
+        r["o_orderkey"]
+        for r in o.filter("o_orderkey % 10 != 0 OR o_orderkey % 2 = 1").collect()
+    )
+    assert cur == want
+
+
+def test_expire_snapshots_rejects_nonpositive_keep():
+    from etl_extractor_spark.sinks.manifest import expire_snapshots
+
+    for bad in (0, -1):
+        with pytest.raises(ValueError):
+            expire_snapshots("/nonexistent", keep_last=bad)
