@@ -684,3 +684,25 @@ def test_expire_snapshots_rejects_nonpositive_keep():
     for bad in (0, -1):
         with pytest.raises(ValueError):
             expire_snapshots("/nonexistent", keep_last=bad)
+
+
+def test_bitmap_rollup_plan_is_map_combined(spark, sf_dir):
+    """The operator's reason to exist: partial_bit_or must sit BELOW
+    the word-level exchange (map-side combine — one 8-byte word per
+    (group, 63-key block) crosses the wire). If Spark ever planned
+    the OR only after the shuffle, the operator would degrade to raw
+    key traffic and this guard fires."""
+    from etl_extractor_spark.plans.pipeline_ops7 import bitmap_distinct_rollup
+
+    plan = (
+        bitmap_distinct_rollup(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "partial_bit_or" in plan, plan[:1500]
+    # plan text above the partial (its consumers) must include the
+    # word-level exchange: partial OR below shuffle = map-side combine
+    pre = plan.index("partial_bit_or")
+    assert "Exchange hashpartitioning" in plan[:pre], plan[:1500]
