@@ -1105,7 +1105,12 @@ def streaming_rate_limit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     kept = SE.streaming_rate_limit(SE.events_stream(spark, sf_dir))
     return (
-        SE.run_to_memory(kept, "t_rate_limit_replay", output_mode="append")
+        SE.run_to_memory(
+            kept,
+            "t_rate_limit_replay",
+            output_mode="append",
+            state_partitions=SE.state_partitions_for(spark, sf_dir),
+        )
         .select(
             F.col("user_id").cast("long").alias("user_id"),
             F.col("event_id").cast("long").alias("event_id"),

@@ -445,6 +445,7 @@ def streaming_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         SE.streaming_funnel(SE.events_stream(spark, sf_dir)),
         "t_funnel_replay",
         output_mode="update",
+        state_partitions=SE.state_partitions_for(spark, sf_dir),
     )
     final = (
         emitted.groupBy("user_id")
@@ -1661,6 +1662,7 @@ def streaming_interval_union_replay(spark: SparkSession, sf_dir: str) -> DataFra
         SE.streaming_interval_union(SE.events_stream(spark, sf_dir)),
         "t_interval_union_replay",
         output_mode="update",
+        state_partitions=SE.state_partitions_for(spark, sf_dir),
     )
     final = (
         emitted.groupBy("user_id")

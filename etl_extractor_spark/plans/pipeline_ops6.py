@@ -486,6 +486,9 @@ def streaming_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         SE.streaming_interval_join_outer(spark, sf_dir),
         "t_ssjoin_outer_replay",
         output_mode="append",
+        # volume-sized state partitioning (see events.py's inner-join
+        # replay and streaming/events_stream.state_partitions_for)
+        state_partitions=SE.state_partitions_for(spark, sf_dir),
     )
 
 

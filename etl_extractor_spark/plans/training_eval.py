@@ -588,6 +588,7 @@ def streaming_cms_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         SE.streaming_cms_grid(SE.documents_stream(spark, sf_dir)),
         "t_cms_replay",
         output_mode="update",
+        state_partitions=SE.state_partitions_for(spark, sf_dir, table="documents"),
     )
     return (
         emitted.groupBy("seed", "bucket")
