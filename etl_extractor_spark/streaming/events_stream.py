@@ -292,16 +292,26 @@ def state_partitions_for(
     2.24 s at 8 → 1.94 s at 4 (min-of-3 each, BASELINE r9). At
     cluster scale the byte term dominates and this returns the
     parallelism cap; at bench scale it stops paying for empty
-    stores."""
+    stores. The cap WINS over the floor on a sub-4-core session
+    (state stores beyond the core count only add commit I/O).
+
+    Sizing walks the table's data files (sinks/compact.dir_bytes —
+    a Spark-written table is a DIRECTORY of part files; a bare
+    getsize would read the directory inode, ~4 KB, and silently
+    floor every table — review catch). Unreadable/remote paths fall
+    back to the floor; on a real cluster the input is sized by the
+    source listing, not a local stat."""
     import math
     import os
 
+    from etl_extractor_spark.sinks.compact import dir_bytes
+
     try:
-        nbytes = os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
+        nbytes = dir_bytes(os.path.join(sf_dir, f"{table}.parquet"))
     except OSError:
         nbytes = 0
     cap = spark.sparkContext.defaultParallelism
-    return max(floor, min(cap, math.ceil(nbytes / (32 * 1024 * 1024))))
+    return min(cap, max(floor, math.ceil(nbytes / (32 * 1024 * 1024))))
 
 
 def run_to_memory(
@@ -336,7 +346,7 @@ def run_to_memory(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return stream_df.sparkSession.table(name)
+    return spark.table(name)
 
 
 def run_streaming_upsert(

@@ -629,3 +629,41 @@ def test_kmv_state_multi_batch():
     assert (r_split.k_eff, r_split.kth_hash, r_split.est_users) == (
         r_once.k_eff, r_once.kth_hash, r_once.est_users,
     )
+
+
+def test_run_to_memory_restores_shuffle_partitions(spark, sf_dir):
+    """state_partitions must be scoped to the replay: the session's
+    shuffle partitions round-trip even though the stream ran at the
+    sized value (the order-dependent-session-conf bug class the
+    round-9 reviews chased twice)."""
+    from etl_extractor_spark.streaming import events_stream as SE
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    out = SE.run_to_memory(
+        SE.streaming_tumbling(SE.events_stream(spark, sf_dir)),
+        "t_conf_restore_probe",
+        output_mode="complete",
+        state_partitions=3,
+    )
+    assert out.count() >= 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_state_partitions_sizing_rule(spark, sf_dir):
+    """floor on small local tables; cap wins over floor; directory-
+    shaped tables are sized by data-file bytes, not the dir inode."""
+    import math
+    import os
+
+    from etl_extractor_spark.sinks.compact import dir_bytes
+    from etl_extractor_spark.streaming.events_stream import (
+        state_partitions_for,
+    )
+
+    cap = spark.sparkContext.defaultParallelism
+    got = state_partitions_for(spark, sf_dir)
+    nbytes = dir_bytes(os.path.join(sf_dir, "events.parquet"))
+    want = min(cap, max(4, math.ceil(nbytes / (32 * 1024 * 1024))))
+    assert got == want
+    # a missing table falls back to the floor (clamped by the cap)
+    assert state_partitions_for(spark, sf_dir, table="nonexistent") == min(cap, 4)
