@@ -228,6 +228,9 @@ BENCH_QUERIES = [
     # plan-guarded)
     "manifest_snapshot_expiry",
     "bucket_pruned_lookup",
+    # round-9 wave 5: positional deletes (write + coordinate-derive +
+    # commit + MOR re-read)
+    "positional_delete_scan",
 ]
 
 

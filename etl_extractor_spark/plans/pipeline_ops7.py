@@ -1622,6 +1622,82 @@ ORACLES["bucket_pruned_lookup"] = """
 """
 
 
+# --- 15. Positional deletes (merge-on-read, physical row coordinates) -------------
+#
+# The second Iceberg delete-file kind: EQUALITY deletes (ops5/ops6
+# lifecycle) subtract by key value; POSITIONAL deletes subtract ONE
+# physical row — (file, row_index) — which is the only way to remove
+# a specific member of a set of duplicate rows without rewriting the
+# file. Readers attach Spark's _metadata.file_name / row_index at
+# scan time and anti-join the coordinates (guard test pins the
+# duplicate-row semantic equality deletes cannot express).
+
+
+def positional_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders through a positional-delete commit: positions are
+    DERIVED from a deterministic predicate (o_orderkey ≡ 0 mod 97 —
+    scan once with metadata columns, project the coordinates), then
+    committed as a positional delete file and read back through the
+    MOR reader. The oracle filters the base table by the same
+    predicate — a hash match certifies the coordinate derivation, the
+    delete commit, and the coordinate anti-join end to end (position
+    arithmetic has no SQL-visible form, so the predicate bridge is
+    what makes the machinery oracle-checkable).
+
+    100 TB: the commit is O(deleted rows); the read pays one
+    broadcast anti-join on (file, pos) until a compaction absorbs it
+    (compact_copy_on_write reads through this same MOR path, so
+    positional deletes are absorbed exactly like equality ones)."""
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.sinks.manifest import (
+        _with_pos_meta,
+        read_merge_on_read,
+        write_positional_deletes,
+        write_with_manifest,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        _CENTS("o_totalprice").alias("cents"),
+        "o_orderstatus",
+    )
+    path = pid_scratch_dir("spark_graft_posdel_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_with_manifest(spark, o, path, ["o_orderkey"])
+    pos = (
+        _with_pos_meta(spark.read.parquet(path))
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            F.col("_pd_file").alias("file_name"),
+            F.col("_pd_pos").alias("pos"),
+        )
+    )
+    write_positional_deletes(spark, path, pos)
+    cur = read_merge_on_read(spark, path)
+    return (
+        cur.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("status")
+    )
+
+
+QUERIES["positional_delete_scan"] = positional_delete_scan
+ORACLES["positional_delete_scan"] = """
+    SELECT o_orderstatus AS status,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders
+    WHERE o_orderkey % 97 <> 0
+    GROUP BY 1 ORDER BY status
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-round-2
     stale (see module docstring). Must run AFTER every QUERIES[...]

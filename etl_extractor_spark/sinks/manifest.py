@@ -627,15 +627,80 @@ def write_equality_deletes(
     return m
 
 
+def write_positional_deletes(
+    spark: SparkSession, path: str, pos_df: DataFrame
+) -> dict[str, Any]:
+    """Iceberg-style POSITIONAL delete commit: ``pos_df`` holds
+    (file_name, pos) pairs — the physical row coordinates to subtract
+    (Spark's ``_metadata.file_name`` / ``_metadata.row_index``). The
+    semantic equality deletes cannot express: removing ONE specific
+    physical row of a set of duplicates. Same snapshot mechanics as
+    write_equality_deletes (cumulative delete list, O(deleted rows)
+    commit); readers apply it as a broadcast anti-join on the row
+    coordinates, which the MOR readers attach from the file metadata
+    at scan time and drop after."""
+    m = read_manifest(path)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path} — commit data first")
+    assert set(pos_df.columns) == {"file_name", "pos"}, pos_df.columns
+    dels: list[dict[str, Any]] = list(m.get("delete_files", []))
+    name = f"delete-{len(dels)}"
+    dpath = os.path.join(path, "_deletes", name)
+    pos_df = pos_df.distinct()
+    pos_df.write.mode("overwrite").parquet(dpath)
+    n_rows = spark.read.parquet(dpath).count()
+    dels.append({"name": name, "rows": n_rows, "kind": "positional"})
+    snapshots = list(m.get("snapshots", []))
+    last = snapshots[-1]
+    snapshots.append(
+        {
+            "id": last["id"] + 1,
+            "files": list(last["files"]),
+            "total_rows": last["total_rows"],
+            "delete_files": [d["name"] for d in dels],
+        }
+    )
+    m["delete_files"] = dels
+    m["snapshots"] = snapshots
+    _write_manifest(path, m)
+    return m
+
+
+_POS_COLS = ("_pd_file", "_pd_pos")
+
+
+def _with_pos_meta(df: DataFrame) -> DataFrame:
+    """Attach the physical row coordinates positional deletes key on."""
+    return df.select(
+        "*",
+        F.col("_metadata.file_name").alias(_POS_COLS[0]),
+        F.col("_metadata.row_index").alias(_POS_COLS[1]),
+    )
+
+
 def _apply_deletes(
     spark: SparkSession, path: str, df: DataFrame, names: list[str], m: dict[str, Any]
 ) -> DataFrame:
     by_name = {d["name"]: d for d in m.get("delete_files", [])}
+    has_positional = any(
+        by_name[n].get("kind") == "positional" for n in names
+    )
+    if has_positional:
+        df = _with_pos_meta(df)
     for name in names:
         d = by_name[name]
         keys = spark.read.parquet(os.path.join(path, "_deletes", name))
         # delete sets are O(deletes) — broadcast the anti-join build side
-        df = df.join(F.broadcast(keys), d["key_cols"], "left_anti")
+        if d.get("kind") == "positional":
+            keys = keys.select(
+                F.col("file_name").alias(_POS_COLS[0]),
+                F.col("pos").alias(_POS_COLS[1]),
+            )
+            df = df.join(F.broadcast(keys), list(_POS_COLS), "left_anti")
+        else:
+            df = df.join(F.broadcast(keys), d["key_cols"], "left_anti")
+    if has_positional:
+        df = df.drop(*_POS_COLS)
     return df
 
 

@@ -706,3 +706,51 @@ def test_bitmap_rollup_plan_is_map_combined(spark, sf_dir):
     # word-level exchange: partial OR below shuffle = map-side combine
     pre = plan.index("partial_bit_or")
     assert "Exchange hashpartitioning" in plan[:pre], plan[:1500]
+
+
+def test_positional_delete_removes_one_of_duplicates(spark):
+    """THE semantic positional deletes exist for: two bit-identical
+    rows, delete ONE physical position — the count drops by exactly
+    one (an equality delete would remove both). Also: mixing
+    positional and equality deletes on one table applies both, and
+    COW compaction absorbs them together."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.sinks.compact import compact_copy_on_write
+    from etl_extractor_spark.sinks.manifest import (
+        _with_pos_meta,
+        read_merge_on_read,
+        write_equality_deletes,
+        write_positional_deletes,
+        write_with_manifest,
+    )
+
+    rows = [(1, "a"), (1, "a"), (2, "b"), (3, "c"), (3, "c"), (4, "d")]
+    df = spark.createDataFrame(rows, "k long, v string").coalesce(1)
+    path = pid_scratch_dir("spark_graft_posdel_guard_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_with_manifest(spark, df, path, ["k"])
+    # one physical position of the duplicated k=1 row
+    pos = (
+        _with_pos_meta(spark.read.parquet(path))
+        .filter(F.col("k") == 1)
+        .orderBy("_pd_pos")
+        .limit(1)
+        .select(
+            F.col("_pd_file").alias("file_name"), F.col("_pd_pos").alias("pos")
+        )
+    )
+    write_positional_deletes(spark, path, pos)
+    got = sorted((r["k"], r["v"]) for r in read_merge_on_read(spark, path).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (3, "c"), (4, "d")]
+    # mix in an equality delete (k=4) — both kinds apply
+    write_equality_deletes(spark, path, spark.createDataFrame([(4,)], "k long"))
+    got2 = sorted((r["k"], r["v"]) for r in read_merge_on_read(spark, path).collect())
+    assert got2 == [(1, "a"), (2, "b"), (3, "c"), (3, "c")]
+    # COW absorbs both kinds; post-compaction read identical
+    compact_copy_on_write(spark, path)
+    got3 = sorted((r["k"], r["v"]) for r in read_merge_on_read(spark, path).collect())
+    assert got3 == got2
