@@ -82,6 +82,11 @@ _MODULES = (
     # round-2 like pipeline_ops6 (ties with the real r2 names, sorts
     # behind them AND behind ops6 by stable module order).
     "etl_extractor_spark.plans.pipeline_ops7",
+    # Round-9 third wave — appended last and defer-tiered at pseudo-
+    # round-2 like pipeline_ops6/7 (ties with the real r2 names, sorts
+    # behind them AND behind both earlier waves by stable module
+    # order).
+    "etl_extractor_spark.plans.pipeline_ops8",
 )
 
 

@@ -1,0 +1,237 @@
+"""Guards for the round-9 third wave (plans/pipeline_ops8).
+
+Each query's end-to-end value correctness is covered by the
+parametrized oracle gate (test_queries_oracle); these tests pin the
+invariants the oracle can't see: Python brute-force derivations
+independent of BOTH engines, pruning effectiveness, and the
+registry-window protection the wave's defer rank exists for.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import importlib
+
+import pandas as pd
+import pytest
+
+
+def _orders(sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o["cents"] = (
+        o["o_totalprice"].map(lambda v: int(round(float(v) * 100)))
+    )
+    return o
+
+
+def _nation_of(sf_dir):
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")[["c_custkey", "c_nationkey"]]
+    n = pd.read_parquet(f"{sf_dir}/nation.parquet")[["n_nationkey", "n_name"]]
+    return c.merge(n, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "n_name"]
+    ]
+
+
+def test_r9_window_protected_from_ops8():
+    """The wave's reason-to-exist invariant: with CORRECTNESS pinned
+    through r8, the 50-slot window is still 22 deferred first-times +
+    28 r2-stale, and NO round-9-wave name (ops6/ops7/ops8) is inside
+    it."""
+    from conftest import pinned_driver_checked
+
+    import etl_extractor_spark.plans.registry as R
+    from etl_extractor_spark.plans import pipeline_ops6 as p6
+    from etl_extractor_spark.plans import pipeline_ops7 as p7
+    from etl_extractor_spark.plans import pipeline_ops8 as p8
+
+    oracles: dict = {}
+    out: dict = {}
+    for m in R._MODULES:
+        mod = importlib.import_module(m)
+        out.update({k: None for k in getattr(mod, "QUERIES", {})})
+        oracles.update(getattr(mod, "ORACLES", {}))
+    pinned = pinned_driver_checked(8)
+    orig = R._driver_checked
+    R._driver_checked = lambda: pinned
+    try:
+        window = list(R._ordered(out, oracles))[:50]
+    finally:
+        R._driver_checked = orig
+    ft = [n for n in window if n not in pinned]
+    stale = [n for n in window if n in pinned]
+    assert len(ft) == 22 and len(stale) == 28
+    assert all(pinned[n] == 2 for n in stale)
+    assert not (
+        set(window)
+        & (set(p6.QUERIES) | set(p7.QUERIES) | set(p8.QUERIES))
+    )
+
+
+def test_ops8_names_enter_rotation_behind_ops7():
+    """After r9 drains (simulated: every r9-window name checked in
+    round 9), ops8 names appear in the next window BEHIND every ops6
+    and ops7 name (stable module order within the pseudo-r2 tie)."""
+    from conftest import pinned_driver_checked
+
+    import etl_extractor_spark.plans.registry as R
+    from etl_extractor_spark.plans import pipeline_ops6 as p6
+    from etl_extractor_spark.plans import pipeline_ops7 as p7
+    from etl_extractor_spark.plans import pipeline_ops8 as p8
+
+    oracles: dict = {}
+    out: dict = {}
+    for m in R._MODULES:
+        mod = importlib.import_module(m)
+        out.update({k: None for k in getattr(mod, "QUERIES", {})})
+        oracles.update(getattr(mod, "ORACLES", {}))
+    pinned = pinned_driver_checked(8)
+    orig = R._driver_checked
+    R._driver_checked = lambda: pinned
+    try:
+        r9_window = list(R._ordered(out, oracles))[:50]
+    finally:
+        R._driver_checked = orig
+    after_r9 = dict(pinned, **{n: 9 for n in r9_window})
+    R._driver_checked = lambda: after_r9
+    try:
+        order = list(R._ordered(out, oracles))
+    finally:
+        R._driver_checked = orig
+    pos = {n: i for i, n in enumerate(order)}
+    last_67 = max(pos[n] for n in list(p6.QUERIES) + list(p7.QUERIES))
+    assert all(pos[n] > last_67 for n in p8.QUERIES)
+
+
+def test_pivot_brute_force(spark, sf_dir):
+    """Engine-independent: the wide pivot equals a pandas crosstab of
+    cents by (nation, year), dense with zeros."""
+    from etl_extractor_spark.plans.pipeline_ops8 import (
+        _PIVOT_YEARS,
+        pivot_wide_nation_year,
+    )
+
+    got = {
+        r["nation"]: [r[f"y{y}"] for y in _PIVOT_YEARS]
+        for r in pivot_wide_nation_year(spark, sf_dir).collect()
+    }
+    o = _orders(sf_dir)
+    o["yr"] = o["o_orderdate"].astype(str).str[:4]
+    j = o.merge(_nation_of(sf_dir), left_on="o_custkey", right_on="c_custkey")
+    want = j.pivot_table(
+        index="n_name", columns="yr", values="cents", aggfunc="sum", fill_value=0
+    )
+    assert set(got) == set(want.index)
+    for nation in got:
+        for i, y in enumerate(_PIVOT_YEARS):
+            exp = int(want.loc[nation, y]) if y in want.columns else 0
+            assert got[nation][i] == exp, (nation, y)
+
+
+def test_cusum_brute_force(spark, sf_dir):
+    """Engine-independent: per-nation argmax_k |n*S_k - k*S_n| in pure
+    Python integers, smallest-k tie-break."""
+    from etl_extractor_spark.plans.pipeline_ops8 import cusum_changepoint_daily
+
+    got = {
+        r["nation"]: (r["n_days"], r["cp_day"], r["cusum_dev"])
+        for r in cusum_changepoint_daily(spark, sf_dir).collect()
+    }
+    o = _orders(sf_dir)
+    o["day"] = o["o_orderdate"].astype(str).str[:10]
+    j = o.merge(_nation_of(sf_dir), left_on="o_custkey", right_on="c_custkey")
+    daily = j.groupby(["n_name", "day"])["cents"].sum()
+    for nation in got:
+        series = daily.loc[nation].sort_index()
+        xs = [int(v) for v in series.values]
+        n = len(xs)
+        s_n = sum(xs)
+        best_k, best_dev, s_k = None, -1, 0
+        for k, x in enumerate(xs, start=1):
+            s_k += x
+            dev = abs(n * s_k - k * s_n)
+            if dev > best_dev:
+                best_k, best_dev = k, dev
+        assert got[nation] == (n, series.index[best_k - 1], best_dev), nation
+
+
+def test_merkle_diff_prunes_and_matches_full(spark, sf_dir):
+    """Two invariants the oracle can't see: (a) the bucket summary
+    actually PRUNES — strictly fewer than all buckets differ on this
+    fixture (so the row-level join reads a subset); (b) the pruned
+    answer equals an independent pandas full diff (the oracle proves
+    this too, but via DuckDB — this one is engine-free)."""
+    import pyspark.sql.functions as F
+
+    from etl_extractor_spark.plans.pipeline_ops8 import (
+        _MERKLE_BUCKETS,
+        merkle_range_diff,
+    )
+
+    got = {
+        r["change"]: r["n_rows"] for r in merkle_range_diff(spark, sf_dir).collect()
+    }
+    o = _orders(sf_dir)
+    mx = int(o["o_orderkey"].max())
+    keys = {int(k): int(c) for k, c in o[["o_orderkey", "cents"]].values}
+    v1 = {k: c for k, c in keys.items() if k <= (19 * mx) // 20}
+    v2 = {
+        k: c + (500 if (15 * mx) // 20 <= k < (16 * mx) // 20 else 0)
+        for k, c in keys.items()
+        if not ((17 * mx) // 20 <= k < (18 * mx) // 20)
+    }
+    want = {"added": 0, "deleted": 0, "changed": 0, "unchanged": 0}
+    for k in set(v1) | set(v2):
+        if k not in v1:
+            want["added"] += 1
+        elif k not in v2:
+            want["deleted"] += 1
+        elif v1[k] != v2[k]:
+            want["changed"] += 1
+        else:
+            want["unchanged"] += 1
+    assert got == {k: v for k, v in want.items() if v or k in got}
+    # pruning: range-localized edits must dirty well under half the
+    # ranges at ANY SF (the fixture concentrates edits in ~15% of the
+    # keyspace), and the clean ranges must carry real rows through the
+    # summary short-cut.
+    width = (mx // _MERKLE_BUCKETS) + 1
+    dirty = {k // width for k in set(v1) ^ set(v2)} | {
+        k // width for k in set(v1) & set(v2) if v1[k] != v2[k]
+    }
+    assert len(dirty) < _MERKLE_BUCKETS // 2
+    equal_rows = sum(
+        1
+        for k in set(v1) & set(v2)
+        if v1[k] == v2[k] and (k // width) not in dirty
+    )
+    assert equal_rows > 0  # the Merkle short-cut counted real rows
+
+
+def test_merkle_fold_matches_spark(spark):
+    """The python md5 fold used to reason about digests equals Spark's
+    conv(substr(md5, 1, 8), 16, 10) on edge keys (0, negative cents,
+    large keys)."""
+    import pyspark.sql.functions as F
+
+    rows = [(0, 0), (1, -500), (2**40, 123456789)]
+    df = spark.createDataFrame(rows, "k long, c long")
+    got = [
+        r["f"]
+        for r in df.select(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("k").cast("string"), F.col("c").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("f")
+        ).collect()
+    ]
+    want = [
+        int(hashlib.md5(f"{k}:{c}".encode()).hexdigest()[:8], 16) for k, c in rows
+    ]
+    assert got == want
