@@ -361,6 +361,285 @@ ORACLES["merkle_range_diff"] = f"""
 """
 
 
+# --- 4. Incremental JOIN-view maintenance (the non-additive MV half) -----------
+
+
+def mv_incremental_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A JOIN materialized view (orders enriched with the customer
+    dimension) maintained incrementally under deltas on BOTH sides:
+    the MV is bootstrapped as O_old JOIN C_old, then a delta batch of
+    new orders AND new customers lands and the view is patched with
+    the exact inner-join delta algebra
+
+        delta(O JOIN C) = dO JOIN C_full  UNION  O_old JOIN dC
+
+    (exact because {O_old, dO} and {C_old, dC} each partition their
+    table: dO x C_full covers dO x C_old and dO x dC; O_old x dC is
+    the remaining term — nothing double-counts). The patch appends
+    through the manifest sink; the oracle is the full O JOIN C
+    rebuild, so the driver hash certifies delta maintenance == rebuild
+    for the JOIN-view class, the sibling of the additive-aggregate MV
+    (``mv_incremental_daily_revenue``) and the TF-IDF postings
+    flagship.
+
+    Splits (deterministic): dC = customers with c_custkey % 10 = 7
+    (late dimension arrivals); dO = orders from 2001 onward.
+
+    100 TB: both delta terms scan one delta side in full and prune
+    the big side — dO JOIN C broadcasts/shuffles only new facts;
+    O_old JOIN dC broadcasts the small dimension delta against the
+    standing facts (at cluster scale a key index or partition-level
+    bloom narrows that scan; the repo's manifest bloom layer is
+    exactly that). The commit appends delta files only — the
+    bootstrapped MV files are never rewritten."""
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.sinks import manifest as MF
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.substring(F.col("o_orderdate").cast("string"), 1, 4).alias("year"),
+        _order_cents().alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    dO = F.col("year") >= "2001"
+    dC = F.col("c_custkey") % 10 == 7
+    o_old, o_new = o.filter(~dO), o.filter(dO)
+    c_old, c_new = c.filter(~dC), c.filter(dC)
+
+    def enrich(of: DataFrame, cf: DataFrame) -> DataFrame:
+        return of.join(cf, of.o_custkey == cf.c_custkey).select(
+            "o_orderkey", "year", "cents", "c_mktsegment"
+        )
+
+    path = pid_scratch_dir("spark_graft_mv_join_")
+    shutil.rmtree(path, ignore_errors=True)  # deterministic rebuild per run
+    MF.write_with_manifest(
+        spark, enrich(o_old, c_old), path, stats_cols=["year"], mode="overwrite"
+    )
+    delta = enrich(o_new, c).unionByName(enrich(o_old, F.broadcast(c_new)))
+    MF.write_with_manifest(
+        spark, delta, path, stats_cols=["year"], mode="append"
+    )
+    mv = MF.read_table(spark, path)
+    return (
+        mv.groupBy(F.col("c_mktsegment").alias("segment"), "year")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("segment", "year")
+    )
+
+
+QUERIES["mv_incremental_join_enrich"] = mv_incremental_join_enrich
+ORACLES["mv_incremental_join_enrich"] = f"""
+    SELECT c_mktsegment AS segment,
+           substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS year,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum({_CENTS_SQL}) AS BIGINT) AS revenue_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2 ORDER BY segment, year
+"""
+
+
+# --- 5. SCD2 merge WRITE path (close + insert, certified vs rebuild) -----------
+
+_SCD2_CHANGE_DATE = "2000-06-15"
+_SCD2_BASE_DATE = "1995-01-01"
+
+
+def scd2_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 WRITE path: a customer dimension with history columns
+    is bootstrapped to parquet, a deterministic change batch arrives
+    (keys % 7 = 3 move to a new segment; keys % 7 = 4 re-deliver
+    their CURRENT segment — the no-op class), and
+    ``sinks/merge.scd2_apply`` closes changed rows + inserts the new
+    versions through a checkpointed overwrite. The read-back summary
+    by (segment, is_current, valid_from) is certified against the
+    oracle that derives the post-merge state directly from the change
+    rule — rebuild-from-history, hash-for-hash. The no-op class is
+    the semantic teeth: at-least-once redelivery of an already-applied
+    change must create ZERO new versions (``scd2_point_in_time``
+    covers the read side; this is the write side).
+
+    100 TB: the change batch joins broadcast against current rows
+    only; history rows stream through untouched. On a real lakehouse
+    the overwrite is partition-scoped (sinks/merge's partition-COW);
+    here the dim is small enough to rewrite whole."""
+    import shutil
+
+    from etl_extractor_spark.operators.checkpoints import reliable_checkpoint
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.sinks.merge import scd2_apply
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dim0 = c.select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(_SCD2_BASE_DATE).alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = c.filter(F.col("c_custkey") % 7 == 3).select(
+        F.col("c_custkey").alias("cust_key"),
+        F.concat(F.lit("SEG-"), (F.col("c_custkey") % 5).cast("string")).alias(
+            "segment"
+        ),
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 7 == 4).select(
+            F.col("c_custkey").alias("cust_key"),
+            F.col("c_mktsegment").alias("segment"),  # no-op redelivery
+        )
+    )
+    path = pid_scratch_dir("spark_graft_scd2_")
+    shutil.rmtree(path, ignore_errors=True)  # deterministic rebuild per run
+    dim0.write.mode("overwrite").parquet(path)
+    target = spark.read.parquet(path)
+    merged = reliable_checkpoint(
+        scd2_apply(target, changes, "cust_key", ["segment"], _SCD2_CHANGE_DATE)
+    )
+    merged.write.mode("overwrite").parquet(path)
+    dim = spark.read.parquet(path)
+    return (
+        dim.groupBy("segment", "is_current", "valid_from")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .orderBy("segment", "is_current", "valid_from")
+    )
+
+
+QUERIES["scd2_merge_apply"] = scd2_merge_apply
+ORACLES["scd2_merge_apply"] = f"""
+    WITH post AS (
+      -- unchanged / no-op keys: one current row, base valid_from
+      SELECT c_mktsegment AS segment, TRUE AS is_current,
+             '{_SCD2_BASE_DATE}' AS valid_from
+      FROM customer WHERE c_custkey % 7 <> 3
+      UNION ALL
+      -- changed keys: the closed original version ...
+      SELECT c_mktsegment, FALSE, '{_SCD2_BASE_DATE}'
+      FROM customer WHERE c_custkey % 7 = 3
+      UNION ALL
+      -- ... plus the inserted new version
+      SELECT 'SEG-' || CAST(c_custkey % 5 AS VARCHAR), TRUE,
+             '{_SCD2_CHANGE_DATE}'
+      FROM customer WHERE c_custkey % 7 = 3
+    )
+    SELECT segment, is_current, valid_from, count(*)::BIGINT AS n_rows
+    FROM post GROUP BY 1, 2, 3 ORDER BY segment, is_current, valid_from
+"""
+
+
+# --- 6. Grid-blocked point-in-polygon containment (integer-exact) --------------
+
+_PIP_CELL = 2048  # grid cell edge; covers the max polygon half-extent
+
+
+def point_in_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial containment join without a geo library: each nation
+    owns a convex quadrilateral (a diamond |x-cx|*h + |y-cy|*w <=
+    w*h — all arithmetic INT64, so both engines decide containment
+    identically; no transcendentals, no floats), customers project to
+    deterministic md5-fold points, and the join is GRID-BLOCKED:
+    polygons register in every cell their bbox overlaps (<= 9 cells
+    here), points land in exactly one cell, and candidate pairs exist
+    only where cells match — the exact test runs on candidates alone.
+    A point maps to ONE cell, so no post-join dedup is needed. The
+    oracle brute-forces all nation x customer pairs (25 polygons —
+    fine in SQL); Spark runs the blocked plan that scales to millions
+    of polygons.
+
+    100 TB: the polygon-cell relation is polygon-count-scaled and
+    broadcasts; points shuffle at most once on cell id (or never,
+    when the point table is already laid out by spatial key — the
+    Z-order layer's morton keys are exactly that). Cell id uses
+    truncating integer division on BOTH the point and the bbox range,
+    so range coverage is monotone-consistent at negative
+    coordinates."""
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation")
+    )
+    polys = n.select(
+        "nk",
+        "nation",
+        ((F.col("nk") * 7919) % 20000 - 10000).alias("cx"),
+        ((F.col("nk") * 104729) % 18000 - 9000).alias("cy"),
+        (F.lit(1800) + (F.col("nk") % 7) * 150).alias("w"),
+        (F.lit(1500) + (F.col("nk") % 5) * 200).alias("h"),
+    )
+    poly_cells = polys.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.expr(f"(cx - w) div {_PIP_CELL}"),
+                F.expr(f"(cx + w) div {_PIP_CELL}"),
+            )
+        ).alias("cell_x"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.expr(f"(cy - h) div {_PIP_CELL}"),
+                F.expr(f"(cy + h) div {_PIP_CELL}"),
+            )
+        ).alias("cell_y"),
+    )
+    fold = lambda s: F.conv(  # noqa: E731
+        F.substring(F.md5(s), 1, 8), 16, 10
+    ).cast("long")
+    pts = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pk"),
+        (fold(F.concat(F.col("c_custkey").cast("string"), F.lit(":x"))) % 20001
+         - 10000).alias("px"),
+        (fold(F.concat(F.col("c_custkey").cast("string"), F.lit(":y"))) % 18001
+         - 9000).alias("py"),
+    ).select(
+        "pk", "px", "py",
+        F.expr(f"px div {_PIP_CELL}").alias("cell_x"),
+        F.expr(f"py div {_PIP_CELL}").alias("cell_y"),
+    )
+    hits = pts.join(
+        F.broadcast(poly_cells), ["cell_x", "cell_y"]
+    ).filter(
+        F.abs(F.col("px") - F.col("cx")) * F.col("h")
+        + F.abs(F.col("py") - F.col("cy")) * F.col("w")
+        <= F.col("w") * F.col("h")
+    )
+    return (
+        hits.groupBy("nation")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+        .orderBy("nation")
+    )
+
+
+QUERIES["point_in_polygon_join"] = point_in_polygon_join
+ORACLES["point_in_polygon_join"] = """
+    WITH polys AS (
+      SELECT n_name AS nation,
+             (n_nationkey * 7919) % 20000 - 10000 AS cx,
+             (n_nationkey * 104729) % 18000 - 9000 AS cy,
+             1800 + (n_nationkey % 7) * 150 AS w,
+             1500 + (n_nationkey % 5) * 200 AS h
+      FROM nation
+    ), pts AS (
+      SELECT c_custkey AS pk,
+             (CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':x'), 1, 8))
+                   AS BIGINT) % 20001) - 10000 AS px,
+             (CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':y'), 1, 8))
+                   AS BIGINT) % 18001) - 9000 AS py
+      FROM customer
+    )
+    SELECT nation, count(*)::BIGINT AS n_points
+    FROM polys, pts
+    WHERE abs(px - cx) * h + abs(py - cy) * w <= w * h
+    GROUP BY nation ORDER BY nation
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-round-2
     stale (see module docstring). Must run AFTER every QUERIES[...]
