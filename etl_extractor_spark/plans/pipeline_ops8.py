@@ -640,6 +640,208 @@ ORACLES["point_in_polygon_join"] = """
 """
 
 
+# --- 7. Manifest-level per-file Bloom skipping ---------------------------------
+
+
+def bloom_file_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup scan through the Bloom sidecar
+    (``sinks/bloom.py``): orders are laid out hash-distributed on
+    o_custkey across 32 files — the layout where min/max stats prune
+    NOTHING (every file spans the key domain) — per-file Bloom
+    filters are built with one distributed aggregation, and a
+    5-key lookup reads only the files whose filters admit a key
+    (~5 of 32 + false positives; the guard test pins pruning and
+    zero false negatives). The real IN-filter still applies on the
+    rows, so Bloom false positives cannot leak: the oracle is the
+    plain full-scan filter and the driver hash certifies
+    pruned-scan == full-scan.
+
+    Lookup keys are SF-stable fractions of the dense customer
+    keyspace (max/10, max/4, max/2, 3max/4, max). The max is a
+    plan-time scalar (bounded single-row collect — the Bloom probe
+    itself is driver-side metadata arithmetic, the
+    ``bucket_pruned_lookup`` precedent).
+
+    100 TB: build cost is one map-combinable pass per commit (do it
+    in the writer); probe cost is metadata-sized. This is the
+    secondary-index half of the skipping story — min/max/Z-order
+    prune ranges (``manifest_time_travel``, ``zorder``), Blooms prune
+    point lookups on high-cardinality hash-distributed keys."""
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.sinks import bloom as BL
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", _order_cents().alias("cents")
+    )
+    path = pid_scratch_dir("spark_graft_bloom_")
+    shutil.rmtree(path, ignore_errors=True)  # deterministic rebuild per run
+    o.repartition(32, "o_custkey").write.mode("overwrite").parquet(path)
+    BL.attach_blooms(spark, path, "o_custkey")
+    mx = load_table(spark, sf_dir, "customer").agg(
+        F.max("c_custkey")
+    ).collect()[0][0]
+    keys = sorted({mx // 10, mx // 4, mx // 2, (3 * mx) // 4, mx})
+    pruned = BL.read_bloom_pruned(spark, path, "o_custkey", keys)
+    return (
+        pruned.filter(F.col("o_custkey").isin(keys))
+        .groupBy(F.col("o_custkey").alias("cust_key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("cust_key")
+    )
+
+
+QUERIES["bloom_file_skipping_scan"] = bloom_file_skipping_scan
+ORACLES["bloom_file_skipping_scan"] = f"""
+    WITH mx AS (SELECT max(c_custkey) AS m FROM customer)
+    SELECT o_custkey AS cust_key,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum({_CENTS_SQL}) AS BIGINT) AS revenue_cents
+    FROM orders, mx
+    WHERE o_custkey IN (m // 10, m // 4, m // 2, (3 * m) // 4, m)
+    GROUP BY 1 ORDER BY cust_key
+"""
+
+
+# --- 8. Watermark late-data drop accounting (16th certified stream) ------------
+
+# Pinned, replay-deterministic micro-batch mtimes (the file source
+# orders by modification time; fixed constants make every replay see
+# the identical batch sequence).
+_LATE_MTIME0 = 1_700_000_000
+
+
+def _build_late_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the 3-batch late-data fixture: batch k carries the
+    events of days 10k+1..10k+10, EXCEPT that every event_id % 20 == 0
+    row ("straggler") is withheld until the FINAL batch — arriving
+    2+ batches after its cohort, i.e. genuinely behind the watermark.
+    One parquet file per batch with pinned, strictly increasing
+    mtimes."""
+    import glob
+    import os
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    b = F.when(F.col("event_id") % 20 == 0, F.lit(2)).otherwise(
+        F.expr("(dayofmonth(ts) - 1) div 10")
+    )
+    src = pid_scratch_dir("spark_graft_late_src_")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    for k in range(3):
+        tmp = pid_scratch_dir(f"spark_graft_late_b{k}_")
+        shutil.rmtree(tmp, ignore_errors=True)
+        e.filter(b == k).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"data-b{k}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (_LATE_MTIME0 + 60 * k, _LATE_MTIME0 + 60 * k))
+        shutil.rmtree(tmp, ignore_errors=True)
+    return src
+
+
+def _late_stream_agg(spark: SparkSession, src: str) -> DataFrame:
+    """The watermarked tumbling aggregation over the batch-file stream
+    (maxFilesPerTrigger=1 => one micro-batch per fixture batch)."""
+    from etl_extractor_spark.operators.events import TS_FMT
+
+    schema = spark.read.parquet(src + "/data-b0.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/data-*.parquet")
+    )
+    return (
+        stream.withColumn("tsx", F.col("ts").cast("timestamp"))
+        .withWatermark("tsx", "2 hours")
+        .groupBy(F.window("tsx", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16th certified stream: APPEND-mode watermark semantics under
+    genuinely late data — which rows the engine DROPS and which
+    windows it finalizes — pinned by a DuckDB oracle, so the driver
+    hash certifies the late-data contract itself, not just
+    convergence on clean input (every prior streaming twin replays
+    data that is never late).
+
+    The oracle encodes the micro-batch watermark rule measured on
+    this engine (probe-verified, and the pytest guard re-checks the
+    drop metric every run):
+
+    - the late filter for micro-batch k uses the watermark computed
+      from batches <= k-2 (max event time minus the 2 h delay) — the
+      watermark in EFFECT during a batch is the one committed at the
+      END of the previous batch, which itself reflects data through
+      that batch's predecessor;
+    - rows whose 1 h window end is <= that watermark are dropped
+      (the fixture's stragglers from days 1..10; the guard asserts
+      numRowsDroppedByWatermark > 0 — the fixture cannot go
+      vacuous);
+    - after the final no-data finalization batch, exactly the
+      windows with end <= max(all event time) - 2 h are emitted; the
+      held-back tail is the semantics, not an error (same class as
+      ``streaming_outer_join_replay``'s null-emission rule).
+
+    100 TB: this is the operator a production ingest pipeline runs
+    FOR ITS SLOs — late-drop counts per window are the data-loss
+    audit; the same plan runs against Kafka with the file source
+    swapped out. State is one row per open window; the watermark
+    bounds it."""
+    from etl_extractor_spark.streaming import events_stream as SE
+
+    src = _build_late_batches(spark, sf_dir)
+    return SE.run_to_memory(
+        _late_stream_agg(spark, src),
+        "t_late_data_audit",
+        output_mode="append",
+        state_partitions=SE.state_partitions_for(spark, sf_dir),
+    ).orderBy("window_start")
+
+
+QUERIES["streaming_late_data_audit"] = streaming_late_data_audit
+ORACLES["streaming_late_data_audit"] = """
+    WITH e AS (
+      SELECT ts, value,
+             epoch_us(ts) // 3600000000 AS hr,
+             CASE WHEN event_id % 20 = 0 THEN 2
+                  ELSE (dayofmonth(ts) - 1) // 10 END AS b
+      FROM events
+    ), wm0 AS (
+      SELECT max(epoch_us(ts)) - 7200000000 AS w FROM e WHERE b <= 0
+    ), wmf AS (
+      SELECT max(epoch_us(ts)) - 7200000000 AS w FROM e
+    ), kept AS (
+      SELECT hr, value FROM e, wm0
+      WHERE b < 2 OR (hr + 1) * 3600000000 > wm0.w
+    )
+    SELECT strftime(make_timestamp(hr * 3600000000),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM kept, wmf
+    WHERE (hr + 1) * 3600000000 <= wmf.w
+    GROUP BY hr ORDER BY window_start
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-round-2
     stale (see module docstring). Must run AFTER every QUERIES[...]

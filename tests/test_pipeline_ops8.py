@@ -340,3 +340,100 @@ def test_pip_blocking_is_complete(spark, sf_dir):
         ny = (cy + h) // _PIP_CELL - (cy - h) // _PIP_CELL + 1
         assert nx * ny <= 16
     assert got == want
+
+
+def test_bloom_prunes_with_zero_false_negatives(spark, sf_dir, tmp_path):
+    """The sidecar selects a strict subset of files for a sparse key
+    set, and NEVER misses a file that truly contains a key (pandas
+    ground truth per file)."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from etl_extractor_spark.sinks import bloom as BL
+
+    path = str(tmp_path / "tbl")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    o.repartition(16, "o_custkey").write.mode("overwrite").parquet(path)
+    BL.attach_blooms(spark, path, "o_custkey")
+    all_keys = [r[0] for r in o.select("o_custkey").distinct().collect()]
+    probe_keys = sorted(all_keys)[::7][:8]  # sparse sample
+    kept = set(BL.probe_files(path, "o_custkey", probe_keys))
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(kept) < len(files)  # pruning happened
+    for f in files:
+        truth = set(pd.read_parquet(f)["o_custkey"])
+        if truth & set(probe_keys):
+            assert f in kept, f  # zero false negatives
+    # the pruned read + real filter equals the full read + filter
+    got = (
+        BL.read_bloom_pruned(spark, path, "o_custkey", probe_keys)
+        .filter(F.col("o_custkey").isin(probe_keys))
+        .count()
+    )
+    want = o.filter(F.col("o_custkey").isin(probe_keys)).count()
+    assert got == want
+
+
+def test_bloom_probe_matches_spark_hash(spark):
+    """The driver-side Python probe and the Spark build use the SAME
+    hash sequence: build a one-file table, then every inserted key
+    probes positive and (statistically) a disjoint key range mostly
+    probes negative."""
+    from etl_extractor_spark.sinks import bloom as BL
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "k long").coalesce(1)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/t"
+        df.write.parquet(path)
+        BL.attach_blooms(spark, path, "k")
+        for key in (0, 7, 199):
+            assert BL.probe_files(path, "k", [key]), key
+        misses = sum(
+            0 if BL.probe_files(path, "k", [key]) else 1
+            for key in range(10_000, 10_100)
+        )
+        assert misses > 50  # bits_per_key=10, k=2 -> fp well under 50%
+
+
+def test_late_audit_actually_drops_rows(spark, sf_dir):
+    """Non-vacuousness: the fixture's stragglers really fall behind
+    the watermark — the state operator reports
+    numRowsDroppedByWatermark > 0 — and a re-run emits the identical
+    window set (replay determinism: pinned mtimes pin the batch
+    order)."""
+    from etl_extractor_spark.plans.pipeline_ops8 import (
+        _build_late_batches,
+        _late_stream_agg,
+        streaming_late_data_audit,
+    )
+
+    src = _build_late_batches(spark, sf_dir)
+    q = (
+        _late_stream_agg(spark, src)
+        .writeStream.format("memory")
+        .queryName("t_late_guard")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped > 0
+    r1 = {
+        (r["window_start"], r["n_events"])
+        for r in streaming_late_data_audit(spark, sf_dir).collect()
+    }
+    r2 = {
+        (r["window_start"], r["n_events"])
+        for r in streaming_late_data_audit(spark, sf_dir).collect()
+    }
+    assert r1 == r2 and len(r1) > 0
