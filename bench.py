@@ -231,6 +231,24 @@ BENCH_QUERIES = [
     # round-9 wave 5: positional deletes (write + coordinate-derive +
     # commit + MOR re-read)
     "positional_delete_scan",
+    # round-9 wave 6: wide pivot, CUSUM changepoint, Merkle range
+    # diff, join-MV delta maintenance, SCD2 merge write path,
+    # grid-blocked point-in-polygon, Bloom file skipping (write +
+    # build + probe + pruned read), watermark late-drop stream
+    "pivot_wide_nation_year",
+    "cusum_changepoint_daily",
+    "merkle_range_diff",
+    "mv_incremental_join_enrich",
+    "scd2_merge_apply",
+    "point_in_polygon_join",
+    "bloom_file_skipping_scan",
+    "streaming_late_data_audit",
+    # round-9 wave 7: snapshot-aware incremental diff (zero shared-file
+    # reads), NB classifier train+score, largest-remainder quotas, TWAP
+    "manifest_incremental_diff",
+    "naive_bayes_lang_confusion",
+    "largest_remainder_split",
+    "time_weighted_avg_value",
 ]
 
 

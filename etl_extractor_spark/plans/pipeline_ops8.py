@@ -842,6 +842,481 @@ ORACLES["streaming_late_data_audit"] = """
 """
 
 
+# --- 9. Snapshot-aware incremental table diff (Delta-CDF analog) ---------------
+
+
+def manifest_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change classes between two SNAPSHOTS of one manifest table,
+    computed WITHOUT reading any shared data file: files present in
+    both snapshots are byte-identical by the manifest's append-only
+    contract, so the diff plans only (a) data files added since the
+    base snapshot and (b) the delete files committed in between;
+    the unchanged count comes from base-snapshot METADATA
+    (total_rows) minus the delete-key count. This is the lakehouse
+    incremental diff (Delta CDF / Iceberg changelog): cost scales
+    with the CHANGE, not the table — the Merkle sibling
+    (``merkle_range_diff``) solves the same problem when the two
+    sides do NOT share physical files.
+
+    Fixture: v1 = pre-2001 orders (snapshot 0); one commit deletes
+    keys % 113 = 0 (pure deletes) and keys % 17 = 0 (updates:
+    equality-delete + re-append at +500); one append commit adds the
+    2001 tail + the repriced rows. The oracle is the plain
+    full-outer diff of the two logical states; re-inserted keys
+    reprice by a constant +500, so the file-level 'changed' class
+    coincides with the value-level one (a byte-identical rewrite
+    would need the Merkle digest layer — scoped there).
+
+    100 TB: zero shared-file reads; the delta-file and delete-file
+    scans are O(change); 'unchanged' is metadata arithmetic. The
+    class join broadcasts the delete-key set (O(deletes))."""
+    import os
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.sinks import manifest as MF
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.substring(F.col("o_orderdate").cast("string"), 1, 10).alias("day"),
+        _order_cents().alias("cents"),
+    )
+    v1 = base.filter(F.col("day") < "2001-01-01").select("o_orderkey", "cents")
+    path = pid_scratch_dir("spark_graft_incdiff_")
+    shutil.rmtree(path, ignore_errors=True)  # deterministic rebuild per run
+    MF.write_with_manifest(spark, v1, path, stats_cols=["o_orderkey"])
+    del_keys = v1.filter(
+        (F.col("o_orderkey") % 113 == 0) | (F.col("o_orderkey") % 17 == 0)
+    ).select("o_orderkey")
+    MF.write_equality_deletes(spark, path, del_keys)
+    appends = base.filter(F.col("day") >= "2001-01-01").select(
+        "o_orderkey", "cents"
+    ).unionByName(
+        v1.filter(F.col("o_orderkey") % 17 == 0).select(
+            "o_orderkey", (F.col("cents") + 500).alias("cents")
+        )
+    )
+    MF.write_with_manifest(
+        spark, appends, path, stats_cols=["o_orderkey"], mode="append"
+    )
+
+    m = MF.read_manifest(path)
+    snaps = m["snapshots"]
+    s0, cur = snaps[0], snaps[-1]
+    shared = set(s0["files"])
+    new_files = [f for f in cur["files"] if f not in shared]
+    new_rows = spark.read.parquet(
+        *[os.path.join(path, f) for f in new_files]
+    ).select("o_orderkey")
+    dk = None
+    for name in cur.get("delete_files", []):
+        part = spark.read.parquet(os.path.join(path, "_deletes", name))
+        dk = part if dk is None else dk.unionByName(part)
+    dk = dk.distinct()
+    n_deleted_keys = dk.count()  # bounded: O(deletes) metadata scale
+    changed = new_rows.join(F.broadcast(dk), "o_orderkey", "left_semi")
+    added = new_rows.join(F.broadcast(dk), "o_orderkey", "left_anti")
+    deleted = dk.join(F.broadcast(changed.distinct()), "o_orderkey", "left_anti")
+    unchanged_n = s0["total_rows"] - n_deleted_keys  # pure metadata
+    counts = (
+        added.select(F.lit("added").alias("change"))
+        .unionByName(changed.select(F.lit("changed").alias("change")))
+        .unionByName(deleted.select(F.lit("deleted").alias("change")))
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .unionByName(
+            spark.createDataFrame(
+                [("unchanged", unchanged_n)], "change string, n_rows long"
+            )
+        )
+    )
+    return counts.orderBy("change")
+
+
+QUERIES["manifest_incremental_diff"] = manifest_incremental_diff
+ORACLES["manifest_incremental_diff"] = f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             substr(CAST(o_orderdate AS VARCHAR), 1, 10) AS day,
+             {_CENTS_SQL} AS cents
+      FROM orders
+    ), v1 AS (
+      SELECT o_orderkey, cents AS c1 FROM base WHERE day < '2001-01-01'
+    ), v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN day < '2001-01-01' AND o_orderkey % 17 = 0
+                  THEN cents + 500 ELSE cents END AS c2
+      FROM base
+      WHERE day >= '2001-01-01'
+         OR (o_orderkey % 113 <> 0 OR o_orderkey % 17 = 0)
+    ), diff AS (
+      SELECT CASE WHEN c1 IS NULL THEN 'added'
+                  WHEN c2 IS NULL THEN 'deleted'
+                  WHEN c1 <> c2 THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+    )
+    SELECT change, count(*)::BIGINT AS n_rows
+    FROM diff GROUP BY change ORDER BY change
+"""
+
+
+# --- 10. Multinomial Naive Bayes document classifier ----------------------------
+
+# Laplace-smoothed multinomial NB in integer micro-nat log space: the
+# per-(class, word) weight floor(ln((n_cw + 1)/(n_c + V)) * 1e6) is the
+# module-standard treatment of transcendental terms (see
+# pipeline_ops6._col_entropy: flip odds ~1e-9/term); sums of weights x
+# counts are exact int64 (|weight| < 2e7, doc token counts ~200 =>
+# |score| < 4e9 per doc, no overflow at any SF).
+
+
+def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/score a multinomial Naive Bayes lang classifier on the
+    documents table and emit the CONFUSION MATRIX (true x predicted
+    counts) over the held-out quarter — the standard text-pipeline
+    baseline classifier, expressed as three joins and an argmax
+    window, no UDFs. Split is the repo's md5 bucket (doc_id % 4 = 0
+    held out). The oracle re-derives the identical chain (token
+    explode, Laplace weights, integer log-space argmax) in SQL, so
+    the driver hash certifies train AND inference end to end.
+
+    Fixture honesty: the synthetic corpus draws all langs from ONE
+    vocabulary with mildly lang-biased frequencies (measured
+    per-mille spreads of ~10-30%), so accuracy lands near the
+    majority prior (~40-50%) — the row certifies the classifier
+    MECHANICS exactly; discrimination is a property of real corpora.
+    The guard test measures and pins that honesty bound.
+
+    100 TB: training is one map-combined count per (lang, word);
+    weights are vocab x classes and broadcast; scoring shuffles
+    (doc, lang) partial scores — linear, no driver data paths, and
+    the argmax is a 5-row-per-doc window."""
+    from etl_extractor_spark.plans.pipeline_ops7 import _md5_bucket_col
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    d = d.withColumn("is_test", _md5_bucket_col(F.col("doc_id"), 4) == 0)
+    tok = d.select(
+        "doc_id",
+        "lang",
+        "is_test",
+        F.explode(F.split(F.col("text"), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+
+    train = tok.filter(~F.col("is_test"))
+    cw = train.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("n_cw"))
+    ctot = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_c"))
+    vocab_n = train.select(F.countDistinct("w").alias("v"))
+    langs = ctot.select("lang")
+    # document priors from the TRAIN docs
+    dprior = (
+        d.filter(~F.col("is_test"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("d_c"))
+        .crossJoin(
+            F.broadcast(
+                d.filter(~F.col("is_test")).agg(F.count(F.lit(1)).alias("d_n"))
+            )
+        )
+        .select(
+            "lang",
+            F.floor(
+                F.log(F.col("d_c").cast("double") / F.col("d_n").cast("double"))
+                * 1e6
+            )
+            .cast("long")
+            .alias("prior_w"),
+        )
+    )
+    wts = (
+        cw.join(ctot, "lang")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "lang",
+            "w",
+            F.floor(
+                F.log(
+                    (F.col("n_cw") + 1).cast("double")
+                    / (F.col("n_c") + F.col("v")).cast("double")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("wt"),
+        )
+    )
+    oov = (
+        ctot.crossJoin(F.broadcast(vocab_n))
+        .select(
+            "lang",
+            F.floor(
+                F.log(
+                    F.lit(1.0) / (F.col("n_c") + F.col("v")).cast("double")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("oov_w"),
+        )
+    )
+    test_tok = (
+        tok.filter(F.col("is_test"))
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = (
+        test_tok.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(wts), ["lang", "w"], "left")
+        .join(F.broadcast(oov), "lang")
+        .groupBy("doc_id", "true_lang", "lang")
+        .agg(
+            F.sum(
+                F.col("c") * F.coalesce(F.col("wt"), F.col("oov_w"))
+            ).alias("tok_score")
+        )
+        .join(F.broadcast(dprior), "lang")
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            (F.col("tok_score") + F.col("prior_w")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang").asc()
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("true_lang", F.col("lang").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+QUERIES["naive_bayes_lang_confusion"] = naive_bayes_lang_confusion
+
+_NB_BUCKET_SQL = None  # built lazily below to reuse the ops7 md5 fold
+
+
+def _nb_oracle() -> str:
+    from etl_extractor_spark.plans.pipeline_ops7 import _md5_bucket_sql
+
+    bucket = _md5_bucket_sql("doc_id", 4)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text, lang, ({bucket}) = 0 AS is_test FROM documents
+    ), tok AS (
+      SELECT doc_id, lang, is_test, w
+      FROM (SELECT doc_id, lang, is_test,
+                   unnest(string_split(text, ' ')) AS w FROM d)
+      WHERE w <> ''
+    ), train AS (SELECT * FROM tok WHERE NOT is_test),
+    cw AS (SELECT lang, w, count(*)::BIGINT AS n_cw FROM train GROUP BY 1, 2),
+    ctot AS (SELECT lang, count(*)::BIGINT AS n_c FROM train GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT w)::BIGINT AS v FROM train),
+    dprior AS (
+      SELECT lang,
+             CAST(floor(ln(CAST(count(*) AS DOUBLE)
+                  / CAST((SELECT count(*) FROM d WHERE NOT is_test) AS DOUBLE))
+                  * 1e6) AS BIGINT) AS prior_w
+      FROM d WHERE NOT is_test GROUP BY lang
+    ), wts AS (
+      SELECT lang, w,
+             CAST(floor(ln(CAST(n_cw + 1 AS DOUBLE)
+                  / CAST(n_c + v AS DOUBLE)) * 1e6) AS BIGINT) AS wt
+      FROM cw JOIN ctot USING (lang), vocab
+    ), oov AS (
+      SELECT lang,
+             CAST(floor(ln(1.0 / CAST(n_c + v AS DOUBLE)) * 1e6) AS BIGINT)
+               AS oov_w
+      FROM ctot, vocab
+    ), test_tok AS (
+      SELECT doc_id, lang AS true_lang, w, count(*)::BIGINT AS c
+      FROM tok WHERE is_test GROUP BY 1, 2, 3
+    ), scored AS (
+      SELECT t.doc_id, t.true_lang, l.lang,
+             sum(t.c * coalesce(wts.wt, oov.oov_w)) + any_value(dp.prior_w)
+               AS score
+      FROM test_tok t
+      CROSS JOIN (SELECT lang FROM ctot) l
+      LEFT JOIN wts ON wts.lang = l.lang AND wts.w = t.w
+      JOIN oov ON oov.lang = l.lang
+      JOIN dprior dp ON dp.lang = l.lang
+      GROUP BY 1, 2, 3
+    ), pred AS (
+      SELECT true_lang, lang AS pred_lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang ASC) AS rn
+      FROM scored
+    )
+    SELECT true_lang, pred_lang, count(*)::BIGINT AS n_docs
+    FROM pred WHERE rn = 1
+    GROUP BY 1, 2 ORDER BY true_lang, pred_lang
+    """
+
+
+ORACLES["naive_bayes_lang_confusion"] = _nb_oracle()
+
+
+# --- 11. Largest-remainder stratified allocation --------------------------------
+
+
+def largest_remainder_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified budget allocation by the largest-remainder
+    method (Hamilton's): a global train budget B = (8N) div 10 is
+    split across language strata proportionally — base quota
+    (n_s * B) div N per stratum, then the leftover R = B - sum(base)
+    goes to the R strata with the largest remainders ((n_s * B) mod
+    N; ties by lang ascending). The allocations sum EXACTLY to B with
+    every quota within 1 of proportional — the property naive
+    per-stratum rounding lacks. All arithmetic is int64
+    (n_s * B <= N^2, safe to ~SF 10^3 on this corpus; beyond that the
+    products move to DECIMAL like the module's other wide sums).
+
+    100 TB: one count per stratum, then window arithmetic over
+    |strata| rows — metadata scale. The companion membership draw is
+    the md5-rank sample the repo already certifies
+    (orders_sample_hash_det); this query certifies the QUOTAS."""
+    d = load_table(spark, sf_dir, "documents").select("lang")
+    strata = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = strata.agg(
+        F.sum("n_docs").alias("n_total"),
+    ).select("n_total", F.expr("(8 * n_total) div 10").alias("budget"))
+    s = strata.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.expr("(n_docs * budget) div n_total").alias("base"),
+        F.expr("(n_docs * budget) % n_total").alias("rem"),
+        "budget",
+    )
+    wsum = Window.partitionBy(F.lit(1))
+    wrank = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("rem").desc(), F.col("lang").asc()
+    )
+    out = (
+        s.withColumn("leftover", F.col("budget") - F.sum("base").over(wsum))
+        .withColumn("rk", F.row_number().over(wrank))
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc_train"),
+        )
+    )
+    return out.orderBy("lang")
+
+
+QUERIES["largest_remainder_split"] = largest_remainder_split
+ORACLES["largest_remainder_split"] = """
+    WITH strata AS (
+      SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT sum(n_docs)::BIGINT AS n_total,
+             (8 * sum(n_docs)::BIGINT) // 10 AS budget
+      FROM strata
+    ), s AS (
+      SELECT lang, n_docs,
+             (n_docs * budget) // n_total AS base,
+             (n_docs * budget) % n_total AS rem,
+             budget
+      FROM strata, tot
+    ), r AS (
+      SELECT *,
+             budget - sum(base) OVER () AS leftover,
+             row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk
+      FROM s
+    )
+    SELECT lang, n_docs,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_train
+    FROM r ORDER BY lang
+"""
+
+
+# --- 12. Time-weighted average (step-function TWAP) ------------------------------
+
+
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of the event value stream: the
+    value holds from each event until the next (step function), so
+    TWAP = sum(v_i * dt_i) / sum(dt_i) over consecutive-event gaps.
+    Exactness: values quantize to e4 units via the floor(x*1e4 + 0.5)
+    half-up recipe, gaps are integer microseconds from the NTZ wall
+    clock (timestampdiff against the NTZ epoch — no session-zone
+    term anywhere), the num/den sums are exact int64
+    (max |v_e4| * 30 days-in-us ~ 2.6e16 per user), and the readout
+    is the one-identical-floor(double) final-scalar recipe. Ties on
+    ts order by event_id, pinned on both engines.
+
+    100 TB: one shuffle (window by user), per-user state is a lead()
+    frame — the same shape as the certified sessionize/asof family;
+    single-event users have no gap and are excluded identically by
+    HAVING den > 0."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("us"),
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias("v_e4"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = e.withColumn("nxt", F.lead("us").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            (F.count(F.lit(1)) + 1).cast("long").alias("n_events"),
+            F.sum(F.col("nxt") - F.col("us")).cast("long").alias("span_us"),
+            F.sum((F.col("nxt") - F.col("us")) * F.col("v_e4")).alias("num"),
+        )
+        .filter(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            "n_events",
+            "span_us",
+            F.floor(
+                F.col("num").cast("double") / F.col("span_us").cast("double")
+            )
+            .cast("long")
+            .alias("twap_e4"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["time_weighted_avg_value"] = time_weighted_avg_value
+ORACLES["time_weighted_avg_value"] = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_e4
+      FROM events
+    ), g AS (
+      SELECT user_id, us, v_e4,
+             lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+      FROM e
+    )
+    SELECT user_id,
+           (count(*) + 1)::BIGINT AS n_events,
+           CAST(sum(nxt - us) AS BIGINT) AS span_us,
+           CAST(floor(CAST(sum((nxt - us) * v_e4) AS DOUBLE)
+                / CAST(sum(nxt - us) AS DOUBLE)) AS BIGINT) AS twap_e4
+    FROM g WHERE nxt IS NOT NULL
+    GROUP BY user_id
+    HAVING sum(nxt - us) > 0
+    ORDER BY user_id
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-round-2
     stale (see module docstring). Must run AFTER every QUERIES[...]

@@ -437,3 +437,156 @@ def test_late_audit_actually_drops_rows(spark, sf_dir):
         for r in streaming_late_data_audit(spark, sf_dir).collect()
     }
     assert r1 == r2 and len(r1) > 0
+
+
+def test_incremental_diff_reads_no_shared_files(spark, sf_dir):
+    """White-box invariants of the snapshot diff: (a) the base
+    snapshot's files all survive into the current snapshot (appends
+    never rewrite), so skipping them is sound; (b) the emitted class
+    counts equal a pandas full diff of the two logical states; (c)
+    'unchanged' is pure metadata (base total_rows minus delete keys)."""
+    from etl_extractor_spark.plans.pipeline_ops8 import manifest_incremental_diff
+
+    got = {
+        r["change"]: r["n_rows"]
+        for r in manifest_incremental_diff(spark, sf_dir).collect()
+    }
+    o = _orders(sf_dir)
+    o["day"] = o["o_orderdate"].astype(str).str[:10]
+    v1 = {
+        int(k): int(c)
+        for k, c in o[o["day"] < "2001-01-01"][["o_orderkey", "cents"]].values
+    }
+    v2 = {}
+    for k, c, day in o[["o_orderkey", "cents", "day"]].values:
+        k, c = int(k), int(c)
+        if day >= "2001-01-01":
+            v2[k] = c
+        elif k % 17 == 0:
+            v2[k] = c + 500
+        elif k % 113 != 0:
+            v2[k] = c
+    want = {"added": 0, "deleted": 0, "changed": 0, "unchanged": 0}
+    for k in set(v1) | set(v2):
+        if k not in v1:
+            want["added"] += 1
+        elif k not in v2:
+            want["deleted"] += 1
+        elif v1[k] != v2[k]:
+            want["changed"] += 1
+        else:
+            want["unchanged"] += 1
+    assert got == want
+
+
+def test_naive_bayes_brute_force_and_honesty(spark, sf_dir):
+    """Pure-Python NB over the same split reproduces the confusion
+    matrix exactly (engine-free), and the honesty bound holds:
+    accuracy stays within sane bounds of the majority prior on this
+    single-vocabulary synthetic corpus."""
+    import math
+
+    from etl_extractor_spark.plans.pipeline_ops8 import (
+        naive_bayes_lang_confusion,
+    )
+
+    got = {
+        (r["true_lang"], r["pred_lang"]): r["n_docs"]
+        for r in naive_bayes_lang_confusion(spark, sf_dir).collect()
+    }
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text", "lang"]]
+    d["is_test"] = d["doc_id"].map(
+        lambda k: int(hashlib.md5(str(int(k)).encode()).hexdigest()[:8], 16) % 4 == 0
+    )
+    train = d[~d["is_test"]]
+    from collections import Counter, defaultdict
+
+    cw: dict = defaultdict(Counter)
+    n_c: Counter = Counter()
+    vocab = set()
+    for lang, text in train[["lang", "text"]].values:
+        toks = [w for w in text.split(" ") if w]
+        cw[lang].update(toks)
+        n_c[lang] += len(toks)
+        vocab.update(toks)
+    V = len(vocab)
+    langs = sorted(n_c)
+    dn = len(train)
+    prior = {
+        L: math.floor(math.log(len(train[train["lang"] == L]) / dn) * 1e6)
+        for L in langs
+    }
+    wt = {
+        L: {w: math.floor(math.log((cw[L][w] + 1) / (n_c[L] + V)) * 1e6) for w in cw[L]}
+        for L in langs
+    }
+    oov = {L: math.floor(math.log(1.0 / (n_c[L] + V)) * 1e6) for L in langs}
+    want: Counter = Counter()
+    for _, row in d[d["is_test"]].iterrows():
+        toks = [w for w in row["text"].split(" ") if w]
+        best = max(
+            langs,
+            key=lambda L: (
+                prior[L] + sum(wt[L].get(w, oov[L]) for w in toks),
+                [-ord(ch) for ch in L],
+            ),
+        )
+        want[(row["lang"], best)] += 1
+    assert got == dict(want)
+    correct = sum(v for (t, p), v in got.items() if t == p)
+    total = sum(got.values())
+    majority = d[d["is_test"]]["lang"].value_counts().max()
+    # honesty: mechanics certified; accuracy near prior on this corpus
+    assert total > 0 and correct <= total
+    assert correct >= majority * 0.5  # not pathologically broken either
+
+
+def test_largest_remainder_sums_to_budget(spark, sf_dir):
+    """The allocation invariants: sum(alloc) == (8N) div 10 exactly,
+    and every stratum is within 1 of its proportional share."""
+    from etl_extractor_spark.plans.pipeline_ops8 import largest_remainder_split
+
+    rows = largest_remainder_split(spark, sf_dir).collect()
+    n_total = sum(r["n_docs"] for r in rows)
+    budget = (8 * n_total) // 10
+    assert sum(r["alloc_train"] for r in rows) == budget
+    for r in rows:
+        exact = r["n_docs"] * budget / n_total
+        assert abs(r["alloc_train"] - exact) < 1, r
+
+
+def test_twap_brute_force(spark, sf_dir):
+    """Pure-Python TWAP per user equals the query (integer micro
+    arithmetic end to end)."""
+    from etl_extractor_spark.plans.pipeline_ops8 import time_weighted_avg_value
+
+    got = {
+        r["user_id"]: (r["n_events"], r["span_us"], r["twap_e4"])
+        for r in time_weighted_avg_value(spark, sf_dir).collect()
+    }
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["user_id", "event_id", "ts", "value"]
+    ]
+    e["us"] = pd.to_datetime(e["ts"]).astype("datetime64[us]").astype("int64")
+    e["v_e4"] = e["value"].map(lambda v: math_floor_half_up(v))
+    want = {}
+    for uid, grp in e.groupby("user_id"):
+        g = grp.sort_values(["us", "event_id"])
+        us = g["us"].tolist()
+        vs = g["v_e4"].tolist()
+        num = sum((us[i + 1] - us[i]) * vs[i] for i in range(len(us) - 1))
+        den = us[-1] - us[0]
+        if den > 0:
+            import math
+
+            # mirror the engines' op order: convert BOTH ints to double
+            # first (num can exceed 2^53; Python's int/int would round
+            # the true ratio instead and can flip the floor by 1 ulp)
+            want[uid] = (len(us), den, math.floor(float(num) / float(den)))
+    assert got == want
+
+
+def math_floor_half_up(v: float) -> int:
+    import math
+
+    return int(math.floor(v * 10000 + 0.5))
