@@ -421,7 +421,12 @@ def mv_incremental_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     MF.write_with_manifest(
         spark, enrich(o_old, c_old), path, stats_cols=["year"], mode="overwrite"
     )
-    delta = enrich(o_new, c).unionByName(enrich(o_old, F.broadcast(c_new)))
+    # NO broadcast hint on c_new: the dimension delta is SF-scaled in
+    # this fixture (repo policy bans hints on SF-scaled aliases); the
+    # optimizer broadcasts it while its stats are small, and at
+    # cluster scale the O_old x dC term is narrowed by a key index /
+    # partition bloom instead (see docstring).
+    delta = enrich(o_new, c).unionByName(enrich(o_old, c_new))
     MF.write_with_manifest(
         spark, delta, path, stats_cols=["year"], mode="append"
     )

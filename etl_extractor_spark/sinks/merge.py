@@ -139,7 +139,11 @@ def scd2_apply(
     )
     cur = target.filter(F.col("is_current"))
     hist = target.filter(~F.col("is_current"))
-    j = cur.join(F.broadcast(ch), key, "left")
+    # no broadcast HINT: change batches are usually small and the
+    # optimizer broadcasts them from stats; a pinned hint would force
+    # an OOM build side the day a backfill delivers an SF-scaled batch
+    # (repo policy: no hints on potentially SF-scaled aliases).
+    j = cur.join(ch, key, "left")
     differs = F.lit(False)
     for a in attr_cols:
         differs = differs | ~F.col(a).eqNullSafe(F.col(f"_new_{a}"))
