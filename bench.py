@@ -249,6 +249,9 @@ BENCH_QUERIES = [
     "naive_bayes_lang_confusion",
     "largest_remainder_split",
     "time_weighted_avg_value",
+    # round-9 wave 8: PERMISSIVE quarantine routing, MDM survivorship
+    "csv_quarantine_scan",
+    "golden_record_survivorship",
 ]
 
 

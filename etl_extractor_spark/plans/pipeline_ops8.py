@@ -1322,6 +1322,203 @@ ORACLES["time_weighted_avg_value"] = """
 """
 
 
+# --- 13. CSV corrupt-record quarantine (PERMISSIVE + DLQ accounting) ------------
+
+
+def csv_quarantine_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input quarantine — the ingest-robustness contract the
+    reference's extractors lack (extract/extract_csv.py:4-9 would
+    crash or silently coerce): a CSV export of orders is corrupted
+    deterministically (keys % 23 = 0 carry a non-numeric amount;
+    keys % 31 = 0 lose their last field), read back PERMISSIVE with
+    ``columnNameOfCorruptRecord``, and every row is routed to exactly
+    one class — clean (aggregated), bad_number, truncated — with
+    counts and the clean-side revenue certified against the oracle
+    that re-derives the classes from the corruption rule itself
+    (probe-pinned semantics: type-cast failure AND token-count
+    mismatch both flag the corrupt column; short rows keep their
+    parsed prefix).
+
+    100 TB: the classify-and-route pass is map-only (one scan, no
+    shuffle before the class rollup); the quarantine write would be a
+    partitioned-by-class sink of the same frame — a second map-only
+    branch. Classification reads the RAW line from the corrupt
+    column, so no re-parse pass is needed."""
+    import os
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from pyspark.sql import types as T
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.substring(F.col("o_orderdate").cast("string"), 1, 10).alias("day"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("amt"),
+    )
+    lines = o.select(
+        F.when(
+            F.col("o_orderkey") % 31 == 0,
+            F.concat_ws(",", "o_orderkey", "day"),  # truncated: field lost
+        )
+        .when(
+            F.col("o_orderkey") % 23 == 0,
+            F.concat_ws(",", "o_orderkey", "day", F.lit("N/A")),  # bad number
+        )
+        .otherwise(F.concat_ws(",", "o_orderkey", "day", "amt"))
+        .alias("value")
+    )
+    path = pid_scratch_dir("spark_graft_quarantine_")
+    shutil.rmtree(path, ignore_errors=True)  # deterministic rebuild per run
+    lines.write.mode("overwrite").text(path)
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("day", T.StringType()),
+            T.StructField("amt", T.DecimalType(18, 2)),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    # Projection-robust classifier: whether a short row raises the
+    # corrupt flag depends on CSV column pruning (measured: with the
+    # final aggregate referencing only class+cents, Spark prunes and a
+    # 2-token row parses as (prefix, null) with a NULL corrupt column;
+    # a full-row materialization flags it). Both parses are covered:
+    # a flagged N/A suffix is bad_number, any other flag is truncated,
+    # and an unflagged NULL amount can only be a truncated row (every
+    # order carries a price).
+    classed = raw.select(
+        F.when(
+            F.col("_corrupt_record").isNotNull()
+            & F.col("_corrupt_record").endswith(",N/A"),
+            F.lit("bad_number"),
+        )
+        .when(F.col("_corrupt_record").isNotNull(), F.lit("truncated"))
+        .when(F.col("amt").isNull(), F.lit("truncated"))
+        .otherwise(F.lit("clean"))
+        .alias("class"),
+        (F.col("amt") * 100).cast("long").alias("cents"),
+    )
+    return (
+        classed.groupBy("class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("cents"),
+        )
+        .orderBy("class")
+    )
+
+
+QUERIES["csv_quarantine_scan"] = csv_quarantine_scan
+ORACLES["csv_quarantine_scan"] = f"""
+    SELECT CASE WHEN o_orderkey % 31 = 0 THEN 'truncated'
+                WHEN o_orderkey % 23 = 0 THEN 'bad_number'
+                ELSE 'clean' END AS class,
+           count(*)::BIGINT AS n_rows,
+           CAST(coalesce(sum(CASE WHEN o_orderkey % 31 <> 0
+                                   AND o_orderkey % 23 <> 0
+                                  THEN {_CENTS_SQL} END), 0) AS BIGINT)
+             AS cents
+    FROM orders
+    GROUP BY 1 ORDER BY class
+"""
+
+
+# --- 14. Golden-record survivorship (MDM merge) ----------------------------------
+
+
+def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Master-data survivorship: each customer arrives as 1-3 source
+    records (key % 3 + 1 of them) with deterministically missing
+    fields (record r blanks the name when (key + r) % 2 = 0 and the
+    balance when (key + r) % 3 = 0), and the golden record takes, per FIELD,
+    the value from the latest record that has one —
+    ``max_by(value, r) FILTER (value IS NOT NULL)``, the
+    latest-non-null-wins rule every MDM merge starts from. The
+    readout aggregates golden records per nation (how many names
+    survived, summed balances), certified against the oracle that
+    re-derives survivorship from the blanking rule.
+
+    100 TB: survivorship is ONE groupBy(cluster) with max_by
+    aggregates — map-side combinable, no window, no self-join; the
+    record explosion is a generator on the dimension. Pairs with the
+    dedup/ER suite: clusters come from `dedup_clusters` /
+    `editdist_name_join` upstream, survivorship is the merge step
+    downstream."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_name",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    recs = c.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("c_custkey") % 3).cast("int"))
+        ).alias("r"),
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        "r",
+        F.when((F.col("c_custkey") + F.col("r")) % 2 != 0, F.col("c_name")).alias(
+            "name"
+        ),
+        F.when(
+            (F.col("c_custkey") + F.col("r")) % 3 != 0, F.col("bal_cents")
+        ).alias("bal"),
+    )
+    golden = recs.groupBy("c_custkey", "c_nationkey").agg(
+        F.expr("max_by(name, CASE WHEN name IS NOT NULL THEN r END)").alias(
+            "name"
+        ),
+        F.expr("max_by(bal, CASE WHEN bal IS NOT NULL THEN r END)").alias("bal"),
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        golden.join(F.broadcast(n), golden.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.count("name").cast("long").alias("n_name_filled"),
+            F.coalesce(F.sum("bal"), F.lit(0)).cast("long").alias("bal_cents"),
+        )
+        .orderBy("nation")
+    )
+
+
+QUERIES["golden_record_survivorship"] = golden_record_survivorship
+ORACLES["golden_record_survivorship"] = """
+    WITH recs AS (
+      SELECT c_custkey, c_nationkey, r,
+             CASE WHEN (c_custkey + r) % 2 <> 0 THEN c_name END AS name,
+             CASE WHEN (c_custkey + r) % 3 <> 0
+                  THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+             END AS bal
+      FROM customer,
+           LATERAL (SELECT unnest(generate_series(0, CAST(c_custkey % 3 AS INT))) AS r)
+    ), golden AS (
+      SELECT c_custkey, c_nationkey,
+             max_by(name, r) FILTER (name IS NOT NULL) AS name,
+             max_by(bal, r) FILTER (bal IS NOT NULL) AS bal
+      FROM recs GROUP BY 1, 2
+    )
+    SELECT n_name AS nation,
+           count(*)::BIGINT AS n_customers,
+           count(name)::BIGINT AS n_name_filled,
+           CAST(coalesce(sum(bal), 0) AS BIGINT) AS bal_cents
+    FROM golden JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1 ORDER BY nation
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-round-2
     stale (see module docstring). Must run AFTER every QUERIES[...]

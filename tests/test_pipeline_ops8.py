@@ -590,3 +590,94 @@ def math_floor_half_up(v: float) -> int:
     import math
 
     return int(math.floor(v * 10000 + 0.5))
+
+
+def test_csv_quarantine_classifier_is_projection_robust(spark, tmp_path):
+    """The corrupt flag for SHORT rows depends on CSV column pruning
+    (measured); the classifier must emit identical classes whether the
+    flag fired or not. Pin both parses of a 4-line fixture."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    p = tmp_path / "c"
+    p.mkdir()
+    (p / "a.csv").write_text(
+        "1,2020-01-01,10.50\n2,2020-01-02,N/A\n3,2020-01-03\n4,2020-01-04,7.25\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("day", T.StringType()),
+            T.StructField("amt", T.DecimalType(18, 2)),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+    )
+    cls = (
+        F.when(
+            F.col("_corrupt_record").isNotNull()
+            & F.col("_corrupt_record").endswith(",N/A"),
+            F.lit("bad_number"),
+        )
+        .when(F.col("_corrupt_record").isNotNull(), F.lit("truncated"))
+        .when(F.col("amt").isNull(), F.lit("truncated"))
+        .otherwise(F.lit("clean"))
+    )
+    # pruned path (aggregate references class only)
+    pruned = {
+        r["class"]: r["n"]
+        for r in raw.select(cls.alias("class"))
+        .groupBy("class")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # full-materialization path (collect everything, classify in python)
+    full = {"clean": 0, "bad_number": 0, "truncated": 0}
+    for r in raw.collect():
+        if r["_corrupt_record"] is not None and r["_corrupt_record"].endswith(",N/A"):
+            full["bad_number"] += 1
+        elif r["_corrupt_record"] is not None or r["amt"] is None:
+            full["truncated"] += 1
+        else:
+            full["clean"] += 1
+    assert pruned == {k: v for k, v in full.items() if v}
+    assert pruned == {"clean": 2, "bad_number": 1, "truncated": 1}
+
+
+def test_golden_record_brute_force(spark, sf_dir):
+    """Pure-Python survivorship (latest-non-null-wins per field over
+    the deterministic record explosion) equals the query."""
+    from etl_extractor_spark.plans.pipeline_ops8 import (
+        golden_record_survivorship,
+    )
+
+    got = {
+        r["nation"]: (r["n_customers"], r["n_name_filled"], r["bal_cents"])
+        for r in golden_record_survivorship(spark, sf_dir).collect()
+    }
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")[
+        ["c_custkey", "c_nationkey", "c_name", "c_acctbal"]
+    ]
+    n = pd.read_parquet(f"{sf_dir}/nation.parquet")[["n_nationkey", "n_name"]]
+    nmap = dict(zip(n["n_nationkey"], n["n_name"]))
+    agg: dict = {}
+    for k, nk, name, bal in c.values:
+        k = int(k)
+        bal_c = int(round(float(bal) * 100))
+        g_name, g_bal, best_n, best_b = None, None, -1, -1
+        for r in range(0, int(k % 3) + 1):
+            if (k + r) % 2 != 0 and r > best_n:
+                g_name, best_n = name, r
+            if (k + r) % 3 != 0 and r > best_b:
+                g_bal, best_b = bal_c, r
+        nat = nmap[nk]
+        cur = agg.setdefault(nat, [0, 0, 0])
+        cur[0] += 1
+        cur[1] += g_name is not None
+        cur[2] += g_bal or 0
+    assert got == {k: tuple(v) for k, v in agg.items()}
