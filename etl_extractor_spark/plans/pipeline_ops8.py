@@ -552,8 +552,8 @@ def point_in_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     w*h — all arithmetic INT64, so both engines decide containment
     identically; no transcendentals, no floats), customers project to
     deterministic md5-fold points, and the join is GRID-BLOCKED:
-    polygons register in every cell their bbox overlaps (<= 9 cells
-    here), points land in exactly one cell, and candidate pairs exist
+    polygons register in every cell their bbox overlaps (<= 16 cells
+    here, guard-asserted), points land in exactly one cell, and candidate pairs exist
     only where cells match — the exact test runs on candidates alone.
     A point maps to ONE cell, so no post-join dedup is needed. The
     oracle brute-forces all nation x customer pairs (25 polygons —
@@ -919,6 +919,8 @@ def manifest_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in cur.get("delete_files", []):
         part = spark.read.parquet(os.path.join(path, "_deletes", name))
         dk = part if dk is None else dk.unionByName(part)
+    if dk is None:  # append-only change set: no delete files committed
+        dk = spark.createDataFrame([], "o_orderkey long")
     dk = dk.distinct()
     n_deleted_keys = dk.count()  # bounded: O(deletes) metadata scale
     changed = new_rows.join(F.broadcast(dk), "o_orderkey", "left_semi")
@@ -1106,9 +1108,6 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["naive_bayes_lang_confusion"] = naive_bayes_lang_confusion
 
-_NB_BUCKET_SQL = None  # built lazily below to reuse the ops7 md5 fold
-
-
 def _nb_oracle() -> str:
     from etl_extractor_spark.plans.pipeline_ops7 import _md5_bucket_sql
 
@@ -1251,6 +1250,12 @@ ORACLES["largest_remainder_split"] = """
 # --- 12. Time-weighted average (step-function TWAP) ------------------------------
 
 
+def _ntz_us(c):
+    from etl_extractor_spark.functions.dates import ntz_epoch_micros
+
+    return ntz_epoch_micros(c)
+
+
 def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user time-weighted average of the event value stream: the
     value holds from each event until the next (step function), so
@@ -1270,9 +1275,7 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
-        F.expr(
-            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-        ).alias("us"),
+        _ntz_us("ts").alias("us"),
         F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias("v_e4"),
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")

@@ -53,6 +53,25 @@ def _fold_py(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
 
+def _render(v) -> str:
+    """Render a probe value EXACTLY as the build side's Spark
+    CAST(col AS STRING) does. Python's str() diverges for booleans
+    ('True' vs Spark's 'true'), floats/decimals ('10.5' vs '10.50')
+    and timestamps — a silent divergence here is a Bloom FALSE
+    NEGATIVE (wrongly pruned file), the one failure the structure
+    must never produce. Types whose rendering is not bit-stable
+    across the two sides are rejected loudly: pass the Spark-rendered
+    string instead."""
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return "true" if v else "false"
+    if isinstance(v, (int, str)):
+        return str(v)
+    raise TypeError(
+        f"bloom probe for {type(v).__name__!r} values is ambiguous — "
+        "pass the exact Spark CAST(col AS STRING) rendering instead"
+    )
+
+
 def _probes_py(value: str, m: int, k: int) -> list[int]:
     h1 = _fold_py(value)
     h2 = _fold_py(value + "#2") | 1  # odd step avoids a stuck cycle
@@ -156,7 +175,7 @@ def probe_files(path: str, col: str, values: list) -> list[str]:
         for v in values:
             if all(
                 words.get(str(pos // _WORD_BITS), 0) >> (pos % _WORD_BITS) & 1
-                for pos in _probes_py(str(v), m, k)
+                for pos in _probes_py(_render(v), m, k)
             ):
                 keep.append(fpath)
                 break

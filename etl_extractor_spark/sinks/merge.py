@@ -132,13 +132,20 @@ def scd2_apply(
     key-partitioned (the reference's dims are full-reload,
     main.py:97-200; this is the upgrade that keeps their history).
     """
-    ch = changes.select(
+    # Identical redeliveries WITHIN one batch collapse here (the
+    # at-least-once model); CONFLICTING same-key changes in one batch
+    # need a sequence column — route those through merge_cdc_apply's
+    # latest-wins dedup instead.
+    ch = changes.dropDuplicates().select(
         key,
         F.lit(1).alias("_matched"),  # null-safe match marker: a change
         *[F.col(a).alias(f"_new_{a}") for a in attr_cols],  # may SET an attr to NULL
     )
-    cur = target.filter(F.col("is_current"))
-    hist = target.filter(~F.col("is_current"))
+    # NULL is_current rows (never-backfilled flags) pass through with
+    # history — filter(col) AND filter(~col) would BOTH drop them.
+    is_cur = F.coalesce(F.col("is_current"), F.lit(False))
+    cur = target.filter(is_cur)
+    hist = target.filter(~is_cur)
     # no broadcast HINT: change batches are usually small and the
     # optimizer broadcasts them from stats; a pinned hint would force
     # an OOM build side the day a backfill delivers an SF-scaled batch

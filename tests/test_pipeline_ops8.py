@@ -681,3 +681,50 @@ def test_golden_record_brute_force(spark, sf_dir):
         cur[1] += g_name is not None
         cur[2] += g_bal or 0
     assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_scd2_intra_batch_redelivery_and_null_flag(spark):
+    """Review-pass regressions pinned: (a) the SAME change delivered
+    twice in ONE batch produces exactly one closed + one inserted row;
+    (b) a target row with NULL is_current passes through untouched
+    instead of vanishing."""
+    from etl_extractor_spark.sinks.merge import scd2_apply
+
+    target = spark.createDataFrame(
+        [
+            (1, "A", "1995-01-01", None, True),
+            (9, "Z", "1990-01-01", None, None),  # never-backfilled flag
+        ],
+        "cust_key long, segment string, valid_from string, valid_to string, is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [(1, "B"), (1, "B")], "cust_key long, segment string"
+    )
+    rows = {
+        (r["cust_key"], r["segment"], r["is_current"], r["valid_to"])
+        for r in scd2_apply(target, changes, "cust_key", ["segment"], "2000-01-01").collect()
+    }
+    assert rows == {
+        (1, "A", False, "2000-01-01"),
+        (1, "B", True, None),
+        (9, "Z", None, None),  # passed through, flag untouched
+    }
+
+
+def test_bloom_probe_value_rendering(spark, tmp_path):
+    """Review-pass regression pinned: probe values render exactly as
+    Spark's CAST(col AS STRING) — booleans lowercase, ambiguous types
+    rejected loudly (a silent divergence is a false negative)."""
+    import pytest as _pytest
+
+    from etl_extractor_spark.sinks import bloom as BL
+
+    path = str(tmp_path / "b")
+    spark.createDataFrame([(True,), (False,)], "flag boolean").coalesce(
+        1
+    ).write.parquet(path)
+    BL.attach_blooms(spark, path, "flag")
+    assert BL.probe_files(path, "flag", [True])  # 'true', not 'True'
+    assert BL.probe_files(path, "flag", [False])
+    with _pytest.raises(TypeError):
+        BL.probe_files(path, "flag", [1.5])
