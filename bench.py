@@ -252,6 +252,10 @@ BENCH_QUERIES = [
     # round-9 wave 8: PERMISSIVE quarantine routing, MDM survivorship
     "csv_quarantine_scan",
     "golden_record_survivorship",
+    # round-9 wave 9: retraction MV maintenance (CDC signed deltas),
+    # clamped running balance via the reflection identity
+    "mv_cdc_signed_delta",
+    "inventory_running_clamp",
 ]
 
 

@@ -1524,6 +1524,228 @@ ORACLES["golden_record_survivorship"] = """
 """
 
 
+# --- 15. Retraction-based MV maintenance (the third MV class) -------------------
+
+
+def mv_cdc_signed_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance under a FULL CDC batch —
+    inserts, updates AND deletes — via signed deltas from
+    before/after images (the Debezium envelope): each delete
+    contributes (-1, -cents) at its old day, each update
+    (0, after - before), each insert (+1, +cents); the day-level
+    partials merge into the stored MV and days whose count reaches
+    zero DROP OUT, matching the rebuild exactly. Completes the MV
+    trilogy: additive inserts (``mv_incremental_daily_revenue``),
+    join views (``mv_incremental_join_enrich``), and now retractions
+    — the class a CDC-fed warehouse actually needs, since updates
+    and deletes cannot be expressed as append-only partials.
+
+    CDC fixture (deterministic, disjoint): pre-2001 keys % 113 = 0
+    are deleted; % 17 = 0 (and not % 113) are repriced +500 on the
+    same day; the 2001 tail arrives as inserts. The oracle rebuilds
+    the final logical state from the same rule — hash certifies
+    maintenance == rebuild without ever rescanning base facts: the
+    maintenance pass reads the CDC batch + the day-cardinality MV
+    only.
+
+    100 TB: delta volume is O(changes), merge shuffles MV-cardinality
+    rows; checkpoint-before-overwrite barrier as in the sibling MVs.
+    The n > 0 filter is the retraction subtlety: SUM-maintainable
+    aggregates need the count column to know when a group dies
+    (MIN/MAX would need a full per-group recompute on delete — the
+    documented boundary of signed-delta maintenance)."""
+    import shutil
+
+    from etl_extractor_spark.operators.checkpoints import reliable_checkpoint
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.sinks import manifest as MF
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.substring(F.col("o_orderdate").cast("string"), 1, 10).alias("day"),
+        _order_cents().alias("cents"),
+    )
+    base = o.filter(F.col("day") < "2001-01-01")
+
+    def day_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("day").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+
+    path = pid_scratch_dir("spark_graft_mv_cdc_")
+    shutil.rmtree(path, ignore_errors=True)  # deterministic rebuild per run
+    MF.write_with_manifest(spark, day_agg(base), path, stats_cols=["day"])
+
+    is_del = F.col("o_orderkey") % 113 == 0
+    is_upd = (F.col("o_orderkey") % 17 == 0) & ~is_del
+    deletes = base.filter(is_del).select(
+        "day", F.lit(-1).alias("dn"), (-F.col("cents")).alias("dc")
+    )
+    updates = base.filter(is_upd).select(
+        "day", F.lit(0).alias("dn"), F.lit(500).alias("dc")  # after - before
+    )
+    inserts = o.filter(F.col("day") >= "2001-01-01").select(
+        "day", F.lit(1).alias("dn"), F.col("cents").alias("dc")
+    )
+    partials = (
+        deletes.unionByName(updates)
+        .unionByName(inserts)
+        .groupBy("day")
+        .agg(F.sum("dn").alias("n_orders"), F.sum("dc").alias("revenue_cents"))
+    )
+    merged = reliable_checkpoint(
+        MF.read_table(spark, path)
+        .unionByName(partials)
+        .groupBy("day")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+        .filter(F.col("n_orders") > 0)  # retraction: dead groups drop out
+    )
+    MF.write_with_manifest(spark, merged, path, stats_cols=["day"])
+    mv = MF.read_table(spark, path)
+    return (
+        mv.groupBy(F.substring("day", 1, 4).alias("year"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("year")
+    )
+
+
+QUERIES["mv_cdc_signed_delta"] = mv_cdc_signed_delta
+ORACLES["mv_cdc_signed_delta"] = f"""
+    WITH o AS (
+      SELECT o_orderkey,
+             substr(CAST(o_orderdate AS VARCHAR), 1, 10) AS day,
+             {_CENTS_SQL} AS cents
+      FROM orders
+    ), final AS (
+      SELECT day,
+             CASE WHEN day < '2001-01-01'
+                   AND o_orderkey % 17 = 0 AND o_orderkey % 113 <> 0
+                  THEN cents + 500 ELSE cents END AS cents
+      FROM o
+      WHERE day >= '2001-01-01'
+         OR o_orderkey % 113 <> 0
+    ), mv AS (
+      SELECT day, count(*)::BIGINT AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS revenue_cents
+      FROM final GROUP BY 1
+    )
+    SELECT substr(day, 1, 4) AS year,
+           count(*)::BIGINT AS n_days,
+           CAST(sum(n_orders) AS BIGINT) AS n_orders,
+           CAST(sum(revenue_cents) AS BIGINT) AS revenue_cents
+    FROM mv GROUP BY 1 ORDER BY year
+"""
+
+
+# --- 16. Clamped running balance via the reflection identity --------------------
+
+
+def inventory_running_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inventory balance with a floor at zero:
+    b_t = max(0, b_{t-1} + d_t) — the recurrence that LOOKS
+    inherently sequential (each step's clamp depends on the previous
+    balance) and is why naive ports reach for per-key Python loops.
+    The REFLECTION IDENTITY makes it two window functions:
+
+        b_t = S_t - min(0, min_{k<=t} S_k)
+
+    (S = running sum of raw deltas; subtracting the running minimum
+    replays every clamp at once). Both engines compute the identical
+    int64 windows, and the pytest guard proves the identity against
+    the literal Python recurrence event by event.
+
+    Deltas (integer e2 units, half-up): purchases stock up (+value),
+    every other event type draws down a quarter — mixed sign, so
+    clamps actually fire (guard asserts so).
+
+    100 TB: two stacked windows over the same (user, ts) ordering —
+    ONE shuffle, no UDF, no per-key sequential loop; the identity is
+    what turns an applyInPandas class into whole-stage codegen."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        _ntz_us("ts").alias("us"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+        )
+        .otherwise(
+            -F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 4")
+        )
+        .alias("d"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wseq = Window.partitionBy("user_id").orderBy("us", "event_id")
+    scanned = (
+        e.withColumn("s", F.sum("d").over(w))
+        .withColumn("m", F.least(F.lit(0), F.min("s").over(w)))
+        .withColumn("rn", F.row_number().over(wseq))
+    )
+    bal = scanned.withColumn("b", F.col("s") - F.col("m"))
+    return (
+        bal.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.expr("max_by(b, rn)").cast("long").alias("final_balance"),
+            F.max("b").cast("long").alias("peak_balance"),
+            F.sum(F.when(F.col("b") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_zero_touches"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["inventory_running_clamp"] = inventory_running_clamp
+ORACLES["inventory_running_clamp"] = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                  ELSE -(CAST(floor(value * 100 + 0.5) AS BIGINT) // 4)
+             END AS d
+      FROM events
+    ), sums AS (
+      SELECT user_id, us, event_id,
+             sum(d) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS s
+      FROM e
+    ), scanned AS (
+      SELECT user_id, us, event_id, s,
+             least(0, min(s) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)) AS m
+      FROM sums
+    ), bal AS (
+      SELECT user_id, s - m AS b,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS rn
+      FROM scanned
+    )
+    SELECT user_id,
+           count(*)::BIGINT AS n_events,
+           CAST(max_by(b, rn) AS BIGINT) AS final_balance,
+           CAST(max(b) AS BIGINT) AS peak_balance,
+           CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_touches
+    FROM bal GROUP BY user_id ORDER BY user_id
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-round-2
     stale (see module docstring). Must run AFTER every QUERIES[...]
