@@ -256,6 +256,11 @@ BENCH_QUERIES = [
     # clamped running balance via the reflection identity
     "mv_cdc_signed_delta",
     "inventory_running_clamp",
+    # round-9 wave 10: the second window-expressible recurrence
+    # (monotonic ts repair) and the 17th certified stream (CDC-fed
+    # streaming MV with negative partials)
+    "monotonic_ts_repair",
+    "streaming_mv_cdc_replay",
 ]
 
 

@@ -1746,6 +1746,193 @@ ORACLES["inventory_running_clamp"] = """
 """
 
 
+# --- 17. Monotonic timestamp repair (the second window-expressible recurrence) --
+
+# Device clock skew: reported ts = true ts + md5-derived jitter in
+# (-12 h, +12 h] — wide enough that consecutive events (hours apart on
+# this fixture) genuinely invert, so the repair path is exercised.
+_TS_JITTER_MOD = 86_400_000_001
+_TS_JITTER_HALF = 43_200_000_000
+
+
+def monotonic_ts_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order event-time repair: along the INGEST order, make
+    reported timestamps strictly increasing —
+    repaired_t = max(reported_t, repaired_{t-1} + 1 us), the cleanup
+    every ingest pipeline runs on device-clock-skewed streams. Like
+    the clamp recurrence (``inventory_running_clamp``), it LOOKS
+    sequential and is window-expressible by closed form:
+
+        repaired_t = rn_t + max_{k<=t}(reported_k - rn_k)
+
+    (each event pays one 1-us step per position since the running-max
+    holder). Both engines compute identical int64 windows; the guard
+    proves the closed form against the literal recurrence and that
+    repairs actually fire.
+
+    100 TB: one shuffle (window by user over ingest order), no UDF —
+    same cost shape as sessionize. The repaired stream is what the
+    watermark/sessionize family should consume downstream."""
+    fold = F.conv(
+        F.substring(F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":j"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        (
+            _ntz_us("ts")
+            + (fold % _TS_JITTER_MOD - _TS_JITTER_HALF)
+        ).alias("reported_us"),
+        _ntz_us("ts").alias("true_us"),
+    )
+    wseq = Window.partitionBy("user_id").orderBy("true_us", "event_id")
+    wrun = wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fixed = (
+        e.withColumn("rn", F.row_number().over(wseq))
+        .withColumn("hold", F.max(F.col("reported_us") - F.col("rn")).over(wrun))
+        .withColumn("repaired_us", F.col("rn") + F.col("hold"))
+    )
+    return (
+        fixed.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.when(F.col("repaired_us") != F.col("reported_us"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_repaired"),
+            F.sum(F.col("repaired_us") - F.col("reported_us"))
+            .cast("long")
+            .alias("total_shift_us"),
+            F.max("repaired_us").cast("long").alias("final_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["monotonic_ts_repair"] = monotonic_ts_repair
+ORACLES["monotonic_ts_repair"] = f"""
+    WITH e AS (
+      SELECT user_id, event_id,
+             epoch_us(ts)
+               + (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':j'),
+                                       1, 12)) AS BIGINT)
+                  % {_TS_JITTER_MOD} - {_TS_JITTER_HALF}) AS reported_us,
+             epoch_us(ts) AS true_us
+      FROM events
+    ), seq AS (
+      SELECT user_id, reported_us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY true_us, event_id) AS rn
+      FROM e
+    ), fixed AS (
+      SELECT user_id, reported_us,
+             rn + max(reported_us - rn)
+                    OVER (PARTITION BY user_id ORDER BY rn
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS repaired_us
+      FROM seq
+    )
+    SELECT user_id,
+           count(*)::BIGINT AS n_events,
+           CAST(sum(CASE WHEN repaired_us <> reported_us THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repaired,
+           CAST(sum(repaired_us - reported_us) AS BIGINT) AS total_shift_us,
+           CAST(max(repaired_us) AS BIGINT) AS final_us
+    FROM fixed GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- 18. Streaming CDC-fed MV (17th certified stream) ----------------------------
+
+
+def streaming_mv_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """17TH CERTIFIED STREAM: the retraction MV maintained by the
+    STREAMING incremental sink — CDC signed-delta rows (base inserts,
+    then deletes + repricings, then the insert tail) replay through
+    three pinned micro-batches into per-day SUM state, and the final
+    state (dead days dropped) hash-matches the batch rebuild via the
+    same oracle as ``mv_cdc_signed_delta``. SUM of signed deltas is
+    associative + commutative, so the state is batch-order
+    independent — the streaming form of the MV trilogy's retraction
+    class, and the proof that the foreachBatch sink sustains
+    NEGATIVE partials (every prior incremental stream only ever
+    added).
+
+    100 TB: this is the standing Debezium->lakehouse aggregate: state
+    cardinality = |days|, per-batch work = O(batch), exactly-once via
+    the sink's checkpointed batch ids."""
+    import glob
+    import os
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.sinks.incremental import read_state
+    from etl_extractor_spark.streaming import events_stream as SE
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.substring(F.col("o_orderdate").cast("string"), 1, 10).alias("day"),
+        _order_cents().alias("cents"),
+    )
+    pre = F.col("day") < "2001-01-01"
+    is_del = F.col("o_orderkey") % 113 == 0
+    is_upd = (F.col("o_orderkey") % 17 == 0) & ~is_del
+    batches = [
+        o.filter(pre).select("day", F.lit(1).alias("dn"), F.col("cents").alias("dc")),
+        o.filter(pre & is_del)
+        .select("day", F.lit(-1).alias("dn"), (-F.col("cents")).alias("dc"))
+        .unionByName(
+            o.filter(pre & is_upd).select(
+                "day", F.lit(0).alias("dn"), F.lit(500).alias("dc")
+            )
+        ),
+        o.filter(~pre).select("day", F.lit(1).alias("dn"), F.col("cents").alias("dc")),
+    ]
+    base = pid_scratch_dir("spark_graft_mvcdc_stream_")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for k, b in enumerate(batches):
+        tmp = os.path.join(base, f"b{k}")
+        b.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"cdc-b{k}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (_LATE_MTIME0 + 60 * k, _LATE_MTIME0 + 60 * k))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    schema = spark.read.parquet(src + "/cdc-b0.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/cdc-*.parquet")
+    )
+    SE.run_streaming_incremental_agg(
+        stream,
+        f"{base}/state",
+        f"{base}/ckpt",
+        keys=["day"],
+        measures={"n_orders": ("sum", "dn"), "revenue_cents": ("sum", "dc")},
+    )
+    st = read_state(spark, f"{base}/state").filter(F.col("n_orders") > 0)
+    return (
+        st.groupBy(F.substring("day", 1, 4).alias("year"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("year")
+    )
+
+
+QUERIES["streaming_mv_cdc_replay"] = streaming_mv_cdc_replay
+ORACLES["streaming_mv_cdc_replay"] = ORACLES["mv_cdc_signed_delta"]
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-round-2
     stale (see module docstring). Must run AFTER every QUERIES[...]

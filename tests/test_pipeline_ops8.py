@@ -797,3 +797,74 @@ def test_mv_cdc_retraction_kills_dead_days(spark, sf_dir):
     )
     rows = {(r["day"], r["n_orders"], r["revenue_cents"]) for r in merged.collect()}
     assert rows == {("d1", 1, 700)}  # d2 died and dropped out
+
+
+def test_ts_repair_literal_recurrence(spark, sf_dir):
+    """The closed form rn + max_k(reported_k - rn_k) equals the
+    literal repaired_t = max(reported_t, repaired_{t-1} + 1)
+    recurrence event-by-event, and repairs actually fire."""
+    from etl_extractor_spark.plans.pipeline_ops8 import (
+        _TS_JITTER_HALF,
+        _TS_JITTER_MOD,
+        monotonic_ts_repair,
+    )
+
+    got = {
+        r["user_id"]: (
+            r["n_events"],
+            r["n_repaired"],
+            r["total_shift_us"],
+            r["final_us"],
+        )
+        for r in monotonic_ts_repair(spark, sf_dir).collect()
+    }
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")[["user_id", "event_id", "ts"]]
+    e["true_us"] = pd.to_datetime(e["ts"]).astype("datetime64[us]").astype("int64")
+    total_repaired = 0
+    for uid, grp in e.groupby("user_id"):
+        g = grp.sort_values(["true_us", "event_id"])
+        prev, n_rep, shift, final = None, 0, 0, 0
+        for _, row in g.iterrows():
+            j = (
+                int(
+                    hashlib.md5(f"{int(row['event_id'])}:j".encode()).hexdigest()[:12],
+                    16,
+                )
+                % _TS_JITTER_MOD
+                - _TS_JITTER_HALF
+            )
+            rep = int(row["true_us"]) + j
+            fixed = rep if prev is None else max(rep, prev + 1)
+            n_rep += fixed != rep
+            shift += fixed - rep
+            prev, final = fixed, max(final, fixed)
+        assert got[uid] == (len(g), n_rep, shift, final), uid
+        total_repaired += n_rep
+    assert total_repaired > 0  # the repair path is exercised
+
+
+def test_mv_cdc_stream_state_is_batch_order_independent(spark, tmp_path):
+    """Signed-delta SUM state converges to the same answer whatever
+    the micro-batch split or order (associative + commutative): merge
+    the same rows under two different splits via the incremental sink
+    and compare state row-for-row."""
+    import pyspark.sql.functions as F
+
+    from etl_extractor_spark.sinks.incremental import apply_batch, read_state
+
+    rows = [("d1", 1, 100), ("d1", -1, -100), ("d2", 1, 50), ("d2", 0, 7)]
+    df = spark.createDataFrame(rows, "day string, dn long, dc long")
+    measures = {"n_orders": ("sum", "dn"), "revenue_cents": ("sum", "dc")}
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    apply_batch(spark, p1, df.limit(2), ["day"], measures, batch_id=0)
+    apply_batch(spark, p1, df.subtract(df.limit(2)), ["day"], measures, batch_id=1)
+    apply_batch(spark, p2, df.orderBy(F.desc("day")), ["day"], measures, batch_id=0)
+    s1 = {
+        (r["day"], r["n_orders"], r["revenue_cents"])
+        for r in read_state(spark, p1).collect()
+    }
+    s2 = {
+        (r["day"], r["n_orders"], r["revenue_cents"])
+        for r in read_state(spark, p2).collect()
+    }
+    assert s1 == s2 == {("d1", 0, 0), ("d2", 1, 57)}
