@@ -261,6 +261,11 @@ BENCH_QUERIES = [
     # streaming MV with negative partials)
     "monotonic_ts_repair",
     "streaming_mv_cdc_replay",
+    # round-9 wave 11: Spark-4 SQL/API surface — native WITH RECURSIVE,
+    # Python UDTF via LATERAL, null-safe (<=>) join semantics
+    "recursive_cte_depth_rollup",
+    "python_udtf_installments",
+    "null_safe_join_parity",
 ]
 
 

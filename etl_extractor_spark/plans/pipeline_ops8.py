@@ -1933,6 +1933,186 @@ QUERIES["streaming_mv_cdc_replay"] = streaming_mv_cdc_replay
 ORACLES["streaming_mv_cdc_replay"] = ORACLES["mv_cdc_signed_delta"]
 
 
+# --- 19. Native recursive CTE (Spark 4 WITH RECURSIVE) ---------------------------
+
+
+def recursive_cte_depth_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's native ``WITH RECURSIVE`` over a synthesized customer
+    forest (parent(k) = k div 3; roots are k < 3 — key 0 is its own
+    div-3 image, so the recursive member admits only k >= 3 or the
+    fixpoint never exhausts, found the hard way at recursion level
+    100): per-depth node
+    counts and balance totals, certified against DuckDB running the
+    SAME recursive SQL — the declarative replacement for the repo's
+    hand-unrolled iterative-join hierarchies (``plans/recursive.py``
+    predates engine support; this is the API-surface twin). Depth is
+    O(log3 max-key): ~8 levels at sf0.001, ~17 at SF 1000 — recursion
+    rounds grow logarithmically, each round a hash join on the
+    parent key.
+
+    100 TB: recursive CTEs compile to iterative joins with the same
+    shuffle shape as the hand-rolled loop, but the ENGINE owns the
+    fixpoint (no driver-side round trips, AQE applies per step)."""
+    from etl_extractor_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        WITH RECURSIVE tree(k, depth, bal) AS (
+          SELECT c_custkey, 1,
+                 CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+          FROM customer WHERE c_custkey < 3
+          UNION ALL
+          SELECT c.c_custkey, t.depth + 1,
+                 CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+          FROM customer c JOIN tree t ON c.c_custkey DIV 3 = t.k
+          WHERE c.c_custkey >= 3  -- key 0 is its own div-3 parent: roots only seed
+        )
+        SELECT depth,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(bal) AS BIGINT) AS bal_cents
+        FROM tree GROUP BY depth ORDER BY depth
+        """
+    )
+
+
+QUERIES["recursive_cte_depth_rollup"] = recursive_cte_depth_rollup
+ORACLES["recursive_cte_depth_rollup"] = """
+    WITH RECURSIVE tree(k, depth, bal) AS (
+      SELECT c_custkey, 1,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      FROM customer WHERE c_custkey < 3
+      UNION ALL
+      SELECT c.c_custkey, t.depth + 1,
+             CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      FROM customer c JOIN tree t ON c.c_custkey // 3 = t.k
+      WHERE c.c_custkey >= 3
+    )
+    SELECT depth,
+           count(*)::BIGINT AS n_customers,
+           CAST(sum(bal) AS BIGINT) AS bal_cents
+    FROM tree GROUP BY depth ORDER BY depth
+"""
+
+
+# --- 20. Python UDTF (Spark 4 user-defined table function) -----------------------
+
+
+def python_udtf_installments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's Python UDTF surface, certified end to end: a table
+    function expands each order into its installment schedule
+    (key % 3 + 1 parts, integer largest-remainder split — parts
+    differ by at most 1 and sum EXACTLY to the order's cents), called
+    through the SQL ``LATERAL`` join syntax. The oracle re-derives
+    the schedule with generate_series + the same integer arithmetic,
+    so the hash certifies the UDTF protocol (analyze/eval/yield,
+    Arrow transport) — the API-surface sibling of the Python Data
+    Source rows (``pyds_envelope_scan``).
+
+    100 TB caveat, stated honestly: UDTFs are the row-at-a-time
+    Python path — this one exists to certify the API; the same
+    expansion in production is the pure-Catalyst
+    posexplode(sequence(...)) the oracle uses. Keep UDTFs for logic
+    that genuinely cannot be expressed declaratively."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="seq int, part_cents long")
+    class Installments:
+        def eval(self, key: int, cents: int):  # noqa: ANN001
+            n = key % 3 + 1
+            base, rem = divmod(cents, n)
+            for i in range(n):
+                yield i, base + (1 if i < rem else 0)
+
+    spark.udtf.register("installments", Installments)
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", _order_cents().alias("cents")
+    ).createOrReplaceTempView("_udtf_orders")
+    return spark.sql(
+        """
+        SELECT f.seq,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(f.part_cents) AS BIGINT) AS cents
+        FROM _udtf_orders, LATERAL installments(o_orderkey, cents) f
+        GROUP BY f.seq ORDER BY f.seq
+        """
+    )
+
+
+QUERIES["python_udtf_installments"] = python_udtf_installments
+ORACLES["python_udtf_installments"] = f"""
+    WITH o AS (
+      SELECT o_orderkey AS k, {_CENTS_SQL} AS cents,
+             o_orderkey % 3 + 1 AS n
+      FROM orders
+    ), parts AS (
+      SELECT k, i.seq,
+             cents // n + CASE WHEN i.seq < cents % n THEN 1 ELSE 0 END
+               AS part_cents
+      FROM o, LATERAL (SELECT unnest(generate_series(0, CAST(n - 1 AS INT)))
+                       AS seq) i
+    )
+    SELECT CAST(seq AS INT) AS seq,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum(part_cents) AS BIGINT) AS cents
+    FROM parts GROUP BY seq ORDER BY seq
+"""
+
+
+# --- 21. Null-safe join semantics (<=> parity) -----------------------------------
+
+
+def null_safe_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The null-safe equality join — Spark ``<=>`` vs ANSI
+    ``IS NOT DISTINCT FROM`` — certified on a fixture where it
+    actually matters: customers whose key % 37 = 0 lose their nation
+    key (NULL), the dimension gains an UNKNOWN member with a NULL
+    key, and the null-safe join routes every orphan to UNKNOWN
+    instead of dropping it (a plain equi-join silently loses the
+    NULL rows — the classic DW orphan bug the reference's sentinel
+    pattern works around, operators/facts.py J1).
+
+    100 TB: <=> compiles to the same hash join as = (null buckets
+    hash like any key); no plan penalty."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 37 != 0, F.col("c_nationkey")).alias("nk"),
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation")
+    ).unionByName(
+        load_table(spark, sf_dir, "nation")
+        .limit(1)
+        .select(
+            F.lit(None).cast("int").alias("nk"),
+            F.lit("UNKNOWN").alias("nation"),
+        )
+    )
+    joined = c.join(F.broadcast(n), c.nk.eqNullSafe(n.nk))
+    return (
+        joined.groupBy("nation")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("nation")
+    )
+
+
+QUERIES["null_safe_join_parity"] = null_safe_join_parity
+ORACLES["null_safe_join_parity"] = """
+    WITH c AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 37 <> 0 THEN c_nationkey END AS nk
+      FROM customer
+    ), n AS (
+      SELECT n_nationkey AS nk, n_name AS nation FROM nation
+      UNION ALL
+      SELECT NULL, 'UNKNOWN'
+    )
+    SELECT nation, count(*)::BIGINT AS n_customers
+    FROM c JOIN n ON c.nk IS NOT DISTINCT FROM n.nk
+    GROUP BY nation ORDER BY nation
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-round-2
     stale (see module docstring). Must run AFTER every QUERIES[...]

@@ -868,3 +868,66 @@ def test_mv_cdc_stream_state_is_batch_order_independent(spark, tmp_path):
         for r in read_state(spark, p2).collect()
     }
     assert s1 == s2 == {("d1", 0, 0), ("d2", 1, 57)}
+
+
+def test_recursive_cte_depth_brute_force(spark, sf_dir):
+    """Pandas BFS over parent(k) = k // 3 (roots k < 3) reproduces the
+    per-depth rollup; pins the self-loop guard (key 0 seeds once and
+    never recurses onto itself)."""
+    from etl_extractor_spark.plans.pipeline_ops8 import recursive_cte_depth_rollup
+
+    got = {
+        r["depth"]: (r["n_customers"], r["bal_cents"])
+        for r in recursive_cte_depth_rollup(spark, sf_dir).collect()
+    }
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")[["c_custkey", "c_acctbal"]]
+    depth = {}
+    for k in sorted(int(x) for x in c["c_custkey"]):
+        depth[k] = 1 if k < 3 else depth[k // 3] + 1
+    want: dict = {}
+    for k, bal in c.values:
+        k = int(k)
+        d = depth[k]
+        cur = want.setdefault(d, [0, 0])
+        cur[0] += 1
+        cur[1] += int(round(float(bal) * 100))
+    assert got == {d: tuple(v) for d, v in want.items()}
+
+
+def test_udtf_installments_are_exact_partitions(spark, sf_dir):
+    """Engine-free invariant: per order, the installment parts sum
+    EXACTLY to the order's cents and differ by at most 1 (largest
+    remainder), via the registered UDTF itself on a small slice."""
+    import pyspark.sql.functions as F
+
+    from etl_extractor_spark.plans.pipeline_ops8 import python_udtf_installments
+
+    # registering the query once also registers the UDTF
+    python_udtf_installments(spark, sf_dir).collect()
+    rows = spark.sql(
+        """
+        SELECT o_orderkey, cents, f.seq, f.part_cents
+        FROM (SELECT * FROM _udtf_orders ORDER BY o_orderkey LIMIT 50)
+             , LATERAL installments(o_orderkey, cents) f
+        """
+    ).collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault((r["o_orderkey"], r["cents"]), []).append(r["part_cents"])
+    assert by_key
+    for (k, cents), parts in by_key.items():
+        assert len(parts) == k % 3 + 1
+        assert sum(parts) == cents
+        assert max(parts) - min(parts) <= 1
+
+
+def test_null_safe_join_routes_all_orphans(spark, sf_dir):
+    """Every % 37 == 0 customer lands on UNKNOWN and nothing is lost:
+    the per-nation counts sum to the full customer count."""
+    from etl_extractor_spark.plans.pipeline_ops8 import null_safe_join_parity
+
+    rows = {r["nation"]: r["n_customers"] for r in null_safe_join_parity(spark, sf_dir).collect()}
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")[["c_custkey"]]
+    orphans = int((c["c_custkey"] % 37 == 0).sum())
+    assert rows["UNKNOWN"] == orphans > 0
+    assert sum(rows.values()) == len(c)
