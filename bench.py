@@ -266,6 +266,11 @@ BENCH_QUERIES = [
     "recursive_cte_depth_rollup",
     "python_udtf_installments",
     "null_safe_join_parity",
+    # round-9 wave 12: more Spark-4 SQL surface — pipe syntax, SQL
+    # scripting (DECLARE/SET/IF), UTF8_LCASE collation
+    "pipe_syntax_star_revenue",
+    "sql_scripting_threshold_report",
+    "collated_segment_rollup",
 ]
 
 

@@ -2113,6 +2113,172 @@ ORACLES["null_safe_join_parity"] = """
 """
 
 
+# --- 22. SQL pipe syntax (Spark 4 |> operator chain) -----------------------------
+
+
+def pipe_syntax_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL PIPE syntax (`|>`) running a real star rollup —
+    scan |> filter |> join |> join |> aggregate |> sort — certified
+    against the classic-SQL oracle computing the same thing. The pipe
+    form compiles to the identical Catalyst plan as the nested form
+    (filters still push to the scan, the join order is still the
+    optimizer's), so this certifies the PARSER surface, not a new
+    execution path; it matters because pipe-first SQL is how
+    incremental pipeline authoring reads, and a user of the engine
+    should be able to paste either dialect."""
+    from etl_extractor_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer", "nation"))
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'
+        |> JOIN customer ON o_custkey = c_custkey
+        |> JOIN nation ON c_nationkey = n_nationkey
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_orders,
+                     CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT)) AS BIGINT) AS revenue_cents
+           GROUP BY n_name AS nation
+        |> ORDER BY nation
+        """
+    )
+
+
+QUERIES["pipe_syntax_star_revenue"] = pipe_syntax_star_revenue
+ORACLES["pipe_syntax_star_revenue"] = f"""
+    SELECT n_name AS nation,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum({_CENTS_SQL}) AS BIGINT) AS revenue_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY 1 ORDER BY nation
+"""
+
+
+# --- 23. SQL scripting (Spark 4 BEGIN/DECLARE/IF) ---------------------------------
+
+
+def sql_scripting_threshold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (BEGIN ... END with DECLARE / SET /
+    IF-ELSE): a script computes a data-derived integer threshold
+    (half the max order cents), branches on the corpus's row-count
+    parity to pick a label, and emits the per-status rollup of
+    above-threshold orders — the procedural-ETL shape (variables +
+    control flow + final SELECT) that previously required a driver
+    program. The oracle reproduces the same logic as one declarative
+    query, so the hash certifies the scripting engine's variable
+    binding and branch selection.
+
+    100 TB: scripting runs ON the engine (each statement is a normal
+    Catalyst plan; variables are scalar literals at plan time) — no
+    data moves through the script layer."""
+    from etl_extractor_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE cutoff BIGINT;
+          DECLARE label STRING;
+          SET cutoff = (SELECT CAST(max(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                        * 100 AS BIGINT)) AS BIGINT) DIV 2
+                        FROM orders);
+          IF (SELECT count(*) FROM orders) % 2 = 0 THEN
+            SET label = 'even-corpus';
+          ELSE
+            SET label = 'odd-corpus';
+          END IF;
+          SELECT o_orderstatus AS status,
+                 label AS corpus_label,
+                 CAST(count(*) AS BIGINT) AS n_big_orders,
+                 CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS BIGINT) AS revenue_cents
+          FROM orders
+          WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  > cutoff
+          GROUP BY o_orderstatus, label
+          ORDER BY status;
+        END
+        """
+    )
+
+
+QUERIES["sql_scripting_threshold_report"] = sql_scripting_threshold_report
+ORACLES["sql_scripting_threshold_report"] = f"""
+    WITH params AS (
+      SELECT (SELECT max({_CENTS_SQL}) FROM orders) // 2 AS cutoff,
+             CASE WHEN (SELECT count(*) FROM orders) % 2 = 0
+                  THEN 'even-corpus' ELSE 'odd-corpus' END AS label
+    )
+    SELECT o_orderstatus AS status,
+           label AS corpus_label,
+           count(*)::BIGINT AS n_big_orders,
+           CAST(sum({_CENTS_SQL}) AS BIGINT) AS revenue_cents
+    FROM orders, params
+    WHERE {_CENTS_SQL} > cutoff
+    GROUP BY 1, 2 ORDER BY status
+"""
+
+
+# --- 24. Case-insensitive collation (Spark 4 UTF8_LCASE) --------------------------
+
+
+def collated_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATION surface: market segments arrive with
+    inconsistent casing (keys % 3 = 0 lowercase, % 3 = 1 title-case
+    — the multi-source reality MDM sees) and the rollup groups under
+    ``UTF8_LCASE`` so case variants land in one group; the emitted
+    group key is lower()-normalized so both engines print the same
+    representative. The oracle groups by lower() — certifying that
+    collated grouping is semantically the case-fold, while the
+    engine-side benefit is that the COLUMN keeps its collation
+    through joins/sorts without scattering lower() calls.
+
+    100 TB: collation-aware grouping hashes the collation key —
+    same shuffle as any groupBy, no normalization pass over the
+    data."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.lower("c_mktsegment"))
+        .when(F.col("c_custkey") % 3 == 1, F.initcap(F.lower("c_mktsegment")))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_raw"),
+    )
+    return (
+        c.groupBy(F.collate("seg_raw", "UTF8_LCASE").alias("seg_collated"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.count_distinct("seg_raw").cast("long").alias("n_case_variants"),
+        )
+        .select(
+            F.lower("seg_collated").alias("segment"),
+            "n_customers",
+            "n_case_variants",
+        )
+        .orderBy("segment")
+    )
+
+
+QUERIES["collated_segment_rollup"] = collated_segment_rollup
+ORACLES["collated_segment_rollup"] = """
+    WITH c AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+                  WHEN c_custkey % 3 = 1
+                    THEN upper(substr(lower(c_mktsegment), 1, 1))
+                         || substr(lower(c_mktsegment), 2)
+                  ELSE c_mktsegment END AS seg_raw
+      FROM customer
+    )
+    SELECT lower(seg_raw) AS segment,
+           count(*)::BIGINT AS n_customers,
+           count(DISTINCT seg_raw)::BIGINT AS n_case_variants
+    FROM c GROUP BY 1 ORDER BY segment
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-round-2
     stale (see module docstring). Must run AFTER every QUERIES[...]

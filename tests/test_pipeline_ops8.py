@@ -931,3 +931,47 @@ def test_null_safe_join_routes_all_orphans(spark, sf_dir):
     orphans = int((c["c_custkey"] % 37 == 0).sum())
     assert rows["UNKNOWN"] == orphans > 0
     assert sum(rows.values()) == len(c)
+
+
+def test_pipe_syntax_pushes_filters(spark, sf_dir):
+    """The pipe-syntax chain compiles to the same pushed-down scan as
+    classic SQL: the orders scan carries a PushedFilters entry for the
+    date predicate (parser surface, not a new execution path)."""
+    from etl_extractor_spark.plans.pipeline_ops8 import pipe_syntax_star_revenue
+
+    plan = pipe_syntax_star_revenue(spark, sf_dir)._jdf.queryExecution().toString()
+    assert "PushedFilters: [" in plan
+    assert "o_orderdate" in plan.split("PushedFilters:")[1][:300]
+
+
+def test_sql_scripting_variable_binding(spark, sf_dir):
+    """The script's branch and threshold bind correctly: label equals
+    the corpus parity and every emitted group's revenue implies
+    above-cutoff rows only (pandas re-derivation)."""
+    from etl_extractor_spark.plans.pipeline_ops8 import (
+        sql_scripting_threshold_report,
+    )
+
+    rows = sql_scripting_threshold_report(spark, sf_dir).collect()
+    o = _orders(sf_dir)
+    cutoff = int(o["cents"].max()) // 2
+    label = "even-corpus" if len(o) % 2 == 0 else "odd-corpus"
+    big = o[o["cents"] > cutoff]
+    want = big.groupby("o_orderstatus")["cents"].agg(["count", "sum"])
+    assert {r["corpus_label"] for r in rows} == {label}
+    got = {r["status"]: (r["n_big_orders"], r["revenue_cents"]) for r in rows}
+    assert got == {
+        s: (int(c), int(v)) for s, (c, v) in want.iterrows()
+    }
+
+
+def test_collated_fixture_has_real_case_variants(spark, sf_dir):
+    """Non-degeneracy: at least one collated group folds >1 casing
+    (otherwise the collation proves nothing), and totals are
+    lossless."""
+    from etl_extractor_spark.plans.pipeline_ops8 import collated_segment_rollup
+
+    rows = collated_segment_rollup(spark, sf_dir).collect()
+    assert max(r["n_case_variants"] for r in rows) > 1
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    assert sum(r["n_customers"] for r in rows) == len(c)
