@@ -729,8 +729,6 @@ def _build_late_batches(spark: SparkSession, sf_dir: str) -> str:
     2+ batches after its cohort, i.e. genuinely behind the watermark.
     One parquet file per batch with pinned, strictly increasing
     mtimes."""
-    import glob
-    import os
     import shutil
 
     from etl_extractor_spark.operators.common import pid_scratch_dir
@@ -741,16 +739,9 @@ def _build_late_batches(spark: SparkSession, sf_dir: str) -> str:
     )
     src = pid_scratch_dir("spark_graft_late_src_")
     shutil.rmtree(src, ignore_errors=True)
-    os.makedirs(src)
-    for k in range(3):
-        tmp = pid_scratch_dir(f"spark_graft_late_b{k}_")
-        shutil.rmtree(tmp, ignore_errors=True)
-        e.filter(b == k).coalesce(1).write.parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(src, f"data-b{k}.parquet")
-        shutil.copy(part, dst)
-        os.utime(dst, (_LATE_MTIME0 + 60 * k, _LATE_MTIME0 + 60 * k))
-        shutil.rmtree(tmp, ignore_errors=True)
+    _write_pinned_batches(
+        [e.filter(b == k) for k in range(3)], src, "data"
+    )
     return src
 
 
@@ -1524,6 +1515,66 @@ ORACLES["golden_record_survivorship"] = """
 """
 
 
+# Shared CDC fixture (waves 9/10): ONE definition of the delete/update
+# predicates and signed-delta projections — the batch MV, the streaming
+# MV and the shared oracle must agree on the rule or they silently
+# diverge (review catch: first cut copy-pasted them).
+_CDC_DEL_MOD = 113
+_CDC_UPD_MOD = 17
+_CDC_REPRICE = 500
+
+
+def _cdc_is_del() -> F.Column:
+    return F.col("o_orderkey") % _CDC_DEL_MOD == 0
+
+
+def _cdc_is_upd() -> F.Column:
+    return (F.col("o_orderkey") % _CDC_UPD_MOD == 0) & ~_cdc_is_del()
+
+
+def _cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.substring(F.col("o_orderdate").cast("string"), 1, 10).alias("day"),
+        _order_cents().alias("cents"),
+    )
+
+
+def _cdc_signed_deltas(o: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(deletes, updates, inserts) as (day, dn, dc) signed-delta rows;
+    deletes/updates hit pre-2001 facts, inserts are the 2001 tail."""
+    pre = F.col("day") < "2001-01-01"
+    deletes = o.filter(pre & _cdc_is_del()).select(
+        "day", F.lit(-1).alias("dn"), (-F.col("cents")).alias("dc")
+    )
+    updates = o.filter(pre & _cdc_is_upd()).select(
+        "day", F.lit(0).alias("dn"), F.lit(_CDC_REPRICE).alias("dc")  # after - before
+    )
+    inserts = o.filter(~pre).select(
+        "day", F.lit(1).alias("dn"), F.col("cents").alias("dc")
+    )
+    return deletes, updates, inserts
+
+
+def _write_pinned_batches(batches, src_dir: str, stem: str) -> None:
+    """One single-file parquet per batch with pinned, strictly
+    increasing mtimes (the replay-deterministic micro-batch fixture —
+    shared with _build_late_batches' discipline)."""
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(src_dir, exist_ok=True)
+    for k, b in enumerate(batches):
+        tmp = os.path.join(src_dir, f"_tmp_b{k}")
+        b.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src_dir, f"{stem}-b{k}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (_LATE_MTIME0 + 60 * k, _LATE_MTIME0 + 60 * k))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # --- 15. Retraction-based MV maintenance (the third MV class) -------------------
 
 
@@ -1560,11 +1611,7 @@ def mv_cdc_signed_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_extractor_spark.operators.common import pid_scratch_dir
     from etl_extractor_spark.sinks import manifest as MF
 
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.substring(F.col("o_orderdate").cast("string"), 1, 10).alias("day"),
-        _order_cents().alias("cents"),
-    )
+    o = _cdc_orders(spark, sf_dir)
     base = o.filter(F.col("day") < "2001-01-01")
 
     def day_agg(df: DataFrame) -> DataFrame:
@@ -1577,17 +1624,7 @@ def mv_cdc_signed_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)  # deterministic rebuild per run
     MF.write_with_manifest(spark, day_agg(base), path, stats_cols=["day"])
 
-    is_del = F.col("o_orderkey") % 113 == 0
-    is_upd = (F.col("o_orderkey") % 17 == 0) & ~is_del
-    deletes = base.filter(is_del).select(
-        "day", F.lit(-1).alias("dn"), (-F.col("cents")).alias("dc")
-    )
-    updates = base.filter(is_upd).select(
-        "day", F.lit(0).alias("dn"), F.lit(500).alias("dc")  # after - before
-    )
-    inserts = o.filter(F.col("day") >= "2001-01-01").select(
-        "day", F.lit(1).alias("dn"), F.col("cents").alias("dc")
-    )
+    deletes, updates, inserts = _cdc_signed_deltas(o)
     partials = (
         deletes.unionByName(updates)
         .unionByName(inserts)
@@ -1749,8 +1786,10 @@ ORACLES["inventory_running_clamp"] = """
 # --- 17. Monotonic timestamp repair (the second window-expressible recurrence) --
 
 # Device clock skew: reported ts = true ts + md5-derived jitter in
-# (-12 h, +12 h] — wide enough that consecutive events (hours apart on
-# this fixture) genuinely invert, so the repair path is exercised.
+# [-12 h, +12 h] (both endpoints attainable: fold % (86400e6 + 1)
+# spans [0, 86400e6] inclusive) — wide enough that consecutive events
+# (hours apart on this fixture) genuinely invert, so the repair path
+# is exercised.
 _TS_JITTER_MOD = 86_400_000_001
 _TS_JITTER_HALF = 43_200_000_000
 
@@ -1864,7 +1903,6 @@ def streaming_mv_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: this is the standing Debezium->lakehouse aggregate: state
     cardinality = |days|, per-batch work = O(batch), exactly-once via
     the sink's checkpointed batch ids."""
-    import glob
     import os
     import shutil
 
@@ -1872,37 +1910,20 @@ def streaming_mv_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_extractor_spark.sinks.incremental import read_state
     from etl_extractor_spark.streaming import events_stream as SE
 
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.substring(F.col("o_orderdate").cast("string"), 1, 10).alias("day"),
-        _order_cents().alias("cents"),
-    )
+    o = _cdc_orders(spark, sf_dir)
     pre = F.col("day") < "2001-01-01"
-    is_del = F.col("o_orderkey") % 113 == 0
-    is_upd = (F.col("o_orderkey") % 17 == 0) & ~is_del
+    deletes, updates, inserts = _cdc_signed_deltas(o)
     batches = [
-        o.filter(pre).select("day", F.lit(1).alias("dn"), F.col("cents").alias("dc")),
-        o.filter(pre & is_del)
-        .select("day", F.lit(-1).alias("dn"), (-F.col("cents")).alias("dc"))
-        .unionByName(
-            o.filter(pre & is_upd).select(
-                "day", F.lit(0).alias("dn"), F.lit(500).alias("dc")
-            )
+        o.filter(pre).select(
+            "day", F.lit(1).alias("dn"), F.col("cents").alias("dc")
         ),
-        o.filter(~pre).select("day", F.lit(1).alias("dn"), F.col("cents").alias("dc")),
+        deletes.unionByName(updates),
+        inserts,
     ]
     base = pid_scratch_dir("spark_graft_mvcdc_stream_")
     shutil.rmtree(base, ignore_errors=True)
     src = os.path.join(base, "src")
-    os.makedirs(src)
-    for k, b in enumerate(batches):
-        tmp = os.path.join(base, f"b{k}")
-        b.coalesce(1).write.parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(src, f"cdc-b{k}.parquet")
-        shutil.copy(part, dst)
-        os.utime(dst, (_LATE_MTIME0 + 60 * k, _LATE_MTIME0 + 60 * k))
-        shutil.rmtree(tmp, ignore_errors=True)
+    _write_pinned_batches(batches, src, "cdc")
 
     schema = spark.read.parquet(src + "/cdc-b0.parquet").schema
     stream = (
@@ -1956,8 +1977,19 @@ def recursive_cte_depth_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_extractor_spark.sources.parquet import register_views
 
     register_views(spark, sf_dir, ("customer",))
-    return spark.sql(
-        """
+    # The recursive CTE accumulates one row per customer, and Spark's
+    # default spark.sql.cteRecursionRowLimit is 1e6 — a >=SF-7 sweep
+    # would throw RECURSION_ROW_LIMIT_EXCEEDED (review catch, verified
+    # on 4.1.2). Raise it for this call and restore after: the real
+    # guard against runaway recursion here is the level bound
+    # (log3 of the keyspace), not the row count.
+    from etl_extractor_spark.operators.checkpoints import reliable_checkpoint
+
+    prev = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2**31 - 1))
+    try:
+        out = spark.sql(
+            """
         WITH RECURSIVE tree(k, depth, bal) AS (
           SELECT c_custkey, 1,
                  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
@@ -1973,7 +2005,15 @@ def recursive_cte_depth_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(bal) AS BIGINT) AS bal_cents
         FROM tree GROUP BY depth ORDER BY depth
         """
-    )
+        )
+        # The limit is enforced at EXECUTION, and the returned frame is
+        # lazy — restoring the conf before the driver's action would
+        # re-impose the 1e6 cap. Materialize the (depth-level-sized)
+        # result under the raised conf, then restore.
+        return reliable_checkpoint(out)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prev)
 
 
 QUERIES["recursive_cte_depth_rollup"] = recursive_cte_depth_rollup
@@ -2081,10 +2121,8 @@ def null_safe_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation")
     ).unionByName(
-        load_table(spark, sf_dir, "nation")
-        .limit(1)
-        .select(
-            F.lit(None).cast("int").alias("nk"),
+        spark.range(1).select(  # the UNKNOWN member is pure literals —
+            F.lit(None).cast("int").alias("nk"),  # no second nation scan
             F.lit("UNKNOWN").alias("nation"),
         )
     )
