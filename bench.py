@@ -271,6 +271,9 @@ BENCH_QUERIES = [
     "pipe_syntax_star_revenue",
     "sql_scripting_threshold_report",
     "collated_segment_rollup",
+    # round-9 wave 13: deterministic LISTAGG, telemetry debounce
+    "ordered_string_agg",
+    "event_burst_collapse",
 ]
 
 

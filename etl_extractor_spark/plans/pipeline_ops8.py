@@ -2317,6 +2317,104 @@ ORACLES["collated_segment_rollup"] = """
 """
 
 
+# --- 25. Deterministic ordered string aggregation --------------------------------
+
+
+def ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG-class string aggregation made DETERMINISTIC: per
+    nation, the three lexicographically-first customer names joined
+    with '|'. collect_list order is partition-arrival order (never
+    stable across runs/engines), so the sort happens INSIDE the
+    aggregate domain — array_sort(collect_list(...)) then slice —
+    and both engines print the identical string. This is the
+    report-formatting shape (top-N names per group as one cell) that
+    naive string_agg gets nondeterministically wrong.
+
+    100 TB: collect_list per group is bounded ONLY by the slice
+    semantics downstream — for unbounded groups use the top-K window
+    first (window_top_orders pattern) so the collected array is
+    K-sized; this fixture's groups are customer-per-nation sized and
+    the docstring states the boundary."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("c_name")), 1, 3), "|"
+            ).alias("first_names"),
+        )
+        .orderBy("nation")
+    )
+
+
+QUERIES["ordered_string_agg"] = ordered_string_agg
+ORACLES["ordered_string_agg"] = """
+    SELECT n_name AS nation,
+           count(*)::BIGINT AS n_customers,
+           array_to_string(list_sort(list(c_name))[1:3], '|') AS first_names
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1 ORDER BY nation
+"""
+
+
+# --- 26. Telemetry burst collapse (lag-based debounce) ----------------------------
+
+_BURST_GAP_US = 3_600_000_000  # 1 hour debounce window
+
+
+def event_burst_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce repeated telemetry: within each (user, event_type)
+    stream, keep a row only when it is the first or arrives >= 1 h
+    after its PREDECESSOR (lag-based rule — the standard monitoring
+    debounce). Stated honestly: this is the lag rule, not transitive
+    chain-collapse — a burst longer than the window keeps its
+    interior re-arming rows (every alerting system picks one; the
+    lag rule is window-expressible and deterministic, the chain rule
+    is the sessionize family, already certified as
+    ``events_sessionize``).
+
+    100 TB: one window by (user, type) — sessionize cost shape; the
+    survivor set feeds alert fan-out at burst-collapsed volume."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", _ntz_us("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    kept = e.withColumn("prev", F.lag("us").over(w)).filter(
+        F.col("prev").isNull() | (F.col("us") - F.col("prev") >= _BURST_GAP_US)
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["event_burst_collapse"] = event_burst_collapse
+ORACLES["event_burst_collapse"] = f"""
+    WITH e AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+      FROM events
+    ), lagged AS (
+      SELECT user_id, event_type, us,
+             lag(us) OVER (PARTITION BY user_id, event_type
+                           ORDER BY us, event_id) AS prev
+      FROM e
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n_kept,
+           count(DISTINCT user_id)::BIGINT AS n_users
+    FROM lagged
+    WHERE prev IS NULL OR us - prev >= {_BURST_GAP_US}
+    GROUP BY 1 ORDER BY event_type
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-round-2
     stale (see module docstring). Must run AFTER every QUERIES[...]

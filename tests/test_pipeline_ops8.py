@@ -975,3 +975,50 @@ def test_collated_fixture_has_real_case_variants(spark, sf_dir):
     assert max(r["n_case_variants"] for r in rows) > 1
     c = pd.read_parquet(f"{sf_dir}/customer.parquet")
     assert sum(r["n_customers"] for r in rows) == len(c)
+
+
+def test_ordered_string_agg_is_run_stable(spark, sf_dir):
+    """Determinism: two runs produce byte-identical first_names cells
+    (collect_list alone would not), and each cell equals the pandas
+    sorted-first-3 derivation."""
+    from etl_extractor_spark.plans.pipeline_ops8 import ordered_string_agg
+
+    r1 = {r["nation"]: r["first_names"] for r in ordered_string_agg(spark, sf_dir).collect()}
+    r2 = {r["nation"]: r["first_names"] for r in ordered_string_agg(spark, sf_dir).collect()}
+    assert r1 == r2
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")[["c_name", "c_nationkey"]]
+    n = pd.read_parquet(f"{sf_dir}/nation.parquet")[["n_nationkey", "n_name"]]
+    j = c.merge(n, left_on="c_nationkey", right_on="n_nationkey")
+    for nat, grp in j.groupby("n_name"):
+        want = "|".join(sorted(grp["c_name"])[:3])
+        assert r1[nat] == want, nat
+
+
+def test_burst_collapse_lag_rule_brute(spark, sf_dir):
+    """Pure-Python lag-rule debounce equals the query, and the fixture
+    actually collapses something (kept < total)."""
+    from etl_extractor_spark.plans.pipeline_ops8 import (
+        _BURST_GAP_US,
+        event_burst_collapse,
+    )
+
+    got = {
+        r["event_type"]: (r["n_kept"], r["n_users"])
+        for r in event_burst_collapse(spark, sf_dir).collect()
+    }
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["user_id", "event_type", "event_id", "ts"]
+    ]
+    e["us"] = pd.to_datetime(e["ts"]).astype("datetime64[us]").astype("int64")
+    want: dict = {}
+    for (uid, et), grp in e.groupby(["user_id", "event_type"]):
+        g = grp.sort_values(["us", "event_id"])
+        prev = None
+        for _, row in g.iterrows():
+            if prev is None or row["us"] - prev >= _BURST_GAP_US:
+                cur = want.setdefault(et, [0, set()])
+                cur[0] += 1
+                cur[1].add(uid)
+            prev = row["us"]
+    assert got == {k: (v[0], len(v[1])) for k, v in want.items()}
+    assert sum(v[0] for v in got.values()) < len(e)  # something collapsed
