@@ -734,8 +734,11 @@ def _build_late_batches(spark: SparkSession, sf_dir: str) -> str:
     from etl_extractor_spark.operators.common import pid_scratch_dir
 
     e = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    # least(.., 2): day-31 rows would land in b=3 and be silently
+    # dropped from the stream while the oracle keeps them — the pinned
+    # fixture ends Jan 30, but a fixture change must not diverge.
     b = F.when(F.col("event_id") % 20 == 0, F.lit(2)).otherwise(
-        F.expr("(dayofmonth(ts) - 1) div 10")
+        F.least(F.expr("(dayofmonth(ts) - 1) div 10"), F.lit(2))
     )
     src = pid_scratch_dir("spark_graft_late_src_")
     shutil.rmtree(src, ignore_errors=True)
@@ -2014,6 +2017,11 @@ def recursive_cte_depth_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.cteRecursionRowLimit", prev)
+        else:
+            # conf.get may report None for an unset key: unset, don't
+            # skip, or the raised limit would disable the session's
+            # runaway-recursion backstop for every later query.
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
 
 
 QUERIES["recursive_cte_depth_rollup"] = recursive_cte_depth_rollup

@@ -78,6 +78,42 @@ def _probes_py(value: str, m: int, k: int) -> list[int]:
     return [(h1 + i * h2) % m for i in range(k)]
 
 
+def _rel_key(fpath: str, root: str) -> str:
+    """Sidecar key for a data file: its path RELATIVE to the table
+    root. Both sides must agree — the build enumerates via Spark's
+    _metadata.file_path (a file: URI over a possibly-partitioned
+    layout), the probe via an os.walk of the root. Basenames are NOT
+    unique across partition directories (every Spark write names
+    part-00000-...), so keying by basename would merge filters built
+    with different m — a corrupted probe. Relative paths are unique
+    by construction."""
+    p = fpath
+    if p.startswith("file:"):
+        p = p[len("file:") :]
+        # file:///x -> /x ; collapse any duplicated leading slashes
+        while p.startswith("//"):
+            p = p[1:]
+    return os.path.relpath(os.path.abspath(p), os.path.abspath(root))
+
+
+def _data_files(path: str) -> list[str]:
+    """Every data file under ``path``, recursively — the probe-side
+    twin of the build's recursive spark.read.parquet(path). Hidden
+    and metadata files (_manifest.json, _blooms.json, .tmp) are
+    skipped exactly as Spark skips them."""
+    out: list[str] = []
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = [
+            d for d in dirnames if not d.startswith(("_", "."))
+        ]
+        out.extend(
+            os.path.join(dirpath, f)
+            for f in filenames
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    return sorted(out)
+
+
 def attach_blooms(
     spark: SparkSession,
     path: str,
@@ -134,12 +170,17 @@ def attach_blooms(
         .collect()
     )
     blooms: dict[str, dict[str, Any]] = {
-        os.path.basename(f): {"m": m, "k": k, "words": {}}
+        _rel_key(f, path): {"m": m, "k": k, "words": {}}
         for f, m in sizes.items()
     }
+    if len(blooms) != len(sizes):
+        raise ValueError(
+            f"bloom sidecar key collision under {path!r}: "
+            f"{len(sizes)} files -> {len(blooms)} relative keys"
+        )
     for r in probes:
-        blooms[os.path.basename(r["f"])]["words"][str(r["w"])] = r["word"]
-    sidecar = {"version": 1, "col": col, "files": blooms}
+        blooms[_rel_key(r["f"], path)]["words"][str(r["w"])] = r["word"]
+    sidecar = {"version": 2, "col": col, "files": blooms}
     tmp = os.path.join(path, f".{_SIDECAR}.{os.getpid()}.tmp")
     with open(tmp, "w") as fh:
         json.dump(sidecar, fh)
@@ -164,10 +205,8 @@ def probe_files(path: str, col: str, values: list) -> list[str]:
     if sidecar is None or sidecar["col"] != col:
         raise ValueError(f"no bloom sidecar for column {col!r} at {path}")
     keep: list[str] = []
-    from etl_extractor_spark.sinks.manifest import _part_files
-
-    for fpath in _part_files(path):
-        entry = sidecar["files"].get(os.path.basename(fpath))
+    for fpath in _data_files(path):
+        entry = sidecar["files"].get(_rel_key(fpath, path))
         if entry is None:
             keep.append(fpath)  # unknown file: cannot prune safely
             continue

@@ -136,7 +136,12 @@ def scd2_apply(
     # at-least-once model); CONFLICTING same-key changes in one batch
     # need a sequence column — route those through merge_cdc_apply's
     # latest-wins dedup instead.
-    ch = changes.dropDuplicates().select(
+    # Dedup on the SEMANTIC change identity (key + attrs): callers may
+    # pass extra columns (a sequence/ingest-ts), and a full-row
+    # dropDuplicates would keep logically identical redeliveries apart
+    # — the left join below would then fan out duplicate closed /
+    # inserted rows.
+    ch = changes.select(key, *attr_cols).dropDuplicates().select(
         key,
         F.lit(1).alias("_matched"),  # null-safe match marker: a change
         *[F.col(a).alias(f"_new_{a}") for a in attr_cols],  # may SET an attr to NULL

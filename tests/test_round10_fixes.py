@@ -1,0 +1,146 @@
+"""Guards for the round-10 ADVICE fixes (r9 judge advice, all four):
+
+1. Bloom sidecar on a PARTITIONED layout — build and probe must
+   enumerate the same file set keyed by root-relative path, never
+   basename (basenames collide across partition dirs).
+2. cteRecursionRowLimit restore when the key was UNSET — conf.get
+   returns None for unset keys (probed), so the finally must unset,
+   not skip.
+3. _build_late_batches covers day-31 events (bucket clamped to 2).
+4. scd2_apply collapses redeliveries that differ only in EXTRA
+   columns (sequence/ingest-ts) — dedup is on key+attrs.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pandas as pd
+
+
+def test_bloom_partitioned_layout_no_false_negatives(spark, sf_dir, tmp_path):
+    """Partitioned (nested) layout: probe_files must see every data
+    file the build saw. Pre-fix, probe_files listed only top-level
+    *.parquet -> [] -> read_bloom_pruned returned an EMPTY frame (a
+    file-level false negative, the one failure the module bans)."""
+    import pyspark.sql.functions as F
+
+    from etl_extractor_spark.sinks import bloom as BL
+
+    path = str(tmp_path / "ptbl")
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_custkey")
+        .withColumn("p", F.col("o_custkey") % 4)
+    )
+    o.repartition(4, "o_custkey").write.partitionBy("p").parquet(path)
+    BL.attach_blooms(spark, path, "o_custkey")
+    all_keys = sorted(
+        r[0] for r in o.select("o_custkey").distinct().collect()
+    )
+    probe_keys = all_keys[::11][:6]
+    kept = set(BL.probe_files(path, "o_custkey", probe_keys))
+    files = sorted(glob.glob(f"{path}/p=*/part-*.parquet"))
+    assert files, "fixture wrote a nested layout"
+    assert kept, "partitioned probe found candidate files"
+    assert kept <= set(files)
+    for f in files:  # zero false negatives, per-file pandas truth
+        truth = set(pd.read_parquet(f)["o_custkey"])
+        if truth & set(probe_keys):
+            assert f in kept, f
+    got = (
+        BL.read_bloom_pruned(spark, path, "o_custkey", probe_keys)
+        .filter(F.col("o_custkey").isin(probe_keys))
+        .count()
+    )
+    want = o.filter(F.col("o_custkey").isin(probe_keys)).count()
+    assert got == want > 0
+
+
+def test_bloom_sidecar_keys_are_relative_paths(spark, tmp_path):
+    """Nested layouts produce colliding basenames (every Spark write
+    names part-00000-*); the sidecar must key by root-relative path
+    so same-named files in different partition dirs keep their OWN
+    m-sized filter."""
+    from etl_extractor_spark.sinks import bloom as BL
+
+    path = str(tmp_path / "t2")
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(100)], "k long, p long"
+    )
+    df.coalesce(1).write.partitionBy("p").parquet(path)
+    BL.attach_blooms(spark, path, "k")
+    sc = BL.read_sidecar(path)
+    keys = list(sc["files"])
+    assert len(keys) == 2
+    assert all(os.sep in k for k in keys), keys  # relative, not basename
+
+
+def test_recursion_limit_unset_is_restored_to_unset(spark, sf_dir):
+    """conf.get('spark.sql.cteRecursionRowLimit', None) returns None
+    for an unset key (probed on this Spark build) — after the query
+    the key must be UNSET again, not left at 2^31-1, or the session
+    loses its runaway-recursion backstop."""
+    from etl_extractor_spark.plans.pipeline_ops8 import QUERIES
+
+    key = "spark.sql.cteRecursionRowLimit"
+    spark.conf.unset(key)
+    QUERIES["recursive_cte_depth_rollup"](spark, sf_dir).collect()
+    assert spark.conf.get(key, None) is None
+
+
+def test_late_batches_cover_day31(spark, tmp_path):
+    """A day-31 event lands in batch 2 (clamped), not a never-written
+    batch 3 — the stream must see EVERY event the oracle sees even if
+    the fixture's date range grows."""
+    from etl_extractor_spark.plans import pipeline_ops8 as M
+
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 31],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-05 10:00:00",
+                    "2024-01-15 10:00:00",
+                    "2024-01-25 10:00:00",
+                    "2024-01-31 10:00:00",
+                ]
+            ),
+            "value": [1.0, 2.0, 3.0, 4.0],
+            "user_id": [1, 1, 2, 2],
+            "event_type": ["a", "a", "b", "b"],
+        }
+    )
+    d = tmp_path / "mini_sf"
+    d.mkdir()
+    ev.to_parquet(d / "events.parquet", index=False)
+    src = M._build_late_batches(spark, str(d))
+    total = spark.read.parquet(src + "/data-*.parquet").count()
+    assert total == 4  # day-31 row not silently dropped
+
+
+def test_scd2_redelivery_with_extra_columns_collapses(spark):
+    """Two redeliveries of the SAME logical change that differ only in
+    an extra ingest-sequence column must produce ONE closed + ONE
+    inserted row (pre-fix: full-row dedup kept both -> join fan-out)."""
+    import pyspark.sql.functions as F
+
+    from etl_extractor_spark.sinks.merge import scd2_apply
+
+    target = spark.createDataFrame(
+        [(1, "old", "2020-01-01", None, True)],
+        "k int, attr string, valid_from string, valid_to string, is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [(1, "new", 100), (1, "new", 200)],  # same change, two seqs
+        "k int, attr string, ingest_seq long",
+    )
+    out = scd2_apply(target, changes, "k", ["attr"], "2021-06-01")
+    rows = out.collect()
+    assert len(rows) == 2, rows  # one closed + one inserted, no fan-out
+    closed = [r for r in rows if r["is_current"] is False]
+    cur = [r for r in rows if r["is_current"]]
+    assert len(closed) == 1 and closed[0]["attr"] == "old"
+    assert len(cur) == 1 and cur[0]["attr"] == "new"
+    assert cur[0]["valid_from"] == "2021-06-01"
