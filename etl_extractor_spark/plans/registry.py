@@ -241,6 +241,27 @@ def _ordered(out: dict, oracles: dict | None = None) -> dict:
     return {k: out[k] for k in ordered}
 
 
+def _with_shipping(fn: QueryFn) -> QueryFn:
+    """Ship the package zip to the session's executors before the
+    query body builds its plan — the driver supplies its OWN vanilla
+    SparkSession from an arbitrary cwd, and any mapInPandas /
+    applyInPandas / UDTF closure that imports repo modules would
+    otherwise die with a worker-side ModuleNotFoundError on a real
+    (non-local) cluster. Idempotent per SparkContext (set lookup), so
+    the per-call overhead after the first is nil."""
+
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from etl_extractor_spark.session import ship_package
+
+        ship_package(spark)
+        return fn(spark, sf_dir)
+
+    wrapper.__name__ = getattr(fn, "__name__", "query")
+    wrapper.__doc__ = fn.__doc__
+    wrapper.__wrapped__ = fn  # tests introspect the underlying plan fn
+    return wrapper
+
+
 def _load(attr: str) -> tuple[dict, bool]:
     """Returns (registry, complete): ``complete`` is False if any plan
     module failed to import — a partial registry must NOT be memoized,
@@ -271,6 +292,7 @@ _CACHE: dict[str, dict] = {}
 def all_queries() -> dict[str, QueryFn]:
     if "QUERIES" not in _CACHE:
         out, complete = _load("QUERIES")
+        out = {k: _with_shipping(fn) for k, fn in out.items()}
         if not complete:
             return out  # partial: retry imports next call, don't memoize
         _CACHE["QUERIES"] = out

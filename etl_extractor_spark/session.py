@@ -13,8 +13,64 @@ the plan shapes we want on a real cluster:
 from __future__ import annotations
 
 import os
+import tempfile
+import threading
+import zipfile
 
 from pyspark.sql import SparkSession
+
+# ship_package state: zip built once per process, shipped once per
+# SparkContext (keyed by applicationId — a stopped/restarted context
+# gets a fresh ship).
+_SHIP_LOCK = threading.Lock()
+_SHIPPED_APPS: set[str] = set()
+_PKG_ZIP: str | None = None
+
+
+def _build_pkg_zip() -> str:
+    """Zip the installed ``etl_extractor_spark`` package (sources only,
+    no __pycache__) into the process temp dir, once per process."""
+    global _PKG_ZIP
+    if _PKG_ZIP is not None and os.path.exists(_PKG_ZIP):
+        return _PKG_ZIP
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    fd, tmp = tempfile.mkstemp(
+        prefix="etl_extractor_spark_", suffix=".zip"
+    )
+    os.close(fd)
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, dirnames, filenames in os.walk(pkg_dir):
+            dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+            for f in sorted(filenames):
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, f)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                zf.write(full, rel)
+    _PKG_ZIP = tmp
+    return tmp
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``etl_extractor_spark`` importable inside Python WORKERS
+    (mapInPandas / applyInPandas / UDTF closures reference repo
+    modules) regardless of the driver process cwd or the cluster
+    deploy mode.
+
+    In local mode the workers inherit the driver's environment only
+    when the driver happens to run from the repo root with PYTHONPATH
+    set; on a real cluster (non-local executors) closures referencing
+    repo modules fail with worker-side ModuleNotFoundError unless the
+    package is shipped. ``sc.addPyFile`` of a package zip is the
+    canonical fix: the zip lands on every executor's Python path.
+    Idempotent per SparkContext; ~one zip build per process."""
+    sc = spark.sparkContext
+    app = sc.applicationId
+    with _SHIP_LOCK:
+        if app in _SHIPPED_APPS:
+            return
+        sc.addPyFile(_build_pkg_zip())
+        _SHIPPED_APPS.add(app)
 
 
 def get_spark(
@@ -49,7 +105,9 @@ def get_spark(
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark
 
 
 def tune_for_session(spark: SparkSession) -> SparkSession:
@@ -61,4 +119,5 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    ship_package(spark)
     return spark
