@@ -274,7 +274,80 @@ BENCH_QUERIES = [
     # round-9 wave 13: deterministic LISTAGG, telemetry debounce
     "ordered_string_agg",
     "event_burst_collapse",
+    # round-10 wave 1: the 18th certified stream — crash mid-replay,
+    # resume from checkpoint (the recovery-contract certification)
+    "streaming_crash_resume_replay",
 ]
+
+# ---------------------------------------------------------------------------
+# Wall-time ceiling policy (round 10, r9 verdict task 6): the full list
+# above grew past 130 lines (~4 min driver-side) and scales linearly
+# with surface. Policy: a PINNED headline set runs every round — the
+# original r1 baseline 14 (the cross-round comparable the judge grades
+# against BASELINE.md, summarized as "r1_sec") plus one flagship per
+# expensive family — while the remaining names rotate in two
+# deterministic halves by round parity (round = latest CORRECTNESS_r*
+# index + 1), so every line still gets a fresh number every 2 rounds
+# and the per-run line count stays ~half. SPARK_GRAFT_BENCH_FULL=1
+# forces the full list (builder-local BASELINE runs).
+# ---------------------------------------------------------------------------
+
+# The r1 driver-baseline headline set — NEVER rotate these; their sum
+# is the stable vs-BASELINE number ("r1_sec" in the summary line).
+R1_BASELINE_SET = (
+    "q1_pricing_summary", "q3_top_revenue_orders", "q5_regional_revenue",
+    "q6_revenue_forecast", "q10_returned_items", "window_top_orders",
+    "fact_conformed", "dedup_exact", "dedup_minhash_lsh", "text_quality",
+    "knn_topk_cosine_np", "events_sessionize", "q8_market_share",
+    "events_asof_click",
+)
+
+# One representative per expensive/regression-prone family, pinned so a
+# regression there is visible EVERY round, not every other round.
+PINNED_FLAGSHIPS = (
+    "dedup_minhash_lsh_oph",        # 100 TB dedup signature path
+    "ivfpq_adc_topk",               # ANN composition
+    "maxsim_ivf_np",                # vectorized multi-vector ANN
+    "multimodal_jpeg_roundtrip",    # Python-codec mapInPandas class
+    "tfidf_incremental_postings",   # index maintenance lifecycle
+    "kcore_peel_rounds",            # iterative-graph class
+    "streaming_funnel_replay",      # stateful streaming class
+    "salted_skew_join_revenue",     # join-skew remediation
+    "skewed_exact_median_value",    # agg-skew remediation
+    "bloom_prefilter_decontaminate",# broadcast-Bloom gate
+    "bloom_file_skipping_scan",     # lakehouse point-skipping lifecycle
+    "manifest_snapshot_expiry",     # COW + retention lifecycle
+    "manifest_incremental_diff",    # snapshot-diff lifecycle
+    "positional_delete_scan",       # MOR positional-delete lifecycle
+    "mv_cdc_signed_delta",          # retraction MV maintenance
+    "recursive_cte_depth_rollup",   # Spark-4 recursive surface
+)
+
+
+def _current_round(repo: str) -> int:
+    """Latest driver CORRECTNESS round + 1 = the round now running.
+    Unreadable dir → 0 (rotation degrades to a fixed half, never
+    breaks)."""
+    import glob
+    import re
+
+    best = 0
+    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best + 1
+
+
+def bench_names() -> list[str]:
+    """The names this run times, in BENCH_QUERIES order."""
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL"):
+        return list(BENCH_QUERIES)
+    pinned = set(R1_BASELINE_SET) | set(PINNED_FLAGSHIPS)
+    tail = [n for n in BENCH_QUERIES if n not in pinned]
+    parity = _current_round(_REPO) % 2
+    keep = pinned | {n for i, n in enumerate(tail) if i % 2 == parity}
+    return [n for n in BENCH_QUERIES if n in keep]
 
 
 def _force(df) -> None:
@@ -315,7 +388,8 @@ def main() -> None:
     # the clock starts (compilation cost is per-plan-shape, not per-run;
     # at 100 TB it is noise, at sf0.1 it would dominate).
     warm_dir = "/root/testdata/sf0.001"
-    for name in BENCH_QUERIES:
+    names = bench_names()
+    for name in names:
         fn = queries.get(name)
         if fn is not None:
             try:
@@ -333,21 +407,38 @@ def main() -> None:
     # list): the JVM's generated-code cache holds ~100 classes, so a
     # second pass after 13 other queries re-compiles the big plans —
     # consecutive runs measure the plan, not compilation.
+    # Each line carries sec (TOTAL: plan/fixture construction + forced
+    # execution — comparable with every prior round) AND exec_sec (the
+    # forced-execution part alone). For the lifecycle queries that
+    # build table state inside the query fn (bloom/manifest/positional
+    # writes), exec_sec isolates the certified READ path so a probe
+    # regression can't hide inside fixture-write noise (r9 verdict
+    # task 3); for ordinary queries fn() is just plan construction and
+    # exec_sec ~= sec.
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    exec_timings: dict[str, float] = {}
+    for name in names:
         fn = queries.get(name)
         if fn is None:
             continue
         for _rep in range(2):
             t0 = time.perf_counter()
-            _force(fn(spark, sf_dir))
-            dt = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
+            df = fn(spark, sf_dir)
+            t1 = time.perf_counter()
+            _force(df)
+            t2 = time.perf_counter()
+            dt = round(t2 - t0, 3)
+            if dt <= timings.get(name, float("inf")):
+                timings[name] = dt
+                exec_timings[name] = round(t2 - t1, 3)
             # release this query's persisted intermediates so cached
             # partitions from one run can't skew the next one's GC
             spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    r1_sec = round(
+        sum(timings.get(n, 0.0) for n in R1_BASELINE_SET), 3
+    )
     canary = _canary(spark)
     # Per-query detail goes out as its OWN stdout lines, one query per
     # line, BEFORE the summary: the driver keeps only a bounded stdout
@@ -356,7 +447,12 @@ def main() -> None:
     # BENCH_r08.json recorded "parsed": null. Individual lines can be
     # dropped from the top of the tail without hurting the headline.
     for name, secs in timings.items():
-        print(json.dumps({"query": name, "sec": secs}), flush=True)
+        print(
+            json.dumps(
+                {"query": name, "sec": secs, "exec_sec": exec_timings[name]}
+            ),
+            flush=True,
+        )
     # The LAST line is the compact parseable summary (< 200 bytes): it
     # always survives any tail window. The per-query map rides along
     # only if it fits the driver's parser — keep it out of this line.
@@ -371,6 +467,10 @@ def main() -> None:
                 # to separate machine variance from plan regressions
                 "canary_range_sum_sec": canary,
                 "n_queries": len(timings),
+                # sum over the always-pinned r1 baseline 14 — the
+                # stable cross-round comparable regardless of rotation
+                "r1_sec": r1_sec,
+                "policy": "pinned+rot",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         ),

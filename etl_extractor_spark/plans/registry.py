@@ -87,6 +87,13 @@ _MODULES = (
     # behind them AND behind both earlier waves by stable module
     # order).
     "etl_extractor_spark.plans.pipeline_ops8",
+    # Round-10 additions — appended last and defer-tiered at pseudo-
+    # round-THREE (rank 3 in _DEFER_RANK, not the ops6/7/8 rank 2):
+    # the r10 window is fully booked (15 real-r2 stale + 8 ops6 +
+    # 15 ops7 + 12 ops8) and r11 with the remaining 12 ops8 + the 38
+    # oldest-r3 stale; rank-3 names tie with the real r3 era and sort
+    # behind all of it, entering the rotation from r12.
+    "etl_extractor_spark.plans.pipeline_ops9",
 )
 
 
