@@ -277,6 +277,13 @@ BENCH_QUERIES = [
     # round-10 wave 1: the 18th certified stream — crash mid-replay,
     # resume from checkpoint (the recovery-contract certification)
     "streaming_crash_resume_replay",
+    # round-10 wave 2: zero-copy shallow clone + divergence isolation,
+    # date-spine gap interpolation, the WAP ingestion gate, and the
+    # 19th certified stream (per-micro-batch dim refresh)
+    "manifest_shallow_clone",
+    "gap_fill_interpolate",
+    "wap_audit_publish",
+    "streaming_dim_refresh_replay",
 ]
 
 # ---------------------------------------------------------------------------

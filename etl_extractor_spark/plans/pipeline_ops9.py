@@ -39,20 +39,25 @@ ORACLES: dict = {}
 # --- 1. Crash-resume replay (18th certified stream) --------------------------
 
 
-def _build_crash_batches(spark: SparkSession, sf_dir: str) -> str:
+def _build_mod3_batches(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    cols: tuple = ("event_id", "ts", "value"),
+) -> str:
     """3-batch fixture split by event_id % 3 — every batch carries
-    rows of every day, so the daily aggregation state built in batch
-    0 MUST survive the injected crash for batches 1..2 to finish the
-    counts (a split-by-day fixture would let a state-losing engine
-    pass by accident). One parquet file per batch, pinned strictly
-    increasing mtimes (file-source processing order)."""
+    rows of every day/type, so cross-batch state built in batch 0
+    MUST survive to the end for the totals to close (a split-by-day
+    fixture would let a state-losing engine pass by accident). One
+    parquet file per batch, pinned strictly increasing mtimes
+    (file-source processing order)."""
     import shutil
 
     from etl_extractor_spark.operators.common import pid_scratch_dir
     from etl_extractor_spark.plans.pipeline_ops8 import _write_pinned_batches
 
-    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
-    src = pid_scratch_dir("spark_graft_crash_src_")
+    e = load_table(spark, sf_dir, "events").select(*cols)
+    src = pid_scratch_dir(prefix)
     shutil.rmtree(src, ignore_errors=True)
     _write_pinned_batches(
         [e.filter(F.col("event_id") % 3 == k) for k in range(3)], src, "ev"
@@ -94,7 +99,7 @@ def streaming_crash_resume_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     from etl_extractor_spark.operators.common import pid_scratch_dir
     from etl_extractor_spark.streaming import events_stream as SE
 
-    src = _build_crash_batches(spark, sf_dir)
+    src = _build_mod3_batches(spark, sf_dir, "spark_graft_crash_src_")
     out_dir = pid_scratch_dir("spark_graft_crash_out_")
     ckpt = pid_scratch_dir("spark_graft_crash_ckpt_")
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -191,6 +196,430 @@ ORACLES["streaming_crash_resume_replay"] = """
            count(*)::BIGINT AS n_events,
            round(sum(value), 4) AS sum_value
     FROM events GROUP BY 1 ORDER BY day
+"""
+
+
+# --- 2. Shallow clone: zero-copy fork + divergence isolation -----------------
+
+
+_ORDER_CENTS_SQL = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+def _order_cents() -> F.Column:
+    return (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+
+
+def manifest_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy SHALLOW CLONE with divergence isolation
+    (``sinks/manifest.shallow_clone``): commit orders as a
+    manifest-tracked table, clone it (one manifest write — no data
+    bytes move, file refs are absolute paths into the source), then
+    commit an equality-delete batch ON THE CLONE (o_orderkey % 13 = 0)
+    and expire the clone's snapshots. The query returns both sides'
+    aggregates; the oracle derives them from the raw table — the hash
+    certifies that (a) the clone reads the source's files, (b) the
+    clone's delete is visible only on the clone, and (c) expiry on the
+    clone (which now references ONLY external files in its expired
+    snapshots) removed nothing from the source — the expire guard
+    refuses to unlink outside its table root, so a clone can never
+    destroy source data (the Delta vacuum-on-shallow-clone rule,
+    asserted in-query).
+
+    100 TB: the instant dev-fork / safe-experiment primitive — clone
+    cost is one manifest write at any table size, and the risky MERGE
+    runs on the clone while the source serves traffic."""
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.sinks import manifest as MF
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", _order_cents().alias("cents")
+    )
+    src = pid_scratch_dir("spark_graft_clone_src_")
+    dst = pid_scratch_dir("spark_graft_clone_dst_")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    MF.write_with_manifest(spark, o, src, stats_cols=["o_orderkey"])
+    MF.shallow_clone(src, dst)
+    keys = (
+        MF.read_table(spark, dst)
+        .filter(F.col("o_orderkey") % 13 == 0)
+        .select("o_orderkey")
+    )
+    MF.write_equality_deletes(spark, dst, keys)
+    # COW-compact the clone (absorbs its delete into NEW local files),
+    # then expire: the expired snapshots now reference ONLY the
+    # source's files — the exact shape where an unguarded expiry
+    # would unlink source data across the clone boundary.
+    from etl_extractor_spark.sinks.compact import compact_copy_on_write
+
+    compact_copy_on_write(spark, dst, n_files=4)
+    res = MF.expire_snapshots(dst, keep_last=1)
+    assert res["skipped_external"] and not res["removed_data"], res
+    assert MF.read_table(spark, src).count() == o.count()
+
+    def side_agg(df: DataFrame, side: str) -> DataFrame:
+        return df.agg(
+            F.lit(side).alias("side"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+
+    return (
+        side_agg(MF.read_table(spark, src), "source")
+        .unionByName(side_agg(MF.read_merge_on_read(spark, dst), "clone"))
+        .orderBy("side")
+    )
+
+
+QUERIES["manifest_shallow_clone"] = manifest_shallow_clone
+ORACLES["manifest_shallow_clone"] = f"""
+    SELECT 'clone' AS side,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum({_ORDER_CENTS_SQL}) AS BIGINT) AS revenue_cents
+    FROM orders WHERE o_orderkey % 13 != 0
+    UNION ALL
+    SELECT 'source', count(*)::BIGINT,
+           CAST(sum({_ORDER_CENTS_SQL}) AS BIGINT)
+    FROM orders
+    ORDER BY side
+"""
+
+
+# --- 3. Date-spine gap fill + linear interpolation ---------------------------
+
+
+def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap repair — the training-data-prep op for feeds
+    with outage days: build the per-series date SPINE
+    (``sequence(min_day, max_day)`` exploded — never a cross join
+    against a global calendar), left-join the observed daily revenue,
+    and LINEARLY interpolate the holes between the surrounding
+    observations in exact integer cents. Outages are simulated
+    deterministically (day-index % 7 == 3 withheld), so the oracle
+    can re-derive every interpolated value.
+
+    Interpolation is pure window algebra: previous/next observation
+    via last/first(ignorenulls) over the spine order, and
+    fill = (v_prev·(d_next−d) + v_next·(d−d_prev)) div (d_next−d_prev)
+    — a convex combination of POSITIVE ints (multiply before divide;
+    both engines' integer division agree on non-negative operands, so
+    no truncate-vs-floor divergence is reachable). Spine endpoints
+    are min/max of the OBSERVED days, so every gap has both
+    neighbours by construction.
+
+    100 TB: the spine is date-cardinality per series (bounded by the
+    calendar, not the fact table); all windows partition by series.
+    The heavy input collapses to |series|·|days| rows at the first
+    groupBy — map-side combinable — and everything after is
+    metadata-sized."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_nationkey"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.expr("datediff(o_orderdate, DATE'1990-01-01')")
+            .cast("long")
+            .alias("d"),
+            _order_cents().alias("cents"),
+        )
+        .groupBy("nation", "d")
+        .agg(F.sum("cents").cast("long").alias("v"))
+    )
+    obs = daily.filter(F.col("d") % 7 != 3)
+    spine = (
+        obs.groupBy("nation")
+        .agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+        .select(
+            "nation",
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("d"),
+        )
+    )
+    from pyspark.sql import Window
+
+    j = spine.join(obs, ["nation", "d"], "left")
+    w_prev = (
+        Window.partitionBy("nation")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("nation")
+        .orderBy("d")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    v = F.col("v")
+    marked = j.select(
+        "nation",
+        "d",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.max(F.when(v.isNotNull(), F.col("d"))).over(w_prev).alias("pd"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.min(F.when(v.isNotNull(), F.col("d"))).over(w_next).alias("nd"),
+    )
+    filled = marked.select(
+        "nation",
+        v.isNull().alias("gap"),
+        F.when(v.isNotNull(), v)
+        .otherwise(
+            F.expr("(pv * (nd - d) + nv * (d - pd)) div (nd - pd)")
+        )
+        .alias("fv"),
+    )
+    return (
+        filled.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(F.when(F.col("gap"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_gaps"),
+            F.sum(F.when(F.col("gap"), F.col("fv")).otherwise(0))
+            .cast("long")
+            .alias("gap_cents"),
+            F.sum("fv").cast("long").alias("total_cents"),
+        )
+        .orderBy("nation")
+    )
+
+
+QUERIES["gap_fill_interpolate"] = gap_fill_interpolate
+ORACLES["gap_fill_interpolate"] = f"""
+    WITH j AS (
+      SELECT n_name AS nation,
+             date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS d,
+             {_ORDER_CENTS_SQL} AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    ), daily AS (
+      SELECT nation, d, CAST(sum(cents) AS BIGINT) AS v
+      FROM j GROUP BY 1, 2
+    ), obs AS (
+      SELECT * FROM daily WHERE d % 7 != 3
+    ), bounds AS (
+      SELECT nation, min(d) AS mn, max(d) AS mx FROM obs GROUP BY 1
+    ), spine AS (
+      SELECT nation, unnest(generate_series(mn, mx)) AS d FROM bounds
+    ), joined AS (
+      SELECT s.nation, s.d, o.v
+      FROM spine s LEFT JOIN obs o ON s.nation = o.nation AND s.d = o.d
+    ), w AS (
+      SELECT nation, d, v,
+        last_value(v IGNORE NULLS) OVER
+          (PARTITION BY nation ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        max(CASE WHEN v IS NOT NULL THEN d END) OVER
+          (PARTITION BY nation ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        first_value(v IGNORE NULLS) OVER
+          (PARTITION BY nation ORDER BY d
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        min(CASE WHEN v IS NOT NULL THEN d END) OVER
+          (PARTITION BY nation ORDER BY d
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM joined
+    ), f AS (
+      SELECT nation, v IS NULL AS gap,
+             CASE WHEN v IS NOT NULL THEN v
+                  ELSE (pv * (nd - d) + nv * (d - pd)) // (nd - pd)
+             END AS fv
+      FROM w
+    )
+    SELECT nation,
+           count(*)::BIGINT AS n_days,
+           sum(CASE WHEN gap THEN 1 ELSE 0 END)::BIGINT AS n_gaps,
+           CAST(sum(CASE WHEN gap THEN fv ELSE 0 END) AS BIGINT) AS gap_cents,
+           CAST(sum(fv) AS BIGINT) AS total_cents
+    FROM f GROUP BY 1 ORDER BY nation
+"""
+
+
+# --- 4. Write-Audit-Publish append gate ---------------------------------------
+
+
+def wap_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish ingestion gate (``sinks/manifest.wap_commit``):
+    the pre-2000 orders are the committed table; the 2000+ tail
+    arrives twice — once clean (audit passes → published as a new
+    snapshot) and once corrupted (cents negated → audit fails → the
+    stage is discarded and the table is untouched). The query returns
+    the final table's per-year rollup; the oracle is the FULL orders
+    rollup, so the hash certifies both gate directions at once: the
+    clean batch is fully visible (no rows lost at the gate) and not
+    one corrupted row leaked past a failing audit (any leak flips a
+    year's sum negative-ward). In-query asserts pin the mechanics the
+    values can't see: publish flags, zero orphan files after the
+    rejected attempt (vacuum dry-run is empty), and snapshot history
+    growing by exactly one.
+
+    100 TB: THE production ingestion pattern — audit cost scans the
+    batch, never the table; a reader can never observe a partial or
+    unaudited batch because visibility is the atomic manifest
+    commit."""
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.sinks import manifest as MF
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", _order_cents().alias("cents")
+    )
+    path = pid_scratch_dir("spark_graft_wap_")
+    shutil.rmtree(path, ignore_errors=True)
+    split = F.col("o_orderdate") < F.lit("2000-01-01")
+    MF.write_with_manifest(
+        spark, o.filter(split), path, stats_cols=["o_orderkey"]
+    )
+
+    def audit(df: DataFrame):
+        n_bad = df.filter(
+            (F.col("cents") <= 0) | F.col("o_orderkey").isNull()
+        ).count()
+        return n_bad == 0, {"violations": n_bad}
+
+    tail = o.filter(~split)
+    r_good = MF.wap_commit(spark, path, tail, audit)
+    r_bad = MF.wap_commit(
+        spark, path, tail.withColumn("cents", -F.col("cents")), audit
+    )
+    assert r_good["published"] and not r_bad["published"], (r_good, r_bad)
+    assert MF.vacuum(path, dry_run=True) == []  # rejected stage left nothing
+    assert len(MF.read_manifest(path)["snapshots"]) == 2  # base + good only
+
+    return (
+        MF.read_table(spark, path)
+        .groupBy(
+            F.col("o_orderdate").cast("string").substr(1, 4).alias("year")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("year")
+    )
+
+
+QUERIES["wap_audit_publish"] = wap_audit_publish
+ORACLES["wap_audit_publish"] = f"""
+    SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS year,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum({_ORDER_CENTS_SQL}) AS BIGINT) AS revenue_cents
+    FROM orders GROUP BY 1 ORDER BY year
+"""
+
+
+# --- 5. Dim-refresh stream (19th certified stream) ----------------------------
+
+
+def streaming_dim_refresh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """19th certified stream: the DIM-REFRESH enrichment pattern — a
+    slowly-changing dimension that is UPDATED between micro-batches,
+    with each batch joining the dim version current at its start.
+    ``streaming_enrich_replay`` certified the static-dim join; real
+    pipelines refresh the dim while the stream runs, and the
+    correctness question is which version each batch observes. The
+    production-robust form is certified here: foreachBatch re-reads
+    the dim table per batch (a fresh ``spark.read`` = a fresh file
+    listing — the plan-embedded static side caches its FileIndex at
+    plan time and would serve a stale or deleted listing after an
+    overwrite), joins, writes its batch-id partition, then commits
+    the NEXT dim version. The fixture pins version k = factor (k+1)
+    against the mod-3 batch split, so the oracle can state exactly
+    which factor each event was enriched with — the hash certifies
+    the versioning, not just the join.
+
+    100 TB: dim re-read cost is per-BATCH and dim-sized (broadcast);
+    this is the foreachBatch idiom Spark's own docs prescribe for
+    mutable lookup data, here pinned by an oracle."""
+    import os
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+
+    src = _build_mod3_batches(
+        spark,
+        sf_dir,
+        "spark_graft_dimref_src_",
+        cols=("event_id", "ts", "value", "event_type"),
+    )
+    out_dir = pid_scratch_dir("spark_graft_dimref_out_")
+    dim_dir = pid_scratch_dir("spark_graft_dimref_dim_")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(dim_dir, ignore_errors=True)
+
+    types = [
+        r[0]
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .collect()
+    ]
+
+    def write_dim(version: int) -> None:
+        spark.createDataFrame(
+            [(t, version + 1) for t in sorted(types)],
+            "event_type string, factor long",
+        ).coalesce(1).write.mode("overwrite").parquet(dim_dir)
+
+    write_dim(0)
+    schema = spark.read.parquet(src + "/ev-b0.parquet").schema
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        dim = spark.read.parquet(dim_dir)  # fresh listing, current version
+        out = batch_df.join(F.broadcast(dim), "event_type").select(
+            "event_type", "value", "factor"
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+        write_dim(batch_id + 1)  # next version, visible to batch k+1
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/ev-*.parquet")
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    enriched = spark.read.option("basePath", out_dir).parquet(
+        out_dir + "/batch_id=*"
+    )
+    return (
+        enriched.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("factor")), 4).alias(
+                "weighted_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["streaming_dim_refresh_replay"] = streaming_dim_refresh_replay
+ORACLES["streaming_dim_refresh_replay"] = """
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           round(sum(value * ((event_id % 3) + 1)), 4) AS weighted_value
+    FROM events GROUP BY 1 ORDER BY event_type
 """
 
 

@@ -828,6 +828,108 @@ def run_streaming_manifest_sink(
     return n["b"]
 
 
+def wap_commit(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    audit_fn,
+) -> dict[str, Any]:
+    """Write-Audit-Publish (the Iceberg WAP / Delta CDF-gate pattern):
+    stage ``df`` as parquet under ``_stage/`` (invisible to the
+    harvester and every reader — names starting with ``_`` are not
+    data files), run ``audit_fn(staged_df) -> (ok, report)`` against
+    the staged bytes AS WRITTEN (auditing the input frame would miss
+    write-path corruption), and only on a passing audit move the
+    files into the table root and commit them as a new snapshot.
+    A failing audit removes the stage — the table's current view and
+    history are bit-identical to before the attempt, and ``vacuum``
+    has nothing to reap.
+
+    100 TB: audit cost is one scan of the BATCH (never the table);
+    publish cost is |batch files| renames + an append harvest that
+    reads only the new footers. Readers never observe a partial or
+    unaudited batch: visibility is the manifest commit, which is
+    atomic (_write_manifest)."""
+    import glob as _glob
+    import shutil as _shutil
+    import uuid as _uuid
+
+    m = read_manifest(path)
+    if m is None:
+        raise FileNotFoundError(
+            f"no manifest at {path} — WAP appends to a committed table"
+        )
+    tag = _uuid.uuid4().hex[:12]
+    stage = os.path.join(path, "_stage", f"wap-{tag}")
+    df.write.parquet(stage)
+    staged = spark.read.parquet(stage)
+    ok, report = audit_fn(staged)
+    if not ok:
+        _shutil.rmtree(stage, ignore_errors=True)
+        return {"published": False, "audit": report, "files": []}
+    moved: list[str] = []
+    for i, f in enumerate(
+        sorted(_glob.glob(os.path.join(stage, "part-*.parquet")))
+    ):
+        dst = os.path.join(path, f"wap-{tag}-{i:05d}.parquet")
+        os.replace(f, dst)
+        moved.append(os.path.basename(dst))
+    _shutil.rmtree(stage, ignore_errors=True)
+    harvest_manifest(
+        spark, path, m["stats_cols"], prior=m, schema_json=m["schema"]
+    )
+    return {"published": True, "audit": report, "files": moved}
+
+
+def shallow_clone(src: str, dst: str) -> dict[str, Any]:
+    """Zero-copy table clone (Delta SHALLOW CLONE / Iceberg snapshot
+    ref semantics): the clone's manifest REFERENCES the source's data
+    files by absolute path — no data bytes move — and from then on the
+    two tables evolve independently: deletes, appends and schema
+    changes committed on the clone touch only the clone's manifest
+    (and its own ``_deletes``/new data files), never the source.
+
+    Merge-on-read delete files ARE copied (O(deleted keys) parquet of
+    key tuples — metadata-sized, not data): readers resolve delete
+    files relative to their own table root, and sharing them by
+    reference would let a source-side compaction/expiry pull them out
+    from under the clone.
+
+    At 100 TB this is the instant dev/test-environment fork and the
+    safe-experiment primitive (try a risky MERGE on a clone, swap on
+    success); cost is one manifest write regardless of table size.
+    Expiry/vacuum on either side cannot reach across: the readers join
+    paths (absolute entries win), and ``expire_snapshots`` refuses to
+    unlink any file that resolves OUTSIDE its table root (the Delta
+    rule that vacuum on a shallow clone must not delete source
+    files)."""
+    import copy as _copy
+    import shutil as _shutil
+
+    m = read_manifest(src)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {src} — nothing to clone")
+    os.makedirs(dst, exist_ok=True)
+    c = _copy.deepcopy(m)
+    src_abs = os.path.abspath(src)
+    for e in c["files"]:
+        if not os.path.isabs(e["file"]):
+            e["file"] = os.path.join(src_abs, e["file"])
+    for s in c.get("snapshots", []):
+        s["files"] = [
+            n if os.path.isabs(n) else os.path.join(src_abs, n)
+            for n in s["files"]
+        ]
+    for d in c.get("delete_files", []):
+        src_del = os.path.join(src, "_deletes", d["name"])
+        dst_del = os.path.join(dst, "_deletes", d["name"])
+        if os.path.isdir(src_del) and not os.path.exists(dst_del):
+            _shutil.copytree(src_del, dst_del)
+    c["cloned_from"] = src_abs
+    _write_manifest(dst, c)
+    return c
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> dict[str, Any]:
     """Iceberg-style snapshot expiration: drop all but the newest
     ``keep_last`` snapshots from the manifest and delete the data
@@ -866,10 +968,21 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict[str, Any]:
     dead_del = sorted(
         {f for s in expired for f in s.get("delete_files", [])} - live_del
     )
+    root = os.path.abspath(path)
+    external: list[str] = []
     for name in dead_data:
-        p = os.path.join(path, name)
+        p = os.path.abspath(os.path.join(path, name))
+        # Never unlink outside the table root: a SHALLOW CLONE's
+        # manifest references the source's files by absolute path, and
+        # expiring clone snapshots must not delete source data (the
+        # Delta vacuum-on-shallow-clone rule). External refs just drop
+        # out of the clone's metadata.
+        if not p.startswith(root + os.sep):
+            external.append(name)
+            continue
         if os.path.exists(p):
             os.remove(p)
+    dead_data = [n for n in dead_data if n not in set(external)]
     import shutil as _shutil
 
     for name in dead_del:
@@ -887,4 +1000,5 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict[str, Any]:
         "expired": len(expired),
         "removed_data": dead_data,
         "removed_deletes": dead_del,
+        "skipped_external": external,
     }

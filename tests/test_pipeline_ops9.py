@@ -124,3 +124,132 @@ def test_crash_resume_state_survives_in_counts(spark, sf_dir):
     e = pd.read_parquet(f"{sf_dir}/events.parquet")
     want = e.groupby(e["ts"].astype(str).str[:10]).size()
     assert got == {str(k): int(v) for k, v in want.items()}
+
+
+def test_shallow_clone_isolation_on_disk(spark, sf_dir, tmp_path):
+    """Disk-level invariants the oracle can't see: the clone holds ZERO
+    data files (zero-copy), the source manifest is byte-identical
+    through the clone's delete + COW + expiry, and expiry on the clone
+    reports (not removes) the external files."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    from etl_extractor_spark.sinks import manifest as MF
+    from etl_extractor_spark.sinks.compact import compact_copy_on_write
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    MF.write_with_manifest(spark, o, src, stats_cols=["o_orderkey"])
+    src_manifest_before = open(os.path.join(src, "_manifest.json")).read()
+    MF.shallow_clone(src, dst)
+    assert glob.glob(f"{dst}/*.parquet") == []  # zero data bytes moved
+    assert MF.read_table(spark, dst).count() == o.count()
+    keys = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey")
+    MF.write_equality_deletes(spark, dst, keys)
+    compact_copy_on_write(spark, dst, n_files=2)
+    res = MF.expire_snapshots(dst, keep_last=1)
+    assert res["skipped_external"] and not res["removed_data"]
+    # the source never noticed any of it
+    assert open(os.path.join(src, "_manifest.json")).read() == src_manifest_before
+    assert MF.read_table(spark, src).count() == o.count()
+    # and the clone's current view is its own (compacted, deletes absorbed)
+    assert MF.read_merge_on_read(spark, dst).count() == o.count() - keys.count()
+
+
+def test_wap_rejected_batch_leaves_table_bit_identical(spark, sf_dir, tmp_path):
+    """A failing audit must leave NO trace: manifest bytes unchanged,
+    no stage dir, no orphan data files."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from etl_extractor_spark.sinks import manifest as MF
+
+    path = str(tmp_path / "t")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    MF.write_with_manifest(spark, o, path, stats_cols=["o_orderkey"])
+    before = open(os.path.join(path, "_manifest.json")).read()
+    bad = o.withColumn("o_totalprice", -F.col("o_totalprice"))
+    res = MF.wap_commit(
+        spark, path, bad,
+        lambda df: (df.filter(F.col("o_totalprice") <= 0).count() == 0, {}),
+    )
+    assert not res["published"]
+    assert open(os.path.join(path, "_manifest.json")).read() == before
+    assert not os.path.exists(os.path.join(path, "_stage")) or not os.listdir(
+        os.path.join(path, "_stage")
+    )
+    assert MF.vacuum(path, dry_run=True) == []
+
+
+def test_gap_fill_brute_force(spark, sf_dir):
+    """Engine-independent: re-derive the interpolation chain in pure
+    Python/pandas for one nation and compare the aggregates."""
+    import pandas as pd
+
+    from etl_extractor_spark.plans.pipeline_ops9 import gap_fill_interpolate
+
+    got = {
+        r["nation"]: (r["n_days"], r["n_gaps"], r["gap_cents"], r["total_cents"])
+        for r in gap_fill_interpolate(spark, sf_dir).collect()
+    }
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")[["c_custkey", "c_nationkey"]]
+    n = pd.read_parquet(f"{sf_dir}/nation.parquet")[["n_nationkey", "n_name"]]
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey").merge(
+        n, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    j["d"] = (
+        pd.to_datetime(j["o_orderdate"]) - pd.Timestamp("1990-01-01")
+    ).dt.days
+    j["cents"] = j["o_totalprice"].map(lambda v: int(round(float(v) * 100)))
+    for nation, grp in j.groupby("n_name"):
+        daily = grp.groupby("d")["cents"].sum()
+        obs = {int(d): int(v) for d, v in daily.items() if d % 7 != 3}
+        days = sorted(obs)
+        mn, mx = days[0], days[-1]
+        n_days = mx - mn + 1
+        n_gaps = gap_cents = total = 0
+        import bisect
+
+        for d in range(mn, mx + 1):
+            if d in obs:
+                total += obs[d]
+                continue
+            n_gaps += 1
+            i = bisect.bisect_left(days, d)
+            dp, dn = days[i - 1], days[i]
+            vp, vn = obs[dp], obs[dn]
+            fv = (vp * (dn - d) + vn * (d - dp)) // (dn - dp)
+            gap_cents += fv
+            total += fv
+        assert got[nation] == (n_days, n_gaps, gap_cents, total), nation
+
+
+def test_dim_refresh_versions_visible_per_batch(spark, sf_dir):
+    """Each batch's rows must carry factor == batch_id + 1 — the dim
+    VERSION current at that batch, not the final one (a plan-embedded
+    static join would show factor 1 everywhere or crash on the
+    overwritten listing)."""
+    import os
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.plans.pipeline_ops9 import (
+        streaming_dim_refresh_replay,
+    )
+
+    streaming_dim_refresh_replay(spark, sf_dir).collect()
+    out_dir = pid_scratch_dir("spark_graft_dimref_out_")
+    got = spark.read.option("basePath", out_dir).parquet(
+        out_dir + "/batch_id=*"
+    )
+    rows = got.select("batch_id", "factor").distinct().collect()
+    assert {(r["batch_id"], r["factor"]) for r in rows} == {
+        (0, 1), (1, 2), (2, 3)
+    }
