@@ -284,6 +284,12 @@ BENCH_QUERIES = [
     "gap_fill_interpolate",
     "wap_audit_publish",
     "streaming_dim_refresh_replay",
+    # round-10 wave 3: optimizer-surface certifications — runtime
+    # bloom-filter injection, tokenized referential join (map-side
+    # pseudonymization), AQE automatic skew split (third skew class)
+    "runtime_filter_join",
+    "tokenize_referential_join",
+    "aqe_skew_join_split",
 ]
 
 # ---------------------------------------------------------------------------

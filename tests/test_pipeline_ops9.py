@@ -253,3 +253,119 @@ def test_dim_refresh_versions_visible_per_batch(spark, sf_dir):
     assert {(r["batch_id"], r["factor"]) for r in rows} == {
         (0, 1), (1, 2), (2, 3)
     }
+
+
+def _plan_under_confs(spark, confs, df_builder):
+    """Executed-plan string of df_builder() run under the given confs
+    (restored after, unset keys to unset)."""
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = df_builder()
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_runtime_filter_injected_in_plan(spark):
+    """The query's reason to exist: under its confs the optimizer must
+    inject the Bloom runtime filter — might_contain over a
+    bloom-filter aggregate on the fact side. Without the injection
+    the query silently certifies a plain join."""
+    import pyspark.sql.functions as F
+
+    from etl_extractor_spark.plans.pipeline_ops9 import _RF_CONFS
+
+    sf = "/root/testdata/sf0.01"
+
+    def build():
+        o = spark.read.parquet(f"{sf}/orders.parquet").select(
+            "o_custkey", "o_totalprice"
+        )
+        c = (
+            spark.read.parquet(f"{sf}/customer.parquet")
+            .filter(F.col("c_custkey") % 97 == 0)
+            .select("c_custkey")
+        )
+        return o.join(c, F.col("o_custkey") == F.col("c_custkey")).groupBy().agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    plan = _plan_under_confs(spark, _RF_CONFS, build)
+    assert "might_contain" in plan, plan[:2000]
+
+
+def test_aqe_skew_join_marked_in_plan(spark):
+    """Under the query's confs at sf0.01 the executed join node must
+    carry skew=true (OptimizeSkewedJoin split the hot partition) —
+    probed root causes pinned: the dim side must reach the join as a
+    PLAIN shuffle (no distinct-aggregate in between) and the fact side
+    needs multi-block map output (fan_out)."""
+    import pyspark.sql.functions as F
+
+    from etl_extractor_spark.operators.common import fan_out
+    from etl_extractor_spark.plans.pipeline_ops5 import _skew_key
+    from etl_extractor_spark.plans.pipeline_ops9 import _AQE_SKEW_CONFS
+
+    sf = "/root/testdata/sf0.01"
+
+    def build():
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        fact = fan_out(
+            li.select(
+                _skew_key("l_orderkey").alias("k"),
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+        )
+        dim = (
+            o.filter(
+                (F.col("o_orderkey") % 20 == 0) & (F.col("o_orderkey") != 0)
+            )
+            .select(F.col("o_orderkey").cast("long").alias("k"))
+            .unionAll(
+                spark.range(1).select(F.lit(0).cast("long").alias("k"))
+            )
+            .select("k", (F.col("k") % 7).cast("long").alias("seg"))
+        )
+        return (
+            fact.join(dim, "k")
+            .groupBy("seg")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    plan = _plan_under_confs(spark, _AQE_SKEW_CONFS, build)
+    assert "skew=true" in plan, plan[:2000]
+
+
+def test_tokenized_output_carries_no_raw_ids(spark, sf_dir):
+    """The privacy contract: the tokenized relation exposes 32-hex
+    tokens only — no raw custkey column survives the projection, and
+    tokens are not invertible-looking (no digit-only values)."""
+    from etl_extractor_spark.plans.pipeline_ops9 import _TOKEN_SALT  # noqa: F401
+    import pyspark.sql.functions as F
+
+    from etl_extractor_spark.sources.parquet import load_table
+    from etl_extractor_spark.plans import pipeline_ops9 as M
+
+    tok = F.md5(
+        F.concat(F.lit(M._TOKEN_SALT), F.col("c_custkey").cast("string"))
+    )
+    c = load_table(spark, sf_dir, "customer").select(tok.alias("token"))
+    rows = c.limit(20).collect()
+    assert all(
+        len(r["token"]) == 32
+        and set(r["token"]) <= set("0123456789abcdef")
+        for r in rows
+    )
+    out = M.QUERIES["tokenize_referential_join"](spark, sf_dir)
+    assert "token" not in out.columns  # aggregate only, no pseudonyms leaked
+    assert not any("custkey" in col for col in out.columns)
