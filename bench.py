@@ -290,6 +290,12 @@ BENCH_QUERIES = [
     "runtime_filter_join",
     "tokenize_referential_join",
     "aqe_skew_join_split",
+    # round-10 wave 4: metadata-driven row-level CDF, exchange-reuse
+    # certification, and the 20th certified stream (crash-resume
+    # through the custom GroupState path)
+    "snapshot_row_cdf",
+    "exchange_reuse_argmax",
+    "streaming_crash_resume_custom_state",
 ]
 
 # ---------------------------------------------------------------------------

@@ -880,6 +880,295 @@ ORACLES["aqe_skew_join_split"] = f"""
 """
 
 
+# --- 9. Crash-resume through CUSTOM state (20th certified stream) -------------
+
+
+def _user_totals_with_state(key, pdf_iter, state):
+    """Per-user running (count, sum) in a GroupState — the custom-
+    state twin of the SQL aggregate the 18th stream recovers."""
+    import pandas as pd  # noqa: F811 — worker-side import
+
+    n, sv = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        sv += float(pdf["value"].sum())
+    state.update((n, sv))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sv": [sv]}
+    )
+
+
+def streaming_crash_resume_custom_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """20th certified stream: crash-resume through the CUSTOM-state
+    path. The 18th stream (``streaming_crash_resume_replay``)
+    certifies checkpoint recovery of SQL aggregation state; this one
+    pushes the same injected failure through
+    ``applyInPandasWithState`` — per-user running (count, sum) held
+    in a Python-defined GroupState — so what's recovered is the
+    arbitrary-state store (state rows serialized by the Python state
+    codec), not a Catalyst aggregate buffer. Same contract, asserted
+    in-query: batch trace [0, 1, 1, 2] (batch 0 never re-read, batch
+    1 retried idempotently), final per-user totals equal the plain
+    batch GROUP BY oracle — crash + resume == never crashed, for
+    state the engine cannot see inside.
+
+    100 TB: every custom stateful operator in the repo's streaming
+    surface (sessionize, rate-limit, funnel, KMV) rides this exact
+    recovery path; this query is the certification that their state
+    survives the restart their semantics assume."""
+    import os
+    import shutil
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.streaming import events_stream as SE
+
+    src = _build_mod3_batches(
+        spark,
+        sf_dir,
+        "spark_graft_crashst_src_",
+        cols=("event_id", "ts", "value", "user_id"),
+    )
+    out_dir = pid_scratch_dir("spark_graft_crashst_out_")
+    ckpt = pid_scratch_dir("spark_graft_crashst_ckpt_")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    schema = spark.read.parquet(src + "/ev-b0.parquet").schema
+
+    def stateful_stream() -> DataFrame:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/ev-*.parquet")
+        )
+        return (
+            stream.select("user_id", "value")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _user_totals_with_state,
+                outputStructType="user_id long, n_events long, sv double",
+                stateStructType="n long, sv double",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+
+    crash = {"armed": True, "batches": []}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+        crash["batches"].append(batch_id)
+        if batch_id == 1 and crash["armed"]:
+            crash["armed"] = False
+            raise _InjectedCrash("injected: custom-state crash at batch 1")
+
+    def start():
+        return (
+            stateful_stream()
+            .writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    n_state = SE.state_partitions_for(spark, sf_dir)
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
+    try:
+        q = start()
+        try:
+            q.awaitTermination()
+            raise AssertionError(
+                f"crash injection did not fire: {crash['batches']}"
+            )
+        except StreamingQueryException as ex:
+            if "injected" not in str(ex):
+                raise
+        q2 = start()
+        q2.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    assert crash["batches"] == [0, 1, 1, 2], crash["batches"]
+
+    emitted = spark.read.option("basePath", out_dir).parquet(
+        out_dir + "/batch_id=*"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("sv"), 4).alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["streaming_crash_resume_custom_state"] = streaming_crash_resume_custom_state
+ORACLES["streaming_crash_resume_custom_state"] = """
+    SELECT user_id,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1 ORDER BY user_id
+"""
+
+
+# --- 9b. Row-level change data feed between snapshots ---------------------------
+
+
+def snapshot_row_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CHANGE DATA FEED between table snapshots (Delta CDF /
+    Iceberg changelog): after a delete commit and a WAP-published
+    append, re-derive exactly which ROWS changed since snapshot 0 —
+    from METADATA, never a table diff. Inserts are read from the
+    files the later snapshots ADDED (manifest file-list set algebra
+    picks them; only those files are scanned); deletes are the
+    delete-file keys resolved against the base snapshot (broadcast
+    semi-join, O(deletes) build side). The oracle re-derives both
+    change sets from the fixture's deterministic rules, so the hash
+    certifies the CDF against the logical truth, not against another
+    engine diff.
+
+    100 TB: this is how downstream consumers subscribe to a table —
+    O(changes) per sync. The naive EXCEPT-between-snapshots form
+    scans and shuffles the WHOLE table twice; this plan reads the
+    added files + the delete keys and touches nothing else
+    (asserted: the insert scan plans only the WAP-added files)."""
+    import os
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.sinks import manifest as MF
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", _order_cents().alias("cents")
+    )
+    path = pid_scratch_dir("spark_graft_cdf_")
+    shutil.rmtree(path, ignore_errors=True)
+    split = F.col("o_orderdate") < F.lit("2001-01-01")
+    base = o.filter(split)
+    MF.write_with_manifest(spark, base, path, stats_cols=["o_orderkey"])  # s0
+    MF.write_equality_deletes(
+        spark,
+        path,
+        base.filter(F.col("o_orderkey") % 113 == 0).select("o_orderkey"),
+    )  # s1
+    MF.wap_commit(spark, path, o.filter(~split), lambda df: (True, {}))  # s2
+
+    m = MF.read_manifest(path)
+    snaps = m["snapshots"]
+    s0_files = set(snaps[0]["files"])
+    added = [n for n in snaps[-1]["files"] if n not in s0_files]
+    assert added and all(n.startswith("wap-") for n in added), added
+    inserts = spark.read.parquet(*[os.path.join(path, n) for n in added])
+    del_names = snaps[-1].get("delete_files", [])
+    deleted_keys = spark.read.parquet(
+        *[os.path.join(path, "_deletes", n) for n in del_names]
+    )
+    deletes = MF.read_snapshot(spark, path, 0).join(
+        F.broadcast(deleted_keys), "o_orderkey", "left_semi"
+    )
+
+    def classify(df: DataFrame, kind: str) -> DataFrame:
+        return df.groupBy(
+            F.lit(kind).alias("change_type"),
+            F.col("o_orderdate").cast("string").substr(1, 4).alias("year"),
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+
+    return (
+        classify(inserts, "insert")
+        .unionByName(classify(deletes, "delete"))
+        .orderBy("change_type", "year")
+    )
+
+
+QUERIES["snapshot_row_cdf"] = snapshot_row_cdf
+ORACLES["snapshot_row_cdf"] = f"""
+    WITH ins AS (
+      SELECT 'insert' AS change_type,
+             substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS year,
+             count(*)::BIGINT AS n_rows,
+             CAST(sum({_ORDER_CENTS_SQL}) AS BIGINT) AS cents
+      FROM orders WHERE o_orderdate >= DATE '2001-01-01'
+      GROUP BY 2
+    ), del AS (
+      SELECT 'delete' AS change_type,
+             substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS year,
+             count(*)::BIGINT AS n_rows,
+             CAST(sum({_ORDER_CENTS_SQL}) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderdate < DATE '2001-01-01' AND o_orderkey % 113 = 0
+      GROUP BY 2
+    )
+    SELECT * FROM ins UNION ALL SELECT * FROM del
+    ORDER BY change_type, year
+"""
+
+
+# --- 10. Exchange reuse (compute-once certification) ---------------------------
+
+
+def exchange_reuse_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-reuse certification: the classic argmax-via-self-
+    reference shape — per-customer revenue joined to its own global
+    max — contains the SAME aggregate subtree twice, and Spark's
+    ReuseExchange rule must compute the underlying scan + shuffle +
+    aggregate ONCE, feeding both branches from one exchange (pytest
+    pins ``ReusedExchange`` in the plan). The oracle is the identical
+    CTE self-reference in SQL.
+
+    100 TB: self-referencing shapes (argmax, share-of-total, top-vs-
+    rest) are everywhere in reporting; without exchange reuse each
+    reference re-scans and re-shuffles the fact table. Reuse makes
+    the second reference free — this query pins that the engine
+    actually delivers it, so a refactor that breaks subtree identity
+    (e.g. a stray alias) shows up as a plan regression."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", _order_cents().alias("cents")
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum("cents").cast("long").alias("tot")
+    )
+    mx = per_cust.agg(F.max("tot").alias("mx"))
+    return (
+        per_cust.join(
+            F.broadcast(mx), F.col("tot") == F.col("mx")
+        )
+        .select(
+            F.col("o_custkey").alias("cust_key"),
+            F.col("tot").alias("revenue_cents"),
+        )
+        .orderBy("cust_key")
+    )
+
+
+QUERIES["exchange_reuse_argmax"] = exchange_reuse_argmax
+ORACLES["exchange_reuse_argmax"] = f"""
+    WITH t AS (
+      SELECT o_custkey,
+             CAST(sum({_ORDER_CENTS_SQL}) AS BIGINT) AS tot
+      FROM orders GROUP BY 1
+    )
+    SELECT o_custkey AS cust_key, tot AS revenue_cents
+    FROM t WHERE tot = (SELECT max(tot) FROM t)
+    ORDER BY cust_key
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-round-3
     stale (see module docstring — rank 2 would displace the booked

@@ -369,3 +369,55 @@ def test_tokenized_output_carries_no_raw_ids(spark, sf_dir):
     out = M.QUERIES["tokenize_referential_join"](spark, sf_dir)
     assert "token" not in out.columns  # aggregate only, no pseudonyms leaked
     assert not any("custkey" in col for col in out.columns)
+
+
+def test_exchange_reuse_in_plan(spark, sf_dir):
+    """The query's reason to exist: the executed plan must contain a
+    ReusedExchange node — the per-customer aggregate's shuffle is
+    computed once and fed to both the relation and its max."""
+    from etl_extractor_spark.plans.pipeline_ops9 import exchange_reuse_argmax
+
+    df = exchange_reuse_argmax(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan[:1500]
+
+
+def test_custom_state_crash_rearms(spark, sf_dir):
+    """Same re-arm contract as the 18th stream: two calls in one
+    session both take the crash path (fresh checkpoint per call) and
+    agree."""
+    from etl_extractor_spark.plans.pipeline_ops9 import (
+        streaming_crash_resume_custom_state,
+    )
+
+    a = streaming_crash_resume_custom_state(spark, sf_dir).collect()
+    b = streaming_crash_resume_custom_state(spark, sf_dir).collect()
+    assert a == b and len(a) > 0
+
+
+def test_cdf_insert_scan_reads_only_added_files(spark, sf_dir):
+    """Brute-force the CDF against pandas: inserts = 2001+ tail,
+    deletes = pre-2001 %113 keys — and nothing else (no change type
+    beyond the two, no year outside its rule)."""
+    import pandas as pd
+
+    from etl_extractor_spark.plans.pipeline_ops9 import snapshot_row_cdf
+
+    got = {
+        (r["change_type"], r["year"]): (r["n_rows"], r["cents"])
+        for r in snapshot_row_cdf(spark, sf_dir).collect()
+    }
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o["year"] = o["o_orderdate"].astype(str).str[:4]
+    o["cents"] = o["o_totalprice"].map(lambda v: int(round(float(v) * 100)))
+    ins = o[o["o_orderdate"].astype(str) >= "2001-01-01"]
+    dele = o[
+        (o["o_orderdate"].astype(str) < "2001-01-01")
+        & (o["o_orderkey"] % 113 == 0)
+    ]
+    want = {}
+    for kind, part in (("insert", ins), ("delete", dele)):
+        for y, g in part.groupby("year"):
+            want[(kind, y)] = (len(g), int(g["cents"].sum()))
+    assert got == want
