@@ -345,17 +345,14 @@ PINNED_FLAGSHIPS = (
 
 def _current_round(repo: str) -> int:
     """Latest driver CORRECTNESS round + 1 = the round now running.
-    Unreadable dir → 0 (rotation degrades to a fixed half, never
-    breaks)."""
-    import glob
-    import re
+    Delegates to the registry's ONE CORRECTNESS-file reader so the
+    bench rotation can never drift from the sweep-window rotation
+    (review catch). Unreadable files → 1 (rotation degrades to a
+    fixed half, never breaks)."""
+    from etl_extractor_spark.plans.registry import _driver_checked
 
-    best = 0
-    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
-        if m:
-            best = max(best, int(m.group(1)))
-    return best + 1
+    checked = _driver_checked()
+    return (max(checked.values()) if checked else 0) + 1
 
 
 def bench_names() -> list[str]:
@@ -489,7 +486,11 @@ def main() -> None:
                 # sum over the always-pinned r1 baseline 14 — the
                 # stable cross-round comparable regardless of rotation
                 "r1_sec": r1_sec,
-                "policy": "pinned+rot",
+                "policy": (
+                    "full"
+                    if os.environ.get("SPARK_GRAFT_BENCH_FULL")
+                    else "pinned+rot"
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         ),

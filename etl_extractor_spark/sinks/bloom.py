@@ -98,20 +98,13 @@ def _rel_key(fpath: str, root: str) -> str:
 
 def _data_files(path: str) -> list[str]:
     """Every data file under ``path``, recursively — the probe-side
-    twin of the build's recursive spark.read.parquet(path). Hidden
-    and metadata files (_manifest.json, _blooms.json, .tmp) are
-    skipped exactly as Spark skips them."""
-    out: list[str] = []
-    for dirpath, dirnames, filenames in os.walk(path):
-        dirnames[:] = [
-            d for d in dirnames if not d.startswith(("_", "."))
-        ]
-        out.extend(
-            os.path.join(dirpath, f)
-            for f in filenames
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
-        )
-    return sorted(out)
+    twin of the build's recursive spark.read.parquet(path). Delegates
+    to the ONE canonical data-file walker (sinks/compact.py) so what
+    counts as a data file can never diverge between the bloom probe,
+    the build, and compaction sizing (review catch)."""
+    from etl_extractor_spark.sinks.compact import _data_files as _walk
+
+    return sorted(_walk(path))
 
 
 def attach_blooms(

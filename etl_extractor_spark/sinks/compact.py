@@ -25,7 +25,7 @@ def _data_files(path: str):
     bytes too — a second-order overshoot documented at the call site)
     skews the compaction file-count plan."""
     for root, dirs, files in os.walk(path):
-        dirs[:] = [d for d in dirs if not d.startswith("_")]
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in files:
             if f.endswith(".parquet") and not f.startswith(("_", ".")):
                 yield os.path.join(root, f)

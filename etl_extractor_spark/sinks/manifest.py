@@ -206,6 +206,16 @@ def harvest_manifest(
 
     all_entries = [known[os.path.basename(f)] for f in files if os.path.basename(f) in known]
     all_entries += entries
+    if prior is not None:
+        # A SHALLOW CLONE's manifest references the source's files by
+        # ABSOLUTE path — they are not under this table's directory,
+        # so the local listing above can never rediscover them. They
+        # remain part of the current view across appends (review
+        # catch: an append on a clone silently dropped every cloned
+        # row — read_table(dst) returned only the appended batch).
+        all_entries += [
+            e for e in prior["files"] if os.path.isabs(e["file"])
+        ]
     all_entries.sort(key=lambda e: e["file"])
 
     # snapshot history: every commit records the file list it made
@@ -862,8 +872,16 @@ def wap_commit(
     tag = _uuid.uuid4().hex[:12]
     stage = os.path.join(path, "_stage", f"wap-{tag}")
     df.write.parquet(stage)
-    staged = spark.read.parquet(stage)
-    ok, report = audit_fn(staged)
+    try:
+        staged = spark.read.parquet(stage)
+        ok, report = audit_fn(staged)
+    except BaseException:
+        # A RAISING audit (transient job failure, user-code bug) must
+        # not leak the batch-sized stage — vacuum can't reap under
+        # _stage/, so repeated failing attempts would grow disk
+        # unboundedly (review catch).
+        _shutil.rmtree(stage, ignore_errors=True)
+        raise
     if not ok:
         _shutil.rmtree(stage, ignore_errors=True)
         return {"published": False, "audit": report, "files": []}
@@ -954,7 +972,12 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict[str, Any]:
         raise FileNotFoundError(f"no manifest at {path}")
     snaps = list(m.get("snapshots", []))
     if len(snaps) <= keep_last:
-        return {"expired": 0, "removed_data": [], "removed_deletes": []}
+        return {
+            "expired": 0,
+            "removed_data": [],
+            "removed_deletes": [],
+            "skipped_external": [],
+        }
     keep, expired = snaps[-keep_last:], snaps[:-keep_last]
     live: set[str] = {e["file"] for e in m["files"]}
     for s in keep:

@@ -598,7 +598,8 @@ def test_snapshot_expiry_lifecycle_disk_effects(spark, sf_dir):
     with pytest.raises(KeyError):
         read_snapshot(spark, path, 0)
     assert expire_snapshots(path, keep_last=1) == {
-        "expired": 0, "removed_data": [], "removed_deletes": []
+        "expired": 0, "removed_data": [], "removed_deletes": [],
+        "skipped_external": [],
     }
     m2 = read_manifest(path)
     assert "delete_files" not in m2 or not m2["delete_files"]

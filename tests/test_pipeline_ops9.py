@@ -421,3 +421,58 @@ def test_cdf_insert_scan_reads_only_added_files(spark, sf_dir):
         for y, g in part.groupby("year"):
             want[(kind, y)] = (len(g), int(g["cents"].sum()))
     assert got == want
+
+
+def test_shallow_clone_survives_append_and_wap(spark, sf_dir, tmp_path):
+    """Review-catch regression: an append (and a WAP publish) on a
+    shallow clone must keep every cloned row in the current view —
+    pre-fix, harvest_manifest rebuilt the file list from the local
+    listing and silently dropped all absolute source refs
+    (read_table(dst) returned only the appended batch)."""
+    import pyspark.sql.functions as F
+
+    from etl_extractor_spark.sinks import manifest as MF
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    n = o.count()
+    MF.write_with_manifest(spark, o, src, stats_cols=["o_orderkey"])
+    MF.shallow_clone(src, dst)
+    batch = o.limit(10).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000_000
+    )
+    MF.write_with_manifest(spark, batch, dst, stats_cols=["o_orderkey"], mode="append")
+    assert MF.read_table(spark, dst).count() == n + 10
+    res = MF.wap_commit(
+        spark,
+        dst,
+        batch.withColumn("o_orderkey", F.col("o_orderkey") + 1),
+        lambda df: (True, {}),
+    )
+    assert res["published"]
+    assert MF.read_table(spark, dst).count() == n + 20
+    assert MF.read_table(spark, src).count() == n  # source untouched
+
+
+def test_wap_raising_audit_cleans_stage(spark, sf_dir, tmp_path):
+    """Review-catch regression: a RAISING audit must remove the staged
+    batch (vacuum can't reach _stage/)."""
+    import os
+
+    import pytest
+
+    from etl_extractor_spark.sinks import manifest as MF
+
+    path = str(tmp_path / "t")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+    MF.write_with_manifest(spark, o, path, stats_cols=["o_orderkey"])
+
+    def boom(df):
+        raise RuntimeError("audit infrastructure failure")
+
+    with pytest.raises(RuntimeError, match="audit infrastructure"):
+        MF.wap_commit(spark, path, o.limit(5), boom)
+    stage = os.path.join(path, "_stage")
+    assert not os.path.exists(stage) or not os.listdir(stage)
