@@ -296,6 +296,11 @@ BENCH_QUERIES = [
     "snapshot_row_cdf",
     "exchange_reuse_argmax",
     "streaming_crash_resume_custom_state",
+    # round-10 wave 5: hidden-partition pruning (transform-recorded
+    # layout) and the bitemporal dimension point query (valid time ×
+    # transaction time via copy-on-write replace)
+    "hidden_partition_pruning",
+    "bitemporal_point_query",
 ]
 
 # ---------------------------------------------------------------------------

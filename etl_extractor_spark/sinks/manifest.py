@@ -838,6 +838,57 @@ def run_streaming_manifest_sink(
     return n["b"]
 
 
+def replace_table_cow(
+    spark: SparkSession, path: str, df: DataFrame, n_files: int = 4
+) -> dict[str, Any]:
+    """Replace the table's CURRENT view with ``df`` as a NEW snapshot
+    while the prior snapshots' files stay on disk — the transactional
+    'overwrite' every merge/restatement needs when history must
+    survive (a plain mode=overwrite deletes the old files and
+    restarts history). The copy-on-write sibling of
+    ``compact_copy_on_write`` with a caller-supplied frame: new files
+    land beside the old ones, the manifest's current view switches,
+    ``read_snapshot`` still serves every earlier transaction state
+    until ``expire_snapshots`` reclaims it. This is the TRANSACTION-
+    time axis of a bitemporal dimension (``bitemporal_point_query``).
+    """
+    import shutil as _shutil
+
+    m = read_manifest(path)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path} — commit data first")
+    tmp = path.rstrip("/") + "__rep"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    new_names: list[str] = []
+    for f in sorted(os.listdir(tmp)):
+        if f.endswith(".parquet") and not f.startswith(("_", ".")):
+            os.rename(os.path.join(tmp, f), os.path.join(path, f))
+            new_names.append(f)
+    _shutil.rmtree(tmp, ignore_errors=True)
+    entries = [
+        _file_stats(os.path.join(path, f), m["stats_cols"])
+        for f in new_names
+    ]
+    entries.sort(key=lambda e: e["file"])
+    snapshots = list(m.get("snapshots", []))
+    snapshots.append(
+        {
+            "id": (snapshots[-1]["id"] + 1) if snapshots else 0,
+            "files": [e["file"] for e in entries],
+            "total_rows": sum(e["rows"] for e in entries),
+        }
+    )
+    m2 = dict(m)
+    m2["schema"] = json.dumps(df.schema.jsonValue())
+    m2["files"] = entries
+    m2["n_files"] = len(entries)
+    m2["total_rows"] = sum(e["rows"] for e in entries)
+    m2["snapshots"] = snapshots
+    _write_manifest(path, m2)
+    return m2
+
+
 def wap_commit(
     spark: SparkSession,
     path: str,

@@ -476,3 +476,50 @@ def test_wap_raising_audit_cleans_stage(spark, sf_dir, tmp_path):
         MF.wap_commit(spark, path, o.limit(5), boom)
     stage = os.path.join(path, "_stage")
     assert not os.path.exists(stage) or not os.listdir(stage)
+
+
+def test_hidden_partition_pruning_in_plan(spark, sf_dir, tmp_path):
+    """The reader must turn the caller's DATE bounds into
+    PartitionFilters on the hidden month column — out-of-range month
+    directories never read (the transform-awareness the sidecar
+    exists for)."""
+    import pyspark.sql.functions as F
+
+    from etl_extractor_spark.sinks import hidden as H
+    from etl_extractor_spark.sources.parquet import load_table
+
+    path = str(tmp_path / "hp")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    H.write_month_partitioned(spark, o, path, "o_orderdate")
+    df = H.read_date_range(spark, path, "1996-03-15", "1996-05-10")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_p_month" in plan, plan[:1500]
+    # and the values survive the boundary months the transform over-covers
+    got = df.count()
+    want = o.filter(
+        (F.col("o_orderdate") >= "1996-03-15")
+        & (F.col("o_orderdate") <= "1996-05-10")
+    ).count()
+    assert got == want > 0
+    assert "_p_month" not in df.columns  # hidden stays hidden
+
+
+def test_bitemporal_axes_are_independent(spark, sf_dir):
+    """Transaction-time travel must not leak the change backward: the
+    as_of_s0 belief equals the raw segment distribution, and the
+    current belief moves exactly the %7 keys to GOLD."""
+    import pandas as pd
+
+    from etl_extractor_spark.plans.pipeline_ops9 import bitemporal_point_query
+
+    got = {
+        (r["txn_time"], r["segment"]): r["n_customers"]
+        for r in bitemporal_point_query(spark, sf_dir).collect()
+    }
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    for seg, n in c.groupby("c_mktsegment").size().items():
+        assert got[("as_of_s0", seg)] == n
+    gold = (c["c_custkey"] % 7 == 0).sum()
+    assert got[("current", "GOLD")] == gold + c[
+        (c["c_custkey"] % 7 != 0) & (c["c_mktsegment"] == "GOLD")
+    ].shape[0] if "GOLD" in set(c["c_mktsegment"]) else got[("current", "GOLD")] == gold
