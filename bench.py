@@ -301,6 +301,11 @@ BENCH_QUERIES = [
     # transaction time via copy-on-write replace)
     "hidden_partition_pruning",
     "bitemporal_point_query",
+    # round-10 wave 6: dim-driven file skipping (pruning trio closer),
+    # metadata-only NDV (per-file KMV sidecar), the .history relation
+    "manifest_dim_driven_skipping",
+    "metadata_ndv_estimate",
+    "table_history_query",
 ]
 
 # ---------------------------------------------------------------------------

@@ -1309,6 +1309,218 @@ ORACLES["bitemporal_point_query"] = """
 """
 
 
+# --- 13. Dim-driven file skipping (the third skipping trigger) -----------------
+
+
+def manifest_dim_driven_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level DIM-DRIVEN skipping — completing the pruning trio
+    with the partition-level (``dpp_partitioned_join``) and row-level
+    (``runtime_filter_join``) forms: the filtered dimension's key
+    BOUNDS are computed first (one bounded 2-scalar collect), the
+    fact's manifest min/max stats plan the file subset that can
+    intersect them, and the join scans only those files. Works
+    because the fact is written RANGE-partitioned on the key (each
+    file owns a key slice — a hash-distributed write makes every
+    file span the domain and min/max prune nothing; that layout is
+    what Z-order/``repartitionByRange`` exist for). Pruning
+    effectiveness is asserted in-query; the oracle is the plain
+    join, certifying no file the answer needed was skipped.
+
+    100 TB: the dim-driven file prune costs one metadata pass and
+    turns a 7-year fact scan into the 1-year slice the dim selects —
+    on clusters where partition layout doesn't match the join key,
+    this manifest form is the only skipping available."""
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.sinks import manifest as MF
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", _order_cents().alias("cents")
+    )
+    path = pid_scratch_dir("spark_graft_dimskip_")
+    shutil.rmtree(path, ignore_errors=True)
+    MF.write_with_manifest(
+        spark,
+        o.repartitionByRange(16, "o_custkey"),
+        path,
+        stats_cols=["o_custkey"],
+    )
+    mx = load_table(spark, sf_dir, "customer").agg(
+        F.max("c_custkey")
+    ).collect()[0][0]
+    # the "dim": customers in the top ~10% of the keyspace
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") > (9 * mx) // 10)
+        .select("c_custkey", "c_nationkey")
+    )
+    lo, hi = dim.agg(
+        F.min("c_custkey"), F.max("c_custkey")
+    ).collect()[0]
+    fact, stats = MF.read_with_skipping(spark, path, "o_custkey", lo, hi)
+    assert 0 < stats["files_read"] < stats["files_total"], stats
+    return (
+        fact.join(dim, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nation_key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("nation_key")
+    )
+
+
+QUERIES["manifest_dim_driven_skipping"] = manifest_dim_driven_skipping
+ORACLES["manifest_dim_driven_skipping"] = f"""
+    WITH mx AS (SELECT max(c_custkey) AS m FROM customer),
+    dim AS (
+      SELECT c_custkey, c_nationkey FROM customer, mx
+      WHERE c_custkey > (9 * m) // 10
+    )
+    SELECT c_nationkey AS nation_key,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum({_ORDER_CENTS_SQL}) AS BIGINT) AS revenue_cents
+    FROM orders JOIN dim ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY nation_key
+"""
+
+
+# --- 14. Metadata-only NDV estimate (per-file KMV sidecar) ----------------------
+
+
+def metadata_ndv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDV from METADATA alone (``sinks/ndv.py``): per-file KMV
+    sketches built once at write time; the table-level distinct-count
+    estimate is a driver-side merge of |files| k-long lists — no data
+    read at query time. KMV is mergeable (k smallest of a union ⊆
+    union of per-side k smallest), so the merged sketch is EXACTLY
+    the sketch a single pass over the table would build — and because
+    hashing is the engine-identical md5-fold, the DuckDB oracle
+    recomputes the identical k-min set, kth hash and integer
+    estimate: the driver hash-matches the estimator itself, not an
+    error bound.
+
+    100 TB: this is Iceberg's puffin-NDV pattern — the optimizer's
+    join-size decisions read file stats, never the data; sketch
+    build rides the write, merge cost is |files|·K longs."""
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.sinks import ndv as NDV
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    path = pid_scratch_dir("spark_graft_ndv_")
+    shutil.rmtree(path, ignore_errors=True)
+    o.repartition(8, "o_custkey").write.parquet(path)
+    NDV.attach_ndv(spark, path, "o_custkey")
+    est = NDV.estimate_ndv(path, "o_custkey")
+    return spark.createDataFrame(
+        [(est["k_eff"], est["kth_hash"], est["est_ndv"])],
+        "k_eff long, kth_hash long, est_ndv long",
+    )
+
+
+from etl_extractor_spark.sinks.ndv import K as NDV_K  # noqa: E402
+
+QUERIES["metadata_ndv_estimate"] = metadata_ndv_estimate
+ORACLES["metadata_ndv_estimate"] = f"""
+    WITH h AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))
+             AS BIGINT) AS h
+      FROM orders
+    ), kmin AS (
+      SELECT h FROM h ORDER BY h LIMIT {NDV_K}
+    )
+    SELECT count(*)::BIGINT AS k_eff,
+           max(h) AS kth_hash,
+           CASE WHEN count(*) < {NDV_K} THEN count(*)
+                ELSE ({NDV_K} - 1) * {2**48} // max(h)
+           END::BIGINT AS est_ndv
+    FROM kmin
+"""
+
+
+# --- 15. Table history as a queryable relation ----------------------------------
+
+
+def table_history_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``.history`` metadata-table surface (Iceberg/Delta expose
+    snapshots as queryable relations): after a deterministic commit
+    sequence — base write (2 files), WAP append of the 2001 tail
+    (1 file), an equality-delete commit — the snapshot log itself is
+    the query result: (snapshot_id, n_data_files, n_delete_files,
+    total_rows). The oracle recomputes every row from the fixture's
+    rules, so the hash certifies the HISTORY BOOKKEEPING: appends
+    extend the file list without touching prior entries, delete
+    commits keep the data-file set and add delete refs, and
+    total_rows tracks the data files (MOR subtraction is a read-time
+    concern, recorded as delete refs — exactly Iceberg's model).
+
+    100 TB: the history relation is the audit surface operators
+    actually query ('what changed this week, how many files per
+    commit') — metadata-sized at any table size."""
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.sinks import manifest as MF
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", _order_cents().alias("cents")
+    )
+    path = pid_scratch_dir("spark_graft_hist_")
+    shutil.rmtree(path, ignore_errors=True)
+    split = F.col("o_orderdate") < F.lit("2001-01-01")
+    # repartition, not coalesce: coalesce only REDUCES, so a source
+    # that already arrives single-partitioned writes 1 file and the
+    # pinned history diverges
+    MF.write_with_manifest(
+        spark, o.filter(split).repartition(2), path, stats_cols=["o_orderkey"]
+    )
+    MF.wap_commit(
+        spark, path, o.filter(~split).repartition(1), lambda df: (True, {})
+    )
+    MF.write_equality_deletes(
+        spark,
+        path,
+        o.filter(split & (F.col("o_orderkey") % 113 == 0)).select(
+            "o_orderkey"
+        ),
+    )
+    hist = [
+        (
+            s["id"],
+            len(s["files"]),
+            len(s.get("delete_files", [])),
+            s["total_rows"],
+        )
+        for s in MF.read_manifest(path)["snapshots"]
+    ]
+    return spark.createDataFrame(
+        hist,
+        "snapshot_id long, n_data_files long, n_delete_files long, total_rows long",
+    ).orderBy("snapshot_id")
+
+
+QUERIES["table_history_query"] = table_history_query
+ORACLES["table_history_query"] = """
+    WITH n AS (
+      SELECT
+        count(*) FILTER (o_orderdate < DATE '2001-01-01') AS n_base,
+        count(*) FILTER (o_orderdate >= DATE '2001-01-01') AS n_tail
+      FROM orders
+    )
+    SELECT 0::BIGINT AS snapshot_id, 2::BIGINT AS n_data_files,
+           0::BIGINT AS n_delete_files, CAST(n_base AS BIGINT) AS total_rows
+    FROM n
+    UNION ALL
+    SELECT 1, 3, 0, CAST(n_base + n_tail AS BIGINT) FROM n
+    UNION ALL
+    SELECT 2, 3, 1, CAST(n_base + n_tail AS BIGINT) FROM n
+    ORDER BY snapshot_id
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-round-3
     stale (see module docstring — rank 2 would displace the booked

@@ -523,3 +523,54 @@ def test_bitemporal_axes_are_independent(spark, sf_dir):
     assert got[("current", "GOLD")] == gold + c[
         (c["c_custkey"] % 7 != 0) & (c["c_mktsegment"] == "GOLD")
     ].shape[0] if "GOLD" in set(c["c_mktsegment"]) else got[("current", "GOLD")] == gold
+
+
+def test_ndv_estimate_accuracy_and_mergeability(spark, sf_dir, tmp_path):
+    """KMV mergeability: the merged per-file estimate equals the
+    single-pass whole-table estimate EXACTLY (same k-min set), and
+    the estimate lands within the standard KMV error envelope of the
+    true distinct count (k=64 → ~1/sqrt(62) ≈ 13%; allow 3σ)."""
+    from etl_extractor_spark.sinks import ndv as NDV
+
+    path = str(tmp_path / "t")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_custkey")
+    o.repartition(8, "o_custkey").write.parquet(path)
+    NDV.attach_ndv(spark, path, "o_custkey")
+    merged = NDV.estimate_ndv(path, "o_custkey")
+    single = str(tmp_path / "one")
+    o.coalesce(1).write.parquet(single)
+    NDV.attach_ndv(spark, single, "o_custkey")
+    assert NDV.estimate_ndv(single, "o_custkey") == merged  # mergeable
+    true_ndv = o.distinct().count()
+    if merged["k_eff"] < NDV.K:
+        assert merged["est_ndv"] == true_ndv  # exact below K
+    else:
+        assert abs(merged["est_ndv"] - true_ndv) < 0.4 * true_ndv
+
+
+def test_history_prior_snapshots_immutable(spark, sf_dir, tmp_path):
+    """Appends and delete commits must EXTEND history without editing
+    prior entries — snapshot 0's row is bit-identical before and
+    after."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from etl_extractor_spark.sinks import manifest as MF
+
+    path = str(tmp_path / "t")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+    MF.write_with_manifest(spark, o.repartition(2), path, stats_cols=["o_orderkey"])
+    s0_before = json.dumps(MF.read_manifest(path)["snapshots"][0], sort_keys=True)
+    MF.wap_commit(
+        spark,
+        path,
+        o.limit(5).withColumn("o_orderkey", F.col("o_orderkey") + 10**12),
+        lambda df: (True, {}),
+    )
+    MF.write_equality_deletes(
+        spark, path, o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey")
+    )
+    snaps = MF.read_manifest(path)["snapshots"]
+    assert len(snaps) == 3
+    assert json.dumps(snaps[0], sort_keys=True) == s0_before
