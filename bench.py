@@ -306,6 +306,9 @@ BENCH_QUERIES = [
     "manifest_dim_driven_skipping",
     "metadata_ndv_estimate",
     "table_history_query",
+    # round-10 wave 7: the 21st certified stream — per-micro-batch WAP
+    # gate (corrupted batch rejected whole, stream continues)
+    "streaming_wap_gate_replay",
 ]
 
 # ---------------------------------------------------------------------------

@@ -1521,6 +1521,108 @@ ORACLES["table_history_query"] = """
 """
 
 
+# --- 16. Streaming WAP gate (21st certified stream) -----------------------------
+
+
+def streaming_wap_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """21st certified stream: the Write-Audit-Publish gate INSIDE a
+    stream — every micro-batch stages, audits its own written bytes,
+    and publishes only on a pass; a corrupted batch is rejected WHOLE
+    (no partial rows) while the stream keeps running. The fixture
+    corrupts batch 1 at build time (values negated for event_id % 5
+    = 0 rows), so the audit ('no negative values') deterministically
+    rejects exactly that batch; the published table is certified
+    against the oracle's batch-rule derivation (all events with
+    event_id % 3 != 1), proving both directions: clean batches fully
+    visible, not one corrupted row leaked, and — unlike the batch WAP
+    twin — that a mid-stream rejection neither stops the stream nor
+    taints later commits.
+
+    100 TB: this is how a streaming ingest enforces data contracts —
+    per-batch audit cost, atomic manifest visibility, rejected
+    batches quarantined for replay after upstream fixes. Composes
+    ``sinks/manifest.wap_commit`` with the streaming engine
+    unchanged."""
+    import os
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.plans.pipeline_ops8 import _write_pinned_batches
+    from etl_extractor_spark.sinks import manifest as MF
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    corrupt = F.when(
+        (F.col("event_id") % 3 == 1) & (F.col("event_id") % 5 == 0),
+        -F.col("value"),
+    ).otherwise(F.col("value"))
+    src = pid_scratch_dir("spark_graft_swap_src_")
+    shutil.rmtree(src, ignore_errors=True)
+    _write_pinned_batches(
+        [
+            e.withColumn("value", corrupt).filter(F.col("event_id") % 3 == k)
+            for k in range(3)
+        ],
+        src,
+        "ev",
+    )
+    table = pid_scratch_dir("spark_graft_swap_tbl_")
+    shutil.rmtree(table, ignore_errors=True)
+    MF.write_with_manifest(
+        spark,
+        e.filter(F.lit(False)).repartition(1),
+        table,
+        stats_cols=["event_id"],
+    )
+
+    def audit(df: DataFrame):
+        n_bad = df.filter(F.col("value") < 0).count()
+        return n_bad == 0, {"violations": n_bad}
+
+    results: list = []
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        res = MF.wap_commit(spark, table, batch_df, audit)
+        results.append((batch_id, res["published"]))
+
+    schema = spark.read.parquet(src + "/ev-b0.parquet").schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/ev-*.parquet")
+        .writeStream.foreachBatch(gate)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", os.path.join(table, "_stream_ckpt")
+        )
+        .start()
+    )
+    q.awaitTermination()
+    assert results == [(0, True), (1, False), (2, True)], results
+    assert MF.vacuum(table, dry_run=True) == []
+
+    return (
+        MF.read_table(spark, table)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["streaming_wap_gate_replay"] = streaming_wap_gate_replay
+ORACLES["streaming_wap_gate_replay"] = """
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events WHERE event_id % 3 != 1
+    GROUP BY 1 ORDER BY event_type
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-round-3
     stale (see module docstring — rank 2 would displace the booked
