@@ -5,6 +5,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def small_df(spark, data, schema) -> DataFrame:
+    """createDataFrame for DRIVER-SMALL data (dims, probe keys, file
+    lists, metadata rows) as a SINGLE partition. The default
+    ``spark.createDataFrame(list)`` parallelizes across
+    defaultParallelism partitions — on a 32-core session that is 32
+    Python-worker tasks to materialize a 5-row frame, measured at
+    ~5 s per call vs ~0.5 s for one slice (the cost repeats for
+    EVERY tiny frame: per-micro-batch dim writes paid it 4× per
+    query). Data that is already driver-resident has no parallelism
+    to gain; one slice is the right plan at every cluster size."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 1), schema
+    )
+
+
 def fan_out(df: DataFrame, multiple: int = 1) -> DataFrame:
     """Round-robin repartition a (possibly single-partition) input to
     the session's core count before compute-heavy or row-multiplying

@@ -85,7 +85,10 @@ def build_ivf_index(
         F.col(id_col).alias("vec_id"), as_double(vec_col).alias("arr")
     ).withColumn("features", array_to_vector("arr"))
     model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(feats)
-    centroids = spark.createDataFrame(
+    from etl_extractor_spark.operators.common import small_df
+
+    centroids = small_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cluster int, centroid array<double>",
     )

@@ -1174,7 +1174,10 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             (r, last["n_nodes"], last["n_edges"], last["min_node"], last["max_node"])
         )
-    return spark.createDataFrame(
+    from etl_extractor_spark.operators.common import small_df
+
+    return small_df(
+        spark,
         rows,
         "round int, n_nodes long, n_edges long, min_node string, max_node string",
     )
@@ -1906,7 +1909,9 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("rnk").cast("long").alias("vocab_size"),
         F.sum("freq").cast("long").alias("total_tokens"),
     )
-    tops = spark.createDataFrame([(n,) for n in _VOCAB_TOPS], "n_top int")
+    from etl_extractor_spark.operators.common import small_df
+
+    tops = small_df(spark, [(n,) for n in _VOCAB_TOPS], "n_top int")
     return (
         ranked.crossJoin(F.broadcast(tot))
         .join(

@@ -725,9 +725,12 @@ def pca_top_component_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     resid = float(np.linalg.norm(cov @ v - lam * v))
     ok_res = resid <= 1e-8 * lam
     ok_dom = lam >= float(np.max(np.diag(cov))) - 1e-9 * lam
-    return spark.createDataFrame(
+    from etl_extractor_spark.operators.common import small_df
+
+    return small_df(
+        spark,
         [(n, dim, trace_q, int(ok_res), int(ok_dom))],
-        schema="n_vecs long, d long, trace_q long, ok_residual long, "
+        "n_vecs long, d long, trace_q long, ok_residual long, "
         "ok_dominates long",
     )
 
@@ -1129,8 +1132,10 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("status_in_domain", int(baddom), int(n_orders)),
         ("ship_on_or_after_order", int(shipb), int(n_li)),
     ]
-    return spark.createDataFrame(
-        rows, schema="rule string, n_violations long, n_checked long"
+    from etl_extractor_spark.operators.common import small_df
+
+    return small_df(
+        spark, rows, "rule string, n_violations long, n_checked long"
     ).orderBy("rule")
 
 

@@ -874,7 +874,7 @@ def manifest_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.operators.common import pid_scratch_dir, small_df
     from etl_extractor_spark.sinks import manifest as MF
 
     base = load_table(spark, sf_dir, "orders").select(
@@ -928,8 +928,8 @@ def manifest_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change")
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
         .unionByName(
-            spark.createDataFrame(
-                [("unchanged", unchanged_n)], "change string, n_rows long"
+            small_df(
+                spark, [("unchanged", unchanged_n)], "change string, n_rows long"
             )
         )
     )

@@ -570,11 +570,14 @@ def streaming_dim_refresh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
 
+    from etl_extractor_spark.operators.common import small_df
+
     def write_dim(version: int) -> None:
-        spark.createDataFrame(
+        small_df(
+            spark,
             [(t, version + 1) for t in sorted(types)],
             "event_type string, factor long",
-        ).coalesce(1).write.mode("overwrite").parquet(dim_dir)
+        ).write.mode("overwrite").parquet(dim_dir)
 
     write_dim(0)
     schema = spark.read.parquet(src + "/ev-b0.parquet").schema
@@ -1415,7 +1418,10 @@ def metadata_ndv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.repartition(8, "o_custkey").write.parquet(path)
     NDV.attach_ndv(spark, path, "o_custkey")
     est = NDV.estimate_ndv(path, "o_custkey")
-    return spark.createDataFrame(
+    from etl_extractor_spark.operators.common import small_df
+
+    return small_df(
+        spark,
         [(est["k_eff"], est["kth_hash"], est["est_ndv"])],
         "k_eff long, kth_hash long, est_ndv long",
     )
@@ -1496,7 +1502,10 @@ def table_history_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for s in MF.read_manifest(path)["snapshots"]
     ]
-    return spark.createDataFrame(
+    from etl_extractor_spark.operators.common import small_df
+
+    return small_df(
+        spark,
         hist,
         "snapshot_id long, n_data_files long, n_delete_files long, total_rows long",
     ).orderBy("snapshot_id")

@@ -134,8 +134,10 @@ def attach_blooms(
         .agg(F.approx_count_distinct("v").alias("nd"))
         .collect()
     }
-    m_df = spark.createDataFrame(
-        [(f, m) for f, m in sizes.items()], "f string, m long"
+    from etl_extractor_spark.operators.common import small_df
+
+    m_df = small_df(
+        spark, [(f, m) for f, m in sizes.items()], "f string, m long"
     )
     h1 = F.conv(F.substring(F.md5(F.col("v")), 1, 8), 16, 10).cast("long")
     h2 = F.conv(

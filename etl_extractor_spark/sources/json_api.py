@@ -54,7 +54,9 @@ def records_to_df(
     if not rows:
         return spark.createDataFrame([], schema or T.StructType([]))
     if schema is not None:
-        return spark.createDataFrame(rows, schema)
+        from etl_extractor_spark.operators.common import small_df
+
+        return small_df(spark, rows, schema)
     # schema-on-read: let Spark's JSON reader infer types from the payload
     return spark.read.json(spark.sparkContext.parallelize([json.dumps(r) for r in rows]))
 
