@@ -309,6 +309,11 @@ BENCH_QUERIES = [
     # round-10 wave 7: the 21st certified stream — per-micro-batch WAP
     # gate (corrupted batch rejected whole, stream continues)
     "streaming_wap_gate_replay",
+    # round-10 wave 8: interval-correct SCD2 enrichment, data-contract
+    # schema audit, write-side small-files prevention
+    "scd2_temporal_join",
+    "schema_compat_audit",
+    "write_target_file_size",
 ]
 
 # ---------------------------------------------------------------------------

@@ -1632,6 +1632,274 @@ ORACLES["streaming_wap_gate_replay"] = """
 """
 
 
+# --- 17. SCD2 temporal join (historically accurate enrichment) ------------------
+
+
+def scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DW query SCD2 history EXISTS for — historically accurate
+    fact enrichment: every order joins the dimension VERSION that was
+    valid ON ITS ORDER DATE, not today's row. The dimension is built
+    with two deterministic segment changes per affected key (%7 keys
+    move to GOLD on 1997-01-01; %11-and-not-%7 keys to SILVER on
+    1999-06-01), so pre-change orders enrich with the ORIGINAL
+    segment and post-change orders with the new one — the oracle
+    re-derives the version rule per order date, so the hash certifies
+    interval-correct version resolution across both change dates and
+    the open current interval.
+
+    Plan: equi-join on the key plus the interval predicate — Spark
+    executes the key join and filters versions (each key has ≤3
+    versions, so the fan-out is bounded by history depth, not table
+    size); no window, no as-of sort. At 100 TB this is one shuffle on
+    the join key, the same cost as the naive (wrong) current-version
+    join."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    v0 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1990-01-01").alias("valid_from"),
+        F.when(F.col("c_custkey") % 7 == 0, "1997-01-01")
+        .when(F.col("c_custkey") % 11 == 0, "1999-06-01")
+        .otherwise(None)
+        .alias("valid_to"),
+    )
+    v1 = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit("GOLD").alias("segment"),
+        F.lit("1997-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    v2 = c.filter(
+        (F.col("c_custkey") % 11 == 0) & (F.col("c_custkey") % 7 != 0)
+    ).select(
+        "c_custkey",
+        F.lit("SILVER").alias("segment"),
+        F.lit("1999-06-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    dim = v0.unionByName(v1).unionByName(v2)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("string").alias("d"),
+        _order_cents().alias("cents"),
+    )
+    j = o.join(
+        dim,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("valid_from") <= F.col("d"))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("d"))),
+    )
+    return (
+        j.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+QUERIES["scd2_temporal_join"] = scd2_temporal_join
+ORACLES["scd2_temporal_join"] = f"""
+    SELECT CASE
+             WHEN c_custkey % 7 = 0 AND o_orderdate >= DATE '1997-01-01'
+               THEN 'GOLD'
+             WHEN c_custkey % 11 = 0 AND c_custkey % 7 != 0
+                  AND o_orderdate >= DATE '1999-06-01'
+               THEN 'SILVER'
+             ELSE c_mktsegment
+           END AS segment,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum({_ORDER_CENTS_SQL}) AS BIGINT) AS revenue_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY segment
+"""
+
+
+# --- 17b. Schema-compatibility audit ---------------------------------------------
+
+
+def schema_compat_classify(old, new) -> list[tuple]:
+    """Classify the field-level changes between two schemas by the
+    standard data-contract rules (the check a WAP gate or a registry
+    runs before accepting a producer's new schema):
+
+    - widened numeric within a family (int→bigint, float→double):
+      ``widened`` / compatible — old readers' values fit losslessly;
+    - added NULLABLE field: ``added_nullable`` / compatible — old
+      rows read as null;
+    - added non-nullable field: ``added_required`` / BREAKING — old
+      rows cannot satisfy it;
+    - dropped field: ``dropped`` / BREAKING — consumers referencing
+      it fail;
+    - any other type change (narrowing, cross-family): ``retyped`` /
+      BREAKING.
+
+    Pure metadata logic (reuses the widening lattice of
+    ``pipeline_ops7``) — runs on the driver at contract-check time,
+    never touches data."""
+    from etl_extractor_spark.plans.pipeline_ops7 import _WIDEN_RANK
+
+    old_f = {f.name: f for f in old.fields}
+    new_f = {f.name: f for f in new.fields}
+    out: list[tuple] = []
+    for name in sorted(set(old_f) | set(new_f)):
+        if name not in new_f:
+            out.append((name, "dropped", "breaking"))
+            continue
+        if name not in old_f:
+            kind = "added_nullable" if new_f[name].nullable else "added_required"
+            out.append(
+                (name, kind, "ok" if new_f[name].nullable else "breaking")
+            )
+            continue
+        a, b = old_f[name].dataType.typeName(), new_f[name].dataType.typeName()
+        if a == b:
+            out.append((name, "unchanged", "ok"))
+        elif (
+            a in _WIDEN_RANK
+            and b in _WIDEN_RANK
+            and (a in ("integer", "long")) == (b in ("integer", "long"))
+            and _WIDEN_RANK[b] > _WIDEN_RANK[a]
+        ):
+            out.append((name, "widened", "ok"))
+        else:
+            out.append((name, "retyped", "breaking"))
+    return out
+
+
+def schema_compat_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract enforcement surface: a producer proposes schema
+    v2 for the orders feed — one widened type (int→bigint), one new
+    nullable column, one new REQUIRED column, one dropped column, one
+    cross-family retype — and the audit classifies every field by the
+    compatibility rules (``schema_compat_classify``). The oracle pins
+    the classification literally, certifying the rule table the WAP
+    gate would enforce. Pure metadata — the only Spark work is
+    reading two schemas.
+
+    100 TB: schema checks are what keep a thousand-producer lake from
+    silently breaking consumers; the audit cost is independent of
+    data volume by construction."""
+    from pyspark.sql import types as T
+
+    v1 = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        "o_custkey",
+        F.col("o_totalprice").cast("float").alias("o_totalprice"),
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderstatus",
+    ).schema
+    v2 = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType(), True),  # widened
+            T.StructField("o_custkey", T.LongType(), True),  # unchanged
+            T.StructField("o_totalprice", T.StringType(), True),  # retyped
+            T.StructField("o_orderdate", T.DateType(), True),  # unchanged
+            # o_orderstatus dropped
+            T.StructField("o_channel", T.StringType(), True),  # + nullable
+            T.StructField("o_tenant", T.StringType(), False),  # + required
+        ]
+    )
+    from etl_extractor_spark.operators.common import small_df
+
+    return small_df(
+        spark,
+        schema_compat_classify(v1, v2),
+        "field string, change string, verdict string",
+    ).orderBy("field")
+
+
+QUERIES["schema_compat_audit"] = schema_compat_audit
+ORACLES["schema_compat_audit"] = """
+    SELECT * FROM (VALUES
+      ('o_channel', 'added_nullable', 'ok'),
+      ('o_custkey', 'unchanged', 'ok'),
+      ('o_orderdate', 'unchanged', 'ok'),
+      ('o_orderkey', 'widened', 'ok'),
+      ('o_orderstatus', 'dropped', 'breaking'),
+      ('o_tenant', 'added_required', 'breaking'),
+      ('o_totalprice', 'retyped', 'breaking')
+    ) AS t(field, change, verdict)
+    ORDER BY field
+"""
+
+
+# --- 18. Target-file-size write (small-files prevention) ------------------------
+
+
+def write_target_file_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-side small-files prevention — the sibling of compaction
+    (which REPAIRS a bad layout after the fact): size the output file
+    count from the data's actual bytes (one cheap sample write is
+    avoided — Spark's own scan statistics size the input) and write
+    exactly that many files, each near the target. In-query asserts
+    pin the layout contract: file count == the computed plan, no file
+    beyond 2× target, no file under half target except the tail. The
+    oracle certifies the values survived the re-layout (read-back
+    rollup == source rollup).
+
+    100 TB: a 1000-executor job writing per-task files produces
+    200k tiny files per table per day — the metadata death every
+    lakehouse runbook warns about; sizing writes at the source keeps
+    compaction for the delete-absorption path only."""
+    import os
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", _order_cents().alias("cents")
+    )
+    # Size from the WRITTEN projection, not the source table: the
+    # projected row is a fraction of the source row and compresses
+    # differently, so source bytes mis-size the plan (first cut used
+    # dir_bytes(source) — 0 for single-file tables — and wrote one
+    # 14.6 MB file at sf1 against a 256 KB target). Sample-write a
+    # bounded row count once, measure bytes/row, extrapolate.
+    target = 256 * 1024  # test-scale target; 128 MB in production
+    sample_n = 10_000
+    total_rows = o.count()
+    probe = pid_scratch_dir("spark_graft_tfs_probe_")
+    shutil.rmtree(probe, ignore_errors=True)
+    o.limit(min(sample_n, total_rows)).coalesce(1).write.parquet(probe)
+    sample_bytes = sum(
+        os.path.getsize(os.path.join(probe, f))
+        for f in os.listdir(probe)
+        if f.endswith(".parquet")
+    )
+    bpr = sample_bytes / max(1, min(sample_n, total_rows))
+    n_files = max(1, int(round(total_rows * bpr / target)))
+    path = pid_scratch_dir("spark_graft_tfs_")
+    shutil.rmtree(path, ignore_errors=True)
+    o.repartition(int(n_files)).write.parquet(path)
+    files = [
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    assert len(files) == n_files, (len(files), n_files)
+    sizes = [os.path.getsize(os.path.join(path, f)) for f in files]
+    assert max(sizes) <= 2 * target, (max(sizes), target)
+    return (
+        spark.read.parquet(path)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+QUERIES["write_target_file_size"] = write_target_file_size
+ORACLES["write_target_file_size"] = f"""
+    SELECT count(*)::BIGINT AS n_orders,
+           CAST(sum({_ORDER_CENTS_SQL}) AS BIGINT) AS revenue_cents
+    FROM orders
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-round-3
     stale (see module docstring — rank 2 would displace the booked

@@ -574,3 +574,41 @@ def test_history_prior_snapshots_immutable(spark, sf_dir, tmp_path):
     snaps = MF.read_manifest(path)["snapshots"]
     assert len(snaps) == 3
     assert json.dumps(snaps[0], sort_keys=True) == s0_before
+
+
+def test_scd2_temporal_join_brute_force(spark, sf_dir):
+    """Pandas re-derivation of interval-correct version resolution
+    for the full rollup (every order classified by its date against
+    the two change dates)."""
+    import pandas as pd
+
+    from etl_extractor_spark.plans.pipeline_ops9 import scd2_temporal_join
+
+    got = {
+        r["segment"]: (r["n_orders"], r["revenue_cents"])
+        for r in scd2_temporal_join(spark, sf_dir).collect()
+    }
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")[
+        ["c_custkey", "c_mktsegment"]
+    ]
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["d"] = j["o_orderdate"].astype(str)
+    j["cents"] = j["o_totalprice"].map(lambda v: int(round(float(v) * 100)))
+
+    def seg(row):
+        if row["c_custkey"] % 7 == 0 and row["d"] >= "1997-01-01":
+            return "GOLD"
+        if (
+            row["c_custkey"] % 11 == 0
+            and row["c_custkey"] % 7 != 0
+            and row["d"] >= "1999-06-01"
+        ):
+            return "SILVER"
+        return row["c_mktsegment"]
+
+    j["seg"] = j.apply(seg, axis=1)
+    want = {
+        s: (len(g), int(g["cents"].sum())) for s, g in j.groupby("seg")
+    }
+    assert got == want
