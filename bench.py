@@ -314,6 +314,10 @@ BENCH_QUERIES = [
     "scd2_temporal_join",
     "schema_compat_audit",
     "write_target_file_size",
+    # round-10 wave 9: multi-table transactions (txn-log consistent
+    # reads through a torn commit) and the kappa backfill handoff
+    "txn_consistent_read",
+    "backfill_stream_handoff",
 ]
 
 # ---------------------------------------------------------------------------

@@ -1900,6 +1900,218 @@ ORACLES["write_target_file_size"] = f"""
 """
 
 
+# --- 19. Multi-table transaction with crash isolation ----------------------------
+
+
+def txn_consistent_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TABLE transactional consistency
+    (``sinks/manifest.txn_commit``): two derived tables — per-year
+    order counts and per-segment customer counts — must always be
+    read AS A PAIR from the same transaction. Epoch 1 commits both
+    (full data); epoch 2 begins by committing a NEW snapshot to the
+    orders rollup (pre-2000 only) and then CRASHES before the second
+    table and before the txn-log publish — exactly the torn state a
+    two-table pipeline leaves on failure. The query reads both tables
+    three ways and the oracle pins each: (a) txn_read after the torn
+    write still serves epoch 1 for BOTH tables (the pointer set is
+    atomic — the half-committed snapshot is invisible); (b) the
+    NAIVE current-view read of the orders table sees the torn epoch-2
+    data (demonstrating the inconsistency the log prevents); (c)
+    after the retried transaction completes, txn_read serves epoch 2
+    for both. Torn-state isolation is certified by VALUES, not just
+    asserts.
+
+    100 TB: cross-table atomicity is the catalog-level frontier
+    (multi-table transactions); the cost model is per-table COW
+    commits + one atomic pointer write, with crash recovery = retry
+    the transaction."""
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.sinks import manifest as MF
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", _order_cents().alias("cents")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    t_orders = pid_scratch_dir("spark_graft_txn_o_")
+    t_cust = pid_scratch_dir("spark_graft_txn_c_")
+    log_dir = pid_scratch_dir("spark_graft_txn_log_")
+    for p in (t_orders, t_cust, log_dir):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def orders_rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.col("o_orderdate").cast("string").substr(1, 4).alias("year")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+
+    cust_rollup = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("cents"),
+    )
+    # seed: tables must exist as manifest-tracked before COW commits
+    MF.write_with_manifest(
+        spark, orders_rollup(o).limit(0), t_orders, stats_cols=["n"]
+    )
+    MF.write_with_manifest(
+        spark, cust_rollup.limit(0), t_cust, stats_cols=["n"]
+    )
+    # epoch 1: both tables, one transaction
+    MF.txn_commit(
+        spark, log_dir, {t_orders: orders_rollup(o), t_cust: cust_rollup}
+    )
+    # epoch 2 attempt: commit ONLY the orders table, then "crash"
+    # (no second-table commit, no txn-log publish)
+    epoch2_orders = orders_rollup(
+        o.filter(F.col("o_orderdate") < F.lit("2000-01-01"))
+    )
+    MF.replace_table_cow(spark, t_orders, epoch2_orders)
+
+    def tag(df: DataFrame, view: str, table: str) -> DataFrame:
+        return df.groupBy(
+            F.lit(view).alias("view"), F.lit(table).alias("rel")
+        ).agg(
+            F.sum("n").cast("long").alias("total_rows"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+
+    torn = tag(MF.txn_read(spark, log_dir, t_orders), "txn_after_crash", "orders").unionByName(
+        tag(MF.txn_read(spark, log_dir, t_cust), "txn_after_crash", "customer")
+    )
+    naive = tag(
+        MF.read_table(spark, t_orders), "naive_after_crash", "orders"
+    )
+    # retry: the transaction completes (both tables + pointer publish)
+    MF.txn_commit(
+        spark, log_dir, {t_orders: epoch2_orders, t_cust: cust_rollup}
+    )
+    final = tag(MF.txn_read(spark, log_dir, t_orders), "txn_after_retry", "orders").unionByName(
+        tag(MF.txn_read(spark, log_dir, t_cust), "txn_after_retry", "customer")
+    )
+    return torn.unionByName(naive).unionByName(final).orderBy("view", "rel")
+
+
+QUERIES["txn_consistent_read"] = txn_consistent_read
+ORACLES["txn_consistent_read"] = f"""
+    WITH o AS (
+      SELECT count(*)::BIGINT AS n,
+             CAST(sum({_ORDER_CENTS_SQL}) AS BIGINT) AS cents
+      FROM orders
+    ), o2 AS (
+      SELECT count(*)::BIGINT AS n,
+             CAST(sum({_ORDER_CENTS_SQL}) AS BIGINT) AS cents
+      FROM orders WHERE o_orderdate < DATE '2000-01-01'
+    ), c AS (
+      SELECT count(*)::BIGINT AS n FROM customer
+    )
+    SELECT 'naive_after_crash' AS view, 'orders' AS rel,
+           o2.n AS total_rows, o2.cents AS total_cents FROM o2
+    UNION ALL
+    SELECT 'txn_after_crash', 'customer', c.n, 0 FROM c
+    UNION ALL
+    SELECT 'txn_after_crash', 'orders', o.n, o.cents FROM o
+    UNION ALL
+    SELECT 'txn_after_retry', 'customer', c.n, 0 FROM c
+    UNION ALL
+    SELECT 'txn_after_retry', 'orders', o2.n, o2.cents FROM o2
+    ORDER BY view, rel
+"""
+
+
+# --- 20. Kappa backfill handoff ---------------------------------------------------
+
+
+def backfill_stream_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch→stream HANDOFF (kappa-architecture migration): a
+    historical BACKFILL covers everything before a cutoff day, a
+    replayed stream covers the cutoff onward, and the certified
+    property is the boundary discipline — no duplicate and no gap at
+    the seam. The cutoff is derived from the data (first day of the
+    last third of the date range); the backfill reads the table
+    batch-side with ``ts < cutoff``, the stream replays pinned batch
+    files pre-filtered to ``ts >= cutoff``, both land in one output
+    via the same daily rollup, and the oracle is the WHOLE table's
+    rollup: any seam duplicate or gap flips a day's count.
+
+    100 TB: every stream adoption runs exactly this job once;
+    getting the half-open interval right at the seam is the entire
+    correctness content, and it is what the hash certifies."""
+    import os
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.plans.pipeline_ops8 import _write_pinned_batches
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    days = e.select(F.to_date("ts").alias("d")).agg(
+        F.min("d").alias("mn"), F.max("d").alias("mx")
+    ).collect()[0]
+    cutoff = str(days["mn"] + (days["mx"] - days["mn"]) * 2 // 3)
+    batch_part = e.filter(F.to_date("ts") < F.lit(cutoff))
+    stream_rows = e.filter(F.to_date("ts") >= F.lit(cutoff))
+    src = pid_scratch_dir("spark_graft_handoff_src_")
+    shutil.rmtree(src, ignore_errors=True)
+    _write_pinned_batches(
+        [stream_rows.filter(F.col("event_id") % 2 == k) for k in range(2)],
+        src,
+        "ev",
+    )
+    out_dir = pid_scratch_dir("spark_graft_handoff_out_")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # backfill leg: plain batch write of the pre-cutoff rollup
+    batch_part.groupBy(
+        F.to_date("ts").cast("string").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("value").alias("sv"),
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "leg=backfill"))
+    # stream leg: replay the post-cutoff files through the same rollup
+    schema = spark.read.parquet(src + "/ev-b0.parquet").schema
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.groupBy(
+            F.to_date("ts").cast("string").alias("day")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value").alias("sv"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"leg=stream-{batch_id}")
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/ev-*.parquet")
+        .writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = spark.read.parquet(out_dir + "/leg=*")
+    return (
+        merged.groupBy("day")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.round(F.sum("sv"), 4).alias("sum_value"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["backfill_stream_handoff"] = backfill_stream_handoff
+ORACLES["backfill_stream_handoff"] = """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1 ORDER BY day
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-round-3
     stale (see module docstring — rank 2 would displace the booked

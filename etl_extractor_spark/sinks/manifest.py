@@ -889,6 +889,64 @@ def replace_table_cow(
     return m2
 
 
+TXN_LOG = "_txn.json"
+
+
+def txn_commit(
+    spark: SparkSession, log_dir: str, tables: dict[str, DataFrame]
+) -> dict[str, int]:
+    """MULTI-TABLE atomic commit via a transaction log — the pattern
+    behind cross-table consistency in modern catalogs: each table's
+    new state is committed as a copy-on-write snapshot FIRST (old
+    snapshots stay readable), and only then does ONE atomic write of
+    the txn log publish the new (table → snapshot id) pointer set.
+    Readers that resolve through the log (``txn_read``) see either
+    every table's new snapshot or every table's old one — a crash
+    between per-table commits leaves the log pointing at the previous
+    consistent set, and the orphaned new snapshots are invisible
+    until a retry completes the transaction (then expire_snapshots
+    reclaims superseded ones).
+
+    Returns the committed {path: snapshot_id} map."""
+    committed: dict[str, int] = {}
+    for path, df in tables.items():
+        m = replace_table_cow(spark, path, df)
+        committed[path] = m["snapshots"][-1]["id"]
+    _write_txn_log(log_dir, committed)
+    return committed
+
+
+def _write_txn_log(log_dir: str, pointers: dict[str, int]) -> None:
+    import tempfile
+
+    os.makedirs(log_dir, exist_ok=True)
+    prev = read_txn_log(log_dir) or {}
+    prev.update(pointers)
+    fd, tmp = tempfile.mkstemp(prefix=TXN_LOG + ".", dir=log_dir)
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"version": 1, "tables": prev}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(log_dir, TXN_LOG))
+
+
+def read_txn_log(log_dir: str) -> dict[str, int] | None:
+    p = os.path.join(log_dir, TXN_LOG)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)["tables"]
+
+
+def txn_read(spark: SparkSession, log_dir: str, path: str) -> DataFrame:
+    """Read ``path`` AT the snapshot the transaction log points to —
+    never the bare current view, which may be mid-transaction."""
+    pointers = read_txn_log(log_dir)
+    if pointers is None or path not in pointers:
+        raise FileNotFoundError(f"no txn pointer for {path} in {log_dir}")
+    return read_snapshot(spark, path, pointers[path])
+
+
 def wap_commit(
     spark: SparkSession,
     path: str,

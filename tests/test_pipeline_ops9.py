@@ -612,3 +612,50 @@ def test_scd2_temporal_join_brute_force(spark, sf_dir):
         s: (len(g), int(g["cents"].sum())) for s, g in j.groupby("seg")
     }
     assert got == want
+
+
+def test_txn_log_atomicity_on_disk(spark, sf_dir, tmp_path):
+    """Disk-level txn invariants: a half-committed transaction leaves
+    the log bytes untouched; txn_read never sees the torn snapshot;
+    the retry's pointer update is a single atomic replace."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from etl_extractor_spark.sinks import manifest as MF
+
+    t1, t2, log = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "log")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+    MF.write_with_manifest(spark, o.limit(0), t1, stats_cols=["o_orderkey"])
+    MF.write_with_manifest(spark, o.limit(0), t2, stats_cols=["o_orderkey"])
+    MF.txn_commit(spark, log, {t1: o, t2: o.limit(100)})
+    log_bytes = open(os.path.join(log, MF.TXN_LOG)).read()
+    # torn epoch-2: only t1 commits
+    MF.replace_table_cow(spark, t1, o.filter(F.col("o_orderkey") % 2 == 0))
+    assert open(os.path.join(log, MF.TXN_LOG)).read() == log_bytes
+    assert MF.txn_read(spark, log, t1).count() == o.count()  # epoch 1
+    n_half = o.filter(F.col("o_orderkey") % 2 == 0).count()
+    assert MF.read_table(spark, t1).count() == n_half  # naive sees torn
+    MF.txn_commit(
+        spark, log,
+        {t1: o.filter(F.col("o_orderkey") % 2 == 0), t2: o.limit(100)},
+    )
+    assert MF.txn_read(spark, log, t1).count() == n_half
+    assert MF.txn_read(spark, log, t2).count() == 100
+
+
+def test_backfill_handoff_seam_discipline(spark, sf_dir):
+    """The seam property directly: splitting at the cutoff with
+    (<, >=) covers every event exactly once — re-derived in pandas
+    against the query's own cutoff rule."""
+    import pandas as pd
+
+    from etl_extractor_spark.plans.pipeline_ops9 import backfill_stream_handoff
+
+    got = {
+        r["day"]: r["n_events"]
+        for r in backfill_stream_handoff(spark, sf_dir).collect()
+    }
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    want = e.groupby(e["ts"].astype(str).str[:10]).size()
+    assert got == {str(k): int(v) for k, v in want.items()}
