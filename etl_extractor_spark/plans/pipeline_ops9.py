@@ -1434,7 +1434,7 @@ ORACLES["metadata_ndv_estimate"] = f"""
     WITH h AS (
       SELECT DISTINCT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))
              AS BIGINT) AS h
-      FROM orders
+      FROM orders WHERE o_custkey IS NOT NULL
     ), kmin AS (
       SELECT h FROM h ORDER BY h LIMIT {NDV_K}
     )
@@ -1740,7 +1740,7 @@ def schema_compat_classify(old, new) -> list[tuple]:
     Pure metadata logic (reuses the widening lattice of
     ``pipeline_ops7``) — runs on the driver at contract-check time,
     never touches data."""
-    from etl_extractor_spark.plans.pipeline_ops7 import _WIDEN_RANK
+    from etl_extractor_spark.plans.pipeline_ops7 import _widened_type
 
     old_f = {f.name: f for f in old.fields}
     new_f = {f.name: f for f in new.fields}
@@ -1757,16 +1757,27 @@ def schema_compat_classify(old, new) -> list[tuple]:
             continue
         a, b = old_f[name].dataType.typeName(), new_f[name].dataType.typeName()
         if a == b:
-            out.append((name, "unchanged", "ok"))
-        elif (
-            a in _WIDEN_RANK
-            and b in _WIDEN_RANK
-            and (a in ("integer", "long")) == (b in ("integer", "long"))
-            and _WIDEN_RANK[b] > _WIDEN_RANK[a]
-        ):
+            # nullability TIGHTENING on an existing field is breaking
+            # for the same reason added_required is: old rows holding
+            # nulls cannot satisfy it (review catch — this was
+            # classified 'unchanged'/'ok')
+            if old_f[name].nullable and not new_f[name].nullable:
+                out.append((name, "required_tightened", "breaking"))
+            else:
+                out.append((name, "unchanged", "ok"))
+            continue
+        # ONE widening lattice for the whole repo (review catch: an
+        # inline re-encoding of the family rule drifts from ops7's):
+        # widened iff the lattice join is the NEW type.
+        try:
+            widened_to = _widened_type(a, b)
+        except ValueError:
+            out.append((name, "retyped", "breaking"))
+            continue
+        if widened_to == b:
             out.append((name, "widened", "ok"))
         else:
-            out.append((name, "retyped", "breaking"))
+            out.append((name, "retyped", "breaking"))  # narrowing
     return out
 
 
@@ -1797,7 +1808,7 @@ def schema_compat_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("o_orderkey", T.LongType(), True),  # widened
             T.StructField("o_custkey", T.LongType(), True),  # unchanged
             T.StructField("o_totalprice", T.StringType(), True),  # retyped
-            T.StructField("o_orderdate", T.DateType(), True),  # unchanged
+            T.StructField("o_orderdate", T.DateType(), False),  # tightened
             # o_orderstatus dropped
             T.StructField("o_channel", T.StringType(), True),  # + nullable
             T.StructField("o_tenant", T.StringType(), False),  # + required
@@ -1817,7 +1828,7 @@ ORACLES["schema_compat_audit"] = """
     SELECT * FROM (VALUES
       ('o_channel', 'added_nullable', 'ok'),
       ('o_custkey', 'unchanged', 'ok'),
-      ('o_orderdate', 'unchanged', 'ok'),
+      ('o_orderdate', 'required_tightened', 'breaking'),
       ('o_orderkey', 'widened', 'ok'),
       ('o_orderstatus', 'dropped', 'breaking'),
       ('o_tenant', 'added_required', 'breaking'),
@@ -1832,12 +1843,12 @@ ORACLES["schema_compat_audit"] = """
 
 def write_target_file_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WRITE-side small-files prevention — the sibling of compaction
-    (which REPAIRS a bad layout after the fact): size the output file
-    count from the data's actual bytes (one cheap sample write is
-    avoided — Spark's own scan statistics size the input) and write
-    exactly that many files, each near the target. In-query asserts
-    pin the layout contract: file count == the computed plan, no file
-    beyond 2× target, no file under half target except the tail. The
+    (which REPAIRS a bad layout after the fact): measure bytes/row
+    with one bounded key-spread sample write of the PROJECTED data,
+    plan the output file count from it, and write exactly that many
+    files, each near the target. In-query asserts pin the layout
+    contract: file count == the computed plan and no file beyond
+    2× target. The
     oracle certifies the values survived the re-layout (read-back
     rollup == source rollup).
 
@@ -1864,13 +1875,22 @@ def write_target_file_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_rows = o.count()
     probe = pid_scratch_dir("spark_graft_tfs_probe_")
     shutil.rmtree(probe, ignore_errors=True)
-    o.limit(min(sample_n, total_rows)).coalesce(1).write.parquet(probe)
+    # spread the sample across the WHOLE table by key modulo — a
+    # limit() sample reads only the first partitions, and a
+    # better-compressing prefix (sorted/clustered head) would
+    # under-size bpr and blow the 2× bound (review catch)
+    step = max(1, total_rows // sample_n)
+    sample = o.filter(F.col("o_orderkey") % step == 0)
+    n_sampled = sample.count()
+    if n_sampled == 0:  # degenerate tiny input: take it all
+        sample, n_sampled = o, total_rows
+    sample.coalesce(1).write.parquet(probe)
     sample_bytes = sum(
         os.path.getsize(os.path.join(probe, f))
         for f in os.listdir(probe)
         if f.endswith(".parquet")
     )
-    bpr = sample_bytes / max(1, min(sample_n, total_rows))
+    bpr = sample_bytes / max(1, n_sampled)
     n_files = max(1, int(round(total_rows * bpr / target)))
     path = pid_scratch_dir("spark_graft_tfs_")
     shutil.rmtree(path, ignore_errors=True)
@@ -2089,6 +2109,7 @@ def backfill_stream_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src + "/ev-*.parquet")
         .writeStream.foreachBatch(write_batch)
         .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
         .start()
     )
     q.awaitTermination()

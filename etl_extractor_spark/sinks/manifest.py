@@ -623,12 +623,20 @@ def write_equality_deletes(
     )
     snapshots = list(m.get("snapshots", []))
     last = snapshots[-1]
+    # The new snapshot's pending-delete set extends the CURRENT
+    # snapshot's, never the cumulative registry (review catch): after
+    # a copy-on-write replace/compaction the current snapshot carries
+    # no delete refs — its data may legitimately REINTRODUCE
+    # previously-deleted keys — and rebuilding from the registry
+    # re-applied the absorbed deletes to the restated rows (row loss).
+    # The registry stays cumulative as the name→metadata catalog for
+    # older snapshots' time travel.
     snapshots.append(
         {
             "id": last["id"] + 1,
             "files": list(last["files"]),
             "total_rows": last["total_rows"],
-            "delete_files": [d["name"] for d in dels],
+            "delete_files": list(last.get("delete_files", [])) + [name],
         }
     )
     m["delete_files"] = dels
@@ -662,12 +670,14 @@ def write_positional_deletes(
     dels.append({"name": name, "rows": n_rows, "kind": "positional"})
     snapshots = list(m.get("snapshots", []))
     last = snapshots[-1]
+    # extend the CURRENT snapshot's pending set, never the registry —
+    # see write_equality_deletes (the same restatement row-loss class)
     snapshots.append(
         {
             "id": last["id"] + 1,
             "files": list(last["files"]),
             "total_rows": last["total_rows"],
-            "delete_files": [d["name"] for d in dels],
+            "delete_files": list(last.get("delete_files", [])) + [name],
         }
     )
     m["delete_files"] = dels
@@ -885,6 +895,22 @@ def replace_table_cow(
     m2["n_files"] = len(entries)
     m2["total_rows"] = sum(e["rows"] for e in entries)
     m2["snapshots"] = snapshots
+    # The restated view carries NO delete refs — prune the top-level
+    # delete registry to entries surviving snapshots still reference,
+    # exactly like compact_copy_on_write (review catch: keeping the
+    # stale registry let a LATER delete commit re-apply pre-replace
+    # keys to the restated data — silent row loss on the documented
+    # merge/restatement path).
+    still_referenced = {
+        n for s in snapshots for n in s.get("delete_files", [])
+    }
+    live_dels = [
+        d for d in m.get("delete_files", []) if d["name"] in still_referenced
+    ]
+    if live_dels:
+        m2["delete_files"] = live_dels
+    else:
+        m2.pop("delete_files", None)
     _write_manifest(path, m2)
     return m2
 

@@ -39,13 +39,32 @@ def attach_ndv(spark: SparkSession, path: str, col: str) -> dict[str, Any]:
     distributed pass: distinct (file, hash) pairs, k smallest per
     file via a window; collected rows are at most |files| × K longs."""
     from etl_extractor_spark.sinks.bloom import _rel_key
+    from etl_extractor_spark.sinks.manifest import read_manifest
 
-    base = spark.read.parquet(path).select(
+    # Manifest-tracked tables sketch the CURRENT file list, not the
+    # directory: after a copy-on-write replace/compaction the dir also
+    # holds superseded snapshots' files kept for time travel, and a
+    # directory sketch would count their dead rows (review catch —
+    # same rule as manifest.read_table).
+    m = read_manifest(path)
+    if m is not None and m.get("files"):
+        import os as _os
+
+        reader = spark.read.parquet(
+            *[_os.path.join(path, e["file"]) for e in m["files"]]
+        )
+    else:
+        reader = spark.read.parquet(path)
+    base = reader.select(
         F.col("_metadata.file_path").alias("f"),
         F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 12), 16, 10)
         .cast("long")
         .alias("h"),
-    )
+    ).filter(F.col("h").isNotNull())
+    # NULLs are excluded from NDV (the COUNT DISTINCT convention) —
+    # unfiltered, the NULL hash sorts first through row_number and
+    # silently burns a k-min slot in every null-bearing file (review
+    # catch).
     w = Window.partitionBy("f").orderBy("h")
     kmins = (
         base.distinct()

@@ -659,3 +659,68 @@ def test_backfill_handoff_seam_discipline(spark, sf_dir):
     e = pd.read_parquet(f"{sf_dir}/events.parquet")
     want = e.groupby(e["ts"].astype(str).str[:10]).size()
     assert got == {str(k): int(v) for k, v in want.items()}
+
+
+def test_replace_cow_prunes_delete_registry(spark, sf_dir, tmp_path):
+    """Review-catch regression: after replace_table_cow, a LATER
+    delete commit must not re-apply PRE-replace delete keys to the
+    restated data (the stale-registry row-loss path)."""
+    import pyspark.sql.functions as F
+
+    from etl_extractor_spark.sinks import manifest as MF
+
+    path = str(tmp_path / "t")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+    MF.write_with_manifest(spark, o, path, stats_cols=["o_orderkey"])
+    # delete key X (every %3 key), then RESTATE the table with X back
+    MF.write_equality_deletes(
+        spark, path, o.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
+    )
+    MF.replace_table_cow(spark, path, o)  # restatement reintroduces X
+    # later, delete key Y only
+    MF.write_equality_deletes(
+        spark, path, o.filter(F.col("o_orderkey") % 5 == 1).select("o_orderkey")
+    )
+    got = MF.read_merge_on_read(spark, path).count()
+    want = o.filter(F.col("o_orderkey") % 5 != 1).count()
+    assert got == want  # %3 keys survive: old delete not re-applied
+
+
+def test_ndv_nulls_excluded(spark, tmp_path):
+    """NULLs must not burn k-min slots: a null-bearing column's
+    estimate equals the null-free twin's."""
+    from etl_extractor_spark.sinks import ndv as NDV
+
+    vals = [(i if i % 3 else None,) for i in range(1000)]
+    p1, p2 = str(tmp_path / "with_nulls"), str(tmp_path / "no_nulls")
+    spark.createDataFrame(vals, "k long").repartition(4).write.parquet(p1)
+    spark.createDataFrame(
+        [v for v in vals if v[0] is not None], "k long"
+    ).repartition(4).write.parquet(p2)
+    NDV.attach_ndv(spark, p1, "k")
+    NDV.attach_ndv(spark, p2, "k")
+    assert NDV.estimate_ndv(p1, "k") == NDV.estimate_ndv(p2, "k")
+
+
+def test_ndv_respects_manifest_current_view(spark, sf_dir, tmp_path):
+    """On a manifest-tracked table after a COW replace, attach_ndv
+    must sketch the CURRENT file list — a directory sketch would
+    count superseded snapshots' dead rows."""
+    import pyspark.sql.functions as F
+
+    from etl_extractor_spark.sinks import manifest as MF
+    from etl_extractor_spark.sinks import ndv as NDV
+
+    path = str(tmp_path / "t")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+    MF.write_with_manifest(spark, o, path, stats_cols=["o_orderkey"])
+    half = o.filter(F.col("o_orderkey") % 2 == 0)
+    MF.replace_table_cow(spark, path, half)  # old files stay on disk
+    NDV.attach_ndv(spark, path, "o_orderkey")
+    est = NDV.estimate_ndv(path, "o_orderkey")
+    true_half = half.distinct().count()
+    if est["k_eff"] < NDV.K:
+        assert est["est_ndv"] == true_half
+    else:
+        # a directory sketch would estimate ~2x; current-view is ±40%
+        assert abs(est["est_ndv"] - true_half) < 0.4 * true_half
