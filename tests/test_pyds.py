@@ -157,10 +157,24 @@ def test_pyds_stream_source_tails_directory_exactly_once(spark, tmp_path):
         q.processAllAvailable()
         got1 = {r.id for r in spark.sql("SELECT * FROM pyds_stream").collect()}
         assert got1 == {0, 1, 2, 10, 11, 12}
-        # late-arriving file: picked up by the next micro-batch, no replays
+        # late-arriving file: picked up by a following micro-batch, no
+        # replays. Bounded retry on VISIBILITY only (under heavy
+        # co-tenant load processAllAvailable can return between the
+        # file landing and the source's next directory poll — observed
+        # once in a full-suite run while three Spark gates shared the
+        # machine); the exactly-once assertion itself is unchanged and
+        # a duplicate would still fail immediately.
+        import time as _time
+
         _write(str(src), "f002.json", {"data": [{"id": 20, "name": "n20"}]})
-        q.processAllAvailable()
-        rows = spark.sql("SELECT id FROM pyds_stream").collect()
+        deadline = _time.time() + 60
+        rows = []
+        while _time.time() < deadline:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT id FROM pyds_stream").collect()
+            if len(rows) >= 7:
+                break
+            _time.sleep(0.5)
         assert sorted(r.id for r in rows) == [0, 1, 2, 10, 11, 12, 20]
     finally:
         q.stop()
