@@ -318,6 +318,12 @@ BENCH_QUERIES = [
     # reads through a torn commit) and the kappa backfill handoff
     "txn_consistent_read",
     "backfill_stream_handoff",
+    # round-10 wave 10: k-sample / two-sample inference (one-row
+    # conditional-aggregate folds; KW rides the MWU rank machinery)
+    "anova_f_oneway",
+    "kruskal_wallis_quantity",
+    "brown_forsythe_priority",
+    "welch_t_years",
 ]
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,557 @@
+"""Round-10 continuation wave: the classical k-sample / two-sample
+inference tests the stats suite still lacked — one-way ANOVA F,
+Kruskal-Wallis H (tie-corrected), Brown-Forsythe robust variance
+equality, and Welch's unequal-variance t with Welch-Satterthwaite
+degrees of freedom. Every one is a ONE- or TWO-PASS map-combinable
+aggregate: per-group state is (n, sum, sum-of-squares) or a
+value-domain rank walk, never a per-row buffer, so the shuffle is
+group-count-sized (k = 5 priorities / 2 years) at any SF.
+
+Cross-engine determinism rule (this module's design constraint): the
+group count is tiny and FIXED, so every per-group statistic is folded
+into ONE row via conditional aggregates and the final statistic is a
+single scalar expression with a PINNED operand order, mirrored
+textually in the DuckDB oracle. Both engines then execute the same
+IEEE-754 double ops on the same exact integer inputs (sums are kept
+in DECIMAL(38,0) until the final cast), so the 1e-6-rounded outputs
+are bit-identical by construction — no cross-engine summation-order
+variance is possible for the 5-term folds, unlike a SUM over a
+5-row group whose accumulation order the engine picks.
+
+Rank machinery (Kruskal-Wallis): ranks are computed on the DISTINCT
+VALUE domain with the two-phase bucket-cumsum from mann_whitney_u
+(plans/pipeline_ops.py:1999) — within-bucket exclusive running sums
+plus broadcast per-bucket offsets — never a single-partition window
+over SF-scaled rows. Doubled-rank space (2·avg_rank(v) =
+2·cum_less(v) + cnt(v) + 1) keeps tie midpoints exact integers.
+
+Reference provenance: the reference (nilfredb/ETL-Extractor,
+main.py:97-306) profiles and conforms these same order attributes but
+has no inference layer; these tests are the decision layer a
+warehouse-scale DQ/experimentation pipeline runs on top of the
+conformed facts.
+
+Registry placement: appended AFTER pipeline_ops9 in
+plans/registry._MODULES AND defer-tiered at pseudo-round-FOUR
+(``registry._DEFER_RANK`` rank 4, NOT the ops9 rank 3): the r11
+window is booked (14 remaining ops8 + 36 oldest-r3 stale) and r12 is
+booked with the 22 ops9 first-times + remaining r3 + oldest-r4 stale.
+Rank-4 names tie with the real r4-era tier and sort BEHIND all of it
+(stable module order), so nothing here displaces a scheduled check
+from either committed window; these names enter rotation at r13+.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_extractor_spark.sources.parquet import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _r6(col):
+    """Round-half-up at 1e-6 — the module-wide reporting convention
+    (same as mann_whitney_u's z), mirrored as floor(x*1e6 + 0.5)/1e6
+    in every oracle."""
+    return F.floor(col * 1000000 + F.lit(0.5)) / 1000000
+
+
+def _cents(col: str):
+    return (F.col(col).cast("decimal(18,2)") * 100).cast("long")
+
+
+def _grp(col: str = "o_orderpriority"):
+    """Priority group 1..5 from the leading digit."""
+    return F.substring(F.col(col), 1, 1).cast("int")
+
+
+# --- 1. One-way ANOVA F across order priorities ------------------------------
+
+
+def anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic for order value (cents) across the 5
+    order priorities. SINGLE PASS: the whole test reduces to 15 exact
+    integers — (n_g, Σx_g, Σx²_g) per group — folded into one row via
+    conditional aggregates (map-side combinable; the shuffle carries
+    one partial row per task). SSB = Σ s_g²/n_g − S²/N and
+    SSW = Σq_g − Σ s_g²/n_g are then evaluated as one pinned-order
+    double expression, so DuckDB reproduces the float bit-for-bit.
+
+    100 TB: state is 15 numbers regardless of SF; no value buffer, no
+    sort, no window. The exact-integer accumulation (DECIMAL(38,0) /
+    HUGEINT) means no precision drift however many rows are summed.
+
+    One row: n_total, df1, df2, f_stat (1e-6)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        _cents("o_totalprice").alias("x"), _grp().alias("g")
+    )
+
+    def _n(k):
+        return F.sum(F.when(F.col("g") == k, 1).otherwise(0)).cast("long")
+
+    def _s(k):
+        return F.sum(
+            F.when(F.col("g") == k, F.col("x")).otherwise(0).cast("decimal(38,0)")
+        )
+
+    def _q(k):
+        return F.sum(
+            F.when(F.col("g") == k, F.col("x") * F.col("x"))
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        )
+
+    agg = o.agg(
+        *[_n(k).alias(f"n{k}") for k in range(1, 6)],
+        *[_s(k).alias(f"s{k}") for k in range(1, 6)],
+        *[_q(k).alias(f"q{k}") for k in range(1, 6)],
+    )
+
+    def d(name):
+        return F.col(name).cast("double")
+
+    # pinned operand order: group 1..5 left to right, mirrored in SQL
+    between = None
+    total_s = None
+    total_q = None
+    total_n = None
+    for k in range(1, 6):
+        term = d(f"s{k}") * d(f"s{k}") / d(f"n{k}")
+        between = term if between is None else between + term
+        total_s = d(f"s{k}") if total_s is None else total_s + d(f"s{k}")
+        total_q = d(f"q{k}") if total_q is None else total_q + d(f"q{k}")
+        total_n = d(f"n{k}") if total_n is None else total_n + d(f"n{k}")
+    ssb = between - total_s * total_s / total_n
+    ssw = total_q - between
+    f_stat = (ssb / F.lit(4.0)) / (ssw / (total_n - F.lit(5.0)))
+    return agg.select(
+        total_n.cast("long").alias("n_total"),
+        F.lit(4).cast("long").alias("df1"),
+        (total_n - F.lit(5.0)).cast("long").alias("df2"),
+        _r6(f_stat).alias("f_stat"),
+    )
+
+
+QUERIES["anova_f_oneway"] = anova_f_oneway
+_ANOVA_CASES = ", ".join(
+    f"CAST(sum(CASE WHEN g = {k} THEN 1 ELSE 0 END) AS BIGINT) AS n{k}, "
+    f"sum(CASE WHEN g = {k} THEN x ELSE 0 END) AS s{k}, "
+    f"sum(CASE WHEN g = {k} THEN x * x ELSE 0 END) AS q{k}"
+    for k in range(1, 6)
+)
+_ANOVA_BETWEEN = " + ".join(
+    f"CAST(s{k} AS DOUBLE) * CAST(s{k} AS DOUBLE) / CAST(n{k} AS DOUBLE)"
+    for k in range(1, 6)
+)
+_ANOVA_S = " + ".join(f"CAST(s{k} AS DOUBLE)" for k in range(1, 6))
+_ANOVA_Q = " + ".join(f"CAST(q{k} AS DOUBLE)" for k in range(1, 6))
+_ANOVA_N = " + ".join(f"CAST(n{k} AS DOUBLE)" for k in range(1, 6))
+ORACLES["anova_f_oneway"] = f"""
+WITH x AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+         CAST(substr(o_orderpriority, 1, 1) AS INT) AS g
+  FROM orders
+), a AS (
+  SELECT {_ANOVA_CASES} FROM x
+), e AS (
+  SELECT ({_ANOVA_N}) AS tn, ({_ANOVA_BETWEEN}) AS bt,
+         ({_ANOVA_S}) AS ts, ({_ANOVA_Q}) AS tq
+  FROM a
+)
+SELECT CAST(tn AS BIGINT) AS n_total,
+       CAST(4 AS BIGINT) AS df1,
+       CAST(tn - 5.0 AS BIGINT) AS df2,
+       floor(((bt - ts * ts / tn) / 4.0) / ((tq - bt) / (tn - 5.0)) * 1000000
+             + 0.5) / 1000000 AS f_stat
+FROM e
+"""
+
+
+# --- 2. Kruskal-Wallis H across order priorities ------------------------------
+
+
+def kruskal_wallis_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank test of line-item QUANTITY across the 3
+    return flags (A/N/R) — the k-sample generalization of
+    mann_whitney_u, sharing its EXACT-rank machinery: per distinct
+    value v the doubled average rank is 2·cum_less(v) + cnt(v) + 1 (an
+    exact integer even on tie midpoints), and the per-group doubled
+    rank sums R2_g accumulate n_g(v)·that in DECIMAL(38,0). Quantity
+    is an INTEGER 1..50, so the data is tie-DOMINATED at every SF and
+    the Σ(c³−c) tie correction is structurally load-bearing (an
+    untied variable would make H_tied == H and let a broken correction
+    certify itself — the reason this query is not on order value).
+    The cumulative walk runs over the DISTINCT-value relation with the
+    two-phase bucket-cumsum (v-div-10 buckets, broadcast offsets) —
+    the plan shape that stays shuffle-safe when the value domain is
+    NOT bounded, kept here for idiom parity with mann_whitney_u.
+
+    H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1), corrected H_tied = H / (1 −
+    Σ(c³−c)/(N³−N)), both evaluated as pinned-order double
+    expressions over the folded one-row state so the oracle reproduces
+    the floats bit-for-bit.
+
+    100 TB: the only SF-scaled work is the (v)-grouped count — a
+    50-group map-combinable histogram; rank state is ≤50 rows, final
+    state 8 numbers. SF-proportional rows collapse to a fixed-size
+    relation in one combine pass.
+
+    One row: n_total, df, h_stat, h_tied (1e-6)."""
+    o = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("v"),
+        F.when(F.col("l_returnflag") == "A", 1)
+        .when(F.col("l_returnflag") == "N", 2)
+        .otherwise(3)
+        .alias("g"),
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("c")]
+    for k in range(1, 4):
+        aggs.append(
+            F.sum(F.when(F.col("g") == k, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c{k}")
+        )
+    per_v = o.groupBy("v").agg(*aggs).withColumn("b", F.expr("v div 10"))
+    wv = (
+        Window.partitionBy("b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sizes = per_v.groupBy("b").agg(F.sum("c").alias("cb"))
+    wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "b", F.coalesce(F.sum("cb").over(wo), F.lit(0)).alias("off")
+    )
+    cum = (
+        per_v.withColumn("cin", F.coalesce(F.sum("c").over(wv), F.lit(0)))
+        .join(F.broadcast(offsets), "b")
+        .withColumn("r2", 2 * (F.col("cin") + F.col("off")) + F.col("c") + 1)
+    )
+    agg = cum.agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.sum(
+            (F.col("c") * F.col("c") * F.col("c") - F.col("c")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("tie"),
+        *[
+            F.sum((F.col(f"c{k}") * F.col("r2")).cast("decimal(38,0)")).alias(
+                f"r{k}"
+            )
+            for k in range(1, 4)
+        ],
+        *[F.sum(f"c{k}").cast("long").alias(f"n{k}") for k in range(1, 4)],
+    )
+
+    def d(name):
+        return F.col(name).cast("double")
+
+    # pinned order: groups 1..3 left to right (mirrored in SQL)
+    sumterm = None
+    for k in range(1, 4):
+        rk = d(f"r{k}") / F.lit(2.0)
+        term = rk * rk / d(f"n{k}")
+        sumterm = term if sumterm is None else sumterm + term
+    n = d("n_total")
+    h = F.lit(12.0) / (n * (n + F.lit(1.0))) * sumterm - F.lit(3.0) * (
+        n + F.lit(1.0)
+    )
+    corr = F.lit(1.0) - d("tie") / (n * n * n - n)
+    return agg.select(
+        F.col("n_total"),
+        F.lit(2).cast("long").alias("df"),
+        _r6(h).alias("h_stat"),
+        _r6(h / corr).alias("h_tied"),
+    )
+
+
+QUERIES["kruskal_wallis_quantity"] = kruskal_wallis_quantity
+_KW_CASES = ", ".join(
+    f"CAST(sum(CASE WHEN g = {k} THEN 1 ELSE 0 END) AS BIGINT) AS c{k}"
+    for k in range(1, 4)
+)
+_KW_RANKSUMS = ", ".join(f"sum(c{k} * r2) AS r{k}" for k in range(1, 4))
+_KW_NS = ", ".join(
+    f"CAST(sum(c{k}) AS BIGINT) AS n{k}" for k in range(1, 4)
+)
+_KW_SUMTERM = " + ".join(
+    f"(CAST(r{k} AS DOUBLE) / 2.0) * (CAST(r{k} AS DOUBLE) / 2.0)"
+    f" / CAST(n{k} AS DOUBLE)"
+    for k in range(1, 4)
+)
+ORACLES["kruskal_wallis_quantity"] = f"""
+WITH x AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v,
+         CASE WHEN l_returnflag = 'A' THEN 1
+              WHEN l_returnflag = 'N' THEN 2 ELSE 3 END AS g
+  FROM lineitem
+), per_v AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS c, {_KW_CASES}
+  FROM x GROUP BY 1
+), cum AS (
+  SELECT *, 2 * CAST(coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            + c + 1 AS r2
+  FROM per_v
+), a AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_total,
+         sum(c * c * c - c) AS tie,
+         {_KW_RANKSUMS}, {_KW_NS}
+  FROM cum
+), e AS (
+  SELECT n_total,
+         12.0 / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0))
+           * ({_KW_SUMTERM})
+           - 3.0 * (CAST(n_total AS DOUBLE) + 1.0) AS h,
+         1.0 - CAST(tie AS DOUBLE)
+             / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)) AS corr
+  FROM a
+)
+SELECT n_total, CAST(2 AS BIGINT) AS df,
+       floor(h * 1000000 + 0.5) / 1000000 AS h_stat,
+       floor(h / corr * 1000000 + 0.5) / 1000000 AS h_tied
+FROM e
+"""
+
+
+# --- 3. Brown-Forsythe robust variance-equality test --------------------------
+
+
+def brown_forsythe_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (Levene with group MEDIANS) for equality of
+    order-value spread across the 5 priorities: z = |x − med_g|, then
+    the one-way ANOVA F on z. TWO PASSES: (1) exact lower median per
+    group via the value-domain cumulative rank (the
+    skewed_exact_median_value plan, pipeline_ops6.py:134 — the
+    per-group window runs over DISTINCT-value rows, ≤ |cents domain|,
+    never over SF-scaled rows), medians broadcast back (5 rows);
+    (2) the same 15-integer conditional-aggregate fold as
+    anova_f_oneway on the exact-integer deviations. Median convention:
+    lower median = DuckDB quantile_disc(·, 0.5) (pinned by the
+    rolling-median work).
+
+    100 TB: pass 1's shuffle is the (g, v)-grouped count (distinct-
+    value-scaled); pass 2's state is 15 numbers. No per-row buffers.
+
+    One row: n_total, df1, df2, f_bf (1e-6)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        _cents("o_totalprice").alias("x"), _grp().alias("g")
+    )
+    vc = o.groupBy("g", "x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_cum = Window.partitionBy("g").orderBy("x")
+    w_tot = Window.partitionBy("g")
+    ranked = vc.select(
+        "g",
+        "x",
+        F.sum("c").over(w_cum).cast("long").alias("cum"),
+        F.sum("c").over(w_tot).cast("long").alias("tot"),
+    )
+    med = (
+        ranked.filter(F.col("cum") >= F.expr("(tot - 1) div 2 + 1"))
+        .groupBy("g")
+        .agg(F.min("x").cast("long").alias("med"))
+    )
+    z = o.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("x") - F.col("med")).alias("z")
+    )
+
+    def _n(k):
+        return F.sum(F.when(F.col("g") == k, 1).otherwise(0)).cast("long")
+
+    def _s(k):
+        return F.sum(
+            F.when(F.col("g") == k, F.col("z")).otherwise(0).cast("decimal(38,0)")
+        )
+
+    def _q(k):
+        return F.sum(
+            F.when(F.col("g") == k, F.col("z") * F.col("z"))
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        )
+
+    agg = z.agg(
+        *[_n(k).alias(f"n{k}") for k in range(1, 6)],
+        *[_s(k).alias(f"s{k}") for k in range(1, 6)],
+        *[_q(k).alias(f"q{k}") for k in range(1, 6)],
+    )
+
+    def d(name):
+        return F.col(name).cast("double")
+
+    between = None
+    total_s = None
+    total_q = None
+    total_n = None
+    for k in range(1, 6):
+        term = d(f"s{k}") * d(f"s{k}") / d(f"n{k}")
+        between = term if between is None else between + term
+        total_s = d(f"s{k}") if total_s is None else total_s + d(f"s{k}")
+        total_q = d(f"q{k}") if total_q is None else total_q + d(f"q{k}")
+        total_n = d(f"n{k}") if total_n is None else total_n + d(f"n{k}")
+    ssb = between - total_s * total_s / total_n
+    ssw = total_q - between
+    f_bf = (ssb / F.lit(4.0)) / (ssw / (total_n - F.lit(5.0)))
+    return agg.select(
+        total_n.cast("long").alias("n_total"),
+        F.lit(4).cast("long").alias("df1"),
+        (total_n - F.lit(5.0)).cast("long").alias("df2"),
+        _r6(f_bf).alias("f_bf"),
+    )
+
+
+QUERIES["brown_forsythe_priority"] = brown_forsythe_priority
+ORACLES["brown_forsythe_priority"] = f"""
+WITH x AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+         CAST(substr(o_orderpriority, 1, 1) AS INT) AS g
+  FROM orders
+), med AS (
+  SELECT g, CAST(quantile_disc(x, 0.5) AS BIGINT) AS med FROM x GROUP BY 1
+), z AS (
+  SELECT x.g AS g, abs(x.x - med.med) AS x FROM x JOIN med USING (g)
+), a AS (
+  SELECT {_ANOVA_CASES} FROM z
+), e AS (
+  SELECT ({_ANOVA_N}) AS tn, ({_ANOVA_BETWEEN}) AS bt,
+         ({_ANOVA_S}) AS ts, ({_ANOVA_Q}) AS tq
+  FROM a
+)
+SELECT CAST(tn AS BIGINT) AS n_total,
+       CAST(4 AS BIGINT) AS df1,
+       CAST(tn - 5.0 AS BIGINT) AS df2,
+       floor(((bt - ts * ts / tn) / 4.0) / ((tq - bt) / (tn - 5.0)) * 1000000
+             + 0.5) / 1000000 AS f_bf
+FROM e
+"""
+
+
+# --- 4. Welch's t with Welch-Satterthwaite df ---------------------------------
+
+
+def welch_t_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of order value between 1995 and
+    1996 orders, with the Welch-Satterthwaite effective degrees of
+    freedom — the correct two-sample test when variances differ (the
+    pooled-variance t the ab_test_zscore family approximates assumes
+    homoscedasticity). SINGLE PASS over the two-year slice: the whole
+    test is 6 exact integers (n, Σx, Σx² per year) folded into one row;
+    sample variances, t, and df are one pinned-order double expression.
+
+    100 TB: filter pushes to the scan (year bounds → o_orderdate range
+    predicate territory); state is 6 numbers at any SF.
+
+    One row: n_a, n_b, mean_diff_cents, t_stat, df_welch (1e-6)."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate").isin(1995, 1996))
+        .select(
+            _cents("o_totalprice").alias("x"),
+            F.year("o_orderdate").alias("y"),
+        )
+    )
+    agg = o.agg(
+        F.sum(F.when(F.col("y") == 1995, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(
+            F.when(F.col("y") == 1995, F.col("x")).otherwise(0).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sa"),
+        F.sum(
+            F.when(F.col("y") == 1995, F.col("x") * F.col("x"))
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        ).alias("qa"),
+        F.sum(F.when(F.col("y") == 1996, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+        F.sum(
+            F.when(F.col("y") == 1996, F.col("x")).otherwise(0).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sb"),
+        F.sum(
+            F.when(F.col("y") == 1996, F.col("x") * F.col("x"))
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        ).alias("qb"),
+    )
+
+    def d(name):
+        return F.col(name).cast("double")
+
+    na, nb = d("na"), d("nb")
+    ma = d("sa") / na
+    mb = d("sb") / nb
+    va = (d("qa") - d("sa") * d("sa") / na) / (na - F.lit(1.0))
+    vb = (d("qb") - d("sb") * d("sb") / nb) / (nb - F.lit(1.0))
+    ua = va / na
+    ub = vb / nb
+    t = (ma - mb) / F.sqrt(ua + ub)
+    df = ((ua + ub) * (ua + ub)) / (
+        ua * ua / (na - F.lit(1.0)) + ub * ub / (nb - F.lit(1.0))
+    )
+    return agg.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        _r6(ma - mb).alias("mean_diff_cents"),
+        _r6(t).alias("t_stat"),
+        _r6(df).alias("df_welch"),
+    )
+
+
+QUERIES["welch_t_years"] = welch_t_years
+ORACLES["welch_t_years"] = """
+WITH x AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+         year(o_orderdate) AS y
+  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+), a AS (
+  SELECT CAST(sum(CASE WHEN y = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         sum(CASE WHEN y = 1995 THEN x ELSE 0 END) AS sa,
+         sum(CASE WHEN y = 1995 THEN x * x ELSE 0 END) AS qa,
+         CAST(sum(CASE WHEN y = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         sum(CASE WHEN y = 1996 THEN x ELSE 0 END) AS sb,
+         sum(CASE WHEN y = 1996 THEN x * x ELSE 0 END) AS qb
+  FROM x
+), e AS (
+  SELECT na, nb,
+         CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+         CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+         ((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+           / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0))
+           / CAST(na AS DOUBLE) AS ua,
+         ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+           / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0))
+           / CAST(nb AS DOUBLE) AS ub
+  FROM a
+)
+SELECT na AS n_a, nb AS n_b,
+       floor((ma - mb) * 1000000 + 0.5) / 1000000 AS mean_diff_cents,
+       floor((ma - mb) / sqrt(ua + ub) * 1000000 + 0.5) / 1000000 AS t_stat,
+       floor(((ua + ub) * (ua + ub))
+             / (ua * ua / (CAST(na AS DOUBLE) - 1.0)
+                + ub * ub / (CAST(nb AS DOUBLE) - 1.0)) * 1000000
+             + 0.5) / 1000000 AS df_welch
+FROM e
+"""
+
+
+def _register_defer() -> None:
+    """Foot-of-module hook: rank this module's names as pseudo-round-4
+    stale (see module docstring — rank 3 would enter the booked r12
+    window ahead of the oldest-r4 stale re-checks). Must run AFTER
+    every QUERIES[...] binding."""
+    from etl_extractor_spark.plans import registry as _registry
+
+    _registry._DEFER_RANK.update({k: 4 for k in QUERIES})
+
+
+_register_defer()

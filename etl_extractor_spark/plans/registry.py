@@ -94,6 +94,12 @@ _MODULES = (
     # oldest-r3 stale; rank-3 names tie with the real r3 era and sort
     # behind all of it, entering the rotation from r12.
     "etl_extractor_spark.plans.pipeline_ops9",
+    # Round-10 continuation — appended last and defer-tiered at
+    # pseudo-round-FOUR (rank 4): r11 is booked (14 remaining ops8 +
+    # 36 oldest-r3 stale) and r12 with the 22 ops9 first-times +
+    # remaining r3 + oldest-r4 stale; rank-4 names tie with the real
+    # r4 era and sort behind all of it, entering rotation from r13.
+    "etl_extractor_spark.plans.pipeline_ops10",
 )
 
 

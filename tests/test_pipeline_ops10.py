@@ -1,0 +1,197 @@
+"""Guards for the round-10 continuation wave (plans/pipeline_ops10).
+
+Value correctness is covered by the parametrized oracle gate
+(test_queries_oracle); these tests pin what the oracle can't see:
+(1) the window protection the wave's rank-4 defer tier exists for —
+the booked r11 AND r12 compositions must be untouched; and (2)
+independent brute-force derivations of every statistic (pandas ranks
+/ numpy algebra, a different algorithm than the distributed
+value-domain plans), so a matched Spark/DuckDB convention bug cannot
+certify itself.
+"""
+
+from __future__ import annotations
+
+import importlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+_ORACLES: dict = {}
+
+
+def _registry_order(pinned: dict) -> list[str]:
+    import etl_extractor_spark.plans.registry as R
+
+    oracles: dict = {}
+    out: dict = {}
+    for m in R._MODULES:
+        mod = importlib.import_module(m)
+        out.update({k: None for k in getattr(mod, "QUERIES", {})})
+        oracles.update(getattr(mod, "ORACLES", {}))
+    _ORACLES.update(oracles)
+    orig = R._driver_checked
+    R._driver_checked = lambda: pinned
+    try:
+        return list(R._ordered(out, oracles))
+    finally:
+        R._driver_checked = orig
+
+
+def test_r11_r12_windows_protected_from_ops10():
+    """With CORRECTNESS pinned through r9 and the r10/r11 windows
+    simulated as drained, no ops10 name appears in either window, and
+    ops10 names sort behind every oracle-backed real-r4 name still in
+    rotation (the rank-4 tie resolves by stable module order)."""
+    from conftest import pinned_driver_checked
+
+    from etl_extractor_spark.plans import pipeline_ops9 as p9
+    from etl_extractor_spark.plans import pipeline_ops10 as p10
+
+    pinned = pinned_driver_checked(9)
+    r10 = _registry_order(pinned)[:50]
+    assert not (set(r10) & set(p10.QUERIES))
+    after_r10 = dict(pinned, **{n: 10 for n in r10})
+    r11 = _registry_order(after_r10)[:50]
+    assert not (set(r11) & set(p10.QUERIES))
+    after_r11 = dict(after_r10, **{n: 11 for n in r11})
+    order = _registry_order(after_r11)
+    pos = {n: i for i, n in enumerate(order)}
+    real_r4 = [
+        n
+        for n, rnd in after_r11.items()
+        if rnd == 4
+        and n in pos
+        and n not in p9.QUERIES
+        and n not in p10.QUERIES
+        and n in _ORACLES
+    ]
+    assert real_r4, "simulation left real r4-era names in rotation"
+    last_real_r4 = max(pos[n] for n in real_r4)
+    assert all(pos[n] > last_real_r4 for n in p10.QUERIES if n in pos)
+    # and behind the ops9 wave too (module order within rank ties)
+    assert all(
+        pos[a] < pos[b]
+        for a in p9.QUERIES
+        if a in pos
+        for b in p10.QUERIES
+        if b in pos
+    )
+
+
+def _orders_pdf(spark, sf_dir) -> pd.DataFrame:
+    from etl_extractor_spark.sources.parquet import load_table
+
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_totalprice", "o_orderpriority", "o_orderdate")
+        .toPandas()
+    )
+
+
+@pytest.fixture(scope="module")
+def orders_pdf(spark, sf_dir):
+    pdf = _orders_pdf(spark, sf_dir)
+    pdf["x"] = (
+        (pdf["o_totalprice"].round(2) * 100).round().astype("int64")
+    )
+    pdf["g"] = pdf["o_orderpriority"].str[0].astype(int)
+    return pdf
+
+
+def _anova_f(groups: list[np.ndarray]) -> float:
+    """Textbook ANOVA F from raw per-group arrays (float means and
+    squared deviations — a different derivation than the plan's
+    integer sum/sumsq algebra)."""
+    k = len(groups)
+    n = sum(len(g) for g in groups)
+    grand = np.concatenate(groups).mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    return (ssb / (k - 1)) / (ssw / (n - k))
+
+
+def test_anova_f_matches_brute_force(spark, sf_dir):
+    from etl_extractor_spark.plans.pipeline_ops10 import anova_f_oneway
+
+    row = anova_f_oneway(spark, sf_dir).collect()[0]
+    pdf = _orders_pdf(spark, sf_dir)
+    pdf["x"] = (pdf["o_totalprice"].round(2) * 100).round().astype("int64")
+    pdf["g"] = pdf["o_orderpriority"].str[0].astype(int)
+    groups = [
+        pdf.loc[pdf["g"] == k, "x"].to_numpy(dtype=float)
+        for k in range(1, 6)
+    ]
+    f = _anova_f(groups)
+    assert row["n_total"] == len(pdf)
+    assert row["df2"] == len(pdf) - 5
+    assert abs(row["f_stat"] - f) < 1e-6 * max(1.0, abs(f))
+
+
+def test_kruskal_wallis_matches_pandas_ranks(spark, sf_dir):
+    """H from pandas average ranks (rank(method='average') over the
+    raw rows — no value-domain walk, no doubled-rank space) must match
+    the distributed plan to float tolerance, tie correction included."""
+    from etl_extractor_spark.plans.pipeline_ops10 import (
+        kruskal_wallis_quantity,
+    )
+    from etl_extractor_spark.sources.parquet import load_table
+
+    row = kruskal_wallis_quantity(spark, sf_dir).collect()[0]
+    pdf = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_quantity", "l_returnflag")
+        .toPandas()
+    )
+    pdf["v"] = pdf["l_quantity"].astype("int64")
+    pdf["g"] = pdf["l_returnflag"].map({"A": 1, "N": 2}).fillna(3).astype(int)
+    r = pdf["v"].rank(method="average")
+    n = len(pdf)
+    sumterm = sum(
+        r[pdf["g"] == k].sum() ** 2 / (pdf["g"] == k).sum()
+        for k in range(1, 4)
+    )
+    h = 12.0 / (n * (n + 1)) * sumterm - 3 * (n + 1)
+    counts = pdf["v"].value_counts().to_numpy(dtype=float)
+    corr = 1.0 - (counts**3 - counts).sum() / (float(n) ** 3 - n)
+    assert row["n_total"] == n and row["df"] == 2
+    assert abs(row["h_stat"] - h) < 1e-5 * max(1.0, abs(h))
+    assert abs(row["h_tied"] - h / corr) < 1e-5 * max(1.0, abs(h / corr))
+    # non-vacuous tie correction: integer quantities tie at every SF
+    assert (counts > 1).any() and row["h_tied"] != row["h_stat"]
+
+
+def test_brown_forsythe_matches_brute_force(orders_pdf, spark, sf_dir):
+    from etl_extractor_spark.plans.pipeline_ops10 import (
+        brown_forsythe_priority,
+    )
+
+    row = brown_forsythe_priority(spark, sf_dir).collect()[0]
+    pdf = orders_pdf
+    zs = []
+    for k in range(1, 6):
+        x = pdf.loc[pdf["g"] == k, "x"].sort_values().to_numpy()
+        med = x[(len(x) - 1) // 2]  # lower median, the pinned convention
+        zs.append(np.abs(x - med).astype(float))
+    f = _anova_f(zs)
+    assert abs(row["f_bf"] - f) < 1e-6 * max(1.0, abs(f))
+
+
+def test_welch_t_matches_brute_force(orders_pdf, spark, sf_dir):
+    from etl_extractor_spark.plans.pipeline_ops10 import welch_t_years
+
+    row = welch_t_years(spark, sf_dir).collect()[0]
+    pdf = orders_pdf
+    yr = pd.to_datetime(pdf["o_orderdate"]).dt.year
+    a = pdf.loc[yr == 1995, "x"].to_numpy(dtype=float)
+    b = pdf.loc[yr == 1996, "x"].to_numpy(dtype=float)
+    ua = a.var(ddof=1) / len(a)
+    ub = b.var(ddof=1) / len(b)
+    t = (a.mean() - b.mean()) / np.sqrt(ua + ub)
+    df = (ua + ub) ** 2 / (ua**2 / (len(a) - 1) + ub**2 / (len(b) - 1))
+    assert (row["n_a"], row["n_b"]) == (len(a), len(b))
+    assert abs(row["t_stat"] - t) < 1e-6 * max(1.0, abs(t))
+    assert abs(row["df_welch"] - df) < 1e-4 * max(1.0, abs(df))
+    assert abs(row["mean_diff_cents"] - (a.mean() - b.mean())) < 1e-3
