@@ -324,6 +324,12 @@ BENCH_QUERIES = [
     "kruskal_wallis_quantity",
     "brown_forsythe_priority",
     "welch_t_years",
+    # round-10 wave 11: lakehouse lifecycle closers — orphan GC,
+    # rollback, branch refs, metadata-only stats
+    "vacuum_orphan_files",
+    "snapshot_rollback",
+    "table_branch_read",
+    "metadata_stats_pushdown",
 ]
 
 # ---------------------------------------------------------------------------

@@ -544,6 +544,326 @@ FROM e
 """
 
 
+# --- 5. Orphan-file vacuum certification --------------------------------------
+
+
+def vacuum_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies ``sinks/manifest.vacuum`` — the orphan-file reclaimer
+    every table format needs because Spark task retries and killed
+    jobs leave part files the manifest never committed. Fixture: a
+    2-commit table, then two planted orphans that are BYTE-COPIES of
+    committed part files under new names (exactly what a task retry
+    leaves) — the nastiest case, because a directory-listing reader
+    double-counts them (asserted: the raw directory read sees MORE
+    rows than the table) while the manifest-planned read is immune.
+    In-query asserts: dry_run and the real pass return exactly the
+    planted names; every snapshot-referenced file survives; the
+    current view is row-identical before/after; snapshot 0 still
+    time-travels. The oracle pins the surviving table's rollup plus
+    the planted/removed counts.
+
+    100 TB: vacuum plans from manifest set-algebra (union of snapshot
+    file lists) — no data read; the only I/O is unlinking. It is the
+    missing-GC half of the append/COW/expiry lifecycle already
+    certified by manifest_snapshot_expiry."""
+    import os
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir, small_df
+    from etl_extractor_spark.sinks import manifest as MF
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", _cents("o_totalprice").alias("cents")
+    )
+    path = pid_scratch_dir("spark_graft_vac_")
+    shutil.rmtree(path, ignore_errors=True)
+    even = F.col("o_orderkey") % 2 == 0
+    MF.write_with_manifest(
+        spark, o.filter(even).repartition(2), path, stats_cols=["o_orderkey"]
+    )
+    MF.write_with_manifest(
+        spark,
+        o.filter(~even).repartition(1),
+        path,
+        stats_cols=["o_orderkey"],
+        mode="append",
+    )
+    parts = MF._part_files(path)
+    planted = []
+    for i, src in enumerate(parts[:2]):
+        dst = os.path.join(path, f"part-zorphan-{i}.parquet")
+        shutil.copyfile(src, dst)
+        planted.append(os.path.basename(dst))
+    rollup = lambda df: df.agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    ).collect()[0]
+    before = rollup(MF.read_table(spark, path))
+    # non-vacuity: the orphans carry rows, so a directory reader
+    # double-counts — the failure mode manifest planning exists for
+    assert spark.read.parquet(path).count() > before["n"]
+    dry = sorted(MF.vacuum(path, dry_run=True))
+    assert sorted(planted) == dry, (planted, dry)
+    removed = sorted(MF.vacuum(path))
+    assert removed == dry, (removed, dry)
+    m = MF.read_manifest(path)
+    for s in m["snapshots"]:
+        for name in s["files"]:
+            assert os.path.exists(os.path.join(path, name)), name
+    after = rollup(MF.read_table(spark, path))
+    assert (before["n"], before["s"]) == (after["n"], after["s"])
+    snap0_rows = MF.read_snapshot(spark, path, 0).count()
+    return small_df(
+        spark,
+        [(len(removed), m["n_files"], after["n"], after["s"], snap0_rows)],
+        "n_orphans long, n_files long, total_rows long, sum_cents long, "
+        "snap0_rows long",
+    )
+
+
+QUERIES["vacuum_orphan_files"] = vacuum_orphan_files
+ORACLES["vacuum_orphan_files"] = """
+    SELECT CAST(2 AS BIGINT) AS n_orphans,
+           CAST(3 AS BIGINT) AS n_files,
+           count(*)::BIGINT AS total_rows,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS snap0_rows
+    FROM orders
+"""
+
+
+# --- 6. Snapshot rollback ------------------------------------------------------
+
+
+def snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies ``sinks/manifest.rollback_to_snapshot`` — the
+    undo-a-bad-commit primitive (Iceberg rollback semantics): the
+    current view reverts to the target snapshot via a NEW snapshot, so
+    history is append-only and the bad commit stays time-travelable
+    for the post-mortem. Fixture: base commit (s0), 'bad' append (s1),
+    rollback to s0 (s2). In-query asserts: 3 snapshots; the rollback
+    snapshot records its target; the bad snapshot still reads in full;
+    a post-rollback append (s3) extends the ROLLED-BACK view, not the
+    bad one. The oracle pins the final rollup: base + post rows, bad
+    rows excluded — the hash fails if rollback leaks any bad row back
+    in or loses a base row.
+
+    100 TB: rollback cost is O(restored file entries) of metadata —
+    no data movement, because prior generations are already on disk
+    (the COW/append invariant). This is the operational answer to
+    'yesterday's load was garbage' at any table size."""
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir, small_df
+    from etl_extractor_spark.sinks import manifest as MF
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", _cents("o_totalprice").alias("cents")
+    )
+    path = pid_scratch_dir("spark_graft_rb_")
+    shutil.rmtree(path, ignore_errors=True)
+    slot = F.col("o_orderkey") % 3
+    MF.write_with_manifest(
+        spark, o.filter(slot == 0).repartition(2), path, stats_cols=["o_orderkey"]
+    )
+    MF.write_with_manifest(
+        spark,
+        o.filter(slot == 1).repartition(1),
+        path,
+        stats_cols=["o_orderkey"],
+        mode="append",
+    )
+    n_bad_visible = MF.read_table(spark, path).count()
+    m = MF.rollback_to_snapshot(path, 0)
+    assert [s["id"] for s in m["snapshots"]] == [0, 1, 2]
+    assert m["snapshots"][-1]["rolled_back_to"] == 0
+    assert MF.read_snapshot(spark, path, 1).count() == n_bad_visible
+    MF.write_with_manifest(
+        spark,
+        o.filter(slot == 2).repartition(1),
+        path,
+        stats_cols=["o_orderkey"],
+        mode="append",
+    )
+    cur = MF.read_table(spark, path).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    ).collect()[0]
+    return small_df(
+        spark,
+        [(len(MF.read_manifest(path)["snapshots"]), cur["n"], cur["s"])],
+        "n_snapshots long, current_rows long, current_sum_cents long",
+    )
+
+
+QUERIES["snapshot_rollback"] = snapshot_rollback
+ORACLES["snapshot_rollback"] = """
+    SELECT CAST(4 AS BIGINT) AS n_snapshots,
+           CAST(sum(CASE WHEN o_orderkey % 3 IN (0, 2) THEN 1 ELSE 0 END)
+                AS BIGINT) AS current_rows,
+           CAST(sum(CASE WHEN o_orderkey % 3 IN (0, 2)
+                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS current_sum_cents
+    FROM orders
+"""
+
+
+# --- 7. Branch refs: isolated append + ref-pinned retention --------------------
+
+
+def table_branch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies the branch-ref surface (``create_branch`` /
+    ``append_to_branch`` / ``read_branch``): a branch commit is
+    reachable ONLY via its ref — production readers of main never see
+    it — and branch refs PIN their snapshots against
+    ``expire_snapshots`` (without the pin, expiry would unlink the
+    branch-only data files and leave the ref dangling; asserted by
+    re-reading the branch bit-identically AFTER an expiry that
+    removes the base snapshot from history). Fixture: base commit
+    (s0) → branch 'audit' @ s0 → branch append (s1, slot-1 rows) →
+    MAIN append (s2, slot-2 rows) → expire keep_last=1. The oracle
+    pins both refs' rollups: main = slots {0,2}, audit = slots {0,1}
+    — the hash fails on any cross-contamination in either direction.
+
+    100 TB: a branch is one manifest field; branch writes cost only
+    their own files (the staging trick: files land beside the table,
+    isolation is by the manifest's file LISTS). This is the
+    multi-commit write-audit-publish and what-if-experiment primitive
+    at table scale."""
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir, small_df
+    from etl_extractor_spark.sinks import manifest as MF
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", _cents("o_totalprice").alias("cents")
+    )
+    path = pid_scratch_dir("spark_graft_br_")
+    shutil.rmtree(path, ignore_errors=True)
+    slot = F.col("o_orderkey") % 3
+    MF.write_with_manifest(
+        spark, o.filter(slot == 0).repartition(2), path, stats_cols=["o_orderkey"]
+    )
+    MF.create_branch(path, "audit")
+    MF.append_to_branch(spark, path, "audit", o.filter(slot == 1))
+    MF.write_with_manifest(
+        spark,
+        o.filter(slot == 2).repartition(1),
+        path,
+        stats_cols=["o_orderkey"],
+        mode="append",
+    )
+    rollup = lambda df: df.agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    ).collect()[0]
+    br_before = rollup(MF.read_branch(spark, path, "audit"))
+    rep = MF.expire_snapshots(path, keep_last=1)
+    assert rep["expired"] >= 1, rep
+    br_after = rollup(MF.read_branch(spark, path, "audit"))
+    assert (br_before["n"], br_before["s"]) == (br_after["n"], br_after["s"])
+    main = rollup(MF.read_branch(spark, path, "main"))
+    return small_df(
+        spark,
+        [
+            ("audit", br_after["n"], br_after["s"]),
+            ("main", main["n"], main["s"]),
+        ],
+        "ref string, n_rows long, sum_cents long",
+    ).orderBy("ref")
+
+
+QUERIES["table_branch_read"] = table_branch_read
+ORACLES["table_branch_read"] = """
+    WITH c AS (
+      SELECT o_orderkey % 3 AS slot,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT 'audit' AS ref,
+           CAST(sum(CASE WHEN slot IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rows,
+           CAST(sum(CASE WHEN slot IN (0, 1) THEN cents ELSE 0 END) AS BIGINT)
+             AS sum_cents
+    FROM c
+    UNION ALL
+    SELECT 'main' AS ref,
+           CAST(sum(CASE WHEN slot IN (0, 2) THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN slot IN (0, 2) THEN cents ELSE 0 END) AS BIGINT)
+    FROM c
+    ORDER BY ref
+"""
+
+
+# --- 8. Metadata-only stats pushdown -------------------------------------------
+
+
+def metadata_stats_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/MIN/MAX answered from the manifest ALONE — the
+    metadata-only query path every lakehouse engine serves (Iceberg
+    answers count(*) from snapshot summaries; Spark's own
+    LocalTableScan does it for parquet count(*)). The PROOF here is
+    physical: after the table commit, every data file is TRUNCATED TO
+    ZERO BYTES before the answers are computed — any code path that
+    touched a data page would crash, so a hash match certifies the
+    answers came from footer-harvested stats at write time. The
+    oracle recomputes count/min/max from the raw source rows.
+
+    100 TB: this is the difference between a dashboard COUNT costing
+    one JSON read vs a full scan. Min/max come from per-file footer
+    stats folded at plan time; correctness rides the same harvest the
+    skipping readers already certify."""
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir, small_df
+    from etl_extractor_spark.sinks import manifest as MF
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", _cents("o_totalprice").alias("cents")
+    )
+    path = pid_scratch_dir("spark_graft_meta_")
+    shutil.rmtree(path, ignore_errors=True)
+    MF.write_with_manifest(
+        spark, o.repartition(3), path, stats_cols=["o_orderkey", "cents"]
+    )
+    for f in MF._part_files(path):
+        open(f, "wb").close()  # data pages gone; manifest must suffice
+    m = MF.read_manifest(path)
+    mins = {c: min(e["stats"][c]["min"] for e in m["files"]) for c in m["stats_cols"]}
+    maxs = {c: max(e["stats"][c]["max"] for e in m["files"]) for c in m["stats_cols"]}
+    return small_df(
+        spark,
+        [
+            (
+                m["total_rows"],
+                m["n_files"],
+                mins["o_orderkey"],
+                maxs["o_orderkey"],
+                mins["cents"],
+                maxs["cents"],
+            )
+        ],
+        "total_rows long, n_files long, min_key long, max_key long, "
+        "min_cents long, max_cents long",
+    )
+
+
+QUERIES["metadata_stats_pushdown"] = metadata_stats_pushdown
+ORACLES["metadata_stats_pushdown"] = """
+    SELECT count(*)::BIGINT AS total_rows,
+           CAST(3 AS BIGINT) AS n_files,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key,
+           min(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS min_cents,
+           max(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS max_cents
+    FROM orders
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-round-4
     stale (see module docstring — rank 3 would enter the booked r12

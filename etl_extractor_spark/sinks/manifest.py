@@ -246,9 +246,11 @@ def harvest_manifest(
         "files": all_entries,
         "snapshots": snapshots,
     }
-    # sink/delete state survives appends (harvest rebuilds the dict)
+    # sink/delete/ref state survives appends (harvest rebuilds the dict;
+    # dropping "refs" here silently deleted every branch on the next
+    # main append — caught by table_branch_read's fixture)
     if prior is not None:
-        for carry in ("delete_files", "batch_ids"):
+        for carry in ("delete_files", "batch_ids", "refs", "cloned_from"):
             if prior.get(carry):
                 manifest[carry] = prior[carry]
     _write_manifest(path, manifest)
@@ -1034,6 +1036,134 @@ def wap_commit(
     return {"published": True, "audit": report, "files": moved}
 
 
+def rollback_to_snapshot(path: str, snapshot_id: int) -> dict[str, Any]:
+    """Iceberg-style ROLLBACK: undo a bad commit by appending a NEW
+    snapshot whose content is the target snapshot's — the current view
+    reverts, history is PRESERVED (the bad commit stays time-travelable
+    for the post-mortem, unlike a destructive truncate-history reset),
+    and no data file moves: the restored files are already on disk
+    because appends/COW keep prior generations until expire_snapshots.
+
+    File stats for the restored set are reused from the current
+    registry when present and re-lifted from footers otherwise
+    (metadata-only reads) — cost is O(restored files), independent of
+    table bytes. A delete-bearing target restores its delete refs too,
+    so the rolled-back view subtracts exactly what the target did."""
+    m, snap = _resolve_snapshot(path, snapshot_id)
+    known = {e["file"]: e for e in m["files"]}
+    entries = []
+    for name in snap["files"]:
+        if name in known:
+            entries.append(known[name])
+        else:
+            fpath = name if os.path.isabs(name) else os.path.join(path, name)
+            entries.append(_file_stats(fpath, m["stats_cols"]))
+    entries.sort(key=lambda e: e["file"])
+    snapshots = list(m["snapshots"])
+    new: dict[str, Any] = {
+        "id": snapshots[-1]["id"] + 1,
+        "files": [e["file"] for e in entries],
+        "total_rows": sum(e["rows"] for e in entries),
+        "rolled_back_to": snapshot_id,
+    }
+    if snap.get("delete_files"):
+        new["delete_files"] = list(snap["delete_files"])
+    snapshots.append(new)
+    m2 = dict(m)
+    m2["files"] = entries
+    m2["n_files"] = len(entries)
+    m2["total_rows"] = new["total_rows"]
+    m2["snapshots"] = snapshots
+    _write_manifest(path, m2)
+    return m2
+
+
+def create_branch(
+    path: str, branch: str, snapshot_id: int | None = None
+) -> dict[str, Any]:
+    """Create a named BRANCH ref (Iceberg branching model): a pointer
+    into the snapshot log that subsequent ``append_to_branch`` commits
+    advance independently of the main current view. Zero-copy — a ref
+    is one manifest field. ``main`` is reserved (it is the implicit
+    current view)."""
+    m = read_manifest(path)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path} — commit data first")
+    if branch == "main":
+        raise ValueError("'main' is the implicit current view")
+    if snapshot_id is None:
+        snapshot_id = m["snapshots"][-1]["id"]
+    _resolve_snapshot(path, snapshot_id)  # validates the id
+    refs = dict(m.get("refs", {}))
+    if branch in refs:
+        raise ValueError(f"branch {branch!r} already exists at {path}")
+    refs[branch] = snapshot_id
+    m["refs"] = refs
+    _write_manifest(path, m)
+    return m
+
+
+def append_to_branch(
+    spark: SparkSession, path: str, branch: str, df: DataFrame, n_files: int = 1
+) -> dict[str, Any]:
+    """Commit ``df`` as an append reachable ONLY via ``branch`` — the
+    main current view ("files") is untouched, so production readers
+    never see branch data (the write-audit-publish pattern at branch
+    granularity: stage a whole multi-commit change on a branch, then
+    fast-forward main by swapping pointers — here we certify the
+    isolation half). New data files land beside the table's (snapshot
+    isolation is by the manifest's file LISTS, not directories); main
+    appends can never resurrect them because harvest_manifest filters
+    any file referenced by an existing snapshot."""
+    m = read_manifest(path)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path} — commit data first")
+    refs = dict(m.get("refs", {}))
+    if branch not in refs:
+        raise KeyError(f"no branch {branch!r} at {path}; create_branch first")
+    base = {s["id"]: s for s in m["snapshots"]}[refs[branch]]
+    import shutil as _shutil
+
+    tmp = path.rstrip("/") + "__br"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    new_names: list[str] = []
+    for f in sorted(os.listdir(tmp)):
+        if f.endswith(".parquet") and not f.startswith(("_", ".")):
+            os.rename(os.path.join(tmp, f), os.path.join(path, f))
+            new_names.append(f)
+    _shutil.rmtree(tmp, ignore_errors=True)
+    entries = [
+        _file_stats(os.path.join(path, f), m["stats_cols"]) for f in new_names
+    ]
+    snapshots = list(m["snapshots"])
+    new: dict[str, Any] = {
+        "id": snapshots[-1]["id"] + 1,
+        "files": list(base["files"]) + [e["file"] for e in entries],
+        "total_rows": base["total_rows"] + sum(e["rows"] for e in entries),
+        "branch": branch,
+    }
+    if base.get("delete_files"):
+        new["delete_files"] = list(base["delete_files"])
+    snapshots.append(new)
+    refs[branch] = new["id"]
+    m["snapshots"] = snapshots
+    m["refs"] = refs
+    _write_manifest(path, m)
+    return m
+
+
+def read_branch(spark: SparkSession, path: str, branch: str) -> DataFrame:
+    """Read a branch ref's current snapshot (``main`` = the table's
+    current view via read_table)."""
+    if branch == "main":
+        return read_table(spark, path)
+    m = read_manifest(path)
+    if m is None or branch not in m.get("refs", {}):
+        raise KeyError(f"no branch {branch!r} at {path}")
+    return read_snapshot(spark, path, m["refs"][branch])
+
+
 def shallow_clone(src: str, dst: str) -> dict[str, Any]:
     """Zero-copy table clone (Delta SHALLOW CLONE / Iceberg snapshot
     ref semantics): the clone's manifest REFERENCES the source's data
@@ -1113,7 +1243,14 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict[str, Any]:
             "removed_deletes": [],
             "skipped_external": [],
         }
-    keep, expired = snaps[-keep_last:], snaps[:-keep_last]
+    # Branch refs PIN their snapshots (Iceberg retention rule): expiring
+    # a ref'd snapshot would unlink branch-only data files and leave the
+    # ref dangling. Ref'd snapshots stay, whatever their age; they expire
+    # when the branch is dropped.
+    pinned = set(m.get("refs", {}).values())
+    tail_ids = {s["id"] for s in snaps[-keep_last:]}
+    keep = [s for s in snaps if s["id"] in tail_ids or s["id"] in pinned]
+    expired = [s for s in snaps if s["id"] not in tail_ids and s["id"] not in pinned]
     live: set[str] = {e["file"] for e in m["files"]}
     for s in keep:
         live.update(s["files"])

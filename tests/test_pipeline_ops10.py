@@ -81,6 +81,125 @@ def test_r11_r12_windows_protected_from_ops10():
     )
 
 
+def _mk_table(spark, tmpdir, rows, start=0):
+    from etl_extractor_spark.operators.common import small_df
+    from etl_extractor_spark.sinks import manifest as MF
+
+    df = small_df(
+        spark,
+        [(i, i * 10) for i in range(start, start + rows)],
+        "k long, v long",
+    )
+    MF.write_with_manifest(spark, df.repartition(2), tmpdir, stats_cols=["k"])
+    return df
+
+
+def test_branch_survives_main_append_and_vacuum(spark, tmp_path):
+    """refs must ride through harvest_manifest's dict rebuild (the
+    carry list) and vacuum must treat branch-only files as referenced."""
+    import os
+
+    from etl_extractor_spark.operators.common import small_df
+    from etl_extractor_spark.sinks import manifest as MF
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, 10)
+    MF.create_branch(path, "b")
+    MF.append_to_branch(
+        spark, path, "b", small_df(spark, [(100, 1)], "k long, v long")
+    )
+    branch_files = set(
+        MF.read_manifest(path)["snapshots"][-1]["files"]
+    ) - {e["file"] for e in MF.read_manifest(path)["files"]}
+    assert branch_files
+    # main append must keep the ref AND not resurrect branch files
+    MF.write_with_manifest(
+        spark,
+        small_df(spark, [(200, 2)], "k long, v long"),
+        path,
+        stats_cols=["k"],
+        mode="append",
+    )
+    m = MF.read_manifest(path)
+    assert m["refs"]["b"] == 1
+    assert branch_files.isdisjoint({e["file"] for e in m["files"]})
+    assert MF.read_table(spark, path).count() == 11  # 10 base + 1 main
+    assert MF.read_branch(spark, path, "b").count() == 11  # 10 base + 1 branch
+    # vacuum: branch files are snapshot-referenced, not orphans
+    assert MF.vacuum(path, dry_run=True) == []
+    for f in branch_files:
+        assert os.path.exists(os.path.join(path, f))
+
+
+def test_create_branch_validations(spark, tmp_path):
+    import pytest as _pytest
+
+    from etl_extractor_spark.sinks import manifest as MF
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, 5)
+    with _pytest.raises(ValueError):
+        MF.create_branch(path, "main")
+    with _pytest.raises(KeyError):
+        MF.create_branch(path, "b", snapshot_id=99)
+    MF.create_branch(path, "b")
+    with _pytest.raises(ValueError):
+        MF.create_branch(path, "b")
+
+
+def test_rollback_restores_delete_refs(spark, tmp_path):
+    """Rolling back to a delete-bearing snapshot must restore its
+    delete refs — a data-file-only restore would resurrect the deleted
+    rows in the MOR read."""
+    from etl_extractor_spark.operators.common import small_df
+    from etl_extractor_spark.sinks import manifest as MF
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, 10)
+    MF.write_equality_deletes(
+        spark, path, small_df(spark, [(3,), (7,)], "k long")
+    )  # s1: 10 rows - 2 deleted
+    MF.write_with_manifest(
+        spark,
+        small_df(spark, [(50, 5)], "k long, v long"),
+        path,
+        stats_cols=["k"],
+        mode="append",
+    )  # s2
+    m = MF.rollback_to_snapshot(path, 1)
+    assert m["snapshots"][-1]["delete_files"] == ["delete-0"]
+    assert MF.read_merge_on_read(spark, path).count() == 8
+
+
+def test_expire_pins_branch_ref_snapshot(spark, tmp_path):
+    """keep_last=1 would expire the branch snapshot (and unlink its
+    exclusive file) without ref pinning; with it, the branch reads
+    bit-identically after expiry."""
+    from etl_extractor_spark.operators.common import small_df
+    from etl_extractor_spark.sinks import manifest as MF
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, 6)
+    MF.create_branch(path, "b")
+    MF.append_to_branch(
+        spark, path, "b", small_df(spark, [(100, 1)], "k long, v long")
+    )
+    MF.write_with_manifest(
+        spark,
+        small_df(spark, [(200, 2)], "k long, v long"),
+        path,
+        stats_cols=["k"],
+        mode="append",
+    )
+    before = sorted(r["k"] for r in MF.read_branch(spark, path, "b").collect())
+    rep = MF.expire_snapshots(path, keep_last=1)
+    assert rep["expired"] == 1  # s0 only; s1 is ref-pinned, s2 is tail
+    after = sorted(r["k"] for r in MF.read_branch(spark, path, "b").collect())
+    assert before == after
+    kept_ids = [s["id"] for s in MF.read_manifest(path)["snapshots"]]
+    assert kept_ids == [1, 2]
+
+
 def _orders_pdf(spark, sf_dir) -> pd.DataFrame:
     from etl_extractor_spark.sources.parquet import load_table
 
