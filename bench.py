@@ -330,6 +330,11 @@ BENCH_QUERIES = [
     "snapshot_rollback",
     "table_branch_read",
     "metadata_stats_pushdown",
+    # round-10 wave 12: rank/agreement/regression evaluation metrics
+    "avg_precision_pessimistic",
+    "cohen_kappa_raters",
+    "ridge_normal_equations",
+    "kendall_tau_monthly",
 ]
 
 # ---------------------------------------------------------------------------

@@ -544,6 +544,454 @@ FROM e
 """
 
 
+# --- 9. Average precision (pessimistic tie order) ------------------------------
+
+
+def avg_precision_pessimistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AVERAGE PRECISION (the area under the precision-recall
+    curve as rank-eval tools compute it) of the deterministic
+    English-ness score over documents — the PR-space twin of
+    roc_auc_exact, and the metric that matters when positives are rare
+    (AUC stays high while AP collapses). Tie policy: PESSIMISTIC
+    (negatives rank before positives within a tied score) — a pinned
+    worst-case convention, not an arbitrary engine order, so the
+    number is reproducible anywhere. The j-th positive of a tied group
+    with (P_prev positives, C_prev rows) strictly above it contributes
+    precision (P_prev+j)/(C_prev+q+j); the per-group harmonic sum is
+    materialized by explode(sequence(1, p)) — total exploded rows =
+    n_pos, one pass, and each term is quantized to an exact BIGINT
+    (term12 = num·1e12 div den) so the sum is order-independent and
+    engine-exact — no float accumulation anywhere.
+
+    100 TB: distinct-score relation is score-domain-bounded (≤1e6+1);
+    the explode is n_pos rows (data-scaled, map-side); the quantized
+    grid overflows only past ~9.2e6 positives per 1e12 quantum —
+    coarsen the quantum with the corpus, noted here.
+
+    One row: n_pos, n_total, ap12 (exact), avg_precision (1e-6)."""
+    from etl_extractor_spark.plans.inference import _scored_docs
+
+    s = _scored_docs(spark, sf_dir)
+    per_v = s.groupBy((1000000 - F.col("score_micro")).alias("v")).agg(
+        F.sum("label").cast("long").alias("p"),
+        F.sum(1 - F.col("label")).cast("long").alias("q"),
+    ).withColumn("b", F.expr("v div 20000"))
+    wv = (
+        Window.partitionBy("b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sizes = per_v.groupBy("b").agg(
+        F.sum("p").alias("pb"), F.sum(F.col("p") + F.col("q")).alias("cb")
+    )
+    wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "b",
+        F.coalesce(F.sum("pb").over(wo), F.lit(0)).alias("p_off"),
+        F.coalesce(F.sum("cb").over(wo), F.lit(0)).alias("c_off"),
+    )
+    cum = (
+        per_v.withColumn("p_in", F.coalesce(F.sum("p").over(wv), F.lit(0)))
+        .withColumn(
+            "c_in",
+            F.coalesce(F.sum(F.col("p") + F.col("q")).over(wv), F.lit(0)),
+        )
+        .join(F.broadcast(offsets), "b")
+        .select(
+            "p",
+            "q",
+            (F.col("p_in") + F.col("p_off")).alias("p_prev"),
+            (F.col("c_in") + F.col("c_off")).alias("c_prev"),
+        )
+    )
+    terms = cum.filter(F.col("p") > 0).select(
+        "p",
+        "q",
+        "p_prev",
+        "c_prev",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("p"))).alias("j"),
+    )
+    agg_counts = cum.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum(F.col("p") + F.col("q")).cast("long").alias("n_total"),
+    )
+    agg_terms = terms.agg(
+        F.sum(
+            F.expr("(p_prev + j) * 1000000000000L div (c_prev + q + j)")
+        )
+        .cast("long")
+        .alias("ap12")
+    )
+    out = agg_counts.crossJoin(agg_terms)
+    ap = F.col("ap12").cast("double") / (
+        F.col("n_pos").cast("double") * F.lit(1000000000000.0)
+    )
+    return out.select(
+        "n_pos", "n_total", "ap12", _r6(ap).alias("avg_precision")
+    )
+
+
+QUERIES["avg_precision_pessimistic"] = avg_precision_pessimistic
+ORACLES["avg_precision_pessimistic"] = """
+WITH s AS (
+    SELECT CAST(FLOOR(CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+                / (CAST(length(text) AS DOUBLE) + 1.0) * 1000000) AS BIGINT) AS score_micro,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+    FROM documents
+), per_v AS (
+    SELECT 1000000 - score_micro AS v,
+           SUM(label)::BIGINT AS p,
+           SUM(1 - label)::BIGINT AS q
+    FROM s GROUP BY 1
+), cum AS (
+    SELECT p, q,
+           COALESCE(SUM(p) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p_prev,
+           COALESCE(SUM(p + q) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_prev
+    FROM per_v
+), t AS (
+    SELECT CAST(SUM((c.p_prev + j.j) * 1000000000000 // (c.c_prev + c.q + j.j))
+           AS BIGINT) AS ap12
+    FROM cum c, LATERAL (SELECT unnest(generate_series(1, c.p)) AS j) j
+    WHERE c.p > 0
+), a AS (
+    SELECT SUM(p)::BIGINT AS n_pos, SUM(p + q)::BIGINT AS n_total FROM cum
+)
+SELECT n_pos, n_total, ap12,
+       floor(CAST(ap12 AS DOUBLE) / (CAST(n_pos AS DOUBLE) * 1000000000000.0)
+             * 1000000 + 0.5) / 1000000 AS avg_precision
+FROM a, t
+"""
+
+
+# --- 10. Cohen's kappa between two deterministic raters -------------------------
+
+
+def cohen_kappa_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    3-category 'raters' over orders: rater A buckets by priority
+    (urgent/high, medium, low/unspecified), rater B by fixed price
+    terciles ($0-70k, $70-150k, >$150k in cents literals). The
+    agreement metric every labeling/annotation pipeline reports before
+    trusting auto-labels at scale. SINGLE PASS: the full 3×3 confusion
+    matrix is 9 conditional-aggregate integers folded into one row;
+    p_o, p_e and kappa are a pinned-order double expression (row/col
+    marginals expanded in a fixed 0,1,2 order, mirrored in SQL).
+
+    100 TB: state is 9 numbers; map-combinable; no shuffle beyond the
+    single-row fold.
+
+    One row: n, po, pe, kappa (1e-6)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.when(_grp() <= 2, 0).when(_grp() == 3, 1).otherwise(2).alias("a"),
+        F.when(_cents("o_totalprice") < 7000000, 0)
+        .when(_cents("o_totalprice") < 15000000, 1)
+        .otherwise(2)
+        .alias("bb"),
+    )
+    agg = o.agg(
+        *[
+            F.sum(
+                F.when((F.col("a") == i) & (F.col("bb") == j), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"n{i}{j}")
+            for i in range(3)
+            for j in range(3)
+        ]
+    )
+
+    def d(name):
+        return F.col(name).cast("double")
+
+    n = None
+    for i in range(3):
+        for j in range(3):
+            n = d(f"n{i}{j}") if n is None else n + d(f"n{i}{j}")
+    po = (d("n00") + d("n11") + d("n22")) / n
+    pe = None
+    for g in range(3):
+        row = d(f"n{g}0") + d(f"n{g}1") + d(f"n{g}2")
+        col = d(f"n0{g}") + d(f"n1{g}") + d(f"n2{g}")
+        term = row * col
+        pe = term if pe is None else pe + term
+    pe = pe / (n * n)
+    kappa = (po - pe) / (F.lit(1.0) - pe)
+    return agg.select(
+        n.cast("long").alias("n"),
+        _r6(po).alias("po"),
+        _r6(pe).alias("pe"),
+        _r6(kappa).alias("kappa"),
+    )
+
+
+QUERIES["cohen_kappa_raters"] = cohen_kappa_raters
+_KAPPA_CELLS = ", ".join(
+    f"CAST(sum(CASE WHEN a = {i} AND bb = {j} THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS n{i}{j}"
+    for i in range(3)
+    for j in range(3)
+)
+_KAPPA_N = " + ".join(
+    f"CAST(n{i}{j} AS DOUBLE)" for i in range(3) for j in range(3)
+)
+_KAPPA_PE = " + ".join(
+    f"(CAST(n{g}0 AS DOUBLE) + CAST(n{g}1 AS DOUBLE) + CAST(n{g}2 AS DOUBLE))"
+    f" * (CAST(n0{g} AS DOUBLE) + CAST(n1{g} AS DOUBLE) + CAST(n2{g} AS DOUBLE))"
+    for g in range(3)
+)
+ORACLES["cohen_kappa_raters"] = f"""
+WITH x AS (
+  SELECT CASE WHEN CAST(substr(o_orderpriority, 1, 1) AS INT) <= 2 THEN 0
+              WHEN CAST(substr(o_orderpriority, 1, 1) AS INT) = 3 THEN 1
+              ELSE 2 END AS a,
+         CASE WHEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   < 7000000 THEN 0
+              WHEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   < 15000000 THEN 1
+              ELSE 2 END AS bb
+  FROM orders
+), m AS (
+  SELECT {_KAPPA_CELLS} FROM x
+), e AS (
+  SELECT ({_KAPPA_N}) AS n,
+         (CAST(n00 AS DOUBLE) + CAST(n11 AS DOUBLE) + CAST(n22 AS DOUBLE))
+           / ({_KAPPA_N}) AS po,
+         ({_KAPPA_PE}) / (({_KAPPA_N}) * ({_KAPPA_N})) AS pe
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n,
+       floor(po * 1000000 + 0.5) / 1000000 AS po,
+       floor(pe * 1000000 + 0.5) / 1000000 AS pe,
+       floor((po - pe) / (1.0 - pe) * 1000000 + 0.5) / 1000000 AS kappa
+FROM e
+"""
+
+
+# --- 11. Ridge regression via distributed normal equations ----------------------
+
+
+def ridge_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIDGE regression (L2-regularized least squares) of line-item
+    price on quantity and discount, fit by the closed-form normal
+    equations over EXACT distributed sufficient statistics: one pass
+    accumulates the 9 Gram/moment integers (n, Σx₁, Σx₂, Σx₁², Σx₁x₂,
+    Σx₂², Σy, Σx₁y, Σx₂y) in DECIMAL(38,0) — map-combinable, state is
+    9 numbers at any SF — then (XᵀX + λI')β = Xᵀy is solved by
+    Cramer's rule as ONE pinned-order double expression (3×3 cofactor
+    expansion written identically in Spark and the oracle, λ=1000 on
+    the non-intercept diagonal — the standard don't-penalize-the-
+    intercept convention). Engine-exact: integers in, an identical
+    IEEE expression out — this is how a trillion-row regression is
+    actually fit (sufficient statistics, never row iteration), the
+    ridge extension of ols_price_model (pipeline_ops.py:685).
+
+    Features in exact integer units: x₁ = quantity, x₂ = discount in
+    basis points, y = extended price in cents.
+
+    One row: n, b0, b1, b2 (1e-6)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        (F.col("l_discount").cast("decimal(18,4)") * 10000)
+        .cast("long")
+        .alias("x2"),
+        _cents("l_extendedprice").alias("y"),
+    )
+
+    def s(expr, name):
+        return F.sum(expr.cast("decimal(38,0)")).alias(name)
+
+    agg = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        s(F.col("x1"), "s1"),
+        s(F.col("x2"), "s2"),
+        s(F.col("x1") * F.col("x1"), "s11"),
+        s(F.col("x1") * F.col("x2"), "s12"),
+        s(F.col("x2") * F.col("x2"), "s22"),
+        s(F.col("y"), "sy"),
+        s(F.col("x1") * F.col("y"), "s1y"),
+        s(F.col("x2") * F.col("y"), "s2y"),
+    )
+
+    def d(name):
+        return F.col(name).cast("double")
+
+    lam = F.lit(1000.0)
+    a11, a12, a13 = d("n"), d("s1"), d("s2")
+    a22, a23, a33 = d("s11") + lam, d("s12"), d("s22") + lam
+    c1, c2, c3 = d("sy"), d("s1y"), d("s2y")
+    det = (
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13)
+    )
+    b0 = (
+        c1 * (a22 * a33 - a23 * a23)
+        - a12 * (c2 * a33 - a23 * c3)
+        + a13 * (c2 * a23 - a22 * c3)
+    ) / det
+    b1 = (
+        a11 * (c2 * a33 - a23 * c3)
+        - c1 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * c3 - c2 * a13)
+    ) / det
+    b2 = (
+        a11 * (a22 * c3 - c2 * a23)
+        - a12 * (a12 * c3 - c2 * a13)
+        + c1 * (a12 * a23 - a22 * a13)
+    ) / det
+    return agg.select(
+        "n",
+        _r6(b0).alias("b0"),
+        _r6(b1).alias("b1"),
+        _r6(b2).alias("b2"),
+    )
+
+
+QUERIES["ridge_normal_equations"] = ridge_normal_equations
+ORACLES["ridge_normal_equations"] = """
+WITH x AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x1,
+         CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x2,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM lineitem
+), g AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(x1) AS s1, sum(x2) AS s2,
+         sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+         sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+  FROM x
+), e AS (
+  SELECT n,
+         CAST(n AS DOUBLE) AS a11, CAST(s1 AS DOUBLE) AS a12,
+         CAST(s2 AS DOUBLE) AS a13,
+         CAST(s11 AS DOUBLE) + 1000.0 AS a22, CAST(s12 AS DOUBLE) AS a23,
+         CAST(s22 AS DOUBLE) + 1000.0 AS a33,
+         CAST(sy AS DOUBLE) AS c1, CAST(s1y AS DOUBLE) AS c2,
+         CAST(s2y AS DOUBLE) AS c3
+  FROM g
+), f AS (
+  SELECT n,
+         a11 * (a22 * a33 - a23 * a23)
+           - a12 * (a12 * a33 - a23 * a13)
+           + a13 * (a12 * a23 - a22 * a13) AS det,
+         c1 * (a22 * a33 - a23 * a23)
+           - a12 * (c2 * a33 - a23 * c3)
+           + a13 * (c2 * a23 - a22 * c3) AS d0,
+         a11 * (c2 * a33 - a23 * c3)
+           - c1 * (a12 * a33 - a23 * a13)
+           + a13 * (a12 * c3 - c2 * a13) AS d1,
+         a11 * (a22 * c3 - c2 * a23)
+           - a12 * (a12 * c3 - c2 * a13)
+           + c1 * (a12 * a23 - a22 * a13) AS d2
+  FROM e
+)
+SELECT n,
+       floor(d0 / det * 1000000 + 0.5) / 1000000 AS b0,
+       floor(d1 / det * 1000000 + 0.5) / 1000000 AS b1,
+       floor(d2 / det * 1000000 + 0.5) / 1000000 AS b2
+FROM f
+"""
+
+
+# --- 12. Kendall tau-b between monthly order count and revenue ------------------
+
+
+def kendall_tau_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b rank correlation between MONTHLY order count
+    and monthly revenue — the tie-robust alternative to
+    spearman_daily_corr when the series is short and discrete. Exact
+    pair counting (concordant, discordant, x-tied, y-tied as BIGINTs)
+    over the self-joined AGGREGATE relation: months are
+    calendar-bounded (~84 here, pairs ≤ ~3.5k at ANY data scale), so
+    the quadratic pair space is over the aggregate domain, never over
+    rows — the raw data contributes one group-by. tau_b =
+    (C−D)/√((n0−ex)(n0−ey)) as a pinned-order double expression.
+
+    100 TB: the SF-scaled work is one month-grain aggregation
+    (map-combinable); the pair join is broadcast against a
+    calendar-sized relation.
+
+    One row: n_months, n_pairs, concordant, discordant, tau_b (1e-6)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("m")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(_cents("o_totalprice")).cast("decimal(38,0)").alias("yv"),
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.m") < F.col("b.m"))
+    ax, bx = F.col("a.x"), F.col("b.x")
+    ay, by = F.col("a.yv"), F.col("b.yv")
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(
+            F.when(
+                ((ax < bx) & (ay < by)) | ((ax > bx) & (ay > by)), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("c"),
+        F.sum(
+            F.when(
+                ((ax < bx) & (ay > by)) | ((ax > bx) & (ay < by)), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("dd"),
+        F.sum(F.when(ax == bx, 1).otherwise(0)).cast("long").alias("ex"),
+        F.sum(F.when(ay == by, 1).otherwise(0)).cast("long").alias("ey"),
+    )
+    n_months = m.agg(F.count(F.lit(1)).cast("long").alias("nm"))
+    out = agg.crossJoin(F.broadcast(n_months))
+
+    def d(name):
+        return F.col(name).cast("double")
+
+    tau = (d("c") - d("dd")) / F.sqrt(
+        (d("n0") - d("ex")) * (d("n0") - d("ey"))
+    )
+    return out.select(
+        F.col("nm").alias("n_months"),
+        F.col("n0").alias("n_pairs"),
+        F.col("c").alias("concordant"),
+        F.col("dd").alias("discordant"),
+        _r6(tau).alias("tau_b"),
+    )
+
+
+QUERIES["kendall_tau_monthly"] = kendall_tau_monthly
+ORACLES["kendall_tau_monthly"] = """
+WITH m AS (
+  SELECT year(o_orderdate) * 100 + month(o_orderdate) AS m,
+         count(*)::BIGINT AS x,
+         sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS yv
+  FROM orders GROUP BY 1
+), p AS (
+  SELECT count(*)::BIGINT AS n0,
+         CAST(sum(CASE WHEN (a.x < b.x AND a.yv < b.yv)
+                         OR (a.x > b.x AND a.yv > b.yv) THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+         CAST(sum(CASE WHEN (a.x < b.x AND a.yv > b.yv)
+                         OR (a.x > b.x AND a.yv < b.yv) THEN 1 ELSE 0 END)
+              AS BIGINT) AS dd,
+         CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS ex,
+         CAST(sum(CASE WHEN a.yv = b.yv THEN 1 ELSE 0 END) AS BIGINT) AS ey
+  FROM m a JOIN m b ON a.m < b.m
+), nm AS (
+  SELECT count(*)::BIGINT AS n_months FROM m
+)
+SELECT n_months, n0 AS n_pairs, c AS concordant, dd AS discordant,
+       floor((CAST(c AS DOUBLE) - CAST(dd AS DOUBLE))
+             / sqrt((CAST(n0 AS DOUBLE) - CAST(ex AS DOUBLE))
+                    * (CAST(n0 AS DOUBLE) - CAST(ey AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS tau_b
+FROM p, nm
+"""
+
+
 # --- 5. Orphan-file vacuum certification --------------------------------------
 
 

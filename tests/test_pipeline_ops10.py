@@ -298,6 +298,111 @@ def test_brown_forsythe_matches_brute_force(orders_pdf, spark, sf_dir):
     assert abs(row["f_bf"] - f) < 1e-6 * max(1.0, abs(f))
 
 
+def test_avg_precision_matches_pandas_brute(spark, sf_dir):
+    """AP from a literal pandas ranking (sort by score desc, negatives
+    before positives within ties — the pinned pessimistic order) must
+    match the distributed harmonic-sum plan. Also asserts the fixture
+    actually has tied scores carrying BOTH labels, so the tie policy is
+    load-bearing."""
+    from etl_extractor_spark.plans.inference import _scored_docs
+    from etl_extractor_spark.plans.pipeline_ops10 import (
+        avg_precision_pessimistic,
+    )
+
+    row = avg_precision_pessimistic(spark, sf_dir).collect()[0]
+    pdf = _scored_docs(spark, sf_dir).toPandas()
+    pdf = pdf.sort_values(
+        ["score_micro", "label"], ascending=[False, True]
+    ).reset_index(drop=True)
+    ranks = np.arange(1, len(pdf) + 1)
+    cum_pos = pdf["label"].cumsum().to_numpy()
+    is_pos = pdf["label"].to_numpy() == 1
+    ap = (cum_pos[is_pos] / ranks[is_pos]).mean()
+    assert row["n_pos"] == int(is_pos.sum())
+    assert row["n_total"] == len(pdf)
+    # quantized grid: each term floor-truncated at 1e-12 — bound is loose
+    assert abs(row["avg_precision"] - ap) < 1e-5
+    mixed_ties = (
+        pdf.groupby("score_micro")["label"].nunique().max() > 1
+        and pdf["score_micro"].duplicated().any()
+    )
+    assert mixed_ties, "fixture has no mixed-label ties; policy untested"
+
+
+def test_cohen_kappa_matches_pandas_brute(orders_pdf, spark, sf_dir):
+    from etl_extractor_spark.plans.pipeline_ops10 import cohen_kappa_raters
+
+    row = cohen_kappa_raters(spark, sf_dir).collect()[0]
+    pdf = orders_pdf
+    a = np.where(pdf["g"] <= 2, 0, np.where(pdf["g"] == 3, 1, 2))
+    b = np.where(pdf["x"] < 7000000, 0, np.where(pdf["x"] < 15000000, 1, 2))
+    n = len(pdf)
+    po = float((a == b).mean())
+    pe = sum(
+        (a == g).sum() * (b == g).sum() for g in range(3)
+    ) / float(n) ** 2
+    kappa = (po - pe) / (1 - pe)
+    assert row["n"] == n
+    assert abs(row["po"] - po) < 1e-6
+    assert abs(row["pe"] - pe) < 1e-6
+    assert abs(row["kappa"] - kappa) < 1e-5
+
+
+def test_ridge_matches_numpy_solve(spark, sf_dir):
+    from etl_extractor_spark.plans.pipeline_ops10 import (
+        ridge_normal_equations,
+    )
+    from etl_extractor_spark.sources.parquet import load_table
+
+    row = ridge_normal_equations(spark, sf_dir).collect()[0]
+    pdf = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_quantity", "l_discount", "l_extendedprice")
+        .toPandas()
+    )
+    x1 = pdf["l_quantity"].to_numpy(dtype=float)
+    x2 = (pdf["l_discount"].round(4) * 10000).round().astype("int64").to_numpy(dtype=float)
+    y = (pdf["l_extendedprice"].round(2) * 100).round().astype("int64").to_numpy(dtype=float)
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    A = X.T @ X + np.diag([0.0, 1000.0, 1000.0])
+    beta = np.linalg.solve(A, X.T @ y)
+    for got, want in zip((row["b0"], row["b1"], row["b2"]), beta):
+        assert abs(got - want) < 1e-4 * max(1.0, abs(want)), (got, want)
+    # ridge actually binds: the unpenalized solution differs
+    beta_ols = np.linalg.solve(X.T @ X, X.T @ y)
+    assert not np.allclose(beta, beta_ols)
+
+
+def test_kendall_tau_matches_pandas_brute(spark, sf_dir):
+    from etl_extractor_spark.plans.pipeline_ops10 import kendall_tau_monthly
+    from etl_extractor_spark.sources.parquet import load_table
+
+    row = kendall_tau_monthly(spark, sf_dir).collect()[0]
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice").toPandas()
+    d = pd.to_datetime(o["o_orderdate"])
+    o["m"] = d.dt.year * 100 + d.dt.month
+    o["cents"] = (o["o_totalprice"].round(2) * 100).round().astype("int64")
+    m = o.groupby("m").agg(x=("m", "size"), y=("cents", "sum")).reset_index()
+    x, y = m["x"].to_numpy(), m["y"].to_numpy()
+    n = len(m)
+    c = dd = ex = ey = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            if x[i] == x[j]:
+                ex += 1
+            if y[i] == y[j]:
+                ey += 1
+            if (x[i] < x[j] and y[i] < y[j]) or (x[i] > x[j] and y[i] > y[j]):
+                c += 1
+            elif (x[i] < x[j] and y[i] > y[j]) or (x[i] > x[j] and y[i] < y[j]):
+                dd += 1
+    n0 = n * (n - 1) // 2
+    tau = (c - dd) / np.sqrt(float(n0 - ex) * float(n0 - ey))
+    assert (row["n_months"], row["n_pairs"]) == (n, n0)
+    assert (row["concordant"], row["discordant"]) == (c, dd)
+    assert abs(row["tau_b"] - tau) < 1e-6
+
+
 def test_welch_t_matches_brute_force(orders_pdf, spark, sf_dir):
     from etl_extractor_spark.plans.pipeline_ops10 import welch_t_years
 
