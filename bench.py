@@ -335,6 +335,12 @@ BENCH_QUERIES = [
     "cohen_kappa_raters",
     "ridge_normal_equations",
     "kendall_tau_monthly",
+    # round-10 wave 13: exact weighted sampling, graph link scores,
+    # revenue concentration curve, phrase-structure keywords
+    "weighted_systematic_sample",
+    "link_prediction_jaccard",
+    "lorenz_curve_deciles",
+    "rake_keyword_scores",
 ]
 
 # ---------------------------------------------------------------------------

