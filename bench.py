@@ -341,6 +341,10 @@ BENCH_QUERIES = [
     "link_prediction_jaccard",
     "lorenz_curve_deciles",
     "rake_keyword_scores",
+    # round-10 wave 14: streaming lakehouse ingest (exactly-once
+    # commit_batch) and streaming distribution state (grid quantiles)
+    "streaming_manifest_sink_replay",
+    "streaming_quantile_grid_replay",
 ]
 
 # ---------------------------------------------------------------------------

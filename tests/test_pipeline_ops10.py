@@ -545,6 +545,37 @@ def test_rake_matches_pandas_phrase_walk(spark, sf_dir):
     assert any(deg[w] > freq[w] for w in freq)
 
 
+def test_streaming_manifest_sink_rearms(spark, sf_dir):
+    """The fixture must re-arm per call (fresh table + checkpoint), so
+    the redelivery injection fires every run — a stale checkpoint
+    would skip the replay and certify nothing."""
+    from etl_extractor_spark.plans.pipeline_ops10 import (
+        streaming_manifest_sink_replay,
+    )
+
+    a = streaming_manifest_sink_replay(spark, sf_dir).collect()
+    b = streaming_manifest_sink_replay(spark, sf_dir).collect()
+    assert a == b and len(a) > 0
+
+
+def test_streaming_quantile_grid_matches_pandas(spark, sf_dir):
+    from etl_extractor_spark.plans.pipeline_ops10 import (
+        streaming_quantile_grid_replay,
+    )
+    from etl_extractor_spark.sources.parquet import load_table
+
+    row = streaming_quantile_grid_replay(spark, sf_dir).collect()[0]
+    v = load_table(spark, sf_dir, "events").select("value").toPandas()["value"]
+    bkt = ((v.round(2) * 100).round().astype("int64") // 100).sort_values().to_numpy()
+    n = len(bkt)
+    assert row["n_events"] == n
+    for name, q in (("p50_bucket", 500000), ("p90_bucket", 900000), ("p99_bucket", 990000)):
+        want = int(bkt[q * (n - 1) // 1000000])  # 0-based = rank-1
+        assert row[name] == want, (name, row[name], want)
+    # the grid actually ties (many events share a dollar bucket)
+    assert len(np.unique(bkt)) < n
+
+
 def test_welch_t_matches_brute_force(orders_pdf, spark, sf_dir):
     from etl_extractor_spark.plans.pipeline_ops10 import welch_t_years
 
