@@ -72,40 +72,30 @@ def _grp(col: str = "o_orderpriority"):
 # --- 1. One-way ANOVA F across order priorities ------------------------------
 
 
-def anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-way ANOVA F statistic for order value (cents) across the 5
-    order priorities. SINGLE PASS: the whole test reduces to 15 exact
-    integers — (n_g, Σx_g, Σx²_g) per group — folded into one row via
-    conditional aggregates (map-side combinable; the shuffle carries
-    one partial row per task). SSB = Σ s_g²/n_g − S²/N and
-    SSW = Σq_g − Σ s_g²/n_g are then evaluated as one pinned-order
-    double expression, so DuckDB reproduces the float bit-for-bit.
-
-    100 TB: state is 15 numbers regardless of SF; no value buffer, no
-    sort, no window. The exact-integer accumulation (DECIMAL(38,0) /
-    HUGEINT) means no precision drift however many rows are summed.
-
-    One row: n_total, df1, df2, f_stat (1e-6)."""
-    o = load_table(spark, sf_dir, "orders").select(
-        _cents("o_totalprice").alias("x"), _grp().alias("g")
-    )
+def _anova_fold(df: DataFrame, val: str, out_name: str) -> DataFrame:
+    """Shared one-pass 5-group ANOVA-F fold over (g in 1..5, ``val``):
+    15 exact integers (n_g, Σx_g, Σx²_g) via conditional aggregates,
+    then SSB/SSW/F as ONE pinned-operand-order double expression
+    (groups 1..5 left to right, mirrored textually in the _ANOVA_*
+    SQL fragments). Factored so anova_f_oneway and
+    brown_forsythe_priority share ONE fold — a fix to the pinned
+    expression can never diverge between them (review catch)."""
+    x = F.col(val)
 
     def _n(k):
         return F.sum(F.when(F.col("g") == k, 1).otherwise(0)).cast("long")
 
     def _s(k):
         return F.sum(
-            F.when(F.col("g") == k, F.col("x")).otherwise(0).cast("decimal(38,0)")
+            F.when(F.col("g") == k, x).otherwise(0).cast("decimal(38,0)")
         )
 
     def _q(k):
         return F.sum(
-            F.when(F.col("g") == k, F.col("x") * F.col("x"))
-            .otherwise(0)
-            .cast("decimal(38,0)")
+            F.when(F.col("g") == k, x * x).otherwise(0).cast("decimal(38,0)")
         )
 
-    agg = o.agg(
+    agg = df.agg(
         *[_n(k).alias(f"n{k}") for k in range(1, 6)],
         *[_s(k).alias(f"s{k}") for k in range(1, 6)],
         *[_q(k).alias(f"q{k}") for k in range(1, 6)],
@@ -114,7 +104,6 @@ def anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     def d(name):
         return F.col(name).cast("double")
 
-    # pinned operand order: group 1..5 left to right, mirrored in SQL
     between = None
     total_s = None
     total_q = None
@@ -132,8 +121,28 @@ def anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         total_n.cast("long").alias("n_total"),
         F.lit(4).cast("long").alias("df1"),
         (total_n - F.lit(5.0)).cast("long").alias("df2"),
-        _r6(f_stat).alias("f_stat"),
+        _r6(f_stat).alias(out_name),
     )
+
+
+def anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic for order value (cents) across the 5
+    order priorities. SINGLE PASS: the whole test reduces to 15 exact
+    integers — (n_g, Σx_g, Σx²_g) per group — folded into one row via
+    conditional aggregates (map-side combinable; the shuffle carries
+    one partial row per task). SSB = Σ s_g²/n_g − S²/N and
+    SSW = Σq_g − Σ s_g²/n_g are then evaluated as one pinned-order
+    double expression, so DuckDB reproduces the float bit-for-bit.
+
+    100 TB: state is 15 numbers regardless of SF; no value buffer, no
+    sort, no window. The exact-integer accumulation (DECIMAL(38,0) /
+    HUGEINT) means no precision drift however many rows are summed.
+
+    One row: n_total, df1, df2, f_stat (1e-6)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        _cents("o_totalprice").alias("x"), _grp().alias("g")
+    )
+    return _anova_fold(o, "x", "f_stat")
 
 
 QUERIES["anova_f_oneway"] = anova_f_oneway
@@ -231,13 +240,13 @@ def kruskal_wallis_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(offsets), "b")
         .withColumn("r2", 2 * (F.col("cin") + F.col("off")) + F.col("c") + 1)
     )
+    # cube in DECIMAL, not long: c³ wraps past c ≈ 2.1e6 rows per value
+    # (~sf20 on a 50-value domain) — the cast must happen BEFORE the
+    # multiplies (review catch; oracle mirrors with a HUGEINT cast)
+    c_dec = F.col("c").cast("decimal(38,0)")
     agg = cum.agg(
         F.sum("c").cast("long").alias("n_total"),
-        F.sum(
-            (F.col("c") * F.col("c") * F.col("c") - F.col("c")).cast(
-                "decimal(38,0)"
-            )
-        ).alias("tie"),
+        F.sum(c_dec * c_dec * c_dec - c_dec).alias("tie"),
         *[
             F.sum((F.col(f"c{k}") * F.col("r2")).cast("decimal(38,0)")).alias(
                 f"r{k}"
@@ -299,7 +308,7 @@ WITH x AS (
   FROM per_v
 ), a AS (
   SELECT CAST(sum(c) AS BIGINT) AS n_total,
-         sum(c * c * c - c) AS tie,
+         sum(CAST(c AS HUGEINT) * c * c - c) AS tie,
          {_KW_RANKSUMS}, {_KW_NS}
   FROM cum
 ), e AS (
@@ -359,50 +368,7 @@ def brown_forsythe_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = o.join(F.broadcast(med), "g").select(
         "g", F.abs(F.col("x") - F.col("med")).alias("z")
     )
-
-    def _n(k):
-        return F.sum(F.when(F.col("g") == k, 1).otherwise(0)).cast("long")
-
-    def _s(k):
-        return F.sum(
-            F.when(F.col("g") == k, F.col("z")).otherwise(0).cast("decimal(38,0)")
-        )
-
-    def _q(k):
-        return F.sum(
-            F.when(F.col("g") == k, F.col("z") * F.col("z"))
-            .otherwise(0)
-            .cast("decimal(38,0)")
-        )
-
-    agg = z.agg(
-        *[_n(k).alias(f"n{k}") for k in range(1, 6)],
-        *[_s(k).alias(f"s{k}") for k in range(1, 6)],
-        *[_q(k).alias(f"q{k}") for k in range(1, 6)],
-    )
-
-    def d(name):
-        return F.col(name).cast("double")
-
-    between = None
-    total_s = None
-    total_q = None
-    total_n = None
-    for k in range(1, 6):
-        term = d(f"s{k}") * d(f"s{k}") / d(f"n{k}")
-        between = term if between is None else between + term
-        total_s = d(f"s{k}") if total_s is None else total_s + d(f"s{k}")
-        total_q = d(f"q{k}") if total_q is None else total_q + d(f"q{k}")
-        total_n = d(f"n{k}") if total_n is None else total_n + d(f"n{k}")
-    ssb = between - total_s * total_s / total_n
-    ssw = total_q - between
-    f_bf = (ssb / F.lit(4.0)) / (ssw / (total_n - F.lit(5.0)))
-    return agg.select(
-        total_n.cast("long").alias("n_total"),
-        F.lit(4).cast("long").alias("df1"),
-        (total_n - F.lit(5.0)).cast("long").alias("df2"),
-        _r6(f_bf).alias("f_bf"),
-    )
+    return _anova_fold(z, "z", "f_bf")
 
 
 QUERIES["brown_forsythe_priority"] = brown_forsythe_priority
@@ -1370,6 +1336,10 @@ def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mult"),
     ).filter(F.col("mult") > 0)
+    # the Σmult==k guard executes the plan — persist the ≤k-row result
+    # so the consumer's collect reuses it instead of recomputing the
+    # whole cumsum pipeline (review catch)
+    sel = sel.persist()
     assert sel.agg(F.sum("mult")).collect()[0][0] == k
     return sel.orderBy("o_orderkey")
 
@@ -1441,6 +1411,16 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = adj.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     ca = F.broadcast(cand)
+    # degrees restricted to candidate parts BEFORE broadcasting: the
+    # full degree relation is SF-scaled (one row per distinct part) and
+    # broadcasting it contradicts the candidate-restricted contract
+    # (review catch) — the ≤100-part candidate list is the small side
+    cand_parts = F.broadcast(
+        cand.select(F.col("p1").alias("p"))
+        .union(cand.select(F.col("p2").alias("p")))
+        .distinct()
+    )
+    deg_c = deg.join(cand_parts, "p")
     common = (
         adj.join(ca, F.col("p") == F.col("p1"))
         .select("p1", "p2", "z")
@@ -1455,11 +1435,15 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(common, ["p1", "p2"], "left")
         .fillna(0, subset=["cn"])
         .join(
-            F.broadcast(deg.withColumnRenamed("p", "p1").withColumnRenamed("deg", "deg1")),
+            F.broadcast(
+                deg_c.withColumnRenamed("p", "p1").withColumnRenamed("deg", "deg1")
+            ),
             "p1",
         )
         .join(
-            F.broadcast(deg.withColumnRenamed("p", "p2").withColumnRenamed("deg", "deg2")),
+            F.broadcast(
+                deg_c.withColumnRenamed("p", "p2").withColumnRenamed("deg", "deg2")
+            ),
             "p2",
         )
     )
@@ -1566,6 +1550,13 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("r").cast("long").alias("sum_cents"),
     )
     wd = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    # share via the pinned floor-double recipe (identical op order both
+    # engines over exact int64 inputs): cum·1e6 as a BIGINT product
+    # overflows at sf1 (total cents ≈ 2.3e13 → ·1e6 > 2^63; review
+    # catch — Spark wraps silently, DuckDB raises)
+    share = F.floor(
+        F.col("cum").cast("double") / F.col("tot").cast("double") * 1000000
+    ).cast("long")
     return (
         by_d.withColumn("cum", F.sum("sum_cents").over(wd).cast("long"))
         .crossJoin(F.broadcast(t))
@@ -1573,7 +1564,7 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile",
             "n_cust",
             "sum_cents",
-            F.expr("cum * 1000000 div tot").alias("cum_share_micro"),
+            share.alias("cum_share_micro"),
         )
         .orderBy("decile")
     )
@@ -1594,13 +1585,15 @@ WITH rev AS (
   SELECT (rk - 1) * 10 // n AS decile, count(*)::BIGINT AS n_cust,
          CAST(sum(r) AS BIGINT) AS sum_cents
   FROM ranked GROUP BY 1
+), t AS (
+  SELECT CAST(sum(sum_cents) AS BIGINT) AS tot FROM d
 )
 SELECT decile, n_cust, sum_cents,
-       CAST(CAST(SUM(sum_cents) OVER (ORDER BY decile
+       CAST(floor(CAST(CAST(SUM(sum_cents) OVER (ORDER BY decile
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-            * 1000000 // (SELECT sum(sum_cents) FROM d) AS BIGINT)
+            AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000) AS BIGINT)
          AS cum_share_micro
-FROM d
+FROM d CROSS JOIN t
 ORDER BY decile
 """
 

@@ -104,6 +104,24 @@ def _file_stats(fpath: str, stats_cols: list[str]) -> dict[str, Any]:
     return {"file": os.path.basename(fpath), "rows": rows, "stats": stats}
 
 
+def _main_snapshot(m: dict[str, Any] | None) -> dict[str, Any] | None:
+    """MAIN's current snapshot: the last history entry not created by
+    ``append_to_branch`` (branch snapshots carry a ``"branch"``
+    marker). Every consumer that needs 'the current view's state' —
+    delete inheritance on append, the delete writers' base, the MOR
+    reader's delete set — must use this, NOT ``snapshots[-1]``: a
+    branch append would otherwise masquerade as main's head (review
+    catch: silent un-delete via read_merge_on_read, delete-set loss on
+    the next main append, and branch files leaking into main-history
+    delete commits)."""
+    if m is None:
+        return None
+    for s in reversed(m.get("snapshots", [])):
+        if "branch" not in s:
+            return s
+    return None
+
+
 def _part_files(path: str) -> list[str]:
     return sorted(
         os.path.join(path, f)
@@ -231,10 +249,15 @@ def harvest_manifest(
         "files": [e["file"] for e in all_entries],
         "total_rows": sum(e["rows"] for e in all_entries),
     }
-    # appends inherit the prior snapshot's delete-file set: adding data
-    # files never un-deletes rows (merge-on-read invariant)
-    if snapshots and snapshots[-1].get("delete_files"):
-        snap["delete_files"] = list(snapshots[-1]["delete_files"])
+    # appends inherit MAIN's current delete-file set: adding data files
+    # never un-deletes rows (merge-on-read invariant). Inherit from the
+    # last MAIN snapshot, not snapshots[-1] — a branch append in
+    # between must not inject its own (base-frozen) delete view here.
+    prior_main = next(
+        (s for s in reversed(snapshots) if "branch" not in s), None
+    )
+    if prior_main is not None and prior_main.get("delete_files"):
+        snap["delete_files"] = list(prior_main["delete_files"])
     snapshots.append(snap)
 
     manifest = {
@@ -624,7 +647,11 @@ def write_equality_deletes(
         {"name": name, "rows": n_keys, "key_cols": list(keys_df.columns)}
     )
     snapshots = list(m.get("snapshots", []))
-    last = snapshots[-1]
+    # base = MAIN's current snapshot (a trailing branch append must not
+    # leak its file list or frozen delete view into a main delete
+    # commit — review catch); the new id still takes the global max.
+    last = _main_snapshot(m)
+    assert last is not None, f"no main snapshot at {path}"
     # The new snapshot's pending-delete set extends the CURRENT
     # snapshot's, never the cumulative registry (review catch): after
     # a copy-on-write replace/compaction the current snapshot carries
@@ -635,7 +662,7 @@ def write_equality_deletes(
     # older snapshots' time travel.
     snapshots.append(
         {
-            "id": last["id"] + 1,
+            "id": snapshots[-1]["id"] + 1,
             "files": list(last["files"]),
             "total_rows": last["total_rows"],
             "delete_files": list(last.get("delete_files", [])) + [name],
@@ -671,12 +698,14 @@ def write_positional_deletes(
     n_rows = spark.read.parquet(dpath).count()
     dels.append({"name": name, "rows": n_rows, "kind": "positional"})
     snapshots = list(m.get("snapshots", []))
-    last = snapshots[-1]
-    # extend the CURRENT snapshot's pending set, never the registry —
-    # see write_equality_deletes (the same restatement row-loss class)
+    # extend MAIN's current snapshot's pending set, never the registry
+    # (restatement row-loss class) and never a trailing branch
+    # snapshot's (branch-leak class) — see write_equality_deletes
+    last = _main_snapshot(m)
+    assert last is not None, f"no main snapshot at {path}"
     snapshots.append(
         {
-            "id": last["id"] + 1,
+            "id": snapshots[-1]["id"] + 1,
             "files": list(last["files"]),
             "total_rows": last["total_rows"],
             "delete_files": list(last.get("delete_files", [])) + [name],
@@ -733,8 +762,11 @@ def read_merge_on_read(spark: SparkSession, path: str) -> DataFrame:
     m = read_manifest(path)
     if m is None:
         return spark.read.parquet(path)
-    snaps = m.get("snapshots", [])
-    names = snaps[-1].get("delete_files", []) if snaps else []
+    # delete set = MAIN's current snapshot's (a trailing branch
+    # snapshot carries its base's frozen view — using snapshots[-1]
+    # silently un-deleted rows after any branch append; review catch)
+    main = _main_snapshot(m)
+    names = main.get("delete_files", []) if main else []
     return _apply_deletes(spark, path, read_table(spark, path), names, m)
 
 
@@ -1092,7 +1124,13 @@ def create_branch(
     if branch == "main":
         raise ValueError("'main' is the implicit current view")
     if snapshot_id is None:
-        snapshot_id = m["snapshots"][-1]["id"]
+        # default = MAIN's current snapshot, not snapshots[-1]: after
+        # any append_to_branch the last history entry is ANOTHER
+        # branch's head, and a new branch must not silently fork from
+        # it (review catch)
+        main = _main_snapshot(m)
+        assert main is not None, f"no main snapshot at {path}"
+        snapshot_id = main["id"]
     _resolve_snapshot(path, snapshot_id)  # validates the id
     refs = dict(m.get("refs", {}))
     if branch in refs:
@@ -1155,13 +1193,21 @@ def append_to_branch(
 
 def read_branch(spark: SparkSession, path: str, branch: str) -> DataFrame:
     """Read a branch ref's current snapshot (``main`` = the table's
-    current view via read_table)."""
+    current view via read_table). Delete-bearing branch snapshots
+    route through the MOR reader — a branch forked past a delete
+    commit inherits its base's delete view and must stay readable
+    through its own API (review catch: read_snapshot raises on delete
+    refs by design)."""
     if branch == "main":
         return read_table(spark, path)
     m = read_manifest(path)
     if m is None or branch not in m.get("refs", {}):
         raise KeyError(f"no branch {branch!r} at {path}")
-    return read_snapshot(spark, path, m["refs"][branch])
+    sid = m["refs"][branch]
+    _, snap = _resolve_snapshot(path, sid)
+    if snap.get("delete_files"):
+        return read_snapshot_mor(spark, path, sid)
+    return read_snapshot(spark, path, sid)
 
 
 def shallow_clone(src: str, dst: str) -> dict[str, Any]:

@@ -171,6 +171,62 @@ def test_rollback_restores_delete_refs(spark, tmp_path):
     assert MF.read_merge_on_read(spark, path).count() == 8
 
 
+def test_branch_append_does_not_corrupt_main_mor_state(spark, tmp_path):
+    """Review catch (heaviest): branch snapshots live in the shared
+    history list, and every 'current view' consumer keyed off
+    snapshots[-1] — after a branch append, read_merge_on_read served
+    the BRANCH's frozen (delete-free) view of main, the next main
+    append dropped main's pending delete set, and a delete commit
+    copied the branch's file list into main history. All three now
+    resolve MAIN's last snapshot explicitly."""
+    from etl_extractor_spark.operators.common import small_df
+    from etl_extractor_spark.sinks import manifest as MF
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, 10)  # s0: keys 0..9
+    MF.write_equality_deletes(
+        spark, path, small_df(spark, [(3,), (7,)], "k long")
+    )  # s1: main view = 8 rows
+    MF.create_branch(path, "b", snapshot_id=0)  # branch forks pre-delete
+    MF.append_to_branch(
+        spark, path, "b", small_df(spark, [(100, 1)], "k long, v long")
+    )  # s2 (branch): base 10 + 1, NO delete refs
+    # main's MOR view must still subtract the deletes
+    assert MF.read_merge_on_read(spark, path).count() == 8
+    # a main append must inherit main's delete set, not the branch's
+    MF.write_with_manifest(
+        spark,
+        small_df(spark, [(200, 2)], "k long, v long"),
+        path,
+        stats_cols=["k"],
+        mode="append",
+    )  # s3 (main): 10 + 1 files, deletes still pending
+    m = MF.read_manifest(path)
+    main_last = [s for s in m["snapshots"] if "branch" not in s][-1]
+    assert main_last.get("delete_files") == ["delete-0"]
+    assert MF.read_merge_on_read(spark, path).count() == 9  # 8 + appended
+    # a delete commit must extend MAIN's file list, not the branch's
+    MF.write_equality_deletes(
+        spark, path, small_df(spark, [(200,)], "k long")
+    )
+    m = MF.read_manifest(path)
+    branch_files = {
+        f
+        for s in m["snapshots"]
+        if "branch" in s
+        for f in s["files"]
+    } - set(m["snapshots"][0]["files"])
+    assert branch_files.isdisjoint(set(m["snapshots"][-1]["files"]))
+    assert MF.read_merge_on_read(spark, path).count() == 8
+    # a new branch created WITHOUT an explicit id forks from MAIN's
+    # head, not from branch b's (review catch)
+    MF.create_branch(path, "c")
+    assert MF.read_manifest(path)["refs"]["c"] == m["snapshots"][-1]["id"]
+    # and a delete-bearing branch stays readable through its own API
+    MF.create_branch(path, "d", snapshot_id=1)
+    assert MF.read_branch(spark, path, "d").count() == 8
+
+
 def test_expire_pins_branch_ref_snapshot(spark, tmp_path):
     """keep_last=1 would expire the branch snapshot (and unlink its
     exclusive file) without ref pinning; with it, the branch reads
@@ -508,7 +564,8 @@ def test_lorenz_deciles_match_pandas(orders_pdf, spark, sf_dir):
             int(g["size"]),
             int(g["sum"]),
         )
-        assert r["cum_share_micro"] == cum * 1000000 // tot
+        # the pinned floor-double recipe (BIGINT cum·1e6 overflows at sf1)
+        assert r["cum_share_micro"] == int(np.floor(cum / tot * 1000000))
     # Lorenz shape: deciles are revenue-sorted, so shares are convex
     shares = [r["cum_share_micro"] for r in rows]
     assert shares == sorted(shares) and shares[-1] == 1000000
