@@ -345,6 +345,10 @@ BENCH_QUERIES = [
     # commit_batch) and streaming distribution state (grid quantiles)
     "streaming_manifest_sink_replay",
     "streaming_quantile_grid_replay",
+    # round-10 wave 15: seasonal forecasting + Spark-4 API closers
+    "holt_winters_daily",
+    "parameterized_sql_revenue",
+    "try_arithmetic_audit",
 ]
 
 # ---------------------------------------------------------------------------

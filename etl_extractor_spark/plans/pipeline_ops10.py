@@ -1833,6 +1833,285 @@ FROM nn
 """
 
 
+# --- 19. Holt-Winters additive seasonal smoothing ---------------------------------
+
+_HW_A, _HW_B, _HW_G, _HW_D = 3, 1, 2, 10  # alpha .3, beta .1, gamma .2
+_HW_M = 7  # season length (weekly, on the observed-day index)
+
+
+def holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive HOLT-WINTERS (level + trend + 7-slot season) over the
+    global daily revenue series — the seasonal extension of
+    holt_linear_forecast (pipeline_ops7.py), same engine-exactness
+    discipline: the recurrence runs in INTEGER cents with truncating
+    division (_tdiv == DuckDB //), so the oracle's recursive CTE
+    reproduces every state bit-for-bit. Pinned init (classic two-season
+    scheme): l = tdiv(Σy₁..₇, 7); b = tdiv(a₂ − a₁, 7) from the second
+    week's mean; s_k = y_{k+1} − l. From t = 8:
+    pred = l + b + s_idx, l' = tdiv(α(y − s_idx) + (10−α)(l+b), 10),
+    b' = tdiv(β(l'−l) + (10−β)b, 10), s_idx' = tdiv(γ(y − l') +
+    (10−γ)s_idx, 10), with idx = (t−1) mod 7 over the OBSERVED-day
+    index (a pinned convention — deterministic on any gap pattern).
+
+    100 TB: the corpus-scaled work is one daily groupBy (map-
+    combinable); the recurrence walks the CALENDAR-bounded aggregate
+    series (~2.4k rows) in one applyInPandas task — same cost model as
+    holt_linear. The oracle unrolls the identical recurrence as a
+    recursive CTE carrying the 7 season slots as columns.
+
+    One row: n_days, l_final_cents, b_final_cents, sae_cents,
+    fc1_cents (= l + b + s[next idx])."""
+    import pandas as pd
+
+    from etl_extractor_spark.plans.pipeline_ops7 import _tdiv
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    daily = o.groupBy("d").agg(F.sum("cents").cast("long").alias("y"))
+
+    def _hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d")
+        ys = [int(v) for v in pdf["y"]]
+        n = len(ys)
+        assert n >= 15, "Holt-Winters init needs two seasons"
+        a1 = _tdiv(sum(ys[:7]), 7)
+        a2 = _tdiv(sum(ys[7:14]), 7)
+        level, trend = a1, _tdiv(a2 - a1, 7)
+        s = [ys[k] - a1 for k in range(7)]
+        sae = 0
+        for t in range(8, n + 1):  # 1-based time, consuming y_t
+            y = ys[t - 1]
+            idx = (t - 1) % 7
+            pred = level + trend + s[idx]
+            sae += abs(y - pred)
+            new_level = _tdiv(
+                _HW_A * (y - s[idx]) + (_HW_D - _HW_A) * (level + trend),
+                _HW_D,
+            )
+            trend = _tdiv(
+                _HW_B * (new_level - level) + (_HW_D - _HW_B) * trend, _HW_D
+            )
+            s[idx] = _tdiv(
+                _HW_G * (y - new_level) + (_HW_D - _HW_G) * s[idx], _HW_D
+            )
+            level = new_level
+        fc1 = level + trend + s[n % 7]
+        return pd.DataFrame(
+            {
+                "n_days": [n],
+                "l_final_cents": [level],
+                "b_final_cents": [trend],
+                "sae_cents": [sae],
+                "fc1_cents": [fc1],
+            }
+        )
+
+    out_schema = (
+        "n_days long, l_final_cents long, b_final_cents long, "
+        "sae_cents long, fc1_cents long"
+    )
+    return (
+        daily.withColumn("one", F.lit(1))
+        .groupBy("one")
+        .applyInPandas(lambda pdf: _hw(pdf), out_schema)
+    )
+
+
+def _hw_oracle() -> str:
+    idx = "((r.t - 1) % 7)"
+    sidx = (
+        "(CASE "
+        + " ".join(f"WHEN {idx} = {k} THEN r.s{k}" for k in range(7))
+        + " END)"
+    )
+    a, b, g, dd = _HW_A, _HW_B, _HW_G, _HW_D
+    lnew = f"(({a} * (r.y_cur - {sidx}) + {dd - a} * (r.l + r.b)) // {dd})"
+    bnew = f"(({b} * ({lnew} - r.l) + {dd - b} * r.b) // {dd})"
+    snew = f"(({g} * (r.y_cur - {lnew}) + {dd - g} * {sidx}) // {dd})"
+    s_updates = ", ".join(
+        f"CASE WHEN {idx} = {k} THEN {snew} ELSE r.s{k} END" for k in range(7)
+    )
+    s_init = ", ".join(
+        f"(SELECT y FROM ord WHERE rn = {k + 1}) - i.a1 AS s{k}"
+        for k in range(7)
+    )
+    fidx = "((r.t - 1) % 7)"  # at the final row t = n + 1, idx = n % 7
+    fcase = (
+        "(CASE "
+        + " ".join(f"WHEN {fidx} = {k} THEN r.s{k}" for k in range(7))
+        + " END)"
+    )
+    return f"""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), ord AS MATERIALIZED (
+  SELECT y, row_number() OVER (ORDER BY d) AS rn,
+         count(*) OVER ()::BIGINT AS n
+  FROM daily
+), i AS (
+  SELECT (SELECT SUM(y) FROM ord WHERE rn BETWEEN 1 AND 7) // 7 AS a1,
+         (SELECT SUM(y) FROM ord WHERE rn BETWEEN 8 AND 14) // 7 AS a2
+), rec AS (
+  SELECT 8::BIGINT AS t, (SELECT MAX(n) FROM ord) AS n,
+         i.a1 AS l, (i.a2 - i.a1) // 7 AS b, 0::BIGINT AS sae,
+         {s_init},
+         (SELECT y FROM ord WHERE rn = 8) AS y_cur
+  FROM i
+  UNION ALL
+  SELECT r.t + 1, r.n,
+         {lnew}, {bnew},
+         r.sae + abs(r.y_cur - (r.l + r.b + {sidx})),
+         {s_updates},
+         nxt.y
+  FROM rec r LEFT JOIN ord nxt ON nxt.rn = r.t + 1
+  WHERE r.t <= r.n
+)
+SELECT r.n AS n_days, CAST(r.l AS BIGINT) AS l_final_cents,
+       CAST(r.b AS BIGINT) AS b_final_cents,
+       CAST(r.sae AS BIGINT) AS sae_cents,
+       CAST(r.l + r.b + {fcase} AS BIGINT) AS fc1_cents
+FROM rec r WHERE r.t = r.n + 1
+"""
+
+
+QUERIES["holt_winters_daily"] = holt_winters_daily
+ORACLES["holt_winters_daily"] = _hw_oracle()
+
+
+# --- 20. Parameterized SQL certification -------------------------------------------
+
+
+def parameterized_sql_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies Spark's NAMED-PARAMETER SQL surface
+    (``spark.sql(query, args={...})`` with ``:name`` markers — the
+    injection-safe alternative to f-string SQL): a revenue rollup over
+    one market segment and one year arrives entirely through
+    parameters; the oracle inlines the same values as literals, so a
+    hash match proves parameter binding is semantically identical to
+    literal substitution (types included — the year binds as an int,
+    the segment as a string).
+
+    100 TB: parameter binding is plan-time; the bound literals push
+    into the scan exactly like hand-written ones (segment filter
+    reaches PushedFilters)."""
+    from etl_extractor_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, names=("orders", "customer"))
+    return spark.sql(
+        """
+        SELECT c_mktsegment AS segment,
+               count(*) AS n_orders,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = :seg AND year(o_orderdate) = :yr
+        GROUP BY c_mktsegment
+        """,
+        args={"seg": "BUILDING", "yr": 1995},
+    )
+
+
+QUERIES["parameterized_sql_revenue"] = parameterized_sql_revenue
+ORACLES["parameterized_sql_revenue"] = """
+    SELECT c_mktsegment AS segment,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING' AND year(o_orderdate) = 1995
+    GROUP BY c_mktsegment
+"""
+
+
+# --- 21. try_* error-safe arithmetic certification ----------------------------------
+
+
+def try_arithmetic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies the ``try_*`` error-safe expression family (Spark 4's
+    NULL-on-error arithmetic — the ingestion-grade alternative to
+    ANSI exceptions): ``try_divide`` (NULL on /0), ``try_cast``
+    (NULL on malformed input), ``try_multiply`` (NULL on BIGINT
+    overflow). Each lane's NULL count and surviving aggregate is
+    pinned by an oracle that reproduces the semantics explicitly
+    (NULLIF denominator, TRY_CAST, HUGEINT overflow test) — so the
+    hash certifies the SEMANTICS (which rows fail), not just the API.
+    Both failure lanes are MIXED by construction (some rows fail, some
+    survive — an always-NULL lane would let a broken try_* pass):
+    cents · 2⁴⁰ overflows int64 only above ~$84k order value, and the
+    divide denominator is zero only on key ≡ 0 (mod 97). The divide
+    lane floors PER ROW before summing (exact integer sum — a double
+    sum would be accumulation-order-dependent across engines).
+
+    One row: n, div_nulls, div_sum_floor, cast_nulls, cast_sum,
+    cast_bad_nulls, mul_nulls."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        _cents("o_totalprice").alias("cents"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    e = o.select(
+        F.expr("floor(try_divide(cents, o_orderkey % 97))")
+        .cast("long")
+        .alias("dv"),
+        F.expr("try_cast(substr(prio, 1, 1) AS BIGINT)").alias("cv"),
+        F.expr("try_cast(prio AS BIGINT)").alias("cv_bad"),
+        F.expr("try_multiply(cents, CAST(1099511627776 AS BIGINT))").alias(
+            "mv"
+        ),
+    )
+    return e.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("dv").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("div_nulls"),
+        F.sum("dv").cast("long").alias("div_sum_floor"),
+        F.sum(F.when(F.col("cv").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("cast_nulls"),
+        F.sum("cv").cast("long").alias("cast_sum"),
+        F.sum(F.when(F.col("cv_bad").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("cast_bad_nulls"),
+        F.sum(F.when(F.col("mv").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("mul_nulls"),
+    )
+
+
+QUERIES["try_arithmetic_audit"] = try_arithmetic_audit
+ORACLES["try_arithmetic_audit"] = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         o_orderpriority AS prio
+  FROM orders
+), e AS (
+  SELECT CAST(floor(CAST(cents AS DOUBLE) / NULLIF(o_orderkey % 97, 0))
+              AS BIGINT) AS dv,
+         TRY_CAST(substr(prio, 1, 1) AS BIGINT) AS cv,
+         TRY_CAST(prio AS BIGINT) AS cv_bad,
+         CASE WHEN CAST(cents AS HUGEINT) * 1099511627776
+                   BETWEEN -9223372036854775808 AND 9223372036854775807
+              THEN 1 ELSE NULL END AS mv
+  FROM o
+)
+SELECT count(*)::BIGINT AS n,
+       CAST(sum(CASE WHEN dv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS div_nulls,
+       CAST(sum(dv) AS BIGINT) AS div_sum_floor,
+       CAST(sum(CASE WHEN cv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS cast_nulls,
+       CAST(sum(cv) AS BIGINT) AS cast_sum,
+       CAST(sum(CASE WHEN cv_bad IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS cast_bad_nulls,
+       CAST(sum(CASE WHEN mv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS mul_nulls
+FROM e
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-round-4
     stale (see module docstring — rank 3 would enter the booked r12

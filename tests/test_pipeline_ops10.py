@@ -17,6 +17,7 @@ import importlib
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 
 _ORACLES: dict = {}
@@ -631,6 +632,76 @@ def test_streaming_quantile_grid_matches_pandas(spark, sf_dir):
         assert row[name] == want, (name, row[name], want)
     # the grid actually ties (many events share a dollar bucket)
     assert len(np.unique(bkt)) < n
+
+
+def test_holt_winters_tracks_float_reference(spark, sf_dir):
+    """The integer recurrence is the pinned definition; a plain float
+    Holt-Winters with the same init/params must land within 1% on the
+    final level and the error sum — a transposed update or index bug
+    diverges far beyond that. Seasonality must be load-bearing:
+    fc1 != l + b."""
+    from etl_extractor_spark.plans.pipeline_ops10 import holt_winters_daily
+    from etl_extractor_spark.sources.parquet import load_table
+
+    row = holt_winters_daily(spark, sf_dir).collect()[0]
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "long"
+                )
+            ).alias("y")
+        )
+        .orderBy("d")
+        .toPandas()
+    )
+    ys = daily["y"].astype(float).to_numpy()
+    n = len(ys)
+    a1, a2 = ys[:7].mean(), ys[7:14].mean()
+    level, trend = a1, (a2 - a1) / 7
+    s = list(ys[:7] - a1)
+    sae = 0.0
+    for t in range(8, n + 1):
+        y, idx = ys[t - 1], (t - 1) % 7
+        sae += abs(y - (level + trend + s[idx]))
+        nl = 0.3 * (y - s[idx]) + 0.7 * (level + trend)
+        trend = 0.1 * (nl - level) + 0.9 * trend
+        s[idx] = 0.2 * (y - nl) + 0.8 * s[idx]
+        level = nl
+    assert row["n_days"] == n
+    assert abs(row["l_final_cents"] - level) < 0.01 * abs(level)
+    assert abs(row["sae_cents"] - sae) < 0.01 * abs(sae)
+    assert row["fc1_cents"] != row["l_final_cents"] + row["b_final_cents"]
+
+
+def test_parameterized_sql_binding_is_live(spark, sf_dir):
+    """Different args must change the result — a binder that ignored
+    args (or cached the first plan) would hash-match by accident."""
+    from etl_extractor_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, names=("orders", "customer"))
+    q = """
+        SELECT count(*) AS n FROM orders JOIN customer
+        ON o_custkey = c_custkey
+        WHERE c_mktsegment = :seg AND year(o_orderdate) = :yr
+    """
+    a = spark.sql(q, args={"seg": "BUILDING", "yr": 1995}).collect()[0]["n"]
+    b = spark.sql(q, args={"seg": "MACHINERY", "yr": 1995}).collect()[0]["n"]
+    c = spark.sql(q, args={"seg": "BUILDING", "yr": 1996}).collect()[0]["n"]
+    assert a > 0 and len({a, b, c}) == 3
+
+
+def test_try_audit_lanes_are_mixed(spark, sf_dir):
+    from etl_extractor_spark.plans.pipeline_ops10 import try_arithmetic_audit
+
+    row = try_arithmetic_audit(spark, sf_dir).collect()[0]
+    n = row["n"]
+    assert 0 < row["div_nulls"] < n  # only key ≡ 0 (mod 97) fails
+    assert 0 < row["mul_nulls"] < n  # only > $84k orders overflow
+    assert row["cast_nulls"] == 0  # leading digit always casts
+    assert row["cast_bad_nulls"] == n  # '1-URGENT' never casts
 
 
 def test_welch_t_matches_brute_force(orders_pdf, spark, sf_dir):
