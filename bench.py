@@ -349,6 +349,12 @@ BENCH_QUERIES = [
     "holt_winters_daily",
     "parameterized_sql_revenue",
     "try_arithmetic_audit",
+    # round-10 wave 16: MV routing, full-sync merge, .files relation,
+    # string zone-map skipping
+    "mv_query_routing",
+    "full_sync_merge_dim",
+    "table_files_metadata",
+    "string_range_skipping_scan",
 ]
 
 # ---------------------------------------------------------------------------

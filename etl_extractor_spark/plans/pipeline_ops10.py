@@ -2112,6 +2112,289 @@ FROM e
 """
 
 
+# --- 22. MV query routing (answer from the view, base untouched) -------------------
+
+
+def mv_query_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MV ROUTING — the consumption half of the MV-maintenance family
+    (mv_incremental_* certify the refresh; this certifies that a
+    COARSER-grain query is answered from the view alone): a monthly
+    revenue MV is materialized from a base orders table, then every
+    base data file is TRUNCATED TO ZERO BYTES before the yearly rollup
+    runs — any plan that touched the base would crash, so the oracle
+    hash (computed from the raw source) proves both the routing and
+    the MV's correctness. Grain algebra: year ⊇ month and both
+    measures are algebraic (count, sum), the precondition a real
+    router checks before rewriting.
+
+    100 TB: the yearly answer costs |months| rows instead of a fact
+    scan — the entire point of aggregate MVs; routing itself is
+    metadata (grain containment), certified here end-to-end.
+
+    Rows: year, n_orders, revenue_cents."""
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.sinks import manifest as MF
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"), _cents("o_totalprice").alias("cents")
+    )
+    base = pid_scratch_dir("spark_graft_mvr_base_")
+    mv = pid_scratch_dir("spark_graft_mvr_mv_")
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(mv, ignore_errors=True)
+    MF.write_with_manifest(spark, o.repartition(2), base, stats_cols=["cents"])
+    monthly = (
+        MF.read_table(spark, base)
+        .groupBy(
+            (F.year("d") * 100 + F.month("d")).alias("m"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+    MF.write_with_manifest(spark, monthly.repartition(1), mv, stats_cols=["m"])
+    for f in MF._part_files(base):
+        open(f, "wb").close()  # base gone: the rollup below must route
+    return (
+        MF.read_table(spark, mv)
+        .groupBy(F.expr("m div 100").alias("year"))
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("year")
+    )
+
+
+QUERIES["mv_query_routing"] = mv_query_routing
+ORACLES["mv_query_routing"] = """
+    SELECT year(o_orderdate) AS year,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders GROUP BY 1 ORDER BY year
+"""
+
+
+# --- 23. Full-sync merge (NOT MATCHED BY SOURCE → DELETE) ---------------------------
+
+
+def full_sync_merge_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies ``sinks/merge.merge_full_sync`` — the dimension-
+    synchronization MERGE mode upserts can't express: the source is
+    the complete desired key set, so matched keys update (keeping the
+    engine-maintained first_seen), new keys insert with the sync id,
+    and keys ABSENT from the source are deleted. Fixture: target =
+    customers with key % 3 != 0 (first_seen = 0, acctbal as loaded);
+    source = customers with key % 2 == 0 and acctbal SHIFTED +1000
+    cents (so carried-over rows must show the SOURCE value — a stale
+    attr leaks straight into the hash). Final state after sync_id=1:
+    exactly the source keys; first_seen = 0 where the key survived
+    from the target, 1 where it is new.
+
+    100 TB: one key-partitioned join (the metadata column rides the
+    small projection); committed via replace_table_cow so history
+    survives — the same restatement path the COW family certifies.
+
+    Rows: per-segment rollup — n_rows, n_carried, n_new,
+    sum_acctbal_cents."""
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.sinks import manifest as MF
+    from etl_extractor_spark.sinks.merge import merge_full_sync
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("bal"),
+    )
+    path = pid_scratch_dir("spark_graft_fsync_")
+    shutil.rmtree(path, ignore_errors=True)
+    target = c.filter(F.col("ck") % 3 != 0).withColumn(
+        "first_seen", F.lit(0).cast("long")
+    )
+    MF.write_with_manifest(spark, target.repartition(2), path, stats_cols=["ck"])
+    source = c.filter(F.col("ck") % 2 == 0).withColumn(
+        "bal", F.col("bal") + 1000
+    )
+    merged = merge_full_sync(
+        MF.read_table(spark, path),
+        source,
+        "ck",
+        ["seg", "bal"],
+        sync_id=1,
+    )
+    MF.replace_table_cow(spark, path, merged)
+    out = MF.read_table(spark, path)
+    return (
+        out.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("first_seen") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_carried"),
+            F.sum(F.when(F.col("first_seen") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum("bal").cast("long").alias("sum_bal_cents"),
+        )
+        .orderBy("seg")
+    )
+
+
+QUERIES["full_sync_merge_dim"] = full_sync_merge_dim
+ORACLES["full_sync_merge_dim"] = """
+    WITH c AS (
+      SELECT c_custkey AS ck, c_mktsegment AS seg,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 1000 AS bal,
+             CASE WHEN c_custkey % 3 != 0 THEN 0 ELSE 1 END AS first_seen
+      FROM customer WHERE c_custkey % 2 = 0
+    )
+    SELECT seg,
+           count(*)::BIGINT AS n_rows,
+           CAST(sum(CASE WHEN first_seen = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_carried,
+           CAST(sum(CASE WHEN first_seen = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(sum(bal) AS BIGINT) AS sum_bal_cents
+    FROM c GROUP BY seg ORDER BY seg
+"""
+
+
+# --- 24. .files metadata relation ----------------------------------------------------
+
+
+def table_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``.files`` metadata table (Iceberg/Delta expose per-file
+    stats as a queryable relation): after three deterministic
+    single-file appends over pinned key slices, the manifest's file
+    entries themselves are the result — per file its row count and
+    min/max key, straight from the write-time footer harvest, no data
+    read (this is what powers `SELECT * FROM t.files` planning and
+    file-skipping explainability). Ordered by min_key so the output is
+    layout-stable; file NAMES (uuid-bearing) stay out of the hash.
+
+    Rows: one per data file — n_rows, min_key, max_key."""
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.operators.common import small_df
+    from etl_extractor_spark.sinks import manifest as MF
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    path = pid_scratch_dir("spark_graft_files_")
+    shutil.rmtree(path, ignore_errors=True)
+    hi = o.agg(F.max("k")).collect()[0][0]
+    cut1, cut2 = hi // 3, 2 * (hi // 3)
+    MF.write_with_manifest(
+        spark, o.filter(F.col("k") <= cut1).repartition(1), path, ["k"]
+    )
+    for lo_excl, hi_incl in ((cut1, cut2), (cut2, hi)):
+        MF.write_with_manifest(
+            spark,
+            o.filter((F.col("k") > lo_excl) & (F.col("k") <= hi_incl)).repartition(1),
+            path,
+            ["k"],
+            mode="append",
+        )
+    m = MF.read_manifest(path)
+    rows = sorted(
+        (e["rows"], e["stats"]["k"]["min"], e["stats"]["k"]["max"])
+        for e in m["files"]
+    )
+    return small_df(
+        spark,
+        [(r, mn, mx) for (r, mn, mx) in sorted(rows, key=lambda t: t[1])],
+        "n_rows long, min_key long, max_key long",
+    ).orderBy("min_key")
+
+
+QUERIES["table_files_metadata"] = table_files_metadata
+ORACLES["table_files_metadata"] = """
+    WITH hi AS (SELECT max(o_orderkey) AS h FROM orders),
+    b AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey <= (SELECT h // 3 FROM hi) THEN 0
+                  WHEN o_orderkey <= (SELECT 2 * (h // 3) FROM hi) THEN 1
+                  ELSE 2 END AS band
+      FROM orders
+    )
+    SELECT count(*)::BIGINT AS n_rows,
+           min(k) AS min_key, max(k) AS max_key
+    FROM b GROUP BY band ORDER BY min_key
+"""
+
+
+# --- 25. String-range file skipping ---------------------------------------------------
+
+
+def string_range_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File skipping on a STRING column's zone maps — the numeric
+    min/max machinery (manifest_* family) extended to lexicographic
+    ranges, which is how name/uuid/url-prefix predicates prune at
+    scale. Three single-file appends carry alphabet bands of p_name
+    (a–f / g–p / q–z by first letter); the probe predicate
+    'h' <= p_name < 'i' must plan STRICTLY fewer files than the table
+    holds (asserted) with zero false negatives (the oracle hash —
+    computed from raw part rows — catches any dropped row).
+
+    100 TB: string zone maps make prefix scans metadata-bounded; the
+    lexicographic compare is the same JSON-domain compare plan_files
+    already certifies for numerics."""
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir
+    from etl_extractor_spark.sinks import manifest as MF
+
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_name").alias("nm"),
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    path = pid_scratch_dir("spark_graft_strskip_")
+    shutil.rmtree(path, ignore_errors=True)
+    first = F.substring("nm", 1, 1)
+    bands = [(first < "g"), (first >= "g") & (first < "q"), (first >= "q")]
+    MF.write_with_manifest(spark, p.filter(bands[0]).repartition(1), path, ["nm"])
+    for b in bands[1:]:
+        MF.write_with_manifest(
+            spark, p.filter(b).repartition(1), path, ["nm"], mode="append"
+        )
+    m = MF.read_manifest(path)
+    import os
+
+    planned = MF.plan_files(m, "nm", lower="h", upper="i")
+    assert 0 < len(planned) < len(m["files"]), (planned, len(m["files"]))
+    df = spark.read.parquet(*[os.path.join(path, f) for f in planned])
+    return df.filter((F.col("nm") >= "h") & (F.col("nm") < "i")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.min("nm").alias("first_name"),
+        F.max("nm").alias("last_name"),
+    )
+
+
+QUERIES["string_range_skipping_scan"] = string_range_skipping_scan
+ORACLES["string_range_skipping_scan"] = """
+    SELECT count(*)::BIGINT AS n,
+           CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           min(p_name) AS first_name,
+           max(p_name) AS last_name
+    FROM part
+    WHERE p_name >= 'h' AND p_name < 'i'
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-round-4
     stale (see module docstring — rank 3 would enter the booked r12

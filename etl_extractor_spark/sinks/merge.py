@@ -179,3 +179,36 @@ def scd2_apply(
         .select(*target.columns)
     )
     return hist.unionByName(carried).unionByName(closed).unionByName(inserted)
+
+
+def merge_full_sync(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    attr_cols: list[str],
+    sync_id: int,
+    meta_col: str = "first_seen",
+) -> DataFrame:
+    """FULL-SYNC merge (MERGE ... WHEN NOT MATCHED BY SOURCE THEN
+    DELETE): the source is the complete desired key set — matched keys
+    take the source's attributes but KEEP the target's engine-
+    maintained metadata (``meta_col``, e.g. first-seen sync id), new
+    keys enter with ``meta_col = sync_id``, and target keys absent
+    from the source are DELETED. The dimension-synchronization mode
+    the upsert family can't express: upserts never remove, so a
+    source-side deletion would leave a zombie row forever.
+
+    One outer join on the key; the result is the caller's to commit
+    (replace_table_cow for history-preserving tables). Inner-join +
+    anti-join formulation keeps every column resolution explicit —
+    no full-outer null-disambiguation on the key."""
+    t = target.select(key, meta_col)
+    matched = source.join(t, key, "inner").select(
+        key, *attr_cols, F.col(meta_col).cast("long").alias(meta_col)
+    )
+    fresh = source.join(t, key, "left_anti").select(
+        key,
+        *attr_cols,
+        F.lit(sync_id).cast("long").alias(meta_col),
+    )
+    return matched.unionByName(fresh)

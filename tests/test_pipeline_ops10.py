@@ -704,6 +704,36 @@ def test_try_audit_lanes_are_mixed(spark, sf_dir):
     assert row["cast_bad_nulls"] == n  # '1-URGENT' never casts
 
 
+def test_full_sync_merge_semantics(spark, tmp_path):
+    """Row-level semantics on a hand-built fixture: matched keys take
+    source attrs but keep target first_seen; new keys get the sync id;
+    target-only keys are DELETED (the zombie row upserts leave)."""
+    from etl_extractor_spark.operators.common import small_df
+    from etl_extractor_spark.sinks.merge import merge_full_sync
+
+    target = small_df(
+        spark,
+        [(1, "a", 0), (2, "b", 0), (3, "c", 0)],
+        "k long, attr string, first_seen long",
+    )
+    source = small_df(
+        spark, [(2, "B"), (4, "d")], "k long, attr string"
+    )
+    got = {
+        (r["k"], r["attr"], r["first_seen"])
+        for r in merge_full_sync(target, source, "k", ["attr"], 7).collect()
+    }
+    assert got == {(2, "B", 0), (4, "d", 7)}  # 1 and 3 deleted
+
+
+def test_mv_routing_rearms_and_is_deterministic(spark, sf_dir):
+    from etl_extractor_spark.plans.pipeline_ops10 import mv_query_routing
+
+    a = mv_query_routing(spark, sf_dir).collect()
+    b = mv_query_routing(spark, sf_dir).collect()
+    assert a == b and len(a) >= 7  # TPC-H spans 1992-1998
+
+
 def test_welch_t_matches_brute_force(orders_pdf, spark, sf_dir):
     from etl_extractor_spark.plans.pipeline_ops10 import welch_t_years
 
