@@ -355,6 +355,11 @@ BENCH_QUERIES = [
     "full_sync_merge_dim",
     "table_files_metadata",
     "string_range_skipping_scan",
+    # round-10 wave 17: Spark-4 surface closers + OPTIMIZE planning
+    "approx_top_k_contract",
+    "arrow_python_udf_parity",
+    "group_order_by_all",
+    "compaction_batch_plan",
 ]
 
 # ---------------------------------------------------------------------------

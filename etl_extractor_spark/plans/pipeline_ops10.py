@@ -2395,6 +2395,241 @@ ORACLES["string_range_skipping_scan"] = """
 """
 
 
+# --- 26. approx_top_k exactness contract ---------------------------------------------
+
+
+def approx_top_k_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies Spark 4's native ``approx_top_k`` sketch under its
+    exactness precondition — the same contract pattern as the
+    KLL/Theta/CMS family: when maxItemsTracked (default 10⁴) exceeds
+    the distinct-item count, the space-saving sketch degenerates to
+    exact counting, so the oracle can pin the VALUES. The sketch's
+    own output order on count ties is unspecified, so the result is
+    exploded and re-ranked by the pinned (count desc, item asc) order
+    before hashing — certifying the counts, not the engine's
+    incidental ordering. In-query assert pins the precondition
+    (distinct event types < maxItemsTracked).
+
+    100 TB: past the precondition the sketch stays fixed-size and
+    mergeable (the point of space-saving); the certified-exact regime
+    is the one this events domain occupies.
+
+    5 rows: item, cnt."""
+    e = load_table(spark, sf_dir, "events")
+    exact = (
+        e.groupBy("event_type")
+        .count()
+        .orderBy(F.col("count").desc(), "event_type")
+        .limit(7)
+        .collect()
+    )
+    n_distinct = e.select("event_type").distinct().count()
+    assert n_distinct < 10000, n_distinct
+    # WHICH items make the top-5 cut is only pinned when rank 5 beats
+    # rank 6 strictly — assert it so a tying fixture fails loudly here
+    # instead of hash-flaking downstream
+    if len(exact) > 5:
+        assert exact[4]["count"] > exact[5]["count"], exact
+    sk = e.agg(F.expr("approx_top_k(event_type, 5)").alias("tk"))
+    return (
+        sk.select(F.explode("tk").alias("x"))
+        .select(
+            F.col("x.item").alias("item"),
+            F.col("x.count").cast("long").alias("cnt"),
+        )
+        .orderBy(F.col("cnt").desc(), "item")
+    )
+
+
+QUERIES["approx_top_k_contract"] = approx_top_k_contract
+ORACLES["approx_top_k_contract"] = """
+    SELECT event_type AS item, count(*)::BIGINT AS cnt
+    FROM events GROUP BY 1
+    ORDER BY cnt DESC, item
+    LIMIT 5
+"""
+
+
+# --- 27. Arrow-optimized Python UDF parity -------------------------------------------
+
+
+def arrow_python_udf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies the ARROW-OPTIMIZED Python UDF path (Spark 4
+    ``udf(..., useArrow=True)`` — columnar Arrow batches instead of
+    row-pickling): a digit-sum UDF over order keys, rolled up to
+    (digit_sum → n, revenue). The oracle recomputes digit sums in pure
+    SQL (list fold over the decimal string), so the hash certifies the
+    Arrow serialization round-trip preserves int64 semantics exactly.
+    Honest scale note: this is the SLOW PATH family — the repo's rule
+    is built-ins first (a digit sum IS expressible in SQL, as the
+    oracle proves); the query certifies the escape hatch used when
+    real Python logic (tokenizers, codecs) is unavoidable, on the
+    multimodal family's Arrow-batch cost model.
+
+    Rows: digit_sum, n, revenue_cents."""
+    from pyspark.sql.functions import udf
+
+    @udf("long", useArrow=True)
+    def digit_sum(k: int) -> int:
+        return sum(int(c) for c in str(k))
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", _cents("o_totalprice").alias("cents")
+    )
+    return (
+        o.select(digit_sum("o_orderkey").alias("ds"), "cents")
+        .groupBy("ds")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("ds")
+    )
+
+
+QUERIES["arrow_python_udf_parity"] = arrow_python_udf_parity
+ORACLES["arrow_python_udf_parity"] = """
+    WITH x AS (
+      SELECT list_sum(list_transform(string_split(CAST(o_orderkey AS VARCHAR), ''),
+                                     c -> CAST(c AS BIGINT))) AS ds,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT CAST(ds AS BIGINT) AS ds, count(*)::BIGINT AS n,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM x GROUP BY 1 ORDER BY ds
+"""
+
+
+# --- 28. GROUP BY ALL / ORDER BY ALL certification ------------------------------------
+
+
+def group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies the GROUP BY ALL / ORDER BY ALL SQL sugar (Spark 4):
+    the resolver must infer the grouping set as exactly the
+    non-aggregate select items and the ordering as the full select
+    list — the oracle spells both out positionally, so a resolver
+    that grouped or ordered differently hash-mismatches. Cheap but
+    real: this sugar is how exploratory SQL gets written, and a wrong
+    inference silently changes grain."""
+    from etl_extractor_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """
+        SELECT year(o_orderdate) AS yr,
+               substr(o_orderpriority, 1, 1) AS prio,
+               count(*) AS n,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+QUERIES["group_order_by_all"] = group_order_by_all
+ORACLES["group_order_by_all"] = """
+    SELECT year(o_orderdate) AS yr,
+           substr(o_orderpriority, 1, 1) AS prio,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1, 2, 3, 4
+"""
+
+
+# --- 29. Compaction batch planner (next-fit-decreasing) -------------------------------
+
+
+def compaction_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE batch planning from manifest metadata alone: the
+    small-file set is packed into bounded compaction batches by
+    NEXT-FIT-DECREASING — files sorted by (rows desc, min_key), batch
+    id = exclusive-cumulative-rows div capacity — the deterministic,
+    window-expressible sibling of first-fit bin packing (one open bin,
+    ≤2× waste bound, and crucially reproducible as pure SQL — a
+    sequential FFD state machine is not). Fixture: 9 single-file
+    appends over key-mod-9 slices (per-file rows derivable from the
+    data, so the oracle can replan from raw rows); capacity = 2.5×
+    the mean slice. This is the planner that turns write_target_file_
+    size's diagnosis and compact_with_manifest's mechanism into
+    bounded-memory OPTIMIZE jobs.
+
+    100 TB: planning cost is |files| manifest entries — metadata-
+    scale; each planned batch bounds the compactor's working set.
+
+    Rows: batch, n_files, total_rows."""
+    import shutil
+
+    from etl_extractor_spark.operators.common import pid_scratch_dir, small_df
+    from etl_extractor_spark.sinks import manifest as MF
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    path = pid_scratch_dir("spark_graft_binpack_")
+    shutil.rmtree(path, ignore_errors=True)
+    MF.write_with_manifest(
+        spark, o.filter(F.col("k") % 9 == 0).repartition(1), path, ["k"]
+    )
+    for r in range(1, 9):
+        MF.write_with_manifest(
+            spark,
+            o.filter(F.col("k") % 9 == r).repartition(1),
+            path,
+            ["k"],
+            mode="append",
+        )
+    m = MF.read_manifest(path)
+    total = sum(e["rows"] for e in m["files"])
+    cap = (total // 9) * 5 // 2  # 2.5× the mean slice
+    files = sorted(
+        ((e["rows"], e["stats"]["k"]["min"]) for e in m["files"]),
+        key=lambda t: (-t[0], t[1]),
+    )
+    plan: list = []
+    cum = 0
+    for rows, _mn in files:
+        plan.append((cum // cap, rows))
+        cum += rows
+    batches: dict = {}
+    for b, rows in plan:
+        n, t = batches.get(b, (0, 0))
+        batches[b] = (n + 1, t + rows)
+    return small_df(
+        spark,
+        [(b, n, t) for b, (n, t) in sorted(batches.items())],
+        "batch long, n_files long, total_rows long",
+    ).orderBy("batch")
+
+
+QUERIES["compaction_batch_plan"] = compaction_batch_plan
+ORACLES["compaction_batch_plan"] = """
+WITH f AS (
+  SELECT o_orderkey % 9 AS slice, count(*)::BIGINT AS rows_,
+         min(o_orderkey) AS mn
+  FROM orders GROUP BY 1
+), cap AS (
+  SELECT (CAST(sum(rows_) AS BIGINT) // 9) * 5 // 2 AS c FROM f
+), ordered AS (
+  SELECT rows_,
+         CAST(COALESCE(SUM(rows_) OVER (ORDER BY rows_ DESC, mn
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev
+  FROM f
+)
+SELECT CAST(cum_prev // c AS BIGINT) AS batch,
+       count(*)::BIGINT AS n_files,
+       CAST(sum(rows_) AS BIGINT) AS total_rows
+FROM ordered CROSS JOIN cap
+GROUP BY 1 ORDER BY batch
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-round-4
     stale (see module docstring — rank 3 would enter the booked r12

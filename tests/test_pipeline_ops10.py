@@ -734,6 +734,69 @@ def test_mv_routing_rearms_and_is_deterministic(spark, sf_dir):
     assert a == b and len(a) >= 7  # TPC-H spans 1992-1998
 
 
+def test_arrow_udf_matches_catalyst_expression(spark, sf_dir):
+    """The Arrow-Python digit-sum must equal the pure-Catalyst
+    derivation (F.aggregate over split) — certifying the Arrow
+    serialization path against the JVM path inside one engine, on top
+    of the cross-engine oracle."""
+    from etl_extractor_spark.plans.pipeline_ops10 import (
+        arrow_python_udf_parity,
+    )
+    from etl_extractor_spark.sources.parquet import load_table
+
+    rows = {
+        (r["ds"], r["n"], r["revenue_cents"])
+        for r in arrow_python_udf_parity(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    ds = F.aggregate(
+        F.split(F.col("o_orderkey").cast("string"), ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc
+        + F.when(F.length(c) > 0, c.cast("long")).otherwise(0),
+    )
+    want = {
+        (r["ds"], r["n"], r["revenue_cents"])
+        for r in o.select(
+            ds.alias("ds"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("ds")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .collect()
+    }
+    assert rows == want
+
+
+def test_compaction_batches_respect_capacity_bound(spark, sf_dir):
+    """Next-fit-decreasing invariants: every file planned exactly once
+    (Σ batch totals == table rows) and each batch ≤ capacity + one
+    largest file (the straddle bound)."""
+    from etl_extractor_spark.plans.pipeline_ops10 import compaction_batch_plan
+    from etl_extractor_spark.sources.parquet import load_table
+
+    rows = compaction_batch_plan(spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    total = o.count()
+    slices = [
+        r["n"]
+        for r in o.groupBy((F.col("o_orderkey") % 9).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    cap = (total // 9) * 5 // 2
+    assert sum(r["total_rows"] for r in rows) == total
+    assert sum(r["n_files"] for r in rows) == 9
+    for r in rows:
+        assert r["total_rows"] <= cap + max(slices)
+    assert len(rows) >= 2  # capacity actually splits the file set
+
+
 def test_welch_t_matches_brute_force(orders_pdf, spark, sf_dir):
     from etl_extractor_spark.plans.pipeline_ops10 import welch_t_years
 
