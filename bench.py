@@ -360,6 +360,10 @@ BENCH_QUERIES = [
     "arrow_python_udf_parity",
     "group_order_by_all",
     "compaction_batch_plan",
+    # round-10 wave 18: optimizer stats + weighted/candlestick rollups
+    "equi_depth_histogram",
+    "vwap_weekly",
+    "ohlc_monthly_revenue",
 ]
 
 # ---------------------------------------------------------------------------

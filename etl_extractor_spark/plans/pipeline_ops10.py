@@ -2630,6 +2630,177 @@ GROUP BY 1 ORDER BY batch
 """
 
 
+# --- 30. Equi-depth histogram (ANALYZE-style optimizer statistics) ------------------
+
+
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH (equal-height) histogram of order value — the
+    statistic ANALYZE TABLE builds for optimizer selectivity
+    estimation, computed EXACTLY on the value domain: each distinct
+    value goes wholly to the bucket of its first row,
+    bucket = cum_prev·10 div N (ties never split across buckets, so
+    bucket heights wobble by tie mass — the honest equi-depth on
+    discrete data, and precisely how engine histogram builders handle
+    heavy hitters). The rank walk is the two-phase bucket cumsum —
+    value-domain-sized, never a global sort of rows.
+
+    100 TB: this is the stats-collection pass a warehouse runs per
+    column; one distinct-value aggregation + a domain-sized walk.
+
+    10 rows: bucket, lo_cents, hi_cents, n_rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        _cents("o_totalprice").alias("v")
+    )
+    per_v = o.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    per_v = per_v.withColumn("b", F.expr("v div 1000000"))
+    wv = (
+        Window.partitionBy("b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sizes = per_v.groupBy("b").agg(F.sum("c").alias("cb"))
+    wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "b", F.coalesce(F.sum("cb").over(wo), F.lit(0)).alias("off")
+    )
+    n = o.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cum = (
+        per_v.withColumn("cin", F.coalesce(F.sum("c").over(wv), F.lit(0)))
+        .join(F.broadcast(offsets), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "v",
+            "c",
+            F.expr("(cin + off) * 10 div n").cast("long").alias("bucket"),
+        )
+    )
+    return (
+        cum.groupBy("bucket")
+        .agg(
+            F.min("v").cast("long").alias("lo_cents"),
+            F.max("v").cast("long").alias("hi_cents"),
+            F.sum("c").cast("long").alias("n_rows"),
+        )
+        .orderBy("bucket")
+    )
+
+
+QUERIES["equi_depth_histogram"] = equi_depth_histogram
+ORACLES["equi_depth_histogram"] = """
+WITH o AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM orders
+), per_v AS (
+  SELECT v, count(*)::BIGINT AS c FROM o GROUP BY 1
+), nn AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM per_v
+), cum AS (
+  SELECT v, c,
+         CAST(COALESCE(SUM(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev
+  FROM per_v
+)
+SELECT CAST(cum_prev * 10 // n AS BIGINT) AS bucket,
+       min(v) AS lo_cents, max(v) AS hi_cents,
+       CAST(sum(c) AS BIGINT) AS n_rows
+FROM cum CROSS JOIN nn
+GROUP BY 1 ORDER BY bucket
+"""
+
+
+# --- 31. Weekly VWAP ------------------------------------------------------------------
+
+
+def vwap_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per week over line items — the
+    canonical weighted-mean metric (finance VWAP, and the exact shape
+    of any weighted KPI): Σ(price·qty)/Σ(qty) per ISO-truncated week,
+    with the numerator accumulated EXACTLY (price cents × integer
+    quantity in DECIMAL(38,0)) and the final division one identical
+    floor-double step (micro-cent units). Fully map-combinable — two
+    exact integers of state per week.
+
+    Rows: week, n_items, total_qty, vwap_micro_cents."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.date_trunc("week", F.col("l_shipdate")).cast("date").alias("wk"),
+        _cents("l_extendedprice").alias("p"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    agg = li.groupBy("wk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("q").cast("long").alias("total_qty"),
+        F.sum((F.col("p") * F.col("q")).cast("decimal(38,0)")).alias("pq"),
+    )
+    vwap = F.floor(
+        F.col("pq").cast("double") / F.col("total_qty").cast("double") * 1000000
+    ).cast("long")
+    return agg.select(
+        "wk", "n_items", "total_qty", vwap.alias("vwap_micro_cents")
+    ).orderBy("wk")
+
+
+QUERIES["vwap_weekly"] = vwap_weekly
+ORACLES["vwap_weekly"] = """
+    SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS wk,
+           count(*)::BIGINT AS n_items,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(floor(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) * 1000000)
+               AS BIGINT) AS vwap_micro_cents
+    FROM lineitem GROUP BY 1 ORDER BY wk
+"""
+
+
+# --- 32. Monthly OHLC of the daily revenue series ---------------------------------------
+
+
+def ohlc_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars (open/high/low/close) of DAILY revenue per month —
+    the candlestick aggregation, i.e. argmin/argmax-by-time composed
+    with min/max over a pre-aggregated series: open = the first day's
+    revenue (min_by day), close = the last day's (max_by), high/low =
+    extrema. Runs entirely on the day-grain aggregate (calendar-
+    bounded); the struct-ordered min_by/max_by is the same
+    deterministic argmax family the SCD1 stream certifies.
+
+    Rows: month, open/high/low/close cents, n_days."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"), _cents("o_totalprice").alias("cents")
+    )
+    daily = o.groupBy("d").agg(F.sum("cents").cast("long").alias("rev"))
+    return (
+        daily.groupBy((F.year("d") * 100 + F.month("d")).alias("month"))
+        .agg(
+            F.min_by("rev", "d").cast("long").alias("open_cents"),
+            F.max("rev").cast("long").alias("high_cents"),
+            F.min("rev").cast("long").alias("low_cents"),
+            F.max_by("rev", "d").cast("long").alias("close_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+        .orderBy("month")
+    )
+
+
+QUERIES["ohlc_monthly_revenue"] = ohlc_monthly_revenue
+ORACLES["ohlc_monthly_revenue"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT year(d) * 100 + month(d) AS month,
+       CAST(min_by(rev, d) AS BIGINT) AS open_cents,
+       CAST(max(rev) AS BIGINT) AS high_cents,
+       CAST(min(rev) AS BIGINT) AS low_cents,
+       CAST(max_by(rev, d) AS BIGINT) AS close_cents,
+       count(*)::BIGINT AS n_days
+FROM daily GROUP BY 1 ORDER BY month
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-round-4
     stale (see module docstring — rank 3 would enter the booked r12

@@ -797,6 +797,82 @@ def test_compaction_batches_respect_capacity_bound(spark, sf_dir):
     assert len(rows) >= 2  # capacity actually splits the file set
 
 
+def test_equi_depth_histogram_properties(orders_pdf, spark, sf_dir):
+    """Exact-partition invariants: buckets cover every row exactly
+    once, ranges are disjoint and ordered, heights within one distinct
+    value's mass of N/10 (the tie-wobble bound), and boundaries match
+    a pandas rank derivation."""
+    from etl_extractor_spark.plans.pipeline_ops10 import equi_depth_histogram
+
+    rows = equi_depth_histogram(spark, sf_dir).collect()
+    pdf = orders_pdf
+    n = len(pdf)
+    assert sum(r["n_rows"] for r in rows) == n
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi_cents"] < b["lo_cents"]
+    vc = pdf["x"].value_counts().sort_index()
+    cum_prev = vc.cumsum().shift(fill_value=0)
+    bucket = (cum_prev * 10 // n).astype(int)
+    want = {
+        (b, int(g.index.min()), int(g.index.max()), int(g.sum()))
+        for b, g in vc.groupby(bucket)
+    }
+    got = {
+        (r["bucket"], r["lo_cents"], r["hi_cents"], r["n_rows"]) for r in rows
+    }
+    assert got == want
+    max_tie = int(vc.max())
+    for r in rows:
+        assert r["n_rows"] <= n // 10 + max_tie
+
+
+def test_vwap_matches_pandas(spark, sf_dir):
+    from etl_extractor_spark.plans.pipeline_ops10 import vwap_weekly
+    from etl_extractor_spark.sources.parquet import load_table
+
+    rows = vwap_weekly(spark, sf_dir).collect()
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_shipdate", "l_extendedprice", "l_quantity")
+        .toPandas()
+    )
+    li["wk"] = pd.to_datetime(li["l_shipdate"]).dt.to_period("W-SUN").dt.start_time
+    li["p"] = (li["l_extendedprice"].round(2) * 100).round().astype("int64")
+    li["q"] = li["l_quantity"].astype("int64")
+    li["pq"] = li["p"] * li["q"]
+    g = li.groupby("wk").agg(n=("q", "size"), tq=("q", "sum"), pq=("pq", "sum"))
+    assert len(rows) == len(g)
+    for r, (wk, row) in zip(rows, g.iterrows()):
+        assert (r["n_items"], r["total_qty"]) == (row["n"], row["tq"])
+        assert r["vwap_micro_cents"] == int(
+            np.floor(row["pq"] / row["tq"] * 1000000)
+        )
+    # weighting is load-bearing: quantities actually vary within weeks
+    assert (li.groupby("wk")["q"].nunique() > 1).any()
+
+
+def test_ohlc_open_close_are_time_ordered(spark, sf_dir):
+    """open must be the FIRST day's revenue and close the LAST day's —
+    a min/max-by-value bug would still produce plausible numbers, so
+    re-derive from the daily series by date."""
+    from etl_extractor_spark.plans.pipeline_ops10 import ohlc_monthly_revenue
+    from etl_extractor_spark.sources.parquet import load_table
+
+    rows = ohlc_monthly_revenue(spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice").toPandas()
+    o["d"] = pd.to_datetime(o["o_orderdate"]).dt.date
+    o["cents"] = (o["o_totalprice"].round(2) * 100).round().astype("int64")
+    daily = o.groupby("d")["cents"].sum()
+    for r in rows[:12]:
+        y, mth = divmod(r["month"], 100)
+        days = daily[[d for d in daily.index if d.year == y and d.month == mth]]
+        assert r["open_cents"] == int(days.loc[min(days.index)])
+        assert r["close_cents"] == int(days.loc[max(days.index)])
+        assert r["high_cents"] == int(days.max())
+        assert r["low_cents"] == int(days.min())
+        assert r["n_days"] == len(days)
+
+
 def test_welch_t_matches_brute_force(orders_pdf, spark, sf_dir):
     from etl_extractor_spark.plans.pipeline_ops10 import welch_t_years
 
