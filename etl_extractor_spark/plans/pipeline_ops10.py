@@ -1222,7 +1222,9 @@ def metadata_stats_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     physical: after the table commit, every data file is TRUNCATED TO
     ZERO BYTES before the answers are computed — any code path that
     touched a data page would crash, so a hash match certifies the
-    answers came from footer-harvested stats at write time. The
+    answers came from footer-harvested stats at write time (deletion,
+    not zero-truncation — Spark's file index skips empty files
+    SILENTLY, so only a missing file fails loudly; review catch). The
     oracle recomputes count/min/max from the raw source rows.
 
     100 TB: this is the difference between a dashboard COUNT costing
@@ -1242,8 +1244,10 @@ def metadata_stats_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     MF.write_with_manifest(
         spark, o.repartition(3), path, stats_cols=["o_orderkey", "cents"]
     )
+    import os
+
     for f in MF._part_files(path):
-        open(f, "wb").close()  # data pages gone; manifest must suffice
+        os.remove(f)  # data gone; the manifest must suffice
     m = MF.read_manifest(path)
     mins = {c: min(e["stats"][c]["min"] for e in m["files"]) for c in m["stats_cols"]}
     maxs = {c: max(e["stats"][c]["max"] for e in m["files"]) for c in m["stats_cols"]}
@@ -2120,10 +2124,11 @@ def mv_query_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mv_incremental_* certify the refresh; this certifies that a
     COARSER-grain query is answered from the view alone): a monthly
     revenue MV is materialized from a base orders table, then every
-    base data file is TRUNCATED TO ZERO BYTES before the yearly rollup
-    runs — any plan that touched the base would crash, so the oracle
-    hash (computed from the raw source) proves both the routing and
-    the MV's correctness. Grain algebra: year ⊇ month and both
+    base data file is DELETED before the yearly rollup runs — a
+    mis-routed plan fails loudly on the missing files (zero-byte
+    truncation would NOT be loud: Spark's file index silently skips
+    empty files, review catch), so the oracle hash (computed from the
+    raw source) proves both the routing and the MV's correctness. Grain algebra: year ⊇ month and both
     measures are algebraic (count, sum), the precondition a real
     router checks before rewriting.
 
@@ -2156,8 +2161,10 @@ def mv_query_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     MF.write_with_manifest(spark, monthly.repartition(1), mv, stats_cols=["m"])
+    import os
+
     for f in MF._part_files(base):
-        open(f, "wb").close()  # base gone: the rollup below must route
+        os.remove(f)  # base gone: a base-touching plan now fails loudly
     return (
         MF.read_table(spark, mv)
         .groupBy(F.expr("m div 100").alias("year"))
@@ -2210,9 +2217,7 @@ def full_sync_merge_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("ck"),
         F.col("c_mktsegment").alias("seg"),
-        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
-        .cast("long")
-        .alias("bal"),
+        _cents("c_acctbal").alias("bal"),
     )
     path = pid_scratch_dir("spark_graft_fsync_")
     shutil.rmtree(path, ignore_errors=True)
@@ -2307,13 +2312,14 @@ def table_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     m = MF.read_manifest(path)
     rows = sorted(
-        (e["rows"], e["stats"]["k"]["min"], e["stats"]["k"]["max"])
-        for e in m["files"]
+        (
+            (e["rows"], e["stats"]["k"]["min"], e["stats"]["k"]["max"])
+            for e in m["files"]
+        ),
+        key=lambda t: t[1],
     )
     return small_df(
-        spark,
-        [(r, mn, mx) for (r, mn, mx) in sorted(rows, key=lambda t: t[1])],
-        "n_rows long, min_key long, max_key long",
+        spark, rows, "n_rows long, min_key long, max_key long"
     ).orderBy("min_key")
 
 
@@ -2355,10 +2361,7 @@ def string_range_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_extractor_spark.sinks import manifest as MF
 
     p = load_table(spark, sf_dir, "part").select(
-        F.col("p_name").alias("nm"),
-        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
-        .cast("long")
-        .alias("cents"),
+        F.col("p_name").alias("nm"), _cents("p_retailprice").alias("cents")
     )
     path = pid_scratch_dir("spark_graft_strskip_")
     shutil.rmtree(path, ignore_errors=True)

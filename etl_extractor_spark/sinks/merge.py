@@ -201,7 +201,25 @@ def merge_full_sync(
     One outer join on the key; the result is the caller's to commit
     (replace_table_cow for history-preserving tables). Inner-join +
     anti-join formulation keeps every column resolution explicit —
-    no full-outer null-disambiguation on the key."""
+    no full-outer null-disambiguation on the key.
+
+    Duplicate keys RAISE (real MERGE semantics): a doubled target key
+    would silently fan the join out and commit a duplicated dimension
+    (review catch); a doubled source key is an upstream bug this merge
+    must not launder into the target."""
+    for side, df in (("target", target), ("source", source)):
+        dup = (
+            df.groupBy(key)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"merge_full_sync: duplicate {side} key {dup[0][0]!r} — "
+                "MERGE requires unique keys on both sides"
+            )
     t = target.select(key, meta_col)
     matched = source.join(t, key, "inner").select(
         key, *attr_cols, F.col(meta_col).cast("long").alias(meta_col)

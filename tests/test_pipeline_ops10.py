@@ -724,6 +724,15 @@ def test_full_sync_merge_semantics(spark, tmp_path):
         for r in merge_full_sync(target, source, "k", ["attr"], 7).collect()
     }
     assert got == {(2, "B", 0), (4, "d", 7)}  # 1 and 3 deleted
+    # duplicate keys RAISE instead of fanning out (review catch)
+    dup_target = small_df(
+        spark, [(1, "a", 0), (1, "a2", 0)], "k long, attr string, first_seen long"
+    )
+    with pytest.raises(ValueError, match="duplicate target key"):
+        merge_full_sync(dup_target, source, "k", ["attr"], 7).collect()
+    dup_source = small_df(spark, [(2, "B"), (2, "B2")], "k long, attr string")
+    with pytest.raises(ValueError, match="duplicate source key"):
+        merge_full_sync(target, dup_source, "k", ["attr"], 7).collect()
 
 
 def test_mv_routing_rearms_and_is_deterministic(spark, sf_dir):
