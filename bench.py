@@ -364,6 +364,8 @@ BENCH_QUERIES = [
     "equi_depth_histogram",
     "vwap_weekly",
     "ohlc_monthly_revenue",
+    # round-10 wave 19: streaming weighted-mean state (25th stream)
+    "streaming_vwap_replay",
 ]
 
 # ---------------------------------------------------------------------------

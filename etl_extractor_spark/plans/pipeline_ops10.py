@@ -2804,6 +2804,76 @@ FROM daily GROUP BY 1 ORDER BY month
 """
 
 
+# --- 33. Streaming weekly VWAP (weighted-mean state) -----------------------------------
+
+
+def streaming_vwap_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified stream: WEIGHTED-MEAN state — the streaming twin of
+    vwap_weekly. The stateful aggregation carries the sufficient-
+    statistic PAIR (Σ value·weight, Σ weight) per week across
+    micro-batches — the ratio itself is never state (a running ratio
+    is not mergeable; the pair is, which is the entire design rule for
+    weighted metrics in streams). Complete-mode replay over the pinned
+    3-batch events fixture; the final division is the same
+    floor-double micro-unit step as the batch twin, applied AFTER the
+    replay on the merged pairs. Weights = event value cents, weighted
+    quantity = the event's user_id modulo 5 + 1 (a pinned integer
+    weight so the fixture exercises weight variation).
+
+    100 TB: state is 2 integers per week — calendar-bounded; this is
+    every streaming weighted KPI (VWAP, weighted CSAT, $-weighted
+    latency) in its mergeable form.
+
+    Rows: week, n_events, total_w, vwap_micro."""
+    from etl_extractor_spark.plans.pipeline_ops9 import _build_mod3_batches
+    from etl_extractor_spark.streaming import events_stream as SE
+
+    src = _build_mod3_batches(
+        spark, sf_dir, "spark_graft_svwap_src_", cols=("event_id", "ts", "value", "user_id")
+    )
+    schema = spark.read.parquet(src + "/ev-b0.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/ev-*.parquet")
+    )
+    wk = F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    v = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    w = F.expr("user_id % 5 + 1")
+    pairs = stream.select(
+        wk, (v * w).cast("decimal(38,0)").alias("vw"), w.cast("long").alias("w")
+    ).groupBy("wk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("vw").alias("svw"),
+        F.sum("w").cast("long").alias("total_w"),
+    )
+    state = SE.run_to_memory(
+        pairs, "svwap_state", output_mode="complete", state_partitions=8
+    )
+    vwap = F.floor(
+        F.col("svw").cast("double") / F.col("total_w").cast("double") * 1000000
+    ).cast("long")
+    return state.select(
+        "wk", "n_events", "total_w", vwap.alias("vwap_micro")
+    ).orderBy("wk")
+
+
+QUERIES["streaming_vwap_replay"] = streaming_vwap_replay
+ORACLES["streaming_vwap_replay"] = """
+WITH e AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         user_id % 5 + 1 AS w
+  FROM events
+)
+SELECT wk, count(*)::BIGINT AS n_events,
+       CAST(sum(w) AS BIGINT) AS total_w,
+       CAST(floor(CAST(sum(v * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+            * 1000000) AS BIGINT) AS vwap_micro
+FROM e GROUP BY 1 ORDER BY wk
+"""
+
+
 def _register_defer() -> None:
     """Foot-of-module hook: rank this module's names as pseudo-round-4
     stale (see module docstring — rank 3 would enter the booked r12
