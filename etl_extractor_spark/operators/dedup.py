@@ -171,16 +171,27 @@ def doc_shingle_hashes(
 
 
 # Fixed multiply-add permutation family for the Arrow signature path:
-# h_i(x) = a_i * x + b_i in uint64 (natural wraparound — numpy, so no
+# h_i(x) = a_i * x + b_i mod 2^64 (natural wraparound — numpy, so no
 # ANSI overflow concerns). Seeded literals: deterministic across runs,
 # cluster sizes, and engines; a_i forced odd (bijective mod 2^64).
+#
+# The coefficients are DRAWN in uint64 (seed-stable vs every prior
+# round) but RETURNED as int64 reinterpretations: int64 `*`/`+` wrap
+# bit-identically to uint64 (two's complement), while this
+# deployment's numpy runs uint64 element-wise loops ~40× slower than
+# int64 (measured r10: 10 M-element multiply ×5 — uint64 5.455 s,
+# int64 0.132 s). Unsigned MIN over int64 bits = signed min over
+# sign-flipped values: min_u(x) = min_s(x ^ SIGN) ^ SIGN.
+_SIGN64 = -(2**63)  # int64 sign bit, the XOR mask of the unsigned-min trick
+
+
 def _perm_coeffs(n_perm: int):
     import numpy as np
 
     rng = np.random.default_rng(0x5EED)
     a = rng.integers(1, 2**63, size=n_perm, dtype=np.uint64) * 2 + 1
     b = rng.integers(0, 2**63, size=n_perm, dtype=np.uint64)
-    return a, b
+    return a.view(np.int64), b.view(np.int64)
 
 
 def minhash_signatures_arr(doc_hs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
@@ -196,27 +207,34 @@ def minhash_signatures_arr(doc_hs: DataFrame, n_perm: int = N_PERM) -> DataFrame
 
     @pandas_udf("array<long>")
     def _sig(hs: pd.Series) -> pd.Series:
-        CHUNK = 65_536  # bounds any grid at n_perm × 64k × 8B ≈ 50 MB
+        # ≤ 1M shingles per doc-group: bounds the working set at ONE
+        # 8 MB int64 buffer (+ the flat hash array), L3-resident per
+        # permutation pass — there is no n_perm × shingles grid at all
+        CHUNK = 1_048_576
+        SIGN = np.int64(_SIGN64)
 
         # Whole-batch vectorization: concatenate every doc's shingle
-        # hashes, build ONE permutation grid per doc-group, and take
-        # per-doc segment minima with np.minimum.reduceat — Python-loop
-        # cost is per GROUP, not per doc. End-to-end the pipeline line
-        # is within bench noise (the banded join + verify dominate),
-        # but per-doc Python call overhead grows with docs-per-executor
-        # at corpus scale, so the batch form is the right 100 TB shape.
+        # hashes, then ONE in-place 1-D pass per permutation
+        # (multiply–add, sign-flip, per-doc segment minima with
+        # np.minimum.reduceat) — Python-loop cost is per (group ×
+        # n_perm), memory is O(group), and every element-wise op runs
+        # on int64, the fast dtype on this deployment (uint64 loops
+        # measured ~40× slower; the arithmetic wraps bit-identically,
+        # unsigned order restored by the sign-bit XOR). Replaces the
+        # (n_perm × shingles) uint64 grid: same output bits, ~100×
+        # less kernel time and n_perm× less memory traffic.
         lens = np.fromiter((len(x) for x in hs), dtype=np.int64, count=len(hs))
-        out = np.empty((len(hs), len(a)), dtype=np.uint64)
+        out = np.empty((len(hs), len(a)), dtype=np.int64)
         mask = lens > 0
         # empty shingle sets (shouldn't occur under the length filter,
         # but must not crash the batch): identity = all-max signature
-        out[~mask] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        out[~mask] = np.int64(-1)  # 0xFFFF... = unsigned max
         idx = np.flatnonzero(mask)
         i = 0
         while i < len(idx):
             # greedy doc-group whose total shingle count stays ≤ CHUNK
-            # (a single huge doc forms its own group and still bounds
-            # memory via the inner chunked min-accumulate)
+            # (a single huge doc forms its own group; the per-perm pass
+            # is 1-D so even that group's memory stays O(doc))
             j, tot = i, 0
             while j < len(idx) and (j == i or tot + lens[idx[j]] <= CHUNK):
                 tot += lens[idx[j]]
@@ -224,20 +242,19 @@ def minhash_signatures_arr(doc_hs: DataFrame, n_perm: int = N_PERM) -> DataFrame
             grp = idx[i:j]
             flat = np.concatenate(
                 [np.asarray(hs.iat[k], dtype=np.int64) for k in grp]
-            ).astype(np.uint64)
-            if len(grp) == 1 and len(flat) > CHUNK:
-                mins = np.full(len(a), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
-                for lo in range(0, len(flat), CHUNK):
-                    grid = flat[None, lo : lo + CHUNK] * a[:, None] + b[:, None]
-                    np.minimum(mins, grid.min(axis=1), out=mins)
-                out[grp[0]] = mins
-            else:
-                grid = flat[None, :] * a[:, None] + b[:, None]  # uint64 wraps
-                starts = np.zeros(len(grp), dtype=np.int64)
-                np.cumsum(lens[grp[:-1]], out=starts[1:])
-                out[grp] = np.minimum.reduceat(grid, starts, axis=1).T
+            )
+            starts = np.zeros(len(grp), dtype=np.int64)
+            np.cumsum(lens[grp[:-1]], out=starts[1:])
+            buf = np.empty_like(flat)
+            with np.errstate(over="ignore"):
+                for p in range(len(a)):
+                    np.multiply(flat, a[p], out=buf)  # int64 wraps like uint64
+                    buf += b[p]
+                    buf ^= SIGN  # unsigned order under signed min
+                    out[grp, p] = np.minimum.reduceat(buf, starts)
+            out[grp] ^= SIGN
             i = j
-        return pd.Series(list(out.astype(np.int64)))
+        return pd.Series(list(out))
 
     return doc_hs.select("doc_id", _sig("hs").alias("sig"))
 
@@ -321,29 +338,58 @@ def minhash_signatures_oph_arr(doc_hs: DataFrame, n_perm: int = N_PERM) -> DataF
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    C = np.uint64(0x9E3779B97F4A7C15)
-    D = np.uint64(0x5EED5EED5EED5EED)
-    EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
+    # Same multiply-add mix as ever (h*C+D mod 2^64), computed in int64:
+    # wraparound is bit-identical to the uint64 original, and int64
+    # element-wise loops are the fast path on this deployment (uint64
+    # measured ~40× slower — see minhash_signatures_arr). Unsigned
+    # compares (bin minima) run under the sign-bit XOR; EMPTY
+    # (0xFFFF... = unsigned max) is int64 -1.
+    C = np.array([0x9E3779B97F4A7C15], dtype=np.uint64).view(np.int64)[0]
+    D = np.array([0x5EED5EED5EED5EED], dtype=np.uint64).view(np.int64)[0]
+    SIGN = np.int64(_SIGN64)
+    # unsigned mod for the bin id: (x mod 2^64) % n_perm. numpy int64 %
+    # is floor-mod (non-negative), so for negative x the true unsigned
+    # value is x + 2^64 and the correction term is (2^64 % n_perm).
+    POW64_MOD = pow(2, 64, n_perm)
 
     @pandas_udf("array<long>")
     def _sig(hs: pd.Series) -> pd.Series:
-        def one(arr):
-            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-            mh = h * C + D  # uint64 wraparound
-            bins = (mh % np.uint64(n_perm)).astype(np.int64)
-            out = np.full(n_perm, EMPTY, dtype=np.uint64)
-            np.minimum.at(out, bins, mh)
-            # nearest non-empty bin to the RIGHT, cyclically (two passes)
-            last = None
-            for j in range(2 * n_perm - 1, -1, -1):
-                jj = j % n_perm
-                if out[jj] != EMPTY:
-                    last = out[jj]
-                elif j < n_perm and last is not None:
-                    out[jj] = last
-            return out.astype(np.int64)
-
-        return hs.apply(one)
+        # Whole-batch form: one concatenated flat pass + a single
+        # scatter-min over (doc, bin) cells, then a VECTORIZED cyclic
+        # right-nearest densify (2·n_perm column passes across all
+        # docs, not a per-doc Python loop) — per-doc Python overhead
+        # eliminated, arithmetic O(Σ shingles), memory O(batch).
+        n = len(hs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(x) for x in hs), dtype=np.int64, count=n)
+        flat = (
+            np.concatenate([np.asarray(x, dtype=np.int64) for x in hs])
+            if int(lens.sum())
+            else np.empty(0, dtype=np.int64)
+        )
+        with np.errstate(over="ignore"):
+            mh = flat * C + D  # int64 wraps like uint64
+            bins = (mh % n_perm + np.where(mh < 0, POW64_MOD, 0)) % n_perm
+            doc_idx = np.repeat(np.arange(n), lens)
+            out_f = np.full(n * n_perm, np.int64(2**63 - 1), dtype=np.int64)
+            np.minimum.at(out_f, doc_idx * n_perm + bins, mh ^ SIGN)
+            out = (out_f ^ SIGN).reshape(n, n_perm)  # untouched bins → -1
+        # nearest non-empty bin to the RIGHT, cyclically (two passes),
+        # advanced column-by-column across every doc at once
+        last = np.zeros(n, dtype=np.int64)
+        have = np.zeros(n, dtype=bool)
+        for j in range(2 * n_perm - 1, -1, -1):
+            jj = j % n_perm
+            col = out[:, jj]
+            nonempty = col != -1
+            last = np.where(nonempty, col, last)
+            have |= nonempty
+            if j < n_perm:
+                fill = ~nonempty & have
+                if fill.any():
+                    out[fill, jj] = last[fill]
+        return pd.Series(list(out))
 
     return doc_hs.select("doc_id", _sig("hs").alias("sig"))
 
