@@ -393,17 +393,42 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the shingling pass (the dominant cost) feeds THREE
     # branches (postings, sets_a, sets_b) — repeated HOF trees are not
     # collapsed by subexpression elimination (gotcha list).
+    #
+    # Grams are xxhash64-encoded the moment they exist (r10, guide
+    # §2.3/§8: shuffle lightweight proxies, not payloads): every
+    # downstream stage — document frequencies, the (df, gram) rarity
+    # sort, the prefix explode + self-join shuffle, and the verify
+    # arrays carried through TWO joins — moves 8-byte longs instead of
+    # ~25-byte gram strings. Result-preserving: the prefix filter only
+    # needs SOME consistent global order (hash order is one), recall
+    # is unchanged, the exact verify uses intersection/size COUNTS
+    # which are hash-invariant, and 64-bit collisions are the repo's
+    # accepted substitution convention (cf. common_paragraph_filter).
+    # (A word-hash-triple gram id was tried and REJECTED: 3 interpreted
+    # element_at calls per gram measured 2.5× slower than the
+    # slice+concat_ws string build it replaced — probe in
+    # OPTIMIZATION_r10.md.)
     d = (
         fan_out(load_table(spark, sf_dir, "documents"))
         .select(
             "doc_id",
             F.array_distinct(
-                _trigram_col(_norm_toks(F.col("text")))
+                F.transform(
+                    _trigram_col(_norm_toks(F.col("text"))),
+                    lambda g: F.xxhash64(g),
+                )
             ).alias("toks"),
         )
         .filter(F.size("toks") > 0)
         .persist()
     )
+    # Eager materialization: the three consuming branches plus AQE's
+    # concurrent broadcast-subtree jobs otherwise RACE the cold cache
+    # and re-evaluate the gram tree from lineage — profiled at up to
+    # 351 s of duplicated executor CPU in one rep (and once on a
+    # single AQE-coalesced partition: 74 s on 1 task). One count()
+    # builds the cache exactly once, in parallel.
+    d.count()
 
     # Global order = (document frequency asc, gram asc) — used as a
     # sort KEY directly (no global row_number: a single-partition rank
@@ -420,9 +445,15 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pfx_len = (F.col("n") - F.ceil(F.col("n") * PFX_THRESHOLD) + 1).cast("int")
+    # persist: the SELF-join below would otherwise evaluate this whole
+    # subtree TWICE (df-count agg, its broadcast join, and the
+    # ObjectHashAggregate collect_list rank sort — the two dominant
+    # node times in the SQL-tab profile, r10) — once per join side.
+    # The prefix relation is tiny (≈0.2·|grams| rows of (long, long)).
     prefixes = ranked.select(
         "doc_id", F.explode(F.slice("ordered", 1, pfx_len).tok).alias("tok")
-    )
+    ).persist()
+    prefixes.count()  # same cold-cache race as `d` — build once, now
     cands = (
         prefixes.alias("a")
         .hint("merge")
