@@ -1549,6 +1549,10 @@ def unigram_lm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.substring("w0", 1, ULM_WORD_CAP).alias("w")
     ).persist()
+    # eager build: the 3-way vocab union below otherwise races the
+    # cold cache and re-evaluates the normalize/explode tree per
+    # branch (same class as the jaccard_prefix cache race, r10)
+    words.count()
 
     # vocabulary induction over the SAME capped word stream
     def grams(length):
@@ -1590,7 +1594,19 @@ def unigram_lm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = topk(grams(2).groupBy("g").agg(F.count(F.lit(1)).alias("c")))
     tri = topk(grams(3).groupBy("g").agg(F.count(F.lit(1)).alias("c")))
     vocab = chars.unionByName(bi).unionByName(tri)
-    rows = vocab.collect()  # bounded: charset + 200 entries by cap
+    # Collect the vocab WITH Spark-computed seeded hashes of each gram:
+    # the DP's piece→cost lookup is rebuilt below as an O(1)
+    # direct-address probe into literal ARRAYS (element_at by index),
+    # replacing element_at on a ~300-entry literal MAP whose lookup is
+    # a LINEAR key scan — profiled at ~95% of the DP stage (r10:
+    # a worst-case 300-entry-map DP ran 23.7 s vs 1.5 s with constant
+    # costs on the same 97k words). Hashes come from Spark itself so
+    # the probe side (xxhash64(piece, seed)) sees identical values.
+    _SEEDS = list(range(32))
+    _M = 4096
+    rows = vocab.select(
+        "g", "c", *[F.xxhash64("g", F.lit(s)).alias(f"h{s}") for s in _SEEDS]
+    ).collect()  # bounded: charset + 200 entries by cap
     total = sum(r["c"] for r in rows)
     import math
 
@@ -1598,16 +1614,67 @@ def unigram_lm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["g"]: int(math.floor(-math.log(r["c"] * 1.0 / total) * 1000000))
         for r in rows
     }
-    pairs = []
-    for k in sorted(cost):
-        pairs += [F.lit(k), F.lit(cost[k])]
-    cmap = F.create_map(*pairs)
 
-    def c_of(piece):
+    # Per piece-LENGTH class, find a seed whose hashes are injective
+    # mod M (M=4096 keeps the literal arrays small enough for the
+    # vanilla 1g driver; 32 seed tries make fallback odds ~1e-5) and
+    # lay the class out as (keys, vals) literal arrays;
+    # empty slots hold vals=ULM_MISS so a freak sentinel-key match
+    # still returns the out-of-vocab cost. Probe = one seeded hash,
+    # one O(1) index into each array, one long compare.
+    _probe: dict[int, tuple] = {}
+    _fallback_pairs: list = []
+    for L in (1, 2, 3):
+        cls = [r for r in rows if len(r["g"]) == L]
+        placed = None
+        for s in _SEEDS:
+            slots = {r[f"h{s}"] % _M for r in cls}
+            if len(slots) == len(cls):
+                placed = s
+                break
+        if placed is None:
+            # true 64-bit hash collision inside the vocab (or all-seed
+            # injectivity failure): fall back to the exact string map
+            # for this class — correct, just slower
+            _probe[L] = None
+            for r in cls:
+                _fallback_pairs += [F.lit(r["g"]), F.lit(cost[r["g"]])]
+            continue
+        keys = [0] * _M
+        vals = [ULM_MISS] * _M
+        for r in cls:
+            h = r[f"h{placed}"]
+            keys[h % _M] = h
+            vals[h % _M] = cost[r["g"]]
+        # ONE-node foldable literals: F.lit(list) builds CreateArray
+        # with M child nodes, and the DP's 10 withColumn analyses
+        # re-walk every child at every chained step (~17 s of pure
+        # driver-side analysis measured); a foldable from_json over a
+        # string literal is a single tree node that ConstantFolding
+        # collapses to the same array exactly once.
+        import json as _json
+
+        _probe[L] = (
+            placed,
+            F.from_json(F.lit(_json.dumps(keys)), "array<bigint>"),
+            F.from_json(F.lit(_json.dumps(vals)), "array<bigint>"),
+        )
+    cmap_fb = F.create_map(*_fallback_pairs) if _fallback_pairs else None
+
+    def c_of(piece, L):
         # long from the start: cost*1024 exceeds int32 (15e6 * 1024)
-        return F.coalesce(
-            F.element_at(cmap, piece), F.lit(ULM_MISS)
-        ).cast("long")
+        if _probe[L] is None:
+            return F.coalesce(
+                F.element_at(cmap_fb, piece), F.lit(ULM_MISS)
+            ).cast("long")
+        seed, keys_arr, vals_arr = _probe[L]
+        h = F.xxhash64(piece, F.lit(seed))
+        idx = (F.pmod(h, F.lit(_M)) + F.lit(1)).cast("int")
+        return (
+            F.when(F.element_at(keys_arr, idx) == h, F.element_at(vals_arr, idx))
+            .otherwise(F.lit(ULM_MISS))
+            .cast("long")
+        )
 
     cur = words.withColumn("n", F.length("w")).withColumn(
         "b0", F.lit(0).cast("long")
@@ -1617,7 +1684,7 @@ def unigram_lm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         for L in range(1, min(ULM_PIECE_MAX, i) + 1):
             piece = F.col("w").substr(i - L + 1, L)
             cands.append(
-                F.col(f"b{i - L}") + c_of(piece) * 1024 + 1
+                F.col(f"b{i - L}") + c_of(piece, L) * 1024 + 1
             )
         step = cands[0] if len(cands) == 1 else F.least(*cands)
         cur = cur.withColumn(
