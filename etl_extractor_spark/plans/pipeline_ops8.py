@@ -1566,11 +1566,25 @@ def _write_pinned_batches(batches, src_dir: str, stem: str) -> None:
     import glob
     import os
     import shutil
+    from concurrent.futures import ThreadPoolExecutor
 
     os.makedirs(src_dir, exist_ok=True)
-    for k, b in enumerate(batches):
+
+    # The per-batch writes are independent single-file jobs that each
+    # re-scan the source with a different filter; submitted serially
+    # they pay job latency × n_batches. Submit them from a small
+    # thread pool so the jobs overlap (guide §2.6) — the pinned-mtime
+    # publication below stays sequential in the main thread, so batch
+    # ordering semantics are unchanged.
+    def _write_one(kb):
+        k, b = kb
         tmp = os.path.join(src_dir, f"_tmp_b{k}")
         b.coalesce(1).write.parquet(tmp)
+        return tmp
+
+    with ThreadPoolExecutor(max_workers=min(4, max(1, len(batches)))) as pool:
+        tmps = list(pool.map(_write_one, enumerate(batches)))
+    for k, tmp in enumerate(tmps):
         part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
         dst = os.path.join(src_dir, f"{stem}-b{k}.parquet")
         shutil.copy(part, dst)
