@@ -222,14 +222,26 @@ def _norm_toks(text):
 
 def _trigram_col(toks):
     """Distinct word-3-gram array; empty for docs under 3 tokens (the
-    sequence guard avoids Spark's descending-sequence surprise)."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-    )
-    return F.when(F.size(toks) >= 3, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    sequence guard avoids Spark's descending-sequence surprise).
+
+    ``toks`` is BOUND as a lambda variable through a 1-element array
+    wrapper before anything indexes it (r10): the gram lambda and the
+    two size() guards otherwise re-evaluate the whole ``toks``
+    EXPRESSION tree per reference — and when a consumer's filter
+    pushdown duplicates the projection, a caller passing the
+    normalize+split tree paid it per gram (measured 3.67 s → 0.54 s
+    on the 5000-doc jaccard substrate at sf0.1, same output)."""
+
+    def _grams_of(tk):
+        g = F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 2),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, 3)),
+        )
+        return F.when(F.size(tk) >= 3, g).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(toks), _grams_of), 1)
 
 
 def bloom_prefilter_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
