@@ -513,14 +513,19 @@ def source_similarity_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
-    n_sh = F.size(toks) - (KMV_NGRAM - 1)
-    grams = d.select(
+    # tokenize ONCE into a real column before the gram lambda slices
+    # it — a lambda over the split EXPRESSION re-tokenizes per gram
+    # index, O(words²) per doc (the _trigram_col lesson, r10)
+    base = d.select("source", toks.alias("tk"))
+    tk = F.col("tk")
+    n_sh = F.size(tk) - (KMV_NGRAM - 1)
+    grams = base.select(
         "source",
         F.explode(
             F.when(n_sh <= 0, F.array().cast("array<string>")).otherwise(
                 F.transform(
                     F.sequence(F.lit(0), n_sh - 1),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, KMV_NGRAM)),
+                    lambda i: F.concat_ws(" ", F.slice(tk, i + 1, KMV_NGRAM)),
                 )
             )
         ).alias("g"),

@@ -257,7 +257,13 @@ def common_paragraph_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
-    n_chunks = F.ceil(F.size(toks) / F.lit(PARA_TOKENS)).cast("int")
+    # tokenize ONCE into a real column before the chunk lambda slices
+    # it: a lambda referencing the split EXPRESSION re-evaluates the
+    # tokenizer per chunk index — O(words²/PARA_TOKENS) per doc (the
+    # _trigram_col lesson, r10)
+    base = d.select("doc_id", toks.alias("tk"))
+    tk = F.col("tk")
+    n_chunks = F.ceil(F.size(tk) / F.lit(PARA_TOKENS)).cast("int")
     # Guard n_chunks == 0 (null/empty text): sequence(0, -1) would be
     # the DESCENDING [0, -1] under ANSI mode (same trap as
     # bpe_apply_merge) — emit no paragraphs instead.
@@ -265,7 +271,7 @@ def common_paragraph_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             F.sequence(F.lit(0), n_chunks - 1),
             lambda i: F.concat_ws(
-                " ", F.slice(toks, i * PARA_TOKENS + 1, PARA_TOKENS)
+                " ", F.slice(tk, i * PARA_TOKENS + 1, PARA_TOKENS)
             ),
         )
     )
@@ -275,7 +281,7 @@ def common_paragraph_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle's string-keyed formulation pins the semantics) — the
     # same key-compression trick as operators/dedup.hashed_shingles,
     # worth ~15× on the two shuffles' byte volume.
-    ex = d.select(
+    ex = base.select(
         "doc_id",
         F.explode(F.transform(pars, lambda p: F.xxhash64(p))).alias("ph"),
     )
