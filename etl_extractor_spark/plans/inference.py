@@ -107,18 +107,22 @@ def nn_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sc", "kind", "c_custkey")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # next-control frame as a RUNNING frame over the reversed order —
+    # same row set [current, bucket end], identical values; Spark's
+    # (0, unboundedFollowing) frame re-scans the partition remainder
+    # per row (O(rows²) per bucket — the gap_fill lesson, r10)
     wn = (
         Window.partitionBy("bkt")
-        .orderBy("sc", "kind", "c_custkey")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.desc("sc"), F.desc("kind"), F.desc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     csc = F.when(F.col("kind") == 0, F.col("sc"))
     local = frame.select(
         "bkt", "sc", "kind", "y", "c_custkey",
         F.last(csc, ignorenulls=True).over(wp).alias("p_sc"),
         F.last(F.when(F.col("kind") == 0, F.col("cy")), ignorenulls=True).over(wp).alias("p_y"),
-        F.first(csc, ignorenulls=True).over(wn).alias("n_sc"),
-        F.first(F.when(F.col("kind") == 0, F.col("cy")), ignorenulls=True).over(wn).alias("n_y"),
+        F.last(csc, ignorenulls=True).over(wn).alias("n_sc"),
+        F.last(F.when(F.col("kind") == 0, F.col("cy")), ignorenulls=True).over(wn).alias("n_y"),
     )
     # bucket-boundary frame: last/first control per bucket, then a
     # running fill across buckets (window over the tiny bucket frame)

@@ -357,10 +357,16 @@ def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("d")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # the "next observation" frame runs over DESCENDING d with a
+    # running (unboundedPreceding, 0) frame — same row set [d, end],
+    # identical values — because Spark's (0, unboundedFollowing) frame
+    # is NOT incremental: it re-scans the partition remainder per row,
+    # O(rows²) per series (profiled: the two window stages were 2.9 s
+    # single-task CPU vs 0.6 s as running frames, r10)
     w_next = (
         Window.partitionBy("nation")
-        .orderBy("d")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.desc("d"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     v = F.col("v")
     marked = j.select(
@@ -369,7 +375,7 @@ def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
         F.max(F.when(v.isNotNull(), F.col("d"))).over(w_prev).alias("pd"),
-        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.last("v", ignorenulls=True).over(w_next).alias("nv"),
         F.min(F.when(v.isNotNull(), F.col("d"))).over(w_next).alias("nd"),
     )
     filled = marked.select(
