@@ -447,11 +447,14 @@ def _canary(spark) -> float:
     (co-tenant CPU, turbo state) moves this number by the same factor
     it moves every query, so BASELINE.md normalizes per-query deltas
     by it: a uniform swing is machine noise, a per-query swing is a
-    regression. Min of 2 runs, like the queries."""
+    regression. Min of 3 runs (r10 verdict task 7: co-tenant CPU
+    steal on this machine is BURSTY — a single burst landing on both
+    of 2 reps inflated the probe 8-14x in the driver's r10 32-core
+    run; a third rep makes the min robust to one burst window)."""
     from pyspark.sql import functions as F
 
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         _force(spark.range(500_000_000).agg(F.sum("id").alias("s")))
         best = min(best, time.perf_counter() - t0)
@@ -539,15 +542,28 @@ def main() -> None:
             ),
             flush=True,
         )
-    # The LAST line is the compact parseable summary (< 200 bytes): it
-    # always survives any tail window. The per-query map rides along
-    # only if it fits the driver's parser — keep it out of this line.
+    # The LAST line is the compact parseable summary: it must survive
+    # the driver's bounded stdout tail (measured 2000 chars from
+    # BENCH_r10.json), so the per-query map it carries is restricted
+    # to the ALWAYS-PINNED 30 names (r1 baseline 14 + flagship 16 —
+    # the cross-round-comparable set; r10 verdict task 2: the driver's
+    # round-over-round comparator reads `queries` from this line and
+    # had nothing to parse, leaving PERF per_query empty). 30 entries
+    # ≈ 1.1 KB, comfortably inside the window; the full per-query
+    # detail stays on the individual lines above. Additions-only: no
+    # existing summary key changed.
+    pinned_order = [
+        n
+        for n in (*R1_BASELINE_SET, *PINNED_FLAGSHIPS)
+        if n in timings
+    ]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "queries": {n: timings[n] for n in pinned_order},
                 # fixed-work probe, NOT part of the headline total —
                 # divide per-query times by (canary / canary_baseline)
                 # to separate machine variance from plan regressions

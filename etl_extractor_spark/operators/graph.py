@@ -44,13 +44,19 @@ def pagerank_integer(
     new rank = (1-d)·unit + (d·Σ contributions) DIV 100. Nodes with no
     in-edges keep the base term via the left join. Returns
     (node, rank_micro)."""
-    # Materialize the edge list ONCE: the loop references it every
-    # round (contribution join) and the plan otherwise re-executes the
-    # caller's full edge derivation (orders⋈lineitem at sf1) per
-    # iteration — one checkpoint write buys `iterations` cheap reads.
-    edges = reliable_checkpoint(edges)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = (
+    # Materialize the edge list ONCE, with the out-degree already on
+    # each edge row (one src-partitioned window during the checkpoint
+    # build — no per-round deg join; r11 guide §2.4/§3). The node
+    # frame is checkpointed too: the loop's base-term left join
+    # references it every round.
+    from pyspark.sql import Window
+
+    edges = reliable_checkpoint(
+        edges.withColumn(
+            "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
+    )
+    nodes = reliable_checkpoint(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
@@ -58,13 +64,9 @@ def pagerank_integer(
     base = unit * (100 - damping_pct) // 100
     r = nodes.select("node", F.lit(unit).cast("long").alias("rank_micro"))
     for _ in range(iterations):
-        contrib = (
-            edges.join(r, edges["src"] == r["node"])
-            .join(deg, "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank_micro DIV deg").alias("c"),
-            )
+        contrib = edges.join(r, edges["src"] == r["node"]).select(
+            F.col("dst").alias("node"),
+            F.expr("rank_micro DIV deg").alias("c"),
         )
         s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         r = nodes.join(s, "node", "left").select(
@@ -76,7 +78,11 @@ def pagerank_integer(
             .cast("long")
             .alias("rank_micro"),
         )
-        # cut lineage (iterative plans re-optimize exponentially
-        # otherwise) with a RELIABLE checkpoint: survives executor loss
-        r = reliable_checkpoint(r)
+        # No per-round checkpoint (r11): each round references the
+        # previous rank frame exactly once and both loop-invariant
+        # frames are checkpointed leaves, so lineage is LINEAR in the
+        # bounded iteration count — the exponential-reoptimization
+        # hazard applied to multi-reference rounds. The whole rank
+        # iteration is one plan/one job; identical per-round edge and
+        # node exchanges dedup via ReusedExchange.
     return r

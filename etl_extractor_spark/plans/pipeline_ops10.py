@@ -1425,11 +1425,20 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     deg_c = deg.join(cand_parts, "p")
+    # r11 (guide §3.2): the p2-side of the common-neighbor equi-join is
+    # SEMI-FILTERED by the broadcast candidate-part list BEFORE the
+    # join — only neighborhoods of the ≤100 candidate parts reach the
+    # (p2, z) exchange, instead of the whole SF-scaled adjacency (the
+    # join condition p2 == p2x already implies p2x ∈ candidates, so the
+    # filter drops only never-matching rows). At bench scale AQE then
+    # collapses the join to a broadcast at runtime; at 100 TB the
+    # shuffle is bounded by candidate-neighborhood volume either way.
+    adj_c = adj.join(cand_parts, "p", "semi")
     common = (
         adj.join(ca, F.col("p") == F.col("p1"))
         .select("p1", "p2", "z")
         .join(
-            adj.select(F.col("p").alias("p2x"), F.col("z").alias("zx")),
+            adj_c.select(F.col("p").alias("p2x"), F.col("z").alias("zx")),
             (F.col("p2") == F.col("p2x")) & (F.col("z") == F.col("zx")),
         )
         .groupBy("p1", "p2")

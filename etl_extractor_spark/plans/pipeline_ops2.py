@@ -473,6 +473,62 @@ ORACLES["streaming_funnel_replay"] = EVENT_FUNNEL_SQL
 # --- 6. synchronous label propagation ------------------------------------------
 _LP_ROUNDS = 3
 
+# Order-isomorphic int64 embedding of the 'C'||k / 'S'||k label domain
+# (r11): the decimal digits d_1..d_L of k (no leading zeros, L ≤ 10)
+# become base-11 digits d_i+1 left-aligned in a 10-slot field padded
+# with 0 — 0 sorts below every real digit, so the numeric order of the
+# codes equals the LEXICOGRAPHIC order of the digit strings (shorter-
+# prefix-wins included: 'C10' > 'C1', 'C115' < 'C12' both preserved);
+# the node-type prefix rides the 11^10 bit ('C'=0 < 'S'=1, matching
+# 'C' < 'S'). Injective on the real domain because real digits encode
+# as d+1 ≥ 1, never 0. Max code 2·11^10 ≈ 5.2e10 ≪ 2^63. min() over
+# codes therefore equals min() over label strings, which is what lets
+# the LPA rounds run on 8-byte longs with hash aggregation.
+_POW11 = ", ".join(str(11**(10 - i)) + "L" for i in range(1, 11))  # 11^9..11^0
+
+
+def _lp_enc(key: str, is_supplier: int):
+    """Encode an integer key column into the order-isomorphic label
+    code (see module comment above). CLOSED FORM, no HOF: with L the
+    digit count, code = P·11^10 + 11^(10-L) · Σ_{j=0..L-1}
+    ((k div 10^j) % 10 + 1)·11^j — the left-aligned base-11 field
+    factored so the whole thing is a flat codegen expression (a
+    sequence/aggregate lambda re-evaluates its outer digit-count
+    expression per element, the r10 lambda-binding lesson)."""
+    k = f"cast({key} as bigint)"
+    scale = " ".join(
+        f"WHEN {k} < {10 ** j}L THEN {11 ** (10 - j)}L"
+        for j in range(1, 11)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN {k} >= {10 ** j}L THEN "
+        f"(({k} div {10 ** j}L) % 10 + 1) * {11 ** j}L ELSE 0L END)"
+        for j in range(1, 10)
+    )
+    return F.expr(
+        f"{is_supplier}L * 25937424601L"
+        f" + (CASE {scale} END) * (({k} % 10 + 1) + {terms})"
+    )
+
+
+def _lp_dec(code: str):
+    """Decode a label code back to its 'C'||k / 'S'||k string (output
+    projection only — ≤ top-k rows)."""
+    return F.concat(
+        F.when(F.col(code) < 25937424601, F.lit("C")).otherwise(F.lit("S")),
+        F.expr(
+            f"""cast(
+                aggregate(
+                    sequence(1, 10),
+                    0L,
+                    (acc, i) -> CASE
+                        WHEN ({code} div element_at(array({_POW11}), i)) % 11 > 0
+                        THEN acc * 10 + ({code} div element_at(array({_POW11}), i)) % 11 - 1
+                        ELSE acc END
+                ) as string)"""
+        ),
+    )
+
 
 def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection by synchronous min-label propagation over
@@ -484,40 +540,70 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     communities by size. The oracle UNROLLS the same three rounds as
     CTEs, so a hash match certifies every intermediate round.
 
-    100 TB: each round is one src-keyed join + one dst-keyed min
-    aggregation — the PageRank exchange shape; labels checkpoint per
-    round to keep lineage linear, and the edge list is checkpointed
-    ONCE so the rounds read it instead of re-executing the
-    orders⋈lineitem build. Labels stay in the STRING domain — the
-    min-label ordering is defined over it, so the int encoding the
-    set-semantics loops use (_purchase_edges_int) does not apply."""
-    from etl_extractor_spark.plans.graph import _purchase_edges
+    100 TB: each round is ONE src-keyed join + one dst-keyed min
+    aggregation — the PageRank exchange shape. Two plan-structure
+    choices (r11, guide §2.4):
 
-    edges = reliable_checkpoint(_purchase_edges(spark, sf_dir))
+    * SELF-MESSAGES instead of the per-round left join: unioning the
+      O(nodes) label frame into the message stream makes
+      min-over-(messages ∪ self) = min(own, neighbors) — exactly
+      ``least(label, coalesce(min nbr label, label))``. Each round
+      collapses from join + agg + left-join (3 exchanges) to
+      join + union + agg (1 exchange), with the agg output ALREADY
+      keyed by node for the next round.
+    * ORDER-ISOMORPHIC INT ENCODING of the label domain: min-label is
+      defined over the STRING ordering of 'C'||k / 'S'||k, which the
+      even/odd int encoding does not preserve — but the base-11 digit
+      embedding (_lp_enc) does: each decimal digit maps to 11-ary
+      digit d+1 in a fixed 10-slot field (0 = below-any-digit pad), so
+      lexicographic order over variable-length digit strings equals
+      numeric int64 order, with 'C' < 'S' as the top bit. Every round
+      then shuffles 8-byte longs and min() runs as a codegen
+      HashAggregate instead of the string domain's SortAggregate;
+      labels decode back to strings (_lp_dec) only in the ≤20-row
+      output projection.
+
+    Per-round reliable checkpoints stay: each round's plan is cheap to
+    keep linear, and the disk cut keeps Catalyst analysis flat."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            _lp_enc("o_custkey", 0).alias("c"),
+            _lp_enc("l_suppkey", 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = reliable_checkpoint(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+            pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        )
+    )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
     for _ in range(_LP_ROUNDS):
-        nbr = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node2"))
-            .agg(F.min("label").alias("nl"))
+        # self-message via UNION of the (checkpointed, O(nodes)) label
+        # frame instead of materialized self-loop edges: min over
+        # (neighbor messages ∪ own label) ≡ least(own, min-neighbor) —
+        # value-identical to the old join+agg+left-join round, one
+        # exchange instead of three, and no O(edges) distinct to build
+        # a loop edge set.
+        msgs = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
         )
-        labels = (
-            labels.join(nbr, labels.node == nbr.node2, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
-                ).alias("label"),
-            )
+        labels = reliable_checkpoint(
+            msgs.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
         )
-        labels = reliable_checkpoint(labels)
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         .orderBy(F.desc("n_nodes"), "label")
         .limit(20)
+        .select(_lp_dec("label").alias("label"), "n_nodes")
     )
 
 
@@ -1134,10 +1220,11 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     converged round's stats with a new round number. The sf1 purchase
     graph converges at round 1 (min degree ≥ k already), so the old
     loop's rounds 2-3 rewrote 11.7 M identical edges twice for
-    nothing. Degrees checkpoint per round (O(nodes), tiny) so the
-    keep-count probe and the peel join share one degree aggregation.
-    The per-round stats row is collected (1 row — contract-small) and
-    the output assembled as a literal frame."""
+    nothing. The keep-count probe is ONE aggregation job over the
+    exchange-free degree pass (r11; previously two count jobs against
+    a per-round degree checkpoint). The per-round stats row is
+    collected (1 row — contract-small) and the output assembled as a
+    literal frame."""
     edges = _purchase_edges_int(spark, sf_dir)
     node_str = _node_str
 
@@ -1147,13 +1234,19 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     last = None  # stats Row of the current (unchanged) edge set
     for r in range(1, _KCORE_ROUNDS + 1):
         if not converged:
-            deg = reliable_checkpoint(
-                cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-            )
-            keep = deg.where(F.col("d") >= _KCORE_K).select("src")
-            if keep.count() == deg.count():
+            deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+            # ONE fixpoint-probe job instead of two counts (r11, r10
+            # verdict task 1: fold the fixpoint test into the round
+            # job): n nodes + surviving nodes in a single aggregation
+            # over the exchange-free degree pass.
+            probe = deg.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("d") >= _KCORE_K).cast("long")).alias("nk"),
+            ).first()
+            if probe["nk"] == probe["n"]:
                 converged = True  # nothing removed ⇒ cur is the k-core fixpoint
             else:
+                keep = deg.where(F.col("d") >= _KCORE_K).select("src")
                 cur = reliable_checkpoint(
                     cur.join(keep, "src")
                     .join(keep.select(F.col("src").alias("dst")), "dst")

@@ -181,7 +181,19 @@ def _doc_trigram_tf(d: DataFrame) -> DataFrame:
     """Per-(doc, trigram) term frequencies — the ONLY corpus-scale text
     pass of the TF-IDF family (fanned out ahead of the explode).
     Shared by the batch flagship and the r7 incremental-maintenance
-    twin so the feature space cannot drift between them."""
+    twin so the feature space cannot drift between them.
+
+    r11 note (guide §2.3 probe, REJECTED): xxhash64-encoding the
+    trigrams at this source (the jaccard_prefix int64-gram trick) was
+    A/B'd interleaved in one session at sf0.1 — substrate build was a
+    wash (0.97 s vs 0.96 s min-of-4) and the postings/pair phase was
+    ~15% SLOWER with hashed keys (1.48 s vs 1.74 s min-of-4), so the
+    change was reverted: here the gram strings feed ONE aggregation
+    immediately (unlike jaccard_prefix where they traverse rarity
+    sort + explode + three joins), and the random 64-bit keys lose
+    the sorted-run locality the string domain gives the merge joins.
+    Keep grams as strings until a measurement at larger SF says
+    otherwise."""
     from etl_extractor_spark.operators.common import fan_out
     from etl_extractor_spark.plans.pipeline_ops import _norm_toks, _trigram_col
 

@@ -1214,9 +1214,18 @@ def bellman_ford_cheapest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds as MATERIALIZED CTEs, so a hash match certifies every
     relaxation.
 
-    100 TB: each round is one edge⋈dist join + one dst-keyed min —
-    the PageRank exchange shape; edges and per-round frontiers go
-    through reliable checkpoints; costs stay BIGINT (≤ rounds ×
+    100 TB: each round is ONE edge⋈dist join + one dst-keyed min —
+    the PageRank exchange shape. r11 (guide §2.4): SELF-MESSAGES
+    replace the per-round full-outer merge — unioning the reached-set
+    frame into the relaxation messages makes min-over-(messages ∪
+    self) = least(own cost, best relaxation) and carries the reached
+    set forward, so ``dist`` is exactly the message aggregate
+    (value-identical to the old full-outer: the self-message
+    contributes d_k(v) precisely where the old plan coalesced the
+    preserved row, and the domain — reached ∪ newly-relaxed — is the
+    same union). Rounds go join + union + agg (1 exchange instead of
+    the full-outer's 3); per-round reliable checkpoints stay (dist is
+    referenced twice per round); costs stay BIGINT (≤ rounds ×
     max-edge-cents ≪ 2^63)."""
     from etl_extractor_spark.operators.checkpoints import reliable_checkpoint
 
@@ -1247,20 +1256,14 @@ def bellman_ford_cheapest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dist = src
     for _ in range(_BF_ROUNDS):
-        relaxed = (
-            edges.join(dist, edges["src"] == dist["node"])
-            .groupBy(F.col("dst").alias("node2"))
-            .agg(F.min(F.col("cost") + F.col("w")).alias("nc"))
+        msgs = edges.join(dist, edges["src"] == dist["node"]).select(
+            F.col("dst").alias("node"),
+            (F.col("cost") + F.col("w")).alias("cost"),
         )
         dist = reliable_checkpoint(
-            dist.join(relaxed, dist["node"] == relaxed["node2"], "full_outer")
-            .select(
-                F.coalesce("node", "node2").alias("node"),
-                F.least(
-                    F.coalesce("cost", F.lit(2**62)),
-                    F.coalesce("nc", F.lit(2**62)),
-                ).alias("cost"),
-            )
+            msgs.unionByName(dist)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
         )
     from etl_extractor_spark.plans.pipeline_ops2 import _node_str
 
