@@ -613,11 +613,20 @@ def connected_components_star(
         return int(row["n"]), int(row["h"])
 
     def _star(e: DataFrame, large: bool) -> DataFrame:
-        # bidirectional neighbor view, m = min(N(u) ∪ {u})
+        # bidirectional neighbor view, m = min(N(u) ∪ {u}).
+        # ONE u-exchange per star (r11, guide §2.4): hash-partitioning
+        # on u alone satisfies the clustered-distribution requirement
+        # of the (u, v) dedup (subset rule: equal (u, v) pairs share a
+        # u), of the groupBy(u), and of the u-keyed join — so the
+        # repartition("u") is the star's only shuffle where the
+        # previous form paid three (distinct by (u, v), agg by u, join
+        # by u). The star rounds are fixed-overhead-bound at small
+        # edge counts, so fewer exchanges = fewer stages per round.
         nbrs = (
             e.selectExpr("u", "v")
             .unionByName(e.selectExpr("v AS u", "u AS v"))
-            .distinct()
+            .repartition("u")
+            .dropDuplicates()
         )
         m = nbrs.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
@@ -639,7 +648,11 @@ def connected_components_star(
             )
             self_edge = j.select("u", F.col("m").alias("v"))
             out = moved.unionByName(self_edge)
-        return out.filter(F.col("u") != F.col("v")).distinct()
+        return (
+            out.filter(F.col("u") != F.col("v"))
+            .repartition("u")
+            .dropDuplicates()
+        )
 
     # RELIABLE (disk) checkpoint after every round: each round's plan
     # references the previous round's twice per star, so lineage (and

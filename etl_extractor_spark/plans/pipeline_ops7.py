@@ -188,6 +188,10 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    # eager build (r11): `pred` below becomes an AQE broadcast subtree
+    # executed as a concurrent job — the documented cold-cache race
+    # would re-evaluate the join tree once per racing consumer.
+    rows.count()
     train = rows.filter(F.col("bucket") <= 1)
     pred = train.groupBy("seg").agg(
         F.expr("sum(cents) div count(1)").alias("pred_cents"),
@@ -432,6 +436,12 @@ def graph_modularity_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
+    # eager build (r11): e feeds FOUR branches and m1 is an AQE
+    # broadcast subtree executed as a concurrent job — the documented
+    # cold-cache race (jaccard_prefix, r10) re-evaluates the
+    # fact⋈fact distinct once per racing consumer without this
+    # (observed as occasional 2× spikes on this line).
+    e.count()
     m1 = e.agg(F.count(F.lit(1)).cast("long").alias("m"))
     labeled = (
         e.join(cust, e["ck"] == cust["c_custkey"])
@@ -609,6 +619,10 @@ def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w", F.lit(1_000_000).cast("long"))
         .persist()
     )
+    # eager build (r11): `margins` is broadcast — its concurrent AQE
+    # job would otherwise race the cold cache and re-run the grouped
+    # corpus pass feeding `cells`.
+    cells.count()
     margins = cells.agg(
         (F.sum("n_docs") * 1_000_000).cast("long").alias("total_mass"),
         F.countDistinct("lang").cast("long").alias("n_lang"),
@@ -1082,6 +1096,10 @@ def bitmap_intersection_retention(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.expr("bit_or(bit_val)").alias("bm"))
         .persist()
     )
+    # eager build (r11): three consumers (per_year + both self-join
+    # sides) race the cold cache otherwise — the documented
+    # concurrent-consumer re-evaluation class.
+    words.count()
     per_year = words.groupBy("yr").agg(
         F.sum(F.expr("bit_count(bm)")).cast("long").alias("n_cust")
     )

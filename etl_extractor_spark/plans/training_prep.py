@@ -293,6 +293,9 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket-size aggregate read it — without this Spark instantiates
     # the scan+md5 subtree twice (one extra corpus read)
     d = d.withColumn("b", F.substring("h", 1, 2)).persist()
+    # eager build (r11): `offsets` below is broadcast — its concurrent
+    # AQE job races the cold cache against the rank pass otherwise.
+    d.count()
     wb = Window.partitionBy("b").orderBy("h", "doc_id")
     ranked = d.withColumn("r", F.row_number().over(wb))
     sizes = d.groupBy("b").agg(F.count(F.lit(1)).alias("n"))
