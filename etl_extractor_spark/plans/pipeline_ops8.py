@@ -1582,14 +1582,24 @@ def _write_pinned_batches(batches, src_dir: str, stem: str) -> None:
         b.coalesce(1).write.parquet(tmp)
         return tmp
 
-    with ThreadPoolExecutor(max_workers=min(4, max(1, len(batches)))) as pool:
-        tmps = list(pool.map(_write_one, enumerate(batches)))
-    for k, tmp in enumerate(tmps):
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(src_dir, f"{stem}-b{k}.parquet")
-        shutil.copy(part, dst)
-        os.utime(dst, (_LATE_MTIME0 + 60 * k, _LATE_MTIME0 + 60 * k))
-        shutil.rmtree(tmp, ignore_errors=True)
+    # try/finally sweeps every _tmp_b* dir even when one pooled write
+    # raises (advice r10: pool.map propagates the first failure and
+    # the other threads' temp dirs were left in src_dir otherwise).
+    try:
+        with ThreadPoolExecutor(
+            max_workers=min(4, max(1, len(batches)))
+        ) as pool:
+            tmps = list(pool.map(_write_one, enumerate(batches)))
+        for k, tmp in enumerate(tmps):
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(src_dir, f"{stem}-b{k}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (_LATE_MTIME0 + 60 * k, _LATE_MTIME0 + 60 * k))
+    finally:
+        for k in range(len(batches)):
+            shutil.rmtree(
+                os.path.join(src_dir, f"_tmp_b{k}"), ignore_errors=True
+            )
 
 
 # --- 15. Retraction-based MV maintenance (the third MV class) -------------------
