@@ -38,6 +38,29 @@ def fan_out(df: DataFrame, multiple: int = 1) -> DataFrame:
     return df.repartition(target)
 
 
+def spread_groups(df: DataFrame, *keys: str) -> DataFrame:
+    """Explicit hash-repartition on the grouping key(s) to the
+    session's core count, for ``groupBy(...).applyInPandas(...)``
+    stages whose per-group work is CPU-heavy Python but whose shuffle
+    carries few BYTES (codec shards: ~3 KB of text per group). AQE
+    coalesces shuffle partitions by byte size, so the grouped-Python
+    stage collapses to ~⌈bytes / minPartitionSize⌉ tasks and the
+    Python work runs nearly serial — measured on shard_warc_gzip at
+    sf0.1/local[32]: 2.35 s → 0.75 s min-of-3 interleaved (4× the
+    core count measured 1.68 s: more waves of tiny Arrow batches,
+    no balance gain — one task per core is the sweet spot).
+
+    A user-specified repartition is exempt from AQE coalescing, and
+    hash-partitioning on the grouping keys satisfies the groupBy's
+    clustered-distribution requirement, so this REPLACES the
+    groupBy's own exchange instead of adding one. defaultParallelism
+    scales with the cluster; at real corpus volumes the byte-based
+    coalescing wouldn't shrink below it anyway, so this only changes
+    the degenerate small-bytes/high-CPU corner."""
+    spark = df.sparkSession
+    return df.repartition(spark.sparkContext.defaultParallelism, *keys)
+
+
 def _pid_alive(pid: int) -> bool:
     import os
 

@@ -787,8 +787,13 @@ def shard_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows, columns=["shard_id", "member", "size_bytes", "content_md5"]
         )
 
+    from etl_extractor_spark.operators.common import spread_groups
+
     return (
-        d.select(F.expr("doc_id div 8").alias("shard_id"), "doc_id", "text")
+        spread_groups(
+            d.select(F.expr("doc_id div 8").alias("shard_id"), "doc_id", "text"),
+            "shard_id",
+        )
         .groupBy("shard_id")
         .applyInPandas(pack_and_unpack, schema)
     )
@@ -848,8 +853,15 @@ def shard_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             columns=["shard_id", "record_id", "target_uri", "size_bytes", "content_md5"],
         )
 
+    from etl_extractor_spark.operators.common import spread_groups
+
     return (
-        d.select(F.expr("doc_id div 8").alias("shard_id"), "doc_id", "source", "text")
+        spread_groups(
+            d.select(
+                F.expr("doc_id div 8").alias("shard_id"), "doc_id", "source", "text"
+            ),
+            "shard_id",
+        )
         .groupBy("shard_id")
         .applyInPandas(pack_and_unpack, schema)
     )
@@ -923,14 +935,19 @@ def shard_avro_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             columns=["shard_id", "doc_id", "lang", "source", "n_chars", "text_md5"],
         )
 
+    from etl_extractor_spark.operators.common import spread_groups
+
     return (
-        d.select(
-            F.expr("doc_id div 8").alias("shard_id"),
-            "doc_id",
-            "lang",
-            "source",
-            "n_chars",
-            "text",
+        spread_groups(
+            d.select(
+                F.expr("doc_id div 8").alias("shard_id"),
+                "doc_id",
+                "lang",
+                "source",
+                "n_chars",
+                "text",
+            ),
+            "shard_id",
         )
         .groupBy("shard_id")
         .applyInPandas(pack_and_unpack, schema)

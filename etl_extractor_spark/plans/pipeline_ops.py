@@ -115,8 +115,13 @@ def shard_zip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows, columns=["shard_id", "member", "size_bytes", "content_md5"]
         )
 
+    from etl_extractor_spark.operators.common import spread_groups
+
     return (
-        d.select(F.expr("doc_id div 8").alias("shard_id"), "doc_id", "text")
+        spread_groups(
+            d.select(F.expr("doc_id div 8").alias("shard_id"), "doc_id", "text"),
+            "shard_id",
+        )
         .groupBy("shard_id")
         .applyInPandas(pack_and_unpack, schema)
     )
@@ -186,8 +191,15 @@ def shard_warc_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
             columns=["shard_id", "record_id", "target_uri", "size_bytes", "content_md5"],
         )
 
+    from etl_extractor_spark.operators.common import spread_groups
+
     return (
-        d.select(F.expr("doc_id div 8").alias("shard_id"), "doc_id", "source", "text")
+        spread_groups(
+            d.select(
+                F.expr("doc_id div 8").alias("shard_id"), "doc_id", "source", "text"
+            ),
+            "shard_id",
+        )
         .groupBy("shard_id")
         .applyInPandas(pack_and_unpack, schema)
     )
@@ -1450,8 +1462,13 @@ def shard_bz2_multistream(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows, columns=["shard_id", "member_tag", "size_bytes", "content_md5"]
         )
 
+    from etl_extractor_spark.operators.common import spread_groups
+
     return (
-        d.select(F.expr("doc_id div 8").alias("shard_id"), "doc_id", "text")
+        spread_groups(
+            d.select(F.expr("doc_id div 8").alias("shard_id"), "doc_id", "text"),
+            "shard_id",
+        )
         .groupBy("shard_id")
         .applyInPandas(pack_and_unpack, schema)
     )
